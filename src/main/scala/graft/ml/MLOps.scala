@@ -1,0 +1,95 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exposed-model abstraction (reference: exposed_model/interface.py:102+).
+  * In a Scala engine, user models are first-class code: a model is a function
+  * DataFrame → DataFrame. The reference's dill-pickled variants have no JVM
+  * analog (SURVEY §7.4); CodePredictor/PolarsExpression models map to
+  * expression-based models, heavyweight inference maps to mapPartitions.
+  */
+trait ExposedModel {
+  def name: String
+  def version: String
+  def predict(input: DataFrame): DataFrame
+}
+
+/** A model that is a pure column expression over its inputs (the reference's
+  * PolarsExpression model, exposed_model/interface.py:433). Stays inside
+  * whole-stage codegen. */
+final case class ExpressionModel(name: String, version: String, output: String, expr: Column)
+    extends ExposedModel {
+  def predict(input: DataFrame): DataFrame = input.withColumn(output, expr)
+}
+
+/** Per-partition batched inference (the mapPartitions shape used for real
+  * model servers / embedding models — exposed_model/interface.py:251,
+  * ollama.py etc.). `f` sees an iterator of rows per partition so it can
+  * batch RPC calls; here the contract is DataFrame→DataFrame to stay
+  * engine-agnostic. */
+final case class FunctionModel(name: String, version: String, f: DataFrame => DataFrame)
+    extends ExposedModel {
+  def predict(input: DataFrame): DataFrame = f(input)
+}
+
+object MLOps {
+
+  /** Shadow deployment (exposed_model/interface.py:517): all rows scored by
+    * the primary, a fraction also scored by the shadow, outputs unioned with
+    * a `model_version` provenance column. Deterministic hash-based sampling
+    * (no rand() — reproducible across retries, which matters for exactly-once
+    * sinks). */
+  def shadow(primary: ExposedModel, shadowModel: ExposedModel, fraction: Double, idCol: String)(
+      input: DataFrame): DataFrame = {
+    val p = primary.predict(input).withColumn("model_version", lit(primary.version))
+    val routed = input.filter(pmod(xxhash64(col(idCol)), lit(10000)) < lit((fraction * 10000).toInt))
+    val s = shadowModel.predict(routed).withColumn("model_version", lit(shadowModel.version))
+    p.unionByName(s)
+  }
+
+  /** A/B assignment (exposed_model/interface.py:566): hash-based stable split
+    * of traffic between two models. */
+  def abTest(a: ExposedModel, b: ExposedModel, aShare: Double, idCol: String)(
+      input: DataFrame): DataFrame = {
+    val bucket = pmod(xxhash64(col(idCol)), lit(10000))
+    val aRows = a.predict(input.filter(bucket < lit((aShare * 10000).toInt)))
+      .withColumn("model_version", lit(a.version))
+    val bRows = b.predict(input.filter(bucket >= lit((aShare * 10000).toInt)))
+      .withColumn("model_version", lit(b.version))
+    aRows.unionByName(bRows)
+  }
+
+  /** Partitioned model routing (exposed_model/partitioned.py): route rows to a
+    * model by a partition-key column, union the results. */
+  def partitioned(models: Map[String, ExposedModel], keyCol: String)(input: DataFrame): DataFrame =
+    models.map { case (k, m) =>
+      m.predict(input.filter(col(keyCol) === k)).withColumn("model_version", lit(m.version))
+    }.reduce(_ unionByName _)
+
+  /** Train/test(/validate) split (retrieval_job.py:917-1050): ordered by the
+    * event timestamp when present (temporal split), otherwise a deterministic
+    * hash order; optional stratification on a target column. Implemented with
+    * percent_rank per stratum — one window, no driver-side sampling. */
+  def trainTestValidate(
+      df: DataFrame,
+      trainFrac: Double,
+      testFrac: Double,
+      orderBy: Option[String] = None,
+      stratifyOn: Option[String] = None): (DataFrame, DataFrame, DataFrame) = {
+    val ord = orderBy.map(c => col(c).asc).getOrElse(xxhash64(struct(df.columns.map(col): _*)).asc)
+    val part = stratifyOn.map(c => Window.partitionBy(col(c))).getOrElse(Window.partitionBy())
+    val ranked = df.withColumn("__pr", percent_rank().over(part.orderBy(ord)))
+    val train = ranked.filter(col("__pr") <= trainFrac).drop("__pr")
+    val test = ranked.filter(col("__pr") > trainFrac && col("__pr") <= trainFrac + testFrac).drop("__pr")
+    val validate = ranked.filter(col("__pr") > trainFrac + testFrac).drop("__pr")
+    (train, test, validate)
+  }
+
+  def trainTest(df: DataFrame, trainFrac: Double, orderBy: Option[String] = None,
+      stratifyOn: Option[String] = None): (DataFrame, DataFrame) = {
+    val (tr, te, va) = trainTestValidate(df, trainFrac, 1.0 - trainFrac, orderBy, stratifyOn)
+    (tr, te.unionByName(va))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.contract.{AggregatedFeature, AggregationWindow}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The three aggregation execution shapes of the reference (SURVEY §2.6;
+  * aligned/local/job.py:78-166, 366-402):
+  * 1. plain group-by over entities;
+  * 2. time-windowed over history (rolling per-row, or aligned sliding via
+  *    every_interval);
+  * 3. point-in-time windowed per fact row.
+  * All lower to groupBy/Window — partial (map-side) aggregation and AQE come
+  * free; the rolling form shuffles once on the group keys.
+  */
+object Aggregations {
+
+  /** Shape 1: plain `group_by(entities).agg(...)` (local/job.py:83-95). */
+  def groupBy(df: DataFrame, keys: Seq[String], aggs: Seq[AggregatedFeature]): DataFrame = {
+    val exprs = aggs.map(a => a.agg(col(a.sourceColumn)).as(a.name))
+    df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Shape 2a: rolling trailing window per input row — for each row, aggregate
+    * peer rows of the same keys within (ts - window, ts]. polars
+    * `rolling(ts, period=w, group_by=keys)` (local/job.py:137-141) →
+    * `Window.partitionBy(keys).orderBy(unix_ts).rangeBetween(-w, 0)`.
+    * One shuffle on `keys`; the sort is per-partition. */
+  def rolling(df: DataFrame, keys: Seq[String], ts: String, aggs: Seq[AggregatedFeature]): DataFrame = {
+    val secs = col(ts).cast("double")
+    aggs.foldLeft(df) { (d, a) =>
+      val w = a.window.map(_.window.getSeconds).getOrElse(Long.MaxValue / 4)
+      val win = Window.partitionBy(keys.map(col): _*).orderBy(secs)
+        .rangeBetween(-w, 0)
+      d.withColumn(a.name, a.agg(col(a.sourceColumn)).over(win))
+    }
+  }
+
+  /** Shape 2b: aligned sliding windows — polars `group_by_dynamic(ts, every=e,
+    * period=w, offset=-w)` (local/job.py:121-135) → Spark
+    * `groupBy(window(ts, w, e), keys)`, taking window.end as the result
+    * timestamp and clipping windows that end after the max observed ts
+    * (the reference's backfill clip, local/job.py:132-135). */
+  def sliding(
+      df: DataFrame, keys: Seq[String], ts: String,
+      aggs: Seq[AggregatedFeature], win: AggregationWindow,
+      tsOut: String = "window_ts"): DataFrame = {
+    val every = win.everyInterval.getOrElse(win.window)
+    val exprs = aggs.map(a => a.agg(col(a.sourceColumn)).as(a.name))
+    val wcol = window(col(ts), s"${win.window.getSeconds} seconds", s"${every.getSeconds} seconds")
+    val grouped = df.groupBy(wcol +: keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+    val maxTs = df.agg(max(col(ts))).head().getTimestamp(0)
+    val shifted = win.offsetInterval.fold(col("window.end"))(o =>
+      col("window.end") + expr(s"INTERVAL ${o.getSeconds} SECOND"))
+    grouped
+      .withColumn(tsOut, shifted)
+      .filter(col("window.start") <= lit(maxTs))
+      .drop("window")
+  }
+
+  /** Shape 3: point-in-time windowed aggregate per fact row
+    * (local/job.py:366-402): join facts×features on entities with the range
+    * predicate factTs - w <= featureTs <= factTs, then group by the fact row
+    * id. Facts keep all their columns; one aggregate column per feature. */
+  def pointInTimeAgg(
+      facts: DataFrame, features: DataFrame, entityKeys: Seq[String],
+      featureTs: String, factTs: String, aggs: Seq[AggregatedFeature]): DataFrame = {
+    val rid = "__graft_row_id"
+    val f = facts.withColumn(rid, monotonically_increasing_id())
+    val renamed = features.columns.map(c => c -> ("__r_" + c)).toMap
+    val ft = features.select(features.columns.map(c => col(c).as(renamed(c))): _*)
+    val fts = col(renamed(featureTs))
+    val conds = entityKeys.map(k => col(k) === col(renamed(k)))
+    val joined = f.join(ft, conds.reduce(_ && _) && fts <= col(factTs), "left")
+    val windowed = aggs.map { a =>
+      val inWin = a.window.map(_.window.getSeconds) match {
+        case Some(w) => fts >= col(factTs) - expr(s"INTERVAL $w SECOND")
+        case None => lit(true)
+      }
+      a.agg(when(inWin, col(renamed(a.sourceColumn)))).as(a.name)
+    }
+    joined.groupBy(col(rid) +: facts.columns.map(col): _*)
+      .agg(windowed.head, windowed.tail: _*)
+      .drop(rid)
+  }
+}

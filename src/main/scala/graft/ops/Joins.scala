@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of and point-in-time joins — the reference's core query
+  * (FileFactualJob, aligned/local/job.py:406-701; JoinAsofJob,
+  * retrieval_job.py:1795-1859). Spark has no native as-of join, so we use the
+  * same physical shape the reference's own Spark path uses
+  * (local/job.py:678-699): equi-join on keys with a range predicate, then
+  * keep the latest right row per left row via a row_number window.
+  *
+  * Scale notes (100 TB): the join is a plain equi-join on the `by` keys, so
+  * Catalyst/AQE pick broadcast/shuffle-hash/sort-merge and handle skew; the
+  * dedup window partitions by the left row id, which is finer than the join
+  * key, so AQE coalesces the extra exchange cheaply. When the right side is a
+  * small dimension, callers can pass broadcast(right).
+  */
+object Joins {
+
+  private val RowId = "__graft_row_id"
+  private def tmp(n: String) = "__graft_r_" + n
+
+  /** Rename every column of `right` to an internal prefixed name so the join
+    * is never ambiguous regardless of overlapping schemas. Returns (renamed
+    * df, originalName → tmpName). */
+  private def renameAll(right: DataFrame): (DataFrame, Map[String, String]) = {
+    val mapping = right.columns.map(c => c -> tmp(c)).toMap
+    (right.select(right.columns.map(c => col(c).as(tmp(c))): _*), mapping)
+  }
+
+  /** Backward as-of join: for each left row, the single latest right row with
+    * right.ts <= left.ts, matched on `by` keys. Left rows with no match are
+    * kept (left-join semantics), like polars join_asof(strategy="backward")
+    * (retrieval_job.py:1795-1859). `tolerance` bounds the lookback window.
+    * Right value columns keep their names (optionally prefixed); `by` keys and
+    * the right timestamp are not duplicated in the output.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      by: Seq[String],
+      tolerance: Option[java.time.Duration] = None,
+      rightPrefix: String = ""): DataFrame = {
+    val l = left.withColumn(RowId, monotonically_increasing_id())
+    val (r, m) = renameAll(right)
+    val rTs = col(m(rightTs))
+    var cond: Column = rTs <= col(leftTs)
+    tolerance.foreach(t => cond = cond && rTs >= col(leftTs) - expr(s"INTERVAL ${t.getSeconds} SECOND"))
+    val keyCond = by.map(k => col(k) === col(m(k))).foldLeft(cond)(_ && _)
+    val joined = l.join(r, keyCond, "left")
+    val w = Window.partitionBy(col(RowId)).orderBy(rTs.desc_nulls_last)
+    val deduped = joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    // project: all left columns + right value columns under original (or prefixed) names
+    val rightVals = right.columns.filterNot(c => by.contains(c) || c == rightTs)
+    val outCols = left.columns.map(col) ++
+      rightVals.map(c => col(m(c)).as(rightPrefix + c))
+    deduped.select(outCols: _*)
+  }
+
+  /** Point-in-time ("fact") join: for each fact row (entity keys + fact
+    * timestamp), attach the latest feature row per entity with
+    * featureTs <= factTs, honouring an optional TTL window
+    * (factTs - ttl <= featureTs). Null feature timestamps PASS the filter —
+    * the reference treats untimestamped feature rows as always valid
+    * (local/job.py:567-585). Output: all fact columns + feature value columns.
+    */
+  def pointInTimeJoin(
+      facts: DataFrame,
+      features: DataFrame,
+      entityKeys: Seq[String],
+      featureTs: String,
+      factTs: String,
+      ttl: Option[java.time.Duration] = None,
+      featureCols: Seq[String] = Nil): DataFrame = {
+    val f = facts.withColumn(RowId, monotonically_increasing_id())
+    val (ft, m) = renameAll(features)
+    val fts = col(m(featureTs))
+    var timeOk: Column = fts.isNull || fts <= col(factTs)
+    ttl.foreach { t =>
+      timeOk = timeOk && (fts.isNull || fts >= col(factTs) - expr(s"INTERVAL ${t.getSeconds} SECOND"))
+    }
+    val cond = entityKeys.map(k => col(k) === col(m(k))).foldLeft(timeOk)(_ && _)
+    val joined = f.join(ft, cond, "left")
+    val w = Window.partitionBy(col(RowId)).orderBy(fts.desc_nulls_last)
+    val deduped = joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val vals =
+      if (featureCols.nonEmpty) featureCols
+      else features.columns.filterNot(c => entityKeys.contains(c) || c == featureTs).toSeq
+    deduped.select(facts.columns.map(col) ++ vals.map(c => col(m(c)).as(c)): _*)
+  }
+
+  /** Merge N per-source feature frames onto one entity frame
+    * (CombineFactualJob, retrieval_job.py:2961-3147): iterative left join on
+    * the accumulated entity columns. */
+  def combine(entityFrame: DataFrame, parts: Seq[(DataFrame, Seq[String])]): DataFrame =
+    parts.foldLeft(entityFrame) { case (acc, (part, keys)) => acc.join(part, keys, "left") }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata structs, plus decode / feature-extract / resize /
+  * frame-sample operators (reference analog: LoadImageUrl/GrayscaleImage,
+  * aligned/schemas/transformation.py:2200-2281).
+  *
+  * The decode kernels themselves are STUBBED with deterministic fakes —
+  * image/audio codecs are not in this container — but the Spark-side
+  * contract is real: schemas, batch shape (mapPartitions over row
+  * iterators so a codec can batch), partition sizing, and metadata
+  * propagation are exactly what a real decoder plugs into.
+  */
+object Multimodal {
+
+  /** metadata struct carried next to every media binary column. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Attach a deterministic fake media payload + metadata to each row — the
+    * test stand-in for `spark.read.format("binaryFile")`. */
+  def withFakeMedia(df: DataFrame, idCol: String, mime: String = "image/png"): DataFrame = {
+    val h = xxhash64(col(idCol))
+    df.withColumn("media_bytes", to_binary(conv(abs(h) % 1000000, 10, 16), lit("hex")))
+      .withColumn("media_meta", struct(
+        lit(mime).as("mime"),
+        (pmod(h, lit(1024)) + 32).cast("int").as("width"),
+        (pmod(h, lit(768)) + 32).cast("int").as("height"),
+        (pmod(h, lit(300)) + 1).cast("int").as("n_frames"),
+        lit(16000).as("sample_rate"),
+        (pmod(h, lit(60000))).cast("long").as("duration_ms")))
+  }
+
+  /** STUB decode kernel: a real implementation would decode `bytes` with an
+    * image codec; the fake derives a deterministic fixed-size feature vector
+    * from the bytes so pipelines are testable end-to-end. Runs per partition
+    * so a real codec can amortize init across a batch of rows. */
+  private def fakeDecodeFeatures(bytes: Array[Byte], dims: Int): Array[Float] = {
+    // ??? <- real codec goes here (e.g. javax.imageio / ffmpeg bindings)
+    val seed = java.util.Arrays.hashCode(bytes)
+    Array.tabulate(dims)(i => (((seed * 31 + i) % 1000).toFloat / 1000.0f))
+  }
+
+  /** Decode + feature-extract: binary column → fixed-size float vector.
+    * mapPartitions keeps codec init per-partition, and the output schema is
+    * explicit so Catalyst can keep planning around the opaque kernel. */
+  def extractFeatures(df: DataFrame, bytesCol: String, dims: Int = 16,
+      out: String = "media_features"): DataFrame = {
+    val schema = df.schema.add(out, ArrayType(FloatType))
+    val idx = df.schema.fieldIndex(bytesCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      // per-partition init of the (stubbed) codec happens here
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val feats = if (bytes == null) null else fakeDecodeFeatures(bytes, dims)
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Resize metadata transform (pure expression — resize itself is a kernel,
+    * but the shape math and metadata update are engine-side). */
+  def resizeMeta(df: DataFrame, metaCol: String, maxSide: Int): DataFrame = {
+    val m = col(metaCol)
+    val scale = least(lit(1.0),
+      lit(maxSide).cast("double") / greatest(m.getField("width"), m.getField("height")).cast("double"))
+    df.withColumn(metaCol, struct(
+      m.getField("mime").as("mime"),
+      (m.getField("width") * scale).cast("int").as("width"),
+      (m.getField("height") * scale).cast("int").as("height"),
+      m.getField("n_frames").as("n_frames"),
+      m.getField("sample_rate").as("sample_rate"),
+      m.getField("duration_ms").as("duration_ms")))
+  }
+
+  /** Frame sampling plan: one output row per sampled frame index, at `fps`
+    * against the clip's metadata — pure explode, ready for a per-frame
+    * decode kernel downstream. */
+  def sampleFrames(df: DataFrame, metaCol: String, everyNth: Int): DataFrame =
+    df.withColumn("frame_index",
+      explode(sequence(lit(0), greatest(col(metaCol).getField("n_frames") - 1, lit(0)), lit(everyNth))))
+}

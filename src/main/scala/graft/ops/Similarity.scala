@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (Array[Float]) — the
+  * engine behind the reference's VectorIndexStore.nearest_n_to
+  * (aligned/feature_store.py:1734-1798; sources/lancedb.py:158-215 loops
+  * per-row against LanceDB — here it is one distributed plan).
+  *
+  * Baseline: brute-force cosine top-k (exact, O(n·q), fine when one side
+  * broadcasts). Scale path: IVF-style coarse quantization — assign every
+  * vector to its nearest of `nlist` centroids, search only `nprobe` inverted
+  * lists per query, so the join key is the centroid id and the shuffle is
+  * bucket-local instead of a cross join.
+  */
+object Similarity {
+
+  /** dot(a, b) as a pure codegen'd expression (ListDotProduct,
+    * transformation.py:3114-3166). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact brute-force top-k: for each query row, the k nearest corpus rows by
+    * cosine. The corpus×queries product is bounded by broadcasting the
+    * (small) query side; ranking partitions by query id. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusVec: String = "embedding", queryVec: String = "embedding",
+      corpusId: String = "vec_id", queryId: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qvec")))
+    val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cvec"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qvec"), col("__cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic k-means-free IVF: centroids are `nlist` corpus vectors
+    * picked by hash (a valid coarse quantizer for ANN; real k-means would
+    * drop in here). Every corpus vector is assigned to its nearest centroid;
+    * each query probes its `nprobe` nearest centroids and ranks only those
+    * lists. Join key = centroid id → shuffle is inverted-list-local. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      corpusVec: String = "embedding", queryVec: String = "embedding",
+      corpusId: String = "vec_id", queryId: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    // 1. pick nlist pseudo-random corpus vectors as centroids (hash-ordered)
+    val centroids = corpus
+      .select(col(corpusId).as("cid"), col(corpusVec).as("cvec"))
+      .orderBy(xxhash64(col("cid"))).limit(nlist)
+      .withColumn("centroid_id", row_number().over(Window.orderBy(col("cid"))))
+      .select("centroid_id", "cvec")
+    val cb = broadcast(centroids)
+
+    def nearestCentroids(df: DataFrame, vec: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(cb).withColumn("__cd", cosine(col(vec), col("cvec")))
+      val w = Window.partitionBy(col("__pk")).orderBy(col("__cd").desc)
+      scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= n)
+        .drop("cvec", "__cd", "__cr")
+    }
+
+    val assigned = nearestCentroids(
+      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cvec"),
+        col(corpusId).as("__pk")), "__cvec", 1).drop("__pk")
+    val probed = nearestCentroids(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qvec"),
+        col(queryId).as("__pk")), "__qvec", nprobe).drop("__pk")
+
+    val scored = assigned.join(probed, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qvec"), col("__cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Explode an embedding column into scalar columns (UnpackEmbedding,
+    * retrieval_job.py:3296-3320). */
+  def unpackEmbedding(df: DataFrame, vecCol: String, dims: Int, prefix: String = "dim_"): DataFrame =
+    (0 until dims).foldLeft(df)((d, i) => d.withColumn(s"$prefix$i", element_at(col(vecCol), i + 1)))
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality scoring,
+  * token counting, fingerprinting. All pure `functions._` expressions —
+  * codegen'd, no UDFs in the hot path, so they stay inside whole-stage
+  * codegen even over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token estimate: word-boundary regex pieces (letters runs,
+    * digit runs, punctuation singles) — the usual cheap proxy for LLM token
+    * counts without shipping a tokenizer. */
+  def tokenCountBpe(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+        s => length(s) > 0 && s.rlike("\\S"))))
+
+  /** Character-level stats used by quality heuristics. */
+  def punctRatio(text: Column): Column = {
+    val total = length(text).cast("double")
+    when(total === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / total)
+  }
+
+  def digitRatio(text: Column): Column = {
+    val total = length(text).cast("double")
+    when(total === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^0-9]", "")).cast("double") / total)
+  }
+
+  def upperRatio(text: Column): Column = {
+    val total = length(text).cast("double")
+    when(total === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Z]", "")).cast("double") / total)
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val n = tokenCountWs(text)
+    when(n === 0, 0.0)
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / n.cast("double"))
+  }
+
+  private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Fraction of tokens that are common English stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStop): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val n = size(words)
+    when(n === 0, 0.0).otherwise(
+      size(filter(words, w => w.isin(stopwords: _*))).cast("double") / n.cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: C4/Gopher-style length, word-length,
+    * punctuation and stopword heuristics combined. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 100000), 1.0).otherwise(0.0)
+    val mwl = meanWordLength(text)
+    val wordOk = when(mwl.between(3.0, 12.0), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.3, 1.0).otherwise(0.0)
+    val digitOk = when(digitRatio(text) <= 0.3, 1.0).otherwise(0.0)
+    (lenOk + wordOk + punctOk + digitOk) / 4.0
+  }
+
+  /** n-gram-heuristic language ID over a small built-in profile: scores each
+    * language by hits of its most characteristic words/characters. Covers the
+    * test corpus languages (en/es/de/fr/zh); extensible map. */
+  def langId(text: Column): Column = {
+    val t = lower(text)
+    def hits(words: Seq[String]): Column =
+      words.map(w => when(t.rlike("(^|\\s)" + w + "(\\s|$)"), 1).otherwise(0)).reduce(_ + _)
+    val zh = when(t.rlike("[\\u4e00-\\u9fff]"), 100).otherwise(0)
+    val en = hits(Seq("the", "and", "of", "to", "is", "that", "with", "for"))
+    val es = hits(Seq("el", "la", "los", "las", "es", "una", "que", "por", "con"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"))
+    val fr = hits(Seq("le", "la", "les", "est", "et", "une", "dans", "pour", "que", "des"))
+    val scores = map(
+      lit("zh"), zh, lit("en"), en, lit("es"), es, lit("de"), de, lit("fr"), fr)
+    // argmax over the map; ties resolved by iteration order via map_entries sort
+    val entries = map_entries(scores)
+    val best = array_max(transform(entries, e => e.getField("value")))
+    when(best <= 0, lit("unknown")).otherwise(
+      element_at(filter(entries, e => e.getField("value") === best), 1).getField("key"))
+  }
+
+  /** Rolling-hash document fingerprint: polynomial rolling hash over word
+    * tokens (order-sensitive, content-defined). Deterministic across runs. */
+  def fingerprint(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    aggregate(words, lit(1469598103934665603L),
+      (acc, w) => acc * lit(31L) + xxhash64(w))
+  }
+
+  /** Winnowing-style k-gram fingerprint set: hash every word k-gram, keep the
+    * per-document minimum `m` hashes (a compact shift-resistant signature). */
+  def kgramFingerprints(text: Column, k: Int = 5, m: Int = 8): Column =
+    slice(array_sort(transform(Dedup.shingles(text, k), s => xxhash64(s))), 1, m)
+}

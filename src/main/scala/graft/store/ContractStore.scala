@@ -1,0 +1,190 @@
+package graft.store
+
+import graft.contract._
+import graft.ops.{Aggregations, Joins}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session-scoped contract catalog — the analog of the reference's
+  * `ContractStore` (aligned/feature_store.py:148-188). Holds feature views and
+  * model contracts; answers the three core queries (SURVEY §3):
+  *   - `view(name).all(spark)` — full view materialization with derivation;
+  *   - `featuresFor(entities, refs)` — point-in-time feature lookup;
+  *   - `executeSql(sql)` — SQL over all registered contracts.
+  * Everything compiles to ONE DataFrame plan per query; Catalyst does
+  * pruning/pushdown, so the reference's hand-built optimizer passes
+  * (SURVEY §4) are either free or live here as cheap metadata checks.
+  */
+final class ContractStore {
+  private var viewsMap: Map[String, FeatureView] = Map.empty
+  private var modelsMap: Map[String, ModelContract] = Map.empty
+
+  def addView(v: FeatureView): ContractStore = { viewsMap += v.name -> v; this }
+  def addModel(m: ModelContract): ContractStore = { modelsMap += m.name -> m; this }
+  def views: Map[String, FeatureView] = viewsMap
+  def models: Map[String, ModelContract] = modelsMap
+
+  def view(name: String): ViewStore = new ViewStore(this, viewsMap(name))
+  def model(name: String): ModelStore = new ModelStore(this, modelsMap(name))
+
+  /** schema-drift check (reference: source_validation.py): contract columns
+    * missing from the physical source. */
+  def validateSchema(spark: SparkSession, name: String): Seq[String] = {
+    val v = viewsMap(name)
+    val actual = v.source.read(spark).columns.map(c => v.mappingKeys.getOrElse(c, c)).toSet
+    (v.entities ++ v.features).map(_.name).filterNot(actual.contains)
+  }
+
+  /** max event-ts of a view's source (feature_store.py:276-298). */
+  def freshness(spark: SparkSession, name: String): Option[java.sql.Timestamp] = {
+    val v = viewsMap(name)
+    v.eventTimestamp.flatMap(ts => v.source.freshness(spark, ts.name))
+  }
+
+  /** SQL entry point (feature_store.py:457-499): register every contract as a
+    * temp view, run Spark SQL. The reference needs sqlglot parsing + manual
+    * pushdown; Catalyst does all of that natively (SURVEY §3.3).
+    */
+  def executeSql(spark: SparkSession, sql: String): DataFrame = {
+    viewsMap.values.foreach(v => view(v.name).all(spark).createOrReplaceTempView(v.name))
+    modelsMap.values.foreach { m =>
+      m.predictionView.foreach(pv =>
+        new ViewStore(this, pv).all(spark).createOrReplaceTempView(m.name))
+    }
+    spark.sql(sql)
+  }
+
+  /** Point-in-time feature lookup (SURVEY §3.1, feature_store.py:501-655):
+    * `refs` are "view:feature" strings; `entities` must carry the entity key
+    * columns and, when any referenced view has an event timestamp, an
+    * `event_timestamp` column for PIT correctness.
+    */
+  def featuresFor(spark: SparkSession, entities: DataFrame, refs: Seq[String],
+      factTs: String = "event_timestamp"): DataFrame = {
+    // 1. parse refs, group by view (RawStringFeatureRequest, feature_store.py:108-145)
+    val byView = refs.map { r =>
+      r.split(":") match {
+        case Array(v, f) => (v, f)
+        case Array(_, v, f) => (v, f)
+        case _ => throw new IllegalArgumentException(s"bad feature ref: $r")
+      }
+    }.groupBy(_._1).map { case (v, fs) => v -> fs.map(_._2) }
+
+    // 2. per view: assemble the needed frame and PIT-join onto the entity frame
+    byView.foldLeft(entities) { case (acc, (viewName, wanted)) =>
+      val v = viewsMap(viewName)
+      val vs = new ViewStore(this, v)
+      val keys = v.entities.map(_.name)
+      v.eventTimestamp match {
+        case Some(ts) if acc.columns.contains(factTs) =>
+          val needsAgg = v.aggregates.exists(a => wanted.contains(a.name))
+          if (needsAgg) {
+            val base = vs.baseWithDerived(spark)
+            val aggs = v.aggregates.filter(a => wanted.contains(a.name))
+            Aggregations.pointInTimeAgg(acc, base, keys, ts.name, factTs, aggs)
+          } else {
+            val feat = vs.baseWithDerived(spark)
+              .select((keys :+ ts.name).map(col) ++ wanted.map(col): _*)
+            Joins.pointInTimeJoin(acc, feat, keys, ts.name, factTs, ts.ttl)
+          }
+        case _ =>
+          val feat = vs.all(spark).select((keys ++ wanted).map(col): _*)
+          acc.join(feat, keys, "left")
+      }
+    }
+  }
+}
+
+/** Per-view query surface (reference: FeatureViewStore, feature_store.py:1461+). */
+final class ViewStore(store: ContractStore, val view: FeatureView) {
+
+  /** Scan → rename → fill missing optional columns → cast to contract dtypes →
+    * derive (topological rounds) — the FileFullJob pipeline
+    * (local/job.py:218-292) as one DataFrame plan. No aggregates. */
+  def baseWithDerived(spark: SparkSession): DataFrame = {
+    val src = view.materializedSource.getOrElse(view.source)
+    var df = src.read(spark)
+    // rename source columns to contract names (ColumnFeatureMappable, local/job.py:259-271)
+    view.mappingKeys.foreach { case (from, to) =>
+      if (df.columns.contains(from)) df = df.withColumnRenamed(from, to)
+    }
+    // fill missing optional columns with defaults/null (FillMissingColumnsJob,
+    // retrieval_job.py:2488-2538)
+    (view.entities ++ view.features).foreach { f =>
+      if (!df.columns.contains(f.name))
+        df = df.withColumn(f.name, lit(f.defaultValue.orNull).cast(f.dtype.sparkType))
+    }
+    // ensure-types: cast ONLY on mismatch (EnsureTypesJob, retrieval_job.py:2866-2955)
+    val declared = (view.entities ++ view.features).map(f => f.name -> f.dtype.sparkType).toMap
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    declared.foreach { case (n, t) =>
+      if (fields.get(n).exists(_ != t)) df = df.withColumn(n, col(n).cast(t))
+    }
+    // derived features in topological rounds (retrieval_job.py:2345-2388);
+    // skip any already present in the source (Transformation.should_skip)
+    view.derivedRounds.foreach { round =>
+      val todo = round.filterNot(d => df.columns.contains(d.name))
+      if (todo.nonEmpty)
+        df = df.withColumns(todo.map(d => d.name -> d.expr.toColumn.cast(d.dtype.sparkType)).toMap)
+    }
+    df
+  }
+
+  /** Full view materialization incl. aggregates (SURVEY §3.2). */
+  def all(spark: SparkSession, limit: Option[Int] = None): DataFrame = {
+    var df = baseWithDerived(spark)
+    if (view.aggregates.nonEmpty) {
+      val keys = view.entities.map(_.name)
+      val (windowed, plain) = view.aggregates.partition(_.window.isDefined)
+      if (plain.nonEmpty) {
+        df = Aggregations.groupBy(df, keys, plain)
+      }
+      windowed.groupBy(_.window.get).foreach { case (w, aggs) =>
+        val ts = view.eventTimestamp.map(_.name).getOrElse(
+          throw new IllegalStateException(s"windowed aggregate on ${view.name} needs an event timestamp"))
+        df =
+          if (w.everyInterval.isDefined) Aggregations.sliding(df, keys, ts, aggs, w)
+          else Aggregations.rolling(df, keys, ts, aggs)
+      }
+    }
+    limit.fold(df)(df.limit)
+  }
+
+  /** Validation filters from constraints (retrieval_job.py:1365-1480). */
+  private def validPredicate: Column =
+    (view.entities ++ view.features).flatMap { f =>
+      f.constraints.map {
+        case Constraint.Required => col(f.name).isNotNull
+        case c => col(f.name).isNull || c.toPredicate(col(f.name))
+      }
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** rows passing all constraints (DropInvalidJob, retrieval_job.py:2264-2310). */
+  def dropInvalid(spark: SparkSession): DataFrame = all(spark).filter(validPredicate)
+  /** rows FAILING any constraint (ReturnInvalidJob, retrieval_job.py:1514-1557). */
+  def returnInvalid(spark: SparkSession): DataFrame = all(spark).filter(!validPredicate)
+
+  /** materialize the view into its materialized source (materialize_all,
+    * feature_view/feature_view.py:497-506). */
+  def materialize(spark: SparkSession): Unit =
+    view.materializedSource match {
+      case Some(w: graft.sources.WritableSource) =>
+        // read from the raw source, write to the materialized one
+        val df = new ViewStore(store, view.copy(materializedSource = None)).all(spark)
+        w.overwrite(df)
+      case _ => throw new IllegalStateException(s"${view.name} has no writable materialized source")
+    }
+}
+
+/** Model query surface (model_store.py). */
+final class ModelStore(store: ContractStore, val contract: ModelContract) {
+  /** assemble inputs point-in-time, run the exposed model, stamp version
+    * (PredictionJob, retrieval_job.py:3328-3451). */
+  def predictOver(spark: SparkSession, entities: DataFrame): DataFrame = {
+    val inputs = store.featuresFor(spark, entities, contract.inputFeatures)
+    val m = contract.model.getOrElse(throw new IllegalStateException(s"${contract.name} has no exposed model"))
+    m.predict(inputs)
+      .withColumn("model_version", lit(m.version))
+      .withColumn("predicted_at", current_timestamp())
+  }
+}

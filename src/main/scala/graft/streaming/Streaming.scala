@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.contract._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming worker — the analog of the reference's StreamWorker
+  * (aligned/worker.py:150-260). The reference hand-rolls sliding-window state
+  * with parquet checkpoint files per AggregateOver
+  * (StreamAggregationJob, retrieval_job.py:2541-2650); Structured Streaming
+  * replaces that with watermarked windowed aggregation + built-in state-store
+  * checkpointing, which is incremental instead of recompute-from-file
+  * (SURVEY §2.9 — the late-data cutoff becomes the watermark).
+  */
+object Streaming {
+
+  /** Kafka topic config (reference: sources/kafka.py:15): value is JSON. */
+  final case class KafkaTopic(bootstrap: String, topic: String)
+
+  /** readStream for a Kafka JSON topic decoded to `schema` (the reference's
+    * JSON record coder, schemas/record_coders.py). */
+  def kafkaJsonStream(spark: SparkSession, t: KafkaTopic, schema: StructType): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", t.bootstrap)
+      .option("subscribe", t.topic)
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("r"))
+      .select("r.*")
+
+  /** File-based stream (used by tests: a parquet dir driven synchronously). */
+  def fileStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** The per-batch contract pipeline (worker.py:172-204): rename → fill
+    * missing → ensure types → derive. Same code path as batch — it is all
+    * DataFrame ops, so the batch ViewStore logic applies unchanged. */
+  def contractPipeline(view: FeatureView)(df: DataFrame): DataFrame = {
+    var out = df
+    view.mappingKeys.foreach { case (from, to) =>
+      if (out.columns.contains(from)) out = out.withColumnRenamed(from, to)
+    }
+    (view.entities ++ view.features).foreach { f =>
+      if (!out.columns.contains(f.name))
+        out = out.withColumn(f.name, lit(f.defaultValue.orNull).cast(f.dtype.sparkType))
+    }
+    val declared = (view.entities ++ view.features).map(f => f.name -> f.dtype.sparkType).toMap
+    out.schema.fields.foreach { f =>
+      declared.get(f.name).foreach(t => if (f.dataType != t) out = out.withColumn(f.name, col(f.name).cast(t)))
+    }
+    view.derivedRounds.foreach { round =>
+      val todo = round.filterNot(d => out.columns.contains(d.name))
+      if (todo.nonEmpty)
+        out = out.withColumns(todo.map(d => d.name -> d.expr.toColumn.cast(d.dtype.sparkType)).toMap)
+    }
+    out
+  }
+
+  /** Watermarked sliding-window aggregation (replaces StreamAggregationJob's
+    * checkpoint-file recompute, retrieval_job.py:2541-2650). */
+  def windowedAggregate(
+      stream: DataFrame, view: FeatureView,
+      lateness: String = "10 minutes"): DataFrame = {
+    val ts = view.eventTimestamp.map(_.name)
+      .getOrElse(throw new IllegalStateException("stream aggregation needs an event timestamp"))
+    val keys = view.entities.map(_.name)
+    val byWindow = view.aggregates.filter(_.window.isDefined).groupBy(_.window.get)
+    require(byWindow.size == 1, "one window per streaming aggregate query")
+    val (w, aggs) = byWindow.head
+    val every = w.everyInterval.getOrElse(w.window)
+    val exprs = aggs.map(a => a.agg(col(a.sourceColumn)).as(a.name))
+    stream.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), s"${w.window.getSeconds} seconds", s"${every.getSeconds} seconds")
+        +: keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Event trigger (schemas/event_trigger.py:20-97; ListenForTriggers,
+    * retrieval_job.py:3227-3265): emit rows matching a predicate to a side
+    * sink from within foreachBatch. */
+  final case class EventTrigger(condition: Column, sink: DataFrame => Unit)
+
+  /** Run a stream through the contract pipeline into an online sink, firing
+    * triggers per micro-batch (worker.py:212-260 in Structured-Streaming
+    * form). Sink writes are per-batch upserts on the entity keys — the
+    * foreachBatch online-store shape. */
+  def runWorker(
+      stream: DataFrame, view: FeatureView,
+      sink: (DataFrame, Long) => Unit,
+      triggers: Seq[EventTrigger] = Nil,
+      checkpointDir: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    val pipeline = contractPipeline(view)(stream)
+    var writer: DataStreamWriter[org.apache.spark.sql.Row] = pipeline.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cached = batch.persist()
+        try {
+          triggers.foreach(t => t.sink(cached.filter(t.condition)))
+          sink(cached, id)
+        } finally { cached.unpersist(); () }
+      }
+    checkpointDir.foreach(d => writer = writer.option("checkpointLocation", d))
+    writer.start()
+  }
+}

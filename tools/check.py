@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [query...]
+Runs graft.Verify, then for each query compares the Spark parquet result with
+the DuckDB oracle result: schema (normalized), row count, and exact values
+(columns sorted by name, rows sorted).
+"""
+import json, subprocess, sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/tmp/graft_verify"
+ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(["sbt", "-batch", f"runMain graft.Verify {SF} {OUT}"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    for line in r.stdout.splitlines():
+        if "[verify]" in line or "error" in line.lower():
+            print(line)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
+    if r.returncode != 0:
+        print("VERIFY FAILED rc", r.returncode)
+        print(r.stdout[-3000:])
+        sys.exit(1)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+fails = []
+names = ONLY or sorted(oracle.keys())
+for name in names:
+    spark_dir = Path(OUT) / name
+    if not spark_dir.exists():
+        print(f"FAIL {name}: no spark output"); fails.append(name); continue
+    try:
+        sdf = pd.concat([pd.read_parquet(p) for p in sorted(spark_dir.glob("*.parquet"))],
+                        ignore_index=True)
+    except Exception as e:
+        print(f"FAIL {name}: spark read: {e}"); fails.append(name); continue
+    if name not in oracle:
+        print(f"OK?  {name}: rows-only ({len(sdf)} rows)"); continue
+    try:
+        odf = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); fails.append(name); continue
+    if len(sdf) != len(odf):
+        print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}"); fails.append(name); continue
+    if sorted(sdf.columns) != sorted(odf.columns):
+        print(f"FAIL {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        fails.append(name); continue
+    s, o = canon(sdf), canon(odf)
+    bad = []
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+            sa, oa = sv.astype(float).values, ov.astype(float).values
+            both_nan = np.isnan(sa) & np.isnan(oa)
+            eq = (sa == oa) | both_nan
+            if not eq.all():
+                d = np.nanmax(np.abs(sa - oa))
+                bad.append(f"{c}: {int((~eq).sum())} diffs, maxabs={d:.3e}")
+        else:
+            eq = (sv.values == ov.values) | (sv.isna().values & ov.isna().values)
+            if not eq.all():
+                i = int(np.argmax(~eq))
+                bad.append(f"{c}: {int((~eq).sum())} diffs, e.g. {sv.values[i]!r} vs {ov.values[i]!r}")
+    if bad:
+        print(f"FAIL {name}: " + "; ".join(bad)); fails.append(name)
+    else:
+        print(f"PASS {name} ({len(sdf)} rows)")
+
+print(f"\n{len(names) - len(fails)}/{len(names)} pass")
+sys.exit(1 if fails else 0)
