@@ -28,10 +28,13 @@ object Aggregations {
     * `Window.partitionBy(keys).orderBy(unix_ts).rangeBetween(-w, 0)`.
     * One shuffle on `keys`; the sort is per-partition. */
   def rolling(df: DataFrame, keys: Seq[String], ts: String, aggs: Seq[AggregatedFeature]): DataFrame = {
-    val secs = col(ts).cast("double")
+    // order on epoch MICROS as long: exact integer range arithmetic — a double
+    // seconds ordering would round sub-µs and disagree with µs-exact engines
+    // at window boundaries.
+    val micros = unix_micros(col(ts))
     aggs.foldLeft(df) { (d, a) =>
-      val w = a.window.map(_.window.getSeconds).getOrElse(Long.MaxValue / 4)
-      val win = Window.partitionBy(keys.map(col): _*).orderBy(secs)
+      val w = a.window.map(_.window.getSeconds * 1000000L).getOrElse(Long.MaxValue / 4)
+      val win = Window.partitionBy(keys.map(col): _*).orderBy(micros)
         .rangeBetween(-w, 0)
       d.withColumn(a.name, a.agg(col(a.sourceColumn)).over(win))
     }

@@ -39,10 +39,15 @@ for t in TABLES:
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import decimal
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], decimal.Decimal):
+                df[c] = df[c].astype(float)
+            else:
+                df[c] = df[c].map(lambda v: str(v) if v is not None else None)
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 fails = []
