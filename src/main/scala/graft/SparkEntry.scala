@@ -519,7 +519,302 @@ object SparkEntry {
         FROM lineitem GROUP BY l_returnflag"""))
   )
 
-  val specs: Seq[Q] = relational ++ timeQueries ++ scalarQueries
+  // ---------- training-data pipeline: dedup / similarity / text (BASELINE north star) ----------
+
+  private val docQueries: Seq[Q] = Seq(
+    // --- exact dedup (hash groupBy) ---
+    Q("q22_dedup_exact",
+      (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "canonical_id", "is_duplicate"),
+      Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+          doc_id > min(doc_id) OVER (PARTITION BY text) AS is_duplicate
+        FROM documents""")),
+
+    // --- MinHash + LSH near-dup (banding → bucket join → jaccard verify);
+    // LSH recall is probabilistic, so the gate is rows-only — the jaccard
+    // verification math itself is oracle-checked by q24 ---
+    Q("q23_minhash_neardup",
+      (s, dir) => Dedup.nearDuplicates(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.5, numHashes = 32, bands = 8, k = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard")),
+      None),
+
+    // --- exact n-gram Jaccard within same-source blocks ---
+    Q("q24_jaccard_pairs",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val a = d.select(col("source"), col("doc_id").as("id_a"), col("text").as("text_a"))
+        val b = d.select(col("source"), col("doc_id").as("id_b"), col("text").as("text_b"))
+        a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+          .withColumn("jaccard", Dedup.ngramJaccard(col("text_a"), col("text_b"), 3))
+          .filter(col("jaccard") >= 0.2)
+          .select("source", "id_a", "id_b", "jaccard")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, source, list_distinct([array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
+          FROM (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents))
+        SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2""")),
+
+    // --- SimHash + Hamming near-dup (xxhash-based → rows-only) ---
+    Q("q25_simhash_pairs",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), Dedup.simhash(col("text"), 2).as("sig"))
+        val a = d.select(col("source"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+        val b = d.select(col("source"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+        a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+          .withColumn("hamming", Dedup.hamming(col("sig_a"), col("sig_b")))
+          .filter(col("hamming") <= 14)
+          .select("source", "id_a", "id_b", "hamming")
+      },
+      None),
+
+    // --- token counting: whitespace + BPE-ish regex ---
+    Q("q26_token_stats",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+        length(col("text")).as("n_chars_actual"),
+        (col("n_chars") === length(col("text"))).as("n_chars_ok")),
+      Some(s"""SELECT doc_id,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens_ws,
+          CAST(len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPattern}')) AS INT) AS n_tokens_bpe,
+          CAST(length(text) AS INT) AS n_chars_actual,
+          n_chars = length(text) AS n_chars_ok
+        FROM documents""")),
+
+    // --- quality scoring (C4/Gopher-style heuristics) ---
+    Q("q27_quality_score",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.meanWordLength(col("text")).as("mean_word_len"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.digitRatio(col("text")).as("digit_ratio"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some("""WITH t AS (SELECT doc_id, text,
+            string_split_regex(lower(trim(text)), '\s+') AS w,
+            CAST(length(text) AS DOUBLE) AS total
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN len(w) = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / len(w) END AS mean_word_len,
+          CASE WHEN len(w) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(w) END AS stopword_ratio,
+          CASE WHEN total = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / total END AS digit_ratio,
+          CASE WHEN total = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / total END AS punct_ratio,
+          ((CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / len(w) END) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN total = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / total END) <= 0.3 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN total = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / total END) <= 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+        FROM t""")),
+
+    // --- n-gram-heuristic language ID (deterministic priority chain) ---
+    Q("q28_lang_id",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langIdDeterministic(col("text")).as("predicted_lang")),
+      Some {
+        def hits(words: Seq[String]) =
+          words.map(w => s"CAST(regexp_matches(t, '(^|\\s)$w(\\s|$$)') AS INT)").mkString(" + ")
+        val en = hits(Seq("the", "and", "of", "to", "is", "that", "with", "for"))
+        val es = hits(Seq("el", "la", "los", "las", "es", "una", "que", "por", "con"))
+        val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))
+        val fr = hits(Seq("le", "les", "est", "et", "une", "dans", "pour", "des"))
+        s"""WITH sc AS (SELECT doc_id, lang,
+            CASE WHEN regexp_matches(t, '[\\x{4e00}-\\x{9fff}]') THEN 100 ELSE 0 END AS zh,
+            $en AS en, $es AS es, $de AS de, $fr AS fr
+          FROM (SELECT doc_id, lang, lower(text) AS t FROM documents))
+        SELECT doc_id, lang,
+          CASE WHEN zh > 0 AND zh >= greatest(en, es, de, fr) THEN 'zh'
+            WHEN en > 0 AND en >= greatest(es, de, fr) THEN 'en'
+            WHEN es > 0 AND es >= greatest(de, fr) THEN 'es'
+            WHEN de > 0 AND de >= fr THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'unknown' END AS predicted_lang
+        FROM sc"""
+      }),
+
+    // --- rolling-hash document fingerprint (portable md5 variant) ---
+    Q("q29_fingerprint",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprintPortable(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT),
+              [CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT) % 1099511627776
+                for x in string_split_regex(lower(trim(text)), '\s+')]),
+            (a, b) -> (a * 31 + b) % 1099511627776) AS fp
+        FROM documents""")),
+
+    // --- brute-force cosine top-k (exact kNN baseline) ---
+    Q("q30_knn_bruteforce",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+          .select("query_id", "neighbor_id", "cosine", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 20),
+          c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_inner_product(q.v, c.v) /
+            (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cosine,
+          CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY cosine DESC, c.vec_id) AS INT) AS rank
+        FROM q JOIN c ON c.vec_id != q.vec_id
+        QUALIFY rank <= 5""")),
+
+    // --- exact cosine similarity pairs within label blocks ---
+    Q("q31_cosine_pairs",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+          .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+          .filter(col("cosine") >= 0.3)
+          .select("label", "id_a", "id_b", "cosine")
+      },
+      Some("""WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT * FROM (
+          SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+            list_inner_product(a.v, b.v) /
+              (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cosine
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE cosine >= 0.3""")),
+
+    // --- IVF-bucketed ANN (approximate → rows-only; exactness via q30) ---
+    Q("q32_ivf_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nlist = 8, nprobe = 3)
+          .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      None),
+
+    // --- random-hyperplane LSH embedding near-dup (approximate → rows-only) ---
+    Q("q33_embedding_neardup",
+      (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.25, planes = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine")),
+      None),
+
+    // --- unpack embedding into scalar columns + array ops ---
+    Q("q34_vector_ops",
+      (s, dir) => {
+        val e = Similarity.unpackEmbedding(t(s, dir, "embeddings"), "embedding", 4)
+          .withColumn("label_arr", array(col("label"), col("label") + 1))
+        e.select(
+          col("vec_id"),
+          col("dim_0"), col("dim_1"), col("dim_2"), col("dim_3"),
+          size(col("embedding")).as("dims"),
+          Similarity.dot(col("embedding").cast("array<double>"), col("embedding").cast("array<double>")).as("self_dot"),
+          ArrayAtIndex(Ref("embedding"), 10).toColumn.as("elem_10"),
+          ArrayContainsAny(Ref("label_arr"), Seq(1, 2)).toColumn.as("label_in_12"))
+      },
+      Some("""SELECT vec_id,
+          embedding[1] AS dim_0, embedding[2] AS dim_1, embedding[3] AS dim_2, embedding[4] AS dim_3,
+          CAST(len(embedding) AS INT) AS dims,
+          list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS self_dot,
+          embedding[11] AS elem_10,
+          list_has_any([label, label + 1], [1, 2]) AS label_in_12
+        FROM embeddings""")),
+
+    // --- SQL entry point over registered contracts (SURVEY §3.3) ---
+    Q("q35_sql_entry",
+      (s, dir) => {
+        val store = new ContractStore()
+          .addView(FeatureView("orders_v", ParquetSource(s"$dir/orders.parquet"),
+            entities = Seq(Feature("o_orderkey", FInt64)),
+            features = Seq(Feature("o_custkey", FInt64), Feature("o_totalprice", FFloat64),
+              Feature("o_orderstatus", FString))))
+          .addView(FeatureView("customer_v", ParquetSource(s"$dir/customer.parquet"),
+            entities = Seq(Feature("c_custkey", FInt64)),
+            features = Seq(Feature("c_name", FString), Feature("c_mktsegment", FString))))
+        store.executeSql(s,
+          """SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+             GROUP BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")),
+
+    // --- temporal train/test/validate split (SURVEY §2.11) ---
+    Q("q36_train_split",
+      (s, dir) => {
+        val (tr, te, va) = graft.ml.MLOps.trainTestValidate(
+          t(s, dir, "orders"), 0.7, 0.2, orderBy = Some("o_orderdate"))
+        def summarize(df: DataFrame, label: String) =
+          df.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+            date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+            .withColumn("split", lit(label))
+        summarize(tr, "train").unionByName(summarize(te, "test")).unionByName(summarize(va, "validate"))
+      },
+      Some(s"""WITH r AS (SELECT o_totalprice, o_orderdate,
+            percent_rank() OVER (ORDER BY o_orderdate) AS pr FROM orders),
+          lab AS (SELECT *, CASE WHEN pr <= 0.7 THEN 'train'
+            WHEN pr <= 0.9 THEN 'test' ELSE 'validate' END AS split FROM r)
+        SELECT split, count(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+          strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+        FROM lab GROUP BY split""")),
+
+    // --- constraint validation: returnInvalid (SURVEY §2.3) ---
+    Q("q37_invalid_rows",
+      (s, dir) => {
+        val v = FeatureView("customer_checked", ParquetSource(s"$dir/customer.parquet"),
+          entities = Seq(Feature("c_custkey", FInt64)),
+          features = Seq(
+            Feature("c_acctbal", FFloat64, constraints = Seq(Constraint.LowerBound(0.0))),
+            Feature("c_name", FString, constraints = Seq(Constraint.Required)),
+            Feature("c_mktsegment", FString,
+              constraints = Seq(Constraint.InDomain(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))))))
+        new ContractStore().addView(v).view("customer_checked").returnInvalid(s)
+          .select("c_custkey", "c_acctbal", "c_mktsegment")
+      },
+      Some("""SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        WHERE NOT ((c_acctbal IS NULL OR c_acctbal >= 0.0)
+          AND c_name IS NOT NULL
+          AND (c_mktsegment IS NULL OR c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')))""")),
+
+    // --- A/B model routing (hash-based → rows-only; logic unit-tested) ---
+    Q("q38_ab_routing",
+      (s, dir) => {
+        import graft.ml._
+        val a = ExpressionModel("m_a", "v1", "prediction", col("o_totalprice") * 0.1)
+        val b = ExpressionModel("m_b", "v2", "prediction", col("o_totalprice") * 0.2)
+        MLOps.abTest(a, b, 0.5, "o_orderkey")(t(s, dir, "orders"))
+          .select("o_orderkey", "model_version", "prediction")
+      },
+      None),
+
+    // --- multimodal plumbing: fake media + feature extraction + frame sampling
+    // (decode kernel stubbed → rows-only) ---
+    Q("q39_multimodal",
+      (s, dir) => {
+        val d = Multimodal.withFakeMedia(t(s, dir, "documents").select("doc_id"), "doc_id")
+        val feat = Multimodal.extractFeatures(d, "media_bytes", dims = 8)
+        Multimodal.resizeMeta(feat, "media_meta", 256)
+          .select(col("doc_id"),
+            col("media_meta.width").as("w"), col("media_meta.height").as("h"),
+            size(col("media_features")).as("n_features"))
+      },
+      None)
+  )
+
+  val specs: Seq[Q] = relational ++ timeQueries ++ scalarQueries ++ docQueries
 
   // ---------- driver contract ----------
 

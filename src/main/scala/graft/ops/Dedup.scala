@@ -76,12 +76,13 @@ object Dedup {
     val sh = shingles(textCol, k)
     val hashes = transform(sh, s => xxhash64(s))
     // For each bit position, count +1/-1 votes; assemble the sign bits.
+    // shiftleft + bitwise OR: bit 63 would overflow any additive encoding.
     val bits = (0 until 64).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L).cast("long") * pow(lit(2.0), lit(i)).cast("long")).otherwise(0L)
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }
-    bits.reduce(_ + _)
+    bits.reduce(_ bitwiseOR _)
   }
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -121,13 +122,13 @@ object Dedup {
     val sigBits = (0 until planes).map { p =>
       // hyperplane component for dim i: hash(p, i) mapped to [-1, 1]
       val dot = aggregate(
-        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+        zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
           (v, i) => v.cast("double") * ((xxhash64(lit(p), i) % 1000).cast("double") / 1000.0)),
         lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, pow(lit(2.0), lit(p)).cast("long")).otherwise(0L)
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     val withSig = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", sigBits.reduce(_ + _))
+      .withColumn("bucket", sigBits.reduce(_ bitwiseOR _))
     val a = withSig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = withSig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -14,13 +14,13 @@ object TextAnalysis {
   def tokenCountWs(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword token estimate: word-boundary regex pieces (letters runs,
-    * digit runs, punctuation singles) — the usual cheap proxy for LLM token
-    * counts without shipping a tokenizer. */
+  /** BPE-ish subword token estimate: letter runs, digit runs, and single
+    * punctuation marks — the usual cheap proxy for LLM token counts without
+    * shipping a tokenizer. RE2-compatible pattern (no lookarounds) so the
+    * same regex runs on every engine. */
+  val bpeTokenPattern = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
   def tokenCountBpe(text: Column): Column =
-    when(length(trim(text)) === 0, 0)
-      .otherwise(size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
-        s => length(s) > 0 && s.rlike("\\S"))))
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
   /** Character-level stats used by quality heuristics. */
   def punctRatio(text: Column): Column = {
@@ -95,6 +95,39 @@ object TextAnalysis {
     val words = split(lower(trim(text)), "\\s+")
     aggregate(words, lit(1469598103934665603L),
       (acc, w) => acc * lit(31L) + xxhash64(w))
+  }
+
+  /** Portable variant of [[fingerprint]] built only on md5 + arithmetic mod
+    * 2^40, so any engine with md5 reproduces it bit-for-bit (xxhash64 is
+    * Spark-specific). Per-word hash = first 14 hex chars of md5 mod 2^40;
+    * rolling combine = (acc*31 + h) mod 2^40. */
+  def fingerprintPortable(text: Column): Column = {
+    val M = 1099511627776L // 2^40
+    val words = split(lower(trim(text)), "\\s+")
+    val hashes = transform(words,
+      w => pmod(conv(substring(md5(w), 1, 14), 16, 10).cast("long"), lit(M)))
+    aggregate(hashes, lit(7L), (acc, h) => pmod(acc * lit(31L) + h, lit(M)))
+  }
+
+  /** Deterministic language-ID with a fixed priority chain (zh → en → es →
+    * de → fr): a language wins if its stopword/charset score is positive and
+    * >= every other score. Same shape as [[langId]] but with an explicit,
+    * engine-reproducible tie-break. */
+  def langIdDeterministic(text: Column): Column = {
+    val t = lower(text)
+    def hits(words: Seq[String]): Column =
+      words.map(w => when(t.rlike("(^|\\s)" + w + "(\\s|$)"), 1).otherwise(0)).reduce(_ + _)
+    val zh = when(t.rlike("[\\x{4e00}-\\x{9fff}]"), 100).otherwise(0)
+    val en = hits(Seq("the", "and", "of", "to", "is", "that", "with", "for"))
+    val es = hits(Seq("el", "la", "los", "las", "es", "una", "que", "por", "con"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))
+    val fr = hits(Seq("le", "les", "est", "et", "une", "dans", "pour", "des"))
+    when(zh > 0 && zh >= greatest(en, es, de, fr), "zh")
+      .when(en > 0 && en >= greatest(es, de, fr), "en")
+      .when(es > 0 && es >= greatest(de, fr), "es")
+      .when(de > 0 && de >= fr, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
   }
 
   /** Winnowing-style k-gram fingerprint set: hash every word k-gram, keep the

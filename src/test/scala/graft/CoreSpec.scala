@@ -1,0 +1,386 @@
+package graft
+
+import graft.contract._
+import graft.core.FeatureType
+import graft.core.FeatureType._
+import graft.expr._
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Type mapping goldens (reference mapping: schemas/feature.py:197-269). */
+class TypesSpec extends AnyFunSuite {
+  test("name round-trip") {
+    val cases = Seq("string", "int32", "int64", "float32", "float64", "bool",
+      "date", "datetime-UTC", "array-int64", "embedding-64", "binary", "uuid")
+    cases.foreach { n => assert(FeatureType.fromName(n).name == n) }
+  }
+  test("spark mapping matches the reference's own spark_type table") {
+    assert(FInt8.sparkType == ByteType)
+    assert(FUInt64.sparkType == LongType)
+    assert(FEmbedding(64).sparkType == ArrayType(FloatType))
+    assert(FDatetime(Some("UTC")).sparkType == TimestampType)
+    assert(FArray(FInt32).sparkType == ArrayType(IntegerType))
+    assert(FStruct(Map("b" -> FString, "a" -> FInt64)).sparkType ==
+      StructType(Seq(StructField("a", LongType), StructField("b", StringType))))
+  }
+  test("fromSpark inverse") {
+    assert(FeatureType.fromSpark(LongType) == FInt64)
+    assert(FeatureType.fromSpark(ArrayType(DoubleType)) == FArray(FFloat64))
+  }
+}
+
+/** Per-operator goldens for the expression ADT — the pattern of the
+  * reference's self-registered TestDefinitions (transformation.py:31-60). */
+class ExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def eval1(e: Expr, df: DataFrame): Any = df.select(e.toColumn).head().get(0)
+
+  test("binary arithmetic and comparison") {
+    val df = Seq((7.0, 2.0)).toDF("a", "b")
+    assert(eval1(Binary("add", Ref("a"), Ref("b")), df) == 9.0)
+    assert(eval1(Binary("floor_div", Lit(-7.0), Lit(2.0)), df) == -4.0) // floor, not trunc
+    assert(eval1(Binary("pow", Ref("a"), Ref("b")), df) == 49.0)
+    assert(eval1(Binary("max", Ref("a"), Ref("b")), df) == 7.0)
+    assert(eval1(Ref("a") > Ref("b"), df) == true)
+  }
+  test("string binaries") {
+    val df = Seq(("hello world", "wor")).toDF("s", "p")
+    assert(eval1(Binary("str_contains", Ref("s"), Ref("p")), df) == true)
+    assert(eval1(Binary("concat", Ref("s"), Ref("p")), df) == "hello worldwor")
+    assert(eval1(Binary("str_find", Ref("s"), Ref("p")), df) == 6) // 0-based like polars
+  }
+  test("unary math") {
+    val df = Seq((-2.25)).toDF("x")
+    assert(eval1(Unary("abs", Ref("x")), df) == 2.25)
+    assert(eval1(Unary("floor", Ref("x")), df) == -3.0)
+    assert(eval1(Unary("sign", Ref("x")), df) == -1.0)
+    assert(eval1(Unary("is_finite", Ref("x")), df) == true)
+    assert(eval1(Unary("arcsinh", Lit(0.0)), df) == 0.0)
+  }
+  test("null handling") {
+    val df = Seq((Some(1.0), None: Option[Double])).toDF("a", "b")
+    assert(eval1(Unary("is_null", Ref("b")), df) == true)
+    assert(eval1(FillNaColumn(Ref("b"), Ref("a")), df) == 1.0)
+    assert(eval1(FillNa(Ref("b"), 9.0), df) == 9.0)
+  }
+  test("array ops") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(eval1(ListDotProduct(Ref("a"), Ref("b")), df) == 32.0)
+    assert(eval1(ArrayAtIndex(Ref("a"), 1), df) == 2.0)
+    assert(eval1(ArrayContainsAny(Ref("a"), Seq(3.0, 9.0)), df) == true)
+  }
+  test("MapArgMax picks the max-probability label") {
+    val df = Seq((0.2, 0.7, 0.1)).toDF("p_a", "p_b", "p_c")
+    assert(eval1(MapArgMax(Seq("p_a" -> "a", "p_b" -> "b", "p_c" -> "c")), df) == "b")
+  }
+  test("MultiExpr steps materialize via planner rounds") {
+    val v = FeatureView("m", graft.sources.CustomSource(s => {
+      import s.implicits._; Seq((2.0)).toDF("x")
+    }),
+      features = Seq(Feature("x", FFloat64)),
+      derived = Seq(
+        DerivedFeature("y", FFloat64, Ref("x") * Lit(3.0), Seq("x"), depth = 1),
+        DerivedFeature("z", FFloat64, Ref("y") + Ref("x"), Seq("y", "x"), depth = 2)))
+    val out = new graft.store.ContractStore().addView(v).view("m").all(spark)
+    assert(out.select("z").head().getDouble(0) == 8.0)
+  }
+}
+
+/** As-of / PIT join semantics incl. the reference's null/TTL rules
+  * (local/job.py:567-595). */
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof backward picks latest right <= left, keeps unmatched") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 09:00:00")))
+      .toDF("id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "a"),
+      (1L, ts("2024-01-01 09:59:00"), "b"),
+      (1L, ts("2024-01-01 10:01:00"), "c"),
+      (3L, ts("2024-01-01 08:00:00"), "x")).toDF("id", "ts", "v")
+    val out = Joins.asofJoin(left, right, "ts", "ts", Seq("id"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("v") == "b") // latest <= 10:00
+    assert(out(1).get(out(1).fieldIndex("v")) == null) // id=2 has no match
+  }
+
+  test("asof tolerance bounds the lookback") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("id", "ts")
+    val right = Seq((1L, ts("2024-01-01 08:00:00"), "old")).toDF("id", "ts", "v")
+    val out = Joins.asofJoin(left, right, "ts", "ts", Seq("id"),
+      tolerance = Some(java.time.Duration.ofHours(1)))
+    assert(out.head().getAs[String]("v") == null)
+  }
+
+  test("PIT join: null feature timestamps always pass (reference rule)") {
+    val facts = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("id", "fact_ts")
+    val feats = Seq(
+      (1L, null.asInstanceOf[java.sql.Timestamp], "untimestamped"))
+      .toDF("id", "feat_ts", "v")
+    val out = Joins.pointInTimeJoin(facts, feats, Seq("id"), "feat_ts", "fact_ts")
+    assert(out.head().getAs[String]("v") == "untimestamped")
+  }
+
+  test("PIT join TTL window is inclusive") {
+    val facts = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("id", "fact_ts")
+    val feats = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "boundary"),
+      (1L, ts("2024-01-01 08:59:59"), "expired")).toDF("id", "feat_ts", "v")
+    val out = Joins.pointInTimeJoin(facts, feats, Seq("id"), "feat_ts", "fact_ts",
+      ttl = Some(java.time.Duration.ofHours(1)))
+    assert(out.head().getAs[String]("v") == "boundary")
+  }
+
+  test("combine merges per-source frames on entity keys") {
+    val ents = Seq((1L), (2L)).toDF("id")
+    val a = Seq((1L, "x")).toDF("id", "fa")
+    val b = Seq((2L, "y")).toDF("id", "fb")
+    val out = Joins.combine(ents, Seq((a, Seq("id")), (b, Seq("id")))).orderBy("id").collect()
+    assert(out(0).getAs[String]("fa") == "x" && out(0).get(2) == null)
+    assert(out(1).get(1) == null && out(1).getAs[String]("fb") == "y")
+  }
+}
+
+/** Source round-trips: insert / overwrite / upsert algebra
+  * (reference: sources/local.py:317-399, 658-717). */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_src").toString
+
+  test("parquet upsert replaces matching keys, keeps the rest") {
+    val dir = tmpDir() + "/t"
+    val src = graft.sources.ParquetSource(dir)
+    src.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    src.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    val out = src.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("partitioned parquet upsert rewrites only touched partitions") {
+    val dir = tmpDir() + "/p"
+    val src = graft.sources.PartitionedParquetSource(dir, Seq("part"))
+    src.overwrite(Seq((1L, "p1", "a"), (2L, "p2", "b")).toDF("id", "part", "v"))
+    src.upsert(Seq((3L, "p2", "c")).toDF("id", "part", "v"), Seq("id"))
+    val out = src.read(spark).orderBy("id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("csv round-trip with custom separator") {
+    val dir = tmpDir() + "/c"
+    val src = graft.sources.CsvSource(dir, sep = ";")
+    src.overwrite(Seq((1L, "x")).toDF("id", "v"))
+    assert(src.read(spark).count() == 1)
+  }
+
+  test("random source satisfies the contract schema deterministically") {
+    val v = FeatureView("r", graft.sources.CustomSource(_.emptyDataFrame),
+      entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("name", FString), Feature("score", FFloat64)),
+      eventTimestamp = Some(EventTimestamp("ts")))
+    val src = graft.sources.RandomSource(v, 100, seed = 7)
+    val df1 = src.read(spark)
+    assert(df1.count() == 100)
+    assert(df1.schema.fieldNames.toSet == Set("id", "name", "score", "ts"))
+    assert(df1.collect().toSeq == src.read(spark).collect().toSeq) // deterministic
+  }
+
+  test("stack source aligns columns and adds provenance") {
+    val a = graft.sources.CustomSource(s => { import s.implicits._; Seq((1L, "x")).toDF("id", "v") })
+    val b = graft.sources.CustomSource(s => { import s.implicits._; Seq(("y", 2L)).toDF("v", "id") })
+    val out = graft.sources.StackSource(a, b, Some("src")).read(spark)
+    assert(out.columns.toSeq == Seq("id", "v", "src"))
+    assert(out.count() == 2)
+  }
+}
+
+/** Streaming worker: contract pipeline + watermarked agg over a file stream
+  * (reference: worker.py:150-260). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("windowed aggregate over a synchronous file stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val data = (0 until 100).map { i =>
+      (i.toLong % 5, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00"), i.toDouble)
+    }
+    data.toDF("user_id", "ts", "value").write.parquet(dir + "/in")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val view = FeatureView("uv", graft.sources.CustomSource(_.emptyDataFrame),
+      entities = Seq(Feature("user_id", FInt64)),
+      features = Seq(Feature("value", FFloat64)),
+      aggregates = Seq(AggregatedFeature("sum_10m", FFloat64, AggFunc.Sum, "value",
+        Some(AggregationWindow(java.time.Duration.ofMinutes(10))))),
+      eventTimestamp = Some(EventTimestamp("ts")))
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val agg = graft.streaming.Streaming.windowedAggregate(
+      graft.streaming.Streaming.contractPipeline(view)(stream), view)
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("out_agg").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val out = spark.sql("SELECT * FROM out_agg")
+    assert(out.count() > 0)
+    assert(out.columns.contains("sum_10m"))
+  }
+
+  test("foreachBatch worker sinks batches and fires triggers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 500.0))
+      .toDF("user_id", "ts", "value").write.parquet(dir + "/in")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val view = FeatureView("wv", graft.sources.CustomSource(_.emptyDataFrame),
+      entities = Seq(Feature("user_id", FInt64)),
+      features = Seq(Feature("value", FFloat64)),
+      derived = Seq(DerivedFeature("value_2x", FFloat64, Ref("value") * Lit(2.0), Seq("value"))),
+      eventTimestamp = Some(EventTimestamp("ts")))
+    var sunk = 0L
+    var triggered = 0L
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val q = graft.streaming.Streaming.runWorker(stream, view,
+      sink = (batch, _) => { sunk += batch.count() },
+      triggers = Seq(graft.streaming.Streaming.EventTrigger(
+        col("value") > 100, rows => { triggered += rows.count() })))
+    try { q.processAllAvailable() } finally { q.stop() }
+    assert(sunk == 1 && triggered == 1)
+  }
+}
+
+/** ML ops: splits, routing, model surface (SURVEY §2.11). */
+class MLOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.ml._
+
+  test("train/test/validate fractions and disjointness") {
+    val df = (1 to 1000).map(i => (i.toLong, i % 3)).toDF("id", "y")
+    val (tr, te, va) = MLOps.trainTestValidate(df, 0.6, 0.2)
+    val (a, b, c) = (tr.count(), te.count(), va.count())
+    assert(a + b + c == 1000)
+    assert(math.abs(a - 600) < 30 && math.abs(b - 200) < 30)
+    assert(tr.join(te, "id").count() == 0 && te.join(va, "id").count() == 0)
+  }
+
+  test("stratified split keeps class balance per stratum") {
+    val df = ((1 to 900).map(i => (i.toLong, "a")) ++ (901 to 1000).map(i => (i.toLong, "b")))
+      .toDF("id", "y")
+    val (tr, te) = MLOps.trainTest(df, 0.8, stratifyOn = Some("y"))
+    val trB = tr.filter($"y" === "b").count()
+    assert(math.abs(trB - 80) <= 2, s"stratum b in train: $trB")
+    assert(tr.count() + te.count() == 1000)
+  }
+
+  test("AB test routes all rows exactly once, deterministically") {
+    val df = (1 to 500).map(_.toLong).toDF("id")
+    val a = ExpressionModel("a", "v1", "p", lit(1.0))
+    val b = ExpressionModel("b", "v2", "p", lit(2.0))
+    val out = MLOps.abTest(a, b, 0.5, "id")(df)
+    assert(out.count() == 500)
+    val again = MLOps.abTest(a, b, 0.5, "id")(df)
+    assert(out.groupBy("model_version").count().collect().toSet ==
+      again.groupBy("model_version").count().collect().toSet)
+  }
+
+  test("shadow scores everything on primary plus a fraction on shadow") {
+    val df = (1 to 400).map(_.toLong).toDF("id")
+    val p = ExpressionModel("p", "v1", "pred", lit(0.0))
+    val sh = ExpressionModel("s", "v2", "pred", lit(1.0))
+    val out = MLOps.shadow(p, sh, 0.25, "id")(df)
+    val byV = out.groupBy("model_version").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byV("v1") == 400)
+    assert(byV.getOrElse("v2", 0L) > 50 && byV("v2") < 150)
+  }
+
+  test("model predictOver assembles PIT inputs and stamps version") {
+    val featView = FeatureView("f",
+      graft.sources.CustomSource(s => { import s.implicits._; Seq((1L, 10.0)).toDF("id", "x") }),
+      entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("x", FFloat64)))
+    val m = ModelContract("double_x", Seq("f:x"),
+      model = Some(ExpressionModel("double_x", "1.0", "pred", col("x") * 2)))
+    val store = new graft.store.ContractStore().addView(featView).addModel(m)
+    val out = store.model("double_x").predictOver(spark, Seq((1L)).toDF("id"))
+    assert(out.select("pred").head().getDouble(0) == 20.0)
+    assert(out.select("model_version").head().getString(0) == "1.0")
+  }
+}
+
+/** Dedup / similarity / text plumbing not covered by the oracle queries. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("minhash finds a planted near-duplicate") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(df, "text", "doc_id", threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash hamming distance small for near-dups, large for unrelated") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+      .select(col("id"), Dedup.simhash(col("text")).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("brute-force kNN returns the planted nearest neighbor first") {
+    val v = Array.fill(8)(1.0f)
+    val near = v.clone(); near(0) = 0.9f
+    val far = Array.fill(8)(-1.0f); far(0) = 1.0f
+    val df = Seq((0L, v.toSeq), (1L, near.toSeq), (2L, far.toSeq)).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out(0).getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("multimodal extractFeatures preserves schema and batch shape") {
+    val df = Multimodal.withFakeMedia(Seq((1L), (2L)).toDF("doc_id"), "doc_id")
+    val out = Multimodal.extractFeatures(df, "media_bytes", dims = 4)
+    assert(out.schema.fieldNames.contains("media_features"))
+    assert(out.select(size(col("media_features"))).head().getInt(0) == 4)
+    val frames = Multimodal.sampleFrames(out, "media_meta", everyNth = 10)
+    assert(frames.count() >= 2)
+  }
+
+  test("store validateSchema flags missing contract columns") {
+    val v = FeatureView("vv",
+      graft.sources.CustomSource(s => { import s.implicits._; Seq((1L)).toDF("id") }),
+      entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("missing_col", FString)))
+    val missing = new graft.store.ContractStore().addView(v).validateSchema(spark, "vv")
+    assert(missing == Seq("missing_col"))
+  }
+}
