@@ -464,10 +464,10 @@ object SparkEntry {
 
     // --- JSON extraction (SURVEY §2.4 JsonPath/StructField) ---
     Q("q19_json_extract",
-      (s, dir) => events(s, dir).select(
-        col("event_id"),
-        JsonPath(Ref("props"), "$.k").toColumn.cast("int").as("k_value"),
-        StructFieldAccess(Ref("props"), "k", isJson = true).toColumn.isNotNull.as("has_k")),
+      (s, dir) => events(s, dir)
+        // one JSON parse per row: materialize the extract, derive both outputs
+        .withColumn("k_value", JsonPath(Ref("props"), "$.k").toColumn.cast("int"))
+        .select(col("event_id"), col("k_value"), col("k_value").isNotNull.as("has_k")),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
           json_extract_string(props, '$.k') IS NOT NULL AS has_k FROM events""")),
 
@@ -541,15 +541,9 @@ object SparkEntry {
 
     // --- exact n-gram Jaccard within same-source blocks ---
     Q("q24_jaccard_pairs",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-        val a = d.select(col("source"), col("doc_id").as("id_a"), col("text").as("text_a"))
-        val b = d.select(col("source"), col("doc_id").as("id_b"), col("text").as("text_b"))
-        a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
-          .withColumn("jaccard", Dedup.ngramJaccard(col("text_a"), col("text_b"), 3))
-          .filter(col("jaccard") >= 0.2)
-          .select("source", "id_a", "id_b", "jaccard")
-      },
+      (s, dir) => Dedup.jaccardPairsInverted(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.2, blockBy = Seq("source"), k = 3)
+        .select(col("source"), col("id_a"), col("id_b"), col("jaccard")),
       Some("""WITH sh AS (
           SELECT doc_id, source, list_distinct([array_to_string(w[i:i+2], ' ')
               for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
@@ -564,8 +558,9 @@ object SparkEntry {
     // --- SimHash + Hamming near-dup (xxhash-based → rows-only) ---
     Q("q25_simhash_pairs",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-          .select(col("source"), col("doc_id"), Dedup.simhash(col("text"), 2).as("sig"))
+        val d = Dedup.withSimhash(
+          t(s, dir, "documents").select("source", "doc_id", "text"), "text", "sig", 2)
+          .drop("text")
         val a = d.select(col("source"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
         val b = d.select(col("source"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
         a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))

@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot loops of the dedup/similarity
+  * operators. The Column-function versions (higher-order `transform` /
+  * `aggregate`) are interpreted per-element with boxing and get no
+  * common-subexpression elimination; at 100 TB these per-row kernels dominate,
+  * so each is a single tight JVM loop over the unsafe array data instead
+  * (SURVEY §7.3 — "custom Expression beats Scala UDF beats anything else").
+  * CodegenFallback is fine here: one virtual call per ROW, with the per-element
+  * work in compiled Scala, which is what whole-stage codegen would buy anyway.
+  */
+object Native {
+
+  /** SplitMix64 finalizer — the standard 64-bit mixer (public domain
+    * constant set; same recurrence as java.util.SplittableRandom). */
+  @inline private[functions] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+
+  def simhash64(hashes: Column): Column = toColumn(SimHash64(toExpr(hashes)))
+  def minhashSig(hashes: Column, numHashes: Int): Column =
+    toColumn(MinHashSig(toExpr(hashes), numHashes))
+  def jaccardSortedLongs(a: Column, b: Column): Column =
+    toColumn(JaccardSortedLongs(toExpr(a), toExpr(b)))
+  def dotProduct(a: Column, b: Column): Column = toColumn(VecDot(toExpr(a), toExpr(b)))
+  def cosineSim(a: Column, b: Column): Column = toColumn(VecCosine(toExpr(a), toExpr(b)))
+  def wordShingleHashes(text: Column, k: Int, distinctSorted: Boolean): Column =
+    toColumn(WordShingleHashes(toExpr(text), k, distinctSorted))
+}
+
+/** Word k-gram shingle hashes in one pass: lowercase → whitespace-split →
+  * per-word 64-bit hash → k-gram combine via mix64 chaining. Replaces the
+  * interpreted `split/transform/slice/concat_ws` pipeline (which allocates a
+  * UTF8 string per shingle) with long arithmetic. With `distinctSorted` the
+  * output is the sorted distinct set — the exact input format of
+  * [[JaccardSortedLongs]] and of inverted-index joins. */
+case class WordShingleHashes(child: Expression, k: Int, distinctSorted: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString.toLowerCase.trim
+    if (s.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val words = s.split("\\s+")
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val w = words(i)
+      var h = 1125899906842597L
+      var j = 0
+      while (j < w.length) { h = 31 * h + w.charAt(j); j += 1 }
+      wh(i) = Native.mix64(h)
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var c = wh(i)
+      var j = 1
+      while (j < k) { c = Native.mix64(c ^ (wh(i + j) * 0x9e3779b97f4a7c15L)); j += 1 }
+      out(i) = c
+      i += 1
+    }
+    if (!distinctSorted) new GenericArrayData(out)
+    else {
+      java.util.Arrays.sort(out)
+      var m = 0
+      i = 0
+      while (i < out.length) {
+        if (m == 0 || out(m - 1) != out(i)) { out(m) = out(i); m += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, m))
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingleHashes = copy(child = c)
+}
+
+/** 64-bit SimHash from an array of shingle hashes: bit i of the result is set
+  * iff more element-hashes have bit i set than cleared. One pass per row. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** MinHash signature from an array of base shingle hashes: signature(i) =
+  * min over shingles of mix64(h ^ seed_i), i.e. `numHashes` universal hash
+  * functions derived from one base hash — one pass per row instead of
+  * numHashes interpreted traversals. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => Native.mix64(0x5851f42d4c957f2dL * (i + 1)))
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = Native.mix64(h ^ seeds(i))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Jaccard similarity of two SORTED distinct long arrays via a merge scan —
+  * O(|a|+|b|), no boxing, no hash sets. */
+case class JaccardSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(inter.toDouble / union.toDouble)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+private[functions] trait VecBinary extends BinaryExpression with CodegenFallback {
+  /** read element i as double regardless of float/double element type */
+  @inline protected final def elem(arr: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+  protected final def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** dot(a, b): sequential left-to-right accumulation in double — bit-identical
+  * to the Column-function formulation it replaces (and to engines that
+  * accumulate sequentially). */
+case class VecDot(left: Expression, right: Expression) extends VecBinary {
+  override def dataType: DataType = DoubleType
+  private lazy val lf = isFloatArr(left)
+  private lazy val rf = isFloatArr(right)
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += elem(a, lf, i) * elem(b, rf, i); i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot / (sqrt(norm_a) * sqrt(norm_b)), each sum accumulated
+  * sequentially — matches the previous zip_with/aggregate semantics exactly. */
+case class VecCosine(left: Expression, right: Expression) extends VecBinary {
+  override def dataType: DataType = DoubleType
+  private lazy val lf = isFloatArr(left)
+  private lazy val rf = isFloatArr(right)
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += elem(a, lf, i) * elem(b, rf, i); i += 1 }
+    var na = 0.0; i = 0
+    while (i < n) { val x = elem(a, lf, i); na += x * x; i += 1 }
+    var nb = 0.0; i = 0
+    while (i < n) { val x = elem(b, rf, i); nb += x * x; i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

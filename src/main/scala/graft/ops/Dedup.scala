@@ -40,14 +40,26 @@ object Dedup {
       x => x.isNotNull)
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the min
-    * over shingle hashes. Pure expression (no UDF): xxhash64(shingle, seed). */
-  def minhashSignature(textCol: Column, numHashes: Int = 32, k: Int = 3): Column = {
-    val sh = shingles(textCol, k)
+  /** MinHash signature from a PRECOMPUTED shingle array attribute: for each of
+    * `numHashes` seeded hash functions, the min over shingle hashes. Pure
+    * expression (no UDF): xxhash64(shingle, seed).
+    *
+    * Callers must materialize the shingle array in its own projection first
+    * (see [[minhashCandidates]]): higher-order functions are interpreted, not
+    * codegen'd, so they get no common-subexpression elimination — an inline
+    * shingle expression would be recomputed `numHashes` times per row.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+      array_min(transform(shingleArr, s => xxhash64(s, lit(seed))))
     }: _*)
-  }
+
+  /** Fast minhash signature: ONE xxhash64 per shingle (string→long), then
+    * `numHashes` universal hashes derived in a native single-pass kernel
+    * (graft.functions.MinHashSig) — replaces numHashes interpreted
+    * array traversals per row. */
+  def minhashSignatureFast(shingleHashes: Column, numHashes: Int = 32): Column =
+    graft.functions.Native.minhashSig(shingleHashes, numHashes)
 
   /** MinHash + LSH banding: split the signature into `bands` bands of
     * `rowsPerBand` hashes; docs sharing any band bucket are candidate pairs.
@@ -58,7 +70,11 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes, k).as("sig"))
+    // two projections: shingle hashes once per doc, then the signature from
+    // the materialized array via the native kernel (never collapsed — the
+    // alias is non-cheap and reused)
+    val sig = df.select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("__sh"))
+      .select(col("id"), minhashSignatureFast(col("__sh"), numHashes).as("sig"))
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
@@ -69,14 +85,10 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_bands"))
   }
 
-  /** SimHash: 64-bit signature where bit i is the sign of the weighted sum of
-    * shingle-hash bit i. Near-dups = signatures within a small Hamming
-    * distance; bucketing on bit-bands makes candidate generation linear. */
-  def simhash(textCol: Column, k: Int = 2): Column = {
-    val sh = shingles(textCol, k)
-    val hashes = transform(sh, s => xxhash64(s))
-    // For each bit position, count +1/-1 votes; assemble the sign bits.
-    // shiftleft + bitwise OR: bit 63 would overflow any additive encoding.
+  /** SimHash bit-assembly from a PRECOMPUTED shingle-hash array attribute:
+    * bit i of the signature is the sign of the +1/-1 vote sum over hash-bit i.
+    * shiftleft + bitwise OR: bit 63 would overflow any additive encoding. */
+  def simhashFromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -85,18 +97,80 @@ object Dedup {
     bits.reduce(_ bitwiseOR _)
   }
 
+  /** SimHash: 64-bit signature where bit i is the sign of the weighted sum of
+    * shingle-hash bit i. Near-dups = signatures within a small Hamming
+    * distance; bucketing on bit-bands makes candidate generation linear.
+    * Inline-column form for single-use contexts; for DataFrame pipelines use
+    * [[withSimhash]], which materializes the hash array once per row. */
+  def simhash(textCol: Column, k: Int = 2): Column =
+    simhashFromHashes(transform(shingles(textCol, k), s => xxhash64(s)))
+
+  /** df-level simhash: shingle-hash array in its own projection, then the 64
+    * bit-votes over the materialized attribute — O(len·64) per row instead of
+    * O(len·64) *shingle recomputations* (higher-order fns are interpreted; no
+    * subexpression elimination). */
+  def withSimhash(df: DataFrame, textCol: String, out: String, k: Int = 2): DataFrame =
+    df.withColumn("__graft_hashes", hashedShingles(col(textCol), k))
+      .withColumn(out, graft.functions.Native.simhash64(col("__graft_hashes")))
+      .drop("__graft_hashes")
+
+  /** All-pairs n-gram Jaccard ≥ threshold within optional blocking keys, via
+    * an INVERTED INDEX: explode (doc, shingle-hash), self-join on the shingle,
+    * count matches per pair = |A∩B|, then jaccard = inter/(|A|+|B|-inter).
+    * No shingle arrays cross the shuffle and pairs with empty intersection
+    * are never materialized — the scalable alternative to a pairwise join
+    * (pairs with jaccard > 0 ≪ n² on real corpora). */
+  def jaccardPairsInverted(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, blockBy: Seq[String] = Nil, k: Int = 3): DataFrame = {
+    val keys = blockBy.map(col)
+    val sets = df.select(keys :+ col(idCol).as("id") :+
+      hashedShingleSet(col(textCol), k).as("s"): _*)
+      .withColumn("sz", size(col("s")))
+    val inv = sets.select(keys ++ Seq(col("id"), col("sz"), explode(col("s")).as("h")): _*)
+    val a = inv.select(keys ++ Seq(col("id").as("id_a"), col("sz").as("za"), col("h")): _*)
+    val b = inv.select(keys ++ Seq(col("id").as("id_b"), col("sz").as("zb"), col("h")): _*)
+    a.join(b, blockBy :+ "h").filter(col("id_a") < col("id_b"))
+      .groupBy((keys :+ col("id_a") :+ col("id_b") :+ col("za") :+ col("zb")): _*)
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("za") + col("zb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(keys :+ col("id_a") :+ col("id_b") :+ col("jaccard"): _*)
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** n-gram Jaccard similarity between two text columns (verification step for
-    * LSH candidates). Pure set expressions over shingle arrays. */
-  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column = {
-    val sa = array_distinct(shingles(a, k))
-    val sb = array_distinct(shingles(b, k))
+  /** Jaccard similarity of two precomputed distinct-shingle arrays. When a
+    * text column feeds multiple comparisons (any pairwise join), materialize
+    * the shingle set ONCE per document with [[shingleSet]] and compare with
+    * this — recomputing shingles per pair turns an O(pairs) join into
+    * O(pairs × doc_len). */
+  def jaccardFromSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
-    val uni = size(array_union(sa, sb)).cast("double")
+    val uni = (size(sa) + size(sb) - size(array_intersect(sa, sb))).cast("double")
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
+
+  /** distinct k-gram shingle set of a text column. */
+  def shingleSet(text: Column, k: Int = 3): Column = array_distinct(shingles(text, k))
+
+  /** distinct shingles hashed to a SORTED long array: the representation the
+    * native merge-scan Jaccard kernel and inverted-index joins consume.
+    * Jaccard over collision-free 64-bit hashes equals Jaccard over the string
+    * sets. Native one-pass kernel (graft.functions.WordShingleHashes). */
+  def hashedShingleSet(text: Column, k: Int = 3): Column =
+    graft.functions.Native.wordShingleHashes(text, k, distinctSorted = true)
+
+  /** all shingle hashes (multiset, document order) — native kernel. */
+  def hashedShingles(text: Column, k: Int = 3): Column =
+    graft.functions.Native.wordShingleHashes(text, k, distinctSorted = false)
+
+  /** n-gram Jaccard similarity between two text columns (verification step for
+    * LSH candidates). Pure set expressions over shingle arrays. */
+  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column =
+    jaccardFromSets(shingleSet(a, k), shingleSet(b, k))
 
   /** Full MinHash-LSH near-dup pipeline: candidates from banding, verified
     * with n-gram Jaccard ≥ threshold. Returns verified duplicate pairs. */
@@ -104,11 +178,13 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, numHashes, bands, k)
-    val txt = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    // verify with Jaccard over hashed+sorted shingle sets materialized once per
+    // doc (native merge-scan kernel per pair, not per-pair shingling)
+    val sets = df.select(col(idCol).as("__id"), hashedShingleSet(col(textCol), k).as("__set"))
     cands
-      .join(txt.withColumnsRenamed(Map("__id" -> "id_a", "__text" -> "text_a")), "id_a")
-      .join(txt.withColumnsRenamed(Map("__id" -> "id_b", "__text" -> "text_b")), "id_b")
-      .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b"), k))
+      .join(sets.withColumnsRenamed(Map("__id" -> "id_a", "__set" -> "set_a")), "id_a")
+      .join(sets.withColumnsRenamed(Map("__id" -> "id_b", "__set" -> "set_b")), "id_b")
+      .withColumn("jaccard", graft.functions.Native.jaccardSortedLongs(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "shared_bands", "jaccard")
   }

@@ -17,19 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) as a pure codegen'd expression (ListDotProduct,
-    * transformation.py:3114-3166). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) — native single-pass kernel (graft.functions.VecDot); the
+    * Column-function formulation (`aggregate(zip_with(...))`, like the
+    * reference's ListDotProduct, transformation.py:3114-3166) is interpreted
+    * per element and ~100× slower in pairwise joins. */
+  def dot(a: Column, b: Column): Column = graft.functions.Native.dotProduct(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** cosine(a, b) = dot / (sqrt(Σa²)·sqrt(Σb²)), sequential accumulation —
+    * native kernel, 0.0 on zero norms. */
+  def cosine(a: Column, b: Column): Column = graft.functions.Native.cosineSim(a, b)
 
   /** Exact brute-force top-k: for each query row, the k nearest corpus rows by
     * cosine. The corpus×queries product is bounded by broadcasting the
