@@ -809,7 +809,91 @@ object SparkEntry {
       None)
   )
 
-  val specs: Seq[Q] = relational ++ timeQueries ++ scalarQueries ++ docQueries
+  // ---------- remaining operator surface (SURVEY §2.2, §2.8, §2.13) ----------
+
+  private val miscQueries: Seq[Q] = Seq(
+    // --- source-column → contract-name mapping (ColumnFeatureMappable) ---
+    Q("q40_rename_mapping",
+      (s, dir) => {
+        val v = FeatureView("nations", ParquetSource(s"$dir/nation.parquet"),
+          entities = Seq(Feature("nation_id", FInt32)),
+          features = Seq(Feature("nation_name", FString), Feature("region_id", FInt32)),
+          mappingKeys = Map("n_nationkey" -> "nation_id", "n_name" -> "nation_name",
+            "n_regionkey" -> "region_id"))
+        new ContractStore().addView(v).view("nations").all(s)
+          .select("nation_id", "nation_name", "region_id")
+      },
+      Some("SELECT n_nationkey AS nation_id, n_name AS nation_name, n_regionkey AS region_id FROM nation")),
+
+    // --- one-hot encoding (compiler DSL one_hot_encode) ---
+    Q("q41_one_hot",
+      (s, dir) => Encoding.oneHot(t(s, dir, "customer"), "c_mktsegment",
+        Seq("BUILDING", "MACHINERY", "AUTOMOBILE"))
+        .select("c_custkey", "c_mktsegment_is_building", "c_mktsegment_is_machinery",
+          "c_mktsegment_is_automobile"),
+      Some("""SELECT c_custkey,
+          c_mktsegment = 'BUILDING' AS c_mktsegment_is_building,
+          c_mktsegment = 'MACHINERY' AS c_mktsegment_is_machinery,
+          c_mktsegment = 'AUTOMOBILE' AS c_mktsegment_is_automobile
+        FROM customer""")),
+
+    // --- string-concat aggregation (ConcatStringAggregation) with an explicit
+    // sort for engine-independent element order ---
+    Q("q42_concat_agg",
+      (s, dir) => t(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n")),
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+          count(*) AS n FROM nation GROUP BY n_regionkey""")),
+
+    // --- INTERSECT / EXCEPT (SURVEY §2.8 — free in Spark, absent in reference) ---
+    Q("q43_set_ops",
+      (s, dir) => {
+        val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+        val both = custNations.intersect(suppNations).withColumn("membership", lit("both"))
+        val custOnly = custNations.except(suppNations).withColumn("membership", lit("customers_only"))
+        both.unionByName(custOnly)
+      },
+      Some("""SELECT nationkey, 'both' AS membership FROM
+          (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'customers_only' AS membership FROM
+          (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           EXCEPT SELECT DISTINCT s_nationkey FROM supplier)""")),
+
+    // --- mid-pipeline feature lookup (LoadFeature, transformation.py:3027) ---
+    Q("q44_load_feature",
+      (s, dir) => {
+        val store = new ContractStore()
+          .addView(FeatureView("nations", ParquetSource(s"$dir/nation.parquet"),
+            entities = Seq(Feature("c_nationkey", FInt32)),
+            features = Seq(Feature("nation_name", FString)),
+            mappingKeys = Map("n_nationkey" -> "c_nationkey", "n_name" -> "nation_name")))
+        store.loadFeature(s, t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          "nations:nation_name")
+          .select("c_custkey", "c_nationkey", "nation_name")
+      },
+      Some("""SELECT c_custkey, c_nationkey, n_name AS nation_name
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""")),
+
+    // --- write-through file cache (FileCachedJob): the cached result must
+    // equal the underlying query ---
+    Q("q45_file_cached",
+      (s, dir) => {
+        val path = java.nio.file.Files.createTempDirectory("graft_cache").toString + "/agg"
+        Caching.fileCached(s, path) {
+          t(s, dir, "orders").groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        }
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n, ${sqlDsum("o_totalprice")} AS total
+        FROM orders GROUP BY o_orderstatus"""))
+  )
+
+  val specs: Seq[Q] = relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries
 
   // ---------- driver contract ----------
 

@@ -1,0 +1,56 @@
+package graft.contract
+
+/** Contract-diff / impact analysis (reference: aligned/checks.py:11-230):
+  * pure-metadata comparison of two versions of a feature view, classifying
+  * changes by their blast radius. Used before deploying contract changes.
+  */
+object ContractDiff {
+
+  sealed trait Severity
+  case object Info extends Severity
+  /** consumers may need backfill */
+  case object Warning extends Severity
+  /** breaks existing consumers */
+  case object Breaking extends Severity
+
+  final case class Change(severity: Severity, what: String)
+
+  def diff(old: FeatureView, updated: FeatureView): Seq[Change] = {
+    val changes = Seq.newBuilder[Change]
+    def features(v: FeatureView) =
+      (v.entities ++ v.features).map(f => f.name -> f).toMap
+
+    val (oldF, newF) = (features(old), features(updated))
+    (oldF.keySet -- newF.keySet).toSeq.sorted.foreach(n =>
+      changes += Change(Breaking, s"removed feature '$n'"))
+    (newF.keySet -- oldF.keySet).toSeq.sorted.foreach(n =>
+      changes += Change(Warning, s"added feature '$n' (consumers unaffected; backfill needed)"))
+    (oldF.keySet & newF.keySet).toSeq.sorted.foreach { n =>
+      val (a, b) = (oldF(n), newF(n))
+      if (a.dtype != b.dtype)
+        changes += Change(Breaking, s"feature '$n' dtype ${a.dtype.name} -> ${b.dtype.name}")
+      if (a.constraints.toSet != b.constraints.toSet)
+        changes += Change(Warning, s"feature '$n' constraints changed")
+    }
+
+    val (oldE, newE) = (old.entities.map(_.name).toSet, updated.entities.map(_.name).toSet)
+    if (oldE != newE)
+      changes += Change(Breaking, s"entity keys changed: ${oldE.toSeq.sorted} -> ${newE.toSeq.sorted}")
+
+    if (old.eventTimestamp.map(_.name) != updated.eventTimestamp.map(_.name))
+      changes += Change(Breaking, "event timestamp column changed")
+    else if (old.eventTimestamp.flatMap(_.ttl) != updated.eventTimestamp.flatMap(_.ttl))
+      changes += Change(Warning, "event timestamp TTL changed")
+
+    val oldD = old.derived.map(d => d.name -> d).toMap
+    val newD = updated.derived.map(d => d.name -> d).toMap
+    (oldD.keySet & newD.keySet).toSeq.sorted.foreach { n =>
+      if (oldD(n).dependingOn != newD(n).dependingOn)
+        changes += Change(Warning, s"derived feature '$n' dependencies changed")
+    }
+    changes.result()
+  }
+
+  def isBreaking(old: FeatureView, updated: FeatureView): Boolean =
+    diff(old, updated).exists(_.severity == Breaking)
+}

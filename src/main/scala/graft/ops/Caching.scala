@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Caching / materialization / iteration plumbing (SURVEY §2.13).
+  */
+object Caching {
+
+  /** In-memory cache (InMemoryCacheJob, retrieval_job.py:1683-1702). */
+  def inMemory(df: DataFrame): DataFrame = df.cache()
+
+  /** Write-through file cache (FileCachedJob / cached_at,
+    * retrieval_job.py:2775-2817): if the cache path exists and is younger than
+    * maxAge, read it; otherwise compute, write, and read back. Reading back
+    * (rather than returning the computed frame) pins downstream plans to the
+    * materialized files, like the reference. */
+  def fileCached(spark: SparkSession, path: String,
+      maxAge: Option[java.time.Duration] = None)(compute: => DataFrame): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fresh = fs.exists(p) && maxAge.forall { age =>
+      System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime < age.toMillis
+    }
+    if (!fresh) {
+      compute.write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Chunked iteration that streams partitions to the driver without
+    * collecting the whole frame (DataLoaderJob, retrieval_job.py:2653-2688).
+    * Each chunk is at most `chunkSize` rows. */
+  def chunked(df: DataFrame, chunkSize: Int): Iterator[Seq[Row]] =
+    df.toLocalIterator().asScala.grouped(chunkSize)
+
+  private implicit class JIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  /** Wall-clock metric logging around an action (TimeMetricLoggerJob,
+    * retrieval_job.py:2843-2862). */
+  def timed[T](label: String, onDone: (String, Double) => Unit = (l, s) => ())(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    onDone(label, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+}

@@ -54,6 +54,30 @@ final class ContractStore {
     spark.sql(sql)
   }
 
+  /** Mid-pipeline lookup of another contract's features by entity key
+    * (LoadFeature, transformation.py:3027-3080): left-join the referenced
+    * view's columns onto an in-flight frame. With `explodeCol`, the column is
+    * exploded before the lookup and results re-collected per original row
+    * (the reference's list-handling path). */
+  def loadFeature(spark: SparkSession, df: DataFrame, ref: String,
+      explodeCol: Option[String] = None): DataFrame = {
+    val Array(viewName, featName) = ref.split(":")
+    val v = viewsMap(viewName)
+    val keys = v.entities.map(_.name)
+    val lookup = new ViewStore(this, v).baseWithDerived(spark)
+      .select((keys :+ featName).map(col): _*)
+    explodeCol match {
+      case None => df.join(lookup, keys, "left")
+      case Some(c) =>
+        val rid = "__graft_lf_rid"
+        val exploded = df.withColumn(rid, monotonically_increasing_id())
+          .withColumn(keys.head, explode(col(c)))
+        val joined = exploded.join(lookup, keys, "left")
+        val grouped = joined.groupBy(col(rid)).agg(collect_list(col(featName)).as(featName))
+        df.withColumn(rid, monotonically_increasing_id()).join(grouped, rid).drop(rid)
+    }
+  }
+
   /** Point-in-time feature lookup (SURVEY §3.1, feature_store.py:501-655):
     * `refs` are "view:feature" strings; `entities` must carry the entity key
     * columns and, when any referenced view has an event timestamp, an
@@ -186,5 +210,50 @@ final class ModelStore(store: ContractStore, val contract: ModelContract) {
     m.predict(inputs)
       .withColumn("model_version", lit(m.version))
       .withColumn("predicted_at", current_timestamp())
+  }
+
+  /** predict + persist into the prediction view's source (PredictionJob,
+    * retrieval_job.py:3328-3451): upsert on the prediction view's entities
+    * when it has them, else append. */
+  def predictAndStore(spark: SparkSession, entities: DataFrame): Unit = {
+    val preds = predictOver(spark, entities)
+    val pv = contract.predictionView.getOrElse(
+      throw new IllegalStateException(s"${contract.name} has no prediction view"))
+    pv.source match {
+      case w: graft.sources.WritableSource =>
+        val keys = pv.entities.map(_.name)
+        if (keys.nonEmpty) w.upsert(preds, keys) else w.insert(preds)
+      case _ => throw new IllegalStateException(s"${pv.name}'s source is not writable")
+    }
+  }
+}
+
+/** Vector-index maintenance + query (reference: VectorIndexStore,
+  * feature_store.py:1734-1798; UpdateVectorIndexJob, retrieval_job.py:2131-2163).
+  * The "index" is a writable source holding (id, embedding [, payload]);
+  * queries run through the similarity operators — brute-force for exact,
+  * IVF for approximate at scale. */
+final class VectorIndex(
+    val source: graft.sources.WritableSource,
+    val idCol: String = "vec_id",
+    val vecCol: String = "embedding",
+    val embedder: Option[graft.ml.ExposedModel] = None) {
+
+  /** upsert embeddings by id (UpdateVectorIndexJob). */
+  def upsert(df: DataFrame): Unit = source.upsert(df, Seq(idCol))
+
+  /** nearest-n: if the query frame lacks the embedding column, run the
+    * exposed embedding model first (feature_store.py:1740-1760). */
+  def nearestN(spark: SparkSession, queries: DataFrame, n: Int, exact: Boolean = true): DataFrame = {
+    val withVec =
+      if (queries.columns.contains(vecCol)) queries
+      else embedder.map(_.predict(queries)).getOrElse(
+        throw new IllegalStateException(s"queries lack '$vecCol' and no embedder is attached"))
+    val corpus = source.read(spark)
+    if (exact)
+      graft.ops.Similarity.bruteForceTopK(corpus, withVec, n, vecCol, vecCol, idCol, idCol)
+    else
+      graft.ops.Similarity.ivfTopK(corpus, withVec, n, corpusVec = vecCol, queryVec = vecCol,
+        corpusId = idCol, queryId = idCol)
   }
 }

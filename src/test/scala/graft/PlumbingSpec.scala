@@ -1,0 +1,106 @@
+package graft
+
+import graft.contract._
+import graft.core.FeatureType._
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Caching, contract-diff, encodings, vector index, prediction persistence. */
+class PlumbingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fileCached computes once, then serves from files") {
+    val path = java.nio.file.Files.createTempDirectory("graft_fc").toString + "/c"
+    var computes = 0
+    def make = { computes += 1; Seq((1, "a")).toDF("id", "v") }
+    val first = Caching.fileCached(spark, path)(make)
+    val second = Caching.fileCached(spark, path)(make)
+    assert(computes == 1)
+    assert(second.collect().toSeq == first.collect().toSeq)
+  }
+
+  test("fileCached recomputes when maxAge exceeded") {
+    val path = java.nio.file.Files.createTempDirectory("graft_fc2").toString + "/c"
+    var computes = 0
+    def make = { computes += 1; Seq((computes)).toDF("n") }
+    Caching.fileCached(spark, path)(make)
+    Caching.fileCached(spark, path, Some(java.time.Duration.ZERO))(make)
+    assert(computes == 2)
+  }
+
+  test("chunked iteration covers all rows in bounded chunks") {
+    val df = (1 to 95).toDF("n")
+    val chunks = Caching.chunked(df, 10).toSeq
+    assert(chunks.map(_.size).sum == 95)
+    assert(chunks.forall(_.size <= 10))
+  }
+
+  test("contract diff classifies changes by blast radius") {
+    import ContractDiff._
+    val v1 = FeatureView("v", graft.sources.CustomSource(_.emptyDataFrame),
+      entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("a", FFloat64), Feature("b", FString)))
+    val v2 = v1.copy(features = Seq(Feature("a", FInt64), Feature("c", FString)))
+    val changes = diff(v1, v2)
+    assert(changes.exists(c => c.severity == Breaking && c.what.contains("removed feature 'b'")))
+    assert(changes.exists(c => c.severity == Breaking && c.what.contains("dtype")))
+    assert(changes.exists(c => c.severity == Warning && c.what.contains("added feature 'c'")))
+    assert(isBreaking(v1, v2))
+    assert(!isBreaking(v1, v1))
+  }
+
+  test("oneHotFeatures compile into boolean derived features") {
+    val feats = Encoding.oneHotFeatures("seg", Seq("A", "B"))
+    val v = FeatureView("o", graft.sources.CustomSource(s => {
+      import s.implicits._; Seq(("A"), ("B"), ("C")).toDF("seg")
+    }), features = Seq(Feature("seg", FString)), derived = feats)
+    val out = new graft.store.ContractStore().addView(v).view("o").all(spark)
+    assert(out.filter(col("seg_is_a")).count() == 1)
+    assert(out.filter(col("seg_is_b")).count() == 1)
+  }
+
+  test("vector index upsert + nearestN round trip") {
+    val path = java.nio.file.Files.createTempDirectory("graft_vi").toString + "/idx"
+    val idx = new graft.store.VectorIndex(graft.sources.ParquetSource(path))
+    idx.upsert(Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding"))
+    // replace vector 2, add 4
+    idx.upsert(Seq((2L, Seq(0.95f, 0.05f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding"))
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val nn = idx.nearestN(spark, q, 2).orderBy("rank").collect()
+    assert(nn.map(_.getAs[Long]("neighbor_id")).toSet.subsetOf(Set(2L, 3L)))
+  }
+
+  test("predictAndStore upserts into the prediction view's source") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pred").toString + "/preds"
+    val inputView = FeatureView("in",
+      graft.sources.CustomSource(s => { import s.implicits._; Seq((1L, 5.0), (2L, 7.0)).toDF("id", "x") }),
+      entities = Seq(Feature("id", FInt64)), features = Seq(Feature("x", FFloat64)))
+    val predView = FeatureView("preds", graft.sources.ParquetSource(path),
+      entities = Seq(Feature("id", FInt64)))
+    val m = ModelContract("m", Seq("in:x"), predictionView = Some(predView),
+      model = Some(graft.ml.ExpressionModel("m", "2", "pred", col("x") * 10)))
+    val store = new graft.store.ContractStore().addView(inputView).addModel(m)
+    store.model("m").predictAndStore(spark, Seq((1L), (2L)).toDF("id"))
+    store.model("m").predictAndStore(spark, Seq((2L)).toDF("id")) // upsert same key
+    val out = spark.read.parquet(path)
+    assert(out.count() == 2)
+    assert(out.filter(col("id") === 2).select("pred").head().getDouble(0) == 70.0)
+  }
+
+  test("loadFeature explodes list columns and re-collects") {
+    val lookupView = FeatureView("lk",
+      graft.sources.CustomSource(s => { import s.implicits._
+        Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "word") }),
+      entities = Seq(Feature("id", FInt64)), features = Seq(Feature("word", FString)))
+    val store = new graft.store.ContractStore().addView(lookupView)
+    val df = Seq((Seq(1L, 3L)), (Seq(2L))).toDF("ids")
+    val out = store.loadFeature(spark, df, "lk:word", explodeCol = Some("ids"))
+    val words = out.select("word").collect().map(_.getSeq[String](0).toSet)
+    assert(words.toSet == Set(Set("one", "three"), Set("two")))
+  }
+}
