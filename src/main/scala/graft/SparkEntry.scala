@@ -506,8 +506,12 @@ object SparkEntry {
           (sum(dec * dec).cast("double") / count(lit(1)) -
             (sum(dec).cast("double") / count(lit(1))) * (sum(dec).cast("double") / count(lit(1))))
             .as("pop_variance"),
-          expr("percentile(l_quantity, 0.5)").as("median_qty"),
-          expr("percentile(l_quantity, array(0.25, 0.75))").getItem(0).as("q25_qty"))
+          // ONE exact-percentile aggregate buffering the column once; both
+          // outputs extracted from the quantile array
+          expr("percentile(l_quantity, array(0.5, 0.25))").as("__p"))
+          .withColumn("median_qty", col("__p").getItem(0))
+          .withColumn("q25_qty", col("__p").getItem(1))
+          .drop("__p")
       },
       Some("""SELECT l_returnflag, count(*) AS n, count(DISTINCT l_orderkey) AS n_orders,
           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

@@ -112,11 +112,28 @@ final case class FeatureView(
     entities.map(_.name) ++ features.map(_.name) ++ derived.map(_.name) ++
       aggregates.map(_.name) ++ eventTimestamp.map(_.name).toSeq
 
-  /** Derived features batched topologically by depth
-    * (retrieval_request.py:204-231): each round only references columns
-    * produced by earlier rounds. */
-  def derivedRounds: Seq[Seq[DerivedFeature]] =
-    derived.groupBy(_.depth).toSeq.sortBy(_._1).map(_._2)
+  /** Derived features batched topologically (retrieval_request.py:204-231):
+    * each round only references base columns or columns produced by earlier
+    * rounds. Computed from the dependency graph — the `depth` field is a
+    * hint, not trusted. Throws on cycles / unknown dependencies among derived
+    * features. */
+  def derivedRounds: Seq[Seq[DerivedFeature]] = {
+    val derivedNames = derived.map(_.name).toSet
+    var remaining = derived
+    var emitted = Set.empty[String]
+    val rounds = Seq.newBuilder[Seq[DerivedFeature]]
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(
+        _.dependingOn.filter(derivedNames.contains).forall(emitted.contains))
+      if (ready.isEmpty)
+        throw new IllegalStateException(
+          s"cyclic or unresolvable derived features in view '$name': ${blocked.map(_.name).mkString(", ")}")
+      rounds += ready
+      emitted ++= ready.map(_.name)
+      remaining = blocked
+    }
+    rounds.result()
+  }
 }
 
 /** Model contract (reference: schemas/model.py:373, compiler/model.py): input

@@ -94,8 +94,12 @@ final class ContractStore {
       }
     }.groupBy(_._1).map { case (v, fs) => v -> fs.map(_._2) }
 
-    // 2. per view: assemble the needed frame and PIT-join onto the entity frame
-    byView.foldLeft(entities) { case (acc, (viewName, wanted)) =>
+    // 2. per view: assemble the needed frame and PIT-join onto the entity frame.
+    // Features already present on the entity frame are satisfied — drop them
+    // (request pruning, feature_store.py:703-728).
+    byView.foldLeft(entities) { case (acc, (viewName, wantedRaw)) =>
+      val wanted = wantedRaw.filterNot(acc.columns.contains)
+      if (wanted.isEmpty) acc else {
       val v = viewsMap(viewName)
       val vs = new ViewStore(this, v)
       val keys = v.entities.map(_.name)
@@ -114,6 +118,7 @@ final class ContractStore {
         case _ =>
           val feat = vs.all(spark).select((keys ++ wanted).map(col): _*)
           acc.join(feat, keys, "left")
+      }
       }
     }
   }
@@ -138,11 +143,21 @@ final class ViewStore(store: ContractStore, val view: FeatureView) {
       if (!df.columns.contains(f.name))
         df = df.withColumn(f.name, lit(f.defaultValue.orNull).cast(f.dtype.sparkType))
     }
-    // ensure-types: cast ONLY on mismatch (EnsureTypesJob, retrieval_job.py:2866-2955)
+    // ensure-types: cast ONLY on mismatch (EnsureTypesJob, retrieval_job.py:2866-2955);
+    // string-encoded arrays/structs are JSON-decoded, not cast
+    // (retrieval_job.py:2928-2941)
     val declared = (view.entities ++ view.features).map(f => f.name -> f.dtype.sparkType).toMap
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     declared.foreach { case (n, t) =>
-      if (fields.get(n).exists(_ != t)) df = df.withColumn(n, col(n).cast(t))
+      fields.get(n) match {
+        case Some(actual) if actual == t => ()
+        case Some(org.apache.spark.sql.types.StringType)
+            if t.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+               t.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          df = df.withColumn(n, from_json(col(n), t))
+        case Some(_) => df = df.withColumn(n, col(n).cast(t))
+        case None => ()
+      }
     }
     // derived features in topological rounds (retrieval_job.py:2345-2388);
     // skip any already present in the source (Transformation.should_skip)

@@ -104,3 +104,49 @@ class PlumbingSpec extends AnyFunSuite {
     assert(words.toSet == Set(Set("one", "three"), Set("two")))
   }
 }
+
+/** Planner refinements: topological derivation, request pruning, JSON-decoded
+  * ensure-types. */
+class PlannerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("derivedRounds topo-sorts regardless of declared depth") {
+    val v = FeatureView("t", graft.sources.CustomSource(_.emptyDataFrame),
+      features = Seq(Feature("x", FFloat64)),
+      derived = Seq(
+        // declared depths are all wrong (1); order comes from dependingOn
+        DerivedFeature("c", FFloat64, graft.expr.Ref("b"), Seq("b"), depth = 1),
+        DerivedFeature("b", FFloat64, graft.expr.Ref("a"), Seq("a"), depth = 1),
+        DerivedFeature("a", FFloat64, graft.expr.Ref("x"), Seq("x"), depth = 1)))
+    val rounds = v.derivedRounds.map(_.map(_.name))
+    assert(rounds == Seq(Seq("a"), Seq("b"), Seq("c")))
+  }
+
+  test("derivedRounds rejects cycles") {
+    val v = FeatureView("c", graft.sources.CustomSource(_.emptyDataFrame),
+      derived = Seq(
+        DerivedFeature("a", FFloat64, graft.expr.Ref("b"), Seq("b")),
+        DerivedFeature("b", FFloat64, graft.expr.Ref("a"), Seq("a"))))
+    assertThrows[IllegalStateException](v.derivedRounds)
+  }
+
+  test("featuresFor skips features already on the entity frame") {
+    val v = FeatureView("pv",
+      graft.sources.CustomSource(s => { import s.implicits._; Seq((1L, 99.0)).toDF("id", "score") }),
+      entities = Seq(Feature("id", FInt64)), features = Seq(Feature("score", FFloat64)))
+    val store = new graft.store.ContractStore().addView(v)
+    val ents = Seq((1L, 5.0)).toDF("id", "score") // score already present
+    val out = store.featuresFor(spark, ents, Seq("pv:score"))
+    assert(out.select("score").head().getDouble(0) == 5.0) // NOT overwritten
+  }
+
+  test("ensure-types JSON-decodes string-encoded arrays") {
+    val v = FeatureView("j",
+      graft.sources.CustomSource(s => { import s.implicits._
+        Seq(("[1,2,3]")).toDF("arr") }),
+      features = Seq(Feature("arr", FArray(FInt64))))
+    val out = new graft.store.ContractStore().addView(v).view("j").all(spark)
+    assert(out.select("arr").head().getSeq[Long](0) == Seq(1L, 2L, 3L))
+  }
+}
