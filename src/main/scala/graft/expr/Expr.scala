@@ -138,9 +138,10 @@ final case class DateComponent(part: String, child: Expr) extends Expr {
 final case class TimeDifference(front: Expr, behind: Expr) extends Expr {
   def toColumn: Column = front.toColumn.cast("double") - behind.toColumn.cast("double")
 }
-/** string→float coerce, null on failure (transformation.py:1522-1551). */
+/** string→float coerce, null on failure (transformation.py:1522-1551).
+  * try_cast: ANSI mode (Spark 4 default) would otherwise throw on garbage. */
 final case class ToNumerical(child: Expr) extends Expr {
-  def toColumn: Column = child.toColumn.cast("double")
+  def toColumn: Column = child.toColumn.try_cast("double")
 }
 final case class Contains(child: Expr, value: String) extends Expr {
   def toColumn: Column = child.toColumn.contains(value)

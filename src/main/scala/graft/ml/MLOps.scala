@@ -34,6 +34,23 @@ final case class FunctionModel(name: String, version: String, f: DataFrame => Da
   def predict(input: DataFrame): DataFrame = f(input)
 }
 
+/** Text-embedding model surface (reference: WordVectoriser +
+  * EmbeddingModel zoo, schemas/text_vectoriser.py; OllamaEmbedding,
+  * transformation.py:2744-2867). Real models plug in as a FunctionModel
+  * wrapping mapPartitions batch inference; this deterministic stand-in keeps
+  * the whole embedding → index → search pipeline testable offline: dim i of
+  * the vector is a hash of (text, i) scaled to [-1, 1] — pure codegen'd
+  * expressions, no UDF. */
+final case class HashEmbeddingModel(
+    name: String, version: String,
+    textCol: String, out: String = "embedding", dims: Int = 16) extends ExposedModel {
+  def predict(input: DataFrame): DataFrame =
+    input.withColumn(out, array((0 until dims).map { i =>
+      ((pmod(xxhash64(col(textCol), lit(i)), lit(2000)) - 1000).cast("double") / 1000.0)
+        .cast("float")
+    }: _*))
+}
+
 object MLOps {
 
   /** Shadow deployment (exposed_model/interface.py:517): all rows scored by

@@ -89,4 +89,13 @@ object Multimodal {
   def sampleFrames(df: DataFrame, metaCol: String, everyNth: Int): DataFrame =
     df.withColumn("frame_index",
       explode(sequence(lit(0), greatest(col(metaCol).getField("n_frames") - 1, lit(0)), lit(everyNth))))
+
+  /** Row-wise presigned-URL construction (reference: PresignedAwsUrl,
+    * transformation.py:2670-2708 — an S3 client call per row). The signing
+    * call is STUBBED (no cloud SDK offline); the row-wise URL assembly and
+    * deterministic signature plumbing are real expressions. */
+  def presignedUrlStub(bucket: String, keyCol: org.apache.spark.sql.Column,
+      expirySeconds: Int = 3600): org.apache.spark.sql.Column =
+    format_string(s"https://$bucket.s3.amazonaws.com/%s?X-Expires=$expirySeconds&X-Signature=%s",
+      keyCol, conv(abs(xxhash64(keyCol, lit(expirySeconds))).cast("string"), 10, 16))
 }

@@ -203,6 +203,17 @@ final case class ViewReferenceSource(store: () => graft.store.ContractStore, vie
   def read(spark: SparkSession): DataFrame = store().view(viewName).all(spark)
 }
 
+/** Raw file bytes (reference: StorageFileSource, sources/local.py:1058-1085):
+  * one row per file with path, length, modificationTime, content — Spark's
+  * binaryFile format. `pathGlob` limits the files read. */
+final case class StorageSource(path: String, pathGlob: Option[String] = None) extends BatchSource {
+  def read(spark: SparkSession): DataFrame = {
+    var r = spark.read.format("binaryFile")
+    pathGlob.foreach(g => r = r.option("pathGlobFilter", g))
+    r.load(path)
+  }
+}
+
 /** JDBC table source (reference psql/redshift sources, sources/psql.py) —
   * filter/column pushdown comes free via the JDBC connector. */
 final case class JdbcSource(url: String, table: String, props: Map[String, String] = Map.empty)

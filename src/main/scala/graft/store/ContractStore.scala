@@ -155,7 +155,9 @@ final class ViewStore(store: ContractStore, val view: FeatureView) {
             if t.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
                t.isInstanceOf[org.apache.spark.sql.types.StructType] =>
           df = df.withColumn(n, from_json(col(n), t))
-        case Some(_) => df = df.withColumn(n, col(n).cast(t))
+        // "enforced by casting, not rejection" (strict=False, SURVEY §1.3):
+        // try_cast nulls malformed values instead of failing the job (ANSI)
+        case Some(_) => df = df.withColumn(n, col(n).try_cast(t.sql))
         case None => ()
       }
     }

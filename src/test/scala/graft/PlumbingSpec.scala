@@ -150,3 +150,89 @@ class PlannerSpec extends AnyFunSuite {
     assert(out.select("arr").head().getSeq[Long](0) == Seq(1L, 2L, 3L))
   }
 }
+
+/** Goldens for the remaining expression-IR operators + new stubs. */
+class ExprSpec2 extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.expr._
+
+  private def eval1(e: Expr, df: org.apache.spark.sql.DataFrame): Any =
+    df.select(e.toColumn).head().get(0)
+
+  test("TimeDifference in seconds") {
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:30"),
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("a", "b")
+    assert(eval1(TimeDifference(Ref("a"), Ref("b")), df) == 30.0)
+  }
+  test("ToNumerical coerces strings, null on garbage") {
+    val df = Seq(("3.5", "abc")).toDF("ok", "bad")
+    assert(eval1(ToNumerical(Ref("ok")), df) == 3.5)
+    assert(df.select(ToNumerical(Ref("bad")).toColumn).head().isNullAt(0))
+  }
+  test("HashColumns is deterministic and column-order sensitive") {
+    val df = Seq(("a", "b")).toDF("x", "y")
+    val h1 = eval1(HashColumns(Seq(Ref("x"), Ref("y"))), df)
+    val h2 = eval1(HashColumns(Seq(Ref("x"), Ref("y"))), df)
+    val h3 = eval1(HashColumns(Seq(Ref("y"), Ref("x"))), df)
+    assert(h1 == h2 && h1 != h3)
+  }
+  test("FormatString maps {} placeholders") {
+    val df = Seq(("world", 42)).toDF("w", "n")
+    assert(eval1(FormatString("hello {} #{}", Seq(Ref("w"), Ref("n"))), df) == "hello world #42")
+  }
+  test("SplitString treats separator literally") {
+    val df = Seq(("a.b.c")).toDF("s")
+    assert(df.select(SplitString(Ref("s"), ".").toColumn).head().getSeq[String](0) ==
+      Seq("a", "b", "c"))
+  }
+  test("ReplaceStrings applies sequentially") {
+    val df = Seq(("aaa")).toDF("s")
+    assert(eval1(ReplaceStrings(Ref("s"), Seq(("a", "b"), ("bb", "c"))), df) == "cb")
+  }
+  test("Cast to FeatureType") {
+    val df = Seq((3.7)).toDF("x")
+    assert(eval1(Cast(Ref("x"), FInt32), df) == 3)
+  }
+  test("LogBase") {
+    val df = Seq((8.0)).toDF("x")
+    assert(eval1(LogBase(Ref("x"), 2.0), df) == 3.0)
+  }
+  test("StructFieldAccess on struct column") {
+    val df = Seq((1)).toDF("i").select(struct(lit(5).as("a"), lit("z").as("b")).as("s"))
+    assert(eval1(StructFieldAccess(Ref("s"), "a"), df) == 5)
+  }
+  test("AppendStrings nulls become empty") {
+    val df = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+    assert(eval1(AppendStrings(Seq(Ref("a"), Ref("b")), "-"), df) == "x")
+  }
+  test("hash embedding model produces unit-range vectors and drives the index") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other text")).toDF("vec_id", "text")
+    val m = graft.ml.HashEmbeddingModel("emb", "1", "text", dims = 8)
+    val out = m.predict(docs)
+    val v1 = out.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+    val v2 = out.filter(col("vec_id") === 2).select("embedding").head().getSeq[Float](0)
+    assert(v1 == v2) // same text → same vector
+    assert(v1.forall(f => f >= -1.0f && f <= 1.0f))
+    // embedder-attached index: query by text only
+    val path = java.nio.file.Files.createTempDirectory("graft_vi2").toString + "/idx"
+    val idx = new graft.store.VectorIndex(graft.sources.ParquetSource(path), embedder = Some(m))
+    idx.upsert(out.select("vec_id", "embedding"))
+    val nn = idx.nearestN(spark, Seq((9L, "hello world")).toDF("vec_id", "text"), 1)
+    assert(Set(1L, 2L).contains(nn.head().getAs[Long]("neighbor_id")))
+  }
+  test("storage source reads raw file bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    java.nio.file.Files.write(dir.resolve("f.bin"), Array[Byte](1, 2, 3))
+    val df = graft.sources.StorageSource(dir.toString).read(spark)
+    assert(df.count() == 1)
+    assert(df.select("content").head().getAs[Array[Byte]](0).toSeq == Seq[Byte](1, 2, 3))
+  }
+  test("presigned url stub is deterministic per key") {
+    val df = Seq(("k1"), ("k1"), ("k2")).toDF("key")
+    val urls = df.select(graft.ops.Multimodal.presignedUrlStub("bkt", col("key"))).collect()
+      .map(_.getString(0))
+    assert(urls(0) == urls(1) && urls(0) != urls(2))
+    assert(urls(0).startsWith("https://bkt.s3.amazonaws.com/k1?"))
+  }
+}
