@@ -40,12 +40,12 @@ object SparkEntry {
 
   /** exact decimal sum of a 2-decimal double column, emitted at a fixed type. */
   private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+    sum(c.cast(DecimalType(18, scale))).cast("double")
   /** exact average = exact decimal sum / count (bit-identical across engines). */
   private def davg(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
   private def sqlDsum(x: String, scale: Int = 2): String =
-    s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DECIMAL(38,$scale))"
+    s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
   private def sqlDavg(x: String, scale: Int = 2): String =
     s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE) / count($x)"
 
@@ -63,9 +63,9 @@ object SparkEntry {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
-            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-            .cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("sum_charge"),
+            .cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -73,8 +73,8 @@ object SparkEntry {
       Some(s"""SELECT l_returnflag, l_linestatus,
         ${sqlDsum("l_quantity")} AS sum_qty,
         ${sqlDsum("l_extendedprice")} AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-        CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         ${sqlDavg("l_quantity")} AS avg_qty,
         ${sqlDavg("l_extendedprice")} AS avg_price,
         ${sqlDavg("l_discount")} AS avg_disc,
@@ -136,11 +136,11 @@ object SparkEntry {
           .groupBy("r_name", "n_name")
           .agg(
             sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
-              .cast(DecimalType(38, 4)).as("revenue"),
+              .cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
       },
       Some("""SELECT r_name, n_name,
-        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         count(*) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -305,7 +305,7 @@ object SparkEntry {
             AggregatedFeature("n_clicks_24h", FInt64, AggFunc.Count, "value",
               Some(AggregationWindow(java.time.Duration.ofDays(1)))),
             AggregatedFeature("sum_clicks_24h", FFloat64,
-              AggFunc.Custom(c => sum(c.cast(DecimalType(18, 2))).cast(DecimalType(38, 2))), "value",
+              AggFunc.Custom(c => sum(c.cast(DecimalType(18, 2))).cast("double")), "value",
               Some(AggregationWindow(java.time.Duration.ofDays(1))))),
           eventTimestamp = Some(EventTimestamp("ts")))
         val store = new ContractStore().addView(v)
@@ -319,7 +319,7 @@ object SparkEntry {
           c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
                 FROM events WHERE event_type = 'click')
         SELECT p.event_id, p.user_id, count(c.value) AS n_clicks_24h,
-          CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_clicks_24h
+          CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_clicks_24h
         FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
           AND c.ts >= p.ts - INTERVAL 1 DAY
         GROUP BY p.event_id, p.user_id""")),
@@ -334,11 +334,11 @@ object SparkEntry {
             AggFunc.Custom(c => sum(c.cast(DecimalType(18, 2)))), "value",
             Some(AggregationWindow(java.time.Duration.ofHours(1)))))
         Aggregations.rolling(events(s, dir), Seq("user_id"), "ts", aggs)
-          .select(col("event_id"), col("n_1h"), col("sum_1h").cast(DecimalType(38, 2)).as("sum_1h"))
+          .select(col("event_id"), col("n_1h"), col("sum_1h").cast("double").as("sum_1h"))
       },
       Some("""SELECT event_id,
           count(value) OVER w AS n_1h,
-          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_1h
+          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")),
@@ -742,12 +742,12 @@ object SparkEntry {
             features = Seq(Feature("c_name", FString), Feature("c_mktsegment", FString))))
         store.executeSql(s,
           """SELECT c_mktsegment, count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              FROM orders_v JOIN customer_v ON o_custkey = c_custkey
              GROUP BY c_mktsegment""")
       },
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
-          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment""")),
 
@@ -894,7 +894,77 @@ object SparkEntry {
         }
       },
       Some(s"""SELECT o_orderstatus, count(*) AS n, ${sqlDsum("o_totalprice")} AS total
-        FROM orders GROUP BY o_orderstatus"""))
+        FROM orders GROUP BY o_orderstatus""")),
+
+    // --- gap-based sessionization (lag + running sum — the batch analog of
+    // streaming session windows) ---
+    Q("q46_sessionize",
+      (s, dir) => {
+        val us = unix_micros(col("ts"))
+        val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+        val gap = 30L * 60 * 1000000 // 30 min in µs
+        events(s, dir)
+          .withColumn("__new", when(us - lag(us, 1).over(w) > gap || lag(us, 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(us).as("session_start_us"),
+            (max(us) - min(us)).as("session_len_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          marked AS (SELECT user_id, us,
+            CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          sess AS (SELECT user_id, us,
+            CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM marked)
+        SELECT user_id, session_id, count(*) AS n_events,
+          min(us) AS session_start_us, max(us) - min(us) AS session_len_us
+        FROM sess GROUP BY user_id, session_id""")),
+
+    // --- one featuresFor call spanning TWO views (fold/combine path):
+    // rolling click aggregates from one view + latest view-event value from
+    // another, point-in-time correct per purchase ---
+    Q("q47_multi_view_pit",
+      (s, dir) => {
+        val clicks = FeatureView("mv_clicks",
+          graft.sources.TransformSource(ParquetSource(s"$dir/events.parquet"),
+            _ => events(s, dir).filter(col("event_type") === "click")),
+          entities = Seq(Feature("user_id", FInt64)),
+          features = Seq(Feature("value", FFloat64)),
+          aggregates = Seq(AggregatedFeature("n_clicks_24h", FInt64, AggFunc.Count, "value",
+            Some(AggregationWindow(java.time.Duration.ofDays(1))))),
+          eventTimestamp = Some(EventTimestamp("ts")))
+        val views = FeatureView("mv_views",
+          graft.sources.TransformSource(ParquetSource(s"$dir/events.parquet"),
+            _ => events(s, dir).filter(col("event_type") === "view")
+              .groupBy("user_id", "ts").agg(max(col("value")).as("value"))),
+          entities = Seq(Feature("user_id", FInt64)),
+          features = Seq(Feature("value", FFloat64)),
+          eventTimestamp = Some(EventTimestamp("ts")))
+        val store = new ContractStore().addView(clicks).addView(views)
+        val facts = purchases(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts").as("event_timestamp"))
+        store.featuresFor(s, facts,
+          Seq("mv_clicks:n_clicks_24h", "mv_views:value"))
+          .select(col("event_id"), col("user_id"), col("n_clicks_24h"),
+            col("value").as("last_view_value"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events WHERE event_type = 'click'),
+          v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          agg AS (SELECT p.event_id, count(c.value) AS n_clicks_24h
+            FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 1 DAY
+            GROUP BY p.event_id),
+          lastv AS (SELECT p.event_id, v.value
+            FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+            QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC NULLS LAST) = 1)
+        SELECT p.event_id, p.user_id, agg.n_clicks_24h, lastv.value AS last_view_value
+        FROM p JOIN agg USING (event_id) JOIN lastv USING (event_id)"""))
   )
 
   val specs: Seq[Q] = relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries
