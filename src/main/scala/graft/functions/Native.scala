@@ -38,6 +38,24 @@ object Native {
   def cosineSim(a: Column, b: Column): Column = toColumn(VecCosine(toExpr(a), toExpr(b)))
   def wordShingleHashes(text: Column, k: Int, distinctSorted: Boolean): Column =
     toColumn(WordShingleHashes(toExpr(text), k, distinctSorted))
+
+  /** Register the kernels in the session's FunctionRegistry so `spark.sql`
+    * (and therefore ContractStore.executeSql) can call them:
+    * graft_simhash64(hashes), graft_minhash(hashes, n), graft_jaccard(a, b),
+    * graft_dot(a, b), graft_cosine(a, b), graft_shingles(text, k, sorted). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard", es => JaccardSortedLongs(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot", es => VecDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine", es => VecCosine(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      es => WordShingleHashes(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Boolean]), "built-in")
+  }
 }
 
 /** Word k-gram shingle hashes in one pass: lowercase → whitespace-split →

@@ -76,6 +76,24 @@ object Streaming {
       .agg(exprs.head, exprs.tail: _*)
   }
 
+  /** Session-window aggregation (gap-based): the streaming-native analog of
+    * batch sessionization — `session_window(ts, gap)` with a watermark keeps
+    * per-key session state incrementally. (The reference has no session
+    * windows; Spark provides them natively — SURVEY §2.9.) */
+  def sessionAggregate(
+      stream: DataFrame, view: FeatureView, gap: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    val ts = view.eventTimestamp.map(_.name)
+      .getOrElse(throw new IllegalStateException("session aggregation needs an event timestamp"))
+    val keys = view.entities.map(_.name)
+    val aggs = view.aggregates
+    require(aggs.nonEmpty, "declare at least one aggregate")
+    val exprs = aggs.map(a => a.agg(col(a.sourceColumn)).as(a.name))
+    stream.withWatermark(ts, lateness)
+      .groupBy(session_window(col(ts), gap) +: keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+  }
+
   /** Event trigger (schemas/event_trigger.py:20-97; ListenForTriggers,
     * retrieval_job.py:3227-3265): emit rows matching a predicate to a side
     * sink from within foreachBatch. */

@@ -236,3 +236,78 @@ class ExprSpec2 extends AnyFunSuite {
     assert(urls(0).startsWith("https://bkt.s3.amazonaws.com/k1?"))
   }
 }
+
+/** Scale-path as-of join equivalence + SQL-registered kernels + session windows. */
+class ScalePathSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asofJoinSorted equals asofJoin on randomized data") {
+    val rnd = new scala.util.Random(42)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    // unique (key, minute) feature timestamps → deterministic ties-free compare
+    val minutes = rnd.shuffle((0 until 600).toList)
+    val feats = (0 until 300).map(i => (i % 7L, ts(minutes(i)), i.toDouble))
+      .toDF("k", "ts", "v").groupBy("k", "ts").agg(max("v").as("v"))
+    val facts = (0 until 150).map(i => (rnd.nextInt(9).toLong, ts(rnd.nextInt(600)), i.toLong))
+      .toDF("k", "ts", "fact_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("fact_id", "v").collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val a = Joins.asofJoin(facts, feats, "ts", "ts", Seq("k"))
+    val b = Joins.asofJoinSorted(facts, feats, "ts", "ts", Seq("k"))
+    assert(canon(a) == canon(b))
+    // with tolerance, on monotone data the two also agree
+    val tol = Some(java.time.Duration.ofMinutes(60))
+    val at = Joins.asofJoin(facts, feats, "ts", "ts", Seq("k"), tolerance = tol)
+    val bt = Joins.asofJoinSorted(facts, feats, "ts", "ts", Seq("k"), tolerance = tol)
+    assert(canon(at) == canon(bt))
+  }
+
+  test("asofJoinSorted: null-ts features are a fallback, not a winner") {
+    val facts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 100L))
+      .toDF("k", "ts", "fact_id")
+    val feats = Seq(
+      (1L, Option(java.sql.Timestamp.valueOf("2024-01-01 09:00:00")), "timestamped"),
+      (1L, None: Option[java.sql.Timestamp], "untimestamped"))
+      .toDF("k", "ts", "v")
+    val out = Joins.asofJoinSorted(facts, feats, "ts", "ts", Seq("k"))
+    assert(out.head().getAs[String]("v") == "timestamped")
+    val onlyNull = Joins.asofJoinSorted(facts, feats.filter($"ts".isNull), "ts", "ts", Seq("k"))
+    assert(onlyNull.head().getAs[String]("v") == "untimestamped")
+  }
+
+  test("native kernels callable from SQL after registration") {
+    graft.functions.Native.registerAll(spark)
+    Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val cos = spark.sql("SELECT graft_cosine(a, b) AS c, graft_dot(a, b) AS d FROM vecs").head()
+    assert(math.abs(cos.getDouble(0) - 1.0) < 1e-12 && cos.getDouble(1) == 1.0)
+    val sh = spark.sql(
+      "SELECT size(graft_shingles('a b c d', 2, true)) AS n, graft_simhash64(graft_shingles('a b c d', 2, false)) AS s")
+      .head()
+    assert(sh.getInt(0) == 3 && sh.getLong(1) != 0L)
+  }
+
+  test("session_window aggregation sessionizes a file stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 3.0))
+      .toDF("user_id", "ts", "value").write.parquet(dir + "/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val view = FeatureView("sw", graft.sources.CustomSource(_.emptyDataFrame),
+      entities = Seq(Feature("user_id", FInt64)),
+      features = Seq(Feature("value", FFloat64)),
+      aggregates = Seq(AggregatedFeature("total", FFloat64, AggFunc.Sum, "value")),
+      eventTimestamp = Some(EventTimestamp("ts")))
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val agg = graft.streaming.Streaming.sessionAggregate(stream, view, "30 minutes")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("sess_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val rows = spark.sql("SELECT total FROM sess_out ORDER BY total").collect().map(_.getDouble(0))
+    assert(rows.toSeq == Seq(3.0, 3.0)) // two sessions: 1+2 and 3
+  }
+}
