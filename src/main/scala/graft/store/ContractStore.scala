@@ -229,6 +229,27 @@ final class ModelStore(store: ContractStore, val contract: ModelContract) {
       .withColumn("predicted_at", current_timestamp())
   }
 
+  /** Cache-aside inference (predict_when_missing, feature_store.py:335-352):
+    * serve stored predictions where they exist; run the model only for
+    * entities with no stored row, persist those, and return the union. */
+  def predictWhenMissing(spark: SparkSession, entities: DataFrame): DataFrame = {
+    val pv = contract.predictionView.getOrElse(
+      throw new IllegalStateException(s"${contract.name} has no prediction view"))
+    val keys = pv.entities.map(_.name)
+    val stored =
+      try pv.source.read(spark) catch { case _: Throwable => null }
+    if (stored == null) {
+      predictAndStore(spark, entities); pv.source.read(spark).join(entities, keys, "left_semi")
+    } else {
+      val hit = stored.join(entities, keys, "left_semi")
+      val missing = entities.join(stored, keys, "left_anti")
+      if (!missing.isEmpty) {
+        predictAndStore(spark, missing)
+        pv.source.read(spark).join(entities, keys, "left_semi")
+      } else hit
+    }
+  }
+
   /** predict + persist into the prediction view's source (PredictionJob,
     * retrieval_job.py:3328-3451): upsert on the prediction view's entities
     * when it has them, else append. */

@@ -311,3 +311,33 @@ class ScalePathSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(3.0, 3.0)) // two sessions: 1+2 and 3
   }
 }
+
+class PredictWhenMissingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("predictWhenMissing only scores uncached entities") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pwm").toString + "/p"
+    var modelCalls = 0
+    val inputView = FeatureView("pwm_in",
+      graft.sources.CustomSource(s => { import s.implicits._
+        Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "x") }),
+      entities = Seq(Feature("id", FInt64)), features = Seq(Feature("x", FFloat64)))
+    val predView = FeatureView("pwm_out", graft.sources.ParquetSource(path),
+      entities = Seq(Feature("id", FInt64)))
+    val m = ModelContract("pwm", Seq("pwm_in:x"), predictionView = Some(predView),
+      model = Some(graft.ml.FunctionModel("pwm", "1", { df =>
+        modelCalls += 1
+        df.withColumn("pred", col("x") * 100)
+      })))
+    val store = new graft.store.ContractStore().addView(inputView).addModel(m)
+    val first = store.model("pwm").predictWhenMissing(spark, Seq((1L), (2L)).toDF("id"))
+    assert(first.count() == 2 && modelCalls == 1)
+    // second call: 1,2 cached; only 3 is new
+    val second = store.model("pwm").predictWhenMissing(spark, Seq((1L), (3L)).toDF("id"))
+    assert(second.count() == 2 && modelCalls == 2)
+    // fully cached call does not invoke the model
+    val third = store.model("pwm").predictWhenMissing(spark, Seq((2L), (3L)).toDF("id"))
+    assert(third.count() == 2 && modelCalls == 2)
+  }
+}
