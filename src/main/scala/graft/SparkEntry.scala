@@ -967,7 +967,56 @@ object SparkEntry {
         FROM p JOIN agg USING (event_id) JOIN lastv USING (event_id)"""))
   )
 
-  val specs: Seq[Q] = relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries
+  private val textQueries2: Seq[Q] = Seq(
+    // --- corpus vocabulary: top-10 words per source ---
+    Q("q48_top_words",
+      (s, dir) => TextAnalysis.topWords(t(s, dir, "documents"), "text", Seq("source"), 10)
+        .select("source", "word", "n", "word_rank"),
+      Some("""WITH w AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+              FROM documents),
+          counts AS (SELECT source, word, count(*) AS n FROM w
+            WHERE length(word) > 0 GROUP BY source, word)
+        SELECT source, word, n,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, word) AS INT) AS word_rank
+        FROM counts QUALIFY word_rank <= 10""")),
+
+    // --- PII scrubbing (emails / URLs / long digit runs → placeholders) ---
+    Q("q49_pii_scrub",
+      (s, dir) => t(s, dir, "documents")
+        // plant PII deterministically so the redaction is observable
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or https://ex.co/"),
+          col("doc_id"), lit(" tel 55512340"), col("doc_id")))
+        .select(col("doc_id"), TextAnalysis.scrubPii(col("dirty")).as("clean"),
+          (length(col("dirty")) - length(TextAnalysis.scrubPii(col("dirty")))).as("chars_removed")),
+      Some("""WITH d AS (SELECT doc_id,
+            concat(text, ' contact user', doc_id, '@example.com or https://ex.co/', doc_id,
+                   ' tel 55512340', doc_id) AS dirty
+          FROM documents),
+        s AS (SELECT doc_id, dirty,
+            regexp_replace(regexp_replace(regexp_replace(dirty,
+              'https?://[^\s]+', '<URL>', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '[0-9]{7,}', '<NUM>', 'g') AS clean
+          FROM d)
+        SELECT doc_id, clean, CAST(length(dirty) - length(clean) AS INT) AS chars_removed FROM s""")),
+
+    // --- Gopher-style repetition ratio ---
+    Q("q50_repetition_ratio",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio")),
+      Some("""WITH sh AS (SELECT doc_id,
+            [array_to_string(w[i:i+2], ' ') for i in generate_series(1, greatest(len(w)-2, 0))] AS s
+          FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents))
+        SELECT doc_id,
+          CASE WHEN len(s) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s) END AS rep_ratio
+        FROM sh"""))
+  )
+
+  val specs: Seq[Q] =
+    relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2
 
   // ---------- driver contract ----------
 

@@ -134,4 +134,39 @@ object TextAnalysis {
     * per-document minimum `m` hashes (a compact shift-resistant signature). */
   def kgramFingerprints(text: Column, k: Int = 5, m: Int = 8): Column =
     slice(array_sort(transform(Dedup.shingles(text, k), s => xxhash64(s))), 1, m)
+
+  /** PII scrubbing: replace emails, URLs and long digit runs with placeholder
+    * tokens — the standard redaction pass of a training-data pipeline. Chained
+    * regexp_replace, codegen'd, RE2-compatible patterns. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+  val longDigitPattern = "[0-9]{7,}"
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "<URL>"),
+        emailPattern, "<EMAIL>"),
+      longDigitPattern, "<NUM>")
+
+  /** Gopher-style repetition ratio: 1 − distinct/total word k-grams — high
+    * values flag boilerplate/repetitive documents. */
+  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    val total = size(Dedup.hashedShingles(text, k))
+    val distinct = size(Dedup.hashedShingleSet(text, k))
+    when(total === 0, 0.0).otherwise(lit(1.0) - distinct.cast("double") / total.cast("double"))
+  }
+
+  /** Corpus vocabulary: top-k most frequent words per group (explode →
+    * count → ranked window). Deterministic tiebreak on the word itself. */
+  def topWords(df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupBy: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupBy.map(col)
+    val words = df.select(keys :+ explode(split(lower(trim(col(textCol))), "\\s+")).as("word"): _*)
+      .filter(length(col("word")) > 0)
+      .groupBy(keys :+ col("word"): _*).agg(count(lit(1)).as("n"))
+    val w = (if (groupBy.isEmpty) Window.partitionBy() else Window.partitionBy(keys: _*))
+      .orderBy(col("n").desc, col("word").asc)
+    words.withColumn("word_rank", row_number().over(w)).filter(col("word_rank") <= k)
+  }
 }
