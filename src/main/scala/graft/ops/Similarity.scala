@@ -46,23 +46,66 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic k-means-free IVF: centroids are `nlist` corpus vectors
-    * picked by hash (a valid coarse quantizer for ANN; real k-means would
-    * drop in here). Every corpus vector is assigned to its nearest centroid;
-    * each query probes its `nprobe` nearest centroids and ranks only those
-    * lists. Join key = centroid id → shuffle is inverted-list-local. */
+  /** Distributed Lloyd k-means over an embedding column: `iters` rounds of
+    * assign-to-nearest (broadcast centroids) + elementwise-mean recompute
+    * (posexplode → groupBy(centroid, dim) → avg — fully distributed, no
+    * driver-side vectors beyond the k centroids themselves). Deterministic:
+    * init = hash-ordered pick of k corpus vectors. Returns (centroid_id,
+    * cvec). */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+    // deterministic farthest-point init (k-means++ flavour): random seeds can
+    // land two in one cluster, which plain Lloyd never recovers from. Each
+    // round is one distributed min-similarity scan; only k vectors ever reach
+    // the driver.
+    val first = base.orderBy(xxhash64(col("cid")), col("cid")).limit(1)
+      .select("cvec").collect()(0).getSeq[Double](0)
+    var chosen = Vector(first)
+    while (chosen.size < k) {
+      val chosenArr = typedlit(chosen.map(_.toArray))
+      val next = base
+        .withColumn("__minSim", aggregate(chosenArr, lit(-2.0),
+          (best, cv) => greatest(best, cosine(col("cvec"), cv))))
+        .orderBy(col("__minSim").asc, col("cid").asc)
+        .limit(1).select("cvec").collect()(0).getSeq[Double](0)
+      chosen = chosen :+ next
+    }
+    import spark.implicits._
+    var centroids = chosen.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }.toDF("centroid_id", "cvec")
+    var i = 0
+    while (i < iters) {
+      val cb = broadcast(centroids)
+      val assigned = corpus.select(col(idCol).as("__pk"), col(vecCol).as("__v"))
+        .crossJoin(cb)
+        .withColumn("__d", cosine(col("__v"), col("cvec")))
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col("__pk")).orderBy(col("__d").desc, col("centroid_id"))))
+        .filter(col("__r") === 1)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("__v")))
+        .groupBy("centroid_id", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cvec"))
+      i += 1
+    }
+    centroids
+  }
+
+  /** IVF approximate nearest neighbours: coarse-quantize the corpus into
+    * `nlist` inverted lists (k-means centroids, `kmeansIters` Lloyd rounds —
+    * 0 keeps the deterministic hash-picked seeds); each query probes its
+    * `nprobe` nearest lists and ranks only those. Join key = centroid id →
+    * the shuffle is inverted-list-local, never a full cross join. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
       corpusVec: String = "embedding", queryVec: String = "embedding",
       corpusId: String = "vec_id", queryId: String = "vec_id"): DataFrame = {
-    val spark = corpus.sparkSession
-    // 1. pick nlist pseudo-random corpus vectors as centroids (hash-ordered)
-    val centroids = corpus
-      .select(col(corpusId).as("cid"), col(corpusVec).as("cvec"))
-      .orderBy(xxhash64(col("cid"))).limit(nlist)
-      .withColumn("centroid_id", row_number().over(Window.orderBy(col("cid"))))
-      .select("centroid_id", "cvec")
+    val centroids = kmeansCentroids(corpus, corpusVec, corpusId, nlist, kmeansIters)
     val cb = broadcast(centroids)
 
     def nearestCentroids(df: DataFrame, vec: String, n: Int): DataFrame = {

@@ -341,3 +341,33 @@ class PredictWhenMissingSpec extends AnyFunSuite {
     assert(third.count() == 2 && modelCalls == 2)
   }
 }
+
+class KMeansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kmeans separates planted clusters and lifts IVF recall") {
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]) = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val c = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, jitter(Seq(a, b, c)(i % 3)))
+    }.toDF("vec_id", "embedding")
+    val cents = graft.ops.Similarity.kmeansCentroids(vecs, "embedding", "vec_id", 3, iters = 3)
+      .collect().map(_.getSeq[Double](1))
+    assert(cents.length == 3)
+    // each centroid should be dominated by exactly one axis among the first 3
+    val domAxes = cents.map(v => v.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(domAxes == Set(0, 1, 2), s"centroids not separated: ${cents.map(_.mkString(",")).mkString(" | ")}")
+    // IVF with kmeans recovers the exact nearest neighbor for most queries
+    val exact = graft.ops.Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 9), 1)
+      .select("query_id", "neighbor_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = graft.ops.Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 9), 1,
+      nlist = 3, nprobe = 1, kmeansIters = 3)
+      .select("query_id", "neighbor_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = exact.count { case (q, n) => approx.get(q).contains(n) }.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+  }
+}
