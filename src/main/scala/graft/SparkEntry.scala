@@ -696,7 +696,8 @@ object SparkEntry {
     Q("q32_ivf_ann",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nlist = 8, nprobe = 3)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nlist = 8, nprobe = 3,
+          kmeansIters = 1)
           .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
       },
       None),

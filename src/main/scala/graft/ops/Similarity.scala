@@ -55,7 +55,10 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
+    // the init + every Lloyd round rescans the corpus projection — pin it in
+    // memory for the duration (k+iters small jobs over the same data)
     val base = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+      .persist()
     // deterministic farthest-point init (k-means++ flavour): random seeds can
     // land two in one cluster, which plain Lloyd never recovers from. Each
     // round is one distributed min-similarity scan; only k vectors ever reach
@@ -77,22 +80,24 @@ object Similarity {
       .map { case (v, i) => (i + 1, v) }.toDF("centroid_id", "cvec")
     var i = 0
     while (i < iters) {
-      val cb = broadcast(centroids)
-      val assigned = corpus.select(col(idCol).as("__pk"), col(vecCol).as("__v"))
+      val cb = broadcast(centroids.withColumnRenamed("cvec", "__cv"))
+      val assigned = base
         .crossJoin(cb)
-        .withColumn("__d", cosine(col("__v"), col("cvec")))
+        .withColumn("__d", cosine(col("cvec"), col("__cv")))
         .withColumn("__r", row_number().over(
-          Window.partitionBy(col("__pk")).orderBy(col("__d").desc, col("centroid_id"))))
+          Window.partitionBy(col("cid")).orderBy(col("__d").desc, col("centroid_id"))))
         .filter(col("__r") === 1)
       centroids = assigned
-        .select(col("centroid_id"), posexplode(col("__v")))
+        .select(col("centroid_id"), posexplode(col("cvec")))
         .groupBy("centroid_id", "pos").agg(avg(col("col").cast("double")).as("m"))
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("cvec"))
       i += 1
     }
-    centroids
+    val out = centroids.collect() // materialize before unpersisting the input
+    base.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq), centroids.schema)
   }
 
   /** IVF approximate nearest neighbours: coarse-quantize the corpus into
