@@ -1016,8 +1016,77 @@ object SparkEntry {
         FROM sh"""))
   )
 
+  private val statsQueries: Seq[Q] = Seq(
+    // --- exact Pearson correlation: built-in corr() accumulates doubles in
+    // engine-specific order; computing it from exact decimal co-moments makes
+    // the result bit-identical across engines ---
+    Q("q51_corr_exact",
+      (s, dir) => {
+        val x = col("l_quantity").cast(DecimalType(18, 2))
+        val y = col("l_extendedprice").cast(DecimalType(18, 2))
+        t(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("__n"),
+            sum(x).cast("double").as("__sx"), sum(y).cast("double").as("__sy"),
+            sum((x * y).cast(DecimalType(28, 4))).cast("double").as("__sxy"),
+            sum((x * x).cast(DecimalType(28, 4))).cast("double").as("__sxx"),
+            sum((y * y).cast(DecimalType(28, 4))).cast("double").as("__syy"))
+          .select(col("l_returnflag"), col("__n").as("n"),
+            ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+              sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+                (col("__n") * col("__syy") - col("__sy") * col("__sy")))).as("corr_qty_price"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag, count(*) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+            CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+        FROM m""")),
+
+    // --- pivot (orderstatus × orderpriority counts) ---
+    Q("q52_pivot",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
+          "4-NOT SPECIFIED" -> "p4_none", "5-LOW" -> "p5_low")),
+      Some("""SELECT o_orderstatus,
+          sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1_urgent,
+          sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2_high,
+          sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3_medium,
+          sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4_none,
+          sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5_low
+        FROM orders GROUP BY o_orderstatus""")),
+
+    // --- native kernels through the SQL entry point: registered functions in
+    // spark.sql match DuckDB's vector primitives bit-for-bit ---
+    Q("q53_sql_native_kernels",
+      (s, dir) => {
+        graft.functions.Native.registerAll(s)
+        t(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
+        s.sql("""SELECT vec_id,
+            graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS self_dot,
+            graft_cosine(embedding, embedding) AS self_cos
+          FROM emb_sql WHERE vec_id < 100""")
+      },
+      Some("""SELECT vec_id,
+          list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS self_dot,
+          list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) /
+            (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS self_cos
+        FROM embeddings WHERE vec_id < 100"""))
+  )
+
   val specs: Seq[Q] =
-    relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2
+    relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++
+      statsQueries
 
   // ---------- driver contract ----------
 

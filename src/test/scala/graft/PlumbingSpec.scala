@@ -371,3 +371,17 @@ class KMeansSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall too low: $recall")
   }
 }
+
+/** A session created WITHOUT nanosAsLong in its builder must still be able to
+  * run events-based queries — SparkEntry.events sets the conf at runtime. */
+class ForeignSessionSpec extends AnyFunSuite {
+  test("events queries work on a session where the ns conf starts disabled") {
+    val fresh = TestSpark.spark.newSession()
+    // simulate a driver session built without the conf: force it off, then
+    // verify the query's runtime conf.set is sufficient
+    fresh.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val out = SparkEntry.queries("q15_freshness")(fresh, "/root/testdata/sf0.001")
+    assert(out.count() == 1)
+    assert(fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+  }
+}
