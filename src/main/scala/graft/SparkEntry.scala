@@ -1084,9 +1084,53 @@ object SparkEntry {
         FROM embeddings WHERE vec_id < 100"""))
   )
 
+  private val analyticQueries: Seq[Q] = Seq(
+    // --- ROLLUP hierarchical aggregation (free in Spark; absent in reference) ---
+    Q("q54_rollup",
+      (s, dir) => t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total")),
+      Some(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          count(*) AS n, ${sqlDsum("o_totalprice")} AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
+    // --- analytic window functions: lag / lead / running totals / ntile ---
+    Q("q55_order_analytics",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(run).cast("double").as("running_total"),
+          row_number().over(w).as("order_seq"),
+          ntile(4).over(w).as("quartile"),
+          // o_orderdate is TIMESTAMP_NTZ: route through TIMESTAMP (UTC session) for epoch
+          (col("o_orderdate").cast("timestamp").cast("long")
+            - lag(col("o_orderdate").cast("timestamp").cast("long"), 1).over(w))
+            .as("secs_since_prev"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          lag(o_totalprice) OVER w AS prev_price,
+          lead(o_totalprice) OVER w AS next_price,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+          CAST(row_number() OVER w AS INT) AS order_seq,
+          CAST(ntile(4) OVER w AS INT) AS quartile,
+          epoch_us(o_orderdate) // 1000000 - lag(epoch_us(o_orderdate) // 1000000) OVER w AS secs_since_prev
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
+  )
+
   val specs: Seq[Q] =
     relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++
-      statsQueries
+      statsQueries ++ analyticQueries
 
   // ---------- driver contract ----------
 

@@ -385,3 +385,27 @@ class ForeignSessionSpec extends AnyFunSuite {
     assert(fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
   }
 }
+
+/** Approximate aggregates: HLL sketches are the 100 TB path for cardinality
+  * (exact count_distinct shuffles every distinct value); verify the error
+  * envelope against exact. */
+class ApproxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("approx_count_distinct within rsd envelope of exact") {
+    val df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val exact = df.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = AggFunc.ApproxCountDistinct(0.02)
+    val est = df.select(approx(col("l_orderkey"))).head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.06,
+      s"approx=$est exact=$exact")
+  }
+
+  test("percentile_approx close to exact percentile") {
+    val df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val exact = df.selectExpr("percentile(l_extendedprice, 0.5)").head().getDouble(0)
+    val est = df.select(AggFunc.Median(col("l_extendedprice"))).head().getDouble(0)
+    assert(math.abs(est - exact) / exact < 0.01, s"approx=$est exact=$exact")
+  }
+}
