@@ -409,3 +409,38 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(est - exact) / exact < 0.01, s"approx=$est exact=$exact")
   }
 }
+
+class DatasetStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("splits persist once and reload identically") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ds").toString
+    val store = new graft.ml.DatasetStore(root)
+    var computes = 0
+    def make = {
+      computes += 1
+      val df = (1 to 100).map(i => (i.toLong, i % 2)).toDF("id", "y")
+      val (tr, te) = graft.ml.MLOps.trainTest(df, 0.8)
+      Map("train" -> tr, "test" -> te)
+    }
+    val tr1 = store.saveOrLoad(spark, "d1", "train")(make)
+    val tr2 = store.saveOrLoad(spark, "d1", "train")(make)
+    assert(computes == 1)
+    assert(tr1.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      tr2.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(store.load(spark, "d1", "train").count() + store.load(spark, "d1", "test").count() == 100)
+  }
+
+  test("query listener observes completed actions") {
+    val fresh = TestSpark.spark.newSession()
+    @volatile var seen = 0
+    graft.ml.Listeners.onQueryDone(fresh)((_, _) => seen += 1)
+    import fresh.implicits._
+    Seq((1)).toDF("x").collect()
+    // listener delivery is async; poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while (seen < 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(seen >= 1)
+  }
+}
