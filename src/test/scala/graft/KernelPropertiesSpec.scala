@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+/** Property-based checks: the native kernels must agree with their
+  * Column-function formulations and hold structural invariants on random
+  * inputs — not just on the fixtures the example tests happen to use.
+  */
+class KernelPropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** deterministic sampling in place of scalatest-plus forAll (offline deps
+    * ship scalacheck but not the scalatest bridge) */
+  private def samples[T](g: Gen[T], n: Int = 30): Seq[T] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(params, org.scalacheck.rng.Seed(i.toLong)))
+  }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(ga).zip(samples(gb)).foreach { case (a, b) => f(a, b) }
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit = samples(ga).foreach(f)
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  private val wordGen = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+  private val textGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+  private val longSetGen = Gen.chooseNum(0, 40)
+    .flatMap(n => Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    .map(_.distinct.sorted)
+
+  test("JaccardSortedLongs equals the set-expression Jaccard on random sets") {
+    forAll(longSetGen, longSetGen) { (a: List[Long], b: List[Long]) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(graft.functions.Native.jaccardSortedLongs(col("a"), col("b"))).head().getDouble(0)
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      val union = a.toSet.union(b.toSet).size.toDouble
+      val expected = if (union == 0) 0.0 else inter / union
+      assert(native == expected)
+    }
+  }
+
+  test("VecDot/VecCosine equal the aggregate/zip_with formulation") {
+    val vecGen = Gen.chooseNum(1, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100, 100).map(_.toDouble / 10)))
+    forAll(vecGen, vecGen) { (a: List[Double], b0: List[Double]) =>
+      val b = b0.take(a.size).padTo(a.size, 0.0)
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(
+        graft.functions.Native.dotProduct(col("a"), col("b")),
+        graft.functions.Native.cosineSim(col("a"), col("b"))).head()
+      val hof = df.select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, x) => s + x),
+        sqrt(aggregate(col("a"), lit(0.0), (s, x) => s + x * x)),
+        sqrt(aggregate(col("b"), lit(0.0), (s, x) => s + x * x))).head()
+      assert(native.getDouble(0) == hof.getDouble(0))
+      val denom = hof.getDouble(1) * hof.getDouble(2)
+      val expectedCos = if (denom == 0.0) 0.0 else hof.getDouble(0) / denom
+      assert(native.getDouble(1) == expectedCos)
+    }
+  }
+
+  test("WordShingleHashes: count = max(0, words-k+1); sorted-distinct variant is sorted and unique") {
+    forAll(textGen, Gen.chooseNum(1, 4)) { (text: String, k: Int) =>
+      val df = Seq(Tuple1(text)).toDF("t")
+      val all = df.select(graft.ops.Dedup.hashedShingles(col("t"), k)).head().getSeq[Long](0)
+      val set = df.select(graft.ops.Dedup.hashedShingleSet(col("t"), k)).head().getSeq[Long](0)
+      val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val expected = if (text.trim.isEmpty || words.length < k) 0 else words.length - k + 1
+      assert(all.size == expected)
+      assert(set == set.distinct.sorted)
+      assert(set.toSet == all.toSet)
+    }
+  }
+
+  test("MinHashSig and SimHash64 are permutation-invariant (set semantics of minima/votes)") {
+    forAll(Gen.listOfN(25, Gen.chooseNum(Long.MinValue, Long.MaxValue))) { (hs: List[Long]) =>
+      whenever(hs.nonEmpty) {
+        val shuffled = scala.util.Random.shuffle(hs)
+        val df = Seq((hs, shuffled)).toDF("a", "b")
+        val r = df.select(
+          graft.functions.Native.minhashSig(col("a"), 16),
+          graft.functions.Native.minhashSig(col("b"), 16),
+          graft.functions.Native.simhash64(col("a")),
+          graft.functions.Native.simhash64(col("b"))).head()
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+        assert(r.getLong(2) == r.getLong(3))
+      }
+    }
+  }
+
+  test("minhash similarity estimates Jaccard on overlapping sets") {
+    // structural sanity: identical sets → identical signatures; disjoint sets
+    // rarely collide on many components
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val disjoint = (100 to 150).map(i => s"tok$i").mkString(" ")
+    val df = Seq((base, base, disjoint)).toDF("a", "b", "c")
+      .select(
+        graft.functions.Native.minhashSig(graft.ops.Dedup.hashedShingles(col("a"), 2), 32).as("sa"),
+        graft.functions.Native.minhashSig(graft.ops.Dedup.hashedShingles(col("b"), 2), 32).as("sb"),
+        graft.functions.Native.minhashSig(graft.ops.Dedup.hashedShingles(col("c"), 2), 32).as("sc"))
+    val r = df.head()
+    val (sa, sb, sc) = (r.getSeq[Long](0), r.getSeq[Long](1), r.getSeq[Long](2))
+    assert(sa == sb)
+    val collisions = sa.zip(sc).count { case (x, y) => x == y }
+    assert(collisions <= 4, s"disjoint sets collide on $collisions/32 components")
+  }
+}
