@@ -1032,9 +1032,11 @@ object SparkEntry {
             sum((x * x).cast(DecimalType(28, 4))).cast("double").as("__sxx"),
             sum((y * y).cast(DecimalType(28, 4))).cast("double").as("__syy"))
           .select(col("l_returnflag"), col("__n").as("n"),
-            ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            // round(9): decimal→double conversion can double-round differently
+            // across engines (int128/scale vs BigDecimal) — a 1-ulp hazard
+            round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
               sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
-                (col("__n") * col("__syy") - col("__sy") * col("__sy")))).as("corr_qty_price"))
+                (col("__n") * col("__syy") - col("__sy") * col("__sy"))), 9).as("corr_qty_price"))
       },
       Some("""WITH m AS (SELECT l_returnflag, count(*) AS n,
             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -1044,7 +1046,7 @@ object SparkEntry {
             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, n,
-          (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+          round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr_qty_price
         FROM m""")),
 
     // --- pivot (orderstatus × orderpriority counts) ---
