@@ -78,6 +78,28 @@ final class ContractStore {
     }
   }
 
+  /** Combined view: features assembled point-in-time from several views plus
+    * CROSS-VIEW derived features computed on the merged frame (the
+    * reference's combined_view location type + CombineFactualJob's
+    * derive-after-merge, retrieval_job.py:3117-3147). */
+  def combinedFeaturesFor(spark: SparkSession, entities: DataFrame, refs: Seq[String],
+      derived: Seq[graft.contract.DerivedFeature],
+      factTs: String = "event_timestamp"): DataFrame = {
+    var df = featuresFor(spark, entities, refs, factTs)
+    val derivedNames = derived.map(_.name).toSet
+    var remaining = derived
+    var emitted = Set.empty[String]
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(
+        _.dependingOn.filter(derivedNames.contains).forall(emitted.contains))
+      require(ready.nonEmpty, s"cyclic cross-view derived features: ${blocked.map(_.name)}")
+      df = df.withColumns(ready.map(d => d.name -> d.expr.toColumn.cast(d.dtype.sparkType)).toMap)
+      emitted ++= ready.map(_.name)
+      remaining = blocked
+    }
+    df
+  }
+
   /** Point-in-time feature lookup (SURVEY §3.1, feature_store.py:501-655):
     * `refs` are "view:feature" strings; `entities` must carry the entity key
     * columns and, when any referenced view has an event timestamp, an
@@ -169,6 +191,14 @@ final class ViewStore(store: ContractStore, val view: FeatureView) {
         df = df.withColumns(todo.map(d => d.name -> d.expr.toColumn.cast(d.dtype.sparkType)).toMap)
     }
     df
+  }
+
+  /** rows with the view's event timestamp in [start, end)
+    * (all_between_dates, batch_data_source.py:229). */
+  def between(spark: SparkSession, start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame = {
+    val ts = view.eventTimestamp.getOrElse(
+      throw new IllegalStateException(s"${view.name} has no event timestamp")).name
+    all(spark).filter(col(ts) >= lit(start) && col(ts) < lit(end))
   }
 
   /** Full view materialization incl. aggregates (SURVEY §3.2). */

@@ -444,3 +444,103 @@ class DatasetStoreSpec extends AnyFunSuite {
     assert(seen >= 1)
   }
 }
+
+/** Serializable expression IR: every non-Raw node round-trips through JSON
+  * and lowers to the same Column after the trip. */
+class ExprJsonSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.expr._
+
+  private val cases: Seq[Expr] = Seq(
+    Ref("x"),
+    Lit(42L),
+    Lit("hi \"quoted\"\nline"),
+    Binary("add", Ref("x"), Lit(2.5)),
+    Unary("sqrt", Ref("x")),
+    DateComponent("year", Ref("ts")),
+    TimeDifference(Ref("a"), Ref("b")),
+    ToNumerical(Ref("s")),
+    Contains(Ref("s"), "needle"),
+    Ordinal(Ref("s"), Seq("a", "b", "c")),
+    ReplaceStrings(Ref("s"), Seq(("x", "y"), ("[0-9]+", ""))),
+    IsIn(Ref("s"), Seq("p", "q")),
+    FillNa(Ref("x"), 0.0, alsoNan = true),
+    FillNaColumn(Ref("x"), Ref("y")),
+    MapArgMax(Seq("p_a" -> "a", "p_b" -> "b")),
+    AppendStrings(Seq(Ref("a"), Lit("-"), Ref("b")), "/"),
+    StructFieldAccess(Ref("s"), "f", isJson = true),
+    JsonPath(Ref("j"), "$.k"),
+    IsBetween(Ref("x"), Lit(0.0), Lit(1.0)),
+    Cast(Ref("x"), FInt32),
+    LogBase(Ref("x"), 2.0),
+    SplitString(Ref("s"), "."),
+    FormatString("{}-{}", Seq(Ref("a"), Ref("b"))),
+    ListDotProduct(Ref("v1"), Ref("v2")),
+    HashColumns(Seq(Ref("a"), Ref("b"))),
+    ArrayAtIndex(Ref("arr"), 3),
+    ArrayContainsAny(Ref("arr"), Seq(1, 2)),
+    Clip(Ref("x"), -1.0, 1.0),
+    MultiExpr(Seq("tmp" -> Binary("mul", Ref("x"), Lit(2.0))), Ref("tmp")))
+
+  test("round-trip preserves structure") {
+    cases.foreach { e =>
+      val back = ExprJson.fromJson(ExprJson.toJson(e))
+      assert(back == e, s"round-trip mismatch for ${e.getClass.getSimpleName}:\n$e\n$back")
+    }
+  }
+
+  test("round-tripped expression evaluates identically") {
+    val df = Seq((3.0, 4.0, "hello")).toDF("x", "y", "s")
+    val exprs = Seq(
+      Binary("add", Ref("x"), Ref("y")),
+      Clip(Binary("mul", Ref("x"), Ref("y")), 0.0, 10.0),
+      Unary("str_to_upper", Ref("s")))
+    exprs.foreach { e =>
+      val orig = df.select(e.toColumn).head().get(0)
+      val back = df.select(ExprJson.fromJson(ExprJson.toJson(e)).toColumn).head().get(0)
+      assert(orig == back)
+    }
+  }
+
+  test("Raw refuses serialization") {
+    assertThrows[IllegalArgumentException](ExprJson.toJson(Raw(lit(1))))
+  }
+}
+
+/** between-dates read + combined view with cross-view derived features. */
+class CombinedViewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ViewStore.between filters [start, end)") {
+    val v = FeatureView("b",
+      graft.sources.CustomSource(s => { import s.implicits._
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+            (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+            (3L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))).toDF("id", "ts") }),
+      entities = Seq(Feature("id", FInt64)),
+      eventTimestamp = Some(EventTimestamp("ts")))
+    val out = new graft.store.ContractStore().addView(v).view("b").between(spark,
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+    assert(out.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("combinedFeaturesFor computes cross-view derived features") {
+    def src(rows: Seq[(Long, Double)]) = graft.sources.CustomSource(s => {
+      import s.implicits._; rows.toDF("id", "v")
+    })
+    val va = FeatureView("ca", src(Seq((1L, 2.0))), entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("v", FFloat64)), mappingKeys = Map("v" -> "a_val"))
+    val vb = FeatureView("cb", src(Seq((1L, 5.0))), entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("v", FFloat64)), mappingKeys = Map("v" -> "b_val"))
+    val store = new graft.store.ContractStore().addView(va).addView(vb)
+    val out = store.combinedFeaturesFor(spark, Seq((1L)).toDF("id"),
+      Seq("ca:a_val", "cb:b_val"),
+      Seq(DerivedFeature("product", FFloat64,
+        graft.expr.Binary("mul", graft.expr.Ref("a_val"), graft.expr.Ref("b_val")),
+        Seq("a_val", "b_val"))))
+    assert(out.select("product").head().getDouble(0) == 10.0)
+  }
+}
