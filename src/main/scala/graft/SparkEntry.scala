@@ -1130,9 +1130,78 @@ object SparkEntry {
         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
   )
 
+  private val storeQueries: Seq[Q] = Seq(
+    // --- between-dates read through the ViewStore (all_between_dates) ---
+    Q("q56_between_dates",
+      (s, dir) => {
+        val v = FeatureView("ev_between",
+          graft.sources.TransformSource(ParquetSource(s"$dir/events.parquet"),
+            _ => events(s, dir)),
+          entities = Seq(Feature("event_id", FInt64)),
+          features = Seq(Feature("user_id", FInt64), Feature("event_type", FString),
+            Feature("value", FFloat64)),
+          eventTimestamp = Some(EventTimestamp("ts")))
+        new ContractStore().addView(v).view("ev_between")
+          .between(s, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+            java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n, ${sqlDsum("value")} AS total
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type""")),
+
+    // --- combined view: multi-view PIT + cross-view derived feature ---
+    Q("q57_combined_view",
+      (s, dir) => {
+        val clicks = FeatureView("cv_clicks",
+          graft.sources.TransformSource(ParquetSource(s"$dir/events.parquet"),
+            _ => events(s, dir).filter(col("event_type") === "click")),
+          entities = Seq(Feature("user_id", FInt64)),
+          features = Seq(Feature("value", FFloat64)),
+          aggregates = Seq(AggregatedFeature("n_clicks", FInt64, AggFunc.Count, "value",
+            Some(AggregationWindow(java.time.Duration.ofDays(1))))),
+          eventTimestamp = Some(EventTimestamp("ts")))
+        val views = FeatureView("cv_views",
+          graft.sources.TransformSource(ParquetSource(s"$dir/events.parquet"),
+            _ => events(s, dir).filter(col("event_type") === "view")
+              .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))),
+          entities = Seq(Feature("user_id", FInt64)),
+          features = Seq(Feature("view_value", FFloat64)),
+          eventTimestamp = Some(EventTimestamp("ts")))
+        val store = new ContractStore().addView(clicks).addView(views)
+        val facts = purchases(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts").as("event_timestamp"))
+        store.combinedFeaturesFor(s, facts,
+          Seq("cv_clicks:n_clicks", "cv_views:view_value"),
+          Seq(DerivedFeature("clicks_x_view", FFloat64,
+            Binary("mul", Ref("n_clicks"), FillNa(Ref("view_value"), 0.0)),
+            Seq("n_clicks", "view_value"))))
+          .select("event_id", "user_id", "n_clicks", "view_value", "clicks_x_view")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events WHERE event_type = 'click'),
+          v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS view_value
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          agg AS (SELECT p.event_id, count(c.value) AS n_clicks
+            FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 1 DAY
+            GROUP BY p.event_id),
+          lastv AS (SELECT p.event_id, v.view_value
+            FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+            QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC NULLS LAST) = 1)
+        SELECT p.event_id, p.user_id, agg.n_clicks, lastv.view_value,
+          agg.n_clicks * coalesce(lastv.view_value, 0.0) AS clicks_x_view
+        FROM p JOIN agg USING (event_id) JOIN lastv USING (event_id)"""))
+  )
+
   val specs: Seq[Q] =
     relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++
-      statsQueries ++ analyticQueries
+      statsQueries ++ analyticQueries ++ storeQueries
 
   // ---------- driver contract ----------
 

@@ -80,7 +80,12 @@ object ExprJson {
 
   // ---------- parsing ----------
 
-  private final class P(s: String) {
+  def fromJson(json: String): Expr = build(JsonValue.parseObject(json))
+
+  /** build an Expr from an already-parsed generic JSON object. */
+  def fromValue(m: Map[String, Any]): Expr = build(m)
+
+  private[expr] final class P(s: String) {
     private var i = 0
     private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     def peek(): Char = { ws(); s.charAt(i) }
@@ -156,8 +161,6 @@ object ExprJson {
     }
   }
 
-  def fromJson(json: String): Expr = build(new P(json).objectFields())
-
   private def build(m: Map[String, Any]): Expr = {
     def e(k: String): Expr = build(m(k).asInstanceOf[Map[String, Any]])
     def str(k: String): String = m(k).asInstanceOf[String]
@@ -203,4 +206,10 @@ object ExprJson {
       case other => throw new IllegalArgumentException(s"unknown expr op: $other")
     }
   }
+}
+
+/** Minimal generic JSON parsing shared by the expression and contract codecs
+  * (the build is offline — no JSON library on the classpath). */
+object JsonValue {
+  def parseObject(json: String): Map[String, Any] = new ExprJson.P(json).objectFields()
 }

@@ -544,3 +544,55 @@ class CombinedViewSpec extends AnyFunSuite {
     assert(out.select("product").head().getDouble(0) == 10.0)
   }
 }
+
+/** Contract (FeatureView) JSON round-trip — the registry format. */
+class ContractJsonSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val view = FeatureView(
+    name = "orders_contract",
+    source = graft.sources.ParquetSource("/root/testdata/sf0.001/orders.parquet"),
+    entities = Seq(Feature("o_orderkey", FInt64)),
+    features = Seq(
+      Feature("o_custkey", FInt64),
+      Feature("o_totalprice", FFloat64,
+        description = Some("gross price"),
+        constraints = Seq(Constraint.LowerBound(0.0), Constraint.Required)),
+      Feature("o_orderstatus", FString,
+        constraints = Seq(Constraint.InDomain(Seq("O", "F", "P"))))),
+    derived = Seq(DerivedFeature("price_k", FFloat64,
+      graft.expr.Binary("div", graft.expr.Ref("o_totalprice"), graft.expr.Lit(1000.0)),
+      Seq("o_totalprice"))),
+    aggregates = Seq(AggregatedFeature("total_spent", FFloat64, AggFunc.Sum, "o_totalprice",
+      Some(AggregationWindow(java.time.Duration.ofDays(7),
+        Some(java.time.Duration.ofDays(1)))))),
+    eventTimestamp = Some(EventTimestamp("o_orderdate", Some(java.time.Duration.ofDays(30)))),
+    mappingKeys = Map("ok" -> "o_orderkey"),
+    description = Some("orders \"contract\""))
+
+  test("FeatureView round-trips through JSON") {
+    val back = ContractJson.fromJson(ContractJson.toJson(view))
+    assert(back == view)
+  }
+
+  test("a reloaded contract executes like the original") {
+    val back = ContractJson.fromJson(ContractJson.toJson(view.copy(
+      aggregates = Nil, eventTimestamp = None, mappingKeys = Map.empty)))
+    val store = new graft.store.ContractStore().addView(back)
+    val out = store.view("orders_contract").all(spark)
+    assert(out.columns.contains("price_k"))
+    assert(out.count() > 0)
+  }
+
+  test("opaque sources need a rebind; custom agg refuses serialization") {
+    val opaque = view.copy(source = graft.sources.CustomSource(_.emptyDataFrame))
+    val json = ContractJson.toJson(opaque)
+    assertThrows[IllegalArgumentException](ContractJson.fromJson(json))
+    val rebound = ContractJson.fromJson(json,
+      rebindSources = Map("orders_contract" -> graft.sources.ParquetSource("/tmp/x")))
+    assert(rebound.source == graft.sources.ParquetSource("/tmp/x"))
+    assertThrows[IllegalArgumentException](ContractJson.toJson(view.copy(
+      aggregates = Seq(AggregatedFeature("c", FFloat64, AggFunc.Custom(identity), "x")))))
+  }
+}
