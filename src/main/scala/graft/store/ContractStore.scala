@@ -27,6 +27,32 @@ final class ContractStore {
   def view(name: String): ViewStore = new ViewStore(this, viewsMap(name))
   def model(name: String): ModelStore = new ModelStore(this, modelsMap(name))
 
+  /** Persist every serializable view contract as a JSON registry file (the
+    * analog of the reference's contract store JSON,
+    * ContractStore.as_json/from_json). Views with opaque code sources are
+    * included; loading them requires a rebind entry. */
+  def saveTo(spark: SparkSession, path: String): Unit = {
+    val json = viewsMap.values.toSeq.sortBy(_.name)
+      .map(graft.contract.ContractJson.toJson).mkString("[", ",\n", "]")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def loadFrom(spark: SparkSession, path: String,
+      rebindSources: Map[String, graft.sources.BatchSource] = Map.empty): ContractStore = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // top-level array of view objects: split on the object boundaries the
+    // writer emits (",\n" between pretty-printed members)
+    val body = json.trim.stripPrefix("[").stripSuffix("]")
+    if (body.trim.nonEmpty)
+      body.split(",\n").foreach(v =>
+        addView(graft.contract.ContractJson.fromJson(v.trim, rebindSources)))
+    this
+  }
+
   /** schema-drift check (reference: source_validation.py): contract columns
     * missing from the physical source. */
   def validateSchema(spark: SparkSession, name: String): Seq[String] = {

@@ -596,3 +596,28 @@ class ContractJsonSpec extends AnyFunSuite {
       aggregates = Seq(AggregatedFeature("c", FFloat64, AggFunc.Custom(identity), "x")))))
   }
 }
+
+class RegistrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("store registry round-trips through a JSON file") {
+    val path = java.nio.file.Files.createTempDirectory("graft_reg").toString + "/contracts.json"
+    val v1 = FeatureView("reg_orders",
+      graft.sources.ParquetSource("/root/testdata/sf0.001/orders.parquet"),
+      entities = Seq(Feature("o_orderkey", FInt64)),
+      features = Seq(Feature("o_totalprice", FFloat64)),
+      derived = Seq(DerivedFeature("p2", FFloat64,
+        graft.expr.Binary("mul", graft.expr.Ref("o_totalprice"), graft.expr.Lit(2.0)),
+        Seq("o_totalprice"))))
+    val v2 = FeatureView("reg_nation",
+      graft.sources.ParquetSource("/root/testdata/sf0.001/nation.parquet"),
+      entities = Seq(Feature("n_nationkey", FInt32)),
+      features = Seq(Feature("n_name", FString)))
+    new graft.store.ContractStore().addView(v1).addView(v2).saveTo(spark, path)
+    val loaded = new graft.store.ContractStore().loadFrom(spark, path)
+    assert(loaded.views.keySet == Set("reg_orders", "reg_nation"))
+    assert(loaded.views("reg_orders") == v1)
+    val out = loaded.view("reg_orders").all(spark)
+    assert(out.columns.contains("p2") && out.count() > 0)
+  }
+}
