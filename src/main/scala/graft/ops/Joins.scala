@@ -93,6 +93,61 @@ object Joins {
     deduped.select(facts.columns.map(col) ++ vals.map(c => col(m(c)).as(c)): _*)
   }
 
+  /** Scale-path point-in-time join: same contract as [[pointInTimeJoin]]
+    * (backward match on entity keys, TTL window, null feature timestamps
+    * always valid but outranked by any timestamped in-window match), executed
+    * as UNION + one per-key sorted window pass instead of join + rank-dedup.
+    *
+    * Why: [[pointInTimeJoin]] materializes (fact × every earlier feature row
+    * of the same key) before the `row_number()==1` filter. With F historical
+    * feature rows per key that is O(facts·F) intermediate rows — at 100 TB a
+    * hot entity with 10⁶ history rows explodes every fact it touches. Here
+    * both inputs shuffle ONCE on the entity keys, sort by (ts, tag), and each
+    * fact picks up the latest feature struct via `last(ignoreNulls)` —
+    * O(facts + features) rows end to end.
+    *
+    * TTL note: the carried match is the latest with featureTs <= factTs; if
+    * it is older than `ttl` then EVERY timestamped match is older (timestamps
+    * only decrease going back), so "stale latest → fall back to the null-ts
+    * row, else null" reproduces the join-path semantics exactly.
+    */
+  def pointInTimeSorted(
+      facts: DataFrame,
+      features: DataFrame,
+      entityKeys: Seq[String],
+      featureTs: String,
+      factTs: String,
+      ttl: Option[java.time.Duration] = None,
+      featureCols: Seq[String] = Nil): DataFrame = {
+    val vals =
+      if (featureCols.nonEmpty) featureCols
+      else features.columns.filterNot(c => entityKeys.contains(c) || c == featureTs).toSeq
+    val payload = struct((vals.map(col) :+ col(featureTs).as("__fts")): _*)
+    // timestamped feature rows → __tv; null-ts rows → __nv (always-valid fallback)
+    val r2 = features.select(
+      entityKeys.map(col) :+ col(featureTs).as("__ts") :+ lit(0).as("__tag") :+
+        when(col(featureTs).isNotNull, payload).as("__tv") :+
+        when(col(featureTs).isNull, payload).as("__nv"): _*)
+    val l2 = facts.withColumn("__ts", col(factTs)).withColumn("__tag", lit(1))
+    val unioned = l2.unionByName(r2, allowMissingColumns = true)
+    // feature rows sort before facts at equal ts (tag 0 < 1 → inclusive <=);
+    // null-ts feature rows sort first, visible to every fact of the key
+    val w = Window.partitionBy(entityKeys.map(col): _*)
+      .orderBy(col("__ts").asc_nulls_first, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__last_tv", last(col("__tv"), ignoreNulls = true).over(w))
+      .withColumn("__last_nv", last(col("__nv"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val stale: Column = ttl match {
+      case Some(t) => col("__last_tv.__fts") < col(factTs) - expr(s"INTERVAL ${t.getSeconds} SECOND")
+      case None => lit(false)
+    }
+    val pick = when(col("__last_tv").isNotNull && !stale, col("__last_tv"))
+      .otherwise(col("__last_nv"))
+    carried.select(facts.columns.map(col) ++ vals.map(c => pick.getField(c).as(c)): _*)
+  }
+
   /** Merge N per-source feature frames onto one entity frame
     * (CombineFactualJob, retrieval_job.py:2961-3147): iterative left join on
     * the accumulated entity columns. */

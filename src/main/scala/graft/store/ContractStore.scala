@@ -19,6 +19,18 @@ final class ContractStore {
   private var viewsMap: Map[String, FeatureView] = Map.empty
   private var modelsMap: Map[String, ModelContract] = Map.empty
 
+  /** PIT physical strategy: "sorted" (default — union + one per-key window
+    * pass, O(facts+features) rows; the 100 TB path) or "join" (equi-join +
+    * rank dedup, the reference's own Spark shape, local/job.py:678-699).
+    * Both produce identical results (JoinsSpec equivalence tests); "join"
+    * can win when the feature side is a small broadcastable dimension. */
+  private var pitStrategyVal: String = "sorted"
+  def pitStrategy: String = pitStrategyVal
+  def withPitStrategy(s: String): ContractStore = {
+    require(s == "sorted" || s == "join", s"unknown PIT strategy: $s")
+    pitStrategyVal = s; this
+  }
+
   def addView(v: FeatureView): ContractStore = { viewsMap += v.name -> v; this }
   def addModel(m: ModelContract): ContractStore = { modelsMap += m.name -> m; this }
   def views: Map[String, FeatureView] = viewsMap
@@ -161,7 +173,10 @@ final class ContractStore {
           } else {
             val feat = vs.baseWithDerived(spark)
               .select((keys :+ ts.name).map(col) ++ wanted.map(col): _*)
-            Joins.pointInTimeJoin(acc, feat, keys, ts.name, factTs, ts.ttl)
+            if (pitStrategyVal == "sorted")
+              Joins.pointInTimeSorted(acc, feat, keys, ts.name, factTs, ts.ttl)
+            else
+              Joins.pointInTimeJoin(acc, feat, keys, ts.name, factTs, ts.ttl)
           }
         case _ =>
           val feat = vs.all(spark).select((keys ++ wanted).map(col): _*)

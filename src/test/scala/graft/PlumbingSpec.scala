@@ -276,6 +276,67 @@ class ScalePathSpec extends AnyFunSuite {
     assert(onlyNull.head().getAs[String]("v") == "untimestamped")
   }
 
+  test("pointInTimeSorted equals pointInTimeJoin on randomized data, with and without TTL") {
+    val rnd = new scala.util.Random(7)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val minutes = rnd.shuffle((0 until 600).toList)
+    val feats = (0 until 300).map(i => (i % 7L, ts(minutes(i)), i.toDouble))
+      .toDF("k", "feat_ts", "v").groupBy("k", "feat_ts").agg(max("v").as("v"))
+    val facts = (0 until 150).map(i => (rnd.nextInt(9).toLong, ts(rnd.nextInt(600)), i.toLong))
+      .toDF("k", "fact_ts", "fact_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("fact_id", "v").collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val a = Joins.pointInTimeJoin(facts, feats, Seq("k"), "feat_ts", "fact_ts")
+    val b = Joins.pointInTimeSorted(facts, feats, Seq("k"), "feat_ts", "fact_ts")
+    assert(canon(a) == canon(b))
+    val ttl = Some(java.time.Duration.ofMinutes(45))
+    val at = Joins.pointInTimeJoin(facts, feats, Seq("k"), "feat_ts", "fact_ts", ttl)
+    val bt = Joins.pointInTimeSorted(facts, feats, Seq("k"), "feat_ts", "fact_ts", ttl)
+    assert(canon(at) == canon(bt))
+  }
+
+  test("pointInTimeSorted: null-ts feature rows pass TTL as a fallback when the latest is stale") {
+    val facts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 100L))
+      .toDF("k", "fact_ts", "fact_id")
+    val feats = Seq(
+      (1L, Option(java.sql.Timestamp.valueOf("2024-01-01 06:00:00")), "stale"),
+      (1L, None: Option[java.sql.Timestamp], "untimestamped"))
+      .toDF("k", "feat_ts", "v")
+    val ttl = Some(java.time.Duration.ofHours(1))
+    for (f <- Seq(Joins.pointInTimeJoin _, Joins.pointInTimeSorted _)) {
+      val out = f(facts, feats, Seq("k"), "feat_ts", "fact_ts", ttl, Nil)
+      assert(out.head().getAs[String]("v") == "untimestamped")
+      // in-window timestamped row beats the null-ts fallback
+      val fresh = feats.withColumn("feat_ts",
+        coalesce($"feat_ts" + expr("INTERVAL 3 HOURS 30 MINUTES"), $"feat_ts"))
+      assert(f(facts, fresh, Seq("k"), "feat_ts", "fact_ts", ttl, Nil)
+        .head().getAs[String]("v") == "stale")
+    }
+  }
+
+  test("ContractStore PIT strategies agree (sorted default vs join)") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val viewSrc = graft.sources.TransformSource(
+      graft.sources.ParquetSource(s"$dir/events.parquet"),
+      _ => ev.filter($"event_type" === "view").groupBy("user_id", "ts")
+        .agg(max($"value").as("value")))
+    val v = FeatureView(
+      name = "sviews", source = viewSrc,
+      entities = Seq(Feature("user_id", FInt64)),
+      features = Seq(Feature("value", FFloat64)),
+      eventTimestamp = Some(EventTimestamp("ts", Some(java.time.Duration.ofDays(1)))))
+    val facts = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts".as("event_timestamp"))
+    def run(strategy: String) =
+      new graft.store.ContractStore().addView(v).withPitStrategy(strategy)
+        .featuresFor(spark, facts, Seq("sviews:value"))
+        .select("event_id", "value").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(run("sorted") == run("join"))
+  }
+
   test("native kernels callable from SQL after registration") {
     graft.functions.Native.registerAll(spark)
     Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
