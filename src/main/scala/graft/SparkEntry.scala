@@ -498,20 +498,21 @@ object SparkEntry {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val dec = col("l_quantity").cast(DecimalType(18, 2))
-        li.groupBy("l_returnflag").agg(
+        // exact percentiles via the histogram path (O(distinct values) agg
+        // state, not O(rows) like percentile()'s buffer — Aggregations
+        // .exactPercentiles scaladoc); moments/distinct in a parallel agg,
+        // joined on the tiny grouped result
+        val stats = li.groupBy("l_returnflag").agg(
           count(lit(1)).as("n"),
           count_distinct(col("l_orderkey")).as("n_orders"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"),
           (sum(dec * dec).cast("double") / count(lit(1)) -
             (sum(dec).cast("double") / count(lit(1))) * (sum(dec).cast("double") / count(lit(1))))
-            .as("pop_variance"),
-          // ONE exact-percentile aggregate buffering the column once; both
-          // outputs extracted from the quantile array
-          expr("percentile(l_quantity, array(0.5, 0.25))").as("__p"))
-          .withColumn("median_qty", col("__p").getItem(0))
-          .withColumn("q25_qty", col("__p").getItem(1))
-          .drop("__p")
+            .as("pop_variance"))
+        val pct = Aggregations.exactPercentiles(li, Seq("l_returnflag"), "l_quantity",
+          Seq(0.5, 0.25), Seq("median_qty", "q25_qty"))
+        stats.join(pct, Seq("l_returnflag"))
       },
       Some("""SELECT l_returnflag, count(*) AS n, count(DISTINCT l_orderkey) AS n_orders,
           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

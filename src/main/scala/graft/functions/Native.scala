@@ -38,6 +38,9 @@ object Native {
   def cosineSim(a: Column, b: Column): Column = toColumn(VecCosine(toExpr(a), toExpr(b)))
   def wordShingleHashes(text: Column, k: Int, distinctSorted: Boolean): Column =
     toColumn(WordShingleHashes(toExpr(text), k, distinctSorted))
+  def nearestCentroids(vec: Column, ids: Seq[Int], centroids: Seq[Seq[Double]], n: Int): Column =
+    toColumn(NearestCentroids(toExpr(vec), ids.toIndexedSeq,
+      centroids.map(_.toIndexedSeq).toIndexedSeq, n))
 
   /** Register the kernels in the session's FunctionRegistry so `spark.sql`
     * (and therefore ContractStore.executeSql) can call them:
@@ -184,6 +187,70 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** Top-n centroid ids by cosine for a vector column against a PLAN-TIME
+  * centroid matrix (k·d doubles baked into the expression). One JVM loop per
+  * row replaces the crossJoin(centroids) + row_number() shape, whose
+  * intermediate is rows×k through a shuffle — this is a narrow map, no
+  * shuffle at all. Ties: higher cosine wins, then the earlier id in `ids`
+  * order (callers pass ids ascending → deterministic). Used by the IVF
+  * assign/probe steps and each Lloyd round (ops.Similarity).
+  * IndexedSeq (not Array) parameters so case-class equality/canonicalization
+  * compares by value. */
+case class NearestCentroids(child: Expression, ids: IndexedSeq[Int],
+    centroids: IndexedSeq[IndexedSeq[Double]], n: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val mat: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  private lazy val norms: Array[Double] = mat.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val vec = new Array[Double](dim)
+    var na = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      vec(i) = x; na += x * x; i += 1
+    }
+    val nrm = math.sqrt(na)
+    val k = mat.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = mat(c)
+      val m = math.min(dim, cv.length)
+      var dot = 0.0; var j = 0
+      while (j < m) { dot += vec(j) * cv(j); j += 1 }
+      val denom = nrm * norms(c)
+      sims(c) = if (denom == 0.0) 0.0 else dot / denom
+      c += 1
+    }
+    val take = math.min(n, k)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](k)
+    var o = 0
+    while (o < take) {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < k) {
+        if (!used(c2) && sims(c2) > bestSim) { best = c2; bestSim = sims(c2) }
+        c2 += 1
+      }
+      used(best) = true; out(o) = ids(best); o += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 private[functions] trait VecBinary extends BinaryExpression with CodegenFallback {

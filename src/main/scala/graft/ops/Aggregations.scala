@@ -62,6 +62,50 @@ object Aggregations {
       .drop("window")
   }
 
+  /** EXACT grouped percentiles via value histogram — the scale path for
+    * MedianAggregation / PercentileAggregation (SURVEY §2.6) when the value
+    * column has bounded cardinality (prices, quantities, scores, ratings…).
+    *
+    * Spark's exact `percentile()` buffers EVERY group row in the aggregation
+    * state; at 100 TB a hot group OOMs the executor. Here state is one row
+    * per DISTINCT (keys, value): groupBy histogram (map-side combined) →
+    * per-key cumulative counts (one window pass over the tiny histogram) →
+    * order statistics by conditional min, linearly interpolated exactly like
+    * `percentile(col, p)` / DuckDB `quantile_cont`: rank r = p·(n−1),
+    * result = v⌊r⌋ + (v⌈r⌉ − v⌊r⌋)·(r − ⌊r⌋).
+    *
+    * Output: one row per key combination with `outNames` double columns.
+    * Null values are excluded (like percentile/quantile_cont). */
+  def exactPercentiles(df: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[Double], outNames: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.length == outNames.length, "one output name per percentile")
+    val v = col(valueCol).cast("double")
+    val hist = df.filter(v.isNotNull)
+      .groupBy(keys.map(col) :+ v.as("__v"): _*).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    // v at 0-based order-stat index i = min(v) over rows whose cumulative
+    // count exceeds i; lo/hi ranks are per-row expressions but constant
+    // within each key group
+    def orderStat(rank: Column): Column = min(when(col("__cum") > rank, col("__v")))
+    val aggs = ps.zip(outNames).flatMap { case (p, name) =>
+      val r = lit(p) * (col("__n") - 1)
+      Seq(orderStat(floor(r)).as(s"__lo_$name"), orderStat(ceil(r)).as(s"__hi_$name"))
+    } :+ max(col("__n")).as("__n")
+    val agged = cum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val out = ps.zip(outNames).foldLeft(agged) { case (d, (p, name)) =>
+      val r = lit(p) * (col("__n") - 1)
+      val frac = r - floor(r)
+      d.withColumn(name,
+        col(s"__lo_$name") + (col(s"__hi_$name") - col(s"__lo_$name")) * frac)
+    }
+    out.select(keys.map(col) ++ outNames.map(col): _*)
+  }
+
   /** Shape 3: point-in-time windowed aggregate per fact row
     * (local/job.py:366-402): join facts×features on entities with the range
     * predicate factTs - w <= featureTs <= factTs, then group by the fact row

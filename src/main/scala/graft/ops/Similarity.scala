@@ -46,58 +46,74 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Distributed Lloyd k-means over an embedding column: `iters` rounds of
-    * assign-to-nearest (broadcast centroids) + elementwise-mean recompute
-    * (posexplode → groupBy(centroid, dim) → avg — fully distributed, no
-    * driver-side vectors beyond the k centroids themselves). Deterministic:
-    * init = hash-ordered pick of k corpus vectors. Returns (centroid_id,
-    * cvec). */
+  /** Distributed Lloyd k-means over an embedding column, shaped for scale:
+    *
+    *  - **init**: deterministic farthest-point (k-means++ flavour — random
+    *    seeds can land two in one cluster, which plain Lloyd never recovers
+    *    from) over a fixed-size hash-ordered SAMPLE collected once; the
+    *    k·sample·d flops run on the driver. One distributed job regardless
+    *    of k (previously k sequential min-similarity scans of the corpus).
+    *  - **each Lloyd round**: assignment is a narrow map via the
+    *    [[graft.functions.Native.nearestCentroids]] kernel (centroids baked
+    *    into the plan — no crossJoin, no rows×k shuffle), then the
+    *    elementwise-mean recompute posexplodes to (centroid, dim) partial
+    *    sums — the only shuffle, k·d rows after map-side combine.
+    *
+    * Deterministic throughout. Empty clusters drop (as before). Returns
+    * (centroid_id, cvec: array<double>). */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int = 2): DataFrame = {
+      k: Int, iters: Int = 2, initSample: Int = 2048): DataFrame = {
     val spark = corpus.sparkSession
-    // the init + every Lloyd round rescans the corpus projection — pin it in
-    // memory for the duration (k+iters small jobs over the same data)
-    val base = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
-      .persist()
-    // deterministic farthest-point init (k-means++ flavour): random seeds can
-    // land two in one cluster, which plain Lloyd never recovers from. Each
-    // round is one distributed min-similarity scan; only k vectors ever reach
-    // the driver.
-    val first = base.orderBy(xxhash64(col("cid")), col("cid")).limit(1)
-      .select("cvec").collect()(0).getSeq[Double](0)
-    var chosen = Vector(first)
-    while (chosen.size < k) {
-      val chosenArr = typedlit(chosen.map(_.toArray))
-      val next = base
-        .withColumn("__minSim", aggregate(chosenArr, lit(-2.0),
-          (best, cv) => greatest(best, cosine(col("cvec"), cv))))
-        .orderBy(col("__minSim").asc, col("cid").asc)
-        .limit(1).select("cvec").collect()(0).getSeq[Double](0)
-      chosen = chosen :+ next
-    }
     import spark.implicits._
-    var centroids = chosen.zipWithIndex
-      .map { case (v, i) => (i + 1, v) }.toDF("centroid_id", "cvec")
-    var i = 0
-    while (i < iters) {
-      val cb = broadcast(centroids.withColumnRenamed("cvec", "__cv"))
-      val assigned = base
-        .crossJoin(cb)
-        .withColumn("__d", cosine(col("cvec"), col("__cv")))
-        .withColumn("__r", row_number().over(
-          Window.partitionBy(col("cid")).orderBy(col("__d").desc, col("centroid_id"))))
-        .filter(col("__r") === 1)
-      centroids = assigned
-        .select(col("centroid_id"), posexplode(col("cvec")))
-        .groupBy("centroid_id", "pos").agg(avg(col("col").cast("double")).as("m"))
-        .groupBy("centroid_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("cvec"))
-      i += 1
+    val base = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+    if (iters > 0) base.persist()
+    val sample = base.orderBy(xxhash64(col("cid")), col("cid")).limit(initSample)
+      .select("cvec").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "kmeans: empty corpus")
+    def cosL(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
     }
-    val out = centroids.collect() // materialize before unpersisting the input
-    base.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq), centroids.schema)
+    // farthest-point: maintain each sample's max-similarity-to-chosen; pick
+    // the min (first index on ties — stable under the hash ordering)
+    val maxSim = Array.fill(sample.length)(-2.0)
+    var chosen = Vector(sample(0))
+    while (chosen.size < math.min(k, sample.length)) {
+      val newest = chosen.last
+      var bestIdx = 0; var bestVal = Double.PositiveInfinity
+      var i = 0
+      while (i < sample.length) {
+        val s = cosL(sample(i), newest)
+        if (s > maxSim(i)) maxSim(i) = s
+        if (maxSim(i) < bestVal) { bestVal = maxSim(i); bestIdx = i }
+        i += 1
+      }
+      chosen = chosen :+ sample(bestIdx)
+    }
+    var centroids: IndexedSeq[(Int, Array[Double])] =
+      chosen.zipWithIndex.map { case (v, i) => (i + 1, v) }
+    var it = 0
+    while (it < iters) {
+      val assign = element_at(graft.functions.Native.nearestCentroids(
+        col("cvec"), centroids.map(_._1), centroids.map(_._2.toSeq), 1), 1)
+      // k·d partial means reach the driver — that IS the next centroid set
+      val means = base.withColumn("centroid_id", assign)
+        .select(col("centroid_id"), posexplode(col("cvec")))
+        .groupBy("centroid_id", "pos").agg(avg(col("col")).as("m"))
+        .collect()
+      centroids = means.groupBy(_.getInt(0)).toIndexedSeq.sortBy(_._1).map { case (id, rows) =>
+        val dim = rows.map(_.getInt(1)).max + 1
+        val v = new Array[Double](dim)
+        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+        (id, v)
+      }
+      it += 1
+    }
+    if (iters > 0) base.unpersist()
+    centroids.map { case (id, v) => (id, v.toSeq) }.toDF("centroid_id", "cvec")
   }
 
   /** IVF approximate nearest neighbours: coarse-quantize the corpus into
@@ -110,22 +126,22 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
       corpusVec: String = "embedding", queryVec: String = "embedding",
       corpusId: String = "vec_id", queryId: String = "vec_id"): DataFrame = {
-    val centroids = kmeansCentroids(corpus, corpusVec, corpusId, nlist, kmeansIters)
-    val cb = broadcast(centroids)
+    // the quantizer is k·d doubles — collect it and bake it into the plan as
+    // a narrow-map kernel: assignment and probing shuffle NOTHING, the only
+    // exchange left is the inverted-list bucket join itself
+    val cents = kmeansCentroids(corpus, corpusVec, corpusId, nlist, kmeansIters)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val ids = cents.map(_._1).toSeq
+    val mat = cents.map(_._2).toSeq
 
-    def nearestCentroids(df: DataFrame, vec: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(cb).withColumn("__cd", cosine(col(vec), col("cvec")))
-      val w = Window.partitionBy(col("__pk")).orderBy(col("__cd").desc)
-      scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= n)
-        .drop("cvec", "__cd", "__cr")
-    }
-
-    val assigned = nearestCentroids(
-      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cvec"),
-        col(corpusId).as("__pk")), "__cvec", 1).drop("__pk")
-    val probed = nearestCentroids(
-      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qvec"),
-        col(queryId).as("__pk")), "__qvec", nprobe).drop("__pk")
+    val assigned = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cvec"))
+      .withColumn("centroid_id", element_at(
+        graft.functions.Native.nearestCentroids(col("__cvec"), ids, mat, 1), 1))
+    val probed = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qvec"))
+      .withColumn("centroid_id", explode(
+        graft.functions.Native.nearestCentroids(col("__qvec"), ids, mat, nprobe)))
 
     val scored = assigned.join(probed, Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))

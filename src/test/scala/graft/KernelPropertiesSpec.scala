@@ -29,6 +29,35 @@ class KernelPropertiesSpec extends AnyFunSuite {
     .flatMap(n => Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
     .map(_.distinct.sorted)
 
+  test("NearestCentroids returns ids in exact cosine-desc order vs local reference") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0))
+    val matGen = Gen.listOfN(6, vecGen)
+    forAll(matGen, vecGen) { (mat: List[List[Double]], v: List[Double]) =>
+      val ids = mat.indices.map(_ + 10)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+        if (d == 0.0) 0.0 else dot / d
+      }
+      // stable sort: cosine desc, ties keep ids order — mirrors the kernel
+      val expected = mat.zip(ids).sortBy { case (c, _) => -cos(v, c) }.map(_._2).take(3)
+      val got = Seq(Tuple1(v)).toDF("v")
+        .select(graft.functions.Native.nearestCentroids(col("v"), ids, mat.map(_.toSeq), 3))
+        .head().getSeq[Int](0)
+      assert(got == expected)
+    }
+  }
+
+  test("NearestCentroids on float arrays matches double arrays") {
+    val mat = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.5))
+    val ids = Seq(1, 2, 3)
+    val f = Seq(Tuple1(Seq(0.5f, 0.25f))).toDF("v")
+      .select(graft.functions.Native.nearestCentroids(col("v"), ids, mat, 3)).head().getSeq[Int](0)
+    val d = Seq(Tuple1(Seq(0.5, 0.25))).toDF("v")
+      .select(graft.functions.Native.nearestCentroids(col("v"), ids, mat, 3)).head().getSeq[Int](0)
+    assert(f == d && f == Seq(1, 2, 3))
+  }
+
   test("JaccardSortedLongs equals the set-expression Jaccard on random sets") {
     forAll(longSetGen, longSetGen) { (a: List[Long], b: List[Long]) =>
       val df = Seq((a, b)).toDF("a", "b")

@@ -373,6 +373,34 @@ class ScalePathSpec extends AnyFunSuite {
   }
 }
 
+class ExactPercentileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("histogram exactPercentiles equals percentile() on random grouped data") {
+    val rnd = new scala.util.Random(11)
+    // duplicates + odd/even group sizes + a singleton group
+    val rows = (0 until 500).map(i => (s"g${i % 3}", rnd.nextInt(40).toDouble)) :+ (("solo", 7.0))
+    val df = rows.toDF("k", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val names = ps.map(p => s"p${(p * 100).toInt}")
+    val got = graft.ops.Aggregations.exactPercentiles(df, Seq("k"), "v", ps, names)
+      .collect().map(r => r.getString(0) -> names.indices.map(i => r.getDouble(i + 1))).toMap
+    val exp = df.groupBy("k")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    assert(got.keySet == exp.keySet)
+    for (k <- got.keySet; i <- ps.indices)
+      assert(got(k)(i) == exp(k)(i), s"key=$k p=${ps(i)}: ${got(k)(i)} != ${exp(k)(i)}")
+  }
+
+  test("exactPercentiles ignores nulls like percentile()") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0))).toDF("k", "v")
+    val out = graft.ops.Aggregations.exactPercentiles(df, Seq("k"), "v", Seq(0.5), Seq("med"))
+    assert(out.head().getDouble(1) == 2.0)
+  }
+}
+
 class PredictWhenMissingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
