@@ -106,6 +106,51 @@ object Aggregations {
     out.select(keys.map(col) ++ outNames.map(col): _*)
   }
 
+  /** Shape 3 scale path: PIT windowed aggregate with TIME-BUCKETED join.
+    *
+    * [[pointInTimeAgg]] equi-joins facts to a key's ENTIRE feature history
+    * and discards out-of-window rows afterwards — with months of history per
+    * hot key the pre-filter fan-in is unbounded. Here both sides carry a
+    * bucket column of width = the largest aggregate window `w`:
+    * every feature row lands in its own bucket b and (replicated once) b+1,
+    * so a fact in bucket b meets exactly the feature rows of buckets
+    * {b−1, b} — a superset of its (factTs−w, factTs] window, 2·w of history
+    * per fact regardless of total history length. The join becomes a plain
+    * equi-join on (keys, bucket) — AQE/broadcast/skew handling apply — and
+    * the per-agg range predicates then filter exactly as in the join path.
+    *
+    * Requires every aggregate to declare a window. Results are identical to
+    * [[pointInTimeAgg]] (equivalence spec in ScalePathSpec). */
+  def pointInTimeAggBucketed(
+      facts: DataFrame, features: DataFrame, entityKeys: Seq[String],
+      featureTs: String, factTs: String, aggs: Seq[AggregatedFeature]): DataFrame = {
+    require(aggs.forall(_.window.isDefined),
+      "bucketed PIT aggregation needs a time window on every aggregate")
+    val wUs = aggs.map(_.window.get.window.getSeconds * 1000000L).max
+    val rid = "__graft_row_id"
+    val bkt = "__graft_bucket"
+    val f = facts.withColumn(rid, monotonically_increasing_id())
+      .withColumn(bkt, floor(unix_micros(col(factTs)) / wUs))
+    val renamed = features.columns.map(c => c -> ("__r_" + c)).toMap
+    val ft = features.select(features.columns.map(c => col(c).as(renamed(c))): _*)
+    val fts = col(renamed(featureTs))
+    // each feature row is visible from its own bucket and the next one
+    val rbkt = "__graft_rbucket"
+    val ftb = ft.withColumn(rbkt, explode(array(
+      floor(unix_micros(fts) / wUs), floor(unix_micros(fts) / wUs) + 1)))
+    val joined = f.join(ftb,
+      (entityKeys.map(k => col(k) === col(renamed(k))) :+ (col(bkt) === col(rbkt)))
+        .reduce(_ && _) && fts <= col(factTs), "left")
+    val windowed = aggs.map { a =>
+      val w = a.window.get.window.getSeconds
+      val inWin = fts >= col(factTs) - expr(s"INTERVAL $w SECOND")
+      a.agg(when(inWin, col(renamed(a.sourceColumn)))).as(a.name)
+    }
+    joined.groupBy(col(rid) +: facts.columns.map(col): _*)
+      .agg(windowed.head, windowed.tail: _*)
+      .drop(rid, bkt)
+  }
+
   /** Shape 3: point-in-time windowed aggregate per fact row
     * (local/job.py:366-402): join facts×features on entities with the range
     * predicate factTs - w <= featureTs <= factTs, then group by the fact row

@@ -169,7 +169,12 @@ final class ContractStore {
           if (needsAgg) {
             val base = vs.baseWithDerived(spark)
             val aggs = v.aggregates.filter(a => wanted.contains(a.name))
-            Aggregations.pointInTimeAgg(acc, base, keys, ts.name, factTs, aggs)
+            // time-bucketed join (bounded fan-in per fact) whenever every
+            // aggregate declares a window; unwindowed aggs need full history
+            if (aggs.forall(_.window.isDefined))
+              Aggregations.pointInTimeAggBucketed(acc, base, keys, ts.name, factTs, aggs)
+            else
+              Aggregations.pointInTimeAgg(acc, base, keys, ts.name, factTs, aggs)
           } else {
             val feat = vs.baseWithDerived(spark)
               .select((keys :+ ts.name).map(col) ++ wanted.map(col): _*)

@@ -314,6 +314,26 @@ class ScalePathSpec extends AnyFunSuite {
     }
   }
 
+  test("pointInTimeAggBucketed equals pointInTimeAgg on randomized data") {
+    val rnd = new scala.util.Random(23)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:${rnd.nextInt(60)}%02d")
+    val feats = (0 until 400).map(i => (i % 5L, ts(rnd.nextInt(1200)), i.toDouble))
+      .toDF("k", "feat_ts", "v")
+    val facts = (0 until 120).map(i => (rnd.nextInt(7).toLong, ts(rnd.nextInt(1200)), i.toLong))
+      .toDF("k", "fact_ts", "fact_id")
+    val aggs = Seq(
+      AggregatedFeature("n_1h", FInt64, AggFunc.Count, "v",
+        Some(AggregationWindow(java.time.Duration.ofHours(1)))),
+      AggregatedFeature("max_15m", FFloat64, AggFunc.Max, "v",
+        Some(AggregationWindow(java.time.Duration.ofMinutes(15)))))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("fact_id", "n_1h", "max_15m").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), Option(r.get(2))))).toMap
+    val a = canon(Aggregations.pointInTimeAgg(facts, feats, Seq("k"), "feat_ts", "fact_ts", aggs))
+    val b = canon(Aggregations.pointInTimeAggBucketed(facts, feats, Seq("k"), "feat_ts", "fact_ts", aggs))
+    assert(a == b)
+  }
+
   test("ContractStore PIT strategies agree (sorted default vs join)") {
     val dir = "/root/testdata/sf0.001"
     val ev = spark.read.parquet(s"$dir/events.parquet")
