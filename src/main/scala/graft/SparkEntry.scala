@@ -1197,7 +1197,34 @@ object SparkEntry {
             QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC NULLS LAST) = 1)
         SELECT p.event_id, p.user_id, agg.n_clicks, lastv.view_value,
           agg.n_clicks * coalesce(lastv.view_value, 0.0) AS clicks_x_view
-        FROM p JOIN agg USING (event_id) JOIN lastv USING (event_id)"""))
+        FROM p JOIN agg USING (event_id) JOIN lastv USING (event_id)""")),
+
+    // --- CUBE aggregation (free in Spark, like ROLLUP q54) ---
+    Q("q58_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("qty")),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+          coalesce(l_linestatus, 'ALL') AS lstatus,
+          count(*) AS n, ${sqlDsum("l_quantity")} AS qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // --- skew-salted join (Joins.saltedJoin): results equal the plain join ---
+    Q("q59_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+        val ord = t(s, dir, "orders").select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        Joins.saltedJoin(li, ord, Seq("okey"), "inner", salt = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n, ${sqlDsum("l_extendedprice")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority"""))
   )
 
   val specs: Seq[Q] =

@@ -148,6 +148,21 @@ object Joins {
     carried.select(facts.columns.map(col) ++ vals.map(c => pick.getField(c).as(c)): _*)
   }
 
+  /** Skew-salted equi-join: replicate the (smaller) `right` side `salt` ways
+    * and scatter `left` rows uniformly across the replicas, so one hot key's
+    * rows spread over `salt` reducers instead of one. Use when a known-skewed
+    * key distribution defeats AQE's skew-join splitting (e.g. a single
+    * pathological key at 100 TB); otherwise prefer plain join + AQE.
+    * Inner/left semantics on equal key names, like `df.join(right, keys, how)`. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      how: String = "inner", salt: Int = 16): DataFrame = {
+    require(how == "inner" || how == "left", s"saltedJoin supports inner/left, got $how")
+    val s = "__graft_salt"
+    val l = left.withColumn(s, pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val r = right.withColumn(s, explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, keys :+ s, how).drop(s)
+  }
+
   /** Merge N per-source feature frames onto one entity frame
     * (CombineFactualJob, retrieval_job.py:2961-3147): iterative left join on
     * the accumulated entity columns. */

@@ -112,11 +112,17 @@ object TextAnalysis {
   /** Deterministic language-ID with a fixed priority chain (zh → en → es →
     * de → fr): a language wins if its stopword/charset score is positive and
     * >= every other score. Same shape as [[langId]] but with an explicit,
-    * engine-reproducible tie-break. */
+    * engine-reproducible tie-break.
+    *
+    * A stopword score counts PRESENT words (0/1 each), so it equals
+    * |distinct(tokens) ∩ stopwords|: ONE whitespace tokenization shared by
+    * all languages + one codegen'd array_intersect per language, instead of
+    * one full-text regex scan per stopword (~30 regex passes per row — the
+    * former q28 hot spot). The zh charset probe stays a single regex. */
   def langIdDeterministic(text: Column): Column = {
     val t = lower(text)
-    def hits(words: Seq[String]): Column =
-      words.map(w => when(t.rlike("(^|\\s)" + w + "(\\s|$)"), 1).otherwise(0)).reduce(_ + _)
+    val tokens = array_distinct(split(t, "\\s+"))
+    def hits(words: Seq[String]): Column = size(array_intersect(tokens, lit(words.toArray)))
     val zh = when(t.rlike("[\\x{4e00}-\\x{9fff}]"), 100).otherwise(0)
     val en = hits(Seq("the", "and", "of", "to", "is", "that", "with", "for"))
     val es = hits(Seq("el", "la", "los", "las", "es", "una", "que", "por", "con"))

@@ -314,6 +314,21 @@ class ScalePathSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin equals plain join (inner and left, with unmatched rows)") {
+    val left = (0 until 200).map(i => (i % 11L, i)).toDF("k", "lv")
+    // key 99 exists only on the left — exercises left-join null fill
+    val l2 = left.union(Seq((99L, -1)).toDF("k", "lv"))
+    val right = (0 until 40).map(i => (i % 7L, s"r$i")).toDF("k", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), Option(r.getAs[String]("rv"))))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    for (how <- Seq("inner", "left")) {
+      val plain = canon(l2.join(right, Seq("k"), how))
+      val salted = canon(Joins.saltedJoin(l2, right, Seq("k"), how, salt = 5))
+      assert(plain == salted, s"how=$how")
+    }
+  }
+
   test("pointInTimeAggBucketed equals pointInTimeAgg on randomized data") {
     val rnd = new scala.util.Random(23)
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:${rnd.nextInt(60)}%02d")
