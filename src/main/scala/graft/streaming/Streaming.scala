@@ -94,6 +94,35 @@ object Streaming {
       .agg(exprs.head, exprs.tail: _*)
   }
 
+  /** Custom keyed state via flatMapGroupsWithState (SURVEY §2.9): per-entity
+    * LATEST-row changelog — the online feature-store semantic the reference
+    * maintains by upserting each batch into Redis/file stores
+    * (sources/redis.py:225-307). State per key is exactly one row (the
+    * current latest by event time); a micro-batch emits a key's row only
+    * when its latest value ADVANCES, so downstream sinks receive a compacted
+    * update stream instead of every raw event. Null timestamps never win.
+    * Run the query in Update output mode. */
+  def statefulLatest(stream: DataFrame, keys: Seq[String], ts: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val schema = stream.schema
+    val tsIdx = schema.fieldIndex(ts)
+    implicit val rowEnc = Encoders.row(schema)
+    def tsOf(r: Row): Long =
+      if (r.isNullAt(tsIdx)) Long.MinValue else r.getTimestamp(tsIdx).getTime
+    stream
+      .groupByKey(r => keys.map(k => String.valueOf(r.getAs[Any](k))).mkString("\u0001"))(
+        Encoders.STRING)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val newest = rows.maxBy(tsOf)
+          val current = state.getOption
+          if (current.forall(c => tsOf(newest) > tsOf(c))) {
+            state.update(newest); Iterator.single(newest)
+          } else Iterator.empty
+      }
+  }
+
   /** Event trigger (schemas/event_trigger.py:20-97; ListenForTriggers,
     * retrieval_job.py:3227-3265): emit rows matching a predicate to a side
     * sink from within foreachBatch. */

@@ -247,6 +247,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.contains("sum_10m"))
   }
 
+  test("statefulLatest emits a key's row only when its event time advances") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def write(rows: Seq[(Long, String, Double)]): Unit =
+      rows.map { case (u, t, v) => (u, java.sql.Timestamp.valueOf(t), v) }
+        .toDF("user_id", "ts", "value").write.mode("append").parquet(dir + "/in")
+    write(Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 11:00:00", 2.0),   // same batch: only this row may emit
+      (2L, "2024-01-01 09:00:00", 9.0)))
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val out = graft.streaming.Streaming.statefulLatest(stream, Seq("user_id"), "ts")
+    val q = out.writeStream.outputMode("update").format("memory").queryName("out_latest").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT user_id, value FROM out_latest").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(b1 == Map(1L -> 2.0, 2L -> 9.0))
+      // batch 2: a LATE row for user 1 (no emit) and an advance for user 2
+      write(Seq(
+        (1L, "2024-01-01 10:30:00", 99.0),
+        (2L, "2024-01-01 12:00:00", 10.0)))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT user_id, value FROM out_latest").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(all.sorted == Seq((1L, 2.0), (2L, 9.0), (2L, 10.0)))
+    } finally q.stop()
+  }
+
   test("foreachBatch worker sinks batches and fires triggers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 500.0))
