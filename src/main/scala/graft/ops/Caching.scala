@@ -27,6 +27,23 @@ object Caching {
     spark.read.parquet(path)
   }
 
+  /** Bucketed materialization for co-located joins: persist as a bucketed
+    * table (`bucketBy` requires the table catalog, not a bare path). Two
+    * tables bucketed on the same keys with the same bucket count join with
+    * ZERO exchange on either side — the shuffle is paid once at write time,
+    * which is the right trade for a 100 TB fact table joined repeatedly on
+    * its entity key (SURVEY scale notes; materialized_source analog with a
+    * physical-layout contract). Sorting within buckets makes the join a
+    * merge join without a sort step. */
+  def materializeBucketed(df: DataFrame, table: String, bucketKeys: Seq[String],
+      numBuckets: Int = 32, sortWithinBuckets: Boolean = true): DataFrame = {
+    var w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
+    if (sortWithinBuckets) w = w.sortBy(bucketKeys.head, bucketKeys.tail: _*)
+    w.saveAsTable(table)
+    df.sparkSession.table(table)
+  }
+
   /** Chunked iteration that streams partitions to the driver without
     * collecting the whole frame (DataLoaderJob, retrieval_job.py:2653-2688).
     * Each chunk is at most `chunkSize` rows. */

@@ -73,8 +73,10 @@ object TextAnalysis {
     * test corpus languages (en/es/de/fr/zh); extensible map. */
   def langId(text: Column): Column = {
     val t = lower(text)
-    def hits(words: Seq[String]): Column =
-      words.map(w => when(t.rlike("(^|\\s)" + w + "(\\s|$)"), 1).otherwise(0)).reduce(_ + _)
+    // presence-count = |distinct(tokens) ∩ stopwords| — one tokenization for
+    // all languages (see langIdDeterministic scaladoc)
+    val tokens = array_distinct(split(t, "\\s+"))
+    def hits(words: Seq[String]): Column = size(array_intersect(tokens, lit(words.toArray)))
     val zh = when(t.rlike("[\\u4e00-\\u9fff]"), 100).otherwise(0)
     val en = hits(Seq("the", "and", "of", "to", "is", "that", "with", "for"))
     val es = hits(Seq("el", "la", "los", "las", "es", "una", "que", "por", "con"))

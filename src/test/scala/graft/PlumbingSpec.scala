@@ -228,6 +228,24 @@ class ExprSpec2 extends AnyFunSuite {
     assert(df.count() == 1)
     assert(df.select("content").head().getAs[Array[Byte]](0).toSeq == Seq[Byte](1, 2, 3))
   }
+  test("langId variants classify sample sentences identically") {
+    val samples = Seq(
+      "the cat sat on the mat and that is that" -> "en",
+      "el gato es una maravilla que vive con los niños" -> "es",
+      "der Hund ist nicht mit der Katze und das ist gut" -> "de",
+      "le chat est dans la maison pour les amis" -> "fr",
+      "你好 世界" -> "zh",
+      "zzz qqq xxx" -> "unknown")
+    val df = samples.toDF("text", "expected")
+    val out = df.select(col("expected"),
+      graft.ops.TextAnalysis.langId(col("text")).as("a"),
+      graft.ops.TextAnalysis.langIdDeterministic(col("text")).as("b")).collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(0), s"langId: ${r.getString(1)} != ${r.getString(0)}")
+      assert(r.getString(2) == r.getString(0), s"langIdDeterministic: ${r.getString(2)}")
+    }
+  }
+
   test("presigned url stub is deterministic per key") {
     val df = Seq(("k1"), ("k1"), ("k2")).toDF("key")
     val urls = df.select(graft.ops.Multimodal.presignedUrlStub("bkt", col("key"))).collect()
@@ -311,6 +329,26 @@ class ScalePathSpec extends AnyFunSuite {
         coalesce($"feat_ts" + expr("INTERVAL 3 HOURS 30 MINUTES"), $"feat_ts"))
       assert(f(facts, fresh, Seq("k"), "feat_ts", "fact_ts", ttl, Nil)
         .head().getAs[String]("v") == "stale")
+    }
+  }
+
+  test("bucketed materialization joins with no shuffle exchange") {
+    val a = (0 until 1000).map(i => (i.toLong % 50, i)).toDF("k", "av")
+    val b = (0 until 500).map(i => (i.toLong % 50, s"b$i")).toDF("k", "bv")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ta = graft.ops.Caching.materializeBucketed(a, "bkt_a", Seq("k"), numBuckets = 8)
+      val tb = graft.ops.Caching.materializeBucketed(b, "bkt_b", Seq("k"), numBuckets = 8)
+      val joined = ta.join(tb, Seq("k"))
+      assert(joined.count() == 1000 * 10) // 20 a-rows × 10 b-rows per key / ... sanity below
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
 
