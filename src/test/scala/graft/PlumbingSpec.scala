@@ -446,6 +446,44 @@ class ScalePathSpec extends AnyFunSuite {
   }
 }
 
+/** Structural plan gates — the BENCH_NOTES invariants, enforced: candidate
+  * generation everywhere is bucket-join shaped, so NO query may plan a
+  * cartesian product or nested-loop join; filters/projections must reach the
+  * parquet scans. Plans only (no execution) at sf0.001. */
+class PlanInvariantsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // exact brute-force kNN broadcasts the bounded query side and streams the
+  // corpus — a BroadcastNestedLoopJoin IS its intended physical shape
+  private val allowedNonEqui = Set("q30_knn_bruteforce")
+
+  test("no query plans a cartesian product or nested-loop join") {
+    val offenders = SparkEntry.specs.filterNot(q => allowedNonEqui(q.name)).flatMap { q =>
+      val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+        Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty, s"cross-join-shaped plans: $offenders")
+  }
+
+  test("filter and projection reach the parquet scan") {
+    val plan = SparkEntry.queries("q8b_customers_with_urgent_orders")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"), "expected filter pushdown")
+    val q2plan = SparkEntry.queries("q2_derived_features")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // column pruning: the lineitem scans must output a strict column subset
+    // (16 columns in the table); ReadSchema is truncated in toString, so
+    // count the scan's bracketed output list instead
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findAllMatchIn(q2plan).map(_.group(1)).toSeq
+    assert(scanCols.nonEmpty && scanCols.forall(_.split(",").length <= 8),
+      s"unpruned scan: $scanCols")
+  }
+}
+
 class ExactPercentileSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
