@@ -710,6 +710,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine")),
       None),
 
+    // --- near-dup pairs → clusters → canonical docs (connected components;
+    // iterative min-label propagation is not DuckDB-SQL-expressible → rows-only) ---
+    Q("q60_dedup_groups",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.6)
+        Dedup.canonicalize(docs, pairs, "doc_id").select("doc_id", "lang")
+      },
+      None),
+
     // --- unpack embedding into scalar columns + array ops ---
     Q("q34_vector_ops",
       (s, dir) => {

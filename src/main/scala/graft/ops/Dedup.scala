@@ -212,4 +212,65 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Connected components over near-duplicate PAIRS → cluster ids: the step
+    * that turns pairwise edges (from [[nearDuplicates]] /
+    * [[embeddingNearDup]] / simhash banding) into dedup GROUPS, so a
+    * pipeline can keep one canonical document per cluster.
+    *
+    * Union-find is driver-bound, so this is distributed min-label
+    * propagation: every round each node adopts the smallest label among its
+    * neighbors' labels and its own — one equi-join on node id per round,
+    * converging in O(graph diameter) rounds (checked; early exit). Near-dup
+    * graphs have tiny diameters — clusters are quasi-cliques out of band
+    * buckets — so 2-3 rounds close virtually any real cluster; `maxIter`
+    * bounds pathological chains.
+    *
+    * Input: (id_a, id_b) pair columns. Output: (id, component) — component =
+    * min id of the node's cluster; singleton nodes absent from `pairs` are
+    * absent here (their component is themselves).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 6): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    // label(node) starts as min(node, min neighbor). Each round references
+    // the previous labels TWICE (propagation + convergence check), so the
+    // lineage would grow exponentially — localCheckpoint truncates it per
+    // round (iterative-algorithm idiom; swap in checkpoint() with a reliable
+    // dir on a real cluster for executor-loss tolerance).
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("comp"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      // adopt the smallest label among my neighbors' labels and my own
+      val viaNeighbor = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "dst", "comp" -> "ncomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("ncomp"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), col("ncomp")).as("comp"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep one canonical row per near-dup cluster: docs in no cluster pass
+    * through; within a cluster the smallest id (= the component label) wins.
+    * The standard final stage of a corpus dedup pipeline. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    docs.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
 }

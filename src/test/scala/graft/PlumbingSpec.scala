@@ -446,6 +446,54 @@ class ScalePathSpec extends AnyFunSuite {
   }
 }
 
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def localComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(5)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = (0 until 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b } :+ ((100L + trial, 200L + trial)) // far pair
+      val got = graft.ops.Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), maxIter = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == localComponents(edges), s"trial $trial")
+    }
+  }
+
+  test("connectedComponents closes chains longer than one hop") {
+    // path graph 1-2-3-4-5-6: every node must land in component 1
+    val edges = (1L to 5L).map(i => (i, i + 1))
+    val got = graft.ops.Dedup.connectedComponents(edges.toDF("id_a", "id_b"), maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 6L).map(_ -> 1L).toMap)
+  }
+
+  test("canonicalize keeps one doc per cluster and passes singletons through") {
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "b"), (4L, "c"), (5L, "a''"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("id_a", "id_b")
+    val kept = graft.ops.Dedup.canonicalize(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+}
+
 /** Structural plan gates — the BENCH_NOTES invariants, enforced: candidate
   * generation everywhere is bucket-join shaped, so NO query may plan a
   * cartesian product or nested-loop join; filters/projections must reach the
