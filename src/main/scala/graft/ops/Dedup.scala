@@ -142,6 +142,38 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicates at scale via band pigeonholing — EXACT recall:
+    * split the 64-bit signature into `maxHamming + 1` bit-bands; a pair
+    * within Hamming distance maxHamming differs in at most maxHamming bands,
+    * so it matches EXACTLY on at least one — candidates come from equi-join
+    * buckets on (band index, band bits) and are verified with bit_count.
+    * Linear bucket join; pays off when maxHamming is small (wide bands →
+    * sparse buckets). The all-pairs form (q25) is only for small blocks. */
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, k: Int = 2, blockBy: Seq[String] = Nil): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "0 <= maxHamming < 64")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val keys = blockBy.map(col)
+    val sig = withSimhash(
+      df.select(keys :+ col(idCol).as("__id") :+ col(textCol): _*), textCol, "__sig", k)
+      .select(keys :+ col("__id") :+ col("__sig"): _*)
+    val bandCols = (0 until bands).map { bIdx =>
+      val lo = bIdx * base
+      val width = if (bIdx == bands - 1) 64 - lo else base
+      val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1L)
+      struct(lit(bIdx).as("band"), shiftright(col("__sig"), lo).bitwiseAND(mask).as("bits"))
+    }
+    val banded = sig.withColumn("__b", explode(array(bandCols: _*)))
+    val a = banded.select(keys ++ Seq(col("__id").as("id_a"), col("__sig").as("sig_a"), col("__b")): _*)
+    val b = banded.select(keys ++ Seq(col("__id").as("id_b"), col("__sig").as("sig_b"), col("__b")): _*)
+    a.join(b, blockBy :+ "__b").filter(col("id_a") < col("id_b"))
+      .select(keys ++ Seq(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming")): _*)
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a close pair can share several bands
+  }
+
   /** Jaccard similarity of two precomputed distinct-shingle arrays. When a
     * text column feeds multiple comparisons (any pairwise join), materialize
     * the shingle set ONCE per document with [[shingleSet]] and compare with

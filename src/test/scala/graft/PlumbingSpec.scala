@@ -484,6 +484,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == (1L to 6L).map(_ -> 1L).toMap)
   }
 
+  test("simhashNearDup banding equals the all-pairs Hamming filter (exact recall)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("source", "doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val h = 6
+    val banded = canon(graft.ops.Dedup.simhashNearDup(
+      docs, "text", "doc_id", maxHamming = h, blockBy = Seq("source")))
+    val sigs = graft.ops.Dedup.withSimhash(docs, "text", "sig").drop("text")
+    val a = sigs.select(col("source"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("source"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val pairwise = canon(a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", graft.ops.Dedup.hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= h))
+    assert(banded == pairwise && banded.nonEmpty)
+  }
+
   test("canonicalize keeps one doc per cluster and passes singletons through") {
     val docs = Seq((1L, "a"), (2L, "a'"), (3L, "b"), (4L, "c"), (5L, "a''"))
       .toDF("doc_id", "text")
