@@ -311,6 +311,18 @@ class ScalePathSpec extends AnyFunSuite {
     val at = Joins.pointInTimeJoin(facts, feats, Seq("k"), "feat_ts", "fact_ts", ttl)
     val bt = Joins.pointInTimeSorted(facts, feats, Seq("k"), "feat_ts", "fact_ts", ttl)
     assert(canon(at) == canon(bt))
+    // with null feature timestamps sprinkled in: at most ONE null-ts row per
+    // key (the engines break ties among null-ts rows arbitrarily), null is
+    // the always-valid fallback under TTL
+    val featsN = feats.withColumn("feat_ts",
+      when(pmod(xxhash64($"k"), lit(5L)) === 0 && $"v" < 50, lit(null)).otherwise($"feat_ts"))
+      .groupBy("k", "feat_ts").agg(max("v").as("v"))
+      .withColumn("__nullrank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"k", $"feat_ts".isNull).orderBy($"v")))
+      .filter($"feat_ts".isNotNull || $"__nullrank" === 1).drop("__nullrank")
+    val an = Joins.pointInTimeJoin(facts, featsN, Seq("k"), "feat_ts", "fact_ts", ttl)
+    val bn = Joins.pointInTimeSorted(facts, featsN, Seq("k"), "feat_ts", "fact_ts", ttl)
+    assert(canon(an) == canon(bn))
   }
 
   test("pointInTimeSorted: null-ts feature rows pass TTL as a fallback when the latest is stale") {
