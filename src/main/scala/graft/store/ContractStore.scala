@@ -240,28 +240,47 @@ final class ViewStore(store: ContractStore, val view: FeatureView) {
   }
 
   /** rows with the view's event timestamp in [start, end)
-    * (all_between_dates, batch_data_source.py:229). */
+    * (all_between_dates, batch_data_source.py:229). The range filter applies
+    * to the RAW frame — before any aggregation, like the reference's
+    * source-level date range — so aggregated views aggregate only in-range
+    * rows (and Catalyst pushes the predicate into the scan). */
   def between(spark: SparkSession, start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame = {
     val ts = view.eventTimestamp.getOrElse(
       throw new IllegalStateException(s"${view.name} has no event timestamp")).name
-    all(spark).filter(col(ts) >= lit(start) && col(ts) < lit(end))
+    allFrom(baseWithDerived(spark).filter(col(ts) >= lit(start) && col(ts) < lit(end)), None)
   }
 
-  /** Full view materialization incl. aggregates (SURVEY §3.2). */
-  def all(spark: SparkSession, limit: Option[Int] = None): DataFrame = {
-    var df = baseWithDerived(spark)
+  /** Full view materialization incl. aggregates (SURVEY §3.2). Window groups
+    * run in DECLARATION order: rolling windows add columns to the raw frame
+    * and chain; sliding (every_interval) windows each aggregate the raw
+    * frame and multiple groups are stitched as-of on (keys, window_ts) —
+    * the reference's multi-window combine (local/job.py:146-159) — never
+    * aggregated on top of one another. */
+  def all(spark: SparkSession, limit: Option[Int] = None): DataFrame =
+    allFrom(baseWithDerived(spark), limit)
+
+  /** aggregation/limit tail of [[all]], reusable with a pre-filtered base
+    * ([[between]]). */
+  private def allFrom(base: DataFrame, limit: Option[Int]): DataFrame = {
+    var df = base
     if (view.aggregates.nonEmpty) {
       val keys = view.entities.map(_.name)
       val (windowed, plain) = view.aggregates.partition(_.window.isDefined)
       if (plain.nonEmpty) {
         df = Aggregations.groupBy(df, keys, plain)
       }
-      windowed.groupBy(_.window.get).foreach { case (w, aggs) =>
+      if (windowed.nonEmpty) {
         val ts = view.eventTimestamp.map(_.name).getOrElse(
           throw new IllegalStateException(s"windowed aggregate on ${view.name} needs an event timestamp"))
-        df =
-          if (w.everyInterval.isDefined) Aggregations.sliding(df, keys, ts, aggs, w)
-          else Aggregations.rolling(df, keys, ts, aggs)
+        val groups = windowed.map(_.window.get).distinct
+          .map(w => w -> windowed.filter(_.window.get == w))
+        val (slidingGs, rollingGs) = groups.partition(_._1.everyInterval.isDefined)
+        rollingGs.foreach { case (_, aggs) => df = Aggregations.rolling(df, keys, ts, aggs) }
+        if (slidingGs.nonEmpty) {
+          val results = slidingGs.map { case (w, aggs) => Aggregations.sliding(df, keys, ts, aggs, w) }
+          df = results.reduceLeft((acc, next) =>
+            Joins.asofJoinSorted(acc, next, "window_ts", "window_ts", keys))
+        }
       }
     }
     limit.fold(df)(df.limit)

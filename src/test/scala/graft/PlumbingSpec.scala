@@ -458,6 +458,63 @@ class ScalePathSpec extends AnyFunSuite {
   }
 }
 
+/** Multiple sliding windows on one view must each aggregate the RAW frame
+  * and be stitched as-of on (keys, window ts) — the reference's
+  * multi-window combine (local/job.py:146-159) — never aggregate the
+  * previous window's output. */
+class MultiWindowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two sliding windows stitch as-of instead of aggregating aggregates") {
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:50:00"), 4.0))
+    val v = FeatureView("mw",
+      graft.sources.CustomSource(_ => rows.toDF("user_id", "ts", "v")),
+      entities = Seq(Feature("user_id", FInt64)),
+      features = Seq(Feature("v", FFloat64)),
+      aggregates = Seq(
+        AggregatedFeature("sum_1h", FFloat64, AggFunc.Sum, "v",
+          Some(AggregationWindow(java.time.Duration.ofHours(1),
+            everyInterval = Some(java.time.Duration.ofHours(1))))),
+        AggregatedFeature("sum_30m", FFloat64, AggFunc.Sum, "v",
+          Some(AggregationWindow(java.time.Duration.ofMinutes(30),
+            everyInterval = Some(java.time.Duration.ofMinutes(30)))))),
+      eventTimestamp = Some(EventTimestamp("ts")))
+    val out = new graft.store.ContractStore().addView(v).view("mw").all(spark)
+      .select("user_id", "window_ts", "sum_1h", "sum_30m").collect()
+    // hourly spine: [10:00,11:00) → end 11:00, sum 7; latest 30m window with
+    // end <= 11:00 is [10:30,11:00) → sum 4
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L)
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-01-01 11:00:00"))
+    assert(r.getDouble(2) == 7.0 && r.getDouble(3) == 4.0)
+  }
+
+  test("between on an aggregated view filters the raw rows BEFORE aggregating") {
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 100.0)) // out of range
+    val v = FeatureView("bw",
+      graft.sources.CustomSource(_ => rows.toDF("user_id", "ts", "v")),
+      entities = Seq(Feature("user_id", FInt64)),
+      features = Seq(Feature("v", FFloat64)),
+      aggregates = Seq(AggregatedFeature("sum_1h", FFloat64, AggFunc.Sum, "v",
+        Some(AggregationWindow(java.time.Duration.ofHours(1),
+          everyInterval = Some(java.time.Duration.ofHours(1)))))),
+      eventTimestamp = Some(EventTimestamp("ts")))
+    val out = new graft.store.ContractStore().addView(v).view("bw")
+      .between(spark, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+      .select("user_id", "sum_1h").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 3.0)))
+  }
+}
+
 class ConnectedComponentsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
