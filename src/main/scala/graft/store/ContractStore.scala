@@ -165,24 +165,32 @@ final class ContractStore {
       val keys = v.entities.map(_.name)
       v.eventTimestamp match {
         case Some(ts) if acc.columns.contains(factTs) =>
-          val needsAgg = v.aggregates.exists(a => wanted.contains(a.name))
-          if (needsAgg) {
+          // a wanted set can MIX plain/derived features and aggregates of
+          // the same view: plain ones attach via the PIT join, aggregates
+          // via the PIT windowed aggregation — both onto the same fact frame
+          val aggs = v.aggregates.filter(a => wanted.contains(a.name))
+          val plainWanted = wanted.filterNot(aggs.map(_.name).toSet)
+          var cur = acc
+          if (plainWanted.nonEmpty) {
+            val feat = vs.baseWithDerived(spark)
+              .select((keys :+ ts.name).map(col) ++ plainWanted.map(col): _*)
+            cur =
+              if (pitStrategyVal == "sorted")
+                Joins.pointInTimeSorted(cur, feat, keys, ts.name, factTs, ts.ttl)
+              else
+                Joins.pointInTimeJoin(cur, feat, keys, ts.name, factTs, ts.ttl)
+          }
+          if (aggs.nonEmpty) {
             val base = vs.baseWithDerived(spark)
-            val aggs = v.aggregates.filter(a => wanted.contains(a.name))
             // time-bucketed join (bounded fan-in per fact) whenever every
             // aggregate declares a window; unwindowed aggs need full history
-            if (aggs.forall(_.window.isDefined))
-              Aggregations.pointInTimeAggBucketed(acc, base, keys, ts.name, factTs, aggs)
-            else
-              Aggregations.pointInTimeAgg(acc, base, keys, ts.name, factTs, aggs)
-          } else {
-            val feat = vs.baseWithDerived(spark)
-              .select((keys :+ ts.name).map(col) ++ wanted.map(col): _*)
-            if (pitStrategyVal == "sorted")
-              Joins.pointInTimeSorted(acc, feat, keys, ts.name, factTs, ts.ttl)
-            else
-              Joins.pointInTimeJoin(acc, feat, keys, ts.name, factTs, ts.ttl)
+            cur =
+              if (aggs.forall(_.window.isDefined))
+                Aggregations.pointInTimeAggBucketed(cur, base, keys, ts.name, factTs, aggs)
+              else
+                Aggregations.pointInTimeAgg(cur, base, keys, ts.name, factTs, aggs)
           }
+          cur
         case _ =>
           val feat = vs.all(spark).select((keys ++ wanted).map(col): _*)
           acc.join(feat, keys, "left")

@@ -494,6 +494,26 @@ class MultiWindowSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 7.0 && r.getDouble(3) == 4.0)
   }
 
+  test("featuresFor attaches plain features AND aggregates of the same view") {
+    val feats = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 5.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:30:00"), 7.0))
+    val v = FeatureView("mix",
+      graft.sources.CustomSource(_ => feats.toDF("user_id", "ts", "v")),
+      entities = Seq(Feature("user_id", FInt64)),
+      features = Seq(Feature("v", FFloat64)),
+      aggregates = Seq(AggregatedFeature("n_24h", FInt64, AggFunc.Count, "v",
+        Some(AggregationWindow(java.time.Duration.ofDays(1))))),
+      eventTimestamp = Some(EventTimestamp("ts")))
+    val facts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_timestamp")
+    val out = new graft.store.ContractStore().addView(v)
+      .featuresFor(spark, facts, Seq("mix:v", "mix:n_24h"))
+      .select("user_id", "v", "n_24h").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      == Seq((1L, 7.0, 2L)))
+  }
+
   test("between on an aggregated view filters the raw rows BEFORE aggregating") {
     val rows = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
