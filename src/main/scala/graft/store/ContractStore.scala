@@ -107,12 +107,15 @@ final class ContractStore {
     explodeCol match {
       case None => df.join(lookup, keys, "left")
       case Some(c) =>
+        // ONE row-id assignment feeding both the exploded lookup and the
+        // join-back (the ids must match between the two branches; two
+        // independent assignments would be two nondeterministic columns)
         val rid = "__graft_lf_rid"
-        val exploded = df.withColumn(rid, monotonically_increasing_id())
-          .withColumn(keys.head, explode(col(c)))
+        val withId = df.withColumn(rid, monotonically_increasing_id())
+        val exploded = withId.withColumn(keys.head, explode(col(c)))
         val joined = exploded.join(lookup, keys, "left")
         val grouped = joined.groupBy(col(rid)).agg(collect_list(col(featName)).as(featName))
-        df.withColumn(rid, monotonically_increasing_id()).join(grouped, rid).drop(rid)
+        withId.join(grouped, rid).drop(rid)
     }
   }
 
