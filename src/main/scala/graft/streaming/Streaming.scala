@@ -45,9 +45,20 @@ object Streaming {
       if (!out.columns.contains(f.name))
         out = out.withColumn(f.name, lit(f.defaultValue.orNull).cast(f.dtype.sparkType))
     }
+    // ensure-types exactly like the batch path (ViewStore.baseWithDerived):
+    // try_cast nulls malformed values instead of failing the stream under
+    // ANSI; string-encoded arrays/structs are JSON-decoded, not cast
     val declared = (view.entities ++ view.features).map(f => f.name -> f.dtype.sparkType).toMap
     out.schema.fields.foreach { f =>
-      declared.get(f.name).foreach(t => if (f.dataType != t) out = out.withColumn(f.name, col(f.name).cast(t)))
+      declared.get(f.name).foreach { t =>
+        if (f.dataType != t) out = (f.dataType, t) match {
+          case (org.apache.spark.sql.types.StringType, at)
+              if at.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+                 at.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            out.withColumn(f.name, from_json(col(f.name), t))
+          case _ => out.withColumn(f.name, col(f.name).try_cast(t.sql))
+        }
+      }
     }
     view.derivedRounds.foreach { round =>
       val todo = round.filterNot(d => out.columns.contains(d.name))
