@@ -321,6 +321,33 @@ final class ViewStore(store: ContractStore, val view: FeatureView) {
         w.overwrite(df)
       case _ => throw new IllegalStateException(s"${view.name} has no writable materialized source")
     }
+
+  /** INCREMENTAL materialization: append only raw-source rows with event
+    * timestamp strictly after the materialized table's freshness watermark —
+    * the nightly shape at 100 TB, where a full rewrite re-reads the world.
+    * Falls back to a full [[materialize]] when the materialized table does
+    * not exist yet, and REFUSES views with aggregates (windowed aggregates
+    * over old+new rows cannot be appended row-wise; rebuild those or stream
+    * them — Streaming.windowedAggregate is the incremental form). */
+  def materializeIncremental(spark: SparkSession): Unit = {
+    val ts = view.eventTimestamp.getOrElse(throw new IllegalStateException(
+      s"${view.name}: incremental materialization needs an event timestamp")).name
+    require(view.aggregates.isEmpty,
+      s"${view.name}: aggregated views cannot materialize incrementally")
+    view.materializedSource match {
+      case Some(w: graft.sources.WritableSource) =>
+        val watermark =
+          try w.freshness(spark, ts) catch { case _: Throwable => None }
+        watermark match {
+          case None => materialize(spark)
+          case Some(t) =>
+            val fresh = new ViewStore(store, view.copy(materializedSource = None))
+              .all(spark).filter(col(ts) > lit(t))
+            if (!fresh.isEmpty) w.insert(fresh)
+        }
+      case _ => throw new IllegalStateException(s"${view.name} has no writable materialized source")
+    }
+  }
 }
 
 /** Model query surface (model_store.py). */

@@ -514,6 +514,34 @@ class MultiWindowSpec extends AnyFunSuite {
       == Seq((1L, 7.0, 2L)))
   }
 
+  test("incremental materialization appends only rows past the freshness watermark") {
+    val raw = java.nio.file.Files.createTempDirectory("graft_incr_raw").toString
+    val mat = java.nio.file.Files.createTempDirectory("graft_incr_mat").toString + "/t"
+    def row(t: String, v: Double) = (1L, java.sql.Timestamp.valueOf(t), v)
+    Seq(row("2024-01-01 10:00:00", 1.0), row("2024-01-01 11:00:00", 2.0))
+      .toDF("user_id", "ts", "v").write.mode("append").parquet(raw)
+    val v = FeatureView("incr", graft.sources.ParquetSource(raw),
+      entities = Seq(Feature("user_id", FInt64)),
+      features = Seq(Feature("v", FFloat64)),
+      eventTimestamp = Some(EventTimestamp("ts")),
+      materializedSource = Some(graft.sources.ParquetSource(mat)))
+    val store = new graft.store.ContractStore().addView(v)
+    store.view("incr").materializeIncremental(spark) // no table yet → full build
+    assert(spark.read.parquet(mat).count() == 2)
+    // late + new rows land in the raw source; only rows past 11:00 may append
+    Seq(row("2024-01-01 10:30:00", 9.0), row("2024-01-01 12:00:00", 3.0))
+      .toDF("user_id", "ts", "v").write.mode("append").parquet(raw)
+    store.view("incr").materializeIncremental(spark)
+    val after = spark.read.parquet(mat).select("ts", "v").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(1))).sorted.toSeq
+    assert(after == Seq(
+      ("2024-01-01 10:00:00.0", 1.0), ("2024-01-01 11:00:00.0", 2.0),
+      ("2024-01-01 12:00:00.0", 3.0)))
+    // idempotent when nothing is newer
+    store.view("incr").materializeIncremental(spark)
+    assert(spark.read.parquet(mat).count() == 3)
+  }
+
   test("between on an aggregated view filters the raw rows BEFORE aggregating") {
     val rows = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
