@@ -720,6 +720,13 @@ object SparkEntry {
       },
       None),
 
+    // --- banded simhash near-dup (exact-recall pigeonhole buckets; the scale
+    // form of q25's all-pairs demo — equivalence proven in spec → rows-only) ---
+    Q("q61_simhash_banded",
+      (s, dir) => Dedup.simhashNearDup(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 7, blockBy = Seq("source")),
+      None),
+
     // --- unpack embedding into scalar columns + array ops ---
     Q("q34_vector_ops",
       (s, dir) => {

@@ -514,6 +514,19 @@ class MultiWindowSpec extends AnyFunSuite {
       == Seq((1L, 7.0, 2L)))
   }
 
+  test("sliding offsetInterval shifts the result timestamp") {
+    val rows = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0))
+    val aggs = Seq(AggregatedFeature("s", FFloat64, AggFunc.Sum, "v",
+      Some(AggregationWindow(java.time.Duration.ofHours(1),
+        everyInterval = Some(java.time.Duration.ofHours(1)),
+        offsetInterval = Some(java.time.Duration.ofMinutes(10))))))
+    val out = Aggregations.sliding(rows.toDF("user_id", "ts", "v"), Seq("user_id"), "ts",
+      aggs, aggs.head.window.get).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[java.sql.Timestamp]("window_ts")
+      == java.sql.Timestamp.valueOf("2024-01-01 11:10:00"))
+  }
+
   test("incremental materialization appends only rows past the freshness watermark") {
     val raw = java.nio.file.Files.createTempDirectory("graft_incr_raw").toString
     val mat = java.nio.file.Files.createTempDirectory("graft_incr_mat").toString + "/t"
