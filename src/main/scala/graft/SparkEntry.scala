@@ -336,12 +336,14 @@ object SparkEntry {
         Aggregations.rolling(events(s, dir), Seq("user_id"), "ts", aggs)
           .select(col("event_id"), col("n_1h"), col("sum_1h").cast("double").as("sum_1h"))
       },
+      // lower bound EXCLUSIVE like polars rolling: (ts-1h, ts] = on integer
+      // micros, [ts-1h+1µs, ts]
       Some("""SELECT event_id,
           count(value) OVER w AS n_1h,
           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
-        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
-          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")),
+        FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""")),
 
     // --- tumbling event-time window aggregate (SURVEY §2.6 shape 2b) ---
     Q("q13_hourly_by_type",
@@ -398,7 +400,7 @@ object SparkEntry {
       Some("""SELECT event_id,
           CAST(year(t) AS INT) AS y, CAST(month(t) AS INT) AS mo, CAST(day(t) AS INT) AS d,
           CAST(hour(t) AS INT) AS h, CAST(minute(t) AS INT) AS mi, CAST(second(t) AS INT) AS sec,
-          CAST(dayofweek(t) + 1 AS INT) AS dow, CAST(dayofyear(t) AS INT) AS doy,
+          CAST(isodow(t) AS INT) AS dow, CAST(dayofyear(t) AS INT) AS doy,
           CAST(week(t) AS INT) AS wk, epoch_us(t) // 1000000 AS epoch_sec
         FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events)""")),
 
@@ -807,19 +809,30 @@ object SparkEntry {
           AND c_name IS NOT NULL
           AND (c_mktsegment IS NULL OR c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')))""")),
 
-    // --- A/B model routing (hash-based → rows-only; logic unit-tested) ---
+    // --- A/B model routing with the md5 router: assignment, per-model
+    // prediction math, and the union are all verified against the oracle
+    // (the xxhash64 default router stays unit-tested in CoreSpec) ---
     Q("q38_ab_routing",
       (s, dir) => {
         import graft.ml._
         val a = ExpressionModel("m_a", "v1", "prediction", col("o_totalprice") * 0.1)
         val b = ExpressionModel("m_b", "v2", "prediction", col("o_totalprice") * 0.2)
-        MLOps.abTest(a, b, 0.5, "o_orderkey")(t(s, dir, "orders"))
+        MLOps.abTest(a, b, 0.5, "o_orderkey",
+          router = Some(MLOps.md5Bucket(col("o_orderkey"), 10000)))(t(s, dir, "orders"))
           .select("o_orderkey", "model_version", "prediction")
       },
-      None),
+      Some("""WITH r AS (SELECT o_orderkey, o_totalprice,
+            CAST('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,8) AS BIGINT) % 10000 AS bucket
+          FROM orders)
+        SELECT o_orderkey,
+          CASE WHEN bucket < 5000 THEN 'v1' ELSE 'v2' END AS model_version,
+          CASE WHEN bucket < 5000 THEN o_totalprice * 0.1 ELSE o_totalprice * 0.2 END AS prediction
+        FROM r""")),
 
-    // --- multimodal plumbing: fake media + feature extraction + frame sampling
-    // (decode kernel stubbed → rows-only) ---
+    // --- multimodal plumbing: fake media + feature extraction + frame
+    // sampling. The decode KERNEL is stubbed, but the metadata pipeline
+    // (md5-derived fake dims → resize shape math) is exact and
+    // oracle-checked; n_features pins the kernel's output arity ---
     Q("q39_multimodal",
       (s, dir) => {
         val d = Multimodal.withFakeMedia(t(s, dir, "documents").select("doc_id"), "doc_id")
@@ -829,7 +842,16 @@ object SparkEntry {
             col("media_meta.width").as("w"), col("media_meta.height").as("h"),
             size(col("media_features")).as("n_features"))
       },
-      None)
+      Some("""WITH m AS (SELECT doc_id,
+            CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) AS hv
+          FROM documents),
+        wh AS (SELECT doc_id, CAST(hv % 1024 + 32 AS INT) AS w0,
+            CAST(hv % 768 + 32 AS INT) AS h0 FROM m),
+        sc AS (SELECT doc_id, w0, h0,
+            least(1.0, 256.0 / greatest(w0, h0)) AS scale FROM wh)
+        SELECT doc_id, CAST(trunc(w0 * scale) AS INT) AS w,
+          CAST(trunc(h0 * scale) AS INT) AS h, CAST(8 AS INT) AS n_features
+        FROM sc"""))
   )
 
   // ---------- remaining operator surface (SURVEY §2.2, §2.8, §2.13) ----------
@@ -1069,20 +1091,28 @@ object SparkEntry {
 
     // --- pivot (orderstatus × orderpriority counts) ---
     Q("q52_pivot",
-      (s, dir) => t(s, dir, "orders")
-        .groupBy("o_orderstatus")
-        .pivot("o_orderpriority",
-          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
-        .agg(count(lit(1)))
-        .withColumnsRenamed(Map(
+      (s, dir) => {
+        val renames = Seq(
           "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
-          "4-NOT SPECIFIED" -> "p4_none", "5-LOW" -> "p5_low")),
+          "4-NOT SPECIFIED" -> "p4_none", "5-LOW" -> "p5_low")
+        val pivoted = t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", renames.map(_._1))
+          .agg(count(lit(1)))
+        // an empty (status, priority) cell is NULL out of Spark's pivot but 0
+        // out of a conditional-count oracle — normalize to int64 zero
+        pivoted.select(col("o_orderstatus") +: renames.map { case (from, to) =>
+          coalesce(col(from), lit(0L)).as(to)
+        }: _*)
+      },
+      // count(CASE…) is BIGINT in duckdb; sum(CASE…) would be HUGEINT and
+      // hash differently than int64
       Some("""SELECT o_orderstatus,
-          sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1_urgent,
-          sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2_high,
-          sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3_medium,
-          sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4_none,
-          sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5_low
+          count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+          count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+          count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+          count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_none,
+          count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
         FROM orders GROUP BY o_orderstatus""")),
 
     // --- native kernels through the SQL entry point: registered functions in

@@ -124,7 +124,9 @@ final case class DateComponent(part: String, child: Expr) extends Expr {
       case "year" => year(c)
       case "quarter" => quarter(c)
       case "week" => weekofyear(c)
-      case "weekday" => dayofweek(c)
+      // reference lowers weekday to polars weekday() = ISO 1=Monday..7=Sunday
+      // (transformation.py:1655-1660); Spark dayofweek is 1=Sunday..7=Saturday.
+      case "weekday" => ((dayofweek(c) + lit(5)) % lit(7)) + lit(1)
       case "ordinal_day" => dayofyear(c)
       case "epoch" => unix_timestamp(c)
       case other => date_part(lit(other), c)
@@ -238,9 +240,20 @@ final case class Clip(child: Expr, lo: Double, hi: Double) extends Expr {
 }
 /** sequential composition with intermediate aliasing (transformation.py:3193-3234):
   * each step sees the previous steps' results under their aliases. Lowered by
-  * inlining — Catalyst's CollapseProject handles the rest. */
+  * INLINING the step expressions into the output at toColumn time (a step
+  * alias never needs to exist as a real column) — Catalyst CSE/CollapseProject
+  * handles any duplication. Raw steps are opaque Columns and cannot be
+  * referenced by later steps' Refs (document-level limitation; use Expr nodes
+  * for composable steps). */
 final case class MultiExpr(steps: Seq[(String, Expr)], output: Expr) extends Expr {
-  def toColumn: Column = output.toColumn // steps are materialized by the planner via withColumn
+  /** The step-free equivalent expression. */
+  def inlined: Expr = {
+    val env = steps.foldLeft(Map.empty[String, Expr]) { case (acc, (name, step)) =>
+      acc + (name -> Expr.substitute(step, acc))
+    }
+    Expr.substitute(output, env)
+  }
+  def toColumn: Column = inlined.toColumn
 }
 /** Escape hatch: wrap a raw Column (the analog of PolarsExpression /
   * lambda transformations — in a Scala engine user code is first-class). */
@@ -249,4 +262,48 @@ final case class Raw(column: Column) extends Expr { def toColumn: Column = colum
 object Expr {
   /** SQL-ish convenience entry. */
   def sql(s: String): Expr = Raw(expr(s))
+
+  /** Recursively replace `Ref(name)` with `env(name)` — the lowering step that
+    * inlines [[MultiExpr]] step aliases. `Lit` and `Raw` are leaves (a Raw
+    * wraps an opaque Column and passes through untouched). Nested MultiExpr
+    * steps shadow outer aliases of the same name. */
+  def substitute(e: Expr, env: Map[String, Expr]): Expr = {
+    if (env.isEmpty) return e
+    def go(x: Expr): Expr = x match {
+      case Ref(n) => env.getOrElse(n, x)
+      case Binary(op, l, r) => Binary(op, go(l), go(r))
+      case Unary(op, c) => Unary(op, go(c))
+      case DateComponent(p, c) => DateComponent(p, go(c))
+      case TimeDifference(f, b) => TimeDifference(go(f), go(b))
+      case ToNumerical(c) => ToNumerical(go(c))
+      case Contains(c, v) => Contains(go(c), v)
+      case Ordinal(c, o) => Ordinal(go(c), o)
+      case ReplaceStrings(c, p) => ReplaceStrings(go(c), p)
+      case IsIn(c, v) => IsIn(go(c), v)
+      case FillNa(c, v, n) => FillNa(go(c), v, n)
+      case FillNaColumn(c, o) => FillNaColumn(go(c), go(o))
+      case AppendStrings(p, s) => AppendStrings(p.map(go), s)
+      case StructFieldAccess(c, f, j) => StructFieldAccess(go(c), f, j)
+      case JsonPath(c, p) => JsonPath(go(c), p)
+      case IsBetween(c, lo, hi) => IsBetween(go(c), go(lo), go(hi))
+      case Cast(c, t) => Cast(go(c), t)
+      case LogBase(c, b) => LogBase(go(c), b)
+      case SplitString(c, s) => SplitString(go(c), s)
+      case FormatString(t, a) => FormatString(t, a.map(go))
+      case ListDotProduct(a, b) => ListDotProduct(go(a), go(b))
+      case HashColumns(cs) => HashColumns(cs.map(go))
+      case ArrayAtIndex(c, i) => ArrayAtIndex(go(c), i)
+      case ArrayContainsAny(c, v) => ArrayContainsAny(go(c), v)
+      case Clip(c, lo, hi) => Clip(go(c), lo, hi)
+      case MultiExpr(isteps, iout) =>
+        // inner aliases shadow the outer env from their definition onward
+        var scope = env
+        val ns = isteps.map { case (n, s) =>
+          val r = (n, substitute(s, scope)); scope = scope - n; r
+        }
+        MultiExpr(ns, substitute(iout, scope))
+      case _: Lit | _: Raw | _: MapArgMax => x
+    }
+    go(e)
+  }
 }

@@ -66,11 +66,19 @@ object MLOps {
     p.unionByName(s)
   }
 
+  /** Deterministic bucket in [0, buckets) from the md5 hex prefix of a key.
+    * Slower than xxhash64 but reproducible in ANY engine with md5 — the
+    * router to use when assignment must be auditable outside Spark
+    * (duckdb: `CAST('0x'||substr(md5(CAST(k AS VARCHAR)),1,8) AS BIGINT) % buckets`). */
+  def md5Bucket(c: Column, buckets: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
   /** A/B assignment (exposed_model/interface.py:566): hash-based stable split
-    * of traffic between two models. */
-  def abTest(a: ExposedModel, b: ExposedModel, aShare: Double, idCol: String)(
-      input: DataFrame): DataFrame = {
-    val bucket = pmod(xxhash64(col(idCol)), lit(10000))
+    * of traffic between two models. `router` overrides the bucket expression
+    * (must be in [0, 10000)); default is xxhash64 — fastest, Spark-specific. */
+  def abTest(a: ExposedModel, b: ExposedModel, aShare: Double, idCol: String,
+      router: Option[Column] = None)(input: DataFrame): DataFrame = {
+    val bucket = router.getOrElse(pmod(xxhash64(col(idCol)), lit(10000)))
     val aRows = a.predict(input.filter(bucket < lit((aShare * 10000).toInt)))
       .withColumn("model_version", lit(a.version))
     val bRows = b.predict(input.filter(bucket >= lit((aShare * 10000).toInt)))

@@ -25,7 +25,11 @@ object Aggregations {
   /** Shape 2a: rolling trailing window per input row — for each row, aggregate
     * peer rows of the same keys within (ts - window, ts]. polars
     * `rolling(ts, period=w, group_by=keys)` (local/job.py:137-141) →
-    * `Window.partitionBy(keys).orderBy(unix_ts).rangeBetween(-w, 0)`.
+    * `Window.partitionBy(keys).orderBy(unix_µs).rangeBetween(-w + 1µs, 0)`.
+    * The lower bound is EXCLUSIVE, like polars rolling — a row exactly `w`
+    * before the current one is NOT counted. (The PIT aggregates below are
+    * inclusive at both ends instead, matching the reference's
+    * `is_between(start, end)` — local/job.py:383-387.)
     * One shuffle on `keys`; the sort is per-partition. */
   def rolling(df: DataFrame, keys: Seq[String], ts: String, aggs: Seq[AggregatedFeature]): DataFrame = {
     // order on epoch MICROS as long: exact integer range arithmetic — a double
@@ -35,7 +39,7 @@ object Aggregations {
     aggs.foldLeft(df) { (d, a) =>
       val w = a.window.map(_.window.getSeconds * 1000000L).getOrElse(Long.MaxValue / 4)
       val win = Window.partitionBy(keys.map(col): _*).orderBy(micros)
-        .rangeBetween(-w, 0)
+        .rangeBetween(-w + 1, 0)
       d.withColumn(a.name, a.agg(col(a.sourceColumn)).over(win))
     }
   }
@@ -43,8 +47,12 @@ object Aggregations {
   /** Shape 2b: aligned sliding windows — polars `group_by_dynamic(ts, every=e,
     * period=w, offset=-w)` (local/job.py:121-135) → Spark
     * `groupBy(window(ts, w, e), keys)`, taking window.end as the result
-    * timestamp and clipping windows that end after the max observed ts
-    * (the reference's backfill clip, local/job.py:132-135). */
+    * timestamp. Two reference-parity details (local/job.py:121-145):
+    * 1. windows whose END exceeds the max observed ts are DROPPED (the
+    *    reference filters `label = start + period <= max(ts)` — a trailing
+    *    partial window is suppressed, not emitted);
+    * 2. `offset_interval` is SUBTRACTED from the result timestamp, AFTER the
+    *    clip (`pl.col(time_name) - over.offset_interval`). */
   def sliding(
       df: DataFrame, keys: Seq[String], ts: String,
       aggs: Seq[AggregatedFeature], win: AggregationWindow,
@@ -55,10 +63,10 @@ object Aggregations {
     val grouped = df.groupBy(wcol +: keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
     val maxTs = df.agg(max(col(ts))).head().getTimestamp(0)
     val shifted = win.offsetInterval.fold(col("window.end"))(o =>
-      col("window.end") + expr(s"INTERVAL ${o.getSeconds} SECOND"))
+      col("window.end") - expr(s"INTERVAL ${o.getSeconds} SECOND"))
     grouped
+      .filter(col("window.end") <= lit(maxTs))
       .withColumn(tsOut, shifted)
-      .filter(col("window.start") <= lit(maxTs))
       .drop("window")
   }
 

@@ -27,17 +27,21 @@ object Multimodal {
     StructField("duration_ms", LongType)))
 
   /** Attach a deterministic fake media payload + metadata to each row — the
-    * test stand-in for `spark.read.format("binaryFile")`. */
+    * test stand-in for `spark.read.format("binaryFile")`. The fake dimensions
+    * derive from an md5 prefix (not xxhash64) so an external engine can
+    * recompute them — that makes the downstream plumbing oracle-checkable:
+    * h = CAST('0x'||substr(md5(CAST(id AS VARCHAR)),1,8) AS BIGINT), in
+    * [0, 2^32). */
   def withFakeMedia(df: DataFrame, idCol: String, mime: String = "image/png"): DataFrame = {
-    val h = xxhash64(col(idCol))
-    df.withColumn("media_bytes", to_binary(conv(abs(h) % 1000000, 10, 16), lit("hex")))
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    df.withColumn("media_bytes", to_binary(conv(h % 1000000, 10, 16), lit("hex")))
       .withColumn("media_meta", struct(
         lit(mime).as("mime"),
-        (pmod(h, lit(1024)) + 32).cast("int").as("width"),
-        (pmod(h, lit(768)) + 32).cast("int").as("height"),
-        (pmod(h, lit(300)) + 1).cast("int").as("n_frames"),
+        (h % 1024 + 32).cast("int").as("width"),
+        (h % 768 + 32).cast("int").as("height"),
+        (h % 300 + 1).cast("int").as("n_frames"),
         lit(16000).as("sample_rate"),
-        (pmod(h, lit(60000))).cast("long").as("duration_ms")))
+        (h % 60000).cast("long").as("duration_ms")))
   }
 
   /** STUB decode kernel: a real implementation would decode `bytes` with an

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   */
 trait BatchSource {
   def read(spark: SparkSession): DataFrame
+  /** Does the backing table exist yet? Used by upsert/incremental paths to
+    * distinguish "first write" from "read failed". Catching exceptions from
+    * read() is NOT a substitute: a transient failure (corrupt footer,
+    * permissions, OOM) would then be treated as an empty table and the next
+    * Overwrite silently drops the old rows. Non-file sources default to true
+    * (their reads don't fail on absence). */
+  def exists(spark: SparkSession): Boolean = true
   /** rows with eventTs in [start, end) (all_between_dates, batch_data_source.py:229). */
   def between(spark: SparkSession, tsCol: String, start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame =
     read(spark).filter(col(tsCol) >= lit(start) && col(tsCol) < lit(end))
@@ -31,16 +38,27 @@ trait WritableSource extends BatchSource {
   def upsert(df: DataFrame, keys: Seq[String]): Unit
 }
 
+/** Filesystem-path helpers shared by the file-backed sources. */
+private[graft] object PathProbe {
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
 final case class ParquetSource(path: String) extends WritableSource {
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
   def insert(df: DataFrame): Unit = df.write.mode(SaveMode.Append).parquet(path)
   def overwrite(df: DataFrame): Unit = df.write.mode(SaveMode.Overwrite).parquet(path)
   def upsert(df: DataFrame, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
-    val existing =
-      try read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      catch { case _: Throwable => spark.emptyDataFrame }
-    val merged = if (existing.columns.isEmpty) df else existing.unionByName(df)
+    // existence probe, NOT try/catch around read: a transient read failure
+    // must propagate, or the Overwrite below would destroy the old table
+    val merged =
+      if (!exists(spark)) df
+      else read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(df)
     // self-overwrite: materialize before truncating the input files
     val tmp = path + "__tmp_upsert"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -58,6 +76,7 @@ final case class ParquetSource(path: String) extends WritableSource {
 final case class PartitionedParquetSource(path: String, partitionKeys: Seq[String])
     extends WritableSource {
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
   def insert(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionKeys: _*).parquet(path)
   def overwrite(df: DataFrame): Unit =
@@ -65,11 +84,10 @@ final case class PartitionedParquetSource(path: String, partitionKeys: Seq[Strin
   def upsert(df: DataFrame, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val old =
-      try read(spark) catch { case _: Throwable => null }
     val merged =
-      if (old == null) df
+      if (!exists(spark)) df
       else {
+        val old = read(spark)
         // only partitions present in df get rewritten (dynamic overwrite);
         // within them, keep non-matching old rows
         val touched = df.select(partitionKeys.map(col): _*).distinct()
@@ -91,6 +109,7 @@ final case class CsvSource(
     dateFormat.foreach(f => r = r.option("timestampFormat", f))
     r.csv(path)
   }
+  override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
   def insert(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).option("sep", sep).option("header", header.toString).csv(path)
   def overwrite(df: DataFrame): Unit =
@@ -98,8 +117,8 @@ final case class CsvSource(
   def upsert(df: DataFrame, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     val merged =
-      try read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti").unionByName(df)
-      catch { case _: Throwable => df }
+      if (!exists(spark)) df
+      else read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti").unionByName(df)
     val collected = merged.collect() // CSV upsert is inherently a rewrite; reference does the same in-memory concat
     val out = spark.createDataFrame(spark.sparkContext.parallelize(collected.toIndexedSeq), merged.schema)
     out.write.mode(SaveMode.Overwrite).option("sep", sep).option("header", header.toString).csv(path)

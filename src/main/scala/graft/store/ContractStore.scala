@@ -288,7 +288,14 @@ final class ViewStore(store: ContractStore, val view: FeatureView) {
         val (slidingGs, rollingGs) = groups.partition(_._1.everyInterval.isDefined)
         rollingGs.foreach { case (_, aggs) => df = Aggregations.rolling(df, keys, ts, aggs) }
         if (slidingGs.nonEmpty) {
-          val results = slidingGs.map { case (w, aggs) => Aggregations.sliding(df, keys, ts, aggs, w) }
+          // spine = densest group (smallest every-interval) — the
+          // deterministic, count-free analog of the reference's
+          // "larger frame goes on the left of join_asof"
+          // (local/job.py:146-159): denser windows ⇒ more rows, without
+          // the extra count() job per group that a literal row-count
+          // comparison would cost at scale
+          val ordered = slidingGs.sortBy(_._1.everyInterval.map(_.getSeconds).getOrElse(Long.MaxValue))
+          val results = ordered.map { case (w, aggs) => Aggregations.sliding(df, keys, ts, aggs, w) }
           df = results.reduceLeft((acc, next) =>
             Joins.asofJoinSorted(acc, next, "window_ts", "window_ts", keys))
         }
@@ -336,8 +343,10 @@ final class ViewStore(store: ContractStore, val view: FeatureView) {
       s"${view.name}: aggregated views cannot materialize incrementally")
     view.materializedSource match {
       case Some(w: graft.sources.WritableSource) =>
-        val watermark =
-          try w.freshness(spark, ts) catch { case _: Throwable => None }
+        // existence probe, not try/catch: a failed freshness read on an
+        // EXISTING table must abort, or the fallback full materialize would
+        // overwrite it from a possibly-degraded raw read
+        val watermark = if (w.exists(spark)) w.freshness(spark, ts) else None
         watermark match {
           case None => materialize(spark)
           case Some(t) =>
@@ -369,11 +378,13 @@ final class ModelStore(store: ContractStore, val contract: ModelContract) {
     val pv = contract.predictionView.getOrElse(
       throw new IllegalStateException(s"${contract.name} has no prediction view"))
     val keys = pv.entities.map(_.name)
-    val stored =
-      try pv.source.read(spark) catch { case _: Throwable => null }
-    if (stored == null) {
+    // existence probe, not try/catch: a transient read failure must surface
+    // rather than re-running the model over every entity and upserting on top
+    // of a table we could not read
+    if (!pv.source.exists(spark)) {
       predictAndStore(spark, entities); pv.source.read(spark).join(entities, keys, "left_semi")
     } else {
+      val stored = pv.source.read(spark)
       val hit = stored.join(entities, keys, "left_semi")
       val missing = entities.join(stored, keys, "left_anti")
       if (!missing.isEmpty) {

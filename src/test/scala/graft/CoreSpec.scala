@@ -89,6 +89,18 @@ class ExprSpec extends AnyFunSuite {
     val df = Seq((0.2, 0.7, 0.1)).toDF("p_a", "p_b", "p_c")
     assert(eval1(MapArgMax(Seq("p_a" -> "a", "p_b" -> "b", "p_c" -> "c")), df) == "b")
   }
+  test("MultiExpr inlines step aliases at lowering — aliases never need real columns") {
+    val df = Seq(3.0).toDF("x")
+    // output references step aliases that exist as columns nowhere
+    val e = MultiExpr(
+      Seq("tmp" -> Binary("add", Ref("x"), Lit(1.0)),
+        "tmp2" -> Binary("mul", Ref("tmp"), Lit(2.0))),
+      Binary("sub", Ref("tmp2"), Ref("x")))
+    assert(eval1(e, df) == 5.0) // (3+1)*2 - 3
+    // a step alias shadowing a REAL column: later refs bind to the step
+    val shadow = MultiExpr(Seq("x" -> Binary("add", Ref("x"), Lit(10.0))), Ref("x"))
+    assert(eval1(shadow, df) == 13.0)
+  }
   test("MultiExpr steps materialize via planner rounds") {
     val v = FeatureView("m", graft.sources.CustomSource(s => {
       import s.implicits._; Seq((2.0)).toDF("x")

@@ -470,7 +470,11 @@ class MultiWindowSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 2.0),
-      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:50:00"), 4.0))
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:50:00"), 4.0),
+      // 11:05 advances max(ts) past 11:00 so the [10:00,11:00) hourly window
+      // survives the end<=max(ts) clip; its own windows (ends 11:30/12:00)
+      // are trailing partials the clip suppresses
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), 8.0))
     val v = FeatureView("mw",
       graft.sources.CustomSource(_ => rows.toDF("user_id", "ts", "v")),
       entities = Seq(Feature("user_id", FInt64)),
@@ -484,14 +488,20 @@ class MultiWindowSpec extends AnyFunSuite {
             everyInterval = Some(java.time.Duration.ofMinutes(30)))))),
       eventTimestamp = Some(EventTimestamp("ts")))
     val out = new graft.store.ContractStore().addView(v).view("mw").all(spark)
-      .select("user_id", "window_ts", "sum_1h", "sum_30m").collect()
-    // hourly spine: [10:00,11:00) → end 11:00, sum 7; latest 30m window with
-    // end <= 11:00 is [10:30,11:00) → sum 4
-    assert(out.length == 1)
-    val r = out.head
-    assert(r.getLong(0) == 1L)
-    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-01-01 11:00:00"))
-    assert(r.getDouble(2) == 7.0 && r.getDouble(3) == 4.0)
+      .select("user_id", "window_ts", "sum_1h", "sum_30m")
+      .orderBy("window_ts").collect()
+    // spine = the DENSER 30m group (reference keeps the larger frame on the
+    // join_asof left): surviving 30m windows end 10:30 (sum 3) and 11:00
+    // (sum 4); the 1h group contributes [10:00,11:00) → end 11:00, sum 7,
+    // attached as-of. Trailing partials (ends 11:30/12:00 > max ts 11:05)
+    // are clipped.
+    assert(out.length == 2)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 1L))
+    assert(out.map(_.getTimestamp(1)).toSeq == Seq(
+      java.sql.Timestamp.valueOf("2024-01-01 10:30:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+    assert(out(0).isNullAt(2) && out(0).getDouble(3) == 3.0) // no 1h window ends <= 10:30
+    assert(out(1).getDouble(2) == 7.0 && out(1).getDouble(3) == 4.0)
   }
 
   test("featuresFor attaches plain features AND aggregates of the same view") {
@@ -514,17 +524,24 @@ class MultiWindowSpec extends AnyFunSuite {
       == Seq((1L, 7.0, 2L)))
   }
 
-  test("sliding offsetInterval shifts the result timestamp") {
-    val rows = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0))
+  test("sliding offsetInterval is SUBTRACTED from the result timestamp, after the clip") {
+    // reference: filter(label <= max ts) then `pl.col(time) - offset_interval`
+    // (local/job.py:130-145)
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), 2.0))
     val aggs = Seq(AggregatedFeature("s", FFloat64, AggFunc.Sum, "v",
       Some(AggregationWindow(java.time.Duration.ofHours(1),
         everyInterval = Some(java.time.Duration.ofHours(1)),
         offsetInterval = Some(java.time.Duration.ofMinutes(10))))))
     val out = Aggregations.sliding(rows.toDF("user_id", "ts", "v"), Seq("user_id"), "ts",
       aggs, aggs.head.window.get).collect()
+    // [10:00,11:00) survives (end 11:00 <= max 11:30) and is labeled
+    // end - 10m = 10:50; [11:00,12:00) is a trailing partial → clipped
     assert(out.length == 1)
+    assert(out.head.getAs[Double]("s") == 1.0)
     assert(out.head.getAs[java.sql.Timestamp]("window_ts")
-      == java.sql.Timestamp.valueOf("2024-01-01 11:10:00"))
+      == java.sql.Timestamp.valueOf("2024-01-01 10:50:00"))
   }
 
   test("incremental materialization appends only rows past the freshness watermark") {
@@ -559,6 +576,10 @@ class MultiWindowSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 2.0),
+      // 11:00 keeps the in-range max(ts) at the [10:00,11:00) window end so
+      // that window survives the clip (its own [11:00,12:00) window is a
+      // clipped trailing partial)
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 5.0),
       (1L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 100.0)) // out of range
     val v = FeatureView("bw",
       graft.sources.CustomSource(_ => rows.toDF("user_id", "ts", "v")),
