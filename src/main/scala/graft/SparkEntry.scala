@@ -1274,9 +1274,163 @@ object SparkEntry {
         GROUP BY o_orderpriority"""))
   )
 
+  // ---------- round 2: corpus-pipeline ops (decontamination, sampling,
+  // LM counts, binning, repetition signals, oracle-checked LSH) ----------
+
+  /** q67's portable hash family restated for the DuckDB oracle: must stay in
+    * lockstep with [[Dedup.portableCoeffs]] / [[Dedup.PortableP]]. */
+  private def sqlMinhashOracle: String = {
+    val p = Dedup.PortableP
+    val sigExprs = Dedup.portableCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(h, x -> ($a * x + $b) % $p)) AS s$i"
+    }.mkString(",\n            ")
+    val bandSelects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"CAST(s${j * 4 + r} AS VARCHAR)").mkString(", ", ", ", "")
+      s"SELECT doc_id, $j AS band, concat_ws('_'$cols) AS bucket FROM sigs"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+        g AS (SELECT doc_id, [array_to_string(w[i:i+2], ' ')
+            for i in generate_series(1, greatest(len(w)-2, 0))] AS grams FROM w),
+        h AS (SELECT doc_id, list_transform(grams,
+            s -> CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) % $p) AS h
+          FROM g WHERE len(grams) > 0),
+        sigs AS (SELECT doc_id,
+            $sigExprs
+          FROM h),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id),
+        sets AS (SELECT doc_id, list_distinct(grams) AS s FROM g)
+      SELECT id_a, id_b,
+        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+      FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5"""
+  }
+
+  private val pipelineQueries3: Seq[Q] = Seq(
+    // --- test-set decontamination: corpus docs sharing any word 3-gram with
+    // the benchmark slice (docs with doc_id % 97 == 0). 13-grams in the
+    // GPT-3/PaLM recipe; 3 here because the synthetic docs are ~60 words of
+    // a tiny vocabulary. Gram keys are md5-derived 8-byte hashes, benchmark
+    // side distinct-reduced + broadcast — the corpus never shuffles
+    // (TextAnalysis.decontaminate scaladoc) ---
+    Q("q62_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 3)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([CAST(concat('0x',
+                substr(md5(array_to_string(w[i:i+2], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
+              for i in generate_series(1, greatest(len(w)-2, 0))]) AS gs
+            FROM w),
+          bench AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id % 97 = 0),
+          corpus AS (SELECT doc_id, unnest(gs) AS h FROM g WHERE doc_id % 97 <> 0)
+        SELECT corpus.doc_id, count(*) AS n_shared
+        FROM corpus JOIN bench USING (h) GROUP BY corpus.doc_id""")),
+
+    // --- deterministic stratified sampling: per-source keep rates via the
+    // auditable md5 router; pure narrow filter, reproducible in any engine ---
+    Q("q63_sample_stratified",
+      (s, dir) => graft.ml.MLOps.stratifiedSampleHash(
+        t(s, dir, "documents"), "doc_id", "source",
+        Map("src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "source", "lang", "n_chars"),
+      Some("""SELECT doc_id, source, lang, n_chars FROM documents
+        WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000000
+          < CASE source WHEN 'src1' THEN 500000 WHEN 'src2' THEN 250000 ELSE 100000 END""")),
+
+    // --- bigram LM count table: n-gram count + conditional probability given
+    // the prefix — top 100 by count (deterministic tiebreak on the gram) ---
+    Q("q64_bigram_lm",
+      (s, dir) => TextAnalysis.ngramLmCounts(t(s, dir, "documents"), "text", n = 2)
+        .orderBy(col("n_gram").desc, col("gram").asc)
+        .limit(100),
+      Some("""WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+          g AS (SELECT unnest([array_to_string(w[i:i+1], ' ')
+              for i in generate_series(1, greatest(len(w)-1, 0))]) AS gram FROM w),
+          gc AS (SELECT gram, count(*) AS n_gram FROM g GROUP BY gram),
+          pc AS (SELECT split_part(gram, ' ', 1) AS prefix, sum(n_gram) AS n_prefix
+            FROM gc GROUP BY 1)
+        SELECT gram, n_gram, CAST(n_gram AS DOUBLE) / CAST(n_prefix AS DOUBLE) AS p_cond
+        FROM gc JOIN pc ON split_part(gc.gram, ' ', 1) = pc.prefix
+        ORDER BY n_gram DESC, gram LIMIT 100""")),
+
+    // --- quantile binning (feature bucketization): per-flag quartile cut
+    // points from the exact-percentile histogram, rows assigned by cut
+    // comparison (order-independent, ties deterministic) — the cut table is a
+    // 3-row broadcast, so binning adds NO shuffle over the fact scan ---
+    Q("q65_quantile_bins",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val cuts = Aggregations.exactPercentiles(li, Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.25, 0.5, 0.75), Seq("c1", "c2", "c3"))
+        li.join(broadcast(cuts), Seq("l_returnflag"))
+          .withColumn("bin",
+            (col("l_extendedprice") > col("c1")).cast("int")
+              + (col("l_extendedprice") > col("c2")).cast("int")
+              + (col("l_extendedprice") > col("c3")).cast("int"))
+          .groupBy("l_returnflag", "bin")
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some(s"""WITH cuts AS (SELECT l_returnflag,
+            quantile_cont(l_extendedprice, 0.25) AS c1,
+            quantile_cont(l_extendedprice, 0.5) AS c2,
+            quantile_cont(l_extendedprice, 0.75) AS c3
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag,
+          CAST(l_extendedprice > c1 AS INT) + CAST(l_extendedprice > c2 AS INT)
+            + CAST(l_extendedprice > c3 AS INT) AS bin,
+          count(*) AS n, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+          ${sqlDsum("l_extendedprice")} AS sum_price
+        FROM lineitem l JOIN cuts USING (l_returnflag)
+        GROUP BY 1, 2""")),
+
+    // --- Gopher repetition signals needing a per-doc mode: top-2-gram
+    // fraction + duplicate-word fraction (explode → two partial-agg shuffles;
+    // O(len) per doc, never a per-row O(len²) HOF) ---
+    Q("q66_repetition_signals",
+      (s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"), "text", "doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+          FROM documents),
+          bg AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+              for i in generate_series(1, greatest(len(w)-1, 0))]) AS g FROM w),
+          bgc AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total_c
+            FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id),
+          wc AS (SELECT doc_id, count(*) AS n_distinct, sum(c) AS n_words
+            FROM (SELECT doc_id, x, count(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS x FROM w) GROUP BY doc_id, x)
+            GROUP BY doc_id)
+        SELECT d.doc_id,
+          coalesce(CAST(top_c AS DOUBLE) / CAST(total_c AS DOUBLE), 0.0) AS top_bigram_frac,
+          coalesce(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 0.0) AS dup_word_frac
+        FROM documents d LEFT JOIN bgc ON bgc.doc_id = d.doc_id
+          LEFT JOIN wc ON wc.doc_id = d.doc_id""")),
+
+    // --- MinHash-LSH near-dup with the PORTABLE hash family: the full
+    // signature → band → bucket-join → jaccard-verify pipeline is
+    // hash-checked against DuckDB (q23's xxhash64 variant stays the
+    // production-speed path; this one proves the algebra) ---
+    Q("q67_minhash_portable",
+      (s, dir) => Dedup.nearDuplicatesPortable(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.5, bands = 4, k = 3),
+      Some(sqlMinhashOracle))
+  )
+
   val specs: Seq[Q] =
     relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++
-      statsQueries ++ analyticQueries ++ storeQueries
+      statsQueries ++ analyticQueries ++ storeQueries ++ pipelineQueries3
 
   // ---------- driver contract ----------
 

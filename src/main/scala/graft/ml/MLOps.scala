@@ -73,6 +73,23 @@ object MLOps {
   def md5Bucket(c: Column, buckets: Int): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets
 
+  /** Deterministic STRATIFIED sampling: keep a row iff its key's hash bucket
+    * falls under its stratum's rate — per-class downsampling of a training
+    * corpus (e.g. keep 10% of crawl text but 100% of curated text) with no
+    * rand(), so the sample is stable across retries/engines and any subset
+    * rerun reproduces the same rows. Pure narrow filter — no shuffle, no
+    * per-stratum pass; the stratum rate is a CASE expression. Uses
+    * [[md5Bucket]] (1e6 buckets) so external engines can audit membership. */
+  def stratifiedSampleHash(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val buckets = 1000000
+    val rateBuckets = rates.foldLeft(lit((defaultRate * buckets).toLong)) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit((r * buckets).toLong)).otherwise(acc)
+    }
+    df.filter(md5Bucket(col(keyCol), buckets) < rateBuckets)
+  }
+
   /** A/B assignment (exposed_model/interface.py:566): hash-based stable split
     * of traffic between two models. `router` overrides the bucket expression
     * (must be in [0, 10000)); default is xxhash64 — fastest, Spark-specific. */

@@ -221,6 +221,74 @@ object Dedup {
       .select("id_a", "id_b", "shared_bands", "jaccard")
   }
 
+  // ---------- portable (cross-engine deterministic) MinHash-LSH ----------
+
+  /** Mersenne prime modulus for the portable universal hash family. */
+  val PortableP: Long = 2147483647L
+
+  /** Fixed (a, b) coefficients of the portable minhash family h_i(x) =
+    * (a_i·x + b_i) mod P. Hardcoded (not generated) so an external engine can
+    * restate them literally in SQL — see SparkEntry q67's oracle. */
+  val portableCoeffs: Seq[(Long, Long)] = Seq(
+    (1299721L, 15485863L), (2750159L, 32452843L), (4256233L, 49979687L),
+    (5800079L, 67867967L), (7368787L, 86028121L), (8960453L, 104395301L),
+    (10570841L, 122949823L), (12195257L, 141650939L), (13834103L, 160481183L),
+    (15485863L, 179424673L), (17144507L, 198491317L), (18815231L, 217645177L),
+    (20495843L, 236887691L), (22182343L, 256203161L), (23879519L, 275604541L),
+    (25582153L, 295075147L))
+
+  /** Shingle base-hashes every engine can reproduce: first 14 hex chars of
+    * md5(shingle) (56 bits) mod P. Slower than xxhash64 (md5 + string slice
+    * per shingle) — the portability tax; the xxhash64 path
+    * ([[hashedShingles]]) is the production default. */
+  def portableShingleHashes(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k),
+      s => pmod(conv(substring(md5(s), 1, 14), 16, 10).cast("long"), lit(PortableP)))
+
+  /** MinHash signature over portable base hashes: sig_i = min over shingles of
+    * (a_i·h + b_i) mod P. Expression-only; the base-hash array must be a
+    * materialized attribute (HOFs are interpreted — no CSE). */
+  def minhashSignaturePortable(baseHashes: Column): Column =
+    array(portableCoeffs.map { case (a, b) =>
+      array_min(transform(baseHashes, h => pmod(lit(a) * h + lit(b), lit(PortableP))))
+    }: _*)
+
+  /** MinHash-LSH near-dup with the PORTABLE hash family — bit-identical
+    * across engines (DuckDB oracle in SparkEntry q67), so the whole LSH
+    * pipeline (signature → banding → bucket join → exact-Jaccard verify) is
+    * hash-checkable, not just rows-only. Same plan shape as
+    * [[nearDuplicates]]: one shuffle on (band, bucket), verification only
+    * within buckets.
+    *
+    * Reference anchor: the reference has no LSH; this is the BASELINE.md
+    * north-star dedup path with determinism strong enough for an oracle. */
+  def nearDuplicatesPortable(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, bands: Int = 4, k: Int = 3): DataFrame = {
+    val numHashes = portableCoeffs.size
+    require(numHashes % bands == 0, "bands must divide the coefficient count")
+    val rowsPerBand = numHashes / bands
+    val sig = df
+      .select(col(idCol).as("id"), portableShingleHashes(col(textCol), k).as("__sh"))
+      .filter(size(col("__sh")) > 0) // no shingles → no signature (both engines)
+      .select(col("id"), minhashSignaturePortable(col("__sh")).as("sig"))
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val cands = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = df.select(col(idCol).as("__id"), hashedShingleSet(col(textCol), k).as("__set"))
+    cands
+      .join(sets.withColumnsRenamed(Map("__id" -> "id_a", "__set" -> "set_a")), "id_a")
+      .join(sets.withColumnsRenamed(Map("__id" -> "id_b", "__set" -> "set_b")), "id_b")
+      .withColumn("jaccard", graft.functions.Native.jaccardSortedLongs(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Embedding-cosine near-dup: candidate pairs from random-hyperplane LSH
     * buckets, verified by exact cosine ≥ threshold. Deterministic
     * pseudo-random hyperplanes derived from xxhash64(dim, bit). */

@@ -164,6 +164,78 @@ object TextAnalysis {
     when(total === 0, 0.0).otherwise(lit(1.0) - distinct.cast("double") / total.cast("double"))
   }
 
+  /** Test-set DECONTAMINATION: flag corpus documents sharing any word n-gram
+    * with a benchmark/eval set — the standard guard against benchmark leakage
+    * in a training corpus (13-gram overlap in GPT-3/PaLM data work; n is a
+    * parameter here because the synthetic docs are short).
+    *
+    * Scale shape: n-grams are hashed to 64-bit ints BEFORE the join (8-byte
+    * keys across the shuffle, not 100-byte strings), the benchmark side is
+    * distinct-reduced and broadcast (eval sets are tiny next to a 100 TB
+    * corpus), and the count(distinct) collapses per doc — one narrow
+    * broadcast-hash-join over the exploded corpus, no shuffle of the corpus
+    * at all. Hashes use the portable md5-derived form so an external engine
+    * reproduces the exact same matches (SparkEntry q62's oracle).
+    *
+    * Returns (idCol, n_shared) for contaminated documents only. */
+  def decontaminate(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, n: Int = 5): org.apache.spark.sql.DataFrame = {
+    def gramHashes(df: org.apache.spark.sql.DataFrame, extra: Seq[Column]) =
+      df.select(extra :+ array_distinct(Dedup.portableShingleHashes(col(textCol), n)).as("__g"): _*)
+    val bench = gramHashes(benchmark, Nil)
+      .select(explode(col("__g")).as("h")).distinct()
+    val corpusGrams = gramHashes(corpus, Seq(col(idCol)))
+      .select(col(idCol), explode(col("__g")).as("h"))
+    corpusGrams.join(broadcast(bench), Seq("h"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared")) // grams pre-distinct per doc
+  }
+
+  /** Gopher-style repetition signals that need a per-document mode (most
+    * frequent n-gram): fraction of all 2-grams taken by the single most
+    * frequent 2-gram, plus the word-level duplicate fraction. Explode →
+    * count(doc, gram) → max/sum per doc: two partial-aggregated shuffles on
+    * (doc, gram) — per-doc work stays O(len), never O(len²), unlike a
+    * per-row higher-order-function mode which would be quadratic on long
+    * documents. Returns (idCol, top_bigram_frac, dup_word_frac). */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(col(idCol),
+        explode(Dedup.hashedShingles(col(textCol), 2)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("top_c"), sum(col("c")).as("total_c"))
+    val words = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n_words"))
+    df.select(col(idCol))
+      .join(grams, Seq(idCol), "left").join(words, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top_c").cast("double") / col("total_c").cast("double"), lit(0.0))
+          .as("top_bigram_frac"),
+        coalesce(lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"),
+          lit(0.0)).as("dup_word_frac"))
+  }
+
+  /** Word n-gram language-model counts: each n-gram's count and its conditional
+    * probability given the (n−1)-gram prefix — the count tables a KenLM-style
+    * LM or contamination scorer is built from. Explode once, aggregate with
+    * map-side partials; prefix counts come from a second aggregation of the
+    * SAME gram counts (no second pass over the corpus). */
+  def ngramLmCounts(df: org.apache.spark.sql.DataFrame,
+      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, "n >= 2 (conditional probability needs a prefix)")
+    val grams = df.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_gram"))
+      // prefix = the gram minus its last word
+      .withColumn("prefix", expr(s"array_join(slice(split(gram, ' '), 1, ${n - 1}), ' ')"))
+    val prefixCounts = grams.groupBy(col("prefix")).agg(sum(col("n_gram")).as("n_prefix"))
+    grams.join(prefixCounts, Seq("prefix"))
+      .select(col("gram"), col("n_gram"),
+        (col("n_gram").cast("double") / col("n_prefix").cast("double")).as("p_cond"))
+  }
+
   /** Corpus vocabulary: top-k most frequent words per group (explode →
     * count → ranked window). Deterministic tiebreak on the word itself. */
   def topWords(df: org.apache.spark.sql.DataFrame, textCol: String,

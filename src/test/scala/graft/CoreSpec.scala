@@ -418,6 +418,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frames.count() >= 2)
   }
 
+  test("portable minhash finds exact and near duplicates, all outputs verified") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    val exact = base
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other), (4L, exact))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatesPortable(df, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // an exact duplicate agrees on every band — detection is certain, not
+    // probabilistic — and its verified jaccard is 1.0
+    assert(pairs((1L, 4L)) == 1.0)
+    // every emitted pair passed exact-jaccard verification
+    assert(pairs.values.forall(_ >= 0.5))
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("decontaminate counts shared n-grams against the benchmark set only") {
+    val corpus = Seq((10L, "x y z w"), (11L, "no overlap here at all")).toDF("doc_id", "text")
+    val bench = Seq((1L, "q r x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(corpus, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // corpus 3-grams of doc 10: {x y z, y z w}; bench: {q r x, r x y, x y z}
+    assert(out == Map(10L -> 1L))
+  }
+
+  test("stratified hash sampling is deterministic, nested, and rate-shaped") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "big" else "small"))
+      .toDF("id", "stratum")
+    def sample(r: Map[String, Double]) =
+      graft.ml.MLOps.stratifiedSampleHash(df, "id", "stratum", r, defaultRate = 0.05)
+        .select("id").as[Long].collect().toSet
+    val s1 = sample(Map("big" -> 0.5))
+    val s2 = sample(Map("big" -> 0.5))
+    assert(s1 == s2) // no rand(): reruns reproduce the exact sample
+    // raising a stratum's rate only ADDS rows (hash thresholding is nested)
+    val bigger = sample(Map("big" -> 0.8))
+    assert(s1.subsetOf(bigger))
+    val bigN = s1.count(_ % 2 == 0).toDouble
+    assert(bigN > 2000 * 0.4 && bigN < 2000 * 0.6)
+  }
+
+  test("ngramLmCounts: bigram counts and conditional probabilities") {
+    val df = Seq("a b", "a b", "a c").toDF("text")
+    val out = TextAnalysis.ngramLmCounts(df, "text", n = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("a b") == ((2L, 2.0 / 3)))
+    assert(out("a c") == ((1L, 1.0 / 3)))
+  }
+
+  test("repetitionSignals: top-bigram fraction and duplicate-word fraction") {
+    val df = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // doc 1 bigrams: (a a)x2, (a b) → top 2/3; words: 4 total, 2 distinct → 0.5
+    assert(out(1L) == ((2.0 / 3, 0.5)))
+    assert(out(2L) == ((1.0 / 3, 0.0))) // all bigrams distinct, all words distinct
+  }
+
   test("store validateSchema flags missing contract columns") {
     val v = FeatureView("vv",
       graft.sources.CustomSource(s => { import s.implicits._; Seq((1L)).toDF("id") }),
