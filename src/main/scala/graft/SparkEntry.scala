@@ -1277,9 +1277,11 @@ object SparkEntry {
   // ---------- round 2: corpus-pipeline ops (decontamination, sampling,
   // LM counts, binning, repetition signals, oracle-checked LSH) ----------
 
-  /** q67's portable hash family restated for the DuckDB oracle: must stay in
-    * lockstep with [[Dedup.portableCoeffs]] / [[Dedup.PortableP]]. */
-  private def sqlMinhashOracle: String = {
+  /** q67's portable hash family restated for the DuckDB oracle as a CTE
+    * chain ending in `pairs(id_a, id_b, jaccard)`: must stay in lockstep
+    * with [[Dedup.portableCoeffs]] / [[Dedup.PortableP]]. Shared by q67
+    * (pairs) and q69 (connected components over the pairs). */
+  private def minhashCtes: String = {
     val p = Dedup.PortableP
     val sigExprs = Dedup.portableCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(h, x -> ($a * x + $b) % $p)) AS s$i"
@@ -1288,7 +1290,7 @@ object SparkEntry {
       val cols = (0 until 4).map(r => s"CAST(s${j * 4 + r} AS VARCHAR)").mkString(", ", ", ", "")
       s"SELECT doc_id, $j AS band, concat_ws('_'$cols) AS bucket FROM sigs"
     }.mkString("\n          UNION ALL ")
-    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+    s"""w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
         g AS (SELECT doc_id, [array_to_string(w[i:i+2], ' ')
             for i in generate_series(1, greatest(len(w)-2, 0))] AS grams FROM w),
         h AS (SELECT doc_id, list_transform(grams,
@@ -1301,13 +1303,36 @@ object SparkEntry {
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
             AND a.doc_id < b.doc_id),
-        sets AS (SELECT doc_id, list_distinct(grams) AS s FROM g)
-      SELECT id_a, id_b,
-        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
-      FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
-      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5"""
+        sets AS (SELECT doc_id, list_distinct(grams) AS s FROM g),
+        pairs AS (SELECT id_a, id_b,
+            CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+              (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+          FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+              (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5)"""
+  }
+
+  private def sqlMinhashOracle: String =
+    s"WITH $minhashCtes SELECT id_a, id_b, jaccard FROM pairs"
+
+  /** q68's portable hyperplane-LSH oracle: the SAME plane literals the Spark
+    * plan bakes in ([[Dedup.portablePlanes]]), restated in SQL. */
+  private def sqlEmbeddingNearDupOracle(threshold: Double, planes: Int, dim: Int): String = {
+    val mat = Dedup.portablePlanes(planes, dim)
+    val bucketExpr = mat.zipWithIndex.map { case (plane, p) =>
+      val lits = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(v, $lits) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n            + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (SELECT vec_id, v,
+            $bucketExpr AS bucket
+          FROM e)
+      SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_inner_product(a.v, b.v) /
+            (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cosine
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      WHERE cosine >= $threshold"""
   }
 
   private val pipelineQueries3: Seq[Q] = Seq(
@@ -1425,7 +1450,48 @@ object SparkEntry {
     Q("q67_minhash_portable",
       (s, dir) => Dedup.nearDuplicatesPortable(t(s, dir, "documents"), "text", "doc_id",
         threshold = 0.5, bands = 4, k = 3),
-      Some(sqlMinhashOracle))
+      Some(sqlMinhashOracle)),
+
+    // --- embedding near-dup with the PORTABLE hyperplane matrix: plan-time
+    // literal planes (no per-row hashing), sign-bucket equi-join, exact
+    // cosine verify — hash-checked against DuckDB (q33's xxhash variant
+    // stays the generic path) ---
+    Q("q68_embedding_neardup_portable",
+      (s, dir) => Dedup.embeddingNearDupPortable(t(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.3, planes = 4, dim = 64),
+      Some(sqlEmbeddingNearDupOracle(threshold = 0.3, planes = 4, dim = 64))),
+
+    // --- near-dup GROUPS: distributed connected components (min-label
+    // propagation, localCheckpoint lineage truncation) over the PORTABLE
+    // minhash pairs — the iterative clustering itself is oracle-checked via
+    // a recursive-CTE transitive closure on the same deterministic edges
+    // (q60's xxhash variant stays rows-only) ---
+    Q("q69_dedup_groups_portable",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.nearDuplicatesPortable(t(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.5, bands = 4, k = 3)),
+      Some(s"""WITH RECURSIVE $minhashCtes,
+          sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+        SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a""")),
+
+    // --- MERGEABLE distinct-count sketches (DataSketches HLL): per-source
+    // vocabulary estimate + a global rollup built by unioning the per-source
+    // sketches (no second scan of the tokens). Sketch internals are
+    // engine-specific → rows-only; the ≤5% error envelope and the
+    // merge = direct-global property are spec-gated (PipelineOpsSpec) ---
+    Q("q70_hll_distinct",
+      (s, dir) => {
+        val tokens = t(s, dir, "documents").select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        val per = Aggregations.hllSketches(tokens, Seq("source"), "w")
+        val global = Aggregations.hllRollup(per, Nil).withColumn("source", lit("ALL"))
+        per.select(col("source"), col("est_distinct"))
+          .unionByName(global.select(col("source"), col("est_distinct")))
+      },
+      None)
   )
 
   val specs: Seq[Q] =

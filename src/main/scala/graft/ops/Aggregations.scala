@@ -184,4 +184,21 @@ object Aggregations {
       .agg(windowed.head, windowed.tail: _*)
       .drop(rid)
   }
+
+  /** MERGEABLE distinct-count sketches (Apache DataSketches HLL, built into
+    * Spark): one sketch per group. At 100 TB this is the distinct-count
+    * pattern — `count_distinct` shuffles every distinct raw value, while
+    * sketches partial-aggregate to a few KB per group and re-merge across
+    * groups, days, or incremental loads in O(sketch) without rescanning. */
+  def hllSketches(df: DataFrame, keys: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
+        hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).as("est_distinct"))
+
+  /** Roll precomputed sketches up to coarser keys (possibly none = global):
+    * sketch union + estimate, never touching raw data again. */
+  def hllRollup(sketches: DataFrame, keys: Seq[String]): DataFrame =
+    sketches.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_distinct"))
 }

@@ -313,6 +313,43 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Deterministic hyperplane matrix shared with external engines: component
+    * (p, i) = ((first 14 hex digits of md5("p:i") as int) mod 2001 − 1000) /
+    * 1000 ∈ [−1, 1]. Computed ONCE at plan time (never per row) and baked
+    * into the plan as literals — the oracle SQL restates the same literals,
+    * so both engines use the identical matrix (SparkEntry q68). */
+  def portablePlanes(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until dim).map { i =>
+        val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14)
+        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+      }
+    }
+
+  /** Embedding near-dup with the PORTABLE plane matrix: sign-of-dot LSH
+    * bucketing (one narrow map — the plane matrix is plan-time literals, no
+    * md5 at runtime), bucket equi-join, exact-cosine verification. Fully
+    * deterministic → DuckDB-hash-checkable, unlike [[embeddingNearDup]]'s
+    * xxhash-derived planes. `dim` must match the vector width. */
+  def embeddingNearDupPortable(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, planes: Int, dim: Int): DataFrame = {
+    val mat = portablePlanes(planes, dim)
+    val sigBits = mat.zipWithIndex.map { case (plane, p) =>
+      when(graft.functions.Native.dotProduct(col("vec"), lit(plane.toArray)) > 0,
+        shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", sigBits.reduce(_ bitwiseOR _))
+    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Connected components over near-duplicate PAIRS → cluster ids: the step
     * that turns pairwise edges (from [[nearDuplicates]] /
     * [[embeddingNearDup]] / simhash banding) into dedup GROUPS, so a

@@ -33,6 +33,16 @@ object Streaming {
   def fileStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /** Streaming exact dedup with BOUNDED state: keep the first row per key,
+    * dropping repeats that arrive within the watermark delay; key state is
+    * evicted once the watermark passes it, so state size tracks the delay
+    * window instead of the stream's lifetime (dropDuplicates without a
+    * watermark grows forever — the classic streaming-dedup OOM). The
+    * streaming face of [[graft.ops.Dedup.exact]] for at-least-once sources. */
+  def dedupStream(stream: DataFrame, keys: Seq[String], ts: String,
+      delay: String = "10 minutes"): DataFrame =
+    stream.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)
+
   /** The per-batch contract pipeline (worker.py:172-204): rename → fill
     * missing → ensure types → derive. Same code path as batch — it is all
     * DataFrame ops, so the batch ViewStore logic applies unchanged. */

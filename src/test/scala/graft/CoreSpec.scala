@@ -290,6 +290,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeats across micro-batches within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def write(rows: Seq[(Long, String, Double)]): Unit =
+      rows.map { case (k, t, v) => (k, java.sql.Timestamp.valueOf(t), v) }
+        .toDF("event_id", "ts", "value").write.mode("append").parquet(dir + "/in")
+    write(Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:00:30", 1.0), // same key, same batch
+      (2L, "2024-01-01 10:01:00", 2.0)))
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val out = graft.streaming.Streaming.dedupStream(stream, Seq("event_id"), "ts", "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("out_dedup").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a redelivery of key 1 (dropped — state still within the
+      // watermark) and a fresh key
+      write(Seq(
+        (1L, "2024-01-01 10:02:00", 99.0),
+        (3L, "2024-01-01 10:03:00", 3.0)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM out_dedup").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("foreachBatch worker sinks batches and fires triggers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 500.0))
@@ -475,6 +503,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     // doc 1 bigrams: (a a)x2, (a b) → top 2/3; words: 4 total, 2 distinct → 0.5
     assert(out(1L) == ((2.0 / 3, 0.5)))
     assert(out(2L) == ((1.0 / 3, 0.0))) // all bigrams distinct, all words distinct
+  }
+
+  test("hll sketches: ≤5% error and sketch-union equals the direct estimate") {
+    val df = (1L to 5000L).map(i => (if (i % 2 == 0) "a" else "b", s"tok${i % 700}"))
+      .toDF("grp", "w")
+    val per = Aggregations.hllSketches(df, Seq("grp"), "w")
+    val exact = df.distinct().groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    per.select("grp", "est_distinct").collect().foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      assert(math.abs(r.getLong(1) - e) / e <= 0.05)
+    }
+    // rolling per-group sketches up to a global estimate ≈ sketching the
+    // whole column directly (merge property — the 100 TB incremental path;
+    // the union operator may promote the sketch representation, so the two
+    // estimates can differ by a rounding step, not by content)
+    val viaMerge = Aggregations.hllRollup(per, Nil).head().getLong(0)
+    val direct = Aggregations.hllSketches(df, Nil, "w").head()
+      .getAs[Long]("est_distinct")
+    assert(math.abs(viaMerge - direct).toDouble / direct <= 0.01)
+    assert(math.abs(viaMerge - 700.0) / 700.0 <= 0.05)
   }
 
   test("store validateSchema flags missing contract columns") {
