@@ -1491,7 +1491,25 @@ object SparkEntry {
         per.select(col("source"), col("est_distinct"))
           .unionByName(global.select(col("source"), col("est_distinct")))
       },
-      None)
+      None),
+
+    // --- incremental exact dedup: a "new batch" (doc_id % 5 == 0) deduped
+    // against the accumulated corpus via an 8-byte-key anti-join, then
+    // within itself (keep-first) — the daily-ingest shape ---
+    Q("q71_dedup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.dedupAgainst(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "text", "doc_id")
+          .select("doc_id", "source", "lang")
+      },
+      Some("""WITH nb AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+          fresh AS (SELECT * FROM nb WHERE text NOT IN
+            (SELECT text FROM documents WHERE doc_id % 5 <> 0))
+        SELECT doc_id, source, lang FROM fresh
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"""))
   )
 
   val specs: Seq[Q] =

@@ -38,6 +38,12 @@ object Native {
   def cosineSim(a: Column, b: Column): Column = toColumn(VecCosine(toExpr(a), toExpr(b)))
   def wordShingleHashes(text: Column, k: Int, distinctSorted: Boolean): Column =
     toColumn(WordShingleHashes(toExpr(text), k, distinctSorted))
+  def portableShingleHashes(text: Column, k: Int, p: Long): Column =
+    toColumn(PortableShingleHashes(toExpr(text), k, p))
+  def wordShingleStrings(text: Column, k: Int): Column =
+    toColumn(WordShingleStrings(toExpr(text), k))
+  def portableMinHashSig(baseHashes: Column, coeffs: Seq[(Long, Long)], p: Long): Column =
+    toColumn(PortableMinHashSig(toExpr(baseHashes), coeffs.toIndexedSeq, p))
   def nearestCentroids(vec: Column, ids: Seq[Int], centroids: Seq[Seq[Double]], n: Int): Column =
     toColumn(NearestCentroids(toExpr(vec), ids.toIndexedSeq,
       centroids.map(_.toIndexedSeq).toIndexedSeq, n))
@@ -163,6 +169,111 @@ case class MinHashSig(child: Expression, numHashes: Int)
     new GenericArrayData(mins)
   }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** PORTABLE word k-gram shingle hashes in one pass: lowercase → whitespace
+  * split → k-gram string → (first 14 hex chars of md5) mod p. Bit-identical
+  * to the Column pipeline `transform(shingles(text,k), s →
+  * pmod(conv(substring(md5(s),1,14),16,10) % p))` and to DuckDB's
+  * `CAST(concat('0x', substr(md5(s),1,14)) AS BIGINT) % p`, but ONE md5 pass
+  * per shingle — the interpreted HOF form is re-evaluated per reference
+  * after projection collapse (16 minhash transforms × 4 bands recomputed the
+  * md5 array ~64× per row; found as a 30s q67 at sf0.1). */
+case class PortableShingleHashes(child: Expression, k: Int, p: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString.toLowerCase.trim
+    if (s.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val words = s.split("\\s+")
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val md = PortableShingleHashes.digest.get()
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 14 hex chars = first 7 bytes = 56 bits (always positive)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = h % p
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): PortableShingleHashes =
+    copy(child = c)
+}
+
+object PortableShingleHashes {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
+/** Word k-gram shingle STRINGS in one pass (lowercase → whitespace split →
+  * join k words with single spaces) — for operators whose OUTPUT is the gram
+  * text itself (LM count tables), where hashing would lose the string. Same
+  * normalization as [[WordShingleHashes]]; one StringBuilder per gram
+  * replaces the interpreted `transform(sequence)/slice/concat_ws` pipeline
+  * (~1 ms/doc interpreted → ~1 µs/doc here; found as a 5 s explode over 5k
+  * docs). */
+case class WordShingleStrings(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString.toLowerCase.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val words = s.split("\\s+")
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingleStrings =
+    copy(child = c)
+}
+
+/** PORTABLE minhash signature over precomputed base hashes: sig_i = min over
+  * shingles of (a_i·h + b_i) mod p, all coefficients in one pass (the
+  * arithmetic twin of [[MinHashSig]] for the cross-engine hash family). */
+case class PortableMinHashSig(child: Expression, coeffs: IndexedSeq[(Long, Long)], p: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = coeffs.length
+    val mins = Array.fill(m)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < m) {
+        val v = (coeffs(i)._1 * h + coeffs(i)._2) % p
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): PortableMinHashSig =
+    copy(child = c)
 }
 
 /** Jaccard similarity of two SORTED distinct long arrays via a merge scan —

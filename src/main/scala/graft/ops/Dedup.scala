@@ -238,20 +238,18 @@ object Dedup {
     (25582153L, 295075147L))
 
   /** Shingle base-hashes every engine can reproduce: first 14 hex chars of
-    * md5(shingle) (56 bits) mod P. Slower than xxhash64 (md5 + string slice
-    * per shingle) — the portability tax; the xxhash64 path
-    * ([[hashedShingles]]) is the production default. */
+    * md5(shingle) (56 bits) mod P. Slower than xxhash64 (an md5 per shingle)
+    * — the portability tax; the xxhash64 path ([[hashedShingles]]) is the
+    * production default. Native one-pass kernel: the equivalent interpreted
+    * `transform(shingles, md5…)` pipeline is re-evaluated per REFERENCE once
+    * projections collapse, which turned q67 into ~64 md5 passes per row. */
   def portableShingleHashes(text: Column, k: Int = 3): Column =
-    transform(shingles(text, k),
-      s => pmod(conv(substring(md5(s), 1, 14), 16, 10).cast("long"), lit(PortableP)))
+    graft.functions.Native.portableShingleHashes(text, k, PortableP)
 
   /** MinHash signature over portable base hashes: sig_i = min over shingles of
-    * (a_i·h + b_i) mod P. Expression-only; the base-hash array must be a
-    * materialized attribute (HOFs are interpreted — no CSE). */
+    * (a_i·h + b_i) mod P — all coefficients in one native pass. */
   def minhashSignaturePortable(baseHashes: Column): Column =
-    array(portableCoeffs.map { case (a, b) =>
-      array_min(transform(baseHashes, h => pmod(lit(a) * h + lit(b), lit(PortableP))))
-    }: _*)
+    graft.functions.Native.portableMinHashSig(baseHashes, portableCoeffs, PortableP)
 
   /** MinHash-LSH near-dup with the PORTABLE hash family — bit-identical
     * across engines (DuckDB oracle in SparkEntry q67), so the whole LSH
@@ -311,6 +309,25 @@ object Dedup {
       .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** INCREMENTAL exact dedup: drop new-batch rows whose normalized text
+    * already exists in the corpus, then exact-dedup within the batch — the
+    * daily-ingest shape (dedup a day's crawl against the accumulated corpus
+    * without re-deduping the corpus). The anti-join runs on a 64-bit content
+    * hash, so only 8-byte keys shuffle; at 100 TB the corpus side is a
+    * pre-materialized hash TABLE (bucketed on the hash → zero-exchange
+    * anti-join), not a full-text rescan. Hash collisions would only drop a
+    * non-duplicate (no false keeps) at ~2⁻⁶⁴ odds; join on the text itself
+    * if that one-sided risk matters. */
+  def dedupAgainst(corpus: DataFrame, newBatch: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val corpusHashes = corpus.select(xxhash64(col(textCol)).as("__h")).distinct()
+    val fresh = newBatch.withColumn("__h", xxhash64(col(textCol)))
+      .join(corpusHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+    exact(fresh, textCol, idCol).filter(!col("is_duplicate"))
+      .drop("canonical_id", "is_duplicate")
   }
 
   /** Deterministic hyperplane matrix shared with external engines: component

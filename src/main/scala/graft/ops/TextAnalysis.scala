@@ -226,7 +226,8 @@ object TextAnalysis {
   def ngramLmCounts(df: org.apache.spark.sql.DataFrame,
       textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
     require(n >= 2, "n >= 2 (conditional probability needs a prefix)")
-    val grams = df.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val grams = df.select(
+        explode(graft.functions.Native.wordShingleStrings(col(textCol), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n_gram"))
       // prefix = the gram minus its last word
       .withColumn("prefix", expr(s"array_join(slice(split(gram, ' '), 1, ${n - 1}), ' ')"))

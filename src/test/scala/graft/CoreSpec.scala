@@ -505,6 +505,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((1.0 / 3, 0.0))) // all bigrams distinct, all words distinct
   }
 
+  test("dedupAgainst drops corpus-known texts, then keep-first within batch") {
+    val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq((10L, "seen before"), (11L, "brand new"), (12L, "brand new"),
+      (13L, "unique")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(corpus, batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L, 13L)) // 10 known, 12 intra-batch dup of 11
+  }
+
   test("hll sketches: ≤5% error and sketch-union equals the direct estimate") {
     val df = (1L to 5000L).map(i => (if (i % 2 == 0) "a" else "b", s"tok${i % 700}"))
       .toDF("grp", "w")
