@@ -685,6 +685,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cross-join-shaped plans: $offenders")
   }
 
+  test("small sides broadcast: decontamination benchmark and quantile cuts") {
+    // q62: the benchmark gram set must be the BUILD side of a broadcast hash
+    // join (the corpus side never shuffles); q65: the 3-row cut table joins
+    // broadcast over the fact scan
+    for (name <- Seq("q62_decontaminate", "q65_quantile_bins")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name: expected a broadcast join\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$name: small side fell into a sort-merge join")
+    }
+  }
+
   test("filter and projection reach the parquet scan") {
     val plan = SparkEntry.queries("q8b_customers_with_urgent_orders")(spark, dir)
       .queryExecution.executedPlan.toString
