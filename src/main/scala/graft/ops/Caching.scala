@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Caching / materialization / iteration plumbing (SURVEY §2.13).
   */
@@ -42,6 +43,26 @@ object Caching {
     if (sortWithinBuckets) w = w.sortBy(bucketKeys.head, bucketKeys.tail: _*)
     w.saveAsTable(table)
     df.sparkSession.table(table)
+  }
+
+  /** Small-files COMPACTION: rewrite a dataset into ~`targetRecordsPerFile`
+    * row files, range-clustered on `clusterBy` so min/max column statistics
+    * become selective (parquet row-group + file skipping — the poor man's
+    * Z-order on one key prefix). A 100 TB table accreted by streaming or
+    * per-batch upserts degenerates into millions of KB-files whose open/
+    * footer costs dominate scans; periodic compaction is the standard fix
+    * (OPTIMIZE in Delta terms — this is the bare-parquet form). */
+  def compact(df: DataFrame, outPath: String, targetRecordsPerFile: Long,
+      clusterBy: Seq[String] = Nil): Unit = {
+    val rows = df.count()
+    val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val arranged =
+      if (clusterBy.nonEmpty) df.repartitionByRange(files, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+      else df.repartition(files)
+    arranged.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(outPath)
   }
 
   /** Chunked iteration that streams partitions to the driver without

@@ -182,6 +182,38 @@ class SourcesSpec extends AnyFunSuite {
   private def tmpDir(): String =
     java.nio.file.Files.createTempDirectory("graft_src").toString
 
+  test("compact rewrites many small files into clustered target-size files") {
+    val dir = tmpDir() + "/c"
+    val df = (1L to 10000L).map(i => (i, i % 97)).toDF("id", "k").repartition(50)
+    Caching.compact(df, dir, targetRecordsPerFile = 2500, clusterBy = Seq("id"))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4 && files.length <= 8, s"got ${files.length} files from 50 input partitions")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    // range clustering: per-file id ranges must be disjoint (min/max stats
+    // make file skipping selective)
+    val ranges = back.groupBy(input_file_name()).agg(min(col("id")), max(col("id")))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.toSeq.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"overlapping file ranges: ${ranges.toSeq}")
+  }
+
+  test("hive-partitioned reads prune partitions in the plan") {
+    val dir = tmpDir() + "/p"
+    val src = graft.sources.PartitionedParquetSource(dir, Seq("d"))
+    src.overwrite(Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("id", "d"))
+    val q = src.read(spark).filter(col("d") === "2024-01-02")
+    val plan = q.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*d#".r.findFirstIn(plan).isDefined,
+      s"partition filter missing from scan:\n$plan")
+    // pruning is physical: only the matching partition's files are opened
+    assert(q.select(input_file_name()).distinct().count() == 1)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("parquet upsert replaces matching keys, keeps the rest") {
     val dir = tmpDir() + "/t"
     val src = graft.sources.ParquetSource(dir)
@@ -233,6 +265,35 @@ class SourcesSpec extends AnyFunSuite {
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("streaming windowed aggregate matches the batch window aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream5").toString
+    val data = (0 until 120).map { i =>
+      (i.toLong % 7, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 50}%02d:00"), i.toDouble)
+    }
+    data.toDF("user_id", "ts", "value").write.parquet(dir + "/in")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val view = FeatureView("pv", graft.sources.CustomSource(_.emptyDataFrame),
+      entities = Seq(Feature("user_id", FInt64)),
+      features = Seq(Feature("value", FFloat64)),
+      aggregates = Seq(AggregatedFeature("sum_10m", FFloat64, AggFunc.Sum, "value",
+        Some(AggregationWindow(java.time.Duration.ofMinutes(10))))),
+      eventTimestamp = Some(EventTimestamp("ts")))
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val agg = graft.streaming.Streaming.windowedAggregate(stream, view)
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("par_agg").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").cast("long"), col("user_id"), col("sum_10m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val streamed = keyed(spark.sql("SELECT * FROM par_agg"))
+    val batch = keyed(data.toDF("user_id", "ts", "value")
+      .groupBy(window(col("ts"), "600 seconds", "600 seconds"), col("user_id"))
+      .agg(sum(col("value")).as("sum_10m")))
+    assert(streamed == batch) // same windows, same sums — stream/batch parity
+  }
 
   test("windowed aggregate over a synchronous file stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
