@@ -153,6 +153,8 @@ object ContractJson {
         s"""{"name":${q(t.name)},"ttl_s":${t.ttl.fold("null")(_.getSeconds.toString)}}""")},""" +
       s""""mapping_keys":${v.mappingKeys.toSeq.sortBy(_._1)
         .map { case (k, x) => s"${q(k)}:${q(x)}" }.mkString("{", ",", "}")},""" +
+      s""""acceptable_freshness_s":${v.acceptableFreshness.fold("null")(_.getSeconds.toString)},""" +
+      s""""unacceptable_freshness_s":${v.unacceptableFreshness.fold("null")(_.getSeconds.toString)},""" +
       s""""description":${opt(v.description)}}"""
   }
 
@@ -196,6 +198,11 @@ object ContractJson {
       },
       mappingKeys = m("mapping_keys").asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> v.toString },
-      description = Option(m("description")).map(_.toString))
+      description = Option(m("description")).map(_.toString),
+      // absent in registries written before these fields existed
+      acceptableFreshness = m.get("acceptable_freshness_s").flatMap(Option(_))
+        .map(x => java.time.Duration.ofSeconds(num(x).toLong)),
+      unacceptableFreshness = m.get("unacceptable_freshness_s").flatMap(Option(_))
+        .map(x => java.time.Duration.ofSeconds(num(x).toLong)))
   }
 }

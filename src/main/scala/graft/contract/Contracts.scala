@@ -106,7 +106,12 @@ final case class FeatureView(
     /** source column → contract column renames (batch_data_source.py:1460). */
     mappingKeys: Map[String, String] = Map.empty,
     materializedSource: Option[graft.sources.BatchSource] = None,
-    description: Option[String] = None) {
+    description: Option[String] = None,
+    /** freshness SLOs (feature_view.py:84-85): data older than `acceptable`
+      * marks the view stale (schedule an update); older than `unacceptable`
+      * marks it unhealthy (alert / fail closed). */
+    acceptableFreshness: Option[java.time.Duration] = None,
+    unacceptableFreshness: Option[java.time.Duration] = None) {
 
   def allFeatureNames: Seq[String] =
     entities.map(_.name) ++ features.map(_.name) ++ derived.map(_.name) ++

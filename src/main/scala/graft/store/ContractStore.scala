@@ -65,6 +65,73 @@ final class ContractStore {
     this
   }
 
+  /** Direct view dependencies: views this view's source reads through
+    * (ViewReferenceSource, possibly nested inside composite sources) —
+    * the edges of the reference's contract graph (depends_on). */
+  def dependenciesOf(name: String): Seq[String] = {
+    def walk(s: graft.sources.BatchSource): Seq[String] = s match {
+      case graft.sources.ViewReferenceSource(_, v) => Seq(v)
+      case graft.sources.FilteredSource(inner, _) => walk(inner)
+      case graft.sources.TransformSource(inner, _) => walk(inner)
+      case graft.sources.JoinSource(l, r, _, _) => walk(l) ++ walk(r)
+      case s: graft.sources.JoinAsofSource => walk(s.left) ++ walk(s.right)
+      case s: graft.sources.StackSource => walk(s.top) ++ walk(s.bottom)
+      case graft.sources.LoadedAtSource(inner, _) => walk(inner)
+      case _ => Nil
+    }
+    walk(viewsMap(name).source).distinct
+  }
+
+  /** Topological materialization order over the view-reference DAG
+    * (materialize_all ordering): every view appears after all views it
+    * reads. Deterministic (name-sorted within a rank); throws on cycles. */
+  def materializationOrder(names: Seq[String] = viewsMap.keys.toSeq.sorted): Seq[String] = {
+    val pending = scala.collection.mutable.LinkedHashSet(names.sorted: _*)
+    val done = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (pending.nonEmpty) {
+      val ready = pending.filter(n => dependenciesOf(n).forall(d => done(d) || !pending(d)))
+      if (ready.isEmpty)
+        throw new IllegalStateException(s"view dependency cycle among: ${pending.mkString(", ")}")
+      ready.foreach { n => pending -= n; done += n }
+    }
+    done.toSeq
+  }
+
+  /** Materialize every view that declares a materialized source, in
+    * dependency order, so a view reading another view sees its FRESH
+    * materialization (feature_view.py:497-506 materialize_all). Returns the
+    * names materialized, in order. */
+  def materializeAll(spark: SparkSession, incremental: Boolean = false): Seq[String] =
+    materializationOrder().filter(viewsMap(_).materializedSource.isDefined).map { n =>
+      if (incremental) view(n).materializeIncremental(spark) else view(n).materialize(spark)
+      n
+    }
+
+  /** Freshness classification against the view's SLOs (acceptable /
+    * unacceptable_freshness, feature_view.py:84-85): `fresh`, `stale`
+    * (update due), `unhealthy` (SLO broken; alert), or `unknown` (no data /
+    * no event timestamp). The scheduling primitive behind "update views
+    * whose data aged out" — pair with [[materializeAll]]. */
+  def freshnessStatus(spark: SparkSession, name: String,
+      asOf: java.sql.Timestamp): String = {
+    val v = viewsMap(name)
+    freshness(spark, name) match {
+      case None => "unknown"
+      case Some(ts) =>
+        val age = java.time.Duration.ofMillis(asOf.getTime - ts.getTime)
+        if (v.unacceptableFreshness.exists(age.compareTo(_) > 0)) "unhealthy"
+        else if (v.acceptableFreshness.exists(age.compareTo(_) > 0)) "stale"
+        else "fresh"
+    }
+  }
+
+  /** Views due for an update at `asOf`: stale or unhealthy per their SLOs. */
+  def staleViews(spark: SparkSession, asOf: java.sql.Timestamp): Seq[String] =
+    viewsMap.keys.toSeq.sorted.filter { n =>
+      val s = freshnessStatus(spark, n, asOf)
+      s == "stale" || s == "unhealthy"
+    }
+
   /** schema-drift check (reference: source_validation.py): contract columns
     * missing from the physical source. */
   def validateSchema(spark: SparkSession, name: String): Seq[String] = {

@@ -1048,4 +1048,94 @@ class RegistrySpec extends AnyFunSuite {
     val out = loaded.view("reg_orders").all(spark)
     assert(out.columns.contains("p2") && out.count() > 0)
   }
+
+  test("freshness SLOs round-trip through the registry JSON") {
+    val path = java.nio.file.Files.createTempDirectory("graft_reg2").toString + "/contracts.json"
+    val v = FeatureView("reg_slo",
+      graft.sources.ParquetSource("/root/testdata/sf0.001/orders.parquet"),
+      entities = Seq(Feature("o_orderkey", FInt64)),
+      eventTimestamp = Some(EventTimestamp("o_orderdate")),
+      acceptableFreshness = Some(java.time.Duration.ofHours(6)),
+      unacceptableFreshness = Some(java.time.Duration.ofDays(2)))
+    new graft.store.ContractStore().addView(v).saveTo(spark, path)
+    val loaded = new graft.store.ContractStore().loadFrom(spark, path)
+    assert(loaded.views("reg_slo") == v)
+  }
+}
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def store(tmp: String) = {
+    val s = new graft.store.ContractStore()
+    val base = FeatureView("g_base",
+      graft.sources.CustomSource(sp => { import sp.implicits._
+        Seq((1L, 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "v", "ts") }),
+      entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("v", FFloat64)),
+      eventTimestamp = Some(EventTimestamp("ts")),
+      materializedSource = Some(graft.sources.ParquetSource(s"$tmp/base")))
+    val mid = FeatureView("g_mid",
+      graft.sources.TransformSource(
+        graft.sources.ViewReferenceSource(() => s, "g_base"),
+        df => df.withColumn("v2", col("v") * 2)),
+      entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("v2", FFloat64)),
+      materializedSource = Some(graft.sources.ParquetSource(s"$tmp/mid")))
+    val top = FeatureView("g_top",
+      graft.sources.FilteredSource(
+        graft.sources.ViewReferenceSource(() => s, "g_mid"), col("v2") > 0),
+      entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("v2", FFloat64)))
+    s.addView(top).addView(mid).addView(base)
+  }
+
+  test("dependency walk sees through composite sources; topo order is stable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    val s = store(tmp)
+    assert(s.dependenciesOf("g_top") == Seq("g_mid"))
+    assert(s.dependenciesOf("g_mid") == Seq("g_base"))
+    assert(s.materializationOrder() == Seq("g_base", "g_mid", "g_top"))
+  }
+
+  test("materializeAll runs in dependency order; cycles throw") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_graph2").toString
+    val s = store(tmp)
+    // g_top has no materialized source → only base and mid, in order
+    assert(s.materializeAll(spark) == Seq("g_base", "g_mid"))
+    val mid = spark.read.parquet(s"$tmp/mid")
+    assert(mid.select("v2").as[Double].collect().toSeq == Seq(20.0))
+    val cyc = new graft.store.ContractStore()
+    lazy val c: graft.store.ContractStore = cyc
+    cyc.addView(FeatureView("c_a", graft.sources.ViewReferenceSource(() => c, "c_b"),
+      entities = Seq(Feature("id", FInt64))))
+    cyc.addView(FeatureView("c_b", graft.sources.ViewReferenceSource(() => c, "c_a"),
+      entities = Seq(Feature("id", FInt64))))
+    assertThrows[IllegalStateException](cyc.materializationOrder())
+  }
+
+  test("freshnessStatus classifies against the view SLOs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_graph3").toString
+    def withSlo(acc: Option[java.time.Duration], unacc: Option[java.time.Duration]) = {
+      val s = new graft.store.ContractStore()
+      s.addView(FeatureView("f_v",
+        graft.sources.CustomSource(sp => { import sp.implicits._
+          Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "ts") }),
+        entities = Seq(Feature("id", FInt64)),
+        eventTimestamp = Some(EventTimestamp("ts")),
+        acceptableFreshness = acc, unacceptableFreshness = unacc))
+      s
+    }
+    val acc = Some(java.time.Duration.ofHours(6))
+    val unacc = Some(java.time.Duration.ofDays(2))
+    val at = (s: String) => java.sql.Timestamp.valueOf(s)
+    assert(withSlo(acc, unacc).freshnessStatus(spark, "f_v", at("2024-01-01 03:00:00")) == "fresh")
+    assert(withSlo(acc, unacc).freshnessStatus(spark, "f_v", at("2024-01-01 12:00:00")) == "stale")
+    assert(withSlo(acc, unacc).freshnessStatus(spark, "f_v", at("2024-01-04 00:00:00")) == "unhealthy")
+    assert(withSlo(None, None).freshnessStatus(spark, "f_v", at("2024-01-04 00:00:00")) == "fresh")
+    val st = withSlo(acc, unacc)
+    assert(st.staleViews(spark, at("2024-01-01 12:00:00")) == Seq("f_v"))
+    assert(st.staleViews(spark, at("2024-01-01 03:00:00")).isEmpty)
+  }
 }
