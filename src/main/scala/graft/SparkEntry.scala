@@ -1509,7 +1509,26 @@ object SparkEntry {
           fresh AS (SELECT * FROM nb WHERE text NOT IN
             (SELECT text FROM documents WHERE doc_id % 5 <> 0))
         SELECT doc_id, source, lang FROM fresh
-        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"""))
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""")),
+
+    // --- sequence packing: concat-and-split every 512 tokens within each
+    // source shard (one window pass per shard — shards are the parallel
+    // unit, no global ordering) ---
+    Q("q72_pack_sequences",
+      (s, dir) => TextAnalysis.packSequences(t(s, dir, "documents"),
+        "text", "doc_id", budget = 512, shardBy = "source"),
+      Some("""WITH t AS (SELECT doc_id, source,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+          FROM documents),
+          o AS (SELECT doc_id, source, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+          FROM t)
+        SELECT doc_id, source, n_tokens,
+          off // 512 AS chunk_id,
+          ((off + n_tokens - 1) // 512) > (off // 512) AS crosses_boundary
+        FROM o"""))
   )
 
   val specs: Seq[Q] =

@@ -64,6 +64,13 @@ object Native {
       es => WordShingleHashes(es.head,
         es(1).eval().asInstanceOf[Number].intValue(),
         es(2).eval().asInstanceOf[Boolean]), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_strings",
+      es => WordShingleStrings(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_portable_shingles",
+      es => PortableShingleHashes(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].longValue()), "built-in")
   }
 }
 

@@ -193,8 +193,8 @@ object Aggregations {
   def hllSketches(df: DataFrame, keys: Seq[String], valueCol: String,
       lgK: Int = 12): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
-        hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).as("est_distinct"))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+      .withColumn("est_distinct", hll_sketch_estimate(col("sketch")))
 
   /** Roll precomputed sketches up to coarser keys (possibly none = global):
     * sketch union + estimate, never touching raw data again. */

@@ -237,6 +237,30 @@ object TextAnalysis {
         (col("n_gram").cast("double") / col("n_prefix").cast("double")).as("p_cond"))
   }
 
+  /** SEQUENCE PACKING for training batches: documents are concatenated in a
+    * deterministic order within each shard and split every `budget` tokens
+    * (the GPT-style pack-and-split shape). A document's chunk is the chunk
+    * of its first token — token offset = running token sum before it — and
+    * `crosses_boundary` flags docs spanning a split point (the ones a loader
+    * must handle across contexts).
+    *
+    * Scale shape: ONE window pass per shard (partition column), never a
+    * global ordering — shards are the parallel unit, exactly how a 100 TB
+    * corpus is packed (per input file / date / source shard). */
+  def packSequences(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      budget: Int, shardBy: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardBy)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tokens = tokenCountWs(col(textCol)).cast("long")
+    df.select(col(idCol), col(shardBy), tokens.as("n_tokens"))
+      .withColumn("__off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col(shardBy), col("n_tokens"),
+        floor(col("__off") / budget).as("chunk_id"),
+        (floor((col("__off") + col("n_tokens") - 1) / budget) > floor(col("__off") / budget))
+          .as("crosses_boundary"))
+  }
+
   /** Corpus vocabulary: top-k most frequent words per group (explode →
     * count → ranked window). Deterministic tiebreak on the word itself. */
   def topWords(df: org.apache.spark.sql.DataFrame, textCol: String,
