@@ -1528,7 +1528,35 @@ object SparkEntry {
         SELECT doc_id, source, n_tokens,
           off // 512 AS chunk_id,
           ((off + n_tokens - 1) // 512) > (off // 512) AS crosses_boundary
-        FROM o"""))
+        FROM o""")),
+
+    // --- bucketed RANGE JOIN (point-in-interval without a nested loop):
+    // events against a 3-day period calendar — the range predicate rides an
+    // equi-join on time buckets (Joins.rangeJoin scaladoc), so the plan
+    // stays a hash join even when neither side broadcasts ---
+    Q("q73_range_join",
+      (s, dir) => {
+        val epoch0 = 1704067200L // 2024-01-01 00:00:00 UTC
+        val periodSec = 3L * 86400
+        val periods = s.range(0, 20).select(
+          col("id").as("period_id"),
+          timestamp_seconds(lit(epoch0) + col("id") * periodSec).as("pstart"),
+          (timestamp_seconds(lit(epoch0) + (col("id") + 1) * periodSec)
+            - expr("INTERVAL 1 MICROSECOND")).as("pend"))
+        Joins.rangeJoin(events(s, dir), "ts", periods, "pstart", "pend",
+          bucketSeconds = periodSec)
+          .groupBy("period_id")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      },
+      Some(s"""WITH periods AS (SELECT i AS period_id,
+            TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 3 DAY AS pstart,
+            TIMESTAMP '2024-01-01 00:00:00' + (i+1) * INTERVAL 3 DAY
+              - INTERVAL 1 MICROSECOND AS pend
+          FROM generate_series(0, 19) t(i))
+        SELECT period_id, count(*) AS n, ${sqlDsum("value")} AS total
+        FROM events JOIN periods
+          ON CAST(ts AS TIMESTAMP) BETWEEN pstart AND pend
+        GROUP BY period_id"""))
   )
 
   val specs: Seq[Q] =

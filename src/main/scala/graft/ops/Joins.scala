@@ -154,6 +154,30 @@ object Joins {
     * key distribution defeats AQE's skew-join splitting (e.g. a single
     * pathological key at 100 TB); otherwise prefer plain join + AQE.
     * Inner/left semantics on equal key names, like `df.join(right, keys, how)`. */
+  /** Point-in-interval RANGE JOIN as an equi-join: Spark plans a pure range
+    * predicate (`pt BETWEEN start AND end`) as a nested-loop join — O(n·m)
+    * once neither side fits a broadcast. Bucketizing the time axis turns it
+    * into a shuffle-parallel hash join: every interval replicates to each
+    * `bucketSeconds` bucket it overlaps, every point lands in exactly ONE
+    * bucket, equality on the bucket id carries the join, and the exact
+    * BETWEEN predicate filters inside the bucket. Interval replication =
+    * ceil(len/bucketSeconds)+1 rows — pick `bucketSeconds` near the typical
+    * interval length to keep it ≤2×. Points match via their single bucket,
+    * so no pair dedup is needed. Inner semantics (each matching
+    * point×interval pair once). */
+  def rangeJoin(points: DataFrame, ptCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val b = lit(bucketSeconds)
+    val iv = intervals.withColumn("__bkt",
+      explode(sequence(floor(unix_timestamp(col(startCol)) / b),
+        floor(unix_timestamp(col(endCol)) / b))))
+    points.withColumn("__bkt", floor(unix_timestamp(col(ptCol)) / b))
+      .join(iv, Seq("__bkt"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bkt")
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       how: String = "inner", salt: Int = 16): DataFrame = {
     require(how == "inner" || how == "left", s"saltedJoin supports inner/left, got $how")

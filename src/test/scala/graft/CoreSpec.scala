@@ -566,6 +566,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((1.0 / 3, 0.0))) // all bigrams distinct, all words distinct
   }
 
+  test("rangeJoin equals the naive between-join and plans a hash join") {
+    val rnd = new scala.util.Random(7)
+    val base = 1704067200L
+    val points = (0 until 300).map { i =>
+      (i.toLong, new java.sql.Timestamp((base + rnd.nextInt(400000)) * 1000L))
+    }.toDF("pid", "ts")
+    // interval lengths from sub-bucket to 5-bucket spans
+    val intervals = (0 until 40).map { i =>
+      val s = base + rnd.nextInt(350000)
+      val e = s + 1000 + rnd.nextInt(250000)
+      (i.toLong, new java.sql.Timestamp(s * 1000L), new java.sql.Timestamp(e * 1000L))
+    }.toDF("iid", "istart", "iend")
+    val got = Joins.rangeJoin(points, "ts", intervals, "istart", "iend", bucketSeconds = 50000)
+    val naive = points.join(intervals,
+      col("ts") >= col("istart") && col("ts") <= col("iend"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(got) == key(naive) && key(got).nonEmpty)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
   test("dedupAgainst drops corpus-known texts, then keep-first within batch") {
     val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
     val batch = Seq((10L, "seen before"), (11L, "brand new"), (12L, "brand new"),
