@@ -33,6 +33,26 @@ object Streaming {
   def fileStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /** STREAM-STREAM interval join: two live streams equi-joined on entity
+    * keys with the right event constrained to a time window around the left
+    * event (`[leftTs - before, leftTs + after]`). Both sides carry
+    * watermarks, and the time bound is what lets Spark EVICT buffered state:
+    * without it a stream-stream join must retain every row forever. The
+    * streaming analog of the batch as-of/PIT family for enriching one event
+    * stream with another (click ⋈ purchase attribution, impression ⋈
+    * conversion). `leftTs`/`rightTs` must be distinct column names. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, before: String, after: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    require(leftTs != rightTs, "rename one side: leftTs and rightTs must differ")
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after")
+    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+  }
+
   /** Streaming exact dedup with BOUNDED state: keep the first row per key,
     * dropping repeats that arrive within the watermark delay; key state is
     * evicted once the watermark passes it, so state size tracks the delay

@@ -351,6 +351,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches events within the time bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream6").toString
+    val schemaL = StructType(Seq(
+      StructField("user_id", LongType), StructField("click_ts", TimestampType)))
+    val schemaR = StructType(Seq(
+      StructField("user_id", LongType), StructField("buy_ts", TimestampType),
+      StructField("amount", DoubleType)))
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00")))
+      .toDF("user_id", "click_ts").write.parquet(dir + "/clicks")
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 5.0), // within 30m after click
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), 7.0), // too late
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:04:00"), 9.0)) // 1m before click: ok
+      .toDF("user_id", "buy_ts", "amount").write.parquet(dir + "/buys")
+    val clicks = graft.streaming.Streaming.fileStream(spark, dir + "/clicks", schemaL)
+    val buys = graft.streaming.Streaming.fileStream(spark, dir + "/buys", schemaR)
+    val joined = graft.streaming.Streaming.intervalJoin(
+      clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+      before = "5 MINUTES", after = "30 MINUTES")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("out_ssj").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.sql("SELECT user_id, amount FROM out_ssj").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 5.0), (2L, 9.0)))
+  }
+
   test("dedupStream drops repeats across micro-batches within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
     val schema = StructType(Seq(
