@@ -178,6 +178,27 @@ object Joins {
       .drop("__bkt")
   }
 
+  /** Interval-OVERLAP join (interval × interval) with the same bucketing:
+    * both sides replicate to their covered buckets; a pair of overlapping
+    * intervals shares at least one bucket, and is emitted EXACTLY once by
+    * pinning it to the first bucket both cover — `bkt ==
+    * max(firstBucket(a), firstBucket(b))` — so no distinct/dedup pass is
+    * needed after the join. Overlap is the closed-interval test
+    * `aStart <= bEnd && bStart <= aEnd`. */
+  def intervalOverlapJoin(left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      bucketSeconds: Long): DataFrame = {
+    val b = lit(bucketSeconds)
+    def banded(df: DataFrame, s: String, e: String) = df.withColumn("__bkt",
+      explode(sequence(floor(unix_timestamp(col(s)) / b), floor(unix_timestamp(col(e)) / b))))
+    val (l, r) = (banded(left, leftStart, leftEnd), banded(right, rightStart, rightEnd))
+    l.join(r, Seq("__bkt"))
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col("__bkt") === greatest(
+        floor(unix_timestamp(col(leftStart)) / b), floor(unix_timestamp(col(rightStart)) / b)))
+      .drop("__bkt")
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       how: String = "inner", salt: Int = 16): DataFrame = {
     require(how == "inner" || how == "left", s"saltedJoin supports inner/left, got $how")

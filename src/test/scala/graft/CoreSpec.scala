@@ -617,6 +617,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"range join fell back to a nested loop:\n$plan")
   }
 
+  test("intervalOverlapJoin equals the naive overlap join, each pair once") {
+    val rnd = new scala.util.Random(13)
+    val base = 1704067200L
+    def mk(n: Int, seedOff: Int) = (0 until n).map { i =>
+      val s = base + rnd.nextInt(300000)
+      val e = s + 500 + rnd.nextInt(200000) // up to 4-bucket spans
+      (i.toLong + seedOff, new java.sql.Timestamp(s * 1000L), new java.sql.Timestamp(e * 1000L))
+    }
+    val a = mk(60, 0).toDF("aid", "as", "ae")
+    val b = mk(60, 1000).toDF("bid", "bs", "be")
+    val got = Joins.intervalOverlapJoin(a, "as", "ae", b, "bs", "be", bucketSeconds = 50000)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = a.join(b, col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == naive.length, "a pair was dropped or double-counted")
+    assert(got.toSet == naive.toSet && got.nonEmpty)
+  }
+
+  test("pipeline ops handle degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("doc_id", "text")
+    // empty benchmark → nothing is contaminated
+    assert(TextAnalysis.decontaminate(docs, emptyDocs, "text", "doc_id", 3).isEmpty)
+    // empty corpus side of incremental dedup → batch only dedups itself
+    assert(Dedup.dedupAgainst(emptyDocs, docs, "text", "doc_id").count() == 2)
+    // empty/one-word docs: zero tokens, chunk 0, no boundary crossing
+    val packed = TextAnalysis.packSequences(
+      docs.withColumn("src", lit("s")), "text", "doc_id", 8, "src")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(packed(1L) == ((3L, 0L)) && packed(2L) == ((0L, 0L)))
+    // portable LSH on an empty frame → empty, no failure
+    assert(Dedup.nearDuplicatesPortable(emptyDocs, "text", "doc_id").isEmpty)
+  }
+
   test("dedupAgainst drops corpus-known texts, then keep-first within batch") {
     val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
     val batch = Seq((10L, "seen before"), (11L, "brand new"), (12L, "brand new"),
