@@ -103,7 +103,12 @@ final class ContractStore {
     * names materialized, in order. */
   def materializeAll(spark: SparkSession, incremental: Boolean = false): Seq[String] =
     materializationOrder().filter(viewsMap(_).materializedSource.isDefined).map { n =>
-      if (incremental) view(n).materializeIncremental(spark) else view(n).materialize(spark)
+      val v = viewsMap(n)
+      // incremental append needs an event timestamp and row-wise semantics;
+      // aggregated views rebuild in full (materializeIncremental scaladoc)
+      if (incremental && v.aggregates.isEmpty && v.eventTimestamp.isDefined)
+        view(n).materializeIncremental(spark)
+      else view(n).materialize(spark)
       n
     }
 
