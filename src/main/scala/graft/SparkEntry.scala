@@ -1556,7 +1556,28 @@ object SparkEntry {
         SELECT period_id, count(*) AS n, ${sqlDsum("value")} AS total
         FROM events JOIN periods
           ON CAST(ts AS TIMESTAMP) BETWEEN pstart AND pend
-        GROUP BY period_id"""))
+        GROUP BY period_id""")),
+
+    // --- TF-IDF-style distinctive terms per doc: ratio idf (no ln — libm
+    // ulp differences are an oracle hazard; ranking identical since ln is
+    // monotonic), deterministic tiebreak on the term ---
+    Q("q74_tfidf_terms",
+      (s, dir) => TextAnalysis.distinctiveTerms(t(s, dir, "documents"),
+        "text", "doc_id", topK = 3),
+      Some("""WITH words AS (SELECT doc_id, x AS term
+            FROM (SELECT doc_id, unnest(list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS x
+            FROM documents)),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, term, tf, df,
+          tf * CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS score,
+          CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY tf * CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE) DESC, term)
+            AS INT) AS term_rank
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        QUALIFY term_rank <= 3"""))
   )
 
   val specs: Seq[Q] =

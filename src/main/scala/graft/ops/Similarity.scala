@@ -151,6 +151,56 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** PRODUCT QUANTIZATION codebooks: split `dim` dimensions into `m`
+    * subspaces and k-means each independently ([[kmeansCentroids]] per
+    * slice). A vector's PQ code is its per-subspace nearest-centroid id —
+    * `m` small ints (m bytes at k ≤ 256) standing in for `dim` floats, a
+    * 32× storage cut at (m=8, dim=64, float32). THE memory lever for ANN
+    * over 100 TB of embeddings: codes live in RAM, raw vectors stay in cold
+    * storage for final re-ranking only. Returns one (id, centroid) list per
+    * subspace. */
+  def pqTrain(corpus: DataFrame, vecCol: String, idCol: String,
+      dim: Int, m: Int, k: Int, iters: Int = 2): Seq[Seq[(Int, Seq[Double])]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), s * sub + 1, sub).as("__sub"))
+      kmeansCentroids(sliced, "__sub", idCol, k, iters)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    }
+  }
+
+  /** Encode vectors to PQ codes: per subspace, the nearest codebook
+    * centroid id via the plan-time [[graft.functions.Native.nearestCentroids]]
+    * kernel — a narrow map, no shuffle, codebooks baked into the plan. */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Double])]], dim: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
+      element_at(graft.functions.Native.nearestCentroids(
+        slice(col(vecCol).cast("array<double>"), s * sub + 1, sub),
+        cb.map(_._1), cb.map(_._2), 1), 1)
+    }
+    df.select(col(idCol), array(codes: _*).as("pq_code"))
+  }
+
+  /** Reconstruct approximate vectors from PQ codes (codebook lookup per
+    * subspace, concatenated). Used for approximate scoring without touching
+    * raw vectors; ids map through a literal int→centroid map because empty
+    * clusters leave codebook ids non-contiguous. */
+  def pqDecode(codes: DataFrame, codebooks: Seq[Seq[(Int, Seq[Double])]],
+      codeCol: String = "pq_code", out: String = "pq_vec"): DataFrame = {
+    val lookups = codebooks.zipWithIndex.map { case (cb, s) =>
+      val mapping = map_from_arrays(
+        array(cb.map(c => lit(c._1)): _*),
+        array(cb.map(c => lit(c._2.toArray)): _*))
+      element_at(mapping, element_at(col(codeCol), s + 1))
+    }
+    codes.withColumn(out, flatten(array(lookups: _*)))
+  }
+
   /** Explode an embedding column into scalar columns (UnpackEmbedding,
     * retrieval_job.py:3296-3320). */
   def unpackEmbedding(df: DataFrame, vecCol: String, dims: Int, prefix: String = "dim_"): DataFrame =

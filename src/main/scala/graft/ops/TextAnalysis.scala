@@ -237,6 +237,38 @@ object TextAnalysis {
         (col("n_gram").cast("double") / col("n_prefix").cast("double")).as("p_cond"))
   }
 
+  /** TF-IDF-style DISTINCTIVE TERMS per document: rank each document's
+    * terms by tf · (N+1)/(df+1). The idf factor is a plain RATIO, not
+    * ln((N+1)/(df+1)): IEEE division is bit-exact across engines while libm
+    * log differs in the last ulp (an oracle-hash hazard); the ranking is
+    * identical because ln is monotonic. Plan shape: one explode →
+    * (doc, term) counts with map-side partials; document frequency
+    * aggregated FROM those counts (no second corpus pass) and joined back
+    * on the term — broadcast when the vocabulary is small, shuffle-hash on
+    * the 8-byte term hash when it isn't. Ties break on the term itself. */
+  def distinctiveTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = words.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // the corpus size is a plan-time scalar, baked in as a literal (the
+    // IVF-centroid idiom): joining a 1-row frame — even broadcast, even on
+    // a constant key, which folds to `true` — plans a
+    // BroadcastNestedLoopJoin, banned corpus-wide by the plan invariants
+    val n = df.count()
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        col("tf") * lit((n + 1).toDouble) / (col("df") + 1).cast("double"))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("term_rank"))
+  }
+
   /** SEQUENCE PACKING for training batches: documents are concatenated in a
     * deterministic order within each shard and split every `budget` tokens
     * (the GPT-style pack-and-split shape). A document's chunk is the chunk

@@ -660,6 +660,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(11L, 13L)) // 10 known, 12 intra-batch dup of 11
   }
 
+  test("distinctiveTerms ranks by tf·idf-ratio with term tiebreak") {
+    val docs = Seq((1L, "rare common common"), (2L, "common common"), (3L, "other common"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.distinctiveTerms(docs, "text", "doc_id", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) -> ((r.getString(1), r.getDouble(4)))).toMap
+    // doc1: common tf2·(4/4)=2.0 ties rare tf1·(4/2)=2.0 → term asc wins
+    assert(out((1L, 1)) == (("common", 2.0)))
+    assert(out((1L, 2)) == (("rare", 2.0)))
+    // doc3: other tf1·(4/2)=2.0 beats common tf1·(4/4)=1.0
+    assert(out((3L, 1)) == (("other", 2.0)))
+  }
+
   test("hll sketches: ≤5% error and sketch-union equals the direct estimate") {
     val df = (1L to 5000L).map(i => (if (i % 2 == 0) "a" else "b", s"tok${i % 700}"))
       .toDF("grp", "w")

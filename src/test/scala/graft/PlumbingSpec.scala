@@ -798,6 +798,45 @@ class KMeansSpec extends AnyFunSuite {
     val recall = exact.count { case (q, n) => approx.get(q).contains(n) }.toDouble / exact.size
     assert(recall >= 0.8, s"IVF recall too low: $recall")
   }
+
+  test("product quantization: codes compress, reconstructions stay close") {
+    val rnd = new scala.util.Random(21)
+    def jitter(base: Array[Float]) = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.15f).toSeq
+    // 4 planted clusters in 8 dims; off-cluster dims get a 0.3 floor so
+    // every 2-dim subspace has signal (an all-noise subvector has no
+    // meaningful cosine reconstruction)
+    val bases = (0 until 4).map { c =>
+      Array.tabulate(8)(i => if (i / 2 == c) 1.0f else 0.3f)
+    }
+    val vecs = (0 until 80).map(i => (i.toLong, jitter(bases(i % 4))))
+      .toDF("vec_id", "embedding")
+    val cb = graft.ops.Similarity.pqTrain(vecs, "embedding", "vec_id",
+      dim = 8, m = 4, k = 4, iters = 2)
+    assert(cb.length == 4 && cb.forall(_.nonEmpty))
+    val codes = graft.ops.Similarity.pqEncode(vecs, "embedding", "vec_id", cb, dim = 8)
+    // m ints stand in for dim floats
+    assert(codes.head().getSeq[Int](1).length == 4)
+    val decoded = graft.ops.Similarity.pqDecode(codes, cb)
+    val recon = decoded.join(vecs, "vec_id")
+      .select(graft.ops.Similarity.cosine(col("embedding"), col("pq_vec")))
+      .collect().map(_.getDouble(0))
+    val meanCos = recon.sum / recon.length
+    assert(meanCos >= 0.85, s"reconstruction too lossy: mean cosine $meanCos")
+    // approximate search on reconstructions finds the exact NN mostly
+    val queries = vecs.filter($"vec_id" < 8)
+    val exactNN = graft.ops.Similarity.bruteForceTopK(vecs, queries, 1)
+      .select("query_id", "neighbor_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approxCorpus = decoded.select(col("vec_id"), col("pq_vec").as("embedding"))
+    val pqNN = graft.ops.Similarity.bruteForceTopK(approxCorpus, queries, 2)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.minBy(_.getAs[Int]("rank")).getAs[Long]("neighbor_id") }
+    // PQ codes collapse within-cluster detail, so require cluster-level
+    // agreement: the PQ neighbor must share the exact neighbor's cluster
+    val clusterOf = (id: Long) => id % 4
+    val ok = exactNN.count { case (q, n) => pqNN.get(q).exists(p => clusterOf(p) == clusterOf(n)) }
+    assert(ok.toDouble / exactNN.size >= 0.75, s"PQ cluster recall too low: $ok/${exactNN.size}")
+  }
 }
 
 /** A session created WITHOUT nanosAsLong in its builder must still be able to
