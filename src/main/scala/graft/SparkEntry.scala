@@ -1577,7 +1577,45 @@ object SparkEntry {
             ORDER BY tf * CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE) DESC, term)
             AS INT) AS term_rank
         FROM tf JOIN dfreq USING (term) CROSS JOIN n
-        QUALIFY term_rank <= 3"""))
+        QUALIFY term_rank <= 3""")),
+
+    // --- data-quality outlier screen: per-group z-scores from EXACT decimal
+    // moments (mean and population std are exact-sum-derived, so z is
+    // bit-identical across engines — no sampling, no approx stddev), rows
+    // flagged at |z| > 3, per-group outlier stats. The grouped-moments
+    // frame is 3 rows → broadcast back over the scan, no second shuffle ---
+    Q("q75_outliers",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val x = col("l_extendedprice").cast(DecimalType(18, 2))
+        val m = li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("__n"),
+          sum(x).cast("double").as("__s"),
+          sum((x * x).cast(DecimalType(28, 4))).cast("double").as("__ss"))
+          .select(col("l_returnflag"),
+            (col("__s") / col("__n")).as("__mean"),
+            sqrt(col("__ss") / col("__n") - (col("__s") / col("__n")) * (col("__s") / col("__n")))
+              .as("__std"))
+        li.join(broadcast(m), Seq("l_returnflag"))
+          .withColumn("__z", (col("l_extendedprice") - col("__mean")) / col("__std"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("__z")) > 3, 1).otherwise(0)).as("n_outliers"),
+            max(col("__z")).as("max_z"), min(col("__z")).as("min_z"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+            sqrt(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) / count(*)
+              - (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                * (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))) AS std
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag, count(*) AS n,
+          CAST(sum(CASE WHEN abs((l_extendedprice - mean) / std) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          max((l_extendedprice - mean) / std) AS max_z,
+          min((l_extendedprice - mean) / std) AS min_z
+        FROM lineitem l JOIN m USING (l_returnflag)
+        GROUP BY l.l_returnflag"""))
   )
 
   val specs: Seq[Q] =
