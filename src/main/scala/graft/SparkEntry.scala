@@ -1615,7 +1615,20 @@ object SparkEntry {
           max((l_extendedprice - mean) / std) AS max_z,
           min((l_extendedprice - mean) / std) AS min_z
         FROM lineitem l JOIN m USING (l_returnflag)
-        GROUP BY l.l_returnflag"""))
+        GROUP BY l.l_returnflag""")),
+
+    // --- group-aware train/test split: all of a user's events share a fold
+    // (row-level splits leak correlated rows across folds); md5 router ---
+    Q("q76_group_split",
+      (s, dir) => graft.ml.MLOps.groupSplit(events(s, dir), "user_id", trainFrac = 0.8)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_rows"), count_distinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("total_value")),
+      Some(s"""SELECT CASE WHEN CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8) AS BIGINT)
+            % 1000000 < 800000 THEN 'train' ELSE 'test' END AS split,
+          count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+          ${sqlDsum("value")} AS total_value
+        FROM events GROUP BY 1"""))
   )
 
   val specs: Seq[Q] =

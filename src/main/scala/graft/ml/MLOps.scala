@@ -90,6 +90,19 @@ object MLOps {
     df.filter(md5Bucket(col(keyCol), buckets) < rateBuckets)
   }
 
+  /** GROUP-AWARE split: every row of a group (user, session, document
+    * cluster) lands in the SAME fold — random row-level splits leak
+    * correlated rows of one entity across train and test, inflating eval
+    * metrics. Deterministic md5 thresholding on the group key (same
+    * auditable router as [[stratifiedSampleHash]]); no shuffle, no rand(). */
+  def groupSplit(df: DataFrame, groupCol: String, trainFrac: Double,
+      out: String = "split"): DataFrame = {
+    val buckets = 1000000
+    df.withColumn(out,
+      when(md5Bucket(col(groupCol), buckets) < lit((trainFrac * buckets).toLong), "train")
+        .otherwise("test"))
+  }
+
   /** A/B assignment (exposed_model/interface.py:566): hash-based stable split
     * of traffic between two models. `router` overrides the bucket expression
     * (must be in [0, 10000)); default is xxhash64 — fastest, Spark-specific. */

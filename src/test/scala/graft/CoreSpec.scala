@@ -660,6 +660,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(11L, 13L)) // 10 known, 12 intra-batch dup of 11
   }
 
+  test("groupSplit keeps every group's rows in one fold") {
+    val df = (1L to 3000L).map(i => (i, i % 200)).toDF("row_id", "user_id")
+    val split = graft.ml.MLOps.groupSplit(df, "user_id", 0.75)
+    val spanning = split.groupBy("user_id")
+      .agg(countDistinct(col("split")).as("folds")).filter(col("folds") > 1)
+    assert(spanning.isEmpty, "a group spans train and test")
+    val trainUsers = split.filter(col("split") === "train")
+      .select("user_id").distinct().count()
+    assert(trainUsers > 200 * 0.6 && trainUsers < 200 * 0.9)
+  }
+
   test("distinctiveTerms ranks by tf·idf-ratio with term tiebreak") {
     val docs = Seq((1L, "rare common common"), (2L, "common common"), (3L, "other common"))
       .toDF("doc_id", "text")
