@@ -1628,7 +1628,67 @@ object SparkEntry {
             % 1000000 < 800000 THEN 'train' ELSE 'test' END AS split,
           count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
           ${sqlDsum("value")} AS total_value
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    // --- per-column data profile in ONE wide aggregate (no per-column
+    // jobs); min/max stringified so heterogeneous columns stack — the money
+    // column routes through DECIMAL so both engines format it identically ---
+    Q("q77_profile",
+      (s, dir) => Profiling.profile(
+        t(s, dir, "orders").withColumn("o_totalprice",
+          col("o_totalprice").cast(DecimalType(18, 2))),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")),
+      Some("""SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+          count(*) - count(o_custkey) AS n_nulls, count(DISTINCT o_custkey) AS n_distinct,
+          CAST(min(o_custkey) AS VARCHAR) AS min_value, CAST(max(o_custkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+          count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders
+        UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+          count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders
+        UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+          count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))),
+          CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+          CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) FROM orders""")),
+
+    // --- distribution drift between two date slices: reference-quartile
+    // binning + triangular-discrimination score (PSI minus the ln — counts,
+    // ratios and squares only, so it is bit-stable across engines) ---
+    Q("q78_drift",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cut = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+        Profiling.drift(
+          o.filter(col("o_orderdate") < lit(cut)),
+          o.filter(col("o_orderdate") >= lit(cut)), "o_totalprice")
+          .select(round(col("drift_score"), 9).as("drift_score"),
+            col("n_bins"), col("n_ref"), col("n_cur"))
+      },
+      Some("""WITH ref AS (SELECT o_totalprice FROM orders
+            WHERE o_orderdate < TIMESTAMP '1995-06-01 00:00:00'),
+          cur AS (SELECT o_totalprice FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'),
+          cuts AS (SELECT quantile_cont(o_totalprice, 0.25) AS c1,
+            quantile_cont(o_totalprice, 0.5) AS c2,
+            quantile_cont(o_totalprice, 0.75) AS c3 FROM ref),
+          rb AS (SELECT CAST(o_totalprice > c1 AS INT) + CAST(o_totalprice > c2 AS INT)
+              + CAST(o_totalprice > c3 AS INT) AS bin, count(*) AS n_ref
+            FROM ref CROSS JOIN cuts GROUP BY 1),
+          cb AS (SELECT CAST(o_totalprice > c1 AS INT) + CAST(o_totalprice > c2 AS INT)
+              + CAST(o_totalprice > c3 AS INT) AS bin, count(*) AS n_cur
+            FROM cur CROSS JOIN cuts GROUP BY 1),
+          j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+              coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+            FROM rb FULL JOIN cb USING (bin)),
+          t AS (SELECT bin, n_ref, n_cur,
+              CAST(n_ref AS DOUBLE) / CAST(sum(n_ref) OVER () AS DOUBLE) AS p,
+              CAST(n_cur AS DOUBLE) / CAST(sum(n_cur) OVER () AS DOUBLE) AS q
+            FROM j)
+        SELECT round(sum(CASE WHEN p + q > 0 THEN (p-q)*(p-q)/(p+q) ELSE 0.0 END), 9)
+            AS drift_score,
+          count(*) AS n_bins, CAST(sum(n_ref) AS BIGINT) AS n_ref,
+          CAST(sum(n_cur) AS BIGINT) AS n_cur
+        FROM t"""))
   )
 
   val specs: Seq[Q] =

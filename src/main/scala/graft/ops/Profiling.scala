@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data profiling and distribution-drift screens — the observability layer a
+  * training-data pipeline runs before (and between) expensive stages. All
+  * exact and engine-portable: no sampling, no transcendentals (libm log/exp
+  * differ across engines in the last ulp — a determinism hazard; every score
+  * here is built from counts, ratios and square roots only).
+  */
+object Profiling {
+
+  /** Per-column profile in ONE pass over the data: row count, null count,
+    * exact distinct count, min/max (as strings, so heterogeneous columns
+    * stack into one frame). One wide aggregate — no per-column jobs, no
+    * unpivot shuffle; a 100-column profile of a 100 TB table is still a
+    * single scan with map-side partials. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        count_distinct(col(c)).as(s"__dst_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single wide row into (column, stats) rows — driver-side on
+    // a 1-row frame, not a shuffle
+    val stats = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__dst_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+    }
+    one.select(explode(array(stats: _*)).as("p")).select("p.*")
+  }
+
+  /** Distribution DRIFT between two slices of the same column (yesterday vs
+    * today, train vs serve): bin both on the REFERENCE slice's exact
+    * quartile cuts, then score the binned histograms with the
+    * triangular-discrimination statistic Σ (pᵢ−qᵢ)²/(pᵢ+qᵢ) ∈ [0, 2] — the
+    * PSI-style screen minus PSI's ln() (engine-portable; same ordering of
+    * drifts). Returns one row: per-bin fractions and the score. The cut
+    * table is tiny and broadcasts; each slice is one scan + one aggregate. */
+  def drift(reference: DataFrame, current: DataFrame, valueCol: String): DataFrame = {
+    // the three cut points are a plan-time scalar (the IVF-centroid /
+    // corpus-count idiom): joining a 1-row frame on a constant key folds
+    // the condition away and replans as a BroadcastNestedLoopJoin, which
+    // the plan invariants ban corpus-wide
+    val cr = Aggregations.exactPercentiles(
+      reference.select(lit(1).as("__g"), col(valueCol)), Seq("__g"), valueCol,
+      Seq(0.25, 0.5, 0.75), Seq("c1", "c2", "c3"))
+      .select("c1", "c2", "c3").head()
+    val (c1, c2, c3) = (cr.getDouble(0), cr.getDouble(1), cr.getDouble(2))
+    def binned(df: DataFrame, tag: String) =
+      df.select(((col(valueCol) > c1).cast("int")
+          + (col(valueCol) > c2).cast("int")
+          + (col(valueCol) > c3).cast("int")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(s"n_$tag"))
+    val joined = binned(reference, "ref")
+      .join(binned(current, "cur"), Seq("bin"), "full")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // totals via a window over the (≤4-row) bin frame keeps the whole op
+    // lazy — no driver action at plan-build time
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val p = col("n_ref").cast("double") / sum(col("n_ref")).over(w).cast("double")
+    val q = col("n_cur").cast("double") / sum(col("n_cur")).over(w).cast("double")
+    val term = when(p + q > 0, (p - q) * (p - q) / (p + q)).otherwise(0.0)
+    joined.select(col("bin"), col("n_ref"), col("n_cur"), term.as("__t"))
+      .agg(sum(col("__t")).as("drift_score"),
+        count(lit(1)).as("n_bins"), sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
+  }
+}

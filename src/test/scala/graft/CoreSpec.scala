@@ -660,6 +660,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(11L, 13L)) // 10 known, 12 intra-batch dup of 11
   }
 
+  test("profile counts nulls/distincts; drift is 0 for identical, large for shifted") {
+    val df = Seq((Some(1), "a"), (None, "b"), (Some(3), "b")).toDF("x", "s")
+    val prof = Profiling.profile(df, Seq("x", "s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(prof("x") == ((1L, 2L))) // one null, two distinct
+    assert(prof("s") == ((0L, 2L)))
+    val ref = (1 to 400).map(_.toDouble).toDF("v")
+    val sameDrift = Profiling.drift(ref, ref, "v").head().getDouble(0)
+    assert(sameDrift == 0.0)
+    val shifted = (401 to 800).map(_.toDouble).toDF("v")
+    val bigDrift = Profiling.drift(ref, shifted, "v").head().getDouble(0)
+    // everything lands in the reference's top bin → near-maximal score
+    assert(bigDrift > 1.0, s"expected large drift, got $bigDrift")
+  }
+
   test("groupSplit keeps every group's rows in one fold") {
     val df = (1L to 3000L).map(i => (i, i % 200)).toDF("row_id", "user_id")
     val split = graft.ml.MLOps.groupSplit(df, "user_id", 0.75)
