@@ -158,9 +158,34 @@ object ContractJson {
       s""""description":${opt(v.description)}}"""
   }
 
+  /** Model contract JSON: input refs + optional prediction view; the
+    * exposed-model CODE is opaque (like code sources) and rebinds at load —
+    * the reference's RepoDefinition serializes models the same way
+    * (schemas/repo_definition.py:130). */
+  def modelToJson(m: graft.contract.ModelContract): String =
+    s"""{"name":${q(m.name)},"input_features":${arr(m.inputFeatures.map(q))},""" +
+      s""""prediction_view":${m.predictionView.fold("null")(toJson)},""" +
+      s""""description":${opt(m.description)}}"""
+
+  def modelFromValue(mv: Map[String, Any],
+      rebindSources: Map[String, graft.sources.BatchSource] = Map.empty,
+      rebindModels: Map[String, graft.ml.ExposedModel] = Map.empty): graft.contract.ModelContract = {
+    val name = mv("name").toString
+    graft.contract.ModelContract(
+      name = name,
+      inputFeatures = mv("input_features").asInstanceOf[Seq[Any]].map(_.toString),
+      predictionView = Option(mv("prediction_view"))
+        .map(v => fromValue(v.asInstanceOf[Map[String, Any]], rebindSources)),
+      model = rebindModels.get(name),
+      description = Option(mv("description")).map(_.toString))
+  }
+
   def fromJson(json: String,
-      rebindSources: Map[String, graft.sources.BatchSource] = Map.empty): FeatureView = {
-    val m = graft.expr.JsonValue.parseObject(json)
+      rebindSources: Map[String, graft.sources.BatchSource] = Map.empty): FeatureView =
+    fromValue(graft.expr.JsonValue.parseObject(json), rebindSources)
+
+  def fromValue(m: Map[String, Any],
+      rebindSources: Map[String, graft.sources.BatchSource]): FeatureView = {
     def feats(k: String): Seq[Feature] = m(k).asInstanceOf[Seq[Any]].map { x =>
       val f = x.asInstanceOf[Map[String, Any]]
       Feature(f("name").toString, FeatureType.fromName(f("dtype").toString),

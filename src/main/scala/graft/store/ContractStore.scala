@@ -44,24 +44,38 @@ final class ContractStore {
     * ContractStore.as_json/from_json). Views with opaque code sources are
     * included; loading them requires a rebind entry. */
   def saveTo(spark: SparkSession, path: String): Unit = {
-    val json = viewsMap.values.toSeq.sortBy(_.name)
+    val views = viewsMap.values.toSeq.sortBy(_.name)
       .map(graft.contract.ContractJson.toJson).mkString("[", ",\n", "]")
+    val models = modelsMap.values.toSeq.sortBy(_.name)
+      .map(graft.contract.ContractJson.modelToJson).mkString("[", ",\n", "]")
+    val json = s"""{"views":$views,\n"models":$models}"""
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   def loadFrom(spark: SparkSession, path: String,
-      rebindSources: Map[String, graft.sources.BatchSource] = Map.empty): ContractStore = {
+      rebindSources: Map[String, graft.sources.BatchSource] = Map.empty,
+      rebindModels: Map[String, graft.ml.ExposedModel] = Map.empty): ContractStore = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(path))
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // top-level array of view objects: split on the object boundaries the
-    // writer emits (",\n" between pretty-printed members)
-    val body = json.trim.stripPrefix("[").stripSuffix("]")
-    if (body.trim.nonEmpty)
-      body.split(",\n").foreach(v =>
-        addView(graft.contract.ContractJson.fromJson(v.trim, rebindSources)))
+    val trimmed = json.trim
+    if (trimmed.startsWith("[")) {
+      // legacy registry: a bare array of view objects, split on the ",\n"
+      // boundaries the old writer emitted
+      val body = trimmed.stripPrefix("[").stripSuffix("]")
+      if (body.trim.nonEmpty)
+        body.split(",\n").foreach(v =>
+          addView(graft.contract.ContractJson.fromJson(v.trim, rebindSources)))
+    } else {
+      val m = graft.expr.JsonValue.parseObject(trimmed)
+      m("views").asInstanceOf[Seq[Any]].foreach(v => addView(
+        graft.contract.ContractJson.fromValue(v.asInstanceOf[Map[String, Any]], rebindSources)))
+      m.get("models").toSeq.flatMap(_.asInstanceOf[Seq[Any]]).foreach(x => addModel(
+        graft.contract.ContractJson.modelFromValue(
+          x.asInstanceOf[Map[String, Any]], rebindSources, rebindModels)))
+    }
     this
   }
 

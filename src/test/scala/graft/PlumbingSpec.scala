@@ -1088,6 +1088,32 @@ class RegistrySpec extends AnyFunSuite {
     assert(out.columns.contains("p2") && out.count() > 0)
   }
 
+  test("model contracts round-trip through the registry; legacy arrays load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reg3").toString
+    val path = dir + "/contracts.json"
+    val v = FeatureView("reg_v",
+      graft.sources.ParquetSource("/root/testdata/sf0.001/orders.parquet"),
+      entities = Seq(Feature("o_orderkey", FInt64)),
+      features = Seq(Feature("o_totalprice", FFloat64)))
+    val model = graft.ml.ExpressionModel("price2", "v1", "p2",
+      org.apache.spark.sql.functions.col("o_totalprice") * 2)
+    val mc = ModelContract("m_price", Seq("reg_v:o_totalprice"),
+      predictionView = Some(v.copy(name = "m_price_preds")), model = Some(model),
+      description = Some("doubles the price"))
+    new graft.store.ContractStore().addView(v).addModel(mc).saveTo(spark, path)
+    val loaded = new graft.store.ContractStore()
+      .loadFrom(spark, path, rebindModels = Map("m_price" -> model))
+    assert(loaded.models.keySet == Set("m_price"))
+    assert(loaded.models("m_price") == mc) // code rebound by name
+    // legacy format (bare view array) still loads
+    val legacy = dir + "/legacy.json"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(legacy), true)
+    try out.write(s"[${graft.contract.ContractJson.toJson(v)}]".getBytes("UTF-8"))
+    finally out.close()
+    assert(new graft.store.ContractStore().loadFrom(spark, legacy).views.keySet == Set("reg_v"))
+  }
+
   test("freshness SLOs round-trip through the registry JSON") {
     val path = java.nio.file.Files.createTempDirectory("graft_reg2").toString + "/contracts.json"
     val v = FeatureView("reg_slo",
