@@ -1688,7 +1688,62 @@ object SparkEntry {
             AS drift_score,
           count(*) AS n_bins, CAST(sum(n_ref) AS BIGINT) AS n_ref,
           CAST(sum(n_cur) AS BIGINT) AS n_cur
-        FROM t"""))
+        FROM t""")),
+
+    // --- CAPSTONE: the whole corpus-preparation pipeline composed end-to-
+    // end — length filter → exact dedup (keep-first) → decontaminate
+    // against the benchmark slice → stratified downsample → sequence-pack —
+    // every stage deterministic, so the five-op composition hash-matches
+    // the oracle, not just each op alone ---
+    Q("q79_corpus_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        val base = docs.filter(col("doc_id") % 97 =!= 0)
+          .filter(length(trim(col("text"))) >= 100)
+        val deduped = Dedup.exact(base, "text", "doc_id")
+          .filter(!col("is_duplicate")).drop("canonical_id", "is_duplicate")
+        val contaminated = TextAnalysis.decontaminate(deduped, bench, "text", "doc_id", 3)
+          .select("doc_id")
+        val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        val sampled = graft.ml.MLOps.stratifiedSampleHash(
+          clean, "doc_id", "source", Map("src1" -> 0.5), defaultRate = 0.2)
+        TextAnalysis.packSequences(sampled, "text", "doc_id", budget = 256, shardBy = "source")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("chunk_id")).as("n_chunks"),
+            sum(col("n_tokens")).as("n_tokens"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, source, text FROM documents
+            WHERE doc_id % 97 <> 0 AND length(trim(text)) >= 100),
+          dedup AS (SELECT * FROM base
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+          wds AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([CAST(concat('0x',
+                substr(md5(array_to_string(w[i:i+2], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
+              for i in generate_series(1, greatest(len(w)-2, 0))]) AS gs
+            FROM wds),
+          benchg AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id % 97 = 0),
+          cg AS (SELECT doc_id, unnest(gs) AS h FROM g WHERE doc_id % 97 <> 0),
+          contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN benchg USING (h)),
+          clean AS (SELECT * FROM dedup
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          sampled AS (SELECT * FROM clean
+            WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000000
+              < CASE source WHEN 'src1' THEN 500000 ELSE 200000 END),
+          tok AS (SELECT doc_id, source,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+            FROM sampled),
+          o AS (SELECT doc_id, source, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+            FROM tok)
+        SELECT source, count(*) AS n_docs,
+          count(DISTINCT off // 256) AS n_chunks,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM o GROUP BY source"""))
   )
 
   val specs: Seq[Q] =

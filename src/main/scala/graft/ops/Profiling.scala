@@ -12,14 +12,21 @@ import org.apache.spark.sql.functions._
 object Profiling {
 
   /** Per-column profile in ONE pass over the data: row count, null count,
-    * exact distinct count, min/max (as strings, so heterogeneous columns
-    * stack into one frame). One wide aggregate — no per-column jobs, no
-    * unpivot shuffle; a 100-column profile of a 100 TB table is still a
-    * single scan with map-side partials. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * distinct count, min/max (as strings, so heterogeneous columns stack
+    * into one frame). One wide aggregate — no per-column jobs, no unpivot
+    * shuffle; a 100-column profile of a 100 TB table is still a single scan
+    * with map-side partials. `exactDistinct = false` swaps count_distinct
+    * for the HLL estimate: EXACT multi-distinct plans an Expand that
+    * multiplies the shuffle by the column count (n_cols copies of every
+    * row), while sketches partial-aggregate — at profiling scale the
+    * estimate is the right default, the exact form the auditable one. */
+  def profile(df: DataFrame, cols: Seq[String], exactDistinct: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { c =>
+      val dst =
+        if (exactDistinct) count_distinct(col(c))
+        else approx_count_distinct(col(c))
       Seq(count(col(c)).as(s"__cnt_$c"),
-        count_distinct(col(c)).as(s"__dst_$c"),
+        dst.as(s"__dst_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     } :+ count(lit(1)).as("__rows")
