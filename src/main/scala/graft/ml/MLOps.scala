@@ -103,6 +103,15 @@ object MLOps {
         .otherwise("test"))
   }
 
+  /** Group-aware K-FOLD assignment: fold = md5(group) mod k, so all of a
+    * group's rows share a fold and fold i's test set never leaks entities
+    * into its train set (the k-way generalization of [[groupSplit]]).
+    * Deterministic, shuffle-free; folds are reproducible across engines. */
+  def kFold(df: DataFrame, groupCol: String, k: Int, out: String = "fold"): DataFrame = {
+    require(k >= 2, "k >= 2")
+    df.withColumn(out, md5Bucket(col(groupCol), k).cast("int"))
+  }
+
   /** A/B assignment (exposed_model/interface.py:566): hash-based stable split
     * of traffic between two models. `router` overrides the bucket expression
     * (must be in [0, 10000)); default is xxhash64 — fastest, Spark-specific. */

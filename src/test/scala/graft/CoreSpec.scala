@@ -379,6 +379,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 5.0), (2L, 9.0)))
   }
 
+  test("stream-batch dimension join enriches a live stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream7").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 7.0))
+      .toDF("user_id", "ts", "value").write.parquet(dir + "/in")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val q = stream.join(dim, "user_id") // static dim broadcast per micro-batch
+      .writeStream.outputMode("append").format("memory").queryName("out_dim").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.sql("SELECT user_id, tier FROM out_dim").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "gold"), (2L, "silver")))
+  }
+
   test("dedupStream drops repeats across micro-batches within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
     val schema = StructType(Seq(
@@ -673,6 +691,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val bigDrift = Profiling.drift(ref, shifted, "v").head().getDouble(0)
     // everything lands in the reference's top bin → near-maximal score
     assert(bigDrift > 1.0, s"expected large drift, got $bigDrift")
+  }
+
+  test("kFold assigns whole groups to folds, covering all k") {
+    val df = (1L to 4000L).map(i => (i, i % 300)).toDF("row_id", "user_id")
+    val folds = graft.ml.MLOps.kFold(df, "user_id", k = 5)
+    val spanning = folds.groupBy("user_id")
+      .agg(countDistinct(col("fold")).as("nf")).filter(col("nf") > 1)
+    assert(spanning.isEmpty)
+    val counts = folds.groupBy("fold").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2, 3, 4))
+    assert(counts.values.forall(c => c > 4000 / 5 * 0.5 && c < 4000 / 5 * 1.5))
   }
 
   test("groupSplit keeps every group's rows in one fold") {
