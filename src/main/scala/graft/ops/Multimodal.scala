@@ -72,6 +72,29 @@ object Multimodal {
     }(enc)
   }
 
+  /** Decode + feature-extract with an EXPLICIT batch contract: the kernel
+    * receives fixed-size batches of byte payloads (last batch ragged) — the
+    * Scala analog of mapInPandas' batch frames, which is what a GPU codec
+    * or model server actually wants (one inference call per batch, not per
+    * row). `kernel` maps a batch of payloads to a batch of vectors;
+    * replace the default (the deterministic fake) with a real codec. */
+  def extractFeaturesBatched(df: DataFrame, bytesCol: String, dims: Int = 16,
+      batchSize: Int = 64, out: String = "media_features",
+      kernel: (Seq[Array[Byte]], Int) => Seq[Array[Float]] =
+        (batch, d) => batch.map(b => if (b == null) null else fakeDecodeFeatures(b, d)))
+      : DataFrame = {
+    require(batchSize > 0, "batchSize > 0")
+    val schema = df.schema.add(out, ArrayType(FloatType))
+    val idx = df.schema.fieldIndex(bytesCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = kernel(batch.map(_.getAs[Array[Byte]](idx)), dims)
+        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f))
+      }
+    }(enc)
+  }
+
   /** Resize metadata transform (pure expression — resize itself is a kernel,
     * but the shape math and metadata update are engine-side). */
   def resizeMeta(df: DataFrame, metaCol: String, maxSide: Int): DataFrame = {

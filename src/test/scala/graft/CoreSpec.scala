@@ -544,6 +544,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("batched media extraction feeds the kernel fixed-size batches") {
+    val df = Multimodal.withFakeMedia((1L to 150L).toDF("doc_id").coalesce(1), "doc_id")
+    // the kernel closure runs (serialized) in tasks, so observe the batch
+    // size through the OUTPUT: every vector carries its batch's length
+    val out = Multimodal.extractFeaturesBatched(df, "media_bytes", dims = 4,
+      batchSize = 64,
+      kernel = (batch, d) => batch.map(_ => Array.fill(d)(batch.length.toFloat)))
+    val perSize = out.select(element_at(col("media_features"), 1).as("bs"))
+      .groupBy("bs").count().collect().map(r => r.getFloat(0) -> r.getLong(1)).toMap
+    // one partition of 150 rows → batches of 64, 64, 22 (last ragged)
+    assert(perSize == Map(64.0f -> 128L, 22.0f -> 22L))
+    assert(out.select(size(col("media_features"))).head().getInt(0) == 4)
+  }
+
   test("multimodal extractFeatures preserves schema and batch shape") {
     val df = Multimodal.withFakeMedia(Seq((1L), (2L)).toDF("doc_id"), "doc_id")
     val out = Multimodal.extractFeatures(df, "media_bytes", dims = 4)
