@@ -84,7 +84,7 @@ case class WordShingleHashes(child: Expression, k: Int, distinctSorted: Boolean)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
-    val s = input.toString.toLowerCase.trim
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT).trim
     if (s.isEmpty) return new GenericArrayData(Array.emptyLongArray)
     val words = s.split("\\s+")
     val n = words.length
@@ -190,7 +190,7 @@ case class PortableShingleHashes(child: Expression, k: Int, p: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
-    val s = input.toString.toLowerCase.trim
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT).trim
     if (s.isEmpty) return new GenericArrayData(Array.emptyLongArray)
     val words = s.split("\\s+")
     val n = words.length
@@ -235,7 +235,7 @@ case class WordShingleStrings(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
-    val s = input.toString.toLowerCase.trim
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT).trim
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
     val words = s.split("\\s+")
     val n = words.length

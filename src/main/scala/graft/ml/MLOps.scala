@@ -61,7 +61,7 @@ object MLOps {
   def shadow(primary: ExposedModel, shadowModel: ExposedModel, fraction: Double, idCol: String)(
       input: DataFrame): DataFrame = {
     val p = primary.predict(input).withColumn("model_version", lit(primary.version))
-    val routed = input.filter(pmod(xxhash64(col(idCol)), lit(10000)) < lit((fraction * 10000).toInt))
+    val routed = input.filter(pmod(xxhash64(col(idCol)), lit(10000)) < lit(math.round(fraction * 10000).toInt))
     val s = shadowModel.predict(routed).withColumn("model_version", lit(shadowModel.version))
     p.unionByName(s)
   }
@@ -83,9 +83,12 @@ object MLOps {
   def stratifiedSampleHash(df: DataFrame, keyCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
     val buckets = 1000000
-    val rateBuckets = rates.foldLeft(lit((defaultRate * buckets).toLong)) {
+    // math.round, not truncation: (0.29 * 1e6).toLong is 289999 in IEEE
+    // arithmetic, which would disagree with any external engine auditing
+    // membership against the documented threshold 290000
+    val rateBuckets = rates.foldLeft(lit(math.round(defaultRate * buckets))) {
       case (acc, (stratum, r)) =>
-        when(col(strataCol) === stratum, lit((r * buckets).toLong)).otherwise(acc)
+        when(col(strataCol) === stratum, lit(math.round(r * buckets))).otherwise(acc)
     }
     df.filter(md5Bucket(col(keyCol), buckets) < rateBuckets)
   }
@@ -99,7 +102,7 @@ object MLOps {
       out: String = "split"): DataFrame = {
     val buckets = 1000000
     df.withColumn(out,
-      when(md5Bucket(col(groupCol), buckets) < lit((trainFrac * buckets).toLong), "train")
+      when(md5Bucket(col(groupCol), buckets) < lit(math.round(trainFrac * buckets.toDouble)), "train")
         .otherwise("test"))
   }
 
@@ -118,9 +121,9 @@ object MLOps {
   def abTest(a: ExposedModel, b: ExposedModel, aShare: Double, idCol: String,
       router: Option[Column] = None)(input: DataFrame): DataFrame = {
     val bucket = router.getOrElse(pmod(xxhash64(col(idCol)), lit(10000)))
-    val aRows = a.predict(input.filter(bucket < lit((aShare * 10000).toInt)))
+    val aRows = a.predict(input.filter(bucket < lit(math.round(aShare * 10000).toInt)))
       .withColumn("model_version", lit(a.version))
-    val bRows = b.predict(input.filter(bucket >= lit((aShare * 10000).toInt)))
+    val bRows = b.predict(input.filter(bucket >= lit(math.round(aShare * 10000).toInt)))
       .withColumn("model_version", lit(b.version))
     aRows.unionByName(bRows)
   }

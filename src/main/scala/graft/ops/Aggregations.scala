@@ -197,8 +197,12 @@ object Aggregations {
       .withColumn("est_distinct", hll_sketch_estimate(col("sketch")))
 
   /** Roll precomputed sketches up to coarser keys (possibly none = global):
-    * sketch union + estimate, never touching raw data again. */
+    * sketch union + estimate, never touching raw data again. The UNIONED
+    * sketch rides along so rollups chain (day → week → month) without ever
+    * rescanning raw data — dropping it would force a rescan at the next
+    * level and defeat the mergeable-sketch point. */
   def hllRollup(sketches: DataFrame, keys: Seq[String]): DataFrame =
     sketches.groupBy(keys.map(col): _*)
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_distinct"))
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+      .withColumn("est_distinct", hll_sketch_estimate(col("sketch")))
 }

@@ -54,15 +54,29 @@ object Caching {
     * (OPTIMIZE in Delta terms — this is the bare-parquet form). */
   def compact(df: DataFrame, outPath: String, targetRecordsPerFile: Long,
       clusterBy: Seq[String] = Nil): Unit = {
-    val rows = df.count()
-    val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    val arranged =
-      if (clusterBy.nonEmpty) df.repartitionByRange(files, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
-      else df.repartition(files)
-    arranged.write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", targetRecordsPerFile)
-      .parquet(outPath)
+    // cache before counting: the frame is read three times (count, range
+    // sampling, write) — and IN-PLACE compaction (outPath == the input's
+    // path) must not lazily re-read the files the overwrite deletes, so the
+    // write goes to a staging dir that is swapped in afterwards
+    df.persist()
+    try {
+      val rows = df.count()
+      val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+      val arranged =
+        if (clusterBy.nonEmpty) df.repartitionByRange(files, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+        else df.repartition(files)
+      val spark = df.sparkSession
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(outPath + "__graft_compact_tmp")
+      arranged.write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", targetRecordsPerFile)
+        .parquet(staging.toString)
+      val dest = new org.apache.hadoop.fs.Path(outPath)
+      fs.delete(dest, true)
+      if (!fs.rename(staging, dest))
+        throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
+    } finally df.unpersist()
   }
 
   /** Chunked iteration that streams partitions to the driver without

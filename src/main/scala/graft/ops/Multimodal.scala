@@ -90,6 +90,10 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val feats = kernel(batch.map(_.getAs[Array[Byte]](idx)), dims)
+        // a kernel that drops failed decodes would silently truncate the
+        // zip — corrupt rows must surface as nulls, not disappear
+        require(feats.length == batch.length,
+          s"media kernel returned ${feats.length} vectors for ${batch.length} payloads")
         batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f))
       }
     }(enc)

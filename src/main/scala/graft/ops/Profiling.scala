@@ -47,8 +47,9 @@ object Profiling {
     * quartile cuts, then score the binned histograms with the
     * triangular-discrimination statistic Σ (pᵢ−qᵢ)²/(pᵢ+qᵢ) ∈ [0, 2] — the
     * PSI-style screen minus PSI's ln() (engine-portable; same ordering of
-    * drifts). Returns one row: per-bin fractions and the score. The cut
-    * table is tiny and broadcasts; each slice is one scan + one aggregate. */
+    * drifts). Returns one row: per-bin fractions and the score. The
+    * reference slice is scanned twice (cut points, then binning) — cuts
+    * need a completed pass before binning can start. */
   def drift(reference: DataFrame, current: DataFrame, valueCol: String): DataFrame = {
     // the three cut points are a plan-time scalar (the IVF-centroid /
     // corpus-count idiom): joining a 1-row frame on a constant key folds
@@ -57,7 +58,9 @@ object Profiling {
     val cr = Aggregations.exactPercentiles(
       reference.select(lit(1).as("__g"), col(valueCol)), Seq("__g"), valueCol,
       Seq(0.25, 0.5, 0.75), Seq("c1", "c2", "c3"))
-      .select("c1", "c2", "c3").head()
+      .select("c1", "c2", "c3").collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"drift: reference slice has no non-null '$valueCol' rows — no cut points"))
     val (c1, c2, c3) = (cr.getDouble(0), cr.getDouble(1), cr.getDouble(2))
     def binned(df: DataFrame, tag: String) =
       df.select(((col(valueCol) > c1).cast("int")

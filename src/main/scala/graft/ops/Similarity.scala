@@ -177,6 +177,8 @@ object Similarity {
   def pqEncode(df: DataFrame, vecCol: String, idCol: String,
       codebooks: Seq[Seq[(Int, Seq[Double])]], dim: Int): DataFrame = {
     val m = codebooks.length
+    require(dim % m == 0,
+      s"dim=$dim not divisible by ${m} codebooks — trailing dims would be silently dropped")
     val sub = dim / m
     val codes = codebooks.zipWithIndex.map { case (cb, s) =>
       element_at(graft.functions.Native.nearestCentroids(

@@ -47,9 +47,12 @@ object Streaming {
     require(leftTs != rightTs, "rename one side: leftTs and rightTs must differ")
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
+    // qualify the time bounds through each side, like the keys — bare
+    // col() refs are AMBIGUOUS_REFERENCE when both streams carry both
+    // timestamp column names (e.g. pre-enriched events)
     val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
-      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after")
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after")
     keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
   }
 

@@ -198,6 +198,11 @@ class SourcesSpec extends AnyFunSuite {
       case Seq((_, hi), (lo, _)) => hi < lo
       case _ => true
     }, s"overlapping file ranges: ${ranges.toSeq}")
+    // IN-PLACE compaction (outPath == the frame's own source path) must not
+    // clobber the files it is reading — the write stages and swaps
+    Caching.compact(spark.read.parquet(dir), dir, targetRecordsPerFile = 5000,
+      clusterBy = Seq("id"))
+    assert(spark.read.parquet(dir).count() == 10000)
   }
 
   test("hive-partitioned reads prune partitions in the plan") {
@@ -755,7 +760,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     // whole column directly (merge property — the 100 TB incremental path;
     // the union operator may promote the sketch representation, so the two
     // estimates can differ by a rounding step, not by content)
-    val viaMerge = Aggregations.hllRollup(per, Nil).head().getLong(0)
+    val viaMerge = Aggregations.hllRollup(per, Nil).select("est_distinct").head().getLong(0)
+    // rollups chain: the unioned sketch itself is in the output, so a
+    // second-level rollup needs no raw data
+    assert(Aggregations.hllRollup(per, Nil).columns.contains("sketch"))
     val direct = Aggregations.hllSketches(df, Nil, "w").head()
       .getAs[Long]("est_distinct")
     assert(math.abs(viaMerge - direct).toDouble / direct <= 0.01)
