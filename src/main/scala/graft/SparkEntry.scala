@@ -1743,7 +1743,23 @@ object SparkEntry {
         SELECT source, count(*) AS n_docs,
           count(DISTINCT off // 256) AS n_chunks,
           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        FROM o GROUP BY source"""))
+        FROM o GROUP BY source""")),
+
+    // --- importance sampling: keep-probability proportional to document
+    // length (longer docs kept more often), deterministic via the md5
+    // router — the continuous-rate cousin of q63's stratified rates ---
+    Q("q80_weighted_sample",
+      (s, dir) => {
+        val rate = least(lit(1.0), col("n_chars").cast("double") / 400.0)
+        graft.ml.MLOps.sampleByRate(t(s, dir, "documents"), "doc_id", rate)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      },
+      Some("""SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+        FROM documents
+        WHERE CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000000
+            AS DOUBLE) < least(1.0, CAST(n_chars AS DOUBLE) / 400.0) * 1000000
+        GROUP BY source"""))
   )
 
   val specs: Seq[Q] =

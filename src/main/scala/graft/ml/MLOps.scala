@@ -93,6 +93,17 @@ object MLOps {
     df.filter(md5Bucket(col(keyCol), buckets) < rateBuckets)
   }
 
+  /** IMPORTANCE sampling with a per-row CONTINUOUS rate: keep a row iff its
+    * key's bucket falls under `rate` (a Column in [0,1] — e.g. a quality
+    * score, a length-proportional weight, an upsample factor for rare
+    * classes). The md5 keying keeps it deterministic and nested like
+    * [[stratifiedSampleHash]]: raising any row's rate only ever ADDS rows.
+    * Pure narrow filter. */
+  def sampleByRate(df: DataFrame, keyCol: String, rate: Column): DataFrame = {
+    val buckets = 1000000
+    df.filter(md5Bucket(col(keyCol), buckets).cast("double") < rate * buckets)
+  }
+
   /** GROUP-AWARE split: every row of a group (user, session, document
     * cluster) lands in the SAME fold — random row-level splits leak
     * correlated rows of one entity across train and test, inflating eval

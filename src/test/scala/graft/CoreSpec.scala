@@ -712,6 +712,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bigDrift > 1.0, s"expected large drift, got $bigDrift")
   }
 
+  test("sampleByRate keeps rows proportionally to their continuous rate") {
+    val df = (1L to 8000L).map(i => (i, if (i % 2 == 0) 0.9 else 0.1)).toDF("id", "w")
+    val kept = graft.ml.MLOps.sampleByRate(df, "id", col("w"))
+      .groupBy("w").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(kept(0.9) > 4000 * 0.8 && kept(0.9) < 4000) // ~90% of evens
+    assert(kept(0.1) > 4000 * 0.05 && kept(0.1) < 4000 * 0.2) // ~10% of odds
+    // nested: doubling a row's rate only ADDS rows
+    val low = graft.ml.MLOps.sampleByRate(df, "id", lit(0.2)).select("id").as[Long].collect().toSet
+    val high = graft.ml.MLOps.sampleByRate(df, "id", lit(0.4)).select("id").as[Long].collect().toSet
+    assert(low.subsetOf(high))
+  }
+
   test("kFold assigns whole groups to folds, covering all k") {
     val df = (1L to 4000L).map(i => (i, i % 300)).toDF("row_id", "user_id")
     val folds = graft.ml.MLOps.kFold(df, "user_id", k = 5)
