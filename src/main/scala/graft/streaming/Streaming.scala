@@ -196,4 +196,24 @@ object Streaming {
     checkpointDir.foreach(d => writer = writer.option("checkpointLocation", d))
     writer.start()
   }
+
+  /** EXACTLY-ONCE sink wrapper for foreachBatch: Structured Streaming
+    * re-delivers a whole micro-batch after a crash between sink write and
+    * checkpoint commit (at-least-once), so a non-idempotent sink double
+    * writes. This wrapper keeps a commit log of applied batch ids next to
+    * the sink data; a re-delivered id is skipped, and the log is written
+    * AFTER the sink call so a crash in between re-runs the batch (the sink
+    * itself must be atomic per batch — upsert-by-key is). The standard
+    * batchId-dedup recipe for non-transactional stores. */
+  def idempotentBatchSink(sink: (DataFrame, Long) => Unit, commitLogDir: String)(
+      implicit spark: SparkSession): (DataFrame, Long) => Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    (batch: DataFrame, id: Long) => {
+      val mark = new org.apache.hadoop.fs.Path(s"$commitLogDir/batch-$id")
+      if (!fs.exists(mark)) {
+        sink(batch, id)
+        fs.create(mark, true).close() // commit AFTER the write: redo, never skip
+      }
+    }
+  }
 }

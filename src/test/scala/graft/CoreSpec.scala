@@ -430,6 +430,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotentBatchSink applies a batch id once, re-runs uncommitted ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream8").toString
+    var applied = List.empty[Long]
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val sink = graft.streaming.Streaming.idempotentBatchSink(
+      (_, id) => applied = applied :+ id, dir + "/commits")
+    val b = Seq((1L, 1.0)).toDF("id", "v")
+    sink(b, 7L)
+    sink(b, 7L) // re-delivery of a committed batch: skipped
+    sink(b, 8L)
+    assert(applied == List(7L, 8L))
+    // a crash BETWEEN sink and commit (simulated by deleting the mark)
+    // re-runs the batch rather than losing it
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/commits/batch-8"), false)
+    sink(b, 8L)
+    assert(applied == List(7L, 8L, 8L))
+  }
+
   test("foreachBatch worker sinks batches and fires triggers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 500.0))
