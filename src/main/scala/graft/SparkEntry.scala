@@ -1759,8 +1759,50 @@ object SparkEntry {
         FROM documents
         WHERE CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000000
             AS DOUBLE) < least(1.0, CAST(n_chars AS DOUBLE) / 400.0) * 1000000
-        GROUP BY source"""))
+        GROUP BY source""")),
+
+    // --- PORTABLE SimHash near-dup: 24-bit signature from md5-derived word
+    // 2-gram hashes, 4-band pigeonholing (exact recall at Hamming ≤ 3),
+    // bit_count verify — completes the oracle-checked near-dup trifecta
+    // (minhash q67, hyperplane q68, simhash here; q25/q61 stay the 64-bit
+    // xxhash production forms) ---
+    Q("q81_simhash_portable",
+      (s, dir) => Dedup.simhashNearDupPortable(t(s, dir, "documents"),
+        "text", "doc_id", maxHamming = 3, bits = 24, k = 2),
+      Some(sqlSimhashOracle))
   )
+
+  /** q81's portable simhash restated for DuckDB: same md5 base hashes as
+    * [[minhashCtes]], bit votes as integer div/mod arithmetic. */
+  private def sqlSimhashOracle: String = {
+    val p = Dedup.PortableP
+    val bitExprs = (0 until 24).map { i =>
+      val p2 = 1L << i
+      s"""(CASE WHEN list_sum(list_transform(h,
+         x -> CASE WHEN (x // $p2) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         THEN $p2 ELSE 0 END)"""
+    }.mkString("\n            + ")
+    val bandSelects = (0 until 4).map { j =>
+      val div = 1L << (6 * j)
+      s"SELECT doc_id, $j AS band, (sig // $div) % 64 AS bits, sig FROM sigs"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+        g AS (SELECT doc_id, [array_to_string(w[i:i+1], ' ')
+            for i in generate_series(1, greatest(len(w)-1, 0))] AS grams FROM w),
+        h AS (SELECT doc_id, list_transform(grams,
+            s -> CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) % $p) AS h
+          FROM g WHERE len(grams) > 0),
+        sigs AS (SELECT doc_id,
+            $bitExprs AS sig
+          FROM h),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.sig AS sa, b.sig AS sb
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bits = b.bits
+            AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+  }
 
   val specs: Seq[Q] =
     relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++

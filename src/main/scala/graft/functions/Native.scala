@@ -44,6 +44,8 @@ object Native {
     toColumn(WordShingleStrings(toExpr(text), k))
   def portableMinHashSig(baseHashes: Column, coeffs: Seq[(Long, Long)], p: Long): Column =
     toColumn(PortableMinHashSig(toExpr(baseHashes), coeffs.toIndexedSeq, p))
+  def portableSimHash(baseHashes: Column, bits: Int): Column =
+    toColumn(PortableSimHash(toExpr(baseHashes), bits))
   def nearestCentroids(vec: Column, ids: Seq[Int], centroids: Seq[Seq[Double]], n: Int): Column =
     toColumn(NearestCentroids(toExpr(vec), ids.toIndexedSeq,
       centroids.map(_.toIndexedSeq).toIndexedSeq, n))
@@ -281,6 +283,35 @@ case class PortableMinHashSig(child: Expression, coeffs: IndexedSeq[(Long, Long)
   }
   override protected def withNewChildInternal(c: Expression): PortableMinHashSig =
     copy(child = c)
+}
+
+/** PORTABLE SimHash over md5-derived base hashes: bit i (i < `bits`) of the
+  * signature is set iff Σ over hashes of (2·bit_i(h) − 1) > 0 — plain
+  * integer arithmetic on the [[PortableShingleHashes]] values, restatable
+  * in any engine as `(h // 2^i) % 2` votes (SparkEntry q81's oracle). */
+case class PortableSimHash(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](bits)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < bits) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): PortableSimHash = copy(child = c)
 }
 
 /** Jaccard similarity of two SORTED distinct long arrays via a merge scan —

@@ -330,6 +330,34 @@ object Dedup {
       .drop("canonical_id", "is_duplicate")
   }
 
+  /** SimHash near-dup with the PORTABLE hash family: a `bits`-wide signature
+    * from md5-derived shingle hashes, band-pigeonholed into `maxHamming+1`
+    * bands (EXACT recall, like [[simhashNearDup]]) and verified with
+    * bit_count — every stage integer arithmetic an external engine restates
+    * (SparkEntry q81's DuckDB oracle), unlike the xxhash64 64-bit variant.
+    * `bits` must split evenly into `maxHamming+1` bands. */
+  def simhashNearDupPortable(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bits: Int = 16, k: Int = 2): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0, s"bits=$bits must split into ${bands} bands")
+    val width = bits / bands
+    val sig = df
+      .select(col(idCol).as("id"), portableShingleHashes(col(textCol), k).as("__h"))
+      .filter(size(col("__h")) > 0)
+      .select(col("id"), graft.functions.Native.portableSimHash(col("__h"), bits).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1)).as("bits"))
+    }
+    val banded = sig.withColumn("__b", explode(array(bandCols: _*)))
+    val a = banded.select(col("__b"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("__b"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("__b")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Deterministic hyperplane matrix shared with external engines: component
     * (p, i) = ((first 14 hex digits of md5("p:i") as int) mod 2001 − 1000) /
     * 1000 ∈ [−1, 1]. Computed ONCE at plan time (never per row) and baked
