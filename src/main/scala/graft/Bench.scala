@@ -27,10 +27,11 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // ms precision keeps the ONE json line short enough to survive the
-    // driver's bounded output-tail capture (full-precision doubles pushed the
-    // line past the window in round 1 → "parsed": null)
-    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // centisecond precision keeps the ONE json line short enough to survive
+    // the driver's bounded output-tail capture (full-precision doubles
+    // pushed the line past the window in round 1 → "parsed": null; at 82
+    // queries even ms precision leaves <500 B of margin)
+    def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
