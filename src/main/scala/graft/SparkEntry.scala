@@ -1755,7 +1755,7 @@ object SparkEntry {
           .groupBy("source")
           .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
       },
-      Some("""SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+      Some("""SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
         FROM documents
         WHERE CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000000
             AS DOUBLE) < least(1.0, CAST(n_chars AS DOUBLE) / 400.0) * 1000000

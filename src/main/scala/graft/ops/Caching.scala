@@ -57,8 +57,13 @@ object Caching {
     // cache before counting: the frame is read three times (count, range
     // sampling, write) — and IN-PLACE compaction (outPath == the input's
     // path) must not lazily re-read the files the overwrite deletes, so the
-    // write goes to a staging dir that is swapped in afterwards
-    df.persist()
+    // write goes to a SIBLING staging dir that is swapped in afterwards.
+    // (Path(parent, name+suffix), never string concat: a trailing-slash
+    // outPath would nest the staging dir INSIDE dest, and the recursive
+    // delete would destroy both copies.) Don't evict a cache the caller
+    // already established.
+    val wasCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!wasCached) df.persist()
     try {
       val rows = df.count()
       val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
@@ -66,17 +71,20 @@ object Caching {
         if (clusterBy.nonEmpty) df.repartitionByRange(files, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
         else df.repartition(files)
-      val spark = df.sparkSession
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      val staging = new org.apache.hadoop.fs.Path(outPath + "__graft_compact_tmp")
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val dest = new org.apache.hadoop.fs.Path(outPath)
+      // the path's OWN filesystem, not the default one — outPath may live on
+      // s3a:// while fs.defaultFS is hdfs://
+      val fs = dest.getFileSystem(conf)
+      val staging = new org.apache.hadoop.fs.Path(
+        dest.getParent, dest.getName + "__graft_compact_tmp")
       arranged.write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", targetRecordsPerFile)
         .parquet(staging.toString)
-      val dest = new org.apache.hadoop.fs.Path(outPath)
       fs.delete(dest, true)
       if (!fs.rename(staging, dest))
         throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
-    } finally df.unpersist()
+    } finally if (!wasCached) { df.unpersist(); () }
   }
 
   /** Chunked iteration that streams partitions to the driver without

@@ -142,6 +142,28 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Shared band-pigeonhole pipeline over a signature frame (`__id`,
+    * `__sig` + optional blocking keys): explode (band, bits) buckets per
+    * `bandBounds` (bit offset, width), equi-join within buckets, verify
+    * with bit_count, dedup (a close pair can share several bands). Used by
+    * both the 64-bit and the portable simhash near-dup. */
+  private def simhashBandPairs(sig: DataFrame, blockBy: Seq[String],
+      bandBounds: Seq[(Int, Int)], maxHamming: Int): DataFrame = {
+    val keys = blockBy.map(col)
+    val bandCols = bandBounds.zipWithIndex.map { case ((lo, width), bIdx) =>
+      val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1L)
+      struct(lit(bIdx).as("band"), shiftright(col("__sig"), lo).bitwiseAND(mask).as("bits"))
+    }
+    val banded = sig.withColumn("__b", explode(array(bandCols: _*)))
+    val a = banded.select(keys ++ Seq(col("__id").as("id_a"), col("__sig").as("sig_a"), col("__b")): _*)
+    val b = banded.select(keys ++ Seq(col("__id").as("id_b"), col("__sig").as("sig_b"), col("__b")): _*)
+    a.join(b, blockBy :+ "__b").filter(col("id_a") < col("id_b"))
+      .select(keys ++ Seq(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming")): _*)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash near-duplicates at scale via band pigeonholing — EXACT recall:
     * split the 64-bit signature into `maxHamming + 1` bit-bands; a pair
     * within Hamming distance maxHamming differs in at most maxHamming bands,
@@ -158,20 +180,11 @@ object Dedup {
     val sig = withSimhash(
       df.select(keys :+ col(idCol).as("__id") :+ col(textCol): _*), textCol, "__sig", k)
       .select(keys :+ col("__id") :+ col("__sig"): _*)
-    val bandCols = (0 until bands).map { bIdx =>
-      val lo = bIdx * base
-      val width = if (bIdx == bands - 1) 64 - lo else base
-      val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1L)
-      struct(lit(bIdx).as("band"), shiftright(col("__sig"), lo).bitwiseAND(mask).as("bits"))
+    val bounds = (0 until bands).map { b =>
+      val lo = b * base
+      (lo, if (b == bands - 1) 64 - lo else base)
     }
-    val banded = sig.withColumn("__b", explode(array(bandCols: _*)))
-    val a = banded.select(keys ++ Seq(col("__id").as("id_a"), col("__sig").as("sig_a"), col("__b")): _*)
-    val b = banded.select(keys ++ Seq(col("__id").as("id_b"), col("__sig").as("sig_b"), col("__b")): _*)
-    a.join(b, blockBy :+ "__b").filter(col("id_a") < col("id_b"))
-      .select(keys ++ Seq(col("id_a"), col("id_b"),
-        hamming(col("sig_a"), col("sig_b")).as("hamming")): _*)
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // a close pair can share several bands
+    simhashBandPairs(sig, blockBy, bounds, maxHamming)
   }
 
   /** Jaccard similarity of two precomputed distinct-shingle arrays. When a
@@ -340,22 +353,17 @@ object Dedup {
       maxHamming: Int = 3, bits: Int = 16, k: Int = 2): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits=$bits must split into ${bands} bands")
+    // base hashes are mod P = 2^31-1, so bits ≥ 31 would vote a constant 0
+    // — identical high bands for every doc would degenerate the pigeonhole
+    // join toward all-pairs (the 64-bit form is [[simhashNearDup]])
+    require(bits >= bands && bits <= 30, s"1 ≤ bands ≤ bits ≤ 30, got bits=$bits")
     val width = bits / bands
     val sig = df
-      .select(col(idCol).as("id"), portableShingleHashes(col(textCol), k).as("__h"))
+      .select(col(idCol).as("__id"), portableShingleHashes(col(textCol), k).as("__h"))
       .filter(size(col("__h")) > 0)
-      .select(col("id"), graft.functions.Native.portableSimHash(col("__h"), bits).as("sig"))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1)).as("bits"))
-    }
-    val banded = sig.withColumn("__b", explode(array(bandCols: _*)))
-    val a = banded.select(col("__b"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("__b"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("__b")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .select(col("__id"),
+        graft.functions.Native.portableSimHash(col("__h"), bits).as("__sig"))
+    simhashBandPairs(sig, Nil, (0 until bands).map(b => (b * width, width)), maxHamming)
   }
 
   /** Deterministic hyperplane matrix shared with external engines: component

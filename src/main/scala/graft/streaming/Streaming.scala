@@ -205,14 +205,22 @@ object Streaming {
     * AFTER the sink call so a crash in between re-runs the batch (the sink
     * itself must be atomic per batch — upsert-by-key is). The standard
     * batchId-dedup recipe for non-transactional stores. */
-  def idempotentBatchSink(sink: (DataFrame, Long) => Unit, commitLogDir: String)(
+  def idempotentBatchSink(sink: (DataFrame, Long) => Unit, commitLogDir: String,
+      retainMarks: Int = 100)(
       implicit spark: SparkSession): (DataFrame, Long) => Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(commitLogDir)
+    // the log dir's own filesystem, not the default one (s3a vs hdfs)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (batch: DataFrame, id: Long) => {
-      val mark = new org.apache.hadoop.fs.Path(s"$commitLogDir/batch-$id")
+      val mark = new org.apache.hadoop.fs.Path(logDir, s"batch-$id")
       if (!fs.exists(mark)) {
         sink(batch, id)
         fs.create(mark, true).close() // commit AFTER the write: redo, never skip
+        // sliding retention: ids are monotonic and only recent batches can
+        // re-deliver, so one targeted delete per commit bounds the log
+        // instead of accreting a marker file per micro-batch forever
+        if (id >= retainMarks)
+          fs.delete(new org.apache.hadoop.fs.Path(logDir, s"batch-${id - retainMarks}"), false)
       }
     }
   }
