@@ -1601,7 +1601,10 @@ object SparkEntry {
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             sum(when(abs(col("__z")) > 3, 1).otherwise(0)).as("n_outliers"),
-            max(col("__z")).as("max_z"), min(col("__z")).as("min_z"))
+            // round(9): the decimal->double casts feeding mean/std can
+            // double-round one ulp apart across engines (sf0.001 showed a
+            // 4e-16 max_z divergence)
+            round(max(col("__z")), 9).as("max_z"), round(min(col("__z")), 9).as("min_z"))
       },
       Some("""WITH m AS (SELECT l_returnflag,
             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
@@ -1612,8 +1615,8 @@ object SparkEntry {
           FROM lineitem GROUP BY l_returnflag)
         SELECT l.l_returnflag, count(*) AS n,
           CAST(sum(CASE WHEN abs((l_extendedprice - mean) / std) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-          max((l_extendedprice - mean) / std) AS max_z,
-          min((l_extendedprice - mean) / std) AS min_z
+          round(max((l_extendedprice - mean) / std), 9) AS max_z,
+          round(min((l_extendedprice - mean) / std), 9) AS min_z
         FROM lineitem l JOIN m USING (l_returnflag)
         GROUP BY l.l_returnflag""")),
 
