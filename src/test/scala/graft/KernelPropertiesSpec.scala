@@ -29,6 +29,37 @@ class KernelPropertiesSpec extends AnyFunSuite {
     .flatMap(n => Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
     .map(_.distinct.sorted)
 
+  test("portable kernels equal their Column-pipeline definitions") {
+    import org.apache.spark.sql.functions._
+    val p = graft.ops.Dedup.PortableP
+    forAll(textGen) { text: String =>
+      val df = Seq(Tuple1(text)).toDF("t")
+      // base hashes: kernel vs interpreted md5 pipeline (the cross-engine
+      // contract the DuckDB oracles restate)
+      val viaKernel = df.select(
+        graft.functions.Native.portableShingleHashes(col("t"), 3, p)).head().getSeq[Long](0)
+      val viaColumns = df.select(
+        transform(graft.ops.Dedup.shingles(col("t"), 3),
+          s => pmod(conv(substring(md5(s), 1, 14), 16, 10).cast("long"), lit(p))))
+        .head().getSeq[Long](0)
+      assert(viaKernel == viaColumns, s"base hashes diverge for: '$text'")
+      // minhash signature: kernel vs per-coefficient array_min pipeline
+      if (viaKernel.nonEmpty) {
+        val sigKernel = df.select(graft.ops.Dedup.minhashSignaturePortable(
+          graft.functions.Native.portableShingleHashes(col("t"), 3, p))).head().getSeq[Long](0)
+        val sigColumns = graft.ops.Dedup.portableCoeffs.map { case (a, b) =>
+          viaKernel.map(h => java.lang.Math.floorMod(a * h + b, p)).min
+        }
+        assert(sigKernel == sigColumns, s"minhash sig diverges for: '$text'")
+      }
+      // gram strings: kernel vs shingles()
+      val gsKernel = df.select(
+        graft.functions.Native.wordShingleStrings(col("t"), 2)).head().getSeq[String](0)
+      val gsColumns = df.select(graft.ops.Dedup.shingles(col("t"), 2)).head().getSeq[String](0)
+      assert(gsKernel == gsColumns, s"gram strings diverge for: '$text'")
+    }
+  }
+
   test("NearestCentroids returns ids in exact cosine-desc order vs local reference") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0))
     val matGen = Gen.listOfN(6, vecGen)
