@@ -1526,7 +1526,7 @@ object SparkEntry {
               ROWS UNBOUNDED PRECEDING) - n_tokens AS off
           FROM t)
         SELECT doc_id, source, n_tokens,
-          off // 512 AS chunk_id,
+          CAST(off // 512 AS BIGINT) AS chunk_id,
           ((off + n_tokens - 1) // 512) > (off // 512) AS crosses_boundary
         FROM o""")),
 

@@ -74,6 +74,15 @@ for name in names:
         fails.append(name); continue
     s, o = canon(sdf), canon(odf)
     bad = []
+    # int-vs-float dtype drift (e.g. DuckDB HUGEINT -> float64) passes a
+    # tolerant value compare but breaks the driver's stringified hash.
+    for c in s.columns:
+        si = np.issubdtype(sdf[c].dtype, np.integer) if c in sdf else False
+        oi = np.issubdtype(odf[c].dtype, np.integer) if c in odf else False
+        sf_ = np.issubdtype(sdf[c].dtype, np.floating) if c in sdf else False
+        of_ = np.issubdtype(odf[c].dtype, np.floating) if c in odf else False
+        if (si and of_) or (sf_ and oi):
+            bad.append(f"{c}: dtype drift spark={sdf[c].dtype} oracle={odf[c].dtype}")
     for c in s.columns:
         sv, ov = s[c], o[c]
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
