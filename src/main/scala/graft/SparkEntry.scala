@@ -1775,6 +1775,99 @@ object SparkEntry {
       Some(sqlSimhashOracle))
   )
 
+  private val pipelineQueries4: Seq[Q] = Seq(
+    // --- INTRA-corpus duplicated-span detection: distinct word 8-grams per
+    // doc, each gram owned by its min doc_id; n_shared = grams already seen
+    // in an earlier doc. Flags embedded boilerplate that document-level
+    // dedup misses. Gram keys are 8-byte md5-derived hashes — the only
+    // shuffle moves (hash, id) pairs, never text, never doc pairs ---
+    Q("q82_selfoverlap",
+      (s, dir) => TextAnalysis.selfOverlap(t(s, dir, "documents"), "text", "doc_id", k = 8),
+      Some(s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([CAST(concat('0x',
+                substr(md5(array_to_string(w[i:i+7], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
+              for i in generate_series(1, greatest(len(w)-7, 0))]) AS gs
+            FROM w),
+          e AS (SELECT doc_id, unnest(gs) AS h FROM g),
+          o AS (SELECT h, min(doc_id) AS owner FROM e GROUP BY h)
+        SELECT e.doc_id, count(*) AS n_grams,
+          CAST(sum(CASE WHEN o.owner < e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+          CAST(sum(CASE WHEN o.owner < e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS dup_frac
+        FROM e JOIN o USING (h) GROUP BY e.doc_id""")),
+
+    // --- bigram-LM coverage scoring (the hash-portable perplexity-filter
+    // stand-in: log-prob sums are libm/order-dependent, so the signals are
+    // integer-exact coverage + mean training frequency): LM counts from
+    // even doc_ids, odd doc_ids scored against them ---
+    Q("q83_lm_coverage",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.lmCoverage(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+            FROM documents),
+          g AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+              for i in generate_series(1, greatest(len(w)-1, 0))]) AS gram FROM w),
+          cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+            FROM g WHERE doc_id % 2 = 0 GROUP BY gram),
+          sc AS (SELECT g.doc_id, g.gram, cnt.cnt FROM g LEFT JOIN cnt USING (gram)
+            WHERE g.doc_id % 2 = 1)
+        SELECT doc_id, count(*) AS n_bigrams, CAST(count(cnt) AS BIGINT) AS n_known,
+          CAST(count(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage,
+          CAST(sum(coalesce(cnt, 0)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cnt
+        FROM sc GROUP BY doc_id""")),
+
+    // --- packing-efficiency stats per shard (the planning companion to
+    // q72): chunk count at 512 tokens and the fill ratio, both from ONE
+    // partial-aggregated sum — the ratio is a single IEEE division ---
+    Q("q84_pack_stats",
+      (s, dir) => TextAnalysis.packStats(t(s, dir, "documents"), "text",
+        budget = 512, shardBy = "source"),
+      Some("""WITH t AS (SELECT source,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+          FROM documents)
+        SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+          CAST((sum(n) + 511) // 512 AS BIGINT) AS n_chunks,
+          CAST(sum(n) AS DOUBLE)
+            / CAST(((sum(n) + 511) // 512) * 512 AS DOUBLE) AS fill_ratio
+        FROM t GROUP BY source""")),
+
+    // --- symmetric int8 embedding quantization (4× storage cut, no
+    // codebook): codes via the single-pass native kernel, scale = maxabs/127
+    // — every step IEEE-exact, so even the codes STRING hash-matches ---
+    Q("q85_int8_quantize",
+      (s, dir) => Similarity.int8Quantize(t(s, dir, "embeddings"), "embedding", "vec_id"),
+      Some("""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          m AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
+        SELECT vec_id, maxabs / 127 AS scale,
+          array_to_string(list_transform(v, x -> CAST(CAST(floor(
+            CASE WHEN maxabs = 0 THEN 0 ELSE x * 127 / maxabs + 0.5 END)
+            AS BIGINT) AS VARCHAR)), ',') AS codes
+        FROM m""")),
+
+    // --- IVF-PQ ANN with exact re-rank (approximate → rows-only; recall
+    // gated vs brute force in SimilaritySpec): the candidate index is
+    // (centroid_id, m-byte pq_code), raw vectors touched only by the final
+    // per-query re-rank join ---
+    Q("q86_ivfpq_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 20), k = 5, dim = 64,
+          nlist = 8, nprobe = 3, m = 8, kpq = 16, kmeansIters = 1, rerankDepth = 20)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      None)
+  )
+
   /** q81's portable simhash restated for DuckDB: same md5 base hashes as
     * [[minhashCtes]], bit votes as integer div/mod arithmetic. */
   private def sqlSimhashOracle: String = {
@@ -1809,7 +1902,7 @@ object SparkEntry {
 
   val specs: Seq[Q] =
     relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++
-      statsQueries ++ analyticQueries ++ storeQueries ++ pipelineQueries3
+      statsQueries ++ analyticQueries ++ storeQueries ++ pipelineQueries3 ++ pipelineQueries4
 
   // ---------- driver contract ----------
 

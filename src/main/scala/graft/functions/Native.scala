@@ -49,6 +49,7 @@ object Native {
   def nearestCentroids(vec: Column, ids: Seq[Int], centroids: Seq[Seq[Double]], n: Int): Column =
     toColumn(NearestCentroids(toExpr(vec), ids.toIndexedSeq,
       centroids.map(_.toIndexedSeq).toIndexedSeq, n))
+  def int8Codes(vec: Column): Column = toColumn(Int8Codes(toExpr(vec)))
 
   /** Register the kernels in the session's FunctionRegistry so `spark.sql`
     * (and therefore ContractStore.executeSql) can call them:
@@ -400,6 +401,45 @@ case class NearestCentroids(child: Expression, ids: IndexedSeq[Int],
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Symmetric int8 quantization codes for an embedding, as a ","-joined
+  * string: code_i = floor(x_i·127/maxabs + 0.5) (round-half-up, the floor
+  * form both JVMs and C engines agree on bit-for-bit), all-zero when the
+  * vector is all-zero. One pass computes maxabs, a second emits codes — a
+  * single narrow-map kernel instead of an interpreted `transform` whose
+  * maxabs subexpression is re-evaluated per ELEMENT after CollapseProject
+  * inlines it (the round-2 minhash lesson). The matching scale is
+  * maxabs/127, computed by the caller as a Column (one reference — safe
+  * interpreted). */
+case class Int8Codes(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      if (x > maxabs) maxabs = x
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(n * 4)
+    i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val code = if (maxabs == 0.0) 0L else math.floor(x * 127 / maxabs + 0.5).toLong
+      sb.append(code)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): Int8Codes = copy(child = c)
 }
 
 private[functions] trait VecBinary extends BinaryExpression with CodegenFallback {

@@ -175,33 +175,113 @@ object Similarity {
     * centroid id via the plan-time [[graft.functions.Native.nearestCentroids]]
     * kernel — a narrow map, no shuffle, codebooks baked into the plan. */
   def pqEncode(df: DataFrame, vecCol: String, idCol: String,
-      codebooks: Seq[Seq[(Int, Seq[Double])]], dim: Int): DataFrame = {
+      codebooks: Seq[Seq[(Int, Seq[Double])]], dim: Int): DataFrame =
+    df.select(col(idCol), pqCodes(col(vecCol), codebooks, dim).as("pq_code"))
+
+  /** The per-subspace nearest-codebook-id array as a single Column (each
+    * subspace is a plan-time [[graft.functions.Native.nearestCentroids]]
+    * kernel over a slice — narrow map, no shuffle). */
+  private def pqCodes(vec: Column, codebooks: Seq[Seq[(Int, Seq[Double])]], dim: Int): Column = {
     val m = codebooks.length
     require(dim % m == 0,
       s"dim=$dim not divisible by ${m} codebooks — trailing dims would be silently dropped")
     val sub = dim / m
-    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
       element_at(graft.functions.Native.nearestCentroids(
-        slice(col(vecCol).cast("array<double>"), s * sub + 1, sub),
+        slice(vec.cast("array<double>"), s * sub + 1, sub),
         cb.map(_._1), cb.map(_._2), 1), 1)
-    }
-    df.select(col(idCol), array(codes: _*).as("pq_code"))
+    }: _*)
   }
+
+  /** Approximate vector reconstructed from a PQ code column (per-subspace
+    * codebook lookup, concatenated). */
+  private def pqVec(code: Column, codebooks: Seq[Seq[(Int, Seq[Double])]]): Column =
+    flatten(array(codebooks.zipWithIndex.map { case (cb, s) =>
+      val mapping = map_from_arrays(
+        array(cb.map(c => lit(c._1)): _*),
+        array(cb.map(c => lit(c._2.toArray)): _*))
+      element_at(mapping, element_at(code, s + 1))
+    }: _*))
 
   /** Reconstruct approximate vectors from PQ codes (codebook lookup per
     * subspace, concatenated). Used for approximate scoring without touching
     * raw vectors; ids map through a literal int→centroid map because empty
     * clusters leave codebook ids non-contiguous. */
   def pqDecode(codes: DataFrame, codebooks: Seq[Seq[(Int, Seq[Double])]],
-      codeCol: String = "pq_code", out: String = "pq_vec"): DataFrame = {
-    val lookups = codebooks.zipWithIndex.map { case (cb, s) =>
-      val mapping = map_from_arrays(
-        array(cb.map(c => lit(c._1)): _*),
-        array(cb.map(c => lit(c._2.toArray)): _*))
-      element_at(mapping, element_at(col(codeCol), s + 1))
+      codeCol: String = "pq_code", out: String = "pq_vec"): DataFrame =
+    codes.withColumn(out, pqVec(col(codeCol), codebooks))
+
+  /** IVF-PQ approximate nearest neighbours — the memory-bounded ANN shape
+    * for 100 TB of embeddings: the candidate structure is (centroid_id,
+    * pq_code) = ~m bytes per vector, built once; raw vectors are touched
+    * only by the optional exact re-rank of the final small candidate set.
+    *
+    *  - coarse stage: [[kmeansCentroids]] quantizer, queries probe `nprobe`
+    *    inverted lists (plan-time kernel — no shuffle to assign or probe);
+    *  - fine stage: candidates score by cosine against the PQ-RECONSTRUCTED
+    *    vector (codebook lookup per subspace — the classic ADC lookup-table
+    *    evaluation computes exactly this sum, subspace partial dots
+    *    pre-tabled per query; the reconstruction form reuses the native
+    *    cosine kernel and touches only the m-byte codes);
+    *  - re-rank stage (`rerankDepth` > 0): the top `rerankDepth` candidates
+    *    per query join raw vectors back ON THE ID — a k-row-per-query join,
+    *    never a corpus scan — and exact cosine decides the final top-k.
+    *
+    * Deterministic: every stage inherits the hash-seeded k-means and ties
+    * break on the neighbour id. */
+  def ivfpqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, kpq: Int = 16,
+      kmeansIters: Int = 2, rerankDepth: Int = 0,
+      corpusVec: String = "embedding", queryVec: String = "embedding",
+      corpusId: String = "vec_id", queryId: String = "vec_id"): DataFrame = {
+    val cents = kmeansCentroids(corpus, corpusVec, corpusId, nlist, kmeansIters)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val codebooks = pqTrain(corpus, corpusVec, corpusId, dim, m, kpq, kmeansIters)
+
+    // the compact index: (neighbor_id, centroid_id, pq_code) — no raw vectors
+    val index = corpus.select(col(corpusId).as("neighbor_id"),
+      element_at(graft.functions.Native.nearestCentroids(
+        col(corpusVec), cents.map(_._1).toSeq, cents.map(_._2).toSeq, 1), 1).as("centroid_id"),
+      pqCodes(col(corpusVec), codebooks, dim).as("pq_code"))
+    val probed = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qvec"))
+      .withColumn("centroid_id", explode(graft.functions.Native.nearestCentroids(
+        col("__qvec"), cents.map(_._1).toSeq, cents.map(_._2).toSeq, nprobe)))
+
+    val scored = index.join(probed, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_cosine", cosine(col("__qvec"), pqVec(col("pq_code"), codebooks)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    if (rerankDepth <= 0)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("adc_cosine").as("cosine"), col("rank"))
+    else {
+      val cands = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= math.max(k, rerankDepth))
+        .select("query_id", "neighbor_id", "__qvec")
+      val exact = cands.join(
+          corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cvec")),
+          Seq("neighbor_id"))
+        .withColumn("cosine", cosine(col("__qvec"), col("__cvec")))
+      val w2 = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     }
-    codes.withColumn(out, flatten(array(lookups: _*)))
   }
+
+  /** Symmetric per-vector INT8 quantization (the embedding-storage analog of
+    * [[pqEncode]] — 4× smaller than float32 with no codebook): codes =
+    * floor(x·127/maxabs + 0.5) via the single-pass
+    * [[graft.functions.Native.int8Codes]] kernel, scale = maxabs/127.
+    * Dequantize ≈ code·scale. Every arithmetic step is IEEE-exact and
+    * restatable in any engine (the codes string hash-matches DuckDB's
+    * list_transform restatement). */
+  def int8Quantize(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      (array_max(transform(col(vecCol).cast("array<double>"), x => abs(x))) / 127)
+        .as("scale"),
+      graft.functions.Native.int8Codes(col(vecCol)).as("codes"))
 
   /** Explode an embedding column into scalar columns (UnpackEmbedding,
     * retrieval_job.py:3296-3320). */

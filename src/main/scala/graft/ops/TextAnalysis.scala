@@ -293,6 +293,75 @@ object TextAnalysis {
           .as("crosses_boundary"))
   }
 
+  /** INTRA-corpus duplicated-span detection (the self-dedup complement of
+    * [[decontaminate]]): for every document, how many of its distinct word
+    * k-grams also appear in some EARLIER document (min doc id owns each
+    * gram). High `dup_frac` flags boilerplate and near-copies that survive
+    * document-level dedup because the copy is embedded in a longer page.
+    *
+    * Plan shape at 100 TB: gram keys are 8-byte md5-derived hashes (the
+    * portable family), so the only shuffle moves (hash, id) pairs — one
+    * partial-aggregated min per gram, joined back on the hash. Never
+    * compares documents pairwise and never shuffles text. */
+  def selfOverlap(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, k: Int = 8): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(col(idCol),
+        explode(array_distinct(Dedup.portableShingleHashes(col(textCol), k))).as("h"))
+    val owner = grams.groupBy("h").agg(min(col(idCol)).as("__owner"))
+    grams.join(owner, Seq("h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("__owner") < col(idCol)).cast("long")).as("n_shared"))
+      .withColumn("dup_frac",
+        col("n_shared").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Bigram-LM COVERAGE scoring — the hash-portable stand-in for a
+    * perplexity filter (CCNet trains KenLM and drops high-perplexity docs;
+    * log-prob sums are libm/order-dependent and cannot hash-match across
+    * engines, so the scored signals here are integer-exact): per scored
+    * document, the fraction of its bigram OCCURRENCES known to the training
+    * counts and the mean training-corpus frequency of its bigrams. Both are
+    * single integer÷integer divisions — bit-identical everywhere.
+    *
+    * Plan shape: counts table = one explode + partial-aggregated count;
+    * scoring = equi-join on the gram (broadcast when the vocabulary is
+    * small; the corpus side never shuffles more than (id, gram) pairs). */
+  def lmCoverage(train: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = train.select(
+        explode(graft.functions.Native.wordShingleStrings(col(textCol), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    score.select(col(idCol),
+        explode(graft.functions.Native.wordShingleStrings(col(textCol), 2)).as("gram"))
+      .join(counts, Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("cnt")).as("n_known"),
+        sum(coalesce(col("cnt"), lit(0L))).as("sum_cnt"))
+      .select(col(idCol), col("n_bigrams"), col("n_known"),
+        (col("n_known").cast("double") / col("n_bigrams").cast("double")).as("coverage"),
+        (col("sum_cnt").cast("double") / col("n_bigrams").cast("double")).as("avg_cnt"))
+  }
+
+  /** Packing EFFICIENCY per shard — the planning companion to
+    * [[packSequences]]: total tokens, chunk count at `budget` tokens per
+    * sequence, and the fill ratio (tokens ÷ chunk capacity; the complement
+    * is padding waste). One partial-aggregated sum per shard; the ratio is
+    * an integer÷integer division so it hashes identically everywhere. */
+  def packStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      budget: Int, shardBy: String): org.apache.spark.sql.DataFrame =
+    df.select(col(shardBy), tokenCountWs(col(textCol)).cast("long").as("__n"))
+      .groupBy(shardBy)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"))
+      // ceil-div as true integer DIV (Column `/` is double division); the
+      // ratio is ONE IEEE division so every engine lands on the same bits
+      .withColumn("n_chunks",
+        expr(s"CAST((total_tokens + ${budget - 1}) DIV $budget AS BIGINT)"))
+      .withColumn("fill_ratio",
+        col("total_tokens").cast("double") / (col("n_chunks") * budget).cast("double"))
+
   /** Corpus vocabulary: top-k most frequent words per group (explode →
     * count → ranked window). Deterministic tiebreak on the word itself. */
   def topWords(df: org.apache.spark.sql.DataFrame, textCol: String,

@@ -1204,3 +1204,111 @@ class GraphSpec extends AnyFunSuite {
     assert(st.staleViews(spark, at("2024-01-01 03:00:00")).isEmpty)
   }
 }
+
+/** Round-3 corpus/embedding ops: intra-corpus span overlap, LM coverage
+  * scoring, packing stats, int8 quantization, IVF-PQ search. */
+class Round3OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val tenWords = "a b c d e f g h i j"
+
+  test("selfOverlap: exact copy shares every gram, disjoint doc shares none, short doc drops") {
+    val docs = Seq(
+      (0L, tenWords),                       // owner of its 3 distinct 8-grams
+      (1L, tenWords),                       // exact copy -> all grams shared
+      (2L, "q r s t u v w x y z"),          // disjoint -> 0 shared
+      (3L, "too short")                     // < 8 words -> no grams -> absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.selfOverlap(docs, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L) == ((3L, 0L, 0.0)))
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L)._2 == 0L)
+  }
+
+  test("selfOverlap: partial containment is a fractional dup_frac") {
+    val docs = Seq(
+      (0L, tenWords),
+      // last 8 words repeat doc 0's window c..j => shares exactly 1 of its 3 grams
+      (1L, "x y c d e f g h i j")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.selfOverlap(docs, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 1L)))
+  }
+
+  test("lmCoverage: self-scoring covers fully; novel bigrams lower coverage exactly") {
+    val train = Seq((0L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    // "the cat" known (count 2), "cat flew" unknown -> coverage 1/2
+    val score = Seq((1L, "the cat flew"), (3L, "zz")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmCoverage(train, score, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 1) // doc 3 has no bigrams
+    val (id, nb, nk, cov, avg) = out.head
+    assert(id == 1L && nb == 2L && nk == 1L && cov == 0.5 && avg == 1.0) // (2+0)/2
+  }
+
+  test("packStats agrees with packSequences chunk assignment") {
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" "), s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val stats = TextAnalysis.packStats(docs, "text", budget = 5, shardBy = "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val packed = TextAnalysis.packSequences(docs, "text", "doc_id", budget = 5, shardBy = "source")
+    val byShard = packed.groupBy("source")
+      .agg(sum("n_tokens").as("tok"), max("chunk_id").as("maxc"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((src, (nDocs, total, nChunks, fill)) <- stats) {
+      val (tok, maxc, n) = byShard(src)
+      assert(n == nDocs && tok == total)
+      // capacity chunks = ceil(total/budget); the packer's chunk_id is the
+      // START chunk, so its max is <= the last capacity chunk
+      assert(nChunks == (total + 4) / 5, s"$src: nChunks=$nChunks total=$total")
+      assert(maxc + 1 <= nChunks, s"$src: maxChunk=$maxc nChunks=$nChunks")
+      assert(fill == total.toDouble / (nChunks * 5).toDouble)
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+  }
+
+  test("int8Quantize: reconstruction within half a step, extremes hit ±127, zero vec all-zero") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-2.0f, 2.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.int8Quantize(vecs, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    val (s1, c1) = out(1L)
+    val codes1 = c1.split(",").map(_.toLong)
+    assert(codes1.head == 127L && s1 == 1.0 / 127)
+    val orig = Array(1.0, -0.5, 0.25, 0.0)
+    codes1.zip(orig).foreach { case (c, x) =>
+      assert(math.abs(c * s1 - x) <= s1 / 2 + 1e-12) }
+    assert(out(2L) == ((0.0, "0,0,0,0")))
+    val codes3 = out(3L)._2.split(",").map(_.toLong)
+    // round-half-up toward +inf: 63.5 -> 64 but -63.5 -> -63
+    assert(codes3.toSeq == Seq(-127L, 127L, 64L, -63L))
+  }
+
+  test("ivfpqTopK with re-rank recovers brute-force neighbours on planted clusters") {
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]) = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val bases = (0 until 4).map(c => Array.tabulate(8)(i => if (i / 2 == c) 1.0f else 0.3f))
+    val vecs = (0 until 80).map(i => (i.toLong, jitter(bases(i % 4)))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 1)
+      .select("query_id", "neighbor_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.ivfpqTopK(vecs, queries, k = 1, dim = 8,
+      nlist = 4, nprobe = 2, m = 4, kpq = 8, kmeansIters = 2, rerankDepth = 24)
+      .select("query_id", "neighbor_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = exact.count { case (q, n) => approx.get(q).contains(n) }.toDouble / exact.size
+    assert(recall >= 0.75, s"IVF-PQ recall too low: $recall")
+    // deterministic across invocations
+    val again = Similarity.ivfpqTopK(vecs, queries, k = 1, dim = 8,
+      nlist = 4, nprobe = 2, m = 4, kpq = 8, kmeansIters = 2, rerankDepth = 24)
+      .select("query_id", "neighbor_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == approx)
+  }
+}
