@@ -125,6 +125,58 @@ final case class CsvSource(
   }
 }
 
+/** Newline-delimited JSON (the interchange format most ingest pipelines and
+  * LLM-corpus dumps arrive in; the reference covers the same niche with its
+  * CSV config, sources/local.py:207-489). Schema may be pinned to avoid the
+  * inference scan — at 100 TB, `schema` is required reading: inference is a
+  * full extra pass over the data. Upsert = stage-and-swap rewrite, like
+  * parquet. */
+final case class JsonLinesSource(
+    path: String,
+    schema: Option[org.apache.spark.sql.types.StructType] = None) extends WritableSource {
+  def read(spark: SparkSession): DataFrame = schema match {
+    case Some(s) => spark.read.schema(s).json(path)
+    case None => spark.read.json(path)
+  }
+  override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
+  def insert(df: DataFrame): Unit = df.write.mode(SaveMode.Append).json(path)
+  def overwrite(df: DataFrame): Unit = df.write.mode(SaveMode.Overwrite).json(path)
+  def upsert(df: DataFrame, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val merged =
+      if (!exists(spark)) df
+      else read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(df)
+    val tmp = path + "__tmp_upsert"
+    merged.write.mode(SaveMode.Overwrite).json(tmp)
+    spark.read.schema(merged.schema).json(tmp).write.mode(SaveMode.Overwrite).json(path)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+}
+
+/** ORC table — the other columnar format Spark ships a vectorized,
+  * predicate-pushing reader for (PushedFilters reach ORC exactly like
+  * parquet; covered by the pushdown plan assertions in SourcesSpec). */
+final case class OrcSource(path: String) extends WritableSource {
+  def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+  override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
+  def insert(df: DataFrame): Unit = df.write.mode(SaveMode.Append).orc(path)
+  def overwrite(df: DataFrame): Unit = df.write.mode(SaveMode.Overwrite).orc(path)
+  def upsert(df: DataFrame, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val merged =
+      if (!exists(spark)) df
+      else read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(df)
+    val tmp = path + "__tmp_upsert"
+    merged.write.mode(SaveMode.Overwrite).orc(tmp)
+    spark.read.orc(tmp).write.mode(SaveMode.Overwrite).orc(path)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+}
+
 /** Literal in-memory frame (reference: InMemorySource, sources/in_mem_source.py:61). */
 final case class InMemorySource(rows: Seq[org.apache.spark.sql.Row], schema: org.apache.spark.sql.types.StructType)
     extends BatchSource {

@@ -244,6 +244,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(src.read(spark).count() == 1)
   }
 
+  test("jsonl round-trip, pinned schema, and upsert") {
+    val dir = tmpDir() + "/j"
+    val src = graft.sources.JsonLinesSource(dir)
+    src.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    src.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    val out = src.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // pinned schema skips the inference pass and controls types
+    val typed = graft.sources.JsonLinesSource(dir,
+      Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))))
+    assert(typed.read(spark).schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("orc round-trip, upsert, and predicate pushdown in the plan") {
+    val dir = tmpDir() + "/o"
+    val src = graft.sources.OrcSource(dir)
+    src.overwrite((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    src.upsert(Seq((1L, "V1"), (101L, "v101")).toDF("id", "v"), Seq("id"))
+    assert(src.read(spark).count() == 101)
+    assert(src.read(spark).filter(col("id") === 1L).head().getString(1) == "V1")
+    val plan = src.read(spark).filter(col("id") > 90L).select("id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)"),
+      s"ORC scan did not push the predicate:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint>"),
+      s"ORC scan did not prune columns:\n$plan")
+  }
+
   test("random source satisfies the contract schema deterministically") {
     val v = FeatureView("r", graft.sources.CustomSource(_.emptyDataFrame),
       entities = Seq(Feature("id", FInt64)),
