@@ -1865,7 +1865,73 @@ object SparkEntry {
           .select(col("query_id"), col("neighbor_id"),
             round(col("cosine"), 4).as("cosine"), col("rank"))
       },
-      None)
+      None),
+
+    // --- MIXTURE RESAMPLING to target domain weights (DoReMi/Pile-style):
+    // data-driven keep rates from the per-source counts (window-totaled,
+    // broadcast back — never a 1-row join), md5-thresholded so the kept
+    // set is auditable in any engine ---
+    Q("q87_mixture_sample",
+      (s, dir) => graft.ml.MLOps.mixtureResample(
+        t(s, dir, "documents"), "doc_id", "source",
+        Map("src1" -> 0.10, "src2" -> 0.30))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept")),
+      Some("""WITH c AS (SELECT source, count(*) AS n,
+            sum(count(*)) OVER () AS total FROM documents GROUP BY source),
+          r AS (SELECT source,
+            CASE source
+              WHEN 'src1' THEN least(1.0, 0.10 * CAST(total AS DOUBLE) / CAST(n AS DOUBLE))
+              WHEN 'src2' THEN least(1.0, 0.30 * CAST(total AS DOUBLE) / CAST(n AS DOUBLE))
+              ELSE 1.0 END AS rate FROM c)
+        SELECT d.source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        FROM documents d JOIN r USING (source)
+        WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000000
+          < CAST(round(rate * 1000000) AS BIGINT)
+        GROUP BY d.source""")),
+
+    // --- sliding chunk spans (the RAG/embedding chunker): windows of 48
+    // tokens every 32, truncated at doc end — a narrow integer map off ONE
+    // token count per document, no per-token rows ---
+    Q("q88_chunk_spans",
+      (s, dir) => TextAnalysis.chunkSpans(t(s, dir, "documents"), "text", "doc_id",
+        window = 48, stride = 32),
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+          FROM documents),
+          e AS (SELECT doc_id, n,
+            unnest([i for i in generate_series(0, CAST((n - 1) // 32 AS BIGINT))]) AS i
+          FROM t WHERE n > 0)
+        SELECT doc_id, i AS chunk_idx, i * 32 AS start_tok,
+          least(i * 32 + 48, n) AS end_tok,
+          least(i * 32 + 48, n) - i * 32 AS chunk_len
+        FROM e""")),
+
+    // --- per-group deterministic cap (C4-style per-domain limits): at most
+    // 40 docs per source, chosen by md5 hash order — reproducible
+    // "reservoir" selection, independent of scan order ---
+    Q("q89_group_cap",
+      (s, dir) => graft.ml.MLOps.groupCap(t(s, dir, "documents"),
+        "doc_id", "source", k = 40)
+        .select("doc_id", "source", "sample_rank"),
+      Some("""SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source
+            ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000000,
+              doc_id) AS INT) AS sample_rank
+        FROM documents
+        QUALIFY sample_rank <= 40""")),
+
+    // --- per-label mean embeddings (class centroids / SemDeDup prototype
+    // vectors), long-form; elementwise sums through DECIMAL(18,9) so the
+    // means are order-independent and engine-exact ---
+    Q("q90_label_centroids",
+      (s, dir) => Similarity.groupCentroids(t(s, dir, "embeddings"), "embedding", "label"),
+      Some("""SELECT label, i AS dim,
+          CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+            / count(*) AS mean_val,
+          count(*) AS n
+        FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+        GROUP BY label, i"""))
   )
 
   /** q81's portable simhash restated for DuckDB: same md5 base hashes as

@@ -104,6 +104,47 @@ object MLOps {
     df.filter(md5Bucket(col(keyCol), buckets).cast("double") < rate * buckets)
   }
 
+  /** MIXTURE RESAMPLING to target domain weights (the DoReMi/Pile recipe:
+    * downsample over-represented sources until the kept corpus approaches
+    * `targetFracs`): keep_rate(g) = min(1, target_g · N / n_g), thresholded
+    * through the auditable md5 router. Sources absent from `targetFracs`
+    * keep rate 1 (pass through). Rates are DATA-DRIVEN (per-group counts +
+    * the corpus total) but the plan stays two partial-aggregated passes:
+    * the tiny per-group count table gets its total from an unpartitioned
+    * window over itself (a |groups|-row frame — never a 1-row join, which
+    * would fold to a nested loop) and broadcast-joins back onto the scan.
+    * Cannot upsample (rate caps at 1) — like any filter-based resampler. */
+  def mixtureResample(df: DataFrame, keyCol: String, groupCol: String,
+      targetFracs: Map[String, Double]): DataFrame = {
+    val buckets = 1000000
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__total", sum(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val target = targetFracs.foldLeft(lit(Double.NaN)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(f)).otherwise(acc)
+    }
+    val rate = when(isnan(target), lit(1.0))
+      .otherwise(least(lit(1.0), target * col("__total").cast("double") / col("__n").cast("double")))
+    val rates = counts.select(col(groupCol), rate.as("__rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      // round, never truncate ((0.29*1e6).toLong is 289999); round() is
+      // half-away-from-zero in both JVM BigDecimal-land and DuckDB
+      .filter(md5Bucket(col(keyCol), buckets) < round(col("__rate") * buckets).cast("long"))
+      .drop("__rate")
+  }
+
+  /** Per-group deterministic CAP: at most `k` rows per group, chosen by md5
+    * hash order of the key (C4-style per-domain caps; also the reproducible
+    * "reservoir" for eval-slice extraction). One row_number window per
+    * group; the hash order makes the selection independent of scan order
+    * and reproducible in any engine. Emits `rankCol` (1..k) for audit. */
+  def groupCap(df: DataFrame, keyCol: String, groupCol: String, k: Int,
+      rankCol: String = "sample_rank"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5Bucket(col(keyCol), 1000000), col(keyCol))
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
   /** GROUP-AWARE split: every row of a group (user, session, document
     * cluster) lands in the SAME fold — random row-level splits leak
     * correlated rows of one entity across train and test, inflating eval

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Vector similarity search over an embedding column (Array[Float]) — the
   * engine behind the reference's VectorIndexStore.nearest_n_to
@@ -345,6 +346,22 @@ object Similarity {
       (array_max(transform(col(vecCol).cast("array<double>"), x => abs(x))) / 127)
         .as("scale"),
       graft.functions.Native.int8Codes(col(vecCol)).as("codes"))
+
+  /** Per-group mean embedding (class centroids / prototype vectors — the
+    * aggregation behind SemDeDup-style semantic clustering and per-label
+    * retrieval prototypes), emitted LONG-FORM as (group, dim, mean_val, n).
+    * The elementwise sum goes through DECIMAL(18,9) so the result is
+    * order-independent and bit-identical across engines (double sums commute
+    * only approximately; both Spark and DuckDB round double→decimal ties
+    * half-away-from-zero). Plan: posexplode → ONE partial-aggregated
+    * shuffle of (group, dim) pairs — |groups|·dim rows of agg state, never
+    * a vector collect. */
+  def groupCentroids(df: DataFrame, vecCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col(groupCol), (col("pos") + 1).cast("long").as("dim"))
+      .agg((sum(col("col").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
+          .as("mean_val"),
+        count(lit(1)).as("n"))
 
   /** Explode an embedding column into scalar columns (UnpackEmbedding,
     * retrieval_job.py:3296-3320). */

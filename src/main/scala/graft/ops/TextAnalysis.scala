@@ -365,6 +365,33 @@ object TextAnalysis {
       .withColumn("fill_ratio",
         col("total_tokens").cast("double") / (col("n_chunks") * budget).cast("double"))
 
+  /** Sliding CHUNK SPANS over each document's token sequence (the
+    * RAG/embedding-pipeline chunker): windows of `window` tokens starting
+    * every `stride` tokens, last window truncated at the document end.
+    * Emits (id, chunk_idx, start_tok, end_tok, chunk_len) — pure integer
+    * arithmetic over ONE token count per document (explode of a
+    * `sequence()`, no per-token rows), so the span table for a 100 TB
+    * corpus is a narrow map of the documents scan. Chunk starts stop
+    * before `n` (the final partial window is emitted; empty docs emit
+    * nothing). */
+  def chunkSpans(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val n = tokenCountWs(col(textCol)).cast("long")
+    df.select(col(idCol), n.as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__n"),
+        // integer floor-div (Column `/` is double division)
+        explode(sequence(lit(0L), floor((col("__n") - 1) / lit(stride)).cast("long")))
+          .as("chunk_idx"))
+      .select(col(idCol),
+        col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(col("chunk_idx") * stride + window, col("__n")).as("end_tok"))
+      .withColumn("chunk_len", col("end_tok") - col("start_tok"))
+  }
+
   /** Corpus vocabulary: top-k most frequent words per group (explode →
     * count → ranked window). Deterministic tiebreak on the word itself. */
   def topWords(df: org.apache.spark.sql.DataFrame, textCol: String,

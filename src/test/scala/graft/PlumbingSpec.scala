@@ -1312,3 +1312,72 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(again == approx)
   }
 }
+
+/** Round-3 sampling/chunking ops: mixture resampling, per-group caps,
+  * chunk spans, group centroids. */
+class Round3SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mixtureResample: over-represented source downsamples, capped rates pass through") {
+    val docs = ((1L to 80L).map(i => (i, "big")) ++ (81L to 100L).map(i => (i, "small")))
+      .toDF("id", "src")
+    val kept = graft.ml.MLOps.mixtureResample(docs, "id", "src",
+      Map("big" -> 0.5, "small" -> 0.5))
+    val bySrc = kept.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small: rate = 0.5*100/20 = 2.5 -> capped at 1 -> all 20 kept
+    assert(bySrc("small") == 20L)
+    // big: rate = 0.5*100/80 = 0.625 -> a strict subset survives
+    assert(bySrc("big") > 0L && bySrc("big") < 80L)
+    // deterministic
+    assert(kept.collect().map(_.getLong(1)).sorted.toSeq ==
+      graft.ml.MLOps.mixtureResample(docs, "id", "src", Map("big" -> 0.5, "small" -> 0.5))
+        .collect().map(_.getLong(1)).sorted.toSeq)
+    // unlisted sources keep rate 1
+    val withOther = docs.union(Seq((101L, "other")).toDF("id", "src"))
+    val k2 = graft.ml.MLOps.mixtureResample(withOther, "id", "src", Map("big" -> 0.5))
+    assert(k2.filter($"src" === "other").count() == 1L)
+    assert(k2.filter($"src" === "small").count() == 20L)
+  }
+
+  test("groupCap caps per group with contiguous hash-ordered ranks") {
+    val df = ((1L to 20L).map(i => (i, "a")) ++ (21L to 23L).map(i => (i, "b")))
+      .toDF("id", "g")
+    val out = graft.ml.MLOps.groupCap(df, "id", "g", k = 5)
+    val byG = out.groupBy("g").agg(count(lit(1)), max("sample_rank"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(byG("a") == ((5L, 5)))
+    assert(byG("b") == ((3L, 3)))
+    // selection independent of scan order
+    val shuffled = graft.ml.MLOps.groupCap(df.orderBy(rand(42)), "id", "g", k = 5)
+    assert(shuffled.collect().map(_.getLong(0)).sorted.toSeq ==
+      out.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("chunkSpans: truncated tail window, empty docs drop") {
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),
+      (2L, "   "),
+      (3L, "one")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkSpans(docs, "text", "doc_id", window = 8, stride = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 8L, 8L), (1L, 1L, 4L, 10L, 6L), (1L, 2L, 8L, 10L, 2L),
+      (3L, 0L, 0L, 1L, 1L)))
+  }
+
+  test("groupCentroids: exact per-dim means in long form") {
+    val vecs = Seq(
+      (1, Seq(1.0f, 3.0f)), (1, Seq(3.0f, 5.0f)),
+      (2, Seq(10.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.groupCentroids(vecs, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(out((1, 1L)) == ((2.0, 2L)))
+    assert(out((1, 2L)) == ((4.0, 2L)))
+    assert(out((2, 1L)) == ((10.0, 1L)))
+    assert(out((2, 2L)) == ((0.0, 1L)))
+  }
+}
