@@ -114,6 +114,113 @@ object Aggregations {
     out.select(keys.map(col) ++ outNames.map(col): _*)
   }
 
+  /** [[exactPercentiles]] for NEAR-CONTINUOUS domains with FEW keys — the
+    * case where the histogram path degrades (O(distinct)≈O(rows) per-key
+    * ordered window, parallel only across keys). Same results, different
+    * physical plan:
+    *
+    *  1. ONE pass: per key, n + approx_percentile probes at p ± margin
+    *     (GK sketch — deterministic rank error ≤ n/accuracy), collected
+    *     (|keys|·|ps| scalars — the plan-time-literal idiom);
+    *  2. ONE pass: exact rank of each bracket start (count of values below
+    *     it) via a broadcast join on the probe table — partial-aggregated
+    *     counters, no window;
+    *  3. ONE pass: only rows INSIDE a bracket (≈ margin·n per key·prob)
+    *     survive the filter; the order statistics come from a window over
+    *     that tiny set.
+    *
+    * Every pass is fully parallel — no per-key single-threaded scan; the
+    * probes only choose brackets, so the output is exact (and identical to
+    * [[exactPercentiles]] — equivalence spec) regardless of sketch
+    * nondeterminism. If a bracket somehow misses its rank (coverage is
+    * checked against the exact counts), falls back to the histogram path
+    * rather than return an approximation. Collects |keys|·|ps| rows at
+    * plan time — use the histogram path for high-cardinality keys. */
+  def exactPercentilesBracketed(df: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[Double], outNames: Seq[String], accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.length == outNames.length, "one output name per percentile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "percentiles in [0,1]")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull).select(keys.map(col) :+ v.as("__v"): _*)
+    val margin = 4.0 / accuracy
+    val probePs = ps.flatMap(p =>
+      Seq(math.max(0.0, p - margin), math.min(1.0, p + margin)))
+    val probeRows = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        expr(s"approx_percentile(__v, array(${probePs.mkString(",")}), $accuracy)").as("__probes"))
+      .collect()
+    if (probeRows.isEmpty)
+      return exactPercentiles(df, keys, valueCol, ps, outNames) // empty input: same empty schema
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val keyFields = base.schema.fields.filter(f => keys.contains(f.name))
+    val probeSchema = StructType(keyFields ++ Seq(
+      StructField("__pi", IntegerType), StructField("__n", LongType),
+      StructField("__alo", DoubleType), StructField("__ahi", DoubleType),
+      StructField("__ilo", LongType), StructField("__ihi", LongType)))
+    val probeData = probeRows.flatMap { r =>
+      val n = r.getLong(keys.length)
+      val probes = r.getSeq[Double](keys.length + 1)
+      ps.indices.map { i =>
+        val r0 = ps(i) * (n - 1) // the same double arithmetic as the histogram path
+        Row.fromSeq(keys.indices.map(r.get) ++
+          Seq[Any](i, n, probes(2 * i), probes(2 * i + 1),
+            math.floor(r0).toLong, math.ceil(r0).toLong))
+      }
+    }
+    val probeDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(probeData.toIndexedSeq, 1), probeSchema))
+    val joined = base.join(probeDf, keys)
+    // exact rank of each bracket start + coverage check counters
+    val ranks = joined.groupBy(keys.map(col) :+ col("__pi"): _*)
+      .agg(sum((col("__v") < col("__alo")).cast("long")).as("__cb"),
+        sum((col("__v") <= col("__ahi")).cast("long")).as("__cble"))
+      .collect()
+    val covered = ranks.forall { r =>
+      val (cb, cble) = (r.getLong(keys.length + 1), r.getLong(keys.length + 2))
+      val pi = r.getInt(keys.length)
+      val probe = probeData.find(p => keys.indices.forall(i => p.get(i) == r.get(i))
+        && p.getInt(keys.length) == pi).get
+      cb <= probe.getLong(keys.length + 4) && probe.getLong(keys.length + 5) < cble
+    }
+    if (!covered) return exactPercentiles(df, keys, valueCol, ps, outNames)
+    val cbSchema = StructType(keyFields ++ Seq(
+      StructField("__pi", IntegerType), StructField("__cb", LongType)))
+    val cbDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ranks.map(r => Row.fromSeq(keys.indices.map(r.get) ++
+          Seq[Any](r.getInt(keys.length), r.getLong(keys.length + 1)))).toIndexedSeq, 1), cbSchema))
+    // in-bracket rows only: tiny per (key, prob); order stats via a window
+    // over the bracket histogram
+    val cands = joined.filter(col("__v") >= col("__alo") && col("__v") <= col("__ahi"))
+      .groupBy(keys.map(col) ++ Seq(col("__pi"), col("__n"), col("__ilo"), col("__ihi"), col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .join(cbDf, keys :+ "__pi")
+    val wCum = Window.partitionBy(keys.map(col) :+ col("__pi"): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cands.withColumn("__cum", sum(col("__c")).over(wCum) + col("__cb"))
+    def orderStat(rank: Column): Column = min(when(col("__cum") > rank, col("__v")))
+    val stats = cum.groupBy(keys.map(col) :+ col("__pi"): _*)
+      .agg(orderStat(col("__ilo")).as("__lo"), orderStat(col("__ihi")).as("__hi"),
+        max(col("__n")).as("__n"))
+    // pivot the |keys|·|ps| stat rows wide and interpolate with the SAME
+    // Column arithmetic as the histogram path (bit-identical results)
+    val wide = ps.indices.foldLeft(
+      stats.select(keys.map(col): _*).distinct()) { case (acc, i) =>
+      acc.join(stats.filter(col("__pi") === i)
+        .select(keys.map(col) ++ Seq(col("__lo").as(s"__lo_$i"), col("__hi").as(s"__hi_$i"),
+          col("__n").as(s"__n_$i")): _*), keys)
+    }
+    val out = ps.zip(outNames).zipWithIndex.foldLeft(wide) { case (d, ((p, name), i)) =>
+      val r = lit(p) * (col(s"__n_$i") - 1)
+      val frac = r - floor(r)
+      d.withColumn(name,
+        col(s"__lo_$i") + (col(s"__hi_$i") - col(s"__lo_$i")) * frac)
+    }
+    out.select(keys.map(col) ++ outNames.map(col): _*)
+  }
+
   /** Shape 3 scale path: PIT windowed aggregate with TIME-BUCKETED join.
     *
     * [[pointInTimeAgg]] equi-joins facts to a key's ENTIRE feature history

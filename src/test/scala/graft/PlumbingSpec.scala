@@ -1381,3 +1381,37 @@ class Round3SamplingSpec extends AnyFunSuite {
     assert(out((2, 2L)) == ((0.0, 1L)))
   }
 }
+
+/** Bracketed exact percentiles: equivalence with the histogram path. */
+class BracketedPercentileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bracketed equals histogram path exactly on a continuous domain") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 20000).map(i => (s"k${i % 3}", rnd.nextDouble() * 1000.0))
+      .toDF("k", "v")
+    val ps = Seq(0.25, 0.5, 0.75, 0.99)
+    val names = Seq("p25", "p50", "p75", "p99")
+    val hist = Aggregations.exactPercentiles(df, Seq("k"), "v", ps, names)
+      .collect().map(r => r.getString(0) -> names.indices.map(i => r.getDouble(i + 1))).toMap
+    val brk = Aggregations.exactPercentilesBracketed(df, Seq("k"), "v", ps, names)
+      .collect().map(r => r.getString(0) -> names.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(brk.keySet == hist.keySet)
+    for (k <- hist.keySet) assert(brk(k) == hist(k), s"key $k: ${brk(k)} vs ${hist(k)}")
+  }
+
+  test("bracketed handles ties, tiny groups, and the p=0/p=1 edges") {
+    val df = (Seq.fill(500)(7.5) ++ Seq(1.0, 2.0, 3.0)).zipWithIndex
+      .map { case (v, i) => (s"g${i % 2}", v) }.toDF("k", "v")
+      .union(Seq(("solo", 42.0)).toDF("k", "v"))
+    val ps = Seq(0.0, 0.5, 1.0)
+    val names = Seq("lo", "med", "hi")
+    val hist = Aggregations.exactPercentiles(df, Seq("k"), "v", ps, names)
+      .collect().map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+    val brk = Aggregations.exactPercentilesBracketed(df, Seq("k"), "v", ps, names)
+      .collect().map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+    assert(brk == hist)
+    assert(brk("solo") == Seq(42.0, 42.0, 42.0))
+  }
+}
