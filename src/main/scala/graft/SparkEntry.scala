@@ -1927,6 +1927,16 @@ object SparkEntry {
         FROM documents
         QUALIFY sample_rank <= 40""")),
 
+    // --- SemDeDup-shaped semantic dedup (approximate clustering → rows-
+    // only; soundness + recall gated in Round3OpsSpec): k-means clusters,
+    // within-cluster equi-join comparison, lowest id wins ---
+    Q("q91_semantic_dedup",
+      (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        nlist = 8, threshold = 0.3, kmeansIters = 1)
+        .filter(col("is_duplicate"))
+        .select("vec_id", "cluster_id"),
+      None),
+
     // --- per-label mean embeddings (class centroids / SemDeDup prototype
     // vectors), long-form; elementwise sums through DECIMAL(18,9) so the
     // means are order-independent and engine-exact ---

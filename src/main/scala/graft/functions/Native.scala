@@ -74,6 +74,8 @@ object Native {
       es => PortableShingleHashes(es.head,
         es(1).eval().asInstanceOf[Number].intValue(),
         es(2).eval().asInstanceOf[Number].longValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_int8_codes",
+      es => Int8Codes(es.head), "built-in")
   }
 }
 

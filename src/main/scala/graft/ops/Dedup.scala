@@ -453,6 +453,38 @@ object Dedup {
     labels
   }
 
+  /** SEMANTIC dedup, SemDeDup-shaped (Abbas et al. 2023: k-means the
+    * embeddings, compare only WITHIN a cluster, drop all but one of each
+    * semantic-duplicate pair): cluster assignment is the plan-time
+    * [[graft.functions.Native.nearestCentroids]] kernel (narrow map), the
+    * within-cluster comparison is a self EQUI-join on the cluster id — the
+    * quadratic blowup is bounded by cluster size (size `nlist` to taste:
+    * clusters of ~corpus/nlist rows), and the plan never contains a cross
+    * join. A row is a duplicate iff some SMALLER-id row in its cluster has
+    * cosine ≥ `threshold` (deterministic representative = lowest id, like
+    * [[exact]]). Returns (idCol, cluster_id, is_duplicate).
+    *
+    * At 100 TB: codes/centroids are the memory lever (compose with
+    * [[graft.ops.Similarity.pqEncode]] to compare PQ reconstructions
+    * instead of raw vectors); the cluster id is the ONLY shuffle key. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      nlist: Int = 16, threshold: Double = 0.95, kmeansIters: Int = 2): DataFrame = {
+    val cents = graft.ops.Similarity.kmeansCentroids(df, vecCol, idCol, nlist, kmeansIters)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val assigned = df.select(col(idCol), col(vecCol).as("__vec"))
+      .withColumn("cluster_id", element_at(graft.functions.Native.nearestCentroids(
+        col("__vec"), cents.map(_._1).toSeq, cents.map(_._2).toSeq, 1), 1))
+    val left = assigned.select(col("cluster_id"), col(idCol).as("__id_b"), col("__vec").as("__vb"))
+    val right = assigned.select(col("cluster_id"), col(idCol).as("__id_a"), col("__vec").as("__va"))
+    val dupIds = left.join(right, Seq("cluster_id"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(graft.ops.Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+    assigned.join(dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        coalesce(col("__dup"), lit(false)).as("is_duplicate"))
+  }
+
   /** Keep one canonical row per near-dup cluster: docs in no cluster pass
     * through; within a cluster the smallest id (= the component label) wins.
     * The standard final stage of a corpus dedup pipeline. */

@@ -1415,3 +1415,66 @@ class BracketedPercentileSpec extends AnyFunSuite {
     assert(brk("solo") == Seq(42.0, 42.0, 42.0))
   }
 }
+
+/** Semantic dedup + round-3 kernel/streaming plumbing. */
+class SemanticDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("semanticDedup: sound vs brute-force pairs, finds planted duplicates, lowest id survives") {
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Float], eps: Float) =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * eps).toSeq
+    val bases = (0 until 3).map(c => Array.tabulate(6)(i => if (i / 2 == c) 1.0f else 0.1f))
+    // 30 well-separated points + 3 planted near-exact duplicate pairs
+    val points = (0 until 30).map(i => (i.toLong, jitter(bases(i % 3), 0.2f)))
+    val dups = (0 until 3).map { i =>
+      val src = points(i)._2
+      ((100 + i).toLong, src.map(v => v + 0.001f * (i + 1)))
+    }
+    val vecs = (points ++ dups).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+      nlist = 3, threshold = 0.995, kmeansIters = 2)
+    val flagged = out.filter($"is_duplicate").select("vec_id").collect().map(_.getLong(0)).toSet
+    // every planted duplicate (id 100+) is found; its source (smaller id) survives
+    assert(Set(100L, 101L, 102L).subsetOf(flagged), s"planted dups missed: $flagged")
+    assert(!flagged.contains(0L) && !flagged.contains(1L) && !flagged.contains(2L))
+    // soundness: every flagged id really has a smaller-id partner at >= threshold
+    val all = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    for (f <- flagged)
+      assert(all.exists { case (id, v) => id < f && cos(v, all(f)) >= 0.995 },
+        s"flagged $f has no true partner")
+  }
+
+  test("graft_int8_codes is callable from SQL") {
+    graft.functions.Native.registerAll(spark)
+    val row = spark.sql(
+      "SELECT graft_int8_codes(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS c").head()
+    assert(row.getString(0) == "127,-63") // floor(-63.5 + 0.5) = -63
+  }
+
+  test("chunkSpans runs unchanged on a stream (stateless narrow op)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_stream").toString
+    val data = Seq((1L, Seq.fill(10)("w").mkString(" ")), (2L, "a b c"))
+    data.toDF("doc_id", "text").write.parquet(dir + "/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir + "/in")
+    val chunked = TextAnalysis.chunkSpans(stream, "text", "doc_id", window = 8, stride = 4)
+    val q = chunked.writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.sql("SELECT * FROM chunk_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val batch = TextAnalysis.chunkSpans(data.toDF("doc_id", "text"), "text", "doc_id", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+}
