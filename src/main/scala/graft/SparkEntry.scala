@@ -1927,6 +1927,21 @@ object SparkEntry {
         FROM documents
         QUALIFY sample_rank <= 40""")),
 
+    // --- EXACT top-k words WITHOUT a vocabulary shuffle: Misra-Gries
+    // per-partition candidates (count > n/capacity guaranteed to survive)
+    // + broadcast semi-join exact verification — same answer as a full
+    // groupBy (the oracle IS the full groupBy), corpus never shuffles ---
+    Q("q92_heavy_hitters",
+      (s, dir) => TextAnalysis.heavyHitters(t(s, dir, "documents"), "text",
+        k = 20, capacity = 256)
+        .withColumn("rank", col("rank").cast("int")),
+      Some("""WITH w AS (SELECT unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS word
+          FROM documents),
+          c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+        SELECT word, n, CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank
+        FROM c QUALIFY rank <= 20""")),
+
     // --- SemDeDup-shaped semantic dedup (approximate clustering → rows-
     // only; soundness + recall gated in Round3OpsSpec): k-means clusters,
     // within-cluster equi-join comparison, lowest id wins ---

@@ -392,6 +392,49 @@ object TextAnalysis {
       .withColumn("chunk_len", col("end_tok") - col("start_tok"))
   }
 
+  /** EXACT top-k frequent words via Misra-Gries candidates + exact
+    * verification — [[topWords]] without shuffling the whole vocabulary.
+    * [[topWords]]'s groupBy moves every distinct token through the exchange;
+    * on raw web text the "vocabulary" is O(corpus) (typos, unicode junk,
+    * numbers), so that shuffle is corpus-sized. Here each partition keeps a
+    * `capacity`-counter Misra-Gries summary (any token with global count >
+    * n/capacity survives in at least one partition — the standard
+    * heavy-hitter guarantee), only the candidate tokens are counted
+    * EXACTLY (broadcast semi-join — the corpus side never shuffles), and
+    * the final top-k ranks ≤ capacity·partitions candidate counts. Output
+    * is exact, not approximate, whenever the k-th count clears n/capacity —
+    * size `capacity` ≫ k. Ties break on the word. */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int, capacity: Int = 256): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val candidates = words.as[String].mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long](capacity * 2)
+      it.foreach { w =>
+        if (counts.containsKey(w)) counts.put(w, counts.get(w) + 1L)
+        else if (counts.size < capacity) counts.put(w, 1L)
+        else { // decrement-all step (lazy: collect the dead keys after)
+          val dead = new java.util.ArrayList[String]()
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) dead.add(kv.getKey) else kv.setValue(kv.getValue - 1L)
+          }
+          dead.forEach(d => counts.remove(d))
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      counts.keySet().asScala.iterator
+    }.toDF("word").distinct()
+    val exact = words.join(broadcast(candidates), Seq("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy().orderBy(col("n").desc, col("word").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Corpus vocabulary: top-k most frequent words per group (explode →
     * count → ranked window). Deterministic tiebreak on the word itself. */
   def topWords(df: org.apache.spark.sql.DataFrame, textCol: String,

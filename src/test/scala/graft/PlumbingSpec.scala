@@ -1478,3 +1478,29 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 }
+
+/** Heavy hitters: Misra-Gries candidates + exact verify == full groupBy. */
+class HeavyHitterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("matches the exact top-k even when vocabulary >> sketch capacity") {
+    val rnd = new scala.util.Random(13)
+    // 5k docs: heavy tokens h0..h9 (zipf-ish) buried in 50k unique junk tokens
+    val docs = (0 until 5000).map { i =>
+      val heavy = (0 until 10).flatMap(h => Seq.fill((10 - h) * (i % 3 + 1) / 3)(s"h$h"))
+      val junk = Seq.fill(10)(s"junk_${rnd.nextInt(50000)}")
+      (i.toLong, rnd.shuffle(heavy ++ junk).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = TextAnalysis.heavyHitters(docs, "text", k = 10, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(_._3)
+    val exact = docs.select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word".asc).limit(10)
+      .collect().map(_.getString(0))
+    assert(fast.map(_._1).toSeq == exact.toSeq, s"fast=${fast.toSeq}")
+    // the heavy tokens dominate
+    assert(fast.take(5).forall(_._1.startsWith("h")))
+  }
+}
