@@ -1927,6 +1927,19 @@ object SparkEntry {
         FROM documents
         QUALIFY sample_rank <= 40""")),
 
+    // --- deterministic epoch shuffle: the first 100-doc shard of epoch 7's
+    // training order (md5(epoch:id) sort — reproducible across engines and
+    // retries, unlike ORDER BY rand(); Spark executes orderBy+limit as
+    // TakeOrderedAndProject, no global window) ---
+    Q("q93_epoch_shard",
+      (s, dir) => graft.ml.MLOps.epochShuffle(t(s, dir, "documents"), "doc_id", epoch = 7)
+        .limit(100)
+        .select("doc_id", "source", "lang"),
+      Some("""SELECT doc_id, source, lang FROM documents
+        ORDER BY CAST('0x'||substr(md5(7 || ':' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+            % 1000000, doc_id
+        LIMIT 100""")),
+
     // --- EXACT top-k words WITHOUT a vocabulary shuffle: Misra-Gries
     // per-partition candidates (count > n/capacity guaranteed to survive)
     // + broadcast semi-join exact verification — same answer as a full

@@ -133,6 +133,18 @@ object MLOps {
       .drop("__rate")
   }
 
+  /** Deterministic EPOCH SHUFFLE: the training-export ordering. Sorting by
+    * md5(epoch ‖ key) gives a different-but-reproducible permutation per
+    * epoch — retries, speculative tasks, and other engines all agree, which
+    * `ORDER BY rand()` never does. A Spark `orderBy` is a RANGE-partitioned
+    * distributed sort (sampled boundaries → per-partition sorts), so this
+    * scales to any corpus; take the first n of the ordering for shard i=0,
+    * or write with `sortWithinPartitions` for the full sharded export. No
+    * global row-number window anywhere (that would serialize on one task). */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
+    df.orderBy(
+      md5Bucket(concat_ws(":", lit(epoch), col(keyCol)), 1000000), col(keyCol))
+
   /** Per-group deterministic CAP: at most `k` rows per group, chosen by md5
     * hash order of the key (C4-style per-domain caps; also the reproducible
     * "reservoir" for eval-slice extraction). One row_number window per

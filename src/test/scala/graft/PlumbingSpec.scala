@@ -1504,3 +1504,20 @@ class HeavyHitterSpec extends AnyFunSuite {
     assert(fast.take(5).forall(_._1.startsWith("h")))
   }
 }
+
+/** Epoch shuffle: reproducible, epoch-sensitive, partition-count-invariant. */
+class EpochShuffleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("same epoch reproduces the order; different epochs permute; no rows lost") {
+    val df = (1L to 500L).map(i => (i, s"d$i")).toDF("id", "v")
+    def order(epoch: Int, part: Int) = graft.ml.MLOps.epochShuffle(
+      df.repartition(part), "id", epoch).collect().map(_.getLong(0)).toSeq
+    val e1 = order(1, 4)
+    assert(e1 == order(1, 9)) // partition-count invariant
+    val e2 = order(2, 4)
+    assert(e1 != e2 && e1.sorted == e2.sorted) // permutation, not subset
+    assert(e1.toSet.size == 500)
+  }
+}
