@@ -1927,6 +1927,55 @@ object SparkEntry {
         FROM documents
         QUALIFY sample_rank <= 40""")),
 
+    // --- CAPSTONE 2 (round-3 chain): drop boilerplate-heavy docs
+    // (selfOverlap dup_frac ≥ 0.5) → rebalance the domain mixture →
+    // chunk for embedding — three round-3 ops composed and hash-verified
+    // as ONE query, like q79 for the round-2 layer ---
+    Q("q94_corpus_pipeline2",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val overlap = TextAnalysis.selfOverlap(docs, "text", "doc_id", k = 8)
+        val clean = docs.join(
+          overlap.filter(col("dup_frac") < 0.5).select("doc_id"), Seq("doc_id"))
+        val balanced = graft.ml.MLOps.mixtureResample(clean, "doc_id", "source",
+          Map("src1" -> 0.20, "src2" -> 0.40))
+        TextAnalysis.chunkSpans(balanced, "text", "doc_id", window = 48, stride = 48)
+          .groupBy(col("doc_id") % 10)
+          .agg(count(lit(1)).as("n_chunks"), sum(col("chunk_len")).as("total_len"))
+          .withColumnRenamed("(doc_id % 10)", "bucket")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([CAST(concat('0x',
+                substr(md5(array_to_string(w[i:i+7], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
+              for i in generate_series(1, greatest(len(w)-7, 0))]) AS gs
+            FROM w),
+          e AS (SELECT doc_id, unnest(gs) AS h FROM g),
+          o AS (SELECT h, min(doc_id) AS owner FROM e GROUP BY h),
+          ov AS (SELECT e.doc_id,
+              sum(CASE WHEN o.owner < e.doc_id THEN 1 ELSE 0 END) * 2 < count(*) AS keep
+            FROM e JOIN o USING (h) GROUP BY e.doc_id),
+          clean AS (SELECT d.* FROM documents d JOIN ov ON d.doc_id = ov.doc_id AND ov.keep),
+          c AS (SELECT source, count(*) AS n, sum(count(*)) OVER () AS total
+            FROM clean GROUP BY source),
+          r AS (SELECT source, CASE source
+              WHEN 'src1' THEN least(1.0, 0.20 * CAST(total AS DOUBLE) / CAST(n AS DOUBLE))
+              WHEN 'src2' THEN least(1.0, 0.40 * CAST(total AS DOUBLE) / CAST(n AS DOUBLE))
+              ELSE 1.0 END AS rate FROM c),
+          bal AS (SELECT d.* FROM clean d JOIN r USING (source)
+            WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000000
+              < CAST(round(rate * 1000000) AS BIGINT)),
+          tok AS (SELECT doc_id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n
+            FROM bal),
+          ch AS (SELECT doc_id, n,
+              unnest([i for i in generate_series(0, CAST((n - 1) // 48 AS BIGINT))]) AS i
+            FROM tok WHERE n > 0)
+        SELECT doc_id % 10 AS bucket, count(*) AS n_chunks,
+          CAST(sum(least(i * 48 + 48, n) - i * 48) AS BIGINT) AS total_len
+        FROM ch GROUP BY doc_id % 10""")),
+
     // --- deterministic epoch shuffle: the first 100-doc shard of epoch 7's
     // training order (md5(epoch:id) sort — reproducible across engines and
     // retries, unlike ORDER BY rand(); Spark executes orderBy+limit as

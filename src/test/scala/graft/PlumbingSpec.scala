@@ -1354,6 +1354,18 @@ class Round3SamplingSpec extends AnyFunSuite {
       out.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("chunkSpans rejects stride > window and non-positive sizes") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](TextAnalysis.chunkSpans(df, "text", "doc_id", 4, 8))
+    intercept[IllegalArgumentException](TextAnalysis.chunkSpans(df, "text", "doc_id", 0, 1))
+  }
+
+  test("mixtureResample tolerates target groups absent from the data") {
+    val df = (1L to 50L).map(i => (i, "only")).toDF("id", "src")
+    val kept = graft.ml.MLOps.mixtureResample(df, "id", "src", Map("ghost" -> 0.5))
+    assert(kept.count() == 50L) // unlisted real group passes through; ghost ignored
+  }
+
   test("chunkSpans: truncated tail window, empty docs drop") {
     val docs = Seq(
       (1L, Seq.fill(10)("w").mkString(" ")),
@@ -1502,6 +1514,11 @@ class HeavyHitterSpec extends AnyFunSuite {
     assert(fast.map(_._1).toSeq == exact.toSeq, s"fast=${fast.toSeq}")
     // the heavy tokens dominate
     assert(fast.take(5).forall(_._1.startsWith("h")))
+    // exactness is partition-layout independent (the MG candidate SET may
+    // differ per layout; the verified top-k must not)
+    val repart = TextAnalysis.heavyHitters(docs.repartition(17), "text", k = 10, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(repart.toSeq == fast.map(t => (t._1, t._2)).sortBy(_._1).toSeq)
   }
 }
 
