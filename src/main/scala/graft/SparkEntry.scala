@@ -1927,6 +1927,27 @@ object SparkEntry {
         FROM documents
         QUALIFY sample_rank <= 40""")),
 
+    // --- FORWARD as-of join (polars join_asof strategy="forward"; q9 is
+    // backward): for each purchase, the NEXT click within 2 hours ---
+    Q("q95_asof_next_click",
+      (s, dir) => {
+        val p = purchases(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value").as("purchase_value"))
+        Joins.asofJoin(p, clicksByTs(s, dir), "ts", "ts", Seq("user_id"),
+          tolerance = Some(java.time.Duration.ofHours(2)), direction = "forward")
+          .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_sec"),
+            col("purchase_value"), col("click_value").as("next_click_value"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS click_value
+                FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) // 1000000 AS ts_sec,
+          p.value AS purchase_value, c.click_value AS next_click_value
+        FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+          AND c.ts <= p.ts + INTERVAL 2 HOUR
+        QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts ASC NULLS LAST) = 1""")),
+
     // --- CAPSTONE 2 (round-3 chain): drop boilerplate-heavy docs
     // (selfOverlap dup_frac ≥ 0.5) → rebalance the domain mixture →
     // chunk for embedding — three round-3 ops composed and hash-verified

@@ -30,12 +30,23 @@ object Joins {
     (right.select(right.columns.map(c => col(c).as(tmp(c))): _*), mapping)
   }
 
-  /** Backward as-of join: for each left row, the single latest right row with
-    * right.ts <= left.ts, matched on `by` keys. Left rows with no match are
-    * kept (left-join semantics), like polars join_asof(strategy="backward")
-    * (retrieval_job.py:1795-1859). `tolerance` bounds the lookback window.
-    * Right value columns keep their names (optionally prefixed); `by` keys and
-    * the right timestamp are not duplicated in the output.
+  /** As-of join: for each left row, the single best right row matched on
+    * `by` keys — polars join_asof's three strategies
+    * (retrieval_job.py:1795-1859 uses "backward"; forward/nearest complete
+    * the family):
+    *
+    *  - `"backward"` (default): latest right with right.ts <= left.ts;
+    *  - `"forward"`: earliest right with right.ts >= left.ts;
+    *  - `"nearest"`: smallest |right.ts − left.ts| (ties → the earlier
+    *    right row, i.e. backward wins).
+    *
+    * Left rows with no match are kept (left-join semantics). `tolerance`
+    * bounds the window (lookback, lookahead, or both for nearest). NOTE:
+    * nearest WITHOUT a tolerance joins each left row to its whole key group
+    * before ranking — supply a tolerance at scale (backward/forward fan-in
+    * is already clipped by Spark 4's WindowGroupLimit rewrite). Right value
+    * columns keep their names (optionally prefixed); `by` keys and the
+    * right timestamp are not duplicated in the output.
     */
   def asofJoin(
       left: DataFrame,
@@ -44,15 +55,31 @@ object Joins {
       rightTs: String,
       by: Seq[String],
       tolerance: Option[java.time.Duration] = None,
-      rightPrefix: String = ""): DataFrame = {
+      rightPrefix: String = "",
+      direction: String = "backward"): DataFrame = {
     val l = left.withColumn(RowId, monotonically_increasing_id())
     val (r, m) = renameAll(right)
     val rTs = col(m(rightTs))
-    var cond: Column = rTs <= col(leftTs)
-    tolerance.foreach(t => cond = cond && rTs >= col(leftTs) - expr(s"INTERVAL ${t.getSeconds} SECOND"))
+    def minus(t: java.time.Duration) = col(leftTs) - expr(s"INTERVAL ${t.getSeconds} SECOND")
+    def plus(t: java.time.Duration) = col(leftTs) + expr(s"INTERVAL ${t.getSeconds} SECOND")
+    val (cond, order) = direction match {
+      case "backward" =>
+        (tolerance.foldLeft(rTs <= col(leftTs))((c, t) => c && rTs >= minus(t)),
+          Seq(rTs.desc_nulls_last))
+      case "forward" =>
+        (tolerance.foldLeft(rTs >= col(leftTs))((c, t) => c && rTs <= plus(t)),
+          Seq(rTs.asc_nulls_last))
+      case "nearest" =>
+        (tolerance.foldLeft(rTs.isNotNull)((c, t) => c && rTs >= minus(t) && rTs <= plus(t)),
+          // closest first (exact µs integer distance); ties prefer the
+          // earlier (backward) row
+          Seq(abs(unix_micros(rTs) - unix_micros(col(leftTs))).asc_nulls_last, rTs.asc))
+      case other => throw new IllegalArgumentException(
+        s"asofJoin direction must be backward|forward|nearest, got '$other'")
+    }
     val keyCond = by.map(k => col(k) === col(m(k))).foldLeft(cond)(_ && _)
     val joined = l.join(r, keyCond, "left")
-    val w = Window.partitionBy(col(RowId)).orderBy(rTs.desc_nulls_last)
+    val w = Window.partitionBy(col(RowId)).orderBy(order: _*)
     val deduped = joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
     // project: all left columns + right value columns under original (or prefixed) names
     val rightVals = right.columns.filterNot(c => by.contains(c) || c == rightTs)

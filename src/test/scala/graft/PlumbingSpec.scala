@@ -1538,3 +1538,56 @@ class EpochShuffleSpec extends AnyFunSuite {
     assert(e1.toSet.size == 500)
   }
 }
+
+/** As-of join directions: forward and nearest vs hand-computed answers. */
+class AsofDirectionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("forward picks the earliest at-or-after row; tolerance clips") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 12:00:00")))
+      .toDF("id", "ts")
+    val right = Seq(
+      (ts("2024-01-01 09:00:00"), "early"),
+      (ts("2024-01-01 10:30:00"), "after1"),
+      (ts("2024-01-01 11:00:00"), "after2")
+    ).map { case (t, v) => (1, t, v) }.toDF("k", "ts", "v")
+    val l = left.withColumn("k", lit(1))
+    val out = Joins.asofJoin(l, right, "ts", "ts", Seq("k"), direction = "forward")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "after1") // earliest >= 10:00
+    assert(out(2L) == null)     // nothing at-or-after 12:00
+    val clipped = Joins.asofJoin(l, right, "ts", "ts", Seq("k"),
+      tolerance = Some(java.time.Duration.ofMinutes(20)), direction = "forward")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(clipped(1L) == null) // after1 is 30 min away > 20 min tolerance
+  }
+
+  test("nearest picks the closest row either side; ties go backward") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("id", "ts").withColumn("k", lit(1))
+    val right = Seq(
+      (1, ts("2024-01-01 09:50:00"), "b10"),  // 10 min before
+      (1, ts("2024-01-01 10:05:00"), "f5"),   // 5 min after  -> nearest
+      (1, ts("2024-01-01 11:00:00"), "f60")
+    ).toDF("k", "ts", "v")
+    val out = Joins.asofJoin(left, right, "ts", "ts", Seq("k"), direction = "nearest")
+      .head().getString(3)
+    assert(out == "f5")
+    // exact tie: 10 min both sides -> earlier row wins
+    val tied = Seq(
+      (1, ts("2024-01-01 09:50:00"), "before"),
+      (1, ts("2024-01-01 10:10:00"), "after")
+    ).toDF("k", "ts", "v")
+    val t = Joins.asofJoin(left, tied, "ts", "ts", Seq("k"), direction = "nearest")
+      .head().getString(3)
+    assert(t == "before")
+    // backward result unchanged by the new parameter (regression guard)
+    val b = Joins.asofJoin(left, right, "ts", "ts", Seq("k"))
+      .head().getString(3)
+    assert(b == "b10")
+    intercept[IllegalArgumentException](
+      Joins.asofJoin(left, right, "ts", "ts", Seq("k"), direction = "sideways"))
+  }
+}
