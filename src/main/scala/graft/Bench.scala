@@ -31,16 +31,22 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // centisecond precision keeps the ONE json line short enough to survive
-    // the driver's bounded output-tail capture (full-precision doubles
-    // pushed the line past the window in round 1 → "parsed": null; at 82
-    // queries even ms precision leaves <500 B of margin)
+    // The driver records only the LAST 2000 output chars (measured from
+    // BENCH_r01/r02: tail_len 2000, metric line truncated at its START →
+    // "parsed": null both rounds). The FINAL line must therefore be a
+    // self-contained JSON comfortably under ~1900 chars: query keys are
+    // shortened to their qNN prefix (unique by construction) at centisecond
+    // precision (~1.3 KB at 96 queries). The full-name line prints FIRST so
+    // humans and BENCH_NOTES still get it when reading the whole log.
     def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val sorted = results.toSeq.sortBy(_._1)
+    println(line(sorted)) // full names, for humans reading the whole log
+    println(line(sorted.map { case (k, v) => k.takeWhile(_ != '_') -> v })) // fits the tail window
     System.out.flush()
     spark.stop()
   }
