@@ -1927,6 +1927,31 @@ object SparkEntry {
         FROM documents
         QUALIFY sample_rank <= 40""")),
 
+    // --- winsorization (percentile clipping): per-flag [5%, 95%] exact
+    // cuts broadcast over the scan (no extra shuffle); summary avoids
+    // ordering-dependent double sums — counts clipped either side + the
+    // cut values themselves (deterministic doubles, q65's discipline) ---
+    Q("q96_winsorize",
+      (s, dir) => {
+        val w = Aggregations.winsorize(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_extendedprice", 0.05, 0.95, "price_w")
+        w.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum((col("l_extendedprice") < col("price_w_lo")).cast("long")).as("n_clip_lo"),
+            sum((col("l_extendedprice") > col("price_w_hi")).cast("long")).as("n_clip_hi"),
+            min(col("price_w_lo")).as("lo_cut"), max(col("price_w_hi")).as("hi_cut"))
+      },
+      Some("""WITH cuts AS (SELECT l_returnflag,
+            quantile_cont(l_extendedprice, 0.05) AS lo_cut,
+            quantile_cont(l_extendedprice, 0.95) AS hi_cut
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag, count(*) AS n,
+          CAST(sum(CASE WHEN l_extendedprice < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+          CAST(sum(CASE WHEN l_extendedprice > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+          min(lo_cut) AS lo_cut, max(hi_cut) AS hi_cut
+        FROM lineitem l JOIN cuts USING (l_returnflag)
+        GROUP BY l.l_returnflag""")),
+
     // --- FORWARD as-of join (polars join_asof strategy="forward"; q9 is
     // backward): for each purchase, the NEXT click within 2 hours ---
     Q("q95_asof_next_click",

@@ -221,6 +221,22 @@ object Aggregations {
     out.select(keys.map(col) ++ outNames.map(col): _*)
   }
 
+  /** WINSORIZE a value column per group: clip to its group's
+    * [lower, upper] exact percentile cuts (the standard outlier treatment
+    * before scaling/training). The cut table is |groups| rows — broadcast
+    * back onto the scan, so clipping adds NO shuffle (the q65 binning
+    * shape). Adds `<out>` (clipped value), `<out>_lo`/`<out>_hi` (the
+    * cuts). */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+      lower: Double, upper: Double, out: String): DataFrame = {
+    require(lower >= 0 && upper <= 1 && lower < upper, "need 0 <= lower < upper <= 1")
+    val cuts = exactPercentiles(df, keys, valueCol,
+      Seq(lower, upper), Seq(s"${out}_lo", s"${out}_hi"))
+    df.join(broadcast(cuts), keys)
+      .withColumn(out,
+        greatest(least(col(valueCol).cast("double"), col(s"${out}_hi")), col(s"${out}_lo")))
+  }
+
   /** Shape 3 scale path: PIT windowed aggregate with TIME-BUCKETED join.
     *
     * [[pointInTimeAgg]] equi-joins facts to a key's ENTIRE feature history

@@ -1591,3 +1591,25 @@ class AsofDirectionSpec extends AnyFunSuite {
       Joins.asofJoin(left, right, "ts", "ts", Seq("k"), direction = "sideways"))
   }
 }
+
+/** Winsorize: clip bounds honored, interior values untouched. */
+class WinsorizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("values clip to the group cuts; interior passes through") {
+    val df = ((1 to 99).map(i => ("a", i.toDouble)) :+ (("a", 1000.0)))
+      .toDF("g", "v")
+    val w = Aggregations.winsorize(df, Seq("g"), "v", 0.10, 0.90, "vw")
+      .select("v", "vw", "vw_lo", "vw_hi").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val (lo, hi) = (w.head._3, w.head._4)
+    assert(lo > 1.0 && hi < 1000.0)
+    assert(w.forall { case (_, vw, _, _) => vw >= lo && vw <= hi })
+    assert(w.filter { case (v, _, _, _) => v > lo && v < hi }
+      .forall { case (v, vw, _, _) => v == vw }) // interior untouched
+    assert(w.find(_._1 == 1000.0).get._2 == hi)  // outlier clipped to cut
+    intercept[IllegalArgumentException](
+      Aggregations.winsorize(df, Seq("g"), "v", 0.9, 0.1, "x"))
+  }
+}
