@@ -1927,6 +1927,46 @@ object SparkEntry {
         FROM documents
         QUALIFY sample_rank <= 40""")),
 
+    // --- ordered FUNNEL (view → click within 7d → purchase within 7d):
+    // per-stage filtered aggregation joined to the previous stage's
+    // skeleton — k user-key passes, never an event×event self-join ---
+    Q("q97_funnel",
+      (s, dir) => {
+        val e = events(s, dir)
+        EventAnalytics.funnelCounts(e, "user_id", "ts",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"),
+          maxStepGap = Some(java.time.Duration.ofDays(7)))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND e.ts >= t1
+              AND e.ts <= t1 + INTERVAL 7 DAY GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND e.ts >= t2
+              AND e.ts <= t2 + INTERVAL 7 DAY GROUP BY e.user_id)
+        SELECT 1 AS stage, count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, count(*) FROM s2
+        UNION ALL SELECT 3, count(*) FROM s3""")),
+
+    // --- COHORT RETENTION: cohort = first-activity ISO week; distinct
+    // active users per (cohort, week offset) — two user-key aggregations,
+    // exact integer week arithmetic, dates emitted as strings ---
+    Q("q98_retention",
+      (s, dir) => EventAnalytics.retention(events(s, dir), "user_id", "ts")
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_users")),
+      Some("""WITH e AS (SELECT user_id,
+            date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events),
+          f AS (SELECT user_id, min(w) AS cohort FROM e GROUP BY user_id),
+          a AS (SELECT DISTINCT user_id, w FROM e)
+        SELECT strftime(CAST(cohort AS DATE), '%Y-%m-%d') AS cohort_week,
+          CAST((epoch(w) - epoch(cohort)) // 604800 AS BIGINT) AS week_offset,
+          count(DISTINCT a.user_id) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2""")),
+
     // --- winsorization (percentile clipping): per-flag [5%, 95%] exact
     // cuts broadcast over the scan (no extra shuffle); summary avoids
     // ordering-dependent double sums — counts clipped either side + the

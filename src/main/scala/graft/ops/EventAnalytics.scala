@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over an event stream (user_id, ts, …) — the
+  * product-analytics layer next to [[Aggregations]]'s sessionization
+  * (reference scope ends at windowed aggregates; funnels/retention are the
+  * standard questions asked of the same events table).
+  *
+  * Both operators aggregate FIRST and join the per-user skeletons after —
+  * every shuffle is on the user key with map-side partials, never on raw
+  * events × stages.
+  */
+object EventAnalytics {
+
+  /** ORDERED FUNNEL: for each user, the earliest timestamp of stage 1, then
+    * the earliest stage-2 event AT OR AFTER it, and so on — each step
+    * optionally within `maxStepGap` of the previous. Returns one row per
+    * user who completed stage 1, with `ts_1..ts_k` (null once a stage is
+    * missed) and `stages_completed`.
+    *
+    * Plan: stage i is one filtered aggregation on the user key joined to
+    * the stage-(i−1) skeleton — k partial-aggregated passes, all sharing
+    * the user-key partitioning, no event×event self-join. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      stages: Seq[Column], maxStepGap: Option[java.time.Duration] = None): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    val first = events.filter(stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("ts_1"))
+    val funneled = stages.zipWithIndex.drop(1).foldLeft(first) { case (prev, (pred, i)) =>
+      val prevTs = col(s"ts_$i")
+      val gapOk = maxStepGap.fold(lit(true))(g =>
+        col(tsCol) <= prevTs + expr(s"INTERVAL ${g.getSeconds} SECOND"))
+      val next = events.filter(pred)
+        .join(prev.select(col(userCol), prevTs), Seq(userCol))
+        .filter(col(tsCol) >= prevTs && gapOk)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"ts_${i + 1}"))
+      prev.join(next, Seq(userCol), "left")
+    }
+    val completed = stages.indices.map(i => col(s"ts_${i + 1}").isNotNull.cast("int"))
+      .reduce(_ + _)
+    funneled.withColumn("stages_completed", completed)
+  }
+
+  /** Funnel CONVERSION COUNTS: one row per stage with the number of users
+    * whose ordered journey reached it (monotone by construction). */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+      stages: Seq[Column], maxStepGap: Option[java.time.Duration] = None): DataFrame = {
+    val f = funnel(events, userCol, tsCol, stages, maxStepGap)
+    val counts = stages.indices.map(i =>
+      sum(col(s"ts_${i + 1}").isNotNull.cast("long")).as(s"__s${i + 1}"))
+    val one = f.agg(counts.head, counts.tail: _*)
+    val rows = stages.indices.map(i =>
+      struct(lit(i + 1).as("stage"), col(s"__s${i + 1}").as("n_users")))
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** COHORT RETENTION: cohort = the user's first-activity week (Monday
+    * date_trunc, ISO — identical in Spark and DuckDB); one row per
+    * (cohort_week, week_offset) with the distinct users active then.
+    * Weeks are exact integer arithmetic on epoch seconds (a 7-day week is
+    * 604800 s — date_trunc output carries no DST here because the session
+    * runs UTC). Two aggregations on the user key + one distinct count —
+    * no event×event join. */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val week = date_trunc("week", col(tsCol))
+    val firstWeek = events.groupBy(col(userCol))
+      .agg(min(week).as("__cohort"))
+    val active = events.select(col(userCol), week.as("__week")).distinct()
+    active.join(firstWeek, Seq(userCol))
+      .withColumn("week_offset",
+        ((unix_timestamp(col("__week")) - unix_timestamp(col("__cohort"))) / 604800L)
+          .cast("long"))
+      .groupBy(col("__cohort").cast("date").as("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+}

@@ -1613,3 +1613,54 @@ class WinsorizeSpec extends AnyFunSuite {
       Aggregations.winsorize(df, Seq("g"), "v", 0.9, 0.1, "x"))
   }
 }
+
+/** Funnel ordering semantics + retention offsets on hand-built journeys. */
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel requires stage order; out-of-order events don't convert") {
+    val events = Seq(
+      // u1: full ordered journey
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-02 10:00:00")),
+      (1L, "buy", ts("2024-01-03 10:00:00")),
+      // u2: click BEFORE first view -> stops at stage 1
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      // u3: click too late (gap > 2 days)
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "click", ts("2024-01-05 10:00:00")),
+      // u4: never viewed -> not in funnel at all
+      (4L, "buy", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val stages = Seq(col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "buy")
+    val counts = EventAnalytics.funnelCounts(events, "user_id", "ts", stages,
+      Some(java.time.Duration.ofDays(2)))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+    val f = EventAnalytics.funnel(events, "user_id", "ts", stages,
+      Some(java.time.Duration.ofDays(2)))
+      .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("stages_completed"))).toMap
+    assert(f == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
+  test("retention cohorts by first ISO week with exact offsets") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Monday, cohort week 0
+      (1L, ts("2024-01-10 10:00:00")), // week 1
+      (1L, ts("2024-01-16 10:00:00")), // week 2
+      (2L, ts("2024-01-10 10:00:00")), // cohort = week of Jan 8
+      (2L, ts("2024-01-11 10:00:00"))  // same week -> one active row
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.retention(events, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 1L) -> 1L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L))
+  }
+}
