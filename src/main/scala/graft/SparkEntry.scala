@@ -1927,6 +1927,60 @@ object SparkEntry {
         FROM documents
         QUALIFY sample_rank <= 40""")),
 
+    // --- corpus NOVELTY screen: distinct bigrams of the "new" slice (odd
+    // doc_ids) unseen in the "old" slice — the freshness complement of
+    // q78's numeric drift; 8-byte gram hashes, anti-join of two distinct
+    // sets ---
+    Q("q99_ngram_novelty",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // the portable md5-prefix hash of the WHOLE gram string (the
+        // established cross-engine key family)
+        def gramHash(c: Column) =
+          conv(substring(md5(c), 1, 14), 16, 10).cast("long") % Dedup.PortableP
+        def grams(filter: Column) = docs.filter(filter)
+          .select(explode(graft.functions.Native.wordShingleStrings(col("text"), 2)).as("g"))
+          .select(gramHash(col("g")).as("h")).distinct()
+        // flag-join instead of anti-join + count + crossJoin: ONE aggregation,
+        // no 1×1 cartesian (the plan invariants ban CartesianProduct)
+        grams(col("doc_id") % 2 === 1)
+          .join(grams(col("doc_id") % 2 === 0).withColumn("__seen", lit(true)),
+            Seq("h"), "left")
+          .agg(count(lit(1)).as("n_new_distinct"),
+            sum(col("__seen").isNull.cast("long")).as("n_novel"))
+          .withColumn("novelty_rate",
+            col("n_novel").cast("double") / col("n_new_distinct").cast("double"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents),
+          g AS (SELECT doc_id, [CAST(concat('0x',
+                substr(md5(array_to_string(w[i:i+1], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
+              for i in generate_series(1, greatest(len(w)-1, 0))] AS gs
+            FROM w),
+          newg AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id % 2 = 1),
+          oldg AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id % 2 = 0),
+          novel AS (SELECT h FROM newg WHERE h NOT IN (SELECT h FROM oldg))
+        SELECT (SELECT count(*) FROM newg) AS n_new_distinct,
+          (SELECT count(*) FROM novel) AS n_novel,
+          CAST((SELECT count(*) FROM novel) AS DOUBLE)
+            / CAST((SELECT count(*) FROM newg) AS DOUBLE) AS novelty_rate""")),
+
+    // --- TYPE-TOKEN RATIO per source (lexical diversity): distinct words /
+    // total words, one explode + two counts ---
+    Q("q100_type_token",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), count_distinct(col("w")).as("n_types"))
+        .withColumn("ttr", col("n_types").cast("double") / col("n_tokens").cast("double")),
+      Some("""WITH w AS (SELECT source, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS w
+          FROM documents)
+        SELECT source, count(*) AS n_tokens, count(DISTINCT w) AS n_types,
+          CAST(count(DISTINCT w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ttr
+        FROM w GROUP BY source""")),
+
     // --- ordered FUNNEL (view → click within 7d → purchase within 7d):
     // per-stage filtered aggregation joined to the previous stage's
     // skeleton — k user-key passes, never an event×event self-join ---
