@@ -696,6 +696,19 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-3 small sides broadcast: LM counts, mixture rates, MG candidates, winsorize cuts") {
+    // q83: the bigram count table broadcasts (the scored corpus never
+    // shuffles for the lookup); q87: the per-source rate table broadcasts
+    // over the scan; q92: Misra-Gries candidates broadcast for the exact
+    // verify; q96: the percentile cut table broadcasts like q65's
+    for (name <- Seq("q83_lm_coverage", "q87_mixture_sample",
+        "q92_heavy_hitters", "q96_winsorize")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name: expected a broadcast join\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$name: small side fell into a sort-merge join")
+    }
+  }
+
   test("filter and projection reach the parquet scan") {
     val plan = SparkEntry.queries("q8b_customers_with_urgent_orders")(spark, dir)
       .queryExecution.executedPlan.toString
