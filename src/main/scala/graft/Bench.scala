@@ -41,7 +41,7 @@ object Bench {
     def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val total = entries.map(_._2).sum // from the entries printed, not the outer map
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     val sorted = results.toSeq.sortBy(_._1)

@@ -149,8 +149,11 @@ object Aggregations {
       .agg(count(lit(1)).as("__n"),
         expr(s"approx_percentile(__v, array(${probePs.mkString(",")}), $accuracy)").as("__probes"))
       .collect()
-    if (probeRows.isEmpty)
-      return exactPercentiles(df, keys, valueCol, ps, outNames) // empty input: same empty schema
+    // empty input, or null KEY values: the bracket path's equi-joins would
+    // silently drop null-key groups that the histogram's groupBy keeps —
+    // fall back rather than break the exact-equivalence contract
+    if (probeRows.isEmpty || probeRows.exists(r => keys.indices.exists(r.isNullAt)))
+      return exactPercentiles(df, keys, valueCol, ps, outNames)
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

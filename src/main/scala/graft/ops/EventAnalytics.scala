@@ -48,8 +48,10 @@ object EventAnalytics {
   def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
       stages: Seq[Column], maxStepGap: Option[java.time.Duration] = None): DataFrame = {
     val f = funnel(events, userCol, tsCol, stages, maxStepGap)
+    // coalesce: a funnel nobody entered must count 0, not null (a global
+    // agg over an empty frame yields one all-null row)
     val counts = stages.indices.map(i =>
-      sum(col(s"ts_${i + 1}").isNotNull.cast("long")).as(s"__s${i + 1}"))
+      coalesce(sum(col(s"ts_${i + 1}").isNotNull.cast("long")), lit(0L)).as(s"__s${i + 1}"))
     val one = f.agg(counts.head, counts.tail: _*)
     val rows = stages.indices.map(i =>
       struct(lit(i + 1).as("stage"), col(s"__s${i + 1}").as("n_users")))

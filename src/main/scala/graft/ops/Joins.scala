@@ -70,10 +70,16 @@ object Joins {
         (tolerance.foldLeft(rTs >= col(leftTs))((c, t) => c && rTs <= plus(t)),
           Seq(rTs.asc_nulls_last))
       case "nearest" =>
+        // exact µs integer distance for timestamps; numeric ts columns
+        // (epoch longs etc., accepted by backward/forward) subtract directly
+        val isTimestamp = right.schema(rightTs).dataType
+          .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+        val dist =
+          if (isTimestamp) abs(unix_micros(rTs) - unix_micros(col(leftTs)))
+          else abs(rTs.cast("double") - col(leftTs).cast("double"))
         (tolerance.foldLeft(rTs.isNotNull)((c, t) => c && rTs >= minus(t) && rTs <= plus(t)),
-          // closest first (exact µs integer distance); ties prefer the
-          // earlier (backward) row
-          Seq(abs(unix_micros(rTs) - unix_micros(col(leftTs))).asc_nulls_last, rTs.asc))
+          // closest first; ties prefer the earlier (backward) row
+          Seq(dist.asc_nulls_last, rTs.asc))
       case other => throw new IllegalArgumentException(
         s"asofJoin direction must be backward|forward|nearest, got '$other'")
     }

@@ -71,31 +71,11 @@ object Similarity {
     val sample = base.orderBy(xxhash64(col("cid")), col("cid")).limit(initSample)
       .select("cvec").collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "kmeans: empty corpus")
-    def cosL(a: Array[Double], b: Array[Double]): Double = {
-      val n = math.min(a.length, b.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      val d = math.sqrt(na) * math.sqrt(nb)
-      if (d == 0.0) 0.0 else dot / d
-    }
-    // farthest-point: maintain each sample's max-similarity-to-chosen; pick
-    // the min (first index on ties — stable under the hash ordering)
-    val maxSim = Array.fill(sample.length)(-2.0)
-    var chosen = Vector(sample(0))
-    while (chosen.size < math.min(k, sample.length)) {
-      val newest = chosen.last
-      var bestIdx = 0; var bestVal = Double.PositiveInfinity
-      var i = 0
-      while (i < sample.length) {
-        val s = cosL(sample(i), newest)
-        if (s > maxSim(i)) maxSim(i) = s
-        if (maxSim(i) < bestVal) { bestVal = maxSim(i); bestIdx = i }
-        i += 1
-      }
-      chosen = chosen :+ sample(bestIdx)
-    }
+    // farthest-point init shared with the driver-side [[localKMeans]]
+    // (iters = 0 returns exactly the chosen seeds) — ONE implementation so
+    // the PQ codebooks and the coarse quantizer can never desynchronize
     var centroids: IndexedSeq[(Int, Array[Double])] =
-      chosen.zipWithIndex.map { case (v, i) => (i + 1, v) }
+      localKMeans(sample, k, iters = 0).zipWithIndex.map { case (v, i) => (i + 1, v) }
     var it = 0
     while (it < iters) {
       val assign = element_at(graft.functions.Native.nearestCentroids(

@@ -134,25 +134,26 @@ final case class CsvSource(
 final case class JsonLinesSource(
     path: String,
     schema: Option[org.apache.spark.sql.types.StructType] = None) extends WritableSource {
+  // Spark's DEFAULT json write truncates timestamps to milliseconds
+  // (".SSSXXX" — measured: 10:00:00.123456 → "10:00:00.123Z"), which would
+  // silently corrupt as-of ordering on every upsert round-trip; pin a
+  // microsecond format on BOTH sides
+  private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private def reader(spark: SparkSession) =
+    spark.read.option("timestampFormat", tsFmt)
+  private def writer(df: DataFrame) =
+    df.write.option("timestampFormat", tsFmt)
   def read(spark: SparkSession): DataFrame = schema match {
-    case Some(s) => spark.read.schema(s).json(path)
-    case None => spark.read.json(path)
+    case Some(s) => reader(spark).schema(s).json(path)
+    case None => reader(spark).json(path)
   }
   override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
-  def insert(df: DataFrame): Unit = df.write.mode(SaveMode.Append).json(path)
-  def overwrite(df: DataFrame): Unit = df.write.mode(SaveMode.Overwrite).json(path)
-  def upsert(df: DataFrame, keys: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    val merged =
-      if (!exists(spark)) df
-      else read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(df)
-    val tmp = path + "__tmp_upsert"
-    merged.write.mode(SaveMode.Overwrite).json(tmp)
-    spark.read.schema(merged.schema).json(tmp).write.mode(SaveMode.Overwrite).json(path)
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(tmp), true)
-  }
+  def insert(df: DataFrame): Unit = writer(df).mode(SaveMode.Append).json(path)
+  def overwrite(df: DataFrame): Unit = writer(df).mode(SaveMode.Overwrite).json(path)
+  def upsert(df: DataFrame, keys: Seq[String]): Unit =
+    StageAndSwap.upsert(this, path, df, keys,
+      (d, p) => writer(d).mode(SaveMode.Overwrite).json(p),
+      (s, p, sch) => reader(s).schema(sch).json(p))
 }
 
 /** ORC table — the other columnar format Spark ships a vectorized,
@@ -163,15 +164,32 @@ final case class OrcSource(path: String) extends WritableSource {
   override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
   def insert(df: DataFrame): Unit = df.write.mode(SaveMode.Append).orc(path)
   def overwrite(df: DataFrame): Unit = df.write.mode(SaveMode.Overwrite).orc(path)
-  def upsert(df: DataFrame, keys: Seq[String]): Unit = {
+  def upsert(df: DataFrame, keys: Seq[String]): Unit =
+    StageAndSwap.upsert(this, path, df, keys,
+      (d, p) => d.write.mode(SaveMode.Overwrite).orc(p),
+      (s, p, _) => s.read.orc(p))
+}
+
+/** The shared stage-and-swap upsert protocol: merge (old anti-join new ∪
+  * new), materialize to a temp dir, rewrite the main path from the temp
+  * copy, drop the temp. Self-overwrite-safe (the merge is materialized
+  * before the input files are truncated); a crash between the two writes
+  * leaves the temp dir for manual recovery — full transactionality is the
+  * Delta/Iceberg commit log's job (COVERAGE §2.1). One implementation so a
+  * protocol fix lands everywhere (parquet keeps its original in-line copy
+  * of this sequence for scaladoc locality; json/orc share this). */
+private[sources] object StageAndSwap {
+  def upsert(src: WritableSource, path: String, df: DataFrame, keys: Seq[String],
+      write: (DataFrame, String) => Unit,
+      readBack: (SparkSession, String, org.apache.spark.sql.types.StructType) => DataFrame): Unit = {
     val spark = df.sparkSession
     val merged =
-      if (!exists(spark)) df
-      else read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      if (!src.exists(spark)) df
+      else src.read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(df)
     val tmp = path + "__tmp_upsert"
-    merged.write.mode(SaveMode.Overwrite).orc(tmp)
-    spark.read.orc(tmp).write.mode(SaveMode.Overwrite).orc(path)
+    write(merged, tmp)
+    write(readBack(spark, tmp, merged.schema), path)
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(tmp), true)
   }

@@ -259,6 +259,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(typed.read(spark).schema("id").dataType == org.apache.spark.sql.types.IntegerType)
   }
 
+  test("jsonl round-trips microsecond timestamps (default json write truncates to ms)") {
+    val dir = tmpDir() + "/jt"
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val src = graft.sources.JsonLinesSource(dir, Some(sch))
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123456")
+    src.overwrite(Seq((1L, ts)).toDF("id", "ts"))
+    assert(src.read(spark).head().getTimestamp(1) == ts)
+    // upsert keeps untouched rows' precision through the rewrite
+    src.upsert(Seq((2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00.000001")))
+      .toDF("id", "ts"), Seq("id"))
+    val back = src.read(spark).orderBy("id").collect().map(_.getTimestamp(1))
+    assert(back(0) == ts && back(1).getNanos == 1000)
+  }
+
   test("orc round-trip, upsert, and predicate pushdown in the plan") {
     val dir = tmpDir() + "/o"
     val src = graft.sources.OrcSource(dir)

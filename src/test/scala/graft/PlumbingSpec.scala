@@ -1426,6 +1426,16 @@ class BracketedPercentileSpec extends AnyFunSuite {
     for (k <- hist.keySet) assert(brk(k) == hist(k), s"key $k: ${brk(k)} vs ${hist(k)}")
   }
 
+  test("bracketed falls back on null keys and still matches the histogram path") {
+    val df = (Seq(("a", 1.0), ("a", 2.0), (null.asInstanceOf[String], 5.0),
+      (null.asInstanceOf[String], 7.0))).toDF("k", "v")
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    val hist = toMap(Aggregations.exactPercentiles(df, Seq("k"), "v", Seq(0.5), Seq("m")))
+    val brk = toMap(Aggregations.exactPercentilesBracketed(df, Seq("k"), "v", Seq(0.5), Seq("m")))
+    assert(brk == hist && brk.contains(None)) // null-key group present in both
+  }
+
   test("bracketed handles ties, tiny groups, and the p=0/p=1 edges") {
     val df = (Seq.fill(500)(7.5) ++ Seq(1.0, 2.0, 3.0)).zipWithIndex
       .map { case (v, i) => (s"g${i % 2}", v) }.toDF("k", "v")
@@ -1603,6 +1613,14 @@ class AsofDirectionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Joins.asofJoin(left, right, "ts", "ts", Seq("k"), direction = "sideways"))
   }
+
+  test("nearest works on plain numeric ts columns too") {
+    val left = Seq((1L, 100L)).toDF("id", "ts").withColumn("k", lit(1))
+    val right = Seq((1, 90L, "b"), (1, 104L, "f")).toDF("k", "ts", "v")
+    val out = Joins.asofJoin(left, right, "ts", "ts", Seq("k"), direction = "nearest")
+      .head().getString(3)
+    assert(out == "f") // distance 4 beats 10
+  }
 }
 
 /** Winsorize: clip bounds honored, interior values untouched. */
@@ -1659,6 +1677,15 @@ class EventAnalyticsSpec extends AnyFunSuite {
       Some(java.time.Duration.ofDays(2)))
       .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("stages_completed"))).toMap
     assert(f == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
+  test("funnelCounts reports zeros, not nulls, when nobody enters the funnel") {
+    val events = Seq((1L, "buy", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val counts = EventAnalytics.funnelCounts(events, "user_id", "ts",
+      Seq(col("event_type") === "view", col("event_type") === "buy"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1 -> 0L, 2 -> 0L))
   }
 
   test("retention cohorts by first ISO week with exact offsets") {
