@@ -2199,9 +2199,176 @@ object SparkEntry {
       FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
   }
 
+  private val pipelineQueries5: Seq[Q] = Seq(
+    // --- SCD TYPE-2 from a changelog: purchases as per-user value updates →
+    // validity intervals + current-row flag. One window shuffle on the
+    // entity key; ties on ts break by event_id so the chain is total ---
+    Q("q101_scd2",
+      (s, dir) => {
+        val p = purchases(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        EventAnalytics.scd2(p, "user_id", "ts", "event_id")
+          .select(col("user_id"), col("event_id"),
+            col("valid_from").cast("long").as("valid_from_sec"),
+            col("valid_to").cast("long").as("valid_to_sec"),
+            col("value"), col("is_current"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events WHERE event_type = 'purchase')
+        SELECT user_id, event_id,
+          epoch_us(ts) // 1000000 AS valid_from_sec,
+          epoch_us(lead(ts) OVER w) // 1000000 AS valid_to_sec,
+          value, (lead(ts) OVER w) IS NULL AS is_current
+        FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    // --- CONTAINMENT pairs (asymmetric Jaccard |A∩B|/min(|A|,|B|)): the
+    // short-doc-embedded-in-long-doc detector symmetric Jaccard misses.
+    // Inverted-index plan — only shared-shingle pairs ever materialize ---
+    Q("q102_containment",
+      (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.6, k = 3),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(w)-2, 0))]) AS gs FROM w),
+          s AS (SELECT doc_id, gs, len(gs) AS z FROM g WHERE len(gs) > 0),
+          e AS (SELECT doc_id, z, unnest(gs) AS h FROM s),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.z AS za, b.z AS zb,
+              count(*) AS inter
+            FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+          CAST(inter AS DOUBLE) / least(za, zb) AS containment,
+          CAST(inter AS DOUBLE) / (za + zb - inter) AS jaccard
+        FROM p WHERE CAST(inter AS DOUBLE) / least(za, zb) >= 0.6""")),
+
+    // --- hashed-BoW LINEAR quality scoring (fastText-filter inference
+    // shape): narrow plan-time expression, integer milli-weight sums so the
+    // score is order-independent and engine-exact ---
+    Q("q103_linear_score",
+      (s, dir) => TextAnalysis.hashedLinearScore(t(s, dir, "documents"), "text", "doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w
+            FROM documents),
+          h AS (SELECT doc_id, list_transform(w, s ->
+              CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) % ${Dedup.PortableP}) AS h
+            FROM w)
+        SELECT doc_id, CAST(len(h) AS BIGINT) AS n_tokens,
+          CASE WHEN len(h) = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(h, x -> x % 2001 - 1000)) AS DOUBLE)
+              / (len(h) * 1000.0) END AS score,
+          CASE WHEN len(h) = 0 THEN FALSE
+            ELSE CAST(list_sum(list_transform(h, x -> x % 2001 - 1000)) AS DOUBLE)
+              / (len(h) * 1000.0) > 0 END AS keep
+        FROM h""")),
+
+    // --- MERGEABLE histogram sketches: fine-grain (flag, status) sketches
+    // roll up to per-flag without rescanning, and the merged sketch answers
+    // the median via integer-rank arithmetic — HLL's quantile sibling, but
+    // plain-integer portable, so hash-checked rather than rows-only ---
+    Q("q104_hist_quantile",
+      (s, dir) => {
+        val sketch = Aggregations.histSketch(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"), "l_extendedprice", binWidth = 100.0)
+        val rolled = Aggregations.histRollup(sketch, Seq("l_returnflag"))
+        val q = Aggregations.histQuantile(rolled, Seq("l_returnflag"), 0.5, 100.0)
+        val stats = rolled.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_bins"), sum(col("n")).as("total"))
+        q.join(stats, Seq("l_returnflag"))
+      },
+      Some("""WITH s AS (SELECT l_returnflag, l_linestatus,
+            CAST(floor(CAST(l_extendedprice AS DOUBLE) / 100.0) AS BIGINT) AS bin,
+            count(*) AS n FROM lineitem GROUP BY 1, 2, 3),
+          r AS (SELECT l_returnflag, bin, sum(n) AS n FROM s GROUP BY 1, 2),
+          c AS (SELECT l_returnflag, bin, n,
+            sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+            CAST(ceil(0.5 * sum(n) OVER (PARTITION BY l_returnflag)) AS BIGINT) AS rnk
+            FROM r),
+          q AS (SELECT l_returnflag, bin * 100.0 AS quantile_lo FROM c
+            WHERE cum >= rnk AND cum - n < rnk),
+          t AS (SELECT l_returnflag, count(*) AS n_bins, CAST(sum(n) AS BIGINT) AS total
+            FROM r GROUP BY 1)
+        SELECT q.l_returnflag, quantile_lo, n_bins, total FROM q JOIN t USING (l_returnflag)""")),
+
+    // --- BLOOM-prefiltered decontamination: same split and same ANSWER as
+    // q62 (false positives die in the exact verify; false negatives are
+    // impossible) — the bloom is a constant-size codegen'd prune inside the
+    // scan stage, so only ~FPR·grams ever reach the join at 100 TB ---
+    Q("q105_bloom_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.bloomDecontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 3, mBits = 1 << 16, numProbes = 3)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([CAST(concat('0x',
+                substr(md5(array_to_string(w[i:i+2], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
+              for i in generate_series(1, greatest(len(w)-2, 0))]) AS gs
+            FROM w),
+          bench AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id % 97 = 0),
+          corpus AS (SELECT doc_id, unnest(gs) AS h FROM g WHERE doc_id % 97 <> 0)
+        SELECT corpus.doc_id, count(*) AS n_shared
+        FROM corpus JOIN bench USING (h) GROUP BY corpus.doc_id""")),
+
+    // --- CROSS-CORPUS linkage (crawl-snapshot diff): each even-id doc's
+    // best fuzzy match among odd-id docs — inverted-index blocking, exact
+    // Jaccard, top-1 window (WindowGroupLimit) ---
+    Q("q106_cross_link",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.crossCorpusLink(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", threshold = 0.5, k = 3)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(w)-2, 0))]) AS gs FROM w),
+          s AS (SELECT doc_id, gs, len(gs) AS z FROM g WHERE len(gs) > 0),
+          e AS (SELECT doc_id, z, unnest(gs) AS h FROM s),
+          p AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id, a.z AS za, b.z AS zb,
+              count(*) AS inter
+            FROM e a JOIN e b ON a.h = b.h AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+            GROUP BY 1, 2, 3, 4),
+          j AS (SELECT left_id, right_id,
+              CAST(inter AS DOUBLE) / (za + zb - inter) AS jaccard
+            FROM p WHERE CAST(inter AS DOUBLE) / (za + zb - inter) >= 0.5)
+        SELECT left_id, right_id, jaccard FROM j
+        QUALIFY row_number() OVER (PARTITION BY left_id
+          ORDER BY jaccard DESC, right_id) = 1""")),
+
+    // --- VOCABULARY GROWTH (Heaps-law curve): distinct bigrams at nested
+    // md5-ordered 25% corpus prefixes — ONE scan; each gram keeps its
+    // earliest prefix, buckets cumulate in a 4-row window ---
+    Q("q107_vocab_growth",
+      (s, dir) => TextAnalysis.vocabGrowth(t(s, dir, "documents"), "text", "doc_id",
+        n = 2, steps = 4),
+      Some("""WITH d AS (SELECT doc_id, text,
+            CAST((CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % 1000000) // 250000 AS INT) AS b
+            FROM documents),
+          w AS (SELECT doc_id, b, string_split_regex(lower(trim(text)), '\s+') AS w FROM d),
+          g AS (SELECT doc_id, b, list_distinct([array_to_string(w[i:i+1], ' ')
+              for i in generate_series(1, greatest(len(w)-1, 0))]) AS gs FROM w),
+          e AS (SELECT b, unnest(gs) AS h FROM g),
+          fs AS (SELECT h, min(b) AS fb FROM e GROUP BY h),
+          ng AS (SELECT fb, count(*) AS ngrams FROM fs GROUP BY fb),
+          nd AS (SELECT b AS fb, count(*) AS ndocs FROM d GROUP BY b),
+          m AS (SELECT coalesce(ng.fb, nd.fb) AS fb,
+              coalesce(ngrams, 0) AS ngrams, coalesce(ndocs, 0) AS ndocs
+            FROM ng FULL JOIN nd ON ng.fb = nd.fb)
+        SELECT CAST(fb + 1 AS DOUBLE) / 4 AS fraction,
+          CAST(sum(ndocs) OVER (ORDER BY fb) AS BIGINT) AS n_docs,
+          CAST(sum(ngrams) OVER (ORDER BY fb) AS BIGINT) AS distinct_grams
+        FROM m"""))
+  )
+
   val specs: Seq[Q] =
     relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++
-      statsQueries ++ analyticQueries ++ storeQueries ++ pipelineQueries3 ++ pipelineQueries4
+      statsQueries ++ analyticQueries ++ storeQueries ++ pipelineQueries3 ++ pipelineQueries4 ++
+      pipelineQueries5
 
   // ---------- driver contract ----------
 

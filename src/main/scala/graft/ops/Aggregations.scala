@@ -331,4 +331,46 @@ object Aggregations {
     sketches.groupBy(keys.map(col): _*)
       .agg(hll_union_agg(col("sketch")).as("sketch"))
       .withColumn("est_distinct", hll_sketch_estimate(col("sketch")))
+
+  /** MERGEABLE fixed-width HISTOGRAM sketches per group: bin = floor(value /
+    * binWidth), one (keys…, bin, n) row per occupied bin. [[hllSketches]]'
+    * quantile sibling, but — unlike HLL's opaque binary — the sketch is
+    * PLAIN integer arithmetic, so it is engine-portable and oracle-checkable
+    * (SparkEntry q104), and rollups are just re-aggregations of (bin, n).
+    * State is O(occupied bins) per group vs percentile()'s O(rows) buffer;
+    * quantile error is bounded by binWidth. */
+  def histSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth > 0")
+    df.groupBy(keys.map(col) :+
+        floor(col(valueCol).cast("double") / binWidth).cast("long").as("bin"): _*)
+      .agg(count(col(valueCol)).as("n"))
+  }
+
+  /** Roll histogram sketches up to coarser keys without rescanning raw data:
+    * re-sum per (coarser keys, bin). Chains like [[hllRollup]] (hour → day →
+    * month), and merged sketches answer quantiles via [[histQuantile]]. */
+  def histRollup(sketch: DataFrame, keys: Seq[String]): DataFrame =
+    sketch.groupBy(keys.map(col) :+ col("bin"): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /** Approximate quantile FROM a histogram sketch: per group, the lower edge
+    * (bin · binWidth) of the first bin whose cumulative count reaches
+    * ceil(p · total) — deterministic integer-rank arithmetic (no float
+    * cumulative fractions), so external engines restate it exactly. Error ≤
+    * binWidth, the sketch's contract. One window pass over bins (there are
+    * O(bins) rows here, not O(rows)). */
+  def histQuantile(sketch: DataFrame, keys: Seq[String], p: Double,
+      binWidth: Double): DataFrame = {
+    require(p > 0 && p <= 1, "0 < p <= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bin"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    sketch
+      .withColumn("__cum", sum(col("n")).over(w))
+      .withColumn("__rank", ceil(lit(p) * sum(col("n")).over(tot)).cast("long"))
+      .filter(col("__cum") >= col("__rank") &&
+        col("__cum") - col("n") < col("__rank"))
+      .select(keys.map(col) :+ (col("bin") * binWidth).as("quantile_lo"): _*)
+  }
 }

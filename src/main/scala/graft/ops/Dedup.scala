@@ -495,4 +495,138 @@ object Dedup {
       .filter(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")
   }
+
+  /** CONTAINMENT pairs (asymmetric Jaccard): |A∩B| / min(|A|, |B|) ≥
+    * `threshold` — catches a short document embedded verbatim inside a long
+    * one, which symmetric Jaccard misses (a 50-word doc inside a 5000-word
+    * doc has Jaccard ≈ 0.01 but containment ≈ 1). Same inverted-index plan
+    * as [[jaccardPairsInverted]]: explode (doc, shingle-hash), equi-join on
+    * the hash, count per pair — pairs sharing nothing never materialize.
+    * Returns (id_a < id_b, containment, jaccard): emitting both lets a
+    * pipeline route "true near-dup" vs "subset-dup" differently. */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), k).as("s"))
+      .withColumn("sz", size(col("s"))).filter(col("sz") > 0)
+    val inv = sets.select(col("id"), col("sz"), explode(col("s")).as("h"))
+    val a = inv.select(col("id").as("id_a"), col("sz").as("za"), col("h"))
+    val b = inv.select(col("id").as("id_b"), col("sz").as("zb"), col("h"))
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "za", "zb").agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("za"), col("zb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("za") + col("zb") - col("inter")).cast("double"))
+      .select("id_a", "id_b", "containment", "jaccard")
+  }
+
+  /** CROSS-CORPUS near-dup linkage: for every left document, its BEST
+    * fuzzy match on the right (n-gram Jaccard ≥ `threshold`) — the
+    * crawl-snapshot diff / record-linkage shape, where [[dedupAgainst]]'s
+    * exact-hash anti-join is too strict. Inverted-index blocking across
+    * the two frames (only shared-shingle pairs materialize), exact Jaccard
+    * from the pair's intersection count, best match per left id via a
+    * top-1 window (compiles to `WindowGroupLimit` — partial top-1 before
+    * the shuffle). Ties break toward the smaller right id. */
+  def crossCorpusLink(
+      left: DataFrame, right: DataFrame, textCol: String, idCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    def sets(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), hashedShingleSet(col(textCol), k).as("s"))
+        .withColumn(s"z$as", size(col("s"))).filter(col(s"z$as") > 0)
+    val la = sets(left, "left_id")
+      .select(col("left_id"), col("zleft_id").as("za"), explode(col("s")).as("h"))
+    val rb = sets(right, "right_id")
+      .select(col("right_id"), col("zright_id").as("zb"), explode(col("s")).as("h"))
+    val scored = la.join(rb, Seq("h"))
+      .groupBy("left_id", "right_id", "za", "zb").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("za") + col("zb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+    val best = Window.partitionBy(col("left_id"))
+      .orderBy(col("jaccard").desc, col("right_id"))
+    scored.withColumn("__rn", row_number().over(best)).filter(col("__rn") === 1)
+      .select("left_id", "right_id", "jaccard")
+  }
+
+  // ---------- Bloom-prefiltered decontamination ----------
+
+  /** Bloom probe positions for a portable gram hash `h` ∈ [0, P): position
+    * j = (a_j·h + b_j mod P) mod mBits, using the first `numProbes`
+    * [[portableCoeffs]] — the same family as the portable minhash, so the
+    * filter build (driver) and the probe expression (plan) are one
+    * definition. */
+  private def bloomPositions(h: Long, mBits: Int, numProbes: Int): Seq[Int] =
+    portableCoeffs.take(numProbes).map { case (a, b) =>
+      (Math.floorMod(a * h + b, PortableP) % mBits).toInt
+    }
+
+  /** Build the bit array (as longs) over the benchmark's distinct portable
+    * gram hashes. Benchmark eval sets are small next to the corpus — the
+    * collect is the same bounded driver step as PQ codebook training. */
+  private[graft] def bloomBuild(hashes: Array[Long], mBits: Int, numProbes: Int): Array[Long] = {
+    val words = new Array[Long]((mBits + 63) / 64)
+    hashes.foreach { h =>
+      bloomPositions(h, mBits, numProbes).foreach { p =>
+        words(p >>> 6) |= (1L << (p & 63))
+      }
+    }
+    words
+  }
+
+  /** Column predicate: might the bloom filter (baked into the plan as a
+    * literal long array) contain portable-hash `h`? AND of `numProbes` bit
+    * tests — a narrow, codegen'd expression, no join. */
+  private[graft] def bloomMightContain(h: Column, words: Array[Long], mBits: Int,
+      numProbes: Int): Column = {
+    val lits = typedLit(words.toSeq)
+    portableCoeffs.take(numProbes).map { case (a, b) =>
+      val p = pmod(lit(a) * h + lit(b), lit(PortableP)) % mBits
+      (call_function("shiftright",
+        element_at(lits, (p / 64).cast("int") + 1), (p % 64).cast("int"))
+        .bitwiseAND(1L)) === 1L
+    }.reduce(_ && _)
+  }
+
+  /** [[graft.ops.TextAnalysis.decontaminate]] with a BLOOM PREFILTER: the
+    * benchmark's distinct gram hashes build an `mBits`-bit bloom filter
+    * (driver-side, bounded — eval sets are tiny), which prunes the exploded
+    * corpus grams as a narrow predicate BEFORE any join; survivors are
+    * exact-verified against the true benchmark hash set. False positives
+    * die in the verify join and false negatives are impossible, so the
+    * result is IDENTICAL to the exact operator (spec-gated) — the bloom
+    * changes the plan, not the answer.
+    *
+    * Scale rationale: the exact path broadcasts the full benchmark hash
+    * set to every task probing every corpus gram through a hash relation.
+    * The bloom is CONSTANT-SIZE (mBits/8 bytes regardless of benchmark
+    * cardinality at a chosen FPR) and sits codegen'd inside the scan
+    * stage, so at 100 TB the join — whatever AQE picks for it — only ever
+    * sees the ~FPR·grams survivors instead of every gram in the corpus.
+    * Returns (idCol, n_shared) for contaminated documents only. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 5,
+      mBits: Int = 1 << 20, numProbes: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, "mBits must be a positive multiple of 64")
+    require(numProbes >= 1 && numProbes <= portableCoeffs.size,
+      s"1 <= numProbes <= ${portableCoeffs.size}")
+    val benchHashes = benchmark
+      .select(explode(array_distinct(portableShingleHashes(col(textCol), n))).as("h"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val words = bloomBuild(benchHashes, mBits, numProbes)
+    // exact verify side rebuilt FROM the collected hashes — the benchmark
+    // scan runs once, not once per side
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchGrams = benchHashes.toSeq.toDF("h")
+    val corpusGrams = corpus
+      .select(col(idCol), explode(array_distinct(
+        portableShingleHashes(col(textCol), n))).as("h"))
+      .filter(bloomMightContain(col("h"), words, mBits, numProbes))
+    corpusGrams.join(broadcast(benchGrams), Seq("h"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
 }

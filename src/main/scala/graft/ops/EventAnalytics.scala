@@ -77,4 +77,34 @@ object EventAnalytics {
       .groupBy(col("__cohort").cast("date").as("cohort_week"), col("week_offset"))
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
+
+  /** SCD TYPE-2 history from a CHANGELOG: one row per change event carrying
+    * `valid_from` (the event ts), `valid_to` (the NEXT change's ts for the
+    * same key — null while current) and `is_current`. The batch complement
+    * of `Streaming.statefulLatest`: replaying a CDC/update stream into the
+    * validity-interval table a point-in-time join can consume directly
+    * (reference PIT semantics `local/job.py:567-595` — a feature value is
+    * valid from its event until superseded).
+    *
+    * One window shuffle on the entity key; ties on ts break by `tieCol` so
+    * the interval chain is total and deterministic. */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Changelog COMPACTION: the current snapshot only — the latest change per
+    * key (same window, `WindowGroupLimit` pushes a partial top-1 below the
+    * exchange, so raw history never shuffles whole). */
+  def latestSnapshot(changes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(tieCol).desc)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }

@@ -435,6 +435,68 @@ object TextAnalysis {
     exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hashed-bag-of-words LINEAR classifier scoring — the fastText-style
+    * quality-filter inference shape (a trained model assigns each token
+    * hash a weight; a document's score is the mean token weight), run as a
+    * NARROW plan-time expression: no shuffle, no UDF, no model service.
+    * Token → portable md5 hash → integer weight (h mod 2001 − 1000, i.e.
+    * milli-units in [−1, 1]); the document sums INTEGER milli-weights and
+    * divides once, so the score is order-independent and engine-exact
+    * (a float accumulation of 0.001-granularity weights would round
+    * differently per engine and per partition order). A real trained model
+    * drops in by replacing the hash-derived weight with a broadcast
+    * weight-table join on the token hash — the plan shape is unchanged.
+    * Returns (idCol, n_tokens, score, keep = score > 0). */
+  def hashedLinearScore(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    // token hashes materialized once (own projection) — higher-order fns
+    // are interpreted and would recompute the tokenization per reference
+    df.select(col(idCol), Dedup.portableShingleHashes(col(textCol), 1).as("__h"))
+      .select(col(idCol), size(col("__h")).cast("long").as("n_tokens"),
+        aggregate(col("__h"), lit(0L), (acc, h) => acc + (h % 2001L - 1000L)).as("__milli"))
+      .withColumn("score",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("__milli").cast("double") / (col("n_tokens") * 1000.0)))
+      .withColumn("keep", col("score") > 0)
+      .drop("__milli")
+  }
+
+  /** VOCABULARY GROWTH curve (Heaps-law measurement): distinct n-gram count
+    * at nested corpus prefixes (25%, 50%, … of documents by the md5
+    * router — the same auditable ordering as stratified sampling, so each
+    * prefix is a superset of the last). The saturation shape tells a
+    * pipeline whether more crawl adds vocabulary or repetition — the
+    * cheap scalar complement to the per-doc novelty screen.
+    *
+    * ONE corpus scan: each gram keeps the EARLIEST prefix bucket that
+    * contains it (min over its documents), bucket counts then cumulate in
+    * a 4-row window — never one scan per prefix fraction. */
+  def vocabGrowth(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, n: Int = 2, steps: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(steps >= 1, "steps >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val buckets = 1000000
+    // doc's prefix index: smallest f = (i+1)/steps with md5(id) < f·1M
+    val step = buckets / steps
+    val docs = df.select(col(idCol),
+      (graft.ml.MLOps.md5Bucket(col(idCol), buckets) / step).cast("int").as("__b"),
+      col(textCol))
+    val firstSeen = docs
+      .select(col("__b"), explode(Dedup.hashedShingleSet(col(textCol), n)).as("h"))
+      .groupBy("h").agg(min(col("__b")).as("__fb"))
+      .groupBy("__fb").agg(count(lit(1)).as("__new_grams"))
+    val docCounts = docs.groupBy("__b").agg(count(lit(1)).as("__new_docs"))
+    firstSeen.join(docCounts.withColumnRenamed("__b", "__fb"), Seq("__fb"), "full")
+      .select(((col("__fb") + 1).cast("double") / steps).as("fraction"),
+        coalesce(col("__new_grams"), lit(0L)).as("__g"),
+        coalesce(col("__new_docs"), lit(0L)).as("__d"))
+      .withColumn("n_docs", sum(col("__d")).over(Window.orderBy(col("fraction"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("distinct_grams", sum(col("__g")).over(Window.orderBy(col("fraction"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("fraction", "n_docs", "distinct_grams")
+  }
+
   /** Corpus vocabulary: top-k most frequent words per group (explode →
     * count → ranked window). Deterministic tiebreak on the word itself. */
   def topWords(df: org.apache.spark.sql.DataFrame, textCol: String,

@@ -1704,3 +1704,134 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-08", 0L) -> 1L))
   }
 }
+
+/** Round-4 ops: SCD2, containment, cross-corpus link, bloom decontaminate,
+  * linear scoring, histogram sketches, vocabulary growth. */
+class Round4OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd2 chains validity intervals; exactly one current row per key") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "a"),
+      (1L, ts("2024-01-03 00:00:00"), 11L, "b"),
+      (1L, ts("2024-01-03 00:00:00"), 12L, "c"), // same ts -> tie on id
+      (2L, ts("2024-02-01 00:00:00"), 20L, "x")
+    ).toDF("k", "ts", "id", "v")
+    val out = EventAnalytics.scd2(changes, "k", "ts", "id")
+      .orderBy("k", "valid_from", "id").collect()
+    // intervals chain: each non-current row's valid_to = next row's valid_from
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getString(3)).toSeq == Seq("a", "b", "c"))
+    assert(k1(0).getTimestamp(5) == k1(1).getTimestamp(4)) // valid_to(a) = valid_from(b)
+    assert(k1(1).getTimestamp(5) == k1(2).getTimestamp(4)) // tie broken by id
+    assert(out.count(_.getBoolean(6)) == 2) // one current per key
+    val snap = EventAnalytics.latestSnapshot(changes, "k", "ts", "id")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(snap == Map(1L -> "c", 2L -> "x"))
+  }
+
+  test("containment flags a short doc embedded in a long one that jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally different words here entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "text", "doc_id", threshold = 0.9, k = 3)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getDouble(2) == 1.0)      // fully contained
+    assert(r.getDouble(3) < 0.1)       // symmetric jaccard would never flag it
+  }
+
+  test("crossCorpusLink picks the best right match, ties to smaller id") {
+    val left = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+    val right = Seq(
+      (20L, "a b c d e f"),          // perfect match
+      (21L, "a b c d e f"),          // tie -> loses on id
+      (22L, "a b c d x y")           // worse
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusLink(left, right, "text", "doc_id", 0.2, k = 2).collect()
+    assert(out.length == 1)
+    assert((out.head.getLong(0), out.head.getLong(1)) == (10L, 20L))
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("bloom has no false negatives and bloomDecontaminate equals the exact operator") {
+    val hashes = Array(1L, 42L, 999999L, Dedup.PortableP - 1)
+    val words = Dedup.bloomBuild(hashes, 1024, 3)
+    val probe = spark.createDataFrame(hashes.map(Tuple1(_)).toSeq).toDF("h")
+      .filter(Dedup.bloomMightContain(col("h"), words, 1024, 3))
+    assert(probe.count() == hashes.length) // every inserted hash answers true
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"),
+      (3L, "the quick brown fox naps all day long"),
+      (4L, "completely unrelated content goes right here now")
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") =!= 1L)
+    val bench = docs.filter(col("doc_id") === 1L)
+    val exact = TextAnalysis.decontaminate(corpus, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Dedup.bloomDecontaminate(corpus, bench, "text", "doc_id", n = 3,
+      mBits = 4096, numProbes = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloomed == exact)
+    assert(exact.contains(3L)) // shares "the quick brown" grams
+  }
+
+  test("hashedLinearScore: integer milli-weight mean, empty text scores 0") {
+    val docs = Seq((1L, "hello world"), (2L, "   "), (3L, "hello"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(2L) == ((0L, 0.0)))
+    assert(out(1L)._1 == 2L)
+    // score("hello world") = (w(hello) + w(world)) / 2000; score("hello") = w(hello)/1000
+    // consistency: 2*score(1) - score(3) = w(world)/1000 ∈ [-1, 1]
+    val wWorld = 2 * out(1L)._2 - out(3L)._2
+    assert(wWorld >= -1.0 && wWorld <= 1.0)
+    // deterministic across evaluations
+    val again = TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again(1L) == out(1L)._2)
+  }
+
+  test("histogram sketches merge: rollup of fine sketches equals coarse-built sketch") {
+    val df = Seq(("a", "x", 10.0), ("a", "x", 250.0), ("a", "y", 260.0),
+      ("b", "x", 999.0), ("a", "y", 270.0)).toDF("k1", "k2", "v")
+    val fine = Aggregations.histSketch(df, Seq("k1", "k2"), "v", 100.0)
+    val rolled = Aggregations.histRollup(fine, Seq("k1"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Aggregations.histSketch(df, Seq("k1"), "v", 100.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rolled == direct)
+  }
+
+  test("histQuantile lower edge is within binWidth of the exact quantile") {
+    val vals = (1 to 1000).map(i => ("g", i.toDouble))
+    val df = vals.toDF("k", "v")
+    val sketch = Aggregations.histSketch(df, Seq("k"), "v", 50.0)
+    val q = Aggregations.histQuantile(sketch, Seq("k"), 0.5, 50.0)
+      .collect().head.getDouble(1)
+    // exact median of 1..1000 is 500/501; lower bin edge within one bin
+    assert(q <= 500.0 && q > 500.0 - 50.0)
+  }
+
+  test("vocabGrowth is cumulative-monotone and ends at the corpus-wide distinct count") {
+    val docs = (1 to 40).map(i => (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} common tail"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, "text", "doc_id", n = 2, steps = 4)
+      .orderBy("fraction").collect()
+    assert(out.map(_.getDouble(0)).toSeq == Seq(0.25, 0.5, 0.75, 1.0))
+    val grams = out.map(_.getLong(2))
+    assert(grams.toSeq == grams.sorted.toSeq) // monotone
+    assert(out.map(_.getLong(1)).last == 40L) // all docs counted
+    val total = docs.select(explode(Dedup.hashedShingleSet(col("text"), 2)).as("h"))
+      .agg(count_distinct(col("h"))).collect().head.getLong(0)
+    assert(grams.last == total)
+  }
+}
