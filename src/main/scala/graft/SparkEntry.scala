@@ -2362,7 +2362,74 @@ object SparkEntry {
         SELECT CAST(fb + 1 AS DOUBLE) / 4 AS fraction,
           CAST(sum(ndocs) OVER (ORDER BY fb) AS BIGINT) AS n_docs,
           CAST(sum(ngrams) OVER (ORDER BY fb) AS BIGINT) AS distinct_grams
-        FROM m"""))
+        FROM m""")),
+
+    // --- CORPUS-SLICE similarity matrix: bigram Jaccard between every
+    // source pair — which sources overlap enough to need cross-source
+    // dedup before mixing. Corpus reduces to distinct (slice, gram) rows;
+    // one equi-join on the gram ---
+    Q("q108_source_similarity",
+      (s, dir) => TextAnalysis.sliceSimilarity(t(s, dir, "documents"), "text",
+        "source", k = 2),
+      Some("""WITH w AS (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w
+            FROM documents),
+          g AS (SELECT source, list_distinct([array_to_string(w[i:i+1], ' ')
+              for i in generate_series(1, greatest(len(w)-1, 0))]) AS gs FROM w),
+          e AS (SELECT DISTINCT source, unnest(gs) AS h FROM g),
+          z AS (SELECT source, count(*) AS z FROM e GROUP BY source),
+          p AS (SELECT a.source AS slice_a, b.source AS slice_b, count(*) AS inter
+            FROM e a JOIN e b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+        SELECT slice_a, slice_b, za.z AS za, zb.z AS zb, inter,
+          CAST(inter AS DOUBLE) / (za.z + zb.z - inter) AS jaccard
+        FROM p JOIN z za ON p.slice_a = za.source
+          JOIN z zb ON p.slice_b = zb.source""")),
+
+    // --- Johnson-Lindenstrauss random projection (portable plane matrix,
+    // plan-time literals, native dot kernel): 64-d -> 8-d, long form —
+    // the pre-ANN dimensionality cut as a pure narrow map ---
+    Q("q109_random_projection",
+      (s, dir) => Similarity.randomProject(t(s, dir, "embeddings"), "embedding",
+        "vec_id", outDim = 8, dim = 64),
+      Some {
+        val mat = Dedup.portablePlanes(8, 64)
+        mat.zipWithIndex.map { case (plane, j) =>
+          val lits = plane.mkString("[", ", ", "]")
+          s"""SELECT vec_id, ${j + 1} AS out_dim,
+            list_inner_product(CAST(embedding AS DOUBLE[]), $lits) AS value
+          FROM embeddings"""
+        }.mkString("\n          UNION ALL ")
+      }),
+
+    // --- embedding corpus HEALTH screen: zero vectors, wrong widths, and
+    // the mean squared norm through one double->DECIMAL cast per row
+    // (order-independent, engine-exact) ---
+    Q("q110_embedding_audit",
+      (s, dir) => Profiling.embeddingProfile(t(s, dir, "embeddings"), "embedding",
+        "label", expectedDim = 64),
+      Some("""WITH s AS (SELECT label, len(embedding) AS w,
+            CAST(list_inner_product(CAST(embedding AS DOUBLE[]),
+              CAST(embedding AS DOUBLE[])) AS DECIMAL(18,9)) AS sq,
+            len(list_filter(embedding, x -> x <> 0)) = 0 AS zero
+          FROM embeddings)
+        SELECT label, count(*) AS n,
+          CAST(sum(CASE WHEN zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          CAST(sum(CASE WHEN w <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+          CAST(sum(sq) AS DOUBLE) / count(*) AS mean_sq_norm
+        FROM s GROUP BY label""")),
+
+    // --- top-FRACTION quality filter: best 30% of each source by score
+    // (integer rank <= ceil(frac*n), ties total on doc_id) — groupCap's
+    // score-driven sibling ---
+    Q("q111_top_fraction",
+      (s, dir) => graft.ml.MLOps.topFractionByScore(t(s, dir, "documents"),
+        "source", "n_chars", "doc_id", 0.3)
+        .select("doc_id", "source", "n_chars"),
+      Some("""SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+            row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn,
+            count(*) OVER (PARTITION BY source) AS n
+          FROM documents)
+        WHERE rn <= CAST(ceil(0.3 * n) AS BIGINT)"""))
   )
 
   val specs: Seq[Q] =

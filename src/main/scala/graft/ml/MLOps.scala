@@ -157,6 +157,26 @@ object MLOps {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Keep the TOP `frac` of every group by a SCORE column — the
+    * quality-percentile filter ("best 30% of each domain by classifier
+    * score"), [[groupCap]]'s score-driven sibling (groupCap bounds COUNT by
+    * hash order; this bounds the QUALITY QUANTILE). Exact integer rank
+    * arithmetic: keep rank ≤ ceil(frac · n) with ties broken by `keyCol`,
+    * so membership is deterministic and engine-auditable — no float
+    * percent_rank comparisons, whose `(rank-1)/(n-1)` boundary behavior
+    * differs across engines. One window shuffle on the group key. */
+  def topFractionByScore(df: DataFrame, groupCol: String, scoreCol: String,
+      keyCol: String, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, "0 < frac <= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(keyCol))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .filter(col("__rn") <= ceil(lit(frac) * col("__n")).cast("long"))
+      .drop("__rn", "__n")
+  }
+
   /** GROUP-AWARE split: every row of a group (user, session, document
     * cluster) lands in the SAME fold — random row-level splits leak
     * correlated rows of one entity across train and test, inflating eval

@@ -81,4 +81,31 @@ object Profiling {
       .agg(sum(col("__t")).as("drift_score"),
         count(lit(1)).as("n_bins"), sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
   }
+
+  /** EMBEDDING corpus health screen, per label: row count, zero-vector
+    * count (an upstream-encoder failure signal), wrong-width count (schema
+    * drift inside the array type, which `df.schema` can't see), and the
+    * mean SQUARED L2 norm — summed through DECIMAL(18,9) like
+    * [[graft.ops.Similarity.groupCentroids]], so the statistic is
+    * order-independent and engine-exact (a double accumulation would hash
+    * differently per partition order). One narrow map + one partial-agged
+    * groupBy; vectors never shuffle — only the per-row scalars do. */
+  def embeddingProfile(df: DataFrame, vecCol: String, labelCol: String,
+      expectedDim: Int): DataFrame = {
+    val v = col(vecCol)
+    // squared norm per row via the native dot kernel (deterministic
+    // left-to-right summation), then ONE double→decimal cast per row so the
+    // cross-row sum is order-independent
+    val sqNorm = graft.ops.Similarity.dot(v, v)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    df.select(col(labelCol),
+        size(v).as("__w"),
+        sqNorm.as("__sq"),
+        forall(v, x => x === 0f).as("__zero"))
+      .groupBy(labelCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__zero").cast("long")).as("n_zero"),
+        sum((col("__w") =!= expectedDim).cast("long")).as("n_wrong_dim"),
+        (sum(col("__sq")).cast("double") / count(lit(1))).as("mean_sq_norm"))
+  }
 }

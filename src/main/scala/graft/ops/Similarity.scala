@@ -347,4 +347,25 @@ object Similarity {
     * retrieval_job.py:3296-3320). */
   def unpackEmbedding(df: DataFrame, vecCol: String, dims: Int, prefix: String = "dim_"): DataFrame =
     (0 until dims).foldLeft(df)((d, i) => d.withColumn(s"$prefix$i", element_at(col(vecCol), i + 1)))
+
+  /** Johnson-Lindenstrauss RANDOM PROJECTION to `outDim` dimensions using
+    * the PORTABLE plane matrix ([[graft.ops.Dedup.portablePlanes]]): y_j =
+    * ⟨plane_j, x⟩, each plane baked into the plan as literals and evaluated
+    * by the native dot kernel — a pure narrow map (no shuffle, no fit step,
+    * no driver state beyond the plan-time matrix). The standard
+    * pre-ANN/pre-clustering dimensionality cut: distances are preserved
+    * within JL distortion while memory and dot-product cost drop dim/outDim.
+    * Long-form output (idCol, out_dim 1-based, value) — deterministic
+    * left-to-right summation, so external engines reproduce it bit-exactly.
+    */
+  def randomProject(df: DataFrame, vecCol: String, idCol: String,
+      outDim: Int, dim: Int): DataFrame = {
+    val mat = Dedup.portablePlanes(outDim, dim)
+    val comps = mat.zipWithIndex.map { case (plane, j) =>
+      struct(lit(j + 1L).as("out_dim"),
+        dot(col(vecCol), lit(plane.toArray)).as("value"))
+    }
+    df.select(col(idCol), explode(array(comps: _*)).as("__p"))
+      .select(col(idCol), col("__p.out_dim"), col("__p.value"))
+  }
 }

@@ -497,6 +497,31 @@ object TextAnalysis {
       .select("fraction", "n_docs", "distinct_grams")
   }
 
+  /** CORPUS-SLICE similarity matrix: n-gram Jaccard between every pair of
+    * slices (sources, snapshots, language buckets) over each slice's
+    * DISTINCT gram set — the slice-level diagnostic that says which
+    * sources overlap enough to need cross-source dedup before mixing.
+    * Plan: distinct (slice, gram-hash) pairs — the corpus reduces to
+    * O(slices · vocabulary) 12-byte rows — then a self equi-join on the
+    * gram and one count per slice pair. Slice count is small, so the pair
+    * frame is tiny; the corpus itself is touched exactly once. */
+  def sliceSimilarity(df: org.apache.spark.sql.DataFrame, textCol: String,
+      sliceCol: String, k: Int = 2): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(col(sliceCol).as("slice"),
+        explode(Dedup.hashedShingleSet(col(textCol), k)).as("h"))
+      .distinct()
+    val sizes = grams.groupBy("slice").agg(count(lit(1)).as("z"))
+    val a = grams.select(col("slice").as("slice_a"), col("h"))
+    val b = grams.select(col("slice").as("slice_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("slice_a") < col("slice_b"))
+      .groupBy("slice_a", "slice_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.withColumnsRenamed(Map("slice" -> "slice_a", "z" -> "za"))), "slice_a")
+      .join(broadcast(sizes.withColumnsRenamed(Map("slice" -> "slice_b", "z" -> "zb"))), "slice_b")
+      .select(col("slice_a"), col("slice_b"), col("za"), col("zb"), col("inter"),
+        (col("inter").cast("double") / (col("za") + col("zb") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Corpus vocabulary: top-k most frequent words per group (explode →
     * count → ranked window). Deterministic tiebreak on the word itself. */
   def topWords(df: org.apache.spark.sql.DataFrame, textCol: String,

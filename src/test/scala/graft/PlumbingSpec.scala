@@ -1835,3 +1835,62 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(grams.last == total)
   }
 }
+
+/** Round-4 batch 2: slice similarity, random projection, embedding audit,
+  * top-fraction filter. */
+class Round4OpsSpec2 extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sliceSimilarity computes exact bigram jaccard between slices") {
+    val docs = Seq(
+      ("s1", "a b c"),   // bigrams: {a b, b c}
+      ("s2", "a b d"),   // {a b, b d}
+      ("s3", "x y")      // {x y}
+    ).toDF("source", "text")
+    val out = TextAnalysis.sliceSimilarity(docs, "text", "source", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out(("s1", "s2")) == ((2L, 2L, 1L, 1.0 / 3)))
+    assert(!out.contains(("s1", "s3"))) // zero intersection never materializes
+    assert(!out.contains(("s2", "s3")))
+  }
+
+  test("randomProject is the literal plane dot product, reproducible") {
+    val v = (1 to 4).map(_.toFloat).toArray
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, "embedding", "vec_id", outDim = 2, dim = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val mat = Dedup.portablePlanes(2, 4)
+    val expected = mat.map(p => p.zip(v.map(_.toDouble)).map { case (a, b) => a * b }.sum)
+    assert(out(1L) == expected(0))
+    assert(out(2L) == expected(1))
+  }
+
+  test("embeddingProfile counts zero vectors and wrong widths; exact mean sq norm") {
+    val df = Seq(
+      (1L, Array(3f, 4f), "a"),     // sq norm 25
+      (2L, Array(0f, 0f), "a"),     // zero vector, sq norm 0
+      (3L, Array(1f, 1f, 1f), "a")  // wrong dim, sq norm 3
+    ).toDF("vec_id", "embedding", "label")
+    val r = Profiling.embeddingProfile(df, "embedding", "label", expectedDim = 2)
+      .collect().head
+    assert(r.getLong(1) == 3L)              // n
+    assert(r.getLong(2) == 1L)              // n_zero
+    assert(r.getLong(3) == 1L)              // n_wrong_dim
+    assert(r.getDouble(4) == (25.0 + 0.0 + 3.0) / 3)
+  }
+
+  test("topFractionByScore keeps ceil(frac*n) per group with total tiebreak") {
+    val df = Seq(
+      ("g1", 1L, 10.0), ("g1", 2L, 20.0), ("g1", 3L, 20.0), // n=3, frac .5 -> keep 2
+      ("g2", 4L, 1.0)                                        // n=1 -> keep 1
+    ).toDF("g", "id", "score")
+    val kept = graft.ml.MLOps.topFractionByScore(df, "g", "score", "id", 0.5)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(kept == Set(2L, 3L, 4L)) // score desc, tie 2<3 both fit in ceil(1.5)=2
+    val kept2 = graft.ml.MLOps.topFractionByScore(df, "g", "score", "id", 0.33)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(kept2 == Set(2L, 4L)) // ceil(0.99)=1 per group; tie 2<3 -> 2 wins
+  }
+}
