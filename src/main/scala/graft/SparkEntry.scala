@@ -2429,7 +2429,38 @@ object SparkEntry {
             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn,
             count(*) OVER (PARTITION BY source) AS n
           FROM documents)
-        WHERE rn <= CAST(ceil(0.3 * n) AS BIGINT)"""))
+        WHERE rn <= CAST(ceil(0.3 * n) AS BIGINT)""")),
+
+    // --- HARD-NEGATIVE mining (contrastive training pairs): top-5 most
+    // similar DIFFERENT-label neighbors per query — broadcast query batch,
+    // one corpus pass (the q30 kNN shape with a label-mismatch condition);
+    // at corpus scale: ivfpqTopK + label filter ---
+    Q("q112_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20), k = 5)
+          .withColumn("rank", col("rank").cast("int"))
+      },
+      Some("""WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 20),
+          c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_inner_product(q.v, c.v) /
+            (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cosine,
+          CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY cosine DESC, c.vec_id) AS INT) AS rank
+        FROM q JOIN c ON c.label != q.label
+        QUALIFY rank <= 5""")),
+
+    // --- inverse-frequency class weights (sklearn "balanced"): the loss
+    // reweighting table for skewed labels; totals from windows over the
+    // O(classes) count frame ---
+    Q("q113_class_weights",
+      (s, dir) => graft.ml.MLOps.classWeights(t(s, dir, "documents"), "lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+        SELECT lang, n,
+          CAST(sum(n) OVER () AS DOUBLE) / (count(*) OVER () * n) AS weight
+        FROM c"""))
   )
 
   val specs: Seq[Q] =

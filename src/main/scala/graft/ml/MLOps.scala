@@ -157,6 +157,19 @@ object MLOps {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Inverse-frequency CLASS WEIGHTS: w_c = N / (k · n_c) (sklearn's
+    * "balanced" convention) — the loss-reweighting table for skewed label
+    * distributions, emitted as one tiny frame to broadcast-join onto
+    * training rows. N and k come from windows over the per-class count
+    * frame (O(classes) rows), never a 1-row join against the corpus. */
+  def classWeights(df: DataFrame, labelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+      .withColumn("weight",
+        sum(col("n")).over(w).cast("double") / (count(lit(1)).over(w) * col("n")))
+      .select(col(labelCol), col("n"), col("weight"))
+  }
+
   /** Keep the TOP `frac` of every group by a SCORE column — the
     * quality-percentile filter ("best 30% of each domain by classifier
     * score"), [[groupCap]]'s score-driven sibling (groupCap bounds COUNT by

@@ -358,6 +358,28 @@ object Similarity {
     * Long-form output (idCol, out_dim 1-based, value) — deterministic
     * left-to-right summation, so external engines reproduce it bit-exactly.
     */
+  /** HARD-NEGATIVE mining for contrastive training: for each query row the
+    * top-k most-cosine-similar corpus rows with a DIFFERENT label — the
+    * pairs a contrastive loss learns most from. Exact form for bounded
+    * query batches: the query side broadcasts and the corpus streams
+    * through one pass (broadcast-NLJ IS the operator, as with
+    * [[bruteForceTopK]]); at corpus×corpus scale run [[ivfpqTopK]] with
+    * k + slack and drop same-label candidates — the IVF/PQ index prunes
+    * before any pairwise work. Ties break on neighbor id. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__qlabel"), col(vecCol).as("__qvec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__clabel"), col(vecCol).as("__cvec"))
+      .join(q, col("__clabel") =!= col("__qlabel"))
+      .withColumn("cosine", cosine(col("__qvec"), col("__cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   def randomProject(df: DataFrame, vecCol: String, idCol: String,
       outDim: Int, dim: Int): DataFrame = {
     val mat = Dedup.portablePlanes(outDim, dim)

@@ -671,9 +671,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  // exact brute-force kNN broadcasts the bounded query side and streams the
-  // corpus — a BroadcastNestedLoopJoin IS its intended physical shape
-  private val allowedNonEqui = Set("q30_knn_bruteforce")
+  // exact brute-force kNN and hard-negative mining broadcast the bounded
+  // query side and stream the corpus — a BroadcastNestedLoopJoin IS their
+  // intended physical shape
+  private val allowedNonEqui = Set("q30_knn_bruteforce", "q112_hard_negatives")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.specs.filterNot(q => allowedNonEqui(q.name)).flatMap { q =>
@@ -703,6 +704,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // verify; q96: the percentile cut table broadcasts like q65's
     for (name <- Seq("q83_lm_coverage", "q87_mixture_sample",
         "q92_heavy_hitters", "q96_winsorize")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name: expected a broadcast join\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$name: small side fell into a sort-merge join")
+    }
+  }
+
+  test("round-4 small sides broadcast: bloom verify set, slice sizes, class weights") {
+    // q105: the exact-verify gram set (rebuilt from the collected hashes)
+    // broadcasts — the bloom-pruned corpus grams never shuffle; q108: the
+    // per-slice size table broadcasts onto the O(slices²) pair frame
+    for (name <- Seq("q105_bloom_decontaminate", "q108_source_similarity")) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"$name: expected a broadcast join\n$plan")
       assert(!plan.contains("SortMergeJoin"), s"$name: small side fell into a sort-merge join")
@@ -1892,5 +1904,36 @@ class Round4OpsSpec2 extends AnyFunSuite {
     val kept2 = graft.ml.MLOps.topFractionByScore(df, "g", "score", "id", 0.33)
       .collect().map(r => r.getLong(1)).toSet
     assert(kept2 == Set(2L, 4L)) // ceil(0.99)=1 per group; tie 2<3 -> 2 wins
+  }
+}
+
+/** Hard negatives + class weights. */
+class ContrastiveOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hardNegatives returns only different-label neighbors, ranked by cosine") {
+    val rows = Seq(
+      (1L, Array(1f, 0f), "a"),
+      (2L, Array(1f, 0.01f), "a"),  // same label: excluded even though closest
+      (3L, Array(0.9f, 0.1f), "b"), // nearest different-label
+      (4L, Array(0f, 1f), "b"),     // orthogonal
+      (5L, Array(-1f, 0f), "c")     // opposite
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(rows, rows.filter(col("vec_id") === 1L), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 4L)) // 2 excluded (same label)
+    assert(out.map(r => r.getInt(r.fieldIndex("rank"))).toSeq == Seq(1, 2))
+    assert(out.head.getDouble(2) > out(1).getDouble(2))
+  }
+
+  test("classWeights is the sklearn balanced convention N/(k*n_c)") {
+    val df = Seq.fill(6)("a").map(Tuple1(_)).toDF("label")
+      .union(Seq.fill(2)("b").map(Tuple1(_)).toDF("label"))
+    val w = graft.ml.MLOps.classWeights(df, "label")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // N=8, k=2: w(a) = 8/(2*6) = 2/3; w(b) = 8/(2*2) = 2
+    assert(w("a") == ((6L, 8.0 / 12)))
+    assert(w("b") == ((2L, 2.0)))
   }
 }
