@@ -2460,7 +2460,28 @@ object SparkEntry {
       Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
         SELECT lang, n,
           CAST(sum(n) OVER () AS DOUBLE) / (count(*) OVER () * n) AS weight
-        FROM c"""))
+        FROM c""")),
+
+    // --- TIME-DECAYED engagement aggregate with DYADIC decay (2^-⌊age/hl⌋):
+    // cents shifted left by (12 - bucket) sum as exact integers, ONE
+    // division at the end — the exp(-λ·age) feature restated so it is
+    // order-independent and engine-exact; decays against a PINNED as-of
+    // timestamp so backfills reproduce ---
+    Q("q114_decayed_sum",
+      (s, dir) => Aggregations.decayedSum(purchases(s, dir), Seq("user_id"), "value",
+        "ts", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        halfLifeSeconds = 259200),
+      Some("""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'purchase'),
+          t AS (SELECT user_id, value,
+              CAST(floor(CAST(epoch_us(TIMESTAMP '2024-02-01 00:00:00') // 1000000
+                - epoch_us(ts) // 1000000 AS DOUBLE) / 259200.0) AS INT) AS b
+            FROM p WHERE ts <= TIMESTAMP '2024-02-01 00:00:00')
+        SELECT user_id,
+          CAST(sum(CAST(round(value * 100) AS BIGINT) * (1 << (12 - b))) AS DOUBLE)
+            / (100.0 * 4096.0) AS decayed_sum,
+          count(*) AS n_events
+        FROM t WHERE b <= 12 GROUP BY user_id"""))
   )
 
   val specs: Seq[Q] =

@@ -354,6 +354,38 @@ object Aggregations {
     sketch.groupBy(keys.map(col) :+ col("bin"): _*)
       .agg(sum(col("n")).as("n"))
 
+  /** TIME-DECAYED aggregate (recency-weighted engagement counts, the
+    * feature-store staple usually written `sum(x · exp(-λ·age))`) with
+    * DYADIC decay: weight = 2^(−⌊age / halfLife⌋), computed ENTIRELY in
+    * integers — value in fixed-point units (10^valueScale), shifted left by
+    * (maxBuckets − bucket), summed as longs, divided ONCE at the end. One
+    * exact integer sum + one correctly-rounded division means the result
+    * is order-independent and bit-identical on any engine — which no
+    * exp()-based decay can be (libm exp differs by ULPs across platforms,
+    * float sums reorder under retries, and decimal rescaling casts round
+    * differently per engine: Spark HALF_UP, DuckDB truncates). `asOf` is
+    * an explicit reference time — decay against a pinned timestamp, never
+    * wall-clock, so backfills reproduce. Events older than `maxBuckets`
+    * half-lives weigh 0. One partial-aggregated groupBy; the scaled sum
+    * stays < 2^53 for corpus sums up to 10^(15−valueScale−maxBuckets·0.3).
+    */
+  def decayedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      tsCol: String, asOf: java.sql.Timestamp, halfLifeSeconds: Long,
+      maxBuckets: Int = 12, valueScale: Int = 2): DataFrame = {
+    require(halfLifeSeconds > 0, "halfLifeSeconds > 0")
+    require(maxBuckets >= 0 && maxBuckets <= 20, "0 <= maxBuckets <= 20")
+    val age = lit(asOf).cast("long") - col(tsCol).cast("long")
+    val b = floor(age / halfLifeSeconds.toDouble).cast("int")
+    val unit = math.pow(10, valueScale).toLong
+    val fixed = round(col(valueCol) * unit).cast("long")
+    val term = fixed * call_function("shiftleft", lit(1L), lit(maxBuckets) - b)
+    val denom = (unit * (1L << maxBuckets)).toDouble
+    df.filter(col(tsCol) <= lit(asOf) && b <= maxBuckets)
+      .groupBy(keys.map(col): _*)
+      .agg((sum(term).cast("double") / denom).as("decayed_sum"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Approximate quantile FROM a histogram sketch: per group, the lower edge
     * (bin · binWidth) of the first bin whose cumulative count reaches
     * ceil(p · total) — deterministic integer-rank arithmetic (no float

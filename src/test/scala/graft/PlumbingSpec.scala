@@ -1937,3 +1937,46 @@ class ContrastiveOpsSpec extends AnyFunSuite {
     assert(w("b") == ((2L, 2.0)))
   }
 }
+
+/** Dyadic time-decayed aggregates. */
+class DecayedSumSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private val asOf = ts("2024-02-01 00:00:00")
+
+  test("one half-life halves the weight; same-bucket events weigh equally") {
+    val df = Seq(
+      ("u", ts("2024-01-31 23:00:00"), 10.0), // age < hl  -> bucket 0, weight 1
+      ("u", ts("2024-01-30 23:00:00"), 10.0), // 1 half-life -> weight 1/2
+      ("u", ts("2024-01-29 23:00:00"), 10.0), // 2 -> 1/4
+      ("v", ts("2024-01-31 12:00:00"), 8.0)   // age 12h < hl -> bucket 0
+    ).toDF("k", "ts", "v")
+    val out = Aggregations.decayedSum(df, Seq("k"), "v", "ts", asOf, 86400)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out("u") == ((10.0 + 5.0 + 2.5, 3L)))
+    assert(out("v") == ((8.0, 1L)))
+  }
+
+  test("events after asOf and beyond maxBuckets half-lives are excluded") {
+    val df = Seq(
+      ("u", ts("2024-02-02 00:00:00"), 100.0), // future of asOf
+      ("u", ts("2023-01-01 00:00:00"), 100.0), // ancient: > maxBuckets
+      ("u", ts("2024-01-31 12:00:00"), 4.0)
+    ).toDF("k", "ts", "v")
+    val out = Aggregations.decayedSum(df, Seq("k"), "v", "ts", asOf, 86400, maxBuckets = 5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out("u") == ((4.0, 1L)))
+  }
+
+  test("partition-count invariance (exact integer sums)") {
+    val rows = (1 to 500).map(i => ("k", ts(f"2024-01-${1 + i % 30}%02d 10:00:00"), i / 7.0))
+    val df = rows.toDF("k", "ts", "v")
+    val a = Aggregations.decayedSum(df.repartition(1), Seq("k"), "v", "ts", asOf, 259200)
+      .collect().head.getDouble(1)
+    val b = Aggregations.decayedSum(df.repartition(13), Seq("k"), "v", "ts", asOf, 259200)
+      .collect().head.getDouble(1)
+    assert(a == b)
+  }
+}
