@@ -2481,7 +2481,24 @@ object SparkEntry {
           CAST(sum(CAST(round(value * 100) AS BIGINT) * (1 << (12 - b))) AS DOUBLE)
             / (100.0 * 4096.0) AS decayed_sum,
           count(*) AS n_events
-        FROM t WHERE b <= 12 GROUP BY user_id"""))
+        FROM t WHERE b <= 12 GROUP BY user_id""")),
+
+    // --- tokenizer COVERAGE: corpus vocab at a frequency cutoff, per-source
+    // out-of-vocabulary token fraction — the domain-shift early warning.
+    // One explode feeds vocab build and scoring join ---
+    Q("q115_oov_rate",
+      (s, dir) => TextAnalysis.oovRate(t(s, dir, "documents"), "text", "source",
+        minCount = 50),
+      Some("""WITH w AS (SELECT source, unnest(list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS word
+            FROM documents),
+          v AS (SELECT word, TRUE AS inv FROM
+            (SELECT word, count(*) AS c FROM w GROUP BY word) WHERE c >= 50)
+        SELECT source, count(*) AS n_tokens,
+          CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*) AS oov_rate
+        FROM w LEFT JOIN v USING (word) GROUP BY source"""))
   )
 
   val specs: Seq[Q] =

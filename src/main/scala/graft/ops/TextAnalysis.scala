@@ -497,6 +497,30 @@ object TextAnalysis {
       .select("fraction", "n_docs", "distinct_grams")
   }
 
+  /** TOKENIZER-COVERAGE measurement: build the corpus vocabulary (words
+    * with count ≥ `minCount` — the standard frequency cutoff) and score
+    * each slice by its OUT-OF-VOCABULARY token fraction. High per-slice OOV
+    * against a vocab built elsewhere flags domain shift before training
+    * pays for it. One explode feeds both the vocab aggregation and the
+    * scoring join (equi-join on the word; AQE broadcasts the vocab while it
+    * fits, and a real subword vocab is bounded by construction). All-integer
+    * counts, one exact division. Returns (sliceCol, n_tokens, n_oov,
+    * oov_rate). */
+  def oovRate(df: org.apache.spark.sql.DataFrame, textCol: String,
+      sliceCol: String, minCount: Long): org.apache.spark.sql.DataFrame = {
+    val words = df.select(col(sliceCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("word"), lit(true).as("__in"))
+    words.join(vocab, Seq("word"), "left")
+      .groupBy(sliceCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__in").isNull.cast("long")).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** CORPUS-SLICE similarity matrix: n-gram Jaccard between every pair of
     * slices (sources, snapshots, language buckets) over each slice's
     * DISTINCT gram set — the slice-level diagnostic that says which

@@ -120,6 +120,24 @@ object Streaming {
       .agg(exprs.head, exprs.tail: _*)
   }
 
+  /** STREAMING histogram sketches: per (watermarked time window, keys, bin)
+    * counts — the incremental producer of the mergeable sketch family
+    * ([[graft.ops.Aggregations.histSketch]]): window sketches land in a
+    * store and [[graft.ops.Aggregations.histRollup]] merges hours → days →
+    * months without ever touching raw events again, and
+    * [[graft.ops.Aggregations.histQuantile]] answers quantiles from any
+    * merged level. State per key is O(occupied bins), bounded by the
+    * watermark. */
+  def histSketchStream(stream: DataFrame, keys: Seq[String], valueCol: String,
+      binWidth: Double, tsCol: String, windowDur: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    require(binWidth > 0, "binWidth > 0")
+    stream.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur) +: keys.map(col) :+
+        floor(col(valueCol).cast("double") / binWidth).cast("long").as("bin"): _*)
+      .agg(count(col(valueCol)).as("n"))
+  }
+
   /** Session-window aggregation (gap-based): the streaming-native analog of
     * batch sessionization — `session_window(ts, gap)` with a watermark keeps
     * per-key session state incrementally. (The reference has no session

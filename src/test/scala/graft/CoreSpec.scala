@@ -856,3 +856,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(missing == Seq("missing_col"))
   }
 }
+
+/** Streaming histogram sketches: stream/batch parity and rollup chaining. */
+class StreamingSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed window sketches roll up to the batch sketch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sketch").toString
+    val data = (0 until 200).map { i =>
+      ("g" + (i % 3), java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 45}%02d:00"),
+        (i % 17) * 25.0)
+    }
+    data.toDF("k", "ts", "v").write.parquet(dir + "/in")
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val sk = graft.streaming.Streaming.histSketchStream(
+      stream, Seq("k"), "v", binWidth = 100.0, tsCol = "ts", windowDur = "10 minutes")
+    val q = sk.writeStream.outputMode("complete").format("memory")
+      .queryName("out_sketch").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val windowed = spark.sql("SELECT k, bin, n FROM out_sketch")
+    // per-window sketches MERGE to the whole-corpus sketch — the day→month
+    // chaining property, exercised across real window boundaries
+    val rolled = Aggregations.histRollup(windowed, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Aggregations.histSketch(data.toDF("k", "ts", "v"), Seq("k"), "v", 100.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rolled == batch)
+    // and the merged sketch answers quantiles
+    val med = Aggregations.histQuantile(
+      Aggregations.histRollup(windowed, Seq("k")), Seq("k"), 0.5, 100.0).collect()
+    assert(med.length == 3 && med.forall(_.getDouble(1) >= 0.0))
+  }
+}

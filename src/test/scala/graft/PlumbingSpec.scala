@@ -1980,3 +1980,36 @@ class DecayedSumSpec extends AnyFunSuite {
     assert(a == b)
   }
 }
+
+/** OOV-rate + round-4 edge cases. */
+class OovRateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("oovRate: cutoff splits vocab; rate is the exact token fraction") {
+    val docs = Seq(
+      ("s1", "common common common rare1"),
+      ("s2", "common rare2 rare3 common")
+    ).toDF("source", "text")
+    val out = TextAnalysis.oovRate(docs, "text", "source", minCount = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // vocab = {common} (count 5); rare* are OOV
+    assert(out("s1") == ((4L, 1L, 0.25)))
+    assert(out("s2") == ((4L, 2L, 0.5)))
+    val all = TextAnalysis.oovRate(docs, "text", "source", minCount = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(all == Map("s1" -> 0L, "s2" -> 0L)) // every word in vocab at cutoff 1
+  }
+
+  test("round-4 edges: single-row scd2, single-slice similarity, empty linkage") {
+    val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L))
+      .toDF("k", "ts", "id")
+    val s = EventAnalytics.scd2(one, "k", "ts", "id").collect().head
+    assert(s.getBoolean(s.fieldIndex("is_current")) && s.isNullAt(s.fieldIndex("valid_to")))
+    val docs = Seq(("only", "a b c")).toDF("source", "text")
+    assert(TextAnalysis.sliceSimilarity(docs, "text", "source").isEmpty)
+    val l = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val r = Seq((2L, "p q r")).toDF("doc_id", "text")
+    assert(Dedup.crossCorpusLink(l, r, "text", "doc_id", 0.1).isEmpty)
+  }
+}
