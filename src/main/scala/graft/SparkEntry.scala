@@ -2498,7 +2498,46 @@ object SparkEntry {
           CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
           CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
             / count(*) AS oov_rate
-        FROM w LEFT JOIN v USING (word) GROUP BY source"""))
+        FROM w LEFT JOIN v USING (word) GROUP BY source""")),
+
+    // --- TOKENIZE to vocab ids (freq-desc rank ids, OOV -> 0), long form:
+    // the binarization step between OOV coverage and packed shards ---
+    Q("q116_token_ids",
+      (s, dir) => TextAnalysis.tokenizeToIds(t(s, dir, "documents"), "text", "doc_id",
+        minCount = 50),
+      Some("""WITH d AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          w AS (SELECT doc_id, unnest(ws) AS word,
+              unnest(generate_series(1, len(ws))) AS pos FROM d),
+          v AS (SELECT word, CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT)
+              AS token_id
+            FROM (SELECT word, count(*) AS c FROM w GROUP BY word) WHERE c >= 50)
+        SELECT doc_id, pos, coalesce(token_id, 0) AS token_id
+        FROM w LEFT JOIN v USING (word)""")),
+
+    // --- EQUAL-TOKEN shard assignment via a DISTRIBUTED PREFIX SUM:
+    // per-bucket totals prefix-summed on the driver + in-bucket windows —
+    // the global cumulative order without a single-partition window ---
+    Q("q117_token_shards",
+      (s, dir) => {
+        val tok = when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        graft.ml.MLOps.tokenShards(t(s, dir, "documents"), "doc_id", tok,
+          targetTokens = 2000, buckets = 16)
+          .select(col("doc_id"), col("__n").as("n_tok"), col("shard"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+            CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % 1000000 AS u
+          FROM documents),
+          o AS (SELECT doc_id, n_tok,
+            coalesce(sum(n_tok) OVER (ORDER BY u, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          FROM t)
+        SELECT doc_id, n_tok, CAST(pre // 2000 AS BIGINT) AS shard FROM o"""))
   )
 
   val specs: Seq[Q] =

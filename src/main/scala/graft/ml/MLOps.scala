@@ -145,6 +145,46 @@ object MLOps {
     df.orderBy(
       md5Bucket(concat_ws(":", lit(epoch), col(keyCol)), 1000000), col(keyCol))
 
+  /** EQUAL-TOKEN training shards via a DISTRIBUTED PREFIX SUM: assign each
+    * document to shard ⌊tokens_before / targetTokens⌋ in the deterministic
+    * md5 corpus order — every shard carries ~targetTokens tokens, so no
+    * training worker drags a fat-shard tail. A naive global cumulative sum
+    * is a single-partition window; here the corpus hashes into `buckets`
+    * COARSE buckets, per-bucket token totals (tiny) prefix-sum on the
+    * driver, and each bucket's offset broadcasts back — the in-bucket
+    * cumulative window runs partitioned by bucket, fully parallel, and
+    * equals the global cumsum because bucket order is a prefix of row
+    * order. All-integer arithmetic → portable. Returns df + (n_tok_col,
+    * shard). */
+  def tokenShards(df: DataFrame, keyCol: String, tokenCount: Column,
+      targetTokens: Long, buckets: Int = 256,
+      shardCol: String = "shard"): DataFrame = {
+    require(targetTokens > 0 && buckets > 0, "targetTokens > 0, buckets > 0")
+    val u = md5Bucket(col(keyCol), 1000000)
+    // monotone in u and strictly < buckets — bucket boundaries refine the
+    // md5 order, so (bucket, u, key) IS the global (u, key) order
+    val b = floor(u * buckets / lit(1000000.0)).cast("int")
+    val based = df.withColumn("__n", tokenCount.cast("long"))
+      .withColumn("__b", b).withColumn("__u", u)
+    val totals = based.groupBy("__b").agg(sum(col("__n")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = {
+      var acc = 0L
+      (0 until buckets).map { i =>
+        val o = i -> acc; acc += totals.getOrElse(i, 0L); o
+      }.toMap
+    }
+    val offCol = element_at(
+      typedLit((0 until buckets).map(i => offsets(i))), col("__b") + 1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
+      .orderBy(col("__u"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    based
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)) + offCol)
+      .withColumn(shardCol, floor(col("__before") / targetTokens.toDouble).cast("long"))
+      .drop("__b", "__u", "__before")
+  }
+
   /** Per-group deterministic CAP: at most `k` rows per group, chosen by md5
     * hash order of the key (C4-style per-domain caps; also the reproducible
     * "reservoir" for eval-slice extraction). One row_number window per

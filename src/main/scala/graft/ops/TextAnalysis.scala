@@ -521,6 +521,32 @@ object TextAnalysis {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** TOKENIZE to vocabulary IDS, long form (idCol, pos 1-based, token_id):
+    * vocabulary = words with count ≥ `minCount`, ids assigned by
+    * (frequency desc, word) rank — deterministic, so two engines (or two
+    * runs) assign identical ids; OOV tokens map to id 0. The step between
+    * [[oovRate]]'s coverage check and binarized training shards. The
+    * corpus-side plan is one posexplode + one equi-join on the word (vocab
+    * broadcasts while it fits — and a real subword vocab is bounded by
+    * construction); the id-assignment window runs over O(vocab) rows, not
+    * the corpus. */
+  def tokenizeToIds(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, minCount: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")))
+      .filter(length(col("col")) > 0)
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("col").as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("__c").desc, col("word"))).cast("long"))
+      .select("word", "token_id")
+    words.join(vocab, Seq("word"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
   /** CORPUS-SLICE similarity matrix: n-gram Jaccard between every pair of
     * slices (sources, snapshots, language buckets) over each slice's
     * DISTINCT gram set — the slice-level diagnostic that says which

@@ -2013,3 +2013,43 @@ class OovRateSpec extends AnyFunSuite {
     assert(Dedup.crossCorpusLink(l, r, "text", "doc_id", 0.1).isEmpty)
   }
 }
+
+/** Tokenize-to-ids + distributed-prefix-sum sharding. */
+class TokenExportSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenizeToIds: frequency-desc ids, OOV -> 0, positions preserved") {
+    val docs = Seq((1L, "b a b c b a"), (2L, "a b zz")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenizeToIds(docs, "text", "doc_id", minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // counts: b=4, a=3, c=1, zz=1 -> vocab b->1, a->2; c/zz OOV -> 0
+    assert(out((1L, 1L)) == 1L && out((1L, 2L)) == 2L && out((1L, 4L)) == 0L)
+    assert(out((2L, 3L)) == 0L)
+    assert(out.size == 9) // every token position exactly once
+  }
+
+  test("tokenShards equals the naive global cumulative sum for every bucket count") {
+    val docs = (1 to 300).map(i => (i.toLong, 1 + i % 50)).toDF("id", "n")
+    def run(buckets: Int) = graft.ml.MLOps
+      .tokenShards(docs, "id", col("n"), targetTokens = 500, buckets = buckets)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val naive = {
+      val u = graft.ml.MLOps.md5Bucket(col("id"), 1000000)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(u, col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs.withColumn("pre", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("shard", floor(col("pre") / 500.0).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    }
+    assert(run(1) == naive && run(7) == naive && run(64) == naive)
+    // shard sizes balanced: every non-final shard carries >= targetTokens
+    val sizes = graft.ml.MLOps
+      .tokenShards(docs, "id", col("n"), targetTokens = 500, buckets = 16)
+      .groupBy("shard").agg(sum(col("n")).as("t")).orderBy("shard")
+      .collect().map(_.getLong(1))
+    // a boundary-crossing doc's overshoot shaves at most max_doc_tokens (50)
+    // off the next shard, so every non-final shard holds >= target - 50
+    assert(sizes.init.forall(_ >= 450))
+  }
+}
