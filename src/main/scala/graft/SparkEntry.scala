@@ -2537,7 +2537,74 @@ object SparkEntry {
             coalesce(sum(n_tok) OVER (ORDER BY u, doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
           FROM t)
-        SELECT doc_id, n_tok, CAST(pre // 2000 AS BIGINT) AS shard FROM o"""))
+        SELECT doc_id, n_tok, CAST(pre // 2000 AS BIGINT) AS shard FROM o""")),
+
+    // --- SNAPSHOT DIFF (pre-promotion audit): added/removed/changed/
+    // unchanged between two materializations — one full outer join on the
+    // keys, null-safe struct equality for change detection ---
+    Q("q118_snapshot_diff",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val oldSnap = orders.filter(col("o_orderkey") % 97 =!= 0)
+        val newSnap = orders.filter(col("o_orderkey") % 89 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")))
+        Caching.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+              WHERE o_orderkey % 97 <> 0),
+          n AS (SELECT o_orderkey, o_orderstatus,
+              CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 89 <> 0)
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+          CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+              AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice THEN 'unchanged'
+            ELSE 'changed' END AS diff_status
+        FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey""")),
+
+    // --- EVENT-TRANSITION matrix (first-order Markov counts + conditional
+    // probabilities): one lead() window on the user key, one aggregation
+    // over the O(types²) pair space ---
+    Q("q119_transitions",
+      (s, dir) => EventAnalytics.transitions(events(s, dir), "user_id", "ts",
+        "event_type", "event_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+              event_type FROM events),
+          p AS (SELECT event_type AS from_type,
+              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS to_type FROM e),
+          c AS (SELECT from_type, to_type, count(*) AS n FROM p
+            WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p_cond
+        FROM c""")),
+
+    // --- CONVERSION-LAG distribution: ordered view→purchase funnel lags
+    // binned by the histogram sketch — two round-4 families composed ---
+    Q("q120_conversion_lag",
+      (s, dir) => {
+        val f = EventAnalytics.funnel(events(s, dir), "user_id", "ts",
+          Seq(col("event_type") === "view", col("event_type") === "purchase"))
+        val lags = f.filter(col("ts_2").isNotNull)
+          .select((col("ts_2").cast("long") - col("ts_1").cast("long")).as("lag_sec"))
+        Aggregations.histSketch(lags, Nil, "lag_sec", binWidth = 3600.0)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+              FROM events),
+          s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view'
+            GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'purchase' AND e.ts >= t1 GROUP BY 1),
+          l AS (SELECT epoch_us(t2) // 1000000 - epoch_us(t1) // 1000000 AS lag
+            FROM s2 JOIN s1 USING (user_id))
+        SELECT CAST(floor(CAST(lag AS DOUBLE) / 3600.0) AS BIGINT) AS bin,
+          count(*) AS n
+        FROM l GROUP BY 1"""))
   )
 
   val specs: Seq[Q] =

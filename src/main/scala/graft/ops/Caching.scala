@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, struct, when}
 
 /** Caching / materialization / iteration plumbing (SURVEY §2.13).
   */
@@ -107,5 +107,28 @@ object Caching {
     val r = f
     onDone(label, (System.nanoTime() - t0) / 1e9)
     r
+  }
+
+  /** SNAPSHOT DIFF: row-level added/removed/changed/unchanged between two
+    * materializations of one view — the audit that runs before promoting a
+    * rebuilt table (did the pipeline change touch only what it should?).
+    * One full outer join on the entity keys; change detection is null-safe
+    * struct equality over `compareCols` (portable — no engine-specific row
+    * hashing), so at scale the join is the only exchange and AQE handles
+    * skew. Returns (keys…, diff_status). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val oldS = oldDf.select(keys.map(col) :+
+      struct(compareCols.map(col): _*).as("__old"): _*)
+    val newS = newDf.select(keys.map(col) :+
+      struct(compareCols.map(col): _*).as("__new"): _*)
+    oldS.join(newS, keys, "full")
+      .withColumn("diff_status",
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(col("__old") <=> col("__new"), "unchanged")
+          .otherwise("changed"))
+      .select(keys.map(col) :+ col("diff_status"): _*)
   }
 }

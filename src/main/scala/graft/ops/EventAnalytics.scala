@@ -78,6 +78,26 @@ object EventAnalytics {
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
 
+  /** EVENT-TRANSITION matrix (first-order Markov counts): for each user's
+    * time-ordered event sequence, count (event_type → next event_type)
+    * adjacencies and the conditional probability given the source type.
+    * One lead() window on the user key + one partial-aggregated groupBy on
+    * the O(types²) pair space; probabilities are exact integer ratios.
+    * Ties on ts break by `tieCol` so sequences are total. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    pairs.withColumn("p_cond",
+      col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
+  }
+
   /** SCD TYPE-2 history from a CHANGELOG: one row per change event carrying
     * `valid_from` (the event ts), `valid_to` (the NEXT change's ts for the
     * same key — null while current) and `is_current`. The batch complement

@@ -2053,3 +2053,45 @@ class TokenExportSpec extends AnyFunSuite {
     assert(sizes.init.forall(_ >= 450))
   }
 }
+
+/** Snapshot diff + event transitions. */
+class DiffTransitionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldDf = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val newDf = Seq((1L, "a", 10.0), (2L, "b", 99.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val out = Caching.snapshotDiff(oldDf, newDf, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("snapshotDiff treats null compare values null-safely") {
+    val oldDf = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "s")
+    val newDf = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    val out = Caching.snapshotDiff(oldDf, newDf, Seq("k"), Seq("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed")) // null == null, x != null
+  }
+
+  test("transitions counts ordered adjacencies with exact conditionals") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(ts0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, 1L, at(0), "view"), (1L, 2L, at(1), "click"), (1L, 3L, at(2), "view"),
+      (2L, 4L, at(0), "view"), (2L, 5L, at(1), "click"), (2L, 6L, at(2), "buy")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.transitions(events, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(("view", "click")) == ((2L, 1.0)))     // view always -> click
+    assert(out(("click", "view")) == ((1L, 0.5)))
+    assert(out(("click", "buy")) == ((1L, 0.5)))
+    assert(!out.contains(("buy", "view")))            // buy is terminal here
+  }
+}
