@@ -185,6 +185,49 @@ object Streaming {
       }
   }
 
+  /** STREAMING event transitions — the incremental producer of
+    * [[graft.ops.EventAnalytics.transitions]]' Markov counts: per-key state
+    * is the latest (ts, type) seen; each micro-batch emits the (from_type,
+    * to_type) adjacencies its events complete, in event-time order, with
+    * late events (older than the state) dropped. Downstream, a simple
+    * groupBy count over the emitted pairs IS the transition matrix — state
+    * per key is one row, like [[statefulLatest]]. Input needs (keys…, ts,
+    * typeCol); output (from_type, to_type). */
+  def transitionsStream(stream: DataFrame, keys: Seq[String], ts: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val schema = stream.schema
+    val tsIdx = schema.fieldIndex(ts)
+    val typeIdx = schema.fieldIndex(typeCol)
+    implicit val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val rowEnc = Encoders.row(schema)
+    def tsOf(r: Row): Long =
+      if (r.isNullAt(tsIdx)) Long.MinValue else r.getTimestamp(tsIdx).getTime
+    stream
+      .groupByKey(r => keys.map(k => String.valueOf(r.getAs[Any](k))).mkString(""))(
+        Encoders.STRING)
+      .flatMapGroupsWithState[(Long, String), (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[(Long, String)]) =>
+          val ordered = rows.toSeq.sortBy(tsOf)
+          var prev = state.getOption
+          val out = Seq.newBuilder[(String, String)]
+          ordered.foreach { r =>
+            val t = tsOf(r)
+            // late (or equal-ts duplicate) events never rewind the chain
+            if (prev.forall(_._1 < t)) {
+              prev.foreach(p => out += ((p._2, r.getString(typeIdx))))
+              prev = Some((t, r.getString(typeIdx)))
+            }
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("from_type", "to_type")
+  }
+
   /** Event trigger (schemas/event_trigger.py:20-97; ListenForTriggers,
     * retrieval_job.py:3227-3265): emit rows matching a predicate to a side
     * sink from within foreachBatch. */

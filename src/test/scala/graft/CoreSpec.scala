@@ -892,3 +892,41 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(med.length == 3 && med.forall(_.getDouble(1) >= 0.0))
   }
 }
+
+/** Streaming transitions: stateful adjacency emission across micro-batches. */
+class StreamingTransitionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("transitions chain across micro-batches; late events dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_tr").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.map { case (u, t, e) => (u, java.sql.Timestamp.valueOf(t), e) }
+        .toDF("user_id", "ts", "event_type").write.mode("append").parquet(dir + "/in")
+    write(Seq(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click")))
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val out = graft.streaming.Streaming.transitionsStream(
+      stream, Seq("user_id"), "ts", "event_type")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("out_tr").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT * FROM out_tr").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(b1.toSeq == Seq(("view", "click")))
+      // batch 2: continuation + a LATE event that must not rewind the chain
+      write(Seq(
+        (1L, "2024-01-01 10:02:00", "stale"),   // older than state -> dropped
+        (1L, "2024-01-01 10:10:00", "purchase")))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT * FROM out_tr").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(all.toSeq.sorted == Seq(("click", "purchase"), ("view", "click")))
+    } finally q.stop()
+  }
+}

@@ -2095,3 +2095,63 @@ class DiffTransitionsSpec extends AnyFunSuite {
     assert(!out.contains(("buy", "view")))            // buy is terminal here
   }
 }
+
+/** Inverted-index ops vs brute force on randomized corpora. */
+class InvertedIndexPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def shingleSet(text: String, k: Int): Set[String] = {
+    val w = text.toLowerCase.trim.split("\\s+").toSeq
+    if (w.length < k) Set.empty
+    else w.sliding(k).map(_.mkString(" ")).toSet
+  }
+
+  private def corpus(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    (1 to n).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  test("containmentPairs equals the brute-force definition on random corpora") {
+    for (seed <- Seq(1, 7, 42)) {
+      val docs = corpus(seed, 30)
+      val k = 2; val t = 0.6
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = shingleSet(ta, k); sb = shingleSet(tb, k)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        c = inter.toDouble / math.min(sa.size, sb.size) if c >= t
+      } yield (ia, ib) -> c).toMap
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"), "text", "doc_id", t, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("crossCorpusLink equals the brute-force best match on random corpora") {
+    for (seed <- Seq(3, 11)) {
+      val left = corpus(seed, 15)
+      val right = corpus(seed + 100, 15).map { case (i, t) => (i + 1000, t) }
+      val k = 2; val t = 0.3
+      def jac(a: Set[String], b: Set[String]) =
+        if (a.isEmpty || b.isEmpty) 0.0
+        else (a & b).size.toDouble / (a | b).size
+      val expected = left.flatMap { case (il, tl) =>
+        val sl = shingleSet(tl, k)
+        val cands = right.map { case (ir, tr) => (ir, jac(sl, shingleSet(tr, k))) }
+          .filter(_._2 >= t)
+        if (cands.isEmpty) None
+        else Some(il -> cands.minBy { case (ir, j) => (-j, ir) })
+      }.toMap
+      val got = Dedup.crossCorpusLink(left.toDF("doc_id", "text"),
+          right.toDF("doc_id", "text"), "text", "doc_id", t, k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+}
