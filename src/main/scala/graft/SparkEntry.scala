@@ -2604,7 +2604,33 @@ object SparkEntry {
             FROM s2 JOIN s1 USING (user_id))
         SELECT CAST(floor(CAST(lag AS DOUBLE) / 3600.0) AS BIGINT) AS bin,
           count(*) AS n
-        FROM l GROUP BY 1"""))
+        FROM l GROUP BY 1""")),
+
+    // --- JOIN-KEY SKEW diagnostic: top-10 heaviest customer keys with
+    // share and uniform-ratio — the "does this join need salting" number,
+    // from one partial-agged groupBy + an O(keys) top-k window ---
+    Q("q121_key_skew",
+      (s, dir) => Profiling.keySkew(t(s, dir, "orders"), Seq("o_custkey"), k = 10),
+      Some("""WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+        SELECT o_custkey, n,
+          CAST(n AS DOUBLE) / sum(n) OVER () AS share,
+          CAST(n AS DOUBLE) * count(*) OVER () / sum(n) OVER () AS skew_vs_uniform,
+          CAST(row_number() OVER (ORDER BY n DESC, o_custkey) AS INT) AS key_rank
+        FROM c QUALIFY key_rank <= 10""")),
+
+    // --- CLASS-BALANCED downsampling: every language capped at the
+    // minority language's count, members by md5 hash order (deterministic,
+    // auditable); cap = plan-time scalar, never a 1-row join ---
+    Q("q122_class_balance",
+      (s, dir) => graft.ml.MLOps.balanceClasses(t(s, dir, "documents"), "lang", "doc_id")
+        .select("doc_id", "lang", "sample_rank"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          m AS (SELECT min(n) AS mc FROM c),
+          r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                % 1000000, doc_id) AS INT) AS sample_rank
+            FROM documents)
+        SELECT doc_id, lang, sample_rank FROM r JOIN m ON sample_rank <= mc"""))
   )
 
   val specs: Seq[Q] =

@@ -197,6 +197,19 @@ object MLOps {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** CLASS-BALANCED downsampling: cap every class at the MINORITY class's
+    * row count, members chosen by md5 hash order of the key — the
+    * deterministic alternative to weighted-loss training when the skew is
+    * extreme ([[classWeights]]' sampling sibling; same auditable router as
+    * [[groupCap]]). The cap is a plan-time scalar (one tiny aggregate
+    * collect, the quantile-cut idiom — a 1-row join would fold to a
+    * nested loop); selection is one per-class window in hash order. */
+  def balanceClasses(df: DataFrame, labelCol: String, keyCol: String): DataFrame = {
+    val minCount = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).collect().head.getLong(0)
+    groupCap(df, keyCol, labelCol, minCount.toInt)
+  }
+
   /** Inverse-frequency CLASS WEIGHTS: w_c = N / (k · n_c) (sklearn's
     * "balanced" convention) — the loss-reweighting table for skewed label
     * distributions, emitted as one tiny frame to broadcast-join onto

@@ -82,6 +82,26 @@ object Profiling {
         count(lit(1)).as("n_bins"), sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
   }
 
+  /** JOIN-KEY SKEW diagnostic: the top-`k` heaviest keys with each key's
+    * share of the table and the ratio to a perfectly uniform key — the
+    * number that says "this join needs [[graft.ops.Joins.saltedJoin]] /
+    * AQE skew handling" BEFORE the straggler task does. One
+    * partial-aggregated groupBy on the key + a top-k window over the
+    * O(distinct keys) count frame; integer counts, exact ratios. */
+  def keySkew(df: DataFrame, keys: Seq[String], k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(lit(1))
+    counts
+      .withColumn("share", col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
+      .withColumn("skew_vs_uniform",
+        col("n").cast("double") * count(lit(1)).over(tot)
+          / sum(col("n")).over(tot).cast("double"))
+      .withColumn("key_rank", row_number().over(
+        Window.orderBy(col("n").desc +: keys.map(col): _*)).cast("int"))
+      .filter(col("key_rank") <= k)
+  }
+
   /** EMBEDDING corpus health screen, per label: row count, zero-vector
     * count (an upstream-encoder failure signal), wrong-width count (schema
     * drift inside the array type, which `df.schema` can't see), and the

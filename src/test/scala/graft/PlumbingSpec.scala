@@ -2155,3 +2155,31 @@ class InvertedIndexPropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Key-skew diagnostics + class balancing. */
+class SkewBalanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("keySkew surfaces the hot key with exact share and uniform ratio") {
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(20)("warm") ++ Seq.fill(20)("cold"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "x")
+    val top = Profiling.keySkew(df, Seq("k"), k = 2).orderBy("key_rank").collect()
+    assert(top.map(_.getString(0)).toSeq == Seq("hot", "cold")) // tie 20/20 -> key asc
+    assert(top.head.getDouble(2) == 0.6)        // share
+    assert(top.head.getDouble(3) == 1.8)        // 3 distinct keys, 1.8x uniform
+  }
+
+  test("balanceClasses caps every class at the minority count, deterministically") {
+    val df = ((1 to 50).map(i => (i.toLong, "big")) ++ (51 to 57).map(i => (i.toLong, "small")))
+      .toDF("id", "label")
+    val out = graft.ml.MLOps.balanceClasses(df, "label", "id")
+    val sizes = out.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("big" -> 7L, "small" -> 7L))
+    // reproducible selection
+    val again = graft.ml.MLOps.balanceClasses(df, "label", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+}
