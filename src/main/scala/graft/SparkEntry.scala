@@ -2630,7 +2630,72 @@ object SparkEntry {
               ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                 % 1000000, doc_id) AS INT) AS sample_rank
             FROM documents)
-        SELECT doc_id, lang, sample_rank FROM r JOIN m ON sample_rank <= mc"""))
+        SELECT doc_id, lang, sample_rank FROM r JOIN m ON sample_rank <= mc""")),
+
+    // --- DEDUP IMPACT report: near-dup cluster-size histogram (how much of
+    // the corpus collapses, and into how many clusters) — the iterative
+    // min-label clustering re-checked through a recursive-CTE closure, then
+    // two tiny aggregations ---
+    Q("q123_dedup_cluster_sizes",
+      (s, dir) => Dedup.connectedComponents(
+          Dedup.nearDuplicatesPortable(t(s, dir, "documents"), "text", "doc_id",
+            threshold = 0.5, bands = 4, k = 3))
+        .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters")),
+      Some(s"""WITH RECURSIVE $minhashCtes,
+          sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+          sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
+        SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1""")),
+
+    // --- CAPSTONE 3 (round-4 chain): hashed linear quality scores →
+    // per-source top-50% filter → equal-token shards → per-shard stats —
+    // four round-4 ops composed and hash-verified as ONE query (q79/q94's
+    // successors) ---
+    Q("q124_corpus_pipeline3",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = docs.join(
+          TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+            .select("doc_id", "score"), Seq("doc_id"))
+        val kept = graft.ml.MLOps.topFractionByScore(scored, "source", "score",
+          "doc_id", 0.5)
+        val tok = when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        graft.ml.MLOps.tokenShards(kept, "doc_id", tok, targetTokens = 4000, buckets = 16)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source, text, list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS wl
+            FROM documents),
+          h AS (SELECT doc_id, source, text, list_transform(wl, s ->
+              CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) % ${Dedup.PortableP}) AS hl
+            FROM w),
+          sc AS (SELECT doc_id, source, text,
+              CASE WHEN len(hl) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(hl, x -> x % 2001 - 1000)) AS DOUBLE)
+                  / (len(hl) * 1000.0) END AS score FROM h),
+          tf AS (SELECT doc_id, text, score,
+              row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+              count(*) OVER (PARTITION BY source) AS cnt FROM sc),
+          kept AS (SELECT doc_id, text FROM tf WHERE rn <= CAST(ceil(0.5 * cnt) AS BIGINT)),
+          tok AS (SELECT doc_id,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n,
+              CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                % 1000000 AS u
+            FROM kept),
+          o AS (SELECT doc_id, n,
+              coalesce(sum(n) OVER (ORDER BY u, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+            FROM tok)
+        SELECT CAST(pre // 4000 AS BIGINT) AS shard, count(*) AS n_docs,
+          CAST(sum(n) AS BIGINT) AS total_tokens
+        FROM o GROUP BY 1"""))
   )
 
   val specs: Seq[Q] =
