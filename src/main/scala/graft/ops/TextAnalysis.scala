@@ -508,15 +508,19 @@ object TextAnalysis {
     * oov_rate). */
   def oovRate(df: org.apache.spark.sql.DataFrame, textCol: String,
       sliceCol: String, minCount: Long): org.apache.spark.sql.DataFrame = {
-    val words = df.select(col(sliceCol),
+    // ONE corpus explode: (slice, word) counts feed BOTH the vocabulary
+    // (word totals = a second aggregation of the counts, no rescan) and the
+    // per-slice scoring join — the corpus is touched exactly once
+    val sw = df.select(col(sliceCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
-    val vocab = words.groupBy("word").agg(count(lit(1)).as("__c"))
+      .groupBy(col(sliceCol), col("word")).agg(count(lit(1)).as("__n"))
+    val vocab = sw.groupBy("word").agg(sum(col("__n")).as("__c"))
       .filter(col("__c") >= minCount).select(col("word"), lit(true).as("__in"))
-    words.join(vocab, Seq("word"), "left")
+    sw.join(vocab, Seq("word"), "left")
       .groupBy(sliceCol)
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("__in").isNull.cast("long")).as("n_oov"))
+      .agg(sum(col("__n")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("__n")).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
