@@ -2408,7 +2408,7 @@ object SparkEntry {
         "label", expectedDim = 64),
       Some("""WITH s AS (SELECT label, len(embedding) AS w,
             CAST(list_inner_product(CAST(embedding AS DOUBLE[]),
-              CAST(embedding AS DOUBLE[])) AS DECIMAL(18,9)) AS sq,
+              CAST(embedding AS DOUBLE[])) AS DECIMAL(38,9)) AS sq,
             len(list_filter(embedding, x -> x <> 0)) = 0 AS zero
           FROM embeddings)
         SELECT label, count(*) AS n,

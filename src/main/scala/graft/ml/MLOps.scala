@@ -205,9 +205,13 @@ object MLOps {
     * collect, the quantile-cut idiom — a 1-row join would fold to a
     * nested loop); selection is one per-class window in hash order. */
   def balanceClasses(df: DataFrame, labelCol: String, keyCol: String): DataFrame = {
-    val minCount = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
-      .agg(min(col("n"))).collect().head.getLong(0)
-    groupCap(df, keyCol, labelCol, minCount.toInt)
+    val minRow = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).collect().head
+    if (minRow.isNullAt(0)) return df.limit(0) // empty input: no classes
+    // clamp, don't wrap: a >2^31-row minority class must not truncate the
+    // cap negative and silently empty the result
+    val cap = math.min(minRow.getLong(0), Int.MaxValue.toLong).toInt
+    groupCap(df, keyCol, labelCol, cap)
   }
 
   /** Inverse-frequency CLASS WEIGHTS: w_c = N / (k · n_c) (sklearn's

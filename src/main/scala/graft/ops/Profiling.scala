@@ -91,15 +91,24 @@ object Profiling {
   def keySkew(df: DataFrame, keys: Seq[String], k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-    val tot = Window.partitionBy(lit(1))
-    counts
-      .withColumn("share", col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
+    // totals are plan-time scalars (one parallel aggregate, 1-row collect —
+    // the quantile-cut idiom): a global no-partition window here would sort
+    // the ENTIRE key domain on one task, and for THIS op the key domain is
+    // exactly what's huge. Top-k via orderBy+limit compiles to a parallel
+    // TakeOrderedAndProject; the rank window then runs over ≤ k rows.
+    val s = counts.agg(sum(col("n")), count(lit(1))).collect().head
+    if (s.isNullAt(0))
+      return counts.withColumn("share", lit(0.0))
+        .withColumn("skew_vs_uniform", lit(0.0))
+        .withColumn("key_rank", lit(0)).limit(0)
+    val total = s.getLong(0)
+    val nKeys = s.getLong(1)
+    counts.orderBy(col("n").desc +: keys.map(col): _*).limit(k)
+      .withColumn("share", col("n").cast("double") / lit(total).cast("double"))
       .withColumn("skew_vs_uniform",
-        col("n").cast("double") * count(lit(1)).over(tot)
-          / sum(col("n")).over(tot).cast("double"))
+        col("n").cast("double") * lit(nKeys) / lit(total).cast("double"))
       .withColumn("key_rank", row_number().over(
         Window.orderBy(col("n").desc +: keys.map(col): _*)).cast("int"))
-      .filter(col("key_rank") <= k)
   }
 
   /** EMBEDDING corpus health screen, per label: row count, zero-vector
@@ -115,9 +124,11 @@ object Profiling {
     val v = col(vecCol)
     // squared norm per row via the native dot kernel (deterministic
     // left-to-right summation), then ONE double→decimal cast per row so the
-    // cross-row sum is order-independent
+    // cross-row sum is order-independent. Width 38: a health screen must
+    // REPORT a broken-encoder vector (sq norm ≥ 1e9 overflows width 18 and
+    // ANSI mode would abort the whole job on exactly the anomalous row)
     val sqNorm = graft.ops.Similarity.dot(v, v)
-      .cast(org.apache.spark.sql.types.DecimalType(18, 9))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 9))
     df.select(col(labelCol),
         size(v).as("__w"),
         sqNorm.as("__sq"),

@@ -348,16 +348,6 @@ object Similarity {
   def unpackEmbedding(df: DataFrame, vecCol: String, dims: Int, prefix: String = "dim_"): DataFrame =
     (0 until dims).foldLeft(df)((d, i) => d.withColumn(s"$prefix$i", element_at(col(vecCol), i + 1)))
 
-  /** Johnson-Lindenstrauss RANDOM PROJECTION to `outDim` dimensions using
-    * the PORTABLE plane matrix ([[graft.ops.Dedup.portablePlanes]]): y_j =
-    * ⟨plane_j, x⟩, each plane baked into the plan as literals and evaluated
-    * by the native dot kernel — a pure narrow map (no shuffle, no fit step,
-    * no driver state beyond the plan-time matrix). The standard
-    * pre-ANN/pre-clustering dimensionality cut: distances are preserved
-    * within JL distortion while memory and dot-product cost drop dim/outDim.
-    * Long-form output (idCol, out_dim 1-based, value) — deterministic
-    * left-to-right summation, so external engines reproduce it bit-exactly.
-    */
   /** HARD-NEGATIVE mining for contrastive training: for each query row the
     * top-k most-cosine-similar corpus rows with a DIFFERENT label — the
     * pairs a contrastive loss learns most from. Exact form for bounded
@@ -373,13 +363,25 @@ object Similarity {
       col(labelCol).as("__qlabel"), col(vecCol).as("__qvec")))
     val scored = corpus.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("__clabel"), col(vecCol).as("__cvec"))
-      .join(q, col("__clabel") =!= col("__qlabel"))
+      // null-safe inequality: a null label is its own class — plain =!= is
+      // null for null labels and silently drops those rows from mining
+      .join(q, !(col("__clabel") <=> col("__qlabel")))
       .withColumn("cosine", cosine(col("__qvec"), col("__cvec")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Johnson-Lindenstrauss RANDOM PROJECTION to `outDim` dimensions using
+    * the PORTABLE plane matrix ([[graft.ops.Dedup.portablePlanes]]): y_j =
+    * ⟨plane_j, x⟩, each plane baked into the plan as literals and evaluated
+    * by the native dot kernel — a pure narrow map (no shuffle, no fit step,
+    * no driver state beyond the plan-time matrix). The standard
+    * pre-ANN/pre-clustering dimensionality cut: distances are preserved
+    * within JL distortion while memory and dot-product cost drop dim/outDim.
+    * Long-form output (idCol, out_dim 1-based, value) — deterministic
+    * left-to-right summation, so external engines reproduce it bit-exactly.
+    */
   def randomProject(df: DataFrame, vecCol: String, idCol: String,
       outDim: Int, dim: Int): DataFrame = {
     val mat = Dedup.portablePlanes(outDim, dim)

@@ -476,10 +476,12 @@ object TextAnalysis {
     require(steps >= 1, "steps >= 1")
     import org.apache.spark.sql.expressions.Window
     val buckets = 1000000
-    // doc's prefix index: smallest f = (i+1)/steps with md5(id) < f·1M
-    val step = buckets / steps
+    // doc's prefix index: smallest f = (i+1)/steps with md5(id) < f·1M.
+    // Multiply-first (like MLOps.tokenShards): the divide-first form
+    // (u / (1M/steps)) overflows to index == steps when steps ∤ 1M
     val docs = df.select(col(idCol),
-      (graft.ml.MLOps.md5Bucket(col(idCol), buckets) / step).cast("int").as("__b"),
+      floor(graft.ml.MLOps.md5Bucket(col(idCol), buckets) * steps / lit(buckets.toDouble))
+        .cast("int").as("__b"),
       col(textCol))
     val firstSeen = docs
       .select(col("__b"), explode(Dedup.hashedShingleSet(col(textCol), n)).as("h"))
@@ -537,9 +539,12 @@ object TextAnalysis {
   def tokenizeToIds(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minCount: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // filter empty tokens BEFORE positions: `trim` strips only spaces, so
+    // tab-leading text splits to a leading "" — filtering after posexplode
+    // would leave a hole at position 1
     val words = df.select(col(idCol),
-        posexplode(split(lower(trim(col(textCol))), "\\s+")))
-      .filter(length(col("col")) > 0)
+        posexplode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          x => length(x) > 0)))
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("col").as("word"))
     val vocab = words.groupBy("word").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)

@@ -206,7 +206,7 @@ object Streaming {
     def tsOf(r: Row): Long =
       if (r.isNullAt(tsIdx)) Long.MinValue else r.getTimestamp(tsIdx).getTime
     stream
-      .groupByKey(r => keys.map(k => String.valueOf(r.getAs[Any](k))).mkString(""))(
+      .groupByKey(r => keys.map(k => String.valueOf(r.getAs[Any](k))).mkString("\u0001"))(
         Encoders.STRING)
       .flatMapGroupsWithState[(Long, String), (String, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -2183,3 +2183,52 @@ class SkewBalanceSpec extends AnyFunSuite {
     assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
   }
 }
+
+/** Review-fix regressions (round-4). */
+class Round4ReviewFixSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hardNegatives treats a null label as its own class") {
+    val rows = Seq(
+      (1L, Array(1f, 0f), Option.empty[String]),
+      (2L, Array(1f, 0f), Some("a")),
+      (3L, Array(0f, 1f), Option.empty[String])
+    ).toDF("vec_id", "embedding", "label")
+    val forNull = Similarity.hardNegatives(rows, rows.filter(col("vec_id") === 1L), k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(forNull == Set(2L)) // 3 shares the null class; 2 differs
+  }
+
+  test("balanceClasses returns empty on empty input; keySkew likewise") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "label")
+    assert(graft.ml.MLOps.balanceClasses(empty, "label", "id").isEmpty)
+    val out = Profiling.keySkew(empty.toDF("k", "x"), Seq("k"))
+    assert(out.isEmpty && out.columns.toSeq ==
+      Seq("k", "n", "share", "skew_vs_uniform", "key_rank"))
+  }
+
+  test("tokenizeToIds assigns contiguous positions under tab-leading text") {
+    val docs = Seq((1L, "\tb a")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenizeToIds(docs, "text", "doc_id", minCount = 1)
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // no hole at position 1
+  }
+
+  test("vocabGrowth bucket index stays in range when steps does not divide 1e6") {
+    val docs = (1 to 60).map(i => (i.toLong, s"w$i x$i")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, "text", "doc_id", n = 2, steps = 3)
+      .orderBy("fraction").collect()
+    assert(out.map(_.getDouble(0)).forall(_ <= 1.0)) // no phantom fraction 4/3
+    assert(out.map(_.getLong(1)).last == 60L)
+  }
+
+  test("embeddingProfile survives an anomalous huge-norm vector") {
+    val df = Seq((1L, Array(4000f, 4000f), "a"), (2L, Array(1f, 0f), "a"))
+      .toDF("vec_id", "embedding", "label")
+    val r = Profiling.embeddingProfile(df, "embedding", "label", expectedDim = 2)
+      .collect().head
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(4) == (3.2e7 + 1.0) / 2) // no ANSI overflow abort
+  }
+}
