@@ -2695,7 +2695,26 @@ object SparkEntry {
             FROM tok)
         SELECT CAST(pre // 4000 AS BIGINT) AS shard, count(*) AS n_docs,
           CAST(sum(n) AS BIGINT) AS total_tokens
-        FROM o GROUP BY 1"""))
+        FROM o GROUP BY 1""")),
+
+    // --- BINARY payload chunking with per-chunk digests (blob-level dedup/
+    // upload prep): hex once, O(chunks) explode, digest per fixed window —
+    // cross-engine digests over the uppercase hex ---
+    Q("q125_byte_chunks",
+      (s, dir) => Multimodal.chunkBytes(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "payload", "doc_id", chunkSize = 64),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+          n AS (SELECT doc_id, hx, CAST(ceil(length(hx) / 128.0) AS BIGINT) AS nc
+            FROM b WHERE length(hx) > 0),
+          c AS (SELECT doc_id, hx,
+            unnest([i for i in generate_series(0, nc - 1)]) AS chunk_idx FROM n)
+        SELECT doc_id, chunk_idx,
+          CAST(length(substring(hx, CAST(chunk_idx * 128 + 1 AS BIGINT), 128)) // 2
+            AS BIGINT) AS chunk_len,
+          md5(substring(hx, CAST(chunk_idx * 128 + 1 AS BIGINT), 128)) AS digest
+        FROM c"""))
   )
 
   val specs: Seq[Q] =

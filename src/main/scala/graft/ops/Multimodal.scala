@@ -121,6 +121,37 @@ object Multimodal {
     df.withColumn("frame_index",
       explode(sequence(lit(0), greatest(col(metaCol).getField("n_frames") - 1, lit(0)), lit(everyNth))))
 
+  /** FIXED-SIZE BYTE CHUNKING of a binary column with per-chunk digests —
+    * the blob-level dedup/upload prep (chunk a media payload, digest each
+    * window, dedup or upload by digest). One narrow map: hex once, explode
+    * O(chunks) rows, digest per chunk. Digests run over the UPPERCASE HEX
+    * of the window (`hex()` agrees byte-for-byte across engines, which
+    * keeps the op oracle-checkable; a deployment hashing raw bytes instead
+    * only changes the digest expression). Returns (idCol, chunk_idx 0-based,
+    * chunk_len bytes, digest). */
+  def chunkBytes(df: DataFrame, bytesCol: String, idCol: String,
+      chunkSize: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize > 0")
+    val hx = hex(col(bytesCol))
+    val hexChunk = lit(2 * chunkSize)
+    df.select(col(idCol), hx.as("__hx"))
+      .filter(length(col("__hx")) > 0)
+      .select(col(idCol), col("__hx"),
+        explode(sequence(lit(0L),
+          ceil(length(col("__hx")) / hexChunk.cast("double")).cast("long") - 1))
+          .as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (length(substring_index_expr(col("__hx"), col("chunk_idx"), hexChunk)) / 2)
+          .cast("long").as("chunk_len"),
+        md5(substring_index_expr(col("__hx"), col("chunk_idx"), hexChunk)).as("digest"))
+  }
+
+  /** hex substring for chunk `idx` of width `hexChunk` (1-based substring). */
+  private def substring_index_expr(hx: org.apache.spark.sql.Column,
+      idx: org.apache.spark.sql.Column,
+      hexChunk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hx.substr((idx * hexChunk + 1).cast("int"), hexChunk.cast("int"))
+
   /** Row-wise presigned-URL construction (reference: PresignedAwsUrl,
     * transformation.py:2670-2708 — an S3 client call per row). The signing
     * call is STUBBED (no cloud SDK offline); the row-wise URL assembly and

@@ -2232,3 +2232,27 @@ class Round4ReviewFixSpec extends AnyFunSuite {
     assert(r.getDouble(4) == (3.2e7 + 1.0) / 2) // no ANSI overflow abort
   }
 }
+
+/** Binary chunking digests. */
+class ChunkBytesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chunk lengths tile the payload; identical windows share digests") {
+    val df = Seq((1L, "a" * 100), (2L, "a" * 64)).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = Multimodal.chunkBytes(df, "payload", "id", chunkSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out((1L, 0L))._1 == 64L && out((1L, 1L))._1 == 36L) // ragged tail
+    assert(out((2L, 0L))._1 == 64L)
+    assert(out((1L, 0L))._2 == out((2L, 0L))._2) // same 64-byte window, same digest
+    assert(out((1L, 0L))._2 != out((1L, 1L))._2)
+  }
+
+  test("empty payloads yield no chunks") {
+    val df = Seq((1L, "")).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("payload"))
+    assert(Multimodal.chunkBytes(df, "payload", "id", 8).isEmpty)
+  }
+}
