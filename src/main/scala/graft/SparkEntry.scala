@@ -2714,7 +2714,32 @@ object SparkEntry {
           CAST(length(substring(hx, CAST(chunk_idx * 128 + 1 AS BIGINT), 128)) // 2
             AS BIGINT) AS chunk_len,
           md5(substring(hx, CAST(chunk_idx * 128 + 1 AS BIGINT), 128)) AS digest
-        FROM c"""))
+        FROM c""")),
+
+    // --- CONTENT-DEFINED chunking (rolling-hash boundaries, rsync/LBFS
+    // shape): boundaries move WITH the content, so chunk digests survive
+    // insertions — the shift-robust complement to q125's fixed windows ---
+    Q("q126_cdc_chunks",
+      (s, dir) => TextAnalysis.cdcChunks(t(s, dir, "documents"), "text", "doc_id",
+        k = 8, divisor = 64),
+      Some(s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0),
+          h AS (SELECT doc_id, w, [CAST(concat('0x',
+                substr(md5(array_to_string(w[i:i+7], ' ')), 1, 14)) AS BIGINT)
+                % ${Dedup.PortableP}
+              for i in generate_series(1, greatest(len(w)-7, 0))] AS hs FROM d),
+          c AS (SELECT doc_id, w, [i + 7 for i in generate_series(1, len(hs))
+              if hs[i] % 64 = 0] AS cuts FROM h),
+          c2 AS (SELECT doc_id, w, CASE WHEN len(cuts) = 0 OR cuts[-1] <> len(w)
+              THEN list_append(cuts, len(w)) ELSE cuts END AS cuts FROM c),
+          e AS (SELECT doc_id, w, cuts,
+            unnest(generate_series(1, len(cuts))) AS j FROM c2)
+        SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx,
+          CAST(CASE WHEN j = 1 THEN 1 ELSE cuts[j-1] + 1 END AS BIGINT) AS start_word,
+          CAST(cuts[j] AS BIGINT) AS end_word,
+          md5(array_to_string(
+            w[(CASE WHEN j = 1 THEN 1 ELSE cuts[j-1] + 1 END):cuts[j]], ' ')) AS digest
+        FROM e"""))
   )
 
   val specs: Seq[Q] =

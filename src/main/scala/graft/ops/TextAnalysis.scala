@@ -556,6 +556,46 @@ object TextAnalysis {
         coalesce(col("token_id"), lit(0L)).as("token_id"))
   }
 
+  /** CONTENT-DEFINED CHUNKING (CDC) at word granularity: a chunk boundary
+    * falls after word `p+k-1` wherever the portable hash of the k-gram at
+    * position p satisfies `hash % divisor == 0` — so boundaries move WITH
+    * the content, and an insertion early in a document shifts chunk
+    * digests only locally (fixed-size chunking breaks every downstream
+    * window — the rsync/LBFS argument). Expected chunk length ≈ `divisor`
+    * words. Emits (idCol, chunk_idx 0-based, start_word, end_word
+    * 1-based inclusive, digest md5 of the chunk's words) — shared digests
+    * across documents ARE the shift-robust duplicated-span signal.
+    * One narrow map: hashes + words materialized once per row, array
+    * arithmetic for the cuts, O(chunks) explode. */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int = 8, divisor: Long = 64): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && divisor >= 1, "k >= 1, divisor >= 1")
+    val base = df
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__w"),
+        Dedup.portableShingleHashes(col(textCol), k).as("__h"))
+      .filter(length(trim(col(textCol))) > 0)
+    val cuts = when(size(col("__h")) > 0,
+      filter(
+        transform(sequence(lit(1), size(col("__h"))),
+          p => when(pmod(element_at(col("__h"), p), lit(divisor)) === 0, p + (k - 1))),
+        c => c.isNotNull)).otherwise(array().cast("array<int>"))
+    val withCuts = base.withColumn("__c", cuts)
+      // always close the final chunk at the last word
+      .withColumn("__c2",
+        when(size(col("__c")) === 0 || element_at(col("__c"), -1) =!= size(col("__w")),
+          concat(col("__c"), array(size(col("__w"))))).otherwise(col("__c")))
+    withCuts
+      .select(col(idCol), col("__w"), col("__c2"),
+        posexplode(transform(sequence(lit(1), size(col("__c2"))), j => struct(
+          (when(j === 1, lit(0)).otherwise(element_at(col("__c2"), j - 1)) + 1).as("s"),
+          element_at(col("__c2"), j).as("e")))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col.s").cast("long").as("start_word"),
+        col("col.e").cast("long").as("end_word"),
+        md5(concat_ws(" ",
+          slice(col("__w"), col("col.s"), col("col.e") - col("col.s") + 1))).as("digest"))
+  }
+
   /** CORPUS-SLICE similarity matrix: n-gram Jaccard between every pair of
     * slices (sources, snapshots, language buckets) over each slice's
     * DISTINCT gram set — the slice-level diagnostic that says which

@@ -2256,3 +2256,43 @@ class ChunkBytesSpec extends AnyFunSuite {
     assert(Multimodal.chunkBytes(df, "payload", "id", 8).isEmpty)
   }
 }
+
+/** Content-defined chunking: tiling + shift robustness. */
+class CdcChunksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val baseText = (1 to 300).map(i => s"w${i % 97}t${i % 13}").mkString(" ")
+
+  test("chunks tile the document contiguously") {
+    val df = Seq((1L, baseText)).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunks(df, "text", "doc_id", k = 4, divisor = 16)
+      .orderBy("chunk_idx").collect()
+    assert(out.head.getLong(2) == 1L)
+    assert(out.last.getLong(3) == 300L)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(3) + 1) // next start = prev end + 1
+    }
+    assert(out.length > 3) // divisor 16 over 297 grams: boundaries exist
+  }
+
+  test("an insertion at the front only disturbs digests locally") {
+    val shifted = "inserted0 inserted1 " + baseText
+    val df = Seq((1L, baseText), (2L, shifted)).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunks(df, "text", "doc_id", k = 4, divisor = 16)
+      .collect().groupBy(_.getLong(0))
+    val d1 = out(1L).map(_.getString(4)).toSet
+    val d2 = out(2L).map(_.getString(4)).toSet
+    // content-defined boundaries re-synchronize after the first cut: most
+    // of doc 1's chunk digests reappear verbatim in the shifted doc
+    val shared = (d1 & d2).size
+    assert(shared >= d1.size - 2, s"only $shared of ${d1.size} digests survived the shift")
+  }
+
+  test("short documents yield one whole-document chunk") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunks(df, "text", "doc_id", k = 8, divisor = 64).collect()
+    assert(out.length == 1)
+    assert((out.head.getLong(2), out.head.getLong(3)) == ((1L, 3L)))
+  }
+}
