@@ -2449,7 +2449,7 @@ object SparkEntry {
             (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cosine,
           CAST(row_number() OVER (PARTITION BY q.vec_id
             ORDER BY cosine DESC, c.vec_id) AS INT) AS rank
-        FROM q JOIN c ON c.label != q.label
+        FROM q JOIN c ON c.label IS DISTINCT FROM q.label
         QUALIFY rank <= 5""")),
 
     // --- inverse-frequency class weights (sklearn "balanced"): the loss
@@ -2722,12 +2722,14 @@ object SparkEntry {
     Q("q126_cdc_chunks",
       (s, dir) => TextAnalysis.cdcChunks(t(s, dir, "documents"), "text", "doc_id",
         k = 8, divisor = 64),
-      Some(s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-            FROM documents WHERE length(trim(text)) > 0),
+      Some(s"""WITH d AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w
+            FROM documents),
+          d2 AS (SELECT doc_id, w FROM d WHERE len(w) > 0),
           h AS (SELECT doc_id, w, [CAST(concat('0x',
                 substr(md5(array_to_string(w[i:i+7], ' ')), 1, 14)) AS BIGINT)
                 % ${Dedup.PortableP}
-              for i in generate_series(1, greatest(len(w)-7, 0))] AS hs FROM d),
+              for i in generate_series(1, greatest(len(w)-7, 0))] AS hs FROM d2),
           c AS (SELECT doc_id, w, [i + 7 for i in generate_series(1, len(hs))
               if hs[i] % 64 = 0] AS cuts FROM h),
           c2 AS (SELECT doc_id, w, CASE WHEN len(cuts) = 0 OR cuts[-1] <> len(w)

@@ -207,7 +207,10 @@ object MLOps {
   def balanceClasses(df: DataFrame, labelCol: String, keyCol: String): DataFrame = {
     val minRow = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
       .agg(min(col("n"))).collect().head
-    if (minRow.isNullAt(0)) return df.limit(0) // empty input: no classes
+    // empty input: keep the output schema identical to the non-empty path
+    // (groupCap appends sample_rank — a bare df.limit(0) would break
+    // callers selecting it)
+    if (minRow.isNullAt(0)) return groupCap(df.limit(0), keyCol, labelCol, 1)
     // clamp, don't wrap: a >2^31-row minority class must not truncate the
     // cap negative and silently empty the result
     val cap = math.min(minRow.getLong(0), Int.MaxValue.toLong).toInt

@@ -131,7 +131,9 @@ object Multimodal {
     * chunk_len bytes, digest). */
   def chunkBytes(df: DataFrame, bytesCol: String, idCol: String,
       chunkSize: Int): DataFrame = {
-    require(chunkSize > 0, "chunkSize > 0")
+    // upper bound: 2*chunkSize (hex chars per chunk) must not wrap Int
+    require(chunkSize > 0 && chunkSize <= Int.MaxValue / 2,
+      s"0 < chunkSize <= ${Int.MaxValue / 2}")
     val hx = hex(col(bytesCol))
     val hexChunk = lit(2 * chunkSize)
     df.select(col(idCol), hx.as("__hx"))

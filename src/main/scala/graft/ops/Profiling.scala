@@ -90,7 +90,12 @@ object Profiling {
     * O(distinct keys) count frame; integer counts, exact ratios. */
   def keySkew(df: DataFrame, keys: Seq[String], k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persist the counts: the totals collect below and the returned top-k
+    // plan both read them — without the cache the full groupBy over df
+    // would run twice. (MEMORY_AND_DISK; Spark's context cleaner drops the
+    // cache once the frame is unreferenced.)
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // totals are plan-time scalars (one parallel aggregate, 1-row collect —
     // the quantile-cut idiom): a global no-partition window here would sort
     // the ENTIRE key domain on one task, and for THIS op the key domain is

@@ -570,10 +570,14 @@ object TextAnalysis {
   def cdcChunks(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, k: Int = 8, divisor: Long = 64): org.apache.spark.sql.DataFrame = {
     require(k >= 1 && divisor >= 1, "k >= 1, divisor >= 1")
+    // filter empty tokens: SQL trim strips spaces only, while the hash
+    // kernel Java-trims ALL whitespace — tab-led text would otherwise shift
+    // __w one position off the hash indices (tokenizeToIds' bug class)
     val base = df
-      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__w"),
+      .select(col(idCol),
+        filter(split(lower(trim(col(textCol))), "\\s+"), x => length(x) > 0).as("__w"),
         Dedup.portableShingleHashes(col(textCol), k).as("__h"))
-      .filter(length(trim(col(textCol))) > 0)
+      .filter(size(col("__w")) > 0)
     val cuts = when(size(col("__h")) > 0,
       filter(
         transform(sequence(lit(1), size(col("__h"))),

@@ -192,7 +192,12 @@ object Streaming {
     * late events (older than the state) dropped. Downstream, a simple
     * groupBy count over the emitted pairs IS the transition matrix — state
     * per key is one row, like [[statefulLatest]]. Input needs (keys…, ts,
-    * typeCol); output (from_type, to_type). */
+    * typeCol); output (from_type, to_type).
+    *
+    * Key encoding caveats (shared with [[statefulLatest]]): parts join on
+    * U+0001, so a key VALUE containing that control char can collide, and changing the
+    * encoding orphans per-key state in existing checkpoints — restart from
+    * a fresh checkpoint directory after any key-format change. */
   def transitionsStream(stream: DataFrame, keys: Seq[String], ts: String,
       typeCol: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
