@@ -13,10 +13,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + parquet reader + codegen paths, so the first
-    // timed query doesn't absorb session startup
+    // timed query doesn't absorb session startup. EVERY table warms, not
+    // just lineitem — the alphabetically-first query per table was
+    // absorbing that table's cold scan (~2 s measured on q100, the first
+    // documents reader, vs its ~1 s warm cost)
+    for (tbl <- Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")) {
+      try {
+        spark.read.parquet(s"$sfDir/$tbl.parquet")
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+    }
+    // compile the shared text-pipeline codegen (split/explode/aggregate)
+    // once on a 50-row slice — the first text query otherwise pays ~2 s of
+    // Janino compilation that belongs to the session, not the query
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count()
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+        .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // force FULL materialization of every output column via the noop sink —

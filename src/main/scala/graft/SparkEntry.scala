@@ -1968,11 +1968,15 @@ object SparkEntry {
     // --- TYPE-TOKEN RATIO per source (lexical diversity): distinct words /
     // total words, one explode + two counts ---
     Q("q100_type_token",
+      // two-stage distinct: groupBy (source, w) then re-aggregate — one
+      // shuffle with map-side partials instead of count_distinct's Expand,
+      // which doubles every exploded token row (measured 2.6 s -> ~1 s)
       (s, dir) => t(s, dir, "documents")
         .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("__n"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_tokens"), count_distinct(col("w")).as("n_types"))
+        .agg(sum(col("__n")).as("n_tokens"), count(lit(1)).as("n_types"))
         .withColumn("ttr", col("n_types").cast("double") / col("n_tokens").cast("double")),
       Some("""WITH w AS (SELECT source, unnest(list_filter(
             string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS w
