@@ -2745,7 +2745,49 @@ object SparkEntry {
           CAST(cuts[j] AS BIGINT) AS end_word,
           md5(array_to_string(
             w[(CASE WHEN j = 1 THEN 1 ELSE cuts[j-1] + 1 END):cuts[j]], ' ')) AS digest
-        FROM e"""))
+        FROM e""")),
+
+    // --- NEAREST as-of join at the gate level (q9 backward, q95 forward):
+    // for each purchase the closest click within ±1 h, exact-µs distance,
+    // ties to the earlier (backward) row ---
+    Q("q127_asof_nearest",
+      (s, dir) => {
+        val p = purchases(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value").as("purchase_value"))
+        Joins.asofJoin(p, clicksByTs(s, dir), "ts", "ts", Seq("user_id"),
+          tolerance = Some(java.time.Duration.ofHours(1)), direction = "nearest")
+          .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_sec"),
+            col("purchase_value"), col("click_value").as("nearest_click_value"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS click_value
+                FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) // 1000000 AS ts_sec,
+          p.value AS purchase_value, c.click_value AS nearest_click_value
+        FROM p LEFT JOIN c ON c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts + INTERVAL 1 HOUR
+        QUALIFY row_number() OVER (PARTITION BY p.event_id
+          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC NULLS LAST, c.ts ASC) = 1""")),
+
+    // --- TIME-based CV folds: event-time quantile bins (exact epoch cuts
+    // broadcast) — the temporal split next to the random/group routers;
+    // fold k strictly precedes fold k+1 ---
+    Q("q128_time_folds",
+      (s, dir) => graft.ml.MLOps.timeFolds(events(s, dir), "ts", nFolds = 5)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n"),
+          min(unix_micros(col("ts"))).as("min_us"), max(unix_micros(col("ts"))).as("max_us")),
+      Some("""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          c AS (SELECT quantile_cont(CAST(us AS DOUBLE), 0.2) AS c0,
+              quantile_cont(CAST(us AS DOUBLE), 0.4) AS c1,
+              quantile_cont(CAST(us AS DOUBLE), 0.6) AS c2,
+              quantile_cont(CAST(us AS DOUBLE), 0.8) AS c3 FROM e)
+        SELECT (CASE WHEN us > c0 THEN 1 ELSE 0 END + CASE WHEN us > c1 THEN 1 ELSE 0 END
+            + CASE WHEN us > c2 THEN 1 ELSE 0 END + CASE WHEN us > c3 THEN 1 ELSE 0 END)
+            AS fold,
+          count(*) AS n, min(us) AS min_us, max(us) AS max_us
+        FROM e, c GROUP BY 1"""))
   )
 
   val specs: Seq[Q] =

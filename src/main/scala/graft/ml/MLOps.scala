@@ -197,6 +197,31 @@ object MLOps {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** TIME-based cross-validation FOLDS: fold = the event-time quantile bin
+    * (exact percentile cuts of the epoch, broadcast over the scan — q65's
+    * binning discipline on time), so fold k's data strictly precedes fold
+    * k+1's. The temporal split family's missing member next to the random
+    * ([[stratifiedSampleHash]]) and group ([[groupSplit]]/[[kFold]])
+    * routers: expanding-window CV trains on folds < k and tests on fold k,
+    * optionally skipping an embargo gap — row-level random splits leak
+    * future information into training. Narrow assignment; cuts are
+    * plan-time scalars. */
+  def timeFolds(df: DataFrame, tsCol: String, nFolds: Int,
+      foldCol: String = "fold"): DataFrame = {
+    require(nFolds >= 2, "nFolds >= 2")
+    val epoch = unix_micros(col(tsCol)).cast("double")
+    val ps = (1 until nFolds).map(_.toDouble / nFolds)
+    val names = ps.indices.map(i => s"c$i")
+    val cutsRow = graft.ops.Aggregations.exactPercentiles(
+      df.select(lit(1).as("__g"), epoch.as("__e")), Seq("__g"), "__e", ps, names)
+      .select(names.map(col): _*).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"timeFolds: no non-null '$tsCol' rows — no cut points"))
+    val cuts = names.indices.map(cutsRow.getDouble)
+    df.withColumn(foldCol,
+      cuts.map(c => (epoch > c).cast("int")).reduce(_ + _))
+  }
+
   /** CLASS-BALANCED downsampling: cap every class at the MINORITY class's
     * row count, members chosen by md5 hash order of the key — the
     * deterministic alternative to weighted-loss training when the skew is

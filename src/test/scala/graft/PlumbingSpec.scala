@@ -2296,3 +2296,31 @@ class CdcChunksSpec extends AnyFunSuite {
     assert((out.head.getLong(2), out.head.getLong(3)) == ((1L, 3L)))
   }
 }
+
+/** Time-based CV folds. */
+class TimeFoldsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("folds are temporally ordered and near-equal sized") {
+    val rows = (1 to 100).map(i =>
+      Tuple1(new java.sql.Timestamp(1700000000000L + i * 60000L)))
+    val df = rows.toDF("ts")
+    val out = graft.ml.MLOps.timeFolds(df, "ts", nFolds = 4)
+      .groupBy("fold").agg(count(lit(1)).as("n"),
+        min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .orderBy("fold").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_.getLong(1)).forall(n => n >= 24 && n <= 26))
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getTimestamp(3).before(b.getTimestamp(2))) // fold k ends before k+1 starts
+    }
+  }
+
+  test("timeFolds rejects an all-null timestamp column") {
+    val df = Seq(Tuple1(Option.empty[java.sql.Timestamp])).toDF("ts")
+    intercept[IllegalArgumentException] {
+      graft.ml.MLOps.timeFolds(df, "ts", nFolds = 3)
+    }
+  }
+}
