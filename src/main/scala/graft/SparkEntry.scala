@@ -2787,7 +2787,25 @@ object SparkEntry {
             + CASE WHEN us > c2 THEN 1 ELSE 0 END + CASE WHEN us > c3 THEN 1 ELSE 0 END)
             AS fold,
           count(*) AS n, min(us) AS min_us, max(us) AS max_us
-        FROM e, c GROUP BY 1"""))
+        FROM e, c GROUP BY 1""")),
+
+    // --- CALIBRATION table: score bins vs observed positive rate (does
+    // "0.8 mean 80%") — exact integer rates, decimal-exact mean score ---
+    Q("q129_calibration",
+      (s, dir) => {
+        val e = events(s, dir)
+          .withColumn("label", (col("event_type") === "purchase").cast("int"))
+        graft.ml.MLOps.calibrationTable(e, "value", "label", binWidth = 10.0)
+      },
+      Some("""WITH e AS (SELECT value,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+          FROM events)
+        SELECT CAST(floor(CAST(value AS DOUBLE) / 10.0) AS BIGINT) AS bin,
+          count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
+          CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+            / count(*) AS mean_score,
+          CAST(sum(label) AS DOUBLE) / count(*) AS pos_rate
+        FROM e GROUP BY 1"""))
   )
 
   val specs: Seq[Q] =

@@ -222,6 +222,23 @@ object MLOps {
       cuts.map(c => (epoch > c).cast("int")).reduce(_ + _))
   }
 
+  /** CALIBRATION / reliability table: bin a model score, and per bin report
+    * count, positive rate, and mean score — the curve that says whether
+    * "0.8 means 80%". Exact integer rate; mean score through one
+    * double→decimal cast per row (order-independent, q110's discipline).
+    * One partial-aggregated groupBy on O(bins) keys. */
+  def calibrationTable(df: DataFrame, scoreCol: String, labelCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth > 0")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 9)
+    df.groupBy(floor(col(scoreCol).cast("double") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        (sum(col(scoreCol).cast("double").cast(dec)).cast("double") / count(lit(1)))
+          .as("mean_score"))
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
+  }
+
   /** CLASS-BALANCED downsampling: cap every class at the MINORITY class's
     * row count, members chosen by md5 hash order of the key — the
     * deterministic alternative to weighted-loss training when the skew is

@@ -2324,3 +2324,22 @@ class TimeFoldsSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Calibration table. */
+class CalibrationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact per-bin counts, rates, and mean scores") {
+    val df = Seq((0.05, 0), (0.08, 1), (0.15, 1), (0.19, 1), (0.95, 1))
+      .toDF("score", "label")
+    val out = graft.ml.MLOps.calibrationTable(df, "score", "label", 0.1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0L)._1 == 2L && out(0L)._2 == 1L && out(0L)._4 == 0.5)
+    assert(math.abs(out(0L)._3 - 0.065) < 1e-9) // decimal-rounded mean, ±1 ulp of naive
+    assert(out(1L)._1 == 2L && out(1L)._2 == 2L && out(1L)._4 == 1.0)
+    assert(math.abs(out(1L)._3 - 0.17) < 1e-9)
+    assert(out(9L) == ((1L, 1L, 0.95, 1.0)))
+  }
+}
