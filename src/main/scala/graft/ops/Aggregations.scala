@@ -108,8 +108,12 @@ object Aggregations {
     val out = ps.zip(outNames).foldLeft(agged) { case (d, (p, name)) =>
       val r = lit(p) * (col("__n") - 1)
       val frac = r - floor(r)
+      // lo·(1−f) + hi·f, NOT lo + (hi−lo)·f: algebraically equal, but the
+      // operand order must match quantile_cont's lerp bit-for-bit — the
+      // difference is a ulp, which is exactly what hash-matching catches
+      // (found as a 9e-13 drift in one sf0.001 group)
       d.withColumn(name,
-        col(s"__lo_$name") + (col(s"__hi_$name") - col(s"__lo_$name")) * frac)
+        col(s"__lo_$name") * (lit(1.0) - frac) + col(s"__hi_$name") * frac)
     }
     out.select(keys.map(col) ++ outNames.map(col): _*)
   }
@@ -218,8 +222,10 @@ object Aggregations {
     val out = ps.zip(outNames).zipWithIndex.foldLeft(wide) { case (d, ((p, name), i)) =>
       val r = lit(p) * (col(s"__n_$i") - 1)
       val frac = r - floor(r)
+      // same lerp form as the histogram path (lo·(1−f) + hi·f) — see the
+      // operand-order note there
       d.withColumn(name,
-        col(s"__lo_$i") + (col(s"__hi_$i") - col(s"__lo_$i")) * frac)
+        col(s"__lo_$i") * (lit(1.0) - frac) + col(s"__hi_$i") * frac)
     }
     out.select(keys.map(col) ++ outNames.map(col): _*)
   }
