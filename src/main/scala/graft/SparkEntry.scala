@@ -2164,8 +2164,8 @@ object SparkEntry {
     Q("q90_label_centroids",
       (s, dir) => Similarity.groupCentroids(t(s, dir, "embeddings"), "embedding", "label"),
       Some("""SELECT label, i AS dim,
-          CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-            / count(*) AS mean_val,
+          CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+            / (1e9 * count(*)) AS mean_val,
           count(*) AS n
         FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
         GROUP BY label, i"""))

@@ -337,10 +337,16 @@ object Similarity {
     * shuffle of (group, dim) pairs — |groups|·dim rows of agg state, never
     * a vector collect. */
   def groupCentroids(df: DataFrame, vecCol: String, groupCol: String): DataFrame =
+    // per-element quantization via round(x·1e9) INTEGER units, not a
+    // double→decimal cast: both engines compute the identical double x·1e9
+    // and share the same round-half-away rule, whereas decimal casts round
+    // the value's EXACT binary expansion, whose rare exact-midpoint cases
+    // tie-break differently per engine (surfaced as a 5e-12 drift in one
+    // sf0.1 dimension). Longs then sum exactly in any order.
     df.select(col(groupCol), posexplode(col(vecCol).cast("array<double>")))
       .groupBy(col(groupCol), (col("pos") + 1).cast("long").as("dim"))
-      .agg((sum(col("col").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
-          .as("mean_val"),
+      .agg((sum(round(col("col") * 1e9).cast("long")).cast("double")
+          / (lit(1e9) * count(lit(1)))).as("mean_val"),
         count(lit(1)).as("n"))
 
   /** Explode an embedding column into scalar columns (UnpackEmbedding,
