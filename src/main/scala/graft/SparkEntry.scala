@@ -2411,14 +2411,14 @@ object SparkEntry {
       (s, dir) => Profiling.embeddingProfile(t(s, dir, "embeddings"), "embedding",
         "label", expectedDim = 64),
       Some("""WITH s AS (SELECT label, len(embedding) AS w,
-            CAST(list_inner_product(CAST(embedding AS DOUBLE[]),
-              CAST(embedding AS DOUBLE[])) AS DECIMAL(38,9)) AS sq,
+            CAST(round(list_inner_product(CAST(embedding AS DOUBLE[]),
+              CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS sq,
             len(list_filter(embedding, x -> x <> 0)) = 0 AS zero
           FROM embeddings)
         SELECT label, count(*) AS n,
           CAST(sum(CASE WHEN zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
           CAST(sum(CASE WHEN w <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
-          CAST(sum(sq) AS DOUBLE) / count(*) AS mean_sq_norm
+          CAST(sum(sq) AS DOUBLE) / (1e6 * count(*)) AS mean_sq_norm
         FROM s GROUP BY label""")),
 
     // --- top-FRACTION quality filter: best 30% of each source by score

@@ -128,20 +128,23 @@ object Profiling {
       expectedDim: Int): DataFrame = {
     val v = col(vecCol)
     // squared norm per row via the native dot kernel (deterministic
-    // left-to-right summation), then ONE double→decimal cast per row so the
-    // cross-row sum is order-independent. Width 38: a health screen must
-    // REPORT a broken-encoder vector (sq norm ≥ 1e9 overflows width 18 and
-    // ANSI mode would abort the whole job on exactly the anomalous row)
-    val sqNorm = graft.ops.Similarity.dot(v, v)
-      .cast(org.apache.spark.sql.types.DecimalType(38, 9))
+    // left-to-right summation), quantized to round(x·1e6) INTEGER units —
+    // q90's shared-rounding discipline (decimal casts of full-mantissa
+    // doubles can hit exact-midpoint ties that engines break differently).
+    // 1e6 units keep a broken-encoder vector (sq norm ~1e9 → 1e15 units)
+    // inside long range, so the screen REPORTS the anomaly instead of
+    // overflowing on it; ANSI would still surface a truly pathological sum
+    // loudly rather than wrap
+    val sqUnits = round(graft.ops.Similarity.dot(v, v) * 1e6).cast("long")
     df.select(col(labelCol),
         size(v).as("__w"),
-        sqNorm.as("__sq"),
+        sqUnits.as("__sq"),
         forall(v, x => x === 0f).as("__zero"))
       .groupBy(labelCol)
       .agg(count(lit(1)).as("n"),
         sum(col("__zero").cast("long")).as("n_zero"),
         sum((col("__w") =!= expectedDim).cast("long")).as("n_wrong_dim"),
-        (sum(col("__sq")).cast("double") / count(lit(1))).as("mean_sq_norm"))
+        (sum(col("__sq")).cast("double") / (lit(1e6) * count(lit(1))))
+          .as("mean_sq_norm"))
   }
 }
