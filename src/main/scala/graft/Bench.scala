@@ -17,22 +17,21 @@ object Bench {
     // just lineitem — the alphabetically-first query per table was
     // absorbing that table's cold scan (~2 s measured on q100, the first
     // documents reader, vs its ~1 s warm cost)
-    for (tbl <- Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")) {
+    for (tbl <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")) {
       try {
         spark.read.parquet(s"$sfDir/$tbl.parquet")
           .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
     }
-    // compile the shared text-pipeline codegen (split/explode/aggregate)
-    // once on a 50-row slice — the first text query otherwise pays ~2 s of
-    // Janino compilation that belongs to the session, not the query
+    // compile the shared text-pipeline codegen once by running the
+    // REGISTERED first-in-sort-order text query (hand-copying its
+    // expression here would silently drift if the query changes) — the
+    // first timed text query otherwise pays ~2 s of Janino compilation
+    // that belongs to the session, not the query
     try {
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
-        .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("source", "w").count()
-        .write.format("noop").mode("overwrite").save()
+      SparkEntry.queries.get("q100_type_token")
+        .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     } catch { case _: Throwable => () }
     // force FULL materialization of every output column via the noop sink —
     // count() would let Catalyst prune the very expressions being measured

@@ -2794,7 +2794,10 @@ object SparkEntry {
     Q("q129_calibration",
       (s, dir) => {
         val e = events(s, dir)
-          .withColumn("label", (col("event_type") === "purchase").cast("int"))
+          // when/otherwise, not a bare boolean cast: a null event_type must
+          // label 0 like the oracle's CASE, not null
+          .withColumn("label",
+            when(col("event_type") === "purchase", 1).otherwise(0))
         graft.ml.MLOps.calibrationTable(e, "value", "label", binWidth = 10.0)
       },
       Some("""WITH e AS (SELECT value,
@@ -2802,8 +2805,8 @@ object SparkEntry {
           FROM events)
         SELECT CAST(floor(CAST(value AS DOUBLE) / 10.0) AS BIGINT) AS bin,
           count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
-          CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
-            / count(*) AS mean_score,
+          CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+            / (1e6 * count(*)) AS mean_score,
           CAST(sum(label) AS DOUBLE) / count(*) AS pos_rate
         FROM e GROUP BY 1"""))
   )

@@ -212,14 +212,20 @@ object MLOps {
     val epoch = unix_micros(col(tsCol)).cast("double")
     val ps = (1 until nFolds).map(_.toDouble / nFolds)
     val names = ps.indices.map(i => s"c$i")
-    val cutsRow = graft.ops.Aggregations.exactPercentiles(
+    // bracketed, not histogram, percentiles: microsecond epochs are
+    // near-unique, so the histogram path's per-key ordered window would be
+    // one task sorting the whole table (its scaladoc's documented
+    // degraded case; identical results, equivalence-gated)
+    val cutsRow = graft.ops.Aggregations.exactPercentilesBracketed(
       df.select(lit(1).as("__g"), epoch.as("__e")), Seq("__g"), "__e", ps, names)
       .select(names.map(col): _*).collect().headOption
       .getOrElse(throw new IllegalArgumentException(
         s"timeFolds: no non-null '$tsCol' rows — no cut points"))
     val cuts = names.indices.map(cutsRow.getDouble)
+    // null timestamps land in fold 0 ("before everything"), matching SQL
+    // CASE semantics — a bare (null > cut) would propagate a NULL fold
     df.withColumn(foldCol,
-      cuts.map(c => (epoch > c).cast("int")).reduce(_ + _))
+      cuts.map(c => coalesce((epoch > c).cast("int"), lit(0))).reduce(_ + _))
   }
 
   /** CALIBRATION / reliability table: bin a model score, and per bin report
@@ -230,12 +236,14 @@ object MLOps {
   def calibrationTable(df: DataFrame, scoreCol: String, labelCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth > 0")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 9)
+    // mean score through round(x·1e6) integer units — the shared-rounding
+    // discipline (decimal casts of arbitrary doubles can hit exact
+    // midpoints that engines tie-break differently)
     df.groupBy(floor(col(scoreCol).cast("double") / binWidth).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col(labelCol).cast("long")).as("n_pos"),
-        (sum(col(scoreCol).cast("double").cast(dec)).cast("double") / count(lit(1)))
-          .as("mean_score"))
+        (sum(round(col(scoreCol).cast("double") * 1e6).cast("long")).cast("double")
+          / (lit(1e6) * count(lit(1)))).as("mean_score"))
       .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
   }
 
