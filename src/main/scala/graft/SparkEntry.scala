@@ -2808,7 +2808,37 @@ object SparkEntry {
           CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
             / (1e6 * count(*)) AS mean_score,
           CAST(sum(label) AS DOUBLE) / count(*) AS pos_rate
-        FROM e GROUP BY 1"""))
+        FROM e GROUP BY 1""")),
+
+    // --- per-group exact MODE with a total tie order (ties -> smallest
+    // value): only (keys, value, count) rows shuffle; builtin mode() makes
+    // no tie promise and buffers O(distinct) per group ---
+    Q("q130_mode",
+      (s, dir) => Aggregations.groupMode(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity"),
+      Some("""SELECT l_returnflag, l_linestatus, l_quantity AS mode_value,
+          count(*) AS mode_count
+        FROM lineitem WHERE l_quantity IS NOT NULL
+        GROUP BY 1, 2, 3
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+          ORDER BY count(*) DESC, l_quantity) = 1""")),
+
+    // --- INTER-ARRIVAL distribution: per-user event gaps binned by the
+    // histogram sketch (cadence features / session-gap calibration) ---
+    Q("q131_interarrival",
+      (s, dir) => Aggregations.histSketch(
+        EventAnalytics.interArrival(events(s, dir), "user_id", "ts", "event_id"),
+        Nil, "gap_sec", binWidth = 600.0),
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events),
+          g AS (SELECT epoch_us(ts) // 1000000
+              - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                // 1000000 AS gap_sec
+            FROM e QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NOT NULL)
+        SELECT CAST(floor(CAST(gap_sec AS DOUBLE) / 600.0) AS BIGINT) AS bin,
+          count(*) AS n
+        FROM g GROUP BY 1"""))
   )
 
   val specs: Seq[Q] =

@@ -317,6 +317,23 @@ object Aggregations {
       .drop(rid)
   }
 
+  /** Per-group exact MODE with a TOTAL tie order (most frequent value;
+    * ties → smallest value): two partial-aggregated passes over (keys,
+    * value) counts plus a top-1 window that compiles to `WindowGroupLimit`.
+    * Spark's builtin `mode()` keeps an O(distinct) map per group in ONE
+    * aggregation buffer and makes no tie promise; this form shuffles only
+    * (keys, value, count) rows, ties are deterministic, and external
+    * engines reproduce it exactly. */
+  def groupMode(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+ col(valueCol): _*).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__c").desc, col(valueCol))
+    counts.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(keys.map(col) :+ col(valueCol).as("mode_value") :+
+        col("__c").as("mode_count"): _*)
+  }
+
   /** MERGEABLE distinct-count sketches (Apache DataSketches HLL, built into
     * Spark): one sketch per group. At 100 TB this is the distinct-count
     * pattern — `count_distinct` shuffles every distinct raw value, while

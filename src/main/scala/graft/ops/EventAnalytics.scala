@@ -98,6 +98,22 @@ object EventAnalytics {
       col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
   }
 
+  /** INTER-ARRIVAL gaps: seconds between consecutive events per user (one
+    * lag window on the user key), the raw material for engagement-cadence
+    * features and session-gap calibration — feed the output through
+    * [[graft.ops.Aggregations.histSketch]] for the distribution (q131
+    * composes exactly that). Ties on ts break by `tieCol`. */
+  def interArrival(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(userCol),
+        (col(tsCol).cast("long") - col("__prev").cast("long")).as("gap_sec"))
+  }
+
   /** SCD TYPE-2 history from a CHANGELOG: one row per change event carrying
     * `valid_from` (the event ts), `valid_to` (the NEXT change's ts for the
     * same key — null while current) and `is_current`. The batch complement

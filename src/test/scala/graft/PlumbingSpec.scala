@@ -2343,3 +2343,31 @@ class CalibrationSpec extends AnyFunSuite {
     assert(out(9L) == ((1L, 1L, 0.95, 1.0)))
   }
 }
+
+/** Mode + inter-arrival gaps. */
+class ModeInterArrivalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("groupMode picks the most frequent value; ties break to the smallest") {
+    val df = Seq(("g", 2), ("g", 2), ("g", 1), ("g", 1), ("g", 3),
+      ("h", 9)).toDF("k", "v")
+    val out = Aggregations.groupMode(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out("g") == ((1, 2L))) // 1 and 2 both appear twice -> smallest wins
+    assert(out("h") == ((9, 1L)))
+  }
+
+  test("interArrival emits per-user consecutive gaps only") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:10:00")),
+      (1L, 3L, ts("2024-01-01 10:15:00")),
+      (2L, 4L, ts("2024-01-01 09:00:00"))  // single event: no gap
+    ).toDF("user_id", "event_id", "ts")
+    val out = EventAnalytics.interArrival(events, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.sorted.toSeq == Seq(1L -> 300L, 1L -> 600L))
+  }
+}
