@@ -2838,7 +2838,32 @@ object SparkEntry {
               IS NOT NULL)
         SELECT CAST(floor(CAST(gap_sec AS DOUBLE) / 600.0) AS BIGINT) AS bin,
           count(*) AS n
-        FROM g GROUP BY 1"""))
+        FROM g GROUP BY 1""")),
+
+    // --- SOFT dedup: weight = 1/cluster_size over the portable near-dup
+    // graph (keep repeated content, downweight its loss contribution) —
+    // the clustering re-checked through the recursive closure like q123 ---
+    Q("q132_dup_weights",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.duplicateWeights(docs,
+          Dedup.nearDuplicatesPortable(docs, "text", "doc_id",
+            threshold = 0.5, bands = 4, k = 3), "doc_id")
+          .select("doc_id", "cluster_size", "weight")
+      },
+      Some(s"""WITH RECURSIVE $minhashCtes,
+          sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+          sizes AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp)
+        SELECT d.doc_id,
+          coalesce(sz, 1) AS cluster_size,
+          1.0 / coalesce(sz, 1) AS weight
+        FROM documents d
+        LEFT JOIN comp ON d.doc_id = comp.id
+        LEFT JOIN sizes USING (comp)"""))
   )
 
   val specs: Seq[Q] =

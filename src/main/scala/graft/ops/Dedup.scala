@@ -496,6 +496,25 @@ object Dedup {
       .drop("comp")
   }
 
+  /** SOFT dedup: DOWNWEIGHT duplicates instead of dropping them — weight =
+    * 1 / near-dup-cluster size (singletons weigh 1.0), the loss-weighting
+    * alternative when hard dedup would discard legitimately repeated
+    * content (boilerplate-heavy but partially unique pages, popular quotes).
+    * Cluster sizes come from [[connectedComponents]] over any near-dup pair
+    * frame; the weight join touches each doc once. Returns docs +
+    * (cluster_size, weight). */
+  def duplicateWeights(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val sizes = comps.groupBy("comp").agg(count(lit(1)).as("__sz"))
+    docs
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(sizes, Seq("comp"), "left")
+      .withColumn("cluster_size", coalesce(col("__sz"), lit(1L)))
+      .withColumn("weight", lit(1.0) / col("cluster_size"))
+      .drop("comp", "__sz")
+  }
+
   /** CONTAINMENT pairs (asymmetric Jaccard): |A∩B| / min(|A|, |B|) ≥
     * `threshold` — catches a short document embedded verbatim inside a long
     * one, which symmetric Jaccard misses (a 50-word doc inside a 5000-word

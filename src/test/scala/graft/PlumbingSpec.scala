@@ -2371,3 +2371,22 @@ class ModeInterArrivalSpec extends AnyFunSuite {
     assert(out.sorted.toSeq == Seq(1L -> 300L, 1L -> 600L))
   }
 }
+
+/** Soft dedup weights. */
+class DupWeightsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cluster members weigh 1/size; singletons weigh 1.0") {
+    val docs = Seq(1L, 2L, 3L, 9L).map(Tuple1(_)).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // one 3-cluster
+    val out = Dedup.duplicateWeights(docs, pairs, "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 1.0 / 3)))
+    assert(out(2L) == ((3L, 1.0 / 3)))
+    assert(out(3L) == ((3L, 1.0 / 3)))
+    assert(out(9L) == ((1L, 1.0)))
+    // weights of a cluster sum to ~1: the corpus-level mass of a duplicated
+    // document stays constant no matter how many copies exist
+  }
+}
