@@ -2863,7 +2863,28 @@ object SparkEntry {
           1.0 / coalesce(sz, 1) AS weight
         FROM documents d
         LEFT JOIN comp ON d.doc_id = comp.id
-        LEFT JOIN sizes USING (comp)"""))
+        LEFT JOIN sizes USING (comp)""")),
+
+    // --- TEMPERATURE resampling (α = 0.5): target fraction per language
+    // ∝ sqrt(n) — flattens the natural skew toward uniform; sqrt is IEEE
+    // correctly-rounded so the whole mixture is hash-portable, and the
+    // normalizing sum runs in sorted-group order on both engines ---
+    Q("q133_temperature_mix",
+      (s, dir) => graft.ml.MLOps.temperatureResample(
+          t(s, dir, "documents"), "doc_id", "lang")
+        .groupBy("lang").agg(count(lit(1)).as("n_kept")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          t AS (SELECT max(cum) AS wt, max(tot) AS nt FROM (
+            SELECT sum(sqrt(CAST(n AS DOUBLE))) OVER (ORDER BY lang
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(n) OVER () AS tot FROM c)),
+          r AS (SELECT lang,
+            least(1.0, sqrt(CAST(n AS DOUBLE)) / wt * CAST(nt AS DOUBLE)
+              / CAST(n AS DOUBLE)) AS rate FROM c, t),
+          k AS (SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+            WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % 1000000 < CAST(round(rate * 1000000) AS BIGINT))
+        SELECT lang, count(*) AS n_kept FROM k GROUP BY lang"""))
   )
 
   val specs: Seq[Q] =

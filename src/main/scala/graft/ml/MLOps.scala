@@ -133,6 +133,27 @@ object MLOps {
       .drop("__rate")
   }
 
+  /** TEMPERATURE resampling (Pile/DoReMi-style α-mixing): target fraction
+    * of group g ∝ n_g^α, flattening the natural size distribution toward
+    * uniform as α → 0. Restricted to α = 0.5 — sqrt is IEEE
+    * correctly-rounded, so every engine computes the identical weight,
+    * while pow(x, α) for general α is a libm estimate that differs by ULPs
+    * across platforms and would never hash-match. Group counts are
+    * plan-time scalars (groups are bounded — domains, languages); weights
+    * sum LEFT-TO-RIGHT over groups sorted by name, so the normalizing
+    * total is order-deterministic and an external engine reproduces it
+    * with an ordered cumulative sum. Sampling itself is
+    * [[mixtureResample]]'s md5-threshold filter. */
+  def temperatureResample(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "temperatureResample: empty input")
+    val weights = counts.map { case (g, n) => g -> math.sqrt(n.toDouble) }
+    val total = weights.map(_._2).foldLeft(0.0)(_ + _) // left-to-right, sorted
+    mixtureResample(df, keyCol, groupCol,
+      weights.map { case (g, w) => g -> w / total }.toMap)
+  }
+
   /** Deterministic EPOCH SHUFFLE: the training-export ordering. Sorting by
     * md5(epoch ‖ key) gives a different-but-reproducible permutation per
     * epoch — retries, speculative tasks, and other engines all agree, which

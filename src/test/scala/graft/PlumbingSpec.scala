@@ -2390,3 +2390,30 @@ class DupWeightsSpec extends AnyFunSuite {
     // document stays constant no matter how many copies exist
   }
 }
+
+/** Temperature resampling. */
+class TemperatureMixSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("alpha=0.5 flattens skew: majority group keeps a smaller fraction") {
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val kept = graft.ml.MLOps.temperatureResample(df, "id", "g")
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets: sqrt(900)=30, sqrt(100)=10 -> fracs 0.75/0.25
+    // rates: big = min(1, .75*1000/900)=0.833; small = min(1, .25*1000/100)=1
+    assert(kept("small") == 100L)                  // minority fully kept
+    assert(kept("big") < 900L && kept("big") > 700L) // ~833 expected
+    // deterministic
+    val again = graft.ml.MLOps.temperatureResample(df, "id", "g")
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
+  test("equal-sized groups are untouched (temperature of uniform = uniform)") {
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 200).map(i => (i.toLong, "b"))).toDF("id", "g")
+    assert(graft.ml.MLOps.temperatureResample(df, "id", "g").count() == 200L)
+  }
+}
