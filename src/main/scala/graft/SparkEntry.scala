@@ -2884,7 +2884,28 @@ object SparkEntry {
           k AS (SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
             WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
               % 1000000 < CAST(round(rate * 1000000) AS BIGINT))
-        SELECT lang, count(*) AS n_kept FROM k GROUP BY lang"""))
+        SELECT lang, count(*) AS n_kept FROM k GROUP BY lang""")),
+
+    // --- CONFUSION at a threshold: tp/fp/tn/fn + exact precision/recall —
+    // calibrationTable's sibling (one aggregation) ---
+    Q("q134_confusion",
+      (s, dir) => graft.ml.MLOps.confusionAtThreshold(
+        events(s, dir).withColumn("label",
+          when(col("event_type") === "purchase", 1).otherwise(0)),
+        "value", "label", threshold = 50.0),
+      Some("""WITH e AS (SELECT CAST(value AS DOUBLE) >= 50.0 AS pred,
+            event_type = 'purchase' AS label FROM events)
+        SELECT CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+          CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CASE WHEN sum(CASE WHEN pred THEN 1 ELSE 0 END) = 0 THEN 0.0
+            ELSE CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS DOUBLE)
+              / sum(CASE WHEN pred THEN 1 ELSE 0 END) END AS precision,
+          CASE WHEN sum(CASE WHEN label THEN 1 ELSE 0 END) = 0 THEN 0.0
+            ELSE CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS DOUBLE)
+              / sum(CASE WHEN label THEN 1 ELSE 0 END) END AS recall
+        FROM e"""))
   )
 
   val specs: Seq[Q] =

@@ -268,6 +268,26 @@ object MLOps {
       .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
   }
 
+  /** CONFUSION counts at a decision threshold (tp/fp/tn/fn + derived
+    * precision/recall as exact integer ratios) — one aggregation, the
+    * other half of the eval pair next to [[calibrationTable]]. */
+  def confusionAtThreshold(df: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Double): DataFrame = {
+    val pred = col(scoreCol).cast("double") >= threshold
+    val label = col(labelCol).cast("int") === 1
+    df.agg(
+      sum((pred && label).cast("long")).as("tp"),
+      sum((pred && !label).cast("long")).as("fp"),
+      sum((!pred && !label).cast("long")).as("tn"),
+      sum((!pred && label).cast("long")).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))))
+  }
+
   /** CLASS-BALANCED downsampling: cap every class at the MINORITY class's
     * row count, members chosen by md5 hash order of the key — the
     * deterministic alternative to weighted-loss training when the skew is

@@ -2417,3 +2417,28 @@ class TemperatureMixSpec extends AnyFunSuite {
     assert(graft.ml.MLOps.temperatureResample(df, "id", "g").count() == 200L)
   }
 }
+
+/** Confusion at a threshold. */
+class ConfusionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tp/fp/tn/fn partition the data; precision/recall exact") {
+    val df = Seq((0.9, 1), (0.8, 0), (0.3, 1), (0.1, 0)).toDF("score", "label")
+    val r = graft.ml.MLOps.confusionAtThreshold(df, "score", "label", 0.5)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 1L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5)
+  }
+
+  test("degenerate cases: no predicted positives / no actual positives") {
+    val none = Seq((0.1, 1), (0.2, 0)).toDF("score", "label")
+    val r = graft.ml.MLOps.confusionAtThreshold(none, "score", "label", 0.5)
+      .collect().head
+    assert(r.getDouble(4) == 0.0) // precision defined 0 when tp+fp = 0
+    val noPos = Seq((0.9, 0)).toDF("score", "label")
+    val r2 = graft.ml.MLOps.confusionAtThreshold(noPos, "score", "label", 0.5)
+      .collect().head
+    assert(r2.getDouble(5) == 0.0) // recall defined 0 when tp+fn = 0
+  }
+}
