@@ -2894,7 +2894,8 @@ object SparkEntry {
           when(col("event_type") === "purchase", 1).otherwise(0)),
         "value", "label", threshold = 50.0),
       Some("""WITH e AS (SELECT CAST(value AS DOUBLE) >= 50.0 AS pred,
-            event_type = 'purchase' AS label FROM events)
+            CASE WHEN event_type = 'purchase' THEN TRUE ELSE FALSE END AS label
+          FROM events)
         SELECT CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
           CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
           CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn,

@@ -145,13 +145,25 @@ object MLOps {
     * with an ordered cumulative sum. Sampling itself is
     * [[mixtureResample]]'s md5-threshold filter. */
   def temperatureResample(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    // NULL-group rows are not part of the mixture: they pass through at
+    // rate 1 (stratifiedSampleHash's defaultRate) and add no weight mass —
+    // String.valueOf(null) would otherwise mint a phantom "null" stratum
+    // that never joins back yet deflates every real group's rate
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(groupCol).agg(count(lit(1)).as("n"))
       .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).sortBy(_._1)
-    require(counts.nonEmpty, "temperatureResample: empty input")
-    val weights = counts.map { case (g, n) => g -> math.sqrt(n.toDouble) }
-    val total = weights.map(_._2).foldLeft(0.0)(_ + _) // left-to-right, sorted
-    mixtureResample(df, keyCol, groupCol,
-      weights.map { case (g, w) => g -> w / total }.toMap)
+    require(counts.nonEmpty, "temperatureResample: no non-null groups")
+    val weights = counts.map { case (g, n) => (g, n, math.sqrt(n.toDouble)) }
+    val total = weights.map(_._3).foldLeft(0.0)(_ + _) // left-to-right, sorted
+    val bigN = counts.map(_._2).sum.toDouble
+    // everything is already on the driver: apply the rates as ONE narrow
+    // CASE filter (stratifiedSampleHash) — re-deriving them through
+    // mixtureResample would aggregate the counts a second time and add a
+    // broadcast join to the executed plan
+    val rates = weights.map { case (g, n, w) =>
+      g -> math.min(1.0, w / total * bigN / n.toDouble)
+    }.toMap
+    stratifiedSampleHash(df, keyCol, groupCol, rates, defaultRate = 1.0)
   }
 
   /** Deterministic EPOCH SHUFFLE: the training-export ordering. Sorting by
@@ -275,11 +287,13 @@ object MLOps {
       threshold: Double): DataFrame = {
     val pred = col(scoreCol).cast("double") >= threshold
     val label = col(labelCol).cast("int") === 1
+    // coalesce: a sum over zero rows is null, which would poison the
+    // derived ratios AND the documented zero-denominator contract
     df.agg(
-      sum((pred && label).cast("long")).as("tp"),
-      sum((pred && !label).cast("long")).as("fp"),
-      sum((!pred && !label).cast("long")).as("tn"),
-      sum((!pred && label).cast("long")).as("fn"))
+      coalesce(sum((pred && label).cast("long")), lit(0L)).as("tp"),
+      coalesce(sum((pred && !label).cast("long")), lit(0L)).as("fp"),
+      coalesce(sum((!pred && !label).cast("long")), lit(0L)).as("tn"),
+      coalesce(sum((!pred && label).cast("long")), lit(0L)).as("fn"))
       .withColumn("precision",
         when(col("tp") + col("fp") === 0, lit(0.0))
           .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))))
