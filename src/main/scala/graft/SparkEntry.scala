@@ -2906,7 +2906,26 @@ object SparkEntry {
           CASE WHEN sum(CASE WHEN label THEN 1 ELSE 0 END) = 0 THEN 0.0
             ELSE CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS DOUBLE)
               / sum(CASE WHEN label THEN 1 ELSE 0 END) END AS recall
-        FROM e"""))
+        FROM e""")),
+
+    // --- token-ID ARRAYS per document (the shard-export form of q116's
+    // long output): order-exact assembly via sorted (pos, id) structs ---
+    Q("q135_token_id_arrays",
+      (s, dir) => TextAnalysis.tokenizeToIdArrays(t(s, dir, "documents"), "text",
+        "doc_id", minCount = 50),
+      Some("""WITH d AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          w AS (SELECT doc_id, unnest(ws) AS word,
+              unnest(generate_series(1, len(ws))) AS pos FROM d),
+          v AS (SELECT word, CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT)
+              AS token_id
+            FROM (SELECT word, count(*) AS c FROM w GROUP BY word) WHERE c >= 50),
+          t AS (SELECT doc_id, pos, coalesce(token_id, 0) AS token_id
+            FROM w LEFT JOIN v USING (word))
+        SELECT doc_id, list(token_id ORDER BY pos) AS token_ids,
+          CAST(len(list(token_id ORDER BY pos)) AS BIGINT) AS n_tokens
+        FROM t GROUP BY doc_id"""))
   )
 
   val specs: Seq[Q] =

@@ -600,6 +600,20 @@ object TextAnalysis {
           slice(col("__w"), col("col.s"), col("col.e") - col("col.s") + 1))).as("digest"))
   }
 
+  /** [[tokenizeToIds]] assembled to per-document ID ARRAYS (the
+    * training-shard export form): sort_array over collected (pos, id)
+    * structs keeps token order exact regardless of shuffle order. One
+    * extra groupBy on the doc key over the long form; array sizes are
+    * document lengths, so state per group is one document. */
+  def tokenizeToIdArrays(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, minCount: Long): org.apache.spark.sql.DataFrame =
+    tokenizeToIds(df, textCol, idCol, minCount)
+      .groupBy(idCol)
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("token_id")))),
+        s => s.getField("token_id")).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+
   /** CORPUS-SLICE similarity matrix: n-gram Jaccard between every pair of
     * slices (sources, snapshots, language buckets) over each slice's
     * DISTINCT gram set — the slice-level diagnostic that says which

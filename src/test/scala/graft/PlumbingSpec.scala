@@ -2442,3 +2442,20 @@ class ConfusionSpec extends AnyFunSuite {
     assert(r2.getDouble(5) == 0.0) // recall defined 0 when tp+fn = 0
   }
 }
+
+/** Token-ID arrays. */
+class TokenIdArraysSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("arrays reassemble the long form in exact token order") {
+    val docs = Seq((1L, "b a b c"), (2L, "c b")).toDF("doc_id", "text")
+    val long = TextAnalysis.tokenizeToIds(docs, "text", "doc_id", minCount = 1)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    val arrays = TextAnalysis.tokenizeToIdArrays(docs, "text", "doc_id", minCount = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(arrays.view.mapValues(_.toSeq).toMap == long)
+    assert(arrays(1L).length == 4)
+  }
+}
