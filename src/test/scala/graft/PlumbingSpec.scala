@@ -2459,3 +2459,66 @@ class TokenIdArraysSpec extends AnyFunSuite {
     assert(arrays(1L).length == 4)
   }
 }
+
+/** Brute-force equivalence properties for round-4 batch-8/9 ops. */
+class Round4PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("groupMode equals the brute-force mode on random data across seeds") {
+    for (seed <- Seq(2, 17, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 400).map(_ => ("g" + rnd.nextInt(4), rnd.nextInt(8)))
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val counts = rs.groupBy(_._2).view.mapValues(_.size).toMap
+        val best = counts.toSeq.sortBy { case (v, c) => (-c, v) }.head
+        g -> best
+      }
+      val got = Aggregations.groupMode(rows.toDF("k", "v"), Seq("k"), "v")
+        .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2).toInt))).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("decayedSum equals the brute-force dyadic sum on random event sets") {
+    val asOf = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val hl = 43200L // 12h
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 300).map { _ =>
+        val ageSec = rnd.nextInt(6 * 86400)
+        val ts = new java.sql.Timestamp(asOf.getTime - ageSec * 1000L)
+        ("k" + rnd.nextInt(3), ts, (rnd.nextInt(10000) + 1) / 100.0)
+      }
+      val expected = rows.groupBy(_._1).map { case (k, rs) =>
+        val terms = rs.map { case (_, ts, v) =>
+          val age = asOf.getTime / 1000 - ts.getTime / 1000
+          val b = math.floor(age / hl.toDouble).toInt
+          math.round(v * 100) * (1L << (12 - b))
+        }
+        k -> (terms.sum.toDouble / (100.0 * 4096.0), rs.size.toLong)
+      }
+      val got = Aggregations.decayedSum(rows.toDF("k", "ts", "v"), Seq("k"), "v",
+          "ts", asOf, hl)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("histQuantile equals brute-force bin-rank selection across seeds") {
+    for (seed <- Seq(7, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 500).map(_ => ("g" + rnd.nextInt(3), rnd.nextDouble() * 1000))
+      val width = 50.0
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val bins = rs.map(r => math.floor(r._2 / width).toLong).sorted
+        val rank = math.ceil(0.5 * bins.size).toLong
+        g -> bins(rank.toInt - 1) * width
+      }
+      val sketch = Aggregations.histSketch(rows.toDF("k", "v"), Seq("k"), "v", width)
+      val got = Aggregations.histQuantile(sketch, Seq("k"), 0.5, width)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+}
