@@ -2925,7 +2925,24 @@ object SparkEntry {
             FROM w LEFT JOIN v USING (word))
         SELECT doc_id, list(token_id ORDER BY pos) AS token_ids,
           CAST(len(list(token_id ORDER BY pos)) AS BIGINT) AS n_tokens
-        FROM t GROUP BY doc_id"""))
+        FROM t GROUP BY doc_id""")),
+
+    // --- MinHash ESTIMATE vs exact Jaccard on verified pairs: sketch
+    // calibration (how many hashes before the exact verify join can be
+    // dropped); agreement fraction = the classic unbiased estimator ---
+    Q("q136_minhash_estimate",
+      (s, dir) => Dedup.minhashJaccardEstimate(t(s, dir, "documents"), "text",
+        "doc_id", threshold = 0.5, bands = 4, k = 3),
+      Some {
+        val matches = (0 until 16).map(i =>
+          s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString("\n            + ")
+        s"""WITH $minhashCtes
+        SELECT id_a, id_b, jaccard,
+          CAST(($matches) AS DOUBLE) / 16 AS jaccard_est,
+          abs(CAST(($matches) AS DOUBLE) / 16 - jaccard) AS est_error
+        FROM pairs JOIN sigs sa ON sa.doc_id = id_a
+          JOIN sigs sb ON sb.doc_id = id_b"""
+      })
   )
 
   val specs: Seq[Q] =

@@ -496,6 +496,31 @@ object Dedup {
       .drop("comp")
   }
 
+  /** MinHash JACCARD ESTIMATE for verified candidate pairs: fraction of
+    * agreeing signature coordinates (the classic unbiased estimator) next
+    * to the exact intersection value — the calibration that says how many
+    * hashes the sketch needs before you trust it INSTEAD of the exact
+    * verify (at which point the verification join and its shingle-set
+    * shuffle disappear from the pipeline). Exact integer ratio → portable.
+    * Returns (id_a, id_b, jaccard, jaccard_est, est_error). */
+  def minhashJaccardEstimate(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, bands: Int = 4, k: Int = 3): DataFrame = {
+    val pairs = nearDuplicatesPortable(df, textCol, idCol, threshold, bands, k)
+    val sigs = df
+      .select(col(idCol).as("__id"), portableShingleHashes(col(textCol), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("__id"), minhashSignaturePortable(col("__sh")).as("__sig"))
+    val nHashes = portableCoeffs.size
+    pairs
+      .join(sigs.withColumnsRenamed(Map("__id" -> "id_a", "__sig" -> "__sa")), "id_a")
+      .join(sigs.withColumnsRenamed(Map("__id" -> "id_b", "__sig" -> "__sb")), "id_b")
+      .withColumn("jaccard_est",
+        aggregate(zip_with(col("__sa"), col("__sb"), (a, b) => (a === b).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("double") / nHashes)
+      .withColumn("est_error", abs(col("jaccard_est") - col("jaccard")))
+      .select("id_a", "id_b", "jaccard", "jaccard_est", "est_error")
+  }
+
   /** SOFT dedup: DOWNWEIGHT duplicates instead of dropping them — weight =
     * 1 / near-dup-cluster size (singletons weigh 1.0), the loss-weighting
     * alternative when hard dedup would discard legitimately repeated

@@ -2522,3 +2522,23 @@ class Round4PropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** MinHash estimator calibration. */
+class MinhashEstimateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("identical docs estimate 1.0; estimates stay in [0,1]") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (3L, "alpha beta gamma delta epsilon zeta eta iota")   // near dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashJaccardEstimate(docs, "text", "doc_id",
+        threshold = 0.3, bands = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out((1L, 2L))._1 == 1.0 && out((1L, 2L))._2 == 0.0)
+    assert(out.values.forall { case (est, err) => est >= 0 && est <= 1 && err >= 0 })
+  }
+}
