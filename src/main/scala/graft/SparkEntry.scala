@@ -2934,12 +2934,15 @@ object SparkEntry {
       (s, dir) => Dedup.minhashJaccardEstimate(t(s, dir, "documents"), "text",
         "doc_id", threshold = 0.5, bands = 4, k = 3),
       Some {
-        val matches = (0 until 16).map(i =>
+        // derive width from portableCoeffs like minhashCtes does — a
+        // hardcoded 16 would silently diverge if the family ever grows
+        val nH = Dedup.portableCoeffs.size
+        val matches = (0 until nH).map(i =>
           s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString("\n            + ")
         s"""WITH $minhashCtes
         SELECT id_a, id_b, jaccard,
-          CAST(($matches) AS DOUBLE) / 16 AS jaccard_est,
-          abs(CAST(($matches) AS DOUBLE) / 16 - jaccard) AS est_error
+          CAST(($matches) AS DOUBLE) / $nH AS jaccard_est,
+          abs(CAST(($matches) AS DOUBLE) / $nH - jaccard) AS est_error
         FROM pairs JOIN sigs sa ON sa.doc_id = id_a
           JOIN sigs sb ON sb.doc_id = id_b"""
       })

@@ -273,16 +273,28 @@ object Dedup {
     *
     * Reference anchor: the reference has no LSH; this is the BASELINE.md
     * north-star dedup path with determinism strong enough for an oracle. */
+  /** Portable MinHash signatures, one row per doc with ≥1 shingle — the
+    * shared first stage of [[nearDuplicatesPortable]] and
+    * [[minhashJaccardEstimate]] (the md5-per-shingle pass is the dominant
+    * portability tax; compute it once, derive everything from it). */
+  private def portableSigs(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"), portableShingleHashes(col(textCol), k).as("__sh"))
+      .filter(size(col("__sh")) > 0) // no shingles → no signature (both engines)
+      .select(col("id"), minhashSignaturePortable(col("__sh")).as("sig"))
+
   def nearDuplicatesPortable(
       df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.5, bands: Int = 4, k: Int = 3): DataFrame = {
+      threshold: Double = 0.5, bands: Int = 4, k: Int = 3): DataFrame =
+    nearDuplicatesPortableFromSigs(portableSigs(df, textCol, idCol, k),
+      df, textCol, idCol, threshold, bands, k)
+
+  private def nearDuplicatesPortableFromSigs(
+      sig: DataFrame, df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, bands: Int, k: Int): DataFrame = {
     val numHashes = portableCoeffs.size
     require(numHashes % bands == 0, "bands must divide the coefficient count")
     val rowsPerBand = numHashes / bands
-    val sig = df
-      .select(col(idCol).as("id"), portableShingleHashes(col(textCol), k).as("__sh"))
-      .filter(size(col("__sh")) > 0) // no shingles → no signature (both engines)
-      .select(col("id"), minhashSignaturePortable(col("__sh")).as("sig"))
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -505,15 +517,16 @@ object Dedup {
     * Returns (id_a, id_b, jaccard, jaccard_est, est_error). */
   def minhashJaccardEstimate(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, bands: Int = 4, k: Int = 3): DataFrame = {
-    val pairs = nearDuplicatesPortable(df, textCol, idCol, threshold, bands, k)
-    val sigs = df
-      .select(col(idCol).as("__id"), portableShingleHashes(col(textCol), k).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col("__id"), minhashSignaturePortable(col("__sh")).as("__sig"))
+    // ONE signature pass feeds both the banded pair generation and the
+    // estimate joins — recomputing sigs would triple the md5-per-shingle
+    // cost this file's scaladoc calls the dominant portability tax
+    val sigs = portableSigs(df, textCol, idCol, k).persist()
+    val pairs = nearDuplicatesPortableFromSigs(sigs, df, textCol, idCol,
+      threshold, bands, k)
     val nHashes = portableCoeffs.size
     pairs
-      .join(sigs.withColumnsRenamed(Map("__id" -> "id_a", "__sig" -> "__sa")), "id_a")
-      .join(sigs.withColumnsRenamed(Map("__id" -> "id_b", "__sig" -> "__sb")), "id_b")
+      .join(sigs.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "__sa")), "id_a")
+      .join(sigs.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "__sb")), "id_b")
       .withColumn("jaccard_est",
         aggregate(zip_with(col("__sa"), col("__sb"), (a, b) => (a === b).cast("int")),
           lit(0), (acc, x) => acc + x).cast("double") / nHashes)
