@@ -2909,10 +2909,17 @@ object SparkEntry {
         FROM e""")),
 
     // --- token-ID ARRAYS per document (the shard-export form of q116's
-    // long output): order-exact assembly via sorted (pos, id) structs ---
+    // long output): order-exact assembly via sorted (pos, id) structs.
+    // The operator returns a real ARRAY column; the registered query
+    // exports it space-joined (the reference's own wire format for
+    // string-encoded arrays, aligned/retrieval_job.py:2928-2941) so the
+    // driver comparator — which sorts every output column — sees a
+    // scalar VARCHAR on both engines. ---
     Q("q135_token_id_arrays",
       (s, dir) => TextAnalysis.tokenizeToIdArrays(t(s, dir, "documents"), "text",
-        "doc_id", minCount = 50),
+          "doc_id", minCount = 50)
+        .withColumn("token_ids",
+          array_join(col("token_ids").cast("array<string>"), " ")),
       Some("""WITH d AS (SELECT doc_id, list_filter(
               string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
             FROM documents),
@@ -2923,7 +2930,8 @@ object SparkEntry {
             FROM (SELECT word, count(*) AS c FROM w GROUP BY word) WHERE c >= 50),
           t AS (SELECT doc_id, pos, coalesce(token_id, 0) AS token_id
             FROM w LEFT JOIN v USING (word))
-        SELECT doc_id, list(token_id ORDER BY pos) AS token_ids,
+        SELECT doc_id,
+          array_to_string(list(token_id ORDER BY pos), ' ') AS token_ids,
           CAST(len(list(token_id ORDER BY pos)) AS BIGINT) AS n_tokens
         FROM t GROUP BY doc_id""")),
 

@@ -38,6 +38,19 @@ for t in TABLES:
 
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 
+def unsortable_cols(df: pd.DataFrame):
+    """Columns the DRIVER comparator cannot sort (it sort_values the raw
+    frame; ndarray/list/dict cells are unhashable there). Our canon() used
+    to silently stringify these, which hid q135's driver failure — now any
+    such column fails the local gate too."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], (np.ndarray, list, dict)):
+                bad.append(c)
+    return bad
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     import decimal
     df = df.reindex(sorted(df.columns), axis=1)
@@ -61,6 +74,10 @@ for name in names:
                         ignore_index=True)
     except Exception as e:
         print(f"FAIL {name}: spark read: {e}"); fails.append(name); continue
+    ns = unsortable_cols(sdf)
+    if ns:
+        print(f"FAIL {name}: non-sortable output cols {ns} (driver comparator would crash)")
+        fails.append(name); continue
     if name not in oracle:
         print(f"OK?  {name}: rows-only ({len(sdf)} rows)"); continue
     try:
