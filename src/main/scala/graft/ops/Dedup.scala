@@ -384,13 +384,20 @@ object Dedup {
     * into the plan as literals — the oracle SQL restates the same literals,
     * so both engines use the identical matrix (SparkEntry q68). */
   def portablePlanes(planes: Int, dim: Int): Seq[Seq[Double]] =
-    (0 until planes).map { p =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      (0 until dim).map { i =>
-        val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14)
-        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
-      }
-    }
+    (0 until planes).map(p => (0 until dim).map(i => planeComponent(s"$p:$i")))
+
+  /** [[portablePlanes]] with a salt prepended to the hash input —
+    * independent deterministic matrices for multi-model stages (each PQ
+    * subspace codebook vs the coarse quantizer) without perturbing the
+    * un-salted family existing oracles restate. */
+  def portablePlanesSalt(salt: String, planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map(p => (0 until dim).map(i => planeComponent(s"$salt:$p:$i")))
+
+  private def planeComponent(key: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14)
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+  }
 
   /** Embedding near-dup with the PORTABLE plane matrix: sign-of-dot LSH
     * bucketing (one narrow map — the plane matrix is plan-time literals, no
@@ -483,9 +490,29 @@ object Dedup {
       nlist: Int = 16, threshold: Double = 0.95, kmeansIters: Int = 2): DataFrame = {
     val cents = graft.ops.Similarity.kmeansCentroids(df, vecCol, idCol, nlist, kmeansIters)
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    semanticDedupWithCentroids(df, vecCol, idCol, threshold,
+      cents.map(_._1).toSeq, cents.map(_._2).toSeq)
+  }
+
+  /** [[semanticDedup]] with PLAN-TIME FIXED portable centroids
+    * ([[portablePlanes]]) instead of trained k-means: clusters are
+    * nearest-pseudo-random-direction buckets, so the whole pipeline —
+    * assignment argmax, within-cluster cosine threshold, lowest-id-wins —
+    * is restatable in external SQL and oracle-checkable end to end
+    * (SparkEntry q91). Cluster quality is below k-means (it is LSH-grade
+    * bucketing), which only RAISES the within-cluster comparison cost, never
+    * correctness; the trained form stays the production path. */
+  def semanticDedupPortable(df: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, threshold: Double, dim: Int): DataFrame =
+    semanticDedupWithCentroids(df, vecCol, idCol, threshold,
+      1 to nlist, portablePlanes(nlist, dim))
+
+  private def semanticDedupWithCentroids(df: DataFrame, vecCol: String,
+      idCol: String, threshold: Double,
+      ids: Seq[Int], mat: Seq[Seq[Double]]): DataFrame = {
     val assigned = df.select(col(idCol), col(vecCol).as("__vec"))
       .withColumn("cluster_id", element_at(graft.functions.Native.nearestCentroids(
-        col("__vec"), cents.map(_._1).toSeq, cents.map(_._2).toSeq, 1), 1))
+        col("__vec"), ids, mat, 1), 1))
     val left = assigned.select(col("cluster_id"), col(idCol).as("__id_b"), col("__vec").as("__vb"))
     val right = assigned.select(col("cluster_id"), col(idCol).as("__id_a"), col("__vec").as("__va"))
     val dupIds = left.join(right, Seq("cluster_id"))

@@ -112,9 +112,35 @@ object Similarity {
     // exchange left is the inverted-list bucket join itself
     val cents = kmeansCentroids(corpus, corpusVec, corpusId, nlist, kmeansIters)
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-    val ids = cents.map(_._1).toSeq
-    val mat = cents.map(_._2).toSeq
+    ivfWithCentroids(corpus, queries, k, nprobe, cents.map(_._1).toSeq,
+      cents.map(_._2).toSeq, corpusVec, queryVec, corpusId, queryId)
+  }
 
+  /** [[ivfTopK]] with PLAN-TIME FIXED portable centroids
+    * ([[graft.ops.Dedup.portablePlanes]]) instead of trained k-means — no
+    * training stage at all; coarse quantization by deterministic
+    * pseudo-random directions (the LSH limit of IVF). List balance is
+    * slightly worse than k-means, but every stage — assignment argmax,
+    * probe set, candidate cosine, rank — is restatable literally in an
+    * external engine's SQL, so the WHOLE ANN pipeline is oracle-checkable
+    * (SparkEntry q32), not merely recall-gated. Same plan shape: the only
+    * exchange is the inverted-list equi-join. */
+  def ivfTopKPortable(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      corpusVec: String = "embedding", queryVec: String = "embedding",
+      corpusId: String = "vec_id", queryId: String = "vec_id"): DataFrame =
+    ivfWithCentroids(corpus, queries, k, nprobe, 1 to nlist,
+      Dedup.portablePlanes(nlist, dim), corpusVec, queryVec, corpusId, queryId)
+
+  /** Shared IVF body: assignment + probing are narrow-map kernels over the
+    * given plan-time centroid matrix; the bucket equi-join on centroid_id is
+    * the single exchange. */
+  private def ivfWithCentroids(
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      ids: Seq[Int], mat: Seq[Seq[Double]],
+      corpusVec: String, queryVec: String,
+      corpusId: String, queryId: String): DataFrame = {
     val assigned = corpus
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cvec"))
       .withColumn("centroid_id", element_at(
@@ -282,7 +308,49 @@ object Similarity {
     val cents = kmeansCentroids(corpus, corpusVec, corpusId, nlist, kmeansIters)
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
     val codebooks = pqTrain(corpus, corpusVec, corpusId, dim, m, kpq, kmeansIters)
+    ivfpqWithModels(corpus, queries, k, dim, nprobe, rerankDepth,
+      cents.toSeq, codebooks, corpusVec, queryVec, corpusId, queryId)
+  }
 
+  /** [[ivfpqTopK]] with PLAN-TIME FIXED portable models — coarse centroids
+    * from [[graft.ops.Dedup.portablePlanes]] and per-subspace PQ codebooks
+    * from [[graft.ops.Dedup.portablePlanesSalt]] (salt = subspace index, so
+    * the m codebooks are independent). No training stage; every stage —
+    * coarse argmax, probe set, per-subspace code argmax, ADC cosine against
+    * the reconstructed vector, exact re-rank — is restatable literally in
+    * external SQL, making the full IVF-PQ pipeline oracle-checkable
+    * (SparkEntry q86). Trained models (the k-means form above) remain the
+    * recall-quality path; this is the determinism-anchored one. */
+  def ivfpqTopKPortable(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, kpq: Int = 16,
+      rerankDepth: Int = 0,
+      corpusVec: String = "embedding", queryVec: String = "embedding",
+      corpusId: String = "vec_id", queryId: String = "vec_id"): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val cents = (1 to nlist).zip(Dedup.portablePlanes(nlist, dim))
+    val codebooks = portablePqCodebooks(dim, m, kpq)
+    ivfpqWithModels(corpus, queries, k, dim, nprobe, rerankDepth,
+      cents, codebooks, corpusVec, queryVec, corpusId, queryId)
+  }
+
+  /** The deterministic PQ codebooks [[ivfpqTopKPortable]] bakes into its
+    * plan — exposed so SparkEntry's oracle generator restates the SAME
+    * literals in SQL. */
+  def portablePqCodebooks(dim: Int, m: Int, kpq: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    val sub = dim / m
+    (0 until m).map(s =>
+      (1 to kpq).zip(Dedup.portablePlanesSalt(s"pq$s", kpq, sub))
+        .map { case (i, v) => (i, v) })
+  }
+
+  /** Shared IVF-PQ body over given coarse centroids + codebooks. */
+  private def ivfpqWithModels(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nprobe: Int, rerankDepth: Int,
+      cents: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]],
+      corpusVec: String, queryVec: String,
+      corpusId: String, queryId: String): DataFrame = {
     // the compact index: (neighbor_id, centroid_id, pq_code) — no raw vectors
     val index = corpus.select(col(corpusId).as("neighbor_id"),
       element_at(graft.functions.Native.nearestCentroids(
