@@ -695,15 +695,20 @@ object SparkEntry {
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cosine >= 0.3""")),
 
-    // --- IVF-bucketed ANN (approximate → rows-only; exactness via q30) ---
+    // --- IVF ANN with the PORTABLE plan-time centroid matrix: coarse
+    // argmax → nprobe probe → inverted-list equi-join → exact cosine rank,
+    // every stage hash-checked against DuckDB restating the same literals
+    // (the trained-k-means ivfTopK stays the recall-quality path, gated in
+    // SimilaritySpec) ---
     Q("q32_ivf_ann",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nlist = 8, nprobe = 3,
-          kmeansIters = 1)
-          .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+        Similarity.ivfTopKPortable(emb, emb.filter(col("vec_id") < 20), k = 5, dim = 64,
+          nlist = 8, nprobe = 3)
+          .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
       },
-      None),
+      Some(sqlIvfPortableOracle(k = 5, nlist = 8, nprobe = 3, dim = 64,
+        queryPred = "vec_id < 20"))),
 
     // --- random-hyperplane LSH embedding near-dup (approximate → rows-only) ---
     Q("q33_embedding_neardup",
@@ -712,15 +717,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine")),
       None),
 
-    // --- near-dup pairs → clusters → canonical docs (connected components;
-    // iterative min-label propagation is not DuckDB-SQL-expressible → rows-only) ---
+    // --- near-dup pairs → clusters → canonical docs: connected components
+    // (min-label propagation) over the PORTABLE minhash pairs at its own
+    // threshold; the iterative clustering + canonicalize step is
+    // oracle-checked via a recursive-CTE transitive closure over the same
+    // deterministic edges (the q69/q123 pattern) ---
     Q("q60_dedup_groups",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.6)
+        val pairs = Dedup.nearDuplicatesPortable(docs, "text", "doc_id",
+          threshold = 0.6, bands = 4, k = 3)
         Dedup.canonicalize(docs, pairs, "doc_id").select("doc_id", "lang")
       },
-      None),
+      Some(s"""WITH RECURSIVE ${minhashCtes(0.6)},
+          sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+        SELECT d.doc_id, d.lang FROM documents d
+        LEFT JOIN comp ON comp.id = d.doc_id
+        WHERE comp.comp IS NULL OR comp.comp = d.doc_id""")),
 
     // --- banded simhash near-dup (exact-recall pigeonhole buckets; the scale
     // form of q25's all-pairs demo — equivalence proven in spec → rows-only) ---
@@ -1280,8 +1297,9 @@ object SparkEntry {
   /** q67's portable hash family restated for the DuckDB oracle as a CTE
     * chain ending in `pairs(id_a, id_b, jaccard)`: must stay in lockstep
     * with [[Dedup.portableCoeffs]] / [[Dedup.PortableP]]. Shared by q67
-    * (pairs) and q69 (connected components over the pairs). */
-  private def minhashCtes: String = {
+    * (pairs), q69/q123/q132 (connected components over the pairs) and q60
+    * (canonicalize, at its own threshold). */
+  private def minhashCtes(threshold: Double = 0.5): String = {
     val p = Dedup.PortableP
     val sigExprs = Dedup.portableCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(h, x -> ($a * x + $b) % $p)) AS s$i"
@@ -1309,11 +1327,116 @@ object SparkEntry {
               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
           FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
           WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-              (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5)"""
+              (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= $threshold)"""
   }
 
   private def sqlMinhashOracle: String =
-    s"WITH $minhashCtes SELECT id_a, id_b, jaccard FROM pairs"
+    s"WITH ${minhashCtes()} SELECT id_a, id_b, jaccard FROM pairs"
+
+  /** [[graft.functions.Native.VecCosine]] restated in DuckDB: sequential
+    * dot / (sqrt(Σa²)·sqrt(Σb²)), 0.0 on a zero denominator. Both engines
+    * accumulate left-to-right over identical doubles, so the result is
+    * bit-identical (proven by q30's hash match). */
+  private def sqlCos(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0
+        THEN 0.0 ELSE list_inner_product($a, $b)
+          / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END"""
+
+  /** VALUES rows `(id, [v0, v1, ...])` for a plan-time centroid matrix —
+    * the SAME literals the Spark plan bakes into
+    * [[graft.functions.Native.nearestCentroids]]. */
+  private def sqlCentroidValues(ids: Seq[Int], mat: Seq[Seq[Double]]): String =
+    ids.zip(mat).map { case (id, v) => s"($id, ${v.mkString("[", ", ", "]")})" }
+      .mkString(",\n            ")
+
+  /** Shared CTE chain for the portable-centroid ANN oracles (q32/q86/q91):
+    * embeddings cast to double, cross-scored against the literal centroid
+    * matrix, ranked per vector by [[sqlCos]] DESC with ties to the lowest
+    * centroid id — exactly [[graft.functions.Native.NearestCentroids]].
+    * Ends with `sims(vec_id, v, cid, rn)`. */
+  private def sqlCentroidSims(nlist: Int, dim: Int): String = {
+    val cents = sqlCentroidValues(1 to nlist, Dedup.portablePlanes(nlist, dim))
+    s"""cents(cid, cv) AS (VALUES $cents),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sims AS (SELECT e.vec_id, e.v, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.cid) AS rn
+          FROM e, cents c)"""
+  }
+
+  /** q32's portable-IVF oracle: coarse argmax assignment, nprobe probing,
+    * inverted-list equi-join, exact cosine, per-query rank — every stage
+    * restating the literals [[graft.ops.Similarity.ivfTopKPortable]] bakes
+    * into the Spark plan. */
+  private def sqlIvfPortableOracle(k: Int, nlist: Int, nprobe: Int, dim: Int,
+      queryPred: String): String =
+    s"""WITH ${sqlCentroidSims(nlist, dim)},
+        asg AS (SELECT vec_id, v, cid AS centroid_id FROM sims WHERE rn = 1),
+        probe AS (SELECT vec_id, v, cid AS centroid_id FROM sims
+          WHERE $queryPred AND rn <= $nprobe),
+        scored AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+            ${sqlCos("p.v", "a.v")} AS cosine
+          FROM probe p JOIN asg a ON a.centroid_id = p.centroid_id
+            AND a.vec_id <> p.vec_id)
+      SELECT query_id, neighbor_id, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored QUALIFY rank <= $k"""
+
+  /** q86's portable IVF-PQ oracle: the coarse stage of
+    * [[sqlIvfPortableOracle]] plus the PQ fine stage — per-subspace code
+    * argmax against the literal codebooks, reconstruction by ordered
+    * codebook lookup, ADC cosine, top-`rerankDepth` candidates, exact
+    * re-rank on raw vectors. Mirrors
+    * [[graft.ops.Similarity.ivfpqTopKPortable]] literal for literal. */
+  private def sqlIvfpqPortableOracle(k: Int, nlist: Int, nprobe: Int,
+      dim: Int, m: Int, kpq: Int, rerankDepth: Int, queryPred: String): String = {
+    val sub = dim / m
+    val cbRows = graft.ops.Similarity.portablePqCodebooks(dim, m, kpq)
+      .zipWithIndex.flatMap { case (cb, s) =>
+        cb.map { case (code, v) => s"($s, $code, ${v.mkString("[", ", ", "]")})" }
+      }.mkString(",\n            ")
+    s"""WITH ${sqlCentroidSims(nlist, dim)},
+        cb(s, code, cv) AS (VALUES $cbRows),
+        asg AS (SELECT vec_id, v, cid AS centroid_id FROM sims WHERE rn = 1),
+        probe AS (SELECT vec_id, v, cid AS centroid_id FROM sims
+          WHERE $queryPred AND rn <= $nprobe),
+        codes AS (SELECT vec_id, s, code FROM (
+            SELECT e.vec_id, cb.s, cb.code,
+              row_number() OVER (PARTITION BY e.vec_id, cb.s
+                ORDER BY ${sqlCos(s"e.v[cb.s * $sub + 1 : cb.s * $sub + $sub]", "cb.cv")} DESC,
+                  cb.code) AS rn
+            FROM e, cb) WHERE rn = 1),
+        recon AS (SELECT codes.vec_id, flatten(list(cb.cv ORDER BY cb.s)) AS pv
+          FROM codes JOIN cb ON cb.s = codes.s AND cb.code = codes.code
+          GROUP BY codes.vec_id),
+        adc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, p.v AS qv,
+            ${sqlCos("p.v", "r.pv")} AS adc_cosine
+          FROM probe p JOIN asg a ON a.centroid_id = p.centroid_id
+            AND a.vec_id <> p.vec_id
+          JOIN recon r ON r.vec_id = a.vec_id),
+        cand AS (SELECT query_id, neighbor_id, qv FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_cosine DESC, neighbor_id) AS rn FROM adc)
+          WHERE rn <= ${math.max(k, rerankDepth)}),
+        exact AS (SELECT c.query_id, c.neighbor_id, ${sqlCos("c.qv", "e.v")} AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM exact QUALIFY rank <= $k"""
+  }
+
+  /** q91's portable semantic-dedup oracle: portable-centroid cluster
+    * assignment, within-cluster cosine-threshold pairs, lowest-id-wins —
+    * [[graft.ops.Dedup.semanticDedupPortable]] restated. */
+  private def sqlSemanticDedupOracle(nlist: Int, threshold: Double, dim: Int): String =
+    s"""WITH ${sqlCentroidSims(nlist, dim)},
+        asg AS (SELECT vec_id, v, cid AS cluster_id FROM sims WHERE rn = 1),
+        dup AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE ${sqlCos("a.v", "b.v")} >= $threshold)
+      SELECT a.vec_id, a.cluster_id FROM asg a JOIN dup USING (vec_id)"""
 
   /** q68's portable hyperplane-LSH oracle: the SAME plane literals the Spark
     * plan bakes in ([[Dedup.portablePlanes]]), restated in SQL. */
@@ -1476,7 +1599,7 @@ object SparkEntry {
       (s, dir) => Dedup.connectedComponents(
         Dedup.nearDuplicatesPortable(t(s, dir, "documents"), "text", "doc_id",
           threshold = 0.5, bands = 4, k = 3)),
-      Some(s"""WITH RECURSIVE $minhashCtes,
+      Some(s"""WITH RECURSIVE ${minhashCtes()},
           sym AS (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
           reach AS (SELECT a, b FROM sym
@@ -1859,19 +1982,21 @@ object SparkEntry {
             AS BIGINT) AS VARCHAR)), ',') AS codes
         FROM m""")),
 
-    // --- IVF-PQ ANN with exact re-rank (approximate → rows-only; recall
-    // gated vs brute force in SimilaritySpec): the candidate index is
-    // (centroid_id, m-byte pq_code), raw vectors touched only by the final
-    // per-query re-rank join ---
+    // --- IVF-PQ ANN with exact re-rank, PORTABLE plan-time models: the
+    // candidate index is (centroid_id, m-byte pq_code), raw vectors touched
+    // only by the final per-query re-rank join. Coarse argmax, per-subspace
+    // code argmax, ADC cosine and the re-rank are ALL hash-checked against
+    // DuckDB restating the identical centroid/codebook literals (the
+    // trained-k-means ivfpqTopK stays the recall path, SimilaritySpec) ---
     Q("q86_ivfpq_ann",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 20), k = 5, dim = 64,
-          nlist = 8, nprobe = 3, m = 8, kpq = 16, kmeansIters = 1, rerankDepth = 20)
-          .select(col("query_id"), col("neighbor_id"),
-            round(col("cosine"), 4).as("cosine"), col("rank"))
+        Similarity.ivfpqTopKPortable(emb, emb.filter(col("vec_id") < 20), k = 5, dim = 64,
+          nlist = 8, nprobe = 3, m = 8, kpq = 16, rerankDepth = 20)
+          .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
       },
-      None),
+      Some(sqlIvfpqPortableOracle(k = 5, nlist = 8, nprobe = 3, dim = 64,
+        m = 8, kpq = 16, rerankDepth = 20, queryPred = "vec_id < 20"))),
 
     // --- MIXTURE RESAMPLING to target domain weights (DoReMi/Pile-style):
     // data-driven keep rates from the per-source counts (window-totaled,
@@ -2148,15 +2273,17 @@ object SparkEntry {
         SELECT word, n, CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank
         FROM c QUALIFY rank <= 20""")),
 
-    // --- SemDeDup-shaped semantic dedup (approximate clustering → rows-
-    // only; soundness + recall gated in Round3OpsSpec): k-means clusters,
-    // within-cluster equi-join comparison, lowest id wins ---
+    // --- SemDeDup-shaped semantic dedup with PORTABLE plan-time centroids:
+    // cluster assignment argmax, within-cluster equi-join cosine threshold,
+    // lowest id wins — end-to-end hash-checked against DuckDB restating the
+    // same centroid literals (the trained-k-means semanticDedup stays the
+    // cluster-quality path; soundness + recall gated in Round3OpsSpec) ---
     Q("q91_semantic_dedup",
-      (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
-        nlist = 8, threshold = 0.3, kmeansIters = 1)
+      (s, dir) => Dedup.semanticDedupPortable(t(s, dir, "embeddings"), "embedding", "vec_id",
+        nlist = 8, threshold = 0.3, dim = 64)
         .filter(col("is_duplicate"))
         .select("vec_id", "cluster_id"),
-      None),
+      Some(sqlSemanticDedupOracle(nlist = 8, threshold = 0.3, dim = 64))),
 
     // --- per-label mean embeddings (class centroids / SemDeDup prototype
     // vectors), long-form; elementwise sums through DECIMAL(18,9) so the
@@ -2646,7 +2773,7 @@ object SparkEntry {
             threshold = 0.5, bands = 4, k = 3))
         .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters")),
-      Some(s"""WITH RECURSIVE $minhashCtes,
+      Some(s"""WITH RECURSIVE ${minhashCtes()},
           sym AS (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
           reach AS (SELECT a, b FROM sym
@@ -2851,7 +2978,7 @@ object SparkEntry {
             threshold = 0.5, bands = 4, k = 3), "doc_id")
           .select("doc_id", "cluster_size", "weight")
       },
-      Some(s"""WITH RECURSIVE $minhashCtes,
+      Some(s"""WITH RECURSIVE ${minhashCtes()},
           sym AS (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
           reach AS (SELECT a, b FROM sym
@@ -2947,7 +3074,7 @@ object SparkEntry {
         val nH = Dedup.portableCoeffs.size
         val matches = (0 until nH).map(i =>
           s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString("\n            + ")
-        s"""WITH $minhashCtes
+        s"""WITH ${minhashCtes()}
         SELECT id_a, id_b, jaccard,
           CAST(($matches) AS DOUBLE) / $nH AS jaccard_est,
           abs(CAST(($matches) AS DOUBLE) / $nH - jaccard) AS est_error
