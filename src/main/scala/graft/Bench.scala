@@ -46,19 +46,37 @@ object Bench {
     // the MIN is recorded — the repeat lands outside the contention/JIT
     // window that inflated the first. Bounded cost: ≤ one extra pass over
     // only the expensive tail.
-    val repeatThreshold =
-      sys.env.get("SPARK_GRAFT_REPEAT_SEC").map(_.toDouble).getOrElse(1.0)
+    val repeatThreshold = sys.env.get("SPARK_GRAFT_REPEAT_SEC")
+      .flatMap { v =>
+        val p = scala.util.Try(v.toDouble).toOption
+        if (p.isEmpty) System.err.println(s"[bench] bad SPARK_GRAFT_REPEAT_SEC '$v', using 1.0")
+        p
+      }.getOrElse(1.0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
-      def once(): Double = {
+      // (seconds, succeeded): a failed run must never replace a successful
+      // one via math.min — a fast failure on the repeat would silently
+      // under-report the query
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name: ${e.getMessage}"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val first = once()
-      name -> (if (first <= repeatThreshold) first else math.min(first, once()))
+      val (first, firstOk) = once()
+      name -> (if (first <= repeatThreshold) first
+        else {
+          val (second, secondOk) = once()
+          (firstOk, secondOk) match {
+            case (true, true)  => math.min(first, second)
+            case (true, false) => first
+            case (false, true) => second
+            case _             => first
+          }
+        })
     }.toMap
     // The driver records only the LAST 2000 output chars (measured from
     // BENCH_r01/r02: tail_len 2000, metric line truncated at its START →

@@ -289,28 +289,52 @@ object Dedup {
     nearDuplicatesPortableFromSigs(portableSigs(df, textCol, idCol, k),
       df, textCol, idCol, threshold, bands, k)
 
-  private def nearDuplicatesPortableFromSigs(
-      sig: DataFrame, df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, bands: Int, k: Int): DataFrame = {
+  /** LSH candidate pairs from a portable signature frame (`id`, `sig`):
+    * band → bucket equi-join → id_a < id_b → distinct. With `carrySigs`
+    * the pair rows keep both signatures (`__sa`, `__sb`) through the join —
+    * ~numHashes·8 bytes per CANDIDATE (≪ n²), which is cheaper at any
+    * scale than re-joining the signature frame twice afterwards (and lets
+    * [[minhashJaccardEstimate]] run signature-free of any persist). */
+  private def portableCandidates(sig: DataFrame, bands: Int,
+      carrySigs: Boolean): DataFrame = {
     val numHashes = portableCoeffs.size
     require(numHashes % bands == 0, "bands must divide the coefficient count")
     val rowsPerBand = numHashes / bands
-    val banded = sig.select(col("id"),
+    val sigCols = if (carrySigs) Seq(col("sig")) else Nil
+    val banded = sig.select(col("id") +: sigCols :+
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val cands = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val aCols = Seq(col("band"), col("bucket"), col("id").as("id_a")) ++
+      (if (carrySigs) Seq(col("sig").as("__sa")) else Nil)
+    val bCols = Seq(col("band"), col("bucket"), col("id").as("id_b")) ++
+      (if (carrySigs) Seq(col("sig").as("__sb")) else Nil)
+    val pairCols = Seq("id_a", "id_b") ++ (if (carrySigs) Seq("__sa", "__sb") else Nil)
+    banded.select(aCols: _*).join(banded.select(bCols: _*), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      // sigs are functionally dependent on the ids, so distinct over the
+      // carried columns has the same cardinality as distinct over the ids
+      .select(pairCols.head, pairCols.tail: _*).distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets
+    * materialized once per doc; extra candidate columns pass through. */
+  private def verifyJaccard(cands: DataFrame, df: DataFrame,
+      textCol: String, idCol: String, threshold: Double, k: Int): DataFrame = {
     val sets = df.select(col(idCol).as("__id"), hashedShingleSet(col(textCol), k).as("__set"))
     cands
       .join(sets.withColumnsRenamed(Map("__id" -> "id_a", "__set" -> "set_a")), "id_a")
       .join(sets.withColumnsRenamed(Map("__id" -> "id_b", "__set" -> "set_b")), "id_b")
       .withColumn("jaccard", graft.functions.Native.jaccardSortedLongs(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
+
+  private def nearDuplicatesPortableFromSigs(
+      sig: DataFrame, df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, bands: Int, k: Int): DataFrame =
+    verifyJaccard(portableCandidates(sig, bands, carrySigs = false),
+      df, textCol, idCol, threshold, k)
+      .select("id_a", "id_b", "jaccard")
 
   /** Embedding-cosine near-dup: candidate pairs from random-hyperplane LSH
     * buckets, verified by exact cosine ≥ threshold. Deterministic
@@ -545,15 +569,13 @@ object Dedup {
   def minhashJaccardEstimate(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, bands: Int = 4, k: Int = 3): DataFrame = {
     // ONE signature pass feeds both the banded pair generation and the
-    // estimate joins — recomputing sigs would triple the md5-per-shingle
-    // cost this file's scaladoc calls the dominant portability tax
-    val sigs = portableSigs(df, textCol, idCol, k).persist()
-    val pairs = nearDuplicatesPortableFromSigs(sigs, df, textCol, idCol,
-      threshold, bands, k)
+    // estimate: the candidate join CARRIES both signatures (numHashes·8
+    // bytes per candidate, candidates ≪ n²), so no persist() lingers in
+    // the session and no signature re-join appears in the plan
+    val cands = portableCandidates(portableSigs(df, textCol, idCol, k),
+      bands, carrySigs = true)
     val nHashes = portableCoeffs.size
-    pairs
-      .join(sigs.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "__sa")), "id_a")
-      .join(sigs.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "__sb")), "id_b")
+    verifyJaccard(cands, df, textCol, idCol, threshold, k)
       .withColumn("jaccard_est",
         aggregate(zip_with(col("__sa"), col("__sb"), (a, b) => (a === b).cast("int")),
           lit(0), (acc, x) => acc + x).cast("double") / nHashes)

@@ -46,8 +46,12 @@ def unsortable_cols(df: pd.DataFrame):
     bad = []
     for c in df.columns:
         if df[c].dtype == object:
-            sample = df[c].dropna()
-            if len(sample) and isinstance(sample.iloc[0], (np.ndarray, list, dict)):
+            # sample a prefix, not just the first cell: a mixed-type column
+            # whose early rows are scalar would otherwise pass the gate and
+            # still crash the driver comparator
+            sample = df[c].dropna().head(20)
+            if len(sample) and sample.map(
+                    lambda v: isinstance(v, (np.ndarray, list, dict))).any():
                 bad.append(c)
     return bad
 
