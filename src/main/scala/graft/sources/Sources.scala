@@ -114,14 +114,58 @@ final case class CsvSource(
     df.write.mode(SaveMode.Append).option("sep", sep).option("header", header.toString).csv(path)
   def overwrite(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).option("sep", sep).option("header", header.toString).csv(path)
+  def upsert(df: DataFrame, keys: Seq[String]): Unit =
+    // stage-and-swap like parquet/jsonl/orc — never a driver collect; the
+    // temp copy is read back with the merged schema pinned so the swap
+    // write skips inference
+    StageAndSwap.upsert(this, path, df, keys,
+      (d, p) => d.write.mode(SaveMode.Overwrite).option("sep", sep)
+        .option("header", header.toString).csv(p),
+      (s, p, sch) => s.read.option("sep", sep).option("header", header.toString)
+        .schema(sch).csv(p))
+}
+
+/** Delta Lake table (reference: DeltaFileSource, sources/local.py:887-1055 —
+  * scan, append, entity-key MERGE upsert, overwrite). Code-complete against
+  * the stable `format("delta")` DataSource API and the ANSI MERGE INTO
+  * statement; only the delta-spark jar + session extension binding is absent
+  * in this offline build (zero-egress: the jar cannot resolve), so the
+  * methods compile and are exercised at the SQL/algebra level in
+  * DeltaSourceSpec rather than end-to-end. Unlike the plain-file sources,
+  * upsert here is a TARGET-SIDE transaction: the commit log gives the
+  * atomicity StageAndSwap emulates with a temp-dir rewrite, and only touched
+  * files rewrite — the 100 TB-correct shape for mutable tables. */
+final case class DeltaSource(path: String) extends WritableSource {
+  def read(spark: SparkSession): DataFrame = spark.read.format("delta").load(path)
+  /** A Delta table exists iff its commit log does — probing the bare dir
+    * would mistake leftover data files for a live table. */
+  override def exists(spark: SparkSession): Boolean =
+    PathProbe.exists(spark, path + "/_delta_log")
+  def insert(df: DataFrame): Unit =
+    df.write.format("delta").mode(SaveMode.Append).save(path)
+  def overwrite(df: DataFrame): Unit =
+    df.write.format("delta").mode(SaveMode.Overwrite).save(path)
+  /** Entity-key upsert as a real MERGE INTO (reference local.py:1010-1051).
+    * Same algebra as [[StageAndSwap.upsert]] — matched rows replaced,
+    * unmatched kept, new rows inserted — proven equivalent on the
+    * parquet-backed emulation in DeltaSourceSpec. */
   def upsert(df: DataFrame, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
-    val merged =
-      if (!exists(spark)) df
-      else read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti").unionByName(df)
-    val collected = merged.collect() // CSV upsert is inherently a rewrite; reference does the same in-memory concat
-    val out = spark.createDataFrame(spark.sparkContext.parallelize(collected.toIndexedSeq), merged.schema)
-    out.write.mode(SaveMode.Overwrite).option("sep", sep).option("header", header.toString).csv(path)
+    if (!exists(spark)) insert(df)
+    else {
+      val view = s"__graft_delta_upsert_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      df.createOrReplaceTempView(view)
+      try spark.sql(mergeSql(view, keys))
+      finally spark.catalog.dropTempView(view)
+    }
+  }
+  /** The MERGE statement [[upsert]] runs — exposed so the spec can gate its
+    * shape without a live Delta runtime. */
+  def mergeSql(sourceView: String, keys: Seq[String]): String = {
+    require(keys.nonEmpty, "delta upsert needs at least one entity key")
+    val on = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+    s"MERGE INTO delta.`$path` t USING $sourceView s ON $on " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
   }
 }
 
