@@ -9,6 +9,15 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// DEPLOY NOTE — connectors intentionally NOT declared here because this
+// build is zero-egress (COURSIER_MODE=offline would fail resolution, even
+// at "provided" scope). On a cluster add:
+//   "org.apache.spark" %% "spark-sql-kafka-0-10" % <sparkVersion>   // Streaming.kafkaJsonStream
+//   "io.delta" %% "delta-spark" % <deltaVersion>                    // sources.DeltaSource
+//     + spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension
+//     + spark.sql.catalog.spark_catalog=org.apache.spark.sql.delta.catalog.DeltaCatalog
+// KafkaSmokeSpec / DeltaSourceSpec gate what is checkable offline and
+// cancel cleanly when the jars are absent.
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -287,6 +287,71 @@ final class ContractStore {
       }
     }
   }
+
+  /** ONLINE point lookup (reference contract: RedisSource's pipelined
+    * per-entity HMGET, sources/redis.py:181-307, 218-224): the LATEST
+    * feature row per requested entity, read from the view's materialized
+    * source with the entity keys PUSHED INTO THE SCAN. Where the reference
+    * round-trips a key-value store, the Spark-native shape bakes the
+    * (bounded) key list into the plan as an IN/OR predicate — `.explain`
+    * shows it under `PushedFilters`, so the columnar scan prunes row-groups
+    * and hive partitions server-side and reads only the matching slivers.
+    * A materialized source partitioned or bucketed by the entity key makes
+    * this a true point read at 100 TB; the predicate pushdown is
+    * plan-asserted in OnlineLookupSpec.
+    *
+    * `entities` must be BOUNDED (point lookups are, by contract — the
+    * reference caps its redis pipeline batches the same way). Beyond
+    * `maxInlineKeys` distinct keys the lookup degrades to a broadcast
+    * semi-join: still one scan and no driver-side literals, just no
+    * row-group pruning. Rows carry the latest value per entity
+    * (last-writer-wins on the event timestamp, exact ties broken
+    * arbitrarily — online-store semantics); entities absent from the view
+    * surface as nulls, like a missing HMGET key. */
+  def onlineFeaturesFor(spark: SparkSession, entities: DataFrame, refs: Seq[String],
+      maxInlineKeys: Int = 1024): DataFrame = {
+    val byView = refs.map { r =>
+      r.split(":") match {
+        case Array(v, f) => (v, f)
+        case Array(_, v, f) => (v, f)
+        case _ => throw new IllegalArgumentException(s"bad feature ref: $r")
+      }
+    }.groupBy(_._1).map { case (v, fs) => v -> fs.map(_._2) }
+
+    byView.foldLeft(entities) { case (acc, (viewName, wantedRaw)) =>
+      val wanted = wantedRaw.filterNot(acc.columns.contains)
+      if (wanted.isEmpty) acc else {
+        val v = viewsMap(viewName)
+        val vs = new ViewStore(this, v)
+        val keys = v.entities.map(_.name)
+        require(keys.nonEmpty, s"online lookup needs entity keys on view $viewName")
+        // bounded-by-contract: collect up to maxInlineKeys+1 distinct keys —
+        // the +1 detects overflow without counting the whole frame
+        val keyRows = acc.select(keys.map(col): _*).distinct()
+          .limit(maxInlineKeys + 1).collect()
+        val base = vs.baseWithDerived(spark)
+        val filtered =
+          if (keyRows.length > maxInlineKeys)
+            base.join(broadcast(acc.select(keys.map(col): _*).distinct()), keys, "left_semi")
+          else if (keys.lengthCompare(1) == 0)
+            base.filter(col(keys.head).isin(keyRows.map(_.get(0)).toIndexedSeq: _*))
+          else
+            base.filter(keyRows.map { r =>
+              keys.zipWithIndex.map { case (k, i) => col(k) === lit(r.get(i)) }
+                .reduce(_ && _)
+            }.reduce(_ || _))
+        val latest = v.eventTimestamp match {
+          case Some(ts) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*).orderBy(col(ts.name).desc)
+            filtered.withColumn("__graft_rn", row_number().over(w))
+              .filter(col("__graft_rn") === 1).drop("__graft_rn")
+          case None => filtered
+        }
+        acc.join(latest.select((keys ++ wanted).map(col): _*), keys, "left")
+      }
+    }
+  }
 }
 
 /** Per-view query surface (reference: FeatureViewStore, feature_store.py:1461+). */

@@ -2542,3 +2542,111 @@ class MinhashEstimateSpec extends AnyFunSuite {
     assert(out.values.forall { case (est, err) => est >= 0 && est <= 1 && err >= 0 })
   }
 }
+
+/** Online point-lookup surface: entity keys pushed into the scan, latest
+  * row per entity, parity with the PIT batch path (reference contract:
+  * sources/redis.py:181-307 pipelined HMGET). */
+class OnlineLookupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkView(): (FeatureView, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_online").toString + "/t"
+    val src = graft.sources.ParquetSource(dir)
+    src.overwrite(Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 30.0), // latest for 1
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 20.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 50.0))
+      .toDF("id", "ts", "score"))
+    (FeatureView("scores", src,
+      entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("score", FFloat64)),
+      eventTimestamp = Some(EventTimestamp("ts"))), dir)
+  }
+
+  test("online lookup returns latest row per entity, null for absent keys") {
+    val (v, _) = mkView()
+    val store = new graft.store.ContractStore().addView(v)
+    val out = store.onlineFeaturesFor(spark,
+        Seq(1L, 3L, 99L).toDF("id"), Seq("scores:score"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("score")))).toMap
+    assert(out(1L).contains(30.0)) // latest, not first
+    assert(out(3L).contains(50.0))
+    assert(out(99L).isEmpty) // missing key = null, like an absent HMGET
+  }
+
+  test("entity keys reach the parquet scan as pushed filters") {
+    val (v, _) = mkView()
+    val store = new graft.store.ContractStore().addView(v)
+    val q = store.onlineFeaturesFor(spark, Seq(1L, 3L).toDF("id"), Seq("scores:score"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*In\\(id".r.findFirstIn(plan).isDefined,
+      s"entity-key IN filter not pushed to the scan:\n$plan")
+  }
+
+  test("parity with the PIT batch path at a future fact timestamp") {
+    val (v, _) = mkView()
+    val store = new graft.store.ContractStore().addView(v)
+    val entities = Seq(1L, 2L, 3L).toDF("id")
+    val online = store.onlineFeaturesFor(spark, entities, Seq("scores:score"))
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val pit = store.featuresFor(spark,
+        entities.withColumn("event_timestamp",
+          lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))),
+        Seq("scores:score"))
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(online == pit)
+  }
+
+  test("composite entity keys push an OR-of-conjunctions predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_online2").toString + "/t"
+    val src = graft.sources.ParquetSource(dir)
+    src.overwrite(Seq((1L, "eu", 1.0), (1L, "us", 2.0), (2L, "eu", 3.0))
+      .toDF("id", "region", "v"))
+    val v = FeatureView("dim", src,
+      entities = Seq(Feature("id", FInt64), Feature("region", FString)),
+      features = Seq(Feature("v", FFloat64)))
+    val store = new graft.store.ContractStore().addView(v)
+    val q = store.onlineFeaturesFor(spark,
+      Seq((1L, "us"), (2L, "eu")).toDF("id", "region"), Seq("dim:v"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    val out = q.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, "us", 2.0), (2L, "eu", 3.0)))
+  }
+
+  test("beyond maxInlineKeys the lookup degrades to a broadcast semi-join") {
+    val (v, _) = mkView()
+    val store = new graft.store.ContractStore().addView(v)
+    val many = (1L to 50L).toDF("id")
+    val q = store.onlineFeaturesFor(spark, many, Seq("scores:score"), maxInlineKeys = 10)
+    assert(q.count() == 50)
+    assert(q.filter(col("id") === 1L).select("score").collect().head.getDouble(0) == 30.0)
+  }
+}
+
+/** Kafka integration smoke: runs only when the spark-sql-kafka connector is
+  * on the classpath (deploy builds — see the build.sbt DEPLOY NOTE); in the
+  * zero-egress build it cancels cleanly instead of failing. The pipeline
+  * itself (JSON decode → worker transforms → watermarked aggs) is
+  * jar-independent and fully covered by StreamingSpec over file streams. */
+class KafkaSmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def kafkaOnClasspath: Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  test("kafka json stream builds a typed streaming plan (skips without the jar)") {
+    assume(kafkaOnClasspath, "spark-sql-kafka not on classpath (offline build) — skipping")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    // plan construction only — no broker round-trip until a query starts
+    val df = graft.streaming.Streaming.kafkaJsonStream(spark,
+      graft.streaming.Streaming.KafkaTopic("localhost:9092", "t"), schema)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+}
