@@ -146,24 +146,33 @@ object MLOps {
     * [[mixtureResample]]'s md5-threshold filter. */
   def temperatureResample(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
     // NULL-group rows are not part of the mixture: they pass through at
-    // rate 1 (stratifiedSampleHash's defaultRate) and add no weight mass —
-    // String.valueOf(null) would otherwise mint a phantom "null" stratum
-    // that never joins back yet deflates every real group's rate
+    // rate 1 (the CASE fallback) and add no weight mass — String.valueOf(null)
+    // would otherwise mint a phantom "null" stratum that never joins back
+    // yet deflates every real group's rate
     val counts = df.filter(col(groupCol).isNotNull)
       .groupBy(groupCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).sortBy(_._1)
+      // keep the NATIVE group value for the filter literal — routing
+      // through String.valueOf and an implicit-cast comparison would
+      // silently send non-string groups (dates, decimals, booleans whose
+      // string form does not cast back) to the default rate. The string
+      // form is used ONLY to order the weight summation deterministically.
+      .collect().map(r => r.get(0) -> r.getLong(1))
+      .sortBy { case (g, _) => String.valueOf(g) }
     require(counts.nonEmpty, "temperatureResample: no non-null groups")
     val weights = counts.map { case (g, n) => (g, n, math.sqrt(n.toDouble)) }
     val total = weights.map(_._3).foldLeft(0.0)(_ + _) // left-to-right, sorted
     val bigN = counts.map(_._2).sum.toDouble
     // everything is already on the driver: apply the rates as ONE narrow
-    // CASE filter (stratifiedSampleHash) — re-deriving them through
-    // mixtureResample would aggregate the counts a second time and add a
-    // broadcast join to the executed plan
-    val rates = weights.map { case (g, n, w) =>
-      g -> math.min(1.0, w / total * bigN / n.toDouble)
-    }.toMap
-    stratifiedSampleHash(df, keyCol, groupCol, rates, defaultRate = 1.0)
+    // CASE filter over typed literals (same shape as stratifiedSampleHash;
+    // re-deriving them through mixtureResample would aggregate the counts a
+    // second time and add a broadcast join to the executed plan)
+    val buckets = 1000000
+    val rateBuckets = weights.foldLeft(lit(math.round(1.0 * buckets))) {
+      case (acc, (g, n, w)) =>
+        val rate = math.min(1.0, w / total * bigN / n.toDouble)
+        when(col(groupCol) === lit(g), lit(math.round(rate * buckets))).otherwise(acc)
+    }
+    df.filter(md5Bucket(col(keyCol), buckets) < rateBuckets)
   }
 
   /** Deterministic EPOCH SHUFFLE: the training-export ordering. Sorting by
@@ -199,8 +208,10 @@ object MLOps {
     val b = floor(u * buckets / lit(1000000.0)).cast("int")
     val based = df.withColumn("__n", tokenCount.cast("long"))
       .withColumn("__b", b).withColumn("__u", u)
+    // a bucket whose every tokenCount is null sums to NULL, not 0 — guard
+    // the unbox or the whole shard assignment NPEs on one bad bucket
     val totals = based.groupBy("__b").agg(sum(col("__n")).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val offsets = {
       var acc = 0L
       (0 until buckets).map { i =>

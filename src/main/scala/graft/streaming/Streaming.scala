@@ -199,32 +199,45 @@ object Streaming {
     * encoding orphans per-key state in existing checkpoints — restart from
     * a fresh checkpoint directory after any key-format change. */
   def transitionsStream(stream: DataFrame, keys: Seq[String], ts: String,
-      typeCol: String): DataFrame = {
+      typeCol: String, tieCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val schema = stream.schema
     val tsIdx = schema.fieldIndex(ts)
     val typeIdx = schema.fieldIndex(typeCol)
+    val tieIdx = tieCol.map(schema.fieldIndex)
     implicit val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
-    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
     implicit val rowEnc = Encoders.row(schema)
     def tsOf(r: Row): Long =
       if (r.isNullAt(tsIdx)) Long.MinValue else r.getTimestamp(tsIdx).getTime
+    // tie values compare on their STRING form (the state needs a fixed
+    // encoder type) — exact parity with the batch
+    // [[graft.ops.EventAnalytics.transitions]] tie-break when tieCol is a
+    // string or its string order matches its native order (zero-pad numeric
+    // ids upstream). Without a tieCol, equal-ts events never advance the
+    // chain (the previous behavior, kept as the default).
+    def tieOf(r: Row): String =
+      tieIdx.map(i => if (r.isNullAt(i)) "" else String.valueOf(r.getAs[Any](i))).getOrElse("")
+    def advances(prev: (Long, String, String), t: Long, tie: String): Boolean =
+      prev._1 < t || (tieIdx.isDefined && prev._1 == t && prev._2 < tie)
     stream
       .groupByKey(r => keys.map(k => String.valueOf(r.getAs[Any](k))).mkString("\u0001"))(
         Encoders.STRING)
-      .flatMapGroupsWithState[(Long, String), (String, String)](
+      .flatMapGroupsWithState[(Long, String, String), (String, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[Row], state: GroupState[(Long, String)]) =>
-          val ordered = rows.toSeq.sortBy(tsOf)
+        (_: String, rows: Iterator[Row], state: GroupState[(Long, String, String)]) =>
+          val ordered = rows.toSeq.sortBy(r => (tsOf(r), tieOf(r)))
           var prev = state.getOption
           val out = Seq.newBuilder[(String, String)]
           ordered.foreach { r =>
             val t = tsOf(r)
-            // late (or equal-ts duplicate) events never rewind the chain
-            if (prev.forall(_._1 < t)) {
-              prev.foreach(p => out += ((p._2, r.getString(typeIdx))))
-              prev = Some((t, r.getString(typeIdx)))
+            val tie = tieOf(r)
+            // late events (older than the state, or equal-ts losers of the
+            // tie order) never rewind the chain
+            if (prev.forall(advances(_, t, tie))) {
+              prev.foreach(p => out += ((p._3, r.getString(typeIdx))))
+              prev = Some((t, tie, r.getString(typeIdx)))
             }
           }
           prev.foreach(state.update)

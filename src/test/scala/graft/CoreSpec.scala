@@ -969,4 +969,48 @@ class StreamingTransitionsSpec extends AnyFunSuite {
       assert(all.toSeq.sorted == Seq(("click", "purchase"), ("view", "click")))
     } finally q.stop()
   }
+
+  test("transitions equal-ts tie-break matches the batch op when tieCol is given") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_tie").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("event_id", StringType)))
+    def write(rows: Seq[(Long, String, String, String)]): Unit =
+      rows.map { case (u, t, e, i) => (u, java.sql.Timestamp.valueOf(t), e, i) }
+        .toDF("user_id", "ts", "event_type", "event_id")
+        .write.mode("append").parquet(dir + "/in")
+    // batch 1: two EQUAL-timestamp events — the chain must advance through
+    // them in event_id order (a→b), exactly like the batch op's (ts, tie)
+    // window ordering
+    write(Seq(
+      (1L, "2024-01-01 10:00:00", "a", "1"),
+      (1L, "2024-01-01 10:00:00", "b", "2")))
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val out = graft.streaming.Streaming.transitionsStream(
+      stream, Seq("user_id"), "ts", "event_type", tieCol = Some("event_id"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("out_tie").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: equal ts AGAIN across the state boundary — tie "3" beats
+      // the stored "2", so the chain continues b→c; tie "0" loses and drops
+      write(Seq(
+        (1L, "2024-01-01 10:00:00", "c", "3"),
+        (1L, "2024-01-01 10:00:00", "stale", "0")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM out_tie").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSeq.sorted == Seq(("a", "b"), ("b", "c")))
+      // parity check against the batch operator over the same surviving rows
+      val batch = graft.ops.EventAnalytics.transitions(
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a", "1"),
+            (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "b", "2"),
+            (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "c", "3"))
+          .toDF("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", "event_id")
+        .select("from_type", "to_type").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(batch.toSeq.sorted == got.toSeq.sorted)
+    } finally q.stop()
+  }
 }

@@ -2650,3 +2650,46 @@ class KafkaSmokeSpec extends AnyFunSuite {
     assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
   }
 }
+
+/** Round-5 regression gates for the round-4 ADVICE lows. */
+class AdviceRegressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("temperatureResample applies rates to non-string group columns") {
+    // timestamp-typed groups: the old String.valueOf round-trip relied on
+    // implicit casts that are not guaranteed for every dtype; rates must
+    // bind by the NATIVE group value
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val df = ((1L to 900L).map(i => (i, t1)) ++ (901L to 1000L).map(i => (i, t2)))
+      .toDF("id", "g")
+    val kept = graft.ml.MLOps.temperatureResample(df, "id", "g")
+      .groupBy("g").count().collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // sqrt temperature flattens: the minority group keeps (nearly) all its
+    // rows (rate ≈ min(1, √100/(√900+√100)·1000/100) = 1) while the
+    // majority downsamples to ≈ √900/(√900+√100)·1000 = 750
+    assert(kept(t2) > 90L, s"minority group lost rows: ${kept(t2)}")
+    assert(kept(t1) < 820L && kept(t1) > 680L, s"majority rate off: ${kept(t1)}")
+    // double-typed groups bind too
+    val dd = ((1L to 400L).map(i => (i, 0.5)) ++ (401L to 500L).map(i => (i, 2.5)))
+      .toDF("id", "g")
+    val keptD = graft.ml.MLOps.temperatureResample(dd, "id", "g")
+    assert(keptD.filter(col("g") === 2.5).count() > 80L)
+    assert(keptD.filter(col("g") === 0.5).count() < 390L)
+  }
+
+  test("tokenShards survives a bucket whose token counts are all null") {
+    val df = (1L to 50L).map(i => (i, Option.empty[Long])).toDF("id", "n")
+    // every bucket's sum(n) is NULL — must treat as 0, not NPE
+    val out = graft.ml.MLOps.tokenShards(df, "id", col("n"), targetTokens = 100, buckets = 4)
+    assert(out.count() == 50)
+    assert(out.select("shard").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // mixed: null-count docs occupy no token mass but still get shards
+    val mixed = ((1L to 20L).map(i => (i, Some(60L))) ++ (21L to 25L).map(i => (i, Option.empty[Long])))
+      .toDF("id", "n")
+    val shards = graft.ml.MLOps.tokenShards(mixed, "id", col("n"), targetTokens = 300, buckets = 2)
+    assert(shards.count() == 25)
+    assert(shards.agg(max(col("shard"))).collect().head.getLong(0) == (20 * 60 - 1) / 300)
+  }
+}
