@@ -168,12 +168,17 @@ final class ContractStore {
   /** SQL entry point (feature_store.py:457-499): register every contract as a
     * temp view, run Spark SQL. The reference needs sqlglot parsing + manual
     * pushdown; Catalyst does all of that natively (SURVEY §3.3).
+    * `VALUES`-only statements short-circuit past the view registration
+    * (reference sql.py:85-101): no contract scan runs — or can fail — for a
+    * query that touches no table.
     */
   def executeSql(spark: SparkSession, sql: String): DataFrame = {
-    viewsMap.values.foreach(v => view(v.name).all(spark).createOrReplaceTempView(v.name))
-    modelsMap.values.foreach { m =>
-      m.predictionView.foreach(pv =>
-        new ViewStore(this, pv).all(spark).createOrReplaceTempView(m.name))
+    if (!sql.trim.toLowerCase(java.util.Locale.ROOT).startsWith("values")) {
+      viewsMap.values.foreach(v => view(v.name).all(spark).createOrReplaceTempView(v.name))
+      modelsMap.values.foreach { m =>
+        m.predictionView.foreach(pv =>
+          new ViewStore(this, pv).all(spark).createOrReplaceTempView(m.name))
+      }
     }
     spark.sql(sql)
   }

@@ -2693,3 +2693,23 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(shards.agg(max(col("shard"))).collect().head.getLong(0) == (20 * 60 - 1) / 300)
   }
 }
+
+/** SQL VALUES short-circuit parity (reference sql.py:85-101): a VALUES-only
+  * statement must run without touching any contract source. */
+class SqlValuesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("VALUES-only statements bypass view registration entirely") {
+    val poisoned = FeatureView("boom",
+      graft.sources.CustomSource(_ => throw new RuntimeException("source must not be read")),
+      entities = Seq(Feature("id", FInt64)))
+    val store = new graft.store.ContractStore().addView(poisoned)
+    val out = store.executeSql(spark, "VALUES (1, 'x'), (2, 'y')").collect()
+    assert(out.length == 2)
+    // leading whitespace / case do not defeat the short-circuit
+    assert(store.executeSql(spark, "  values (3)").collect().length == 1)
+    // a table-referencing statement still registers (and thus throws here)
+    assertThrows[RuntimeException](
+      store.executeSql(spark, "SELECT * FROM boom").collect())
+  }
+}
