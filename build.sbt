@@ -16,6 +16,9 @@ libraryDependencies ++= Seq(
 //   "io.delta" %% "delta-spark" % <deltaVersion>                    // sources.DeltaSource
 //     + spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension
 //     + spark.sql.catalog.spark_catalog=org.apache.spark.sql.delta.catalog.DeltaCatalog
+//   "org.apache.iceberg" %% "iceberg-spark-runtime-4.0" % <ver>     // sources.IcebergSource
+//     + spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+//     + a spark.sql.catalog.<name> Iceberg catalog binding
 // KafkaSmokeSpec / DeltaSourceSpec gate what is checkable offline and
 // cancel cleanly when the jars are absent.
 Test / fork := true

@@ -3080,8 +3080,56 @@ object SparkEntry {
           abs(CAST(($matches) AS DOUBLE) / $nH - jaccard) AS est_error
         FROM pairs JOIN sigs sa ON sa.doc_id = id_a
           JOIN sigs sb ON sb.doc_id = id_b"""
-      })
+      }),
+
+    // --- PORTABLE HyperLogLog: per-source distinct-word sketch + the ALL
+    // rollup built by ELEMENTWISE-MAX register merge (the HLL union) —
+    // unlike q70's DataSketches binary, every register and the dyadic
+    // estimator denominator are exact integers, so sketch AND merge are
+    // hash-checked against DuckDB; the raw-estimator accuracy envelope is
+    // spec-gated (PortableHllSpec) ---
+    Q("q137_hll_portable",
+      (s, dir) => {
+        val tokens = t(s, dir, "documents").select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        val regs = Aggregations.hllPortableRegisters(tokens, Seq("source"), "w")
+        val allRegs = Aggregations.hllPortableRollup(regs, Nil)
+          .withColumn("source", lit("ALL"))
+        Aggregations.hllPortableEstimate(regs, Seq("source"))
+          .unionByName(Aggregations.hllPortableEstimate(allRegs, Seq("source")))
+      },
+      Some(sqlHllPortableOracle(lgK = 8)))
   )
+
+  /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,
+    * bucket/rank integer splits, CASE leading-zero rank, elementwise-max
+    * union, and the SAME numerator double literal
+    * ([[Aggregations.hllPortableNumerator]]). */
+  private def sqlHllPortableOracle(lgK: Int): String = {
+    val m = 1L << lgK
+    val width = 56 - lgK
+    val bigW = width + 1
+    val rhoCase = (1 to width).map(k =>
+      s"WHEN r >= ${1L << (width - k)} THEN $k")
+      .mkString("CASE ", " ", s" ELSE ${width + 1} END")
+    // sum() widens to HUGEINT in DuckDB — pin BIGINT (values stay < 2^63)
+    val denom = s"CAST(d + ($m - n_buckets_set) * (CAST(1 AS BIGINT) << $bigW) AS BIGINT)"
+    s"""WITH w AS (SELECT source,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS val
+        FROM documents),
+      h AS (SELECT source,
+          CAST(concat('0x', substr(md5(CAST(val AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+        FROM w),
+      b AS (SELECT source, h % $m AS bk, h // $m AS r FROM h),
+      regs AS (SELECT source, bk, max($rhoCase) AS m_j FROM b GROUP BY source, bk),
+      allregs AS (SELECT 'ALL' AS source, bk, max(m_j) AS m_j FROM regs GROUP BY bk),
+      u AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+      agg AS (SELECT source, count(*) AS n_buckets_set,
+          sum(CAST(1 AS BIGINT) << ($bigW - m_j)) AS d FROM u GROUP BY source)
+    SELECT source, n_buckets_set, $denom AS denom_scaled,
+      ${Aggregations.hllPortableNumerator(lgK)} / CAST($denom AS DOUBLE) AS est_distinct
+    FROM agg"""
+  }
 
   val specs: Seq[Q] =
     relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++

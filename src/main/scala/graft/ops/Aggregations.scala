@@ -355,6 +355,78 @@ object Aggregations {
       .agg(hll_union_agg(col("sketch")).as("sketch"))
       .withColumn("est_distinct", hll_sketch_estimate(col("sketch")))
 
+  /** PORTABLE HyperLogLog registers: the engine-restatable sibling of
+    * [[hllSketches]] (whose DataSketches binary is opaque to any oracle).
+    * Hash = first 14 hex chars of md5 (56 bits, exact in any BIGINT);
+    * bucket = low `lgK` bits, rank = 1 + leading zeros of the remaining
+    * `width = 56 − lgK` bits (an integer when-chain — no libm log2), and a
+    * group's register M_j is max(rank) over its bucket-j values. Every step
+    * is integer arithmetic both engines reproduce bit-for-bit (SparkEntry
+    * q137's DuckDB oracle restates it with `%`, `//` and CASE).
+    * Returns (keys…, hll_bucket, hll_reg) — only OCCUPIED buckets
+    * materialize; absent buckets mean register 0.
+    *
+    * At 100 TB this is the cardinality path that stays auditable: registers
+    * are (group, int, int) rows that merge by elementwise max
+    * ([[hllPortableRollup]]) across shards/days without rescanning, and any
+    * engine — including the oracle — can recompute or verify them. */
+  def hllPortableRegisters(df: DataFrame, keys: Seq[String], valueCol: String,
+      lgK: Int = 8): DataFrame = {
+    require(lgK >= 4 && lgK <= 16, "4 <= lgK <= 16")
+    val m = 1L << lgK
+    val width = 56 - lgK
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 14), 16, 10).cast("long")
+    val bucket = h.bitwiseAND(lit(m - 1))
+    // h >> lgK, exact (never a double division — 56-bit values exceed 2^53)
+    val r = shiftright(h, lgK)
+    var rho: Column = lit(width + 1) // r == 0 ⇒ all width bits are zeros
+    for (k <- width to 1 by -1)
+      rho = when(r >= lit(1L << (width - k)), lit(k)).otherwise(rho)
+    df.select(keys.map(col) :+ bucket.as("hll_bucket") :+ rho.as("__rho"): _*)
+      .groupBy(keys.map(col) :+ col("hll_bucket"): _*)
+      .agg(max(col("__rho")).as("hll_reg"))
+  }
+
+  /** Merge portable HLL registers to coarser keys: elementwise max per
+    * bucket — the HLL union, exact (not estimate-level) and restatable in
+    * SQL, so rollup chains (shard → day → corpus) stay oracle-checkable. */
+  def hllPortableRollup(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col) :+ col("hll_bucket"): _*)
+      .agg(max(col("hll_reg")).as("hll_reg"))
+
+  /** Raw HLL estimate from portable registers, with the float work reduced
+    * to ONE division of exact numbers: denom_scaled = Σ_j 2^(W−M_j) (W =
+    * width+1 ≥ max rank) sums as exact longs — empty buckets contribute
+    * 2^W — and est = numerator / denom_scaled where the numerator
+    * α_m·m²·2^W is a single plan-time double literal (the oracle restates
+    * the identical literal). No small/large-range corrections: this is the
+    * raw estimator, accuracy-gated in PortableHllSpec; the point here is
+    * exactness OF THE SKETCH, which DataSketches can't give an oracle.
+    * Returns (keys…, n_buckets_set, denom_scaled, est_distinct). */
+  def hllPortableEstimate(regs: DataFrame, keys: Seq[String], lgK: Int = 8): DataFrame = {
+    val m = 1L << lgK
+    val width = 56 - lgK
+    val bigW = width + 1
+    regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets_set"),
+        sum(call_function("shiftleft", lit(1L), lit(bigW) - col("hll_reg"))).as("__d"))
+      .withColumn("denom_scaled",
+        col("__d") + (lit(m) - col("n_buckets_set")) * lit(1L << bigW))
+      .withColumn("est_distinct",
+        lit(hllPortableNumerator(lgK)) / col("denom_scaled").cast("double"))
+      .drop("__d")
+  }
+
+  /** The exact double literal α_m·m²·2^W both engines divide by
+    * denom_scaled — exposed so SparkEntry's oracle embeds the same bits. */
+  def hllPortableNumerator(lgK: Int): Double = {
+    val m = (1L << lgK).toDouble
+    val alpha =
+      if (lgK == 4) 0.673 else if (lgK == 5) 0.697
+      else if (lgK == 6) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    alpha * m * m * math.pow(2.0, 56 - lgK + 1)
+  }
+
   /** MERGEABLE fixed-width HISTOGRAM sketches per group: bin = floor(value /
     * binWidth), one (keys…, bin, n) row per occupied bin. [[hllSketches]]'
     * quantile sibling, but — unlike HLL's opaque binary — the sketch is

@@ -149,23 +149,56 @@ final case class DeltaSource(path: String) extends WritableSource {
     * Same algebra as [[StageAndSwap.upsert]] — matched rows replaced,
     * unmatched kept, new rows inserted — proven equivalent on the
     * parquet-backed emulation in DeltaSourceSpec. */
-  def upsert(df: DataFrame, keys: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    if (!exists(spark)) insert(df)
-    else {
-      val view = s"__graft_delta_upsert_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      df.createOrReplaceTempView(view)
-      try spark.sql(mergeSql(view, keys))
-      finally spark.catalog.dropTempView(view)
-    }
-  }
+  def upsert(df: DataFrame, keys: Seq[String]): Unit =
+    if (!exists(df.sparkSession)) insert(df)
+    else MergeUpsert.run(df, s"delta.`$path`", keys)
   /** The MERGE statement [[upsert]] runs — exposed so the spec can gate its
     * shape without a live Delta runtime. */
-  def mergeSql(sourceView: String, keys: Seq[String]): String = {
-    require(keys.nonEmpty, "delta upsert needs at least one entity key")
+  def mergeSql(sourceView: String, keys: Seq[String]): String =
+    MergeUpsert.statement(s"delta.`$path`", sourceView, keys)
+}
+
+/** Apache Iceberg table (SURVEY §2.1: IcebergSource). Identified by a
+  * CATALOG TABLE NAME, not a path — Iceberg's metadata lives in the
+  * catalog. Every method uses catalog-neutral Spark APIs (spark.table,
+  * DataFrameWriterV2, ANSI MERGE INTO), so the class is code-complete with
+  * only the iceberg-runtime jar + catalog conf absent in this offline
+  * build (build.sbt DEPLOY NOTE). Like [[DeltaSource]], upsert is a
+  * target-side transaction: the snapshot commit gives the atomicity
+  * StageAndSwap emulates for plain files. */
+final case class IcebergSource(table: String) extends WritableSource {
+  def read(spark: SparkSession): DataFrame = spark.table(table)
+  // an UNBOUND catalog raises AnalysisException on multi-part names — that
+  // means "not reachable here", not a transient read failure, so mapping it
+  // to false is safe (unlike the file sources' existence probes)
+  override def exists(spark: SparkSession): Boolean =
+    try spark.catalog.tableExists(table)
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+  def insert(df: DataFrame): Unit = df.writeTo(table).append()
+  def overwrite(df: DataFrame): Unit = df.writeTo(table).createOrReplace()
+  def upsert(df: DataFrame, keys: Seq[String]): Unit =
+    if (!exists(df.sparkSession)) df.writeTo(table).create()
+    else MergeUpsert.run(df, table, keys)
+  def mergeSql(sourceView: String, keys: Seq[String]): String =
+    MergeUpsert.statement(table, sourceView, keys)
+}
+
+/** Shared MERGE INTO upsert for transactional table formats (Delta,
+  * Iceberg): entity-key equality, update-all matched, insert-all new —
+  * the exact algebra [[StageAndSwap]] implements for plain files. */
+private[sources] object MergeUpsert {
+  def statement(target: String, sourceView: String, keys: Seq[String]): String = {
+    require(keys.nonEmpty, "merge upsert needs at least one entity key")
     val on = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
-    s"MERGE INTO delta.`$path` t USING $sourceView s ON $on " +
+    s"MERGE INTO $target t USING $sourceView s ON $on " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+  }
+  def run(df: DataFrame, target: String, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val view = s"__graft_merge_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(view)
+    try spark.sql(statement(target, view, keys))
+    finally spark.catalog.dropTempView(view)
   }
 }
 

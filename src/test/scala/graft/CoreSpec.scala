@@ -284,6 +284,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("iceberg source: catalog-name merge target + existence via the catalog") {
+    val ice = graft.sources.IcebergSource("lake.db.events")
+    assert(ice.mergeSql("batch", Seq("event_id")) ==
+      "MERGE INTO lake.db.events t USING batch s ON t.`event_id` = s.`event_id` " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    // no iceberg catalog bound in the offline session: the table can't exist
+    assert(!ice.exists(spark))
+  }
+
   test("jsonl round-trip, pinned schema, and upsert") {
     val dir = tmpDir() + "/j"
     val src = graft.sources.JsonLinesSource(dir)

@@ -2713,3 +2713,40 @@ class SqlValuesSpec extends AnyFunSuite {
       store.executeSql(spark, "SELECT * FROM boom").collect())
   }
 }
+
+/** Portable HLL: raw-estimator accuracy envelope + the exact union
+  * property (register merge = registers of the union). */
+class PortableHllSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("estimate lands within the HLL error envelope") {
+    // 8000 distinct values, duplicated unevenly — cardinality must not see
+    // the duplication
+    val vals = (1 to 8000).flatMap(i => Seq.fill(1 + i % 3)(s"tok_$i"))
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val regs = Aggregations.hllPortableRegisters(df, Seq("g"), "v", lgK = 8)
+    val est = Aggregations.hllPortableEstimate(regs, Seq("g"), lgK = 8)
+      .collect().head.getAs[Double]("est_distinct")
+    // σ ≈ 1.04/√256 ≈ 6.5%; 3σ gate
+    assert(math.abs(est - 8000) / 8000 < 0.20, s"est=$est for true 8000")
+  }
+
+  test("register rollup equals the registers of the unioned data (exact)") {
+    val a = (1 to 3000).map(i => ("a", s"x_$i")).toDF("g", "v")
+    val b = (2000 to 5000).map(i => ("b", s"x_$i")).toDF("g", "v")
+    val perGroup = Aggregations.hllPortableRegisters(a.union(b), Seq("g"), "v", lgK = 6)
+    val merged = Aggregations.hllPortableRollup(perGroup, Nil)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val direct = Aggregations.hllPortableRegisters(
+        a.union(b).select(col("v")), Nil, "v", lgK = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == direct)
+    // and the merged estimate tracks the true union cardinality (5000)
+    val est = Aggregations.hllPortableEstimate(
+        Aggregations.hllPortableRollup(perGroup, Nil).withColumn("g", lit("ALL")),
+        Seq("g"), lgK = 6)
+      .collect().head.getAs[Double]("est_distinct")
+    assert(math.abs(est - 5000) / 5000 < 0.40, s"est=$est for true 5000") // σ≈13% at lgK=6
+  }
+}
