@@ -3098,7 +3098,29 @@ object SparkEntry {
         Aggregations.hllPortableEstimate(regs, Seq("source"))
           .unionByName(Aggregations.hllPortableEstimate(allRegs, Seq("source")))
       },
-      Some(sqlHllPortableOracle(lgK = 8)))
+      Some(sqlHllPortableOracle(lgK = 8))),
+
+    // --- CROSS-SOURCE duplication matrix over the portable near-dup pairs:
+    // which sources duplicate which (crawl overlap / mixture-design
+    // diagnostic); count + min/max jaccard per unordered source pair —
+    // order-independent stats only, so the whole chain stays hash-exact ---
+    Q("q138_dup_matrix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.dupMatrix(docs,
+          Dedup.nearDuplicatesPortable(docs, "text", "doc_id",
+            threshold = 0.5, bands = 4, k = 3),
+          "doc_id", "source")
+      },
+      Some(s"""WITH ${minhashCtes()},
+          dg AS (SELECT doc_id, source FROM documents),
+          m AS (SELECT least(ga.source, gb.source) AS group_lo,
+              greatest(ga.source, gb.source) AS group_hi, jaccard
+            FROM pairs JOIN dg ga ON ga.doc_id = id_a
+              JOIN dg gb ON gb.doc_id = id_b)
+        SELECT group_lo, group_hi, count(*) AS n_pairs,
+          min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+        FROM m GROUP BY 1, 2"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

@@ -602,6 +602,27 @@ object Dedup {
       .drop("comp", "__sz")
   }
 
+  /** CROSS-GROUP duplication MATRIX: near-dup pair counts by unordered
+    * group pair (e.g. source×source) — the corpus-curation diagnostic that
+    * says which sources duplicate which (crawl overlap, mixture design:
+    * a source pair with heavy cross-duplication shouldn't both be
+    * upweighted). Input: any near-dup pair frame + the doc→group map; two
+    * id equi-joins and one groupBy on the (lo, hi) group pair. Emitted
+    * stats are ORDER-INDEPENDENT only (count/min/max — a jaccard sum would
+    * be float-order-dependent and break cross-engine hashing). */
+  def dupMatrix(docs: DataFrame, pairs: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
+    val g = docs.select(col(idCol), col(groupCol))
+    pairs
+      .join(g.withColumnsRenamed(Map(idCol -> "id_a", groupCol -> "__ga")), "id_a")
+      .join(g.withColumnsRenamed(Map(idCol -> "id_b", groupCol -> "__gb")), "id_b")
+      .groupBy(least(col("__ga"), col("__gb")).as("group_lo"),
+        greatest(col("__ga"), col("__gb")).as("group_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** CONTAINMENT pairs (asymmetric Jaccard): |A∩B| / min(|A|, |B|) ≥
     * `threshold` — catches a short document embedded verbatim inside a long
     * one, which symmetric Jaccard misses (a 50-word doc inside a 5000-word
