@@ -382,7 +382,10 @@ object Aggregations {
     var rho: Column = lit(width + 1) // r == 0 ⇒ all width bits are zeros
     for (k <- width to 1 by -1)
       rho = when(r >= lit(1L << (width - k)), lit(k)).otherwise(rho)
-    df.select(keys.map(col) :+ bucket.as("hll_bucket") :+ rho.as("__rho"): _*)
+    // nulls are "no value", not a value: md5(NULL) would otherwise mint a
+    // phantom NULL bucket with max rank and skew the estimate
+    df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ bucket.as("hll_bucket") :+ rho.as("__rho"): _*)
       .groupBy(keys.map(col) :+ col("hll_bucket"): _*)
       .agg(max(col("__rho")).as("hll_reg"))
   }

@@ -338,6 +338,8 @@ final class ContractStore {
         val filtered =
           if (keyRows.length > maxInlineKeys)
             base.join(broadcast(acc.select(keys.map(col): _*).distinct()), keys, "left_semi")
+          else if (keyRows.isEmpty) // empty entity frame: nothing to read
+            base.filter(lit(false))
           else if (keys.lengthCompare(1) == 0)
             base.filter(col(keys.head).isin(keyRows.map(_.get(0)).toIndexedSeq: _*))
           else

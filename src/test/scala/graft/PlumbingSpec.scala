@@ -2624,6 +2624,21 @@ class OnlineLookupSpec extends AnyFunSuite {
     assert(q.count() == 50)
     assert(q.filter(col("id") === 1L).select("score").collect().head.getDouble(0) == 30.0)
   }
+
+  test("empty entity frames return empty, composite keys included") {
+    val (v, _) = mkView()
+    val store = new graft.store.ContractStore().addView(v)
+    assert(store.onlineFeaturesFor(spark,
+      Seq.empty[Long].toDF("id"), Seq("scores:score")).count() == 0)
+    val dim = FeatureView("dim2", graft.sources.CustomSource(s => {
+        import s.implicits._; Seq((1L, "eu", 1.0)).toDF("id", "region", "v") }),
+      entities = Seq(Feature("id", FInt64), Feature("region", FString)),
+      features = Seq(Feature("v", FFloat64)))
+    val store2 = new graft.store.ContractStore().addView(dim)
+    // the composite-key OR predicate must not blow up on zero key rows
+    assert(store2.onlineFeaturesFor(spark,
+      Seq.empty[(Long, String)].toDF("id", "region"), Seq("dim2:v")).count() == 0)
+  }
 }
 
 /** Kafka integration smoke: runs only when the spark-sql-kafka connector is
@@ -2748,5 +2763,15 @@ class PortableHllSpec extends AnyFunSuite {
         Seq("g"), lgK = 6)
       .collect().head.getAs[Double]("est_distinct")
     assert(math.abs(est - 5000) / 5000 < 0.40, s"est=$est for true 5000") // σ≈13% at lgK=6
+  }
+
+  test("null values do not mint a phantom register") {
+    val withNulls = (Seq.fill(5)(Option.empty[String]) ++ (1 to 100).map(i => Some(s"v_$i")))
+      .map(("g", _)).toDF("g", "v")
+    val clean = (1 to 100).map(i => ("g", s"v_$i")).toDF("g", "v")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Aggregations.hllPortableRegisters(df, Seq("g"), "v", lgK = 6)
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(regs(withNulls) == regs(clean))
   }
 }
