@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -454,9 +454,18 @@ private[functions] trait VecBinary extends BinaryExpression with CodegenFallback
   }
 }
 
+private[functions] object VecBinary {
+  /** codegen element getter matching [[VecBinary.elem]] */
+  def getter(arr: String, isFloat: Boolean, i: String): String =
+    if (isFloat) s"$arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
 /** dot(a, b): sequential left-to-right accumulation in double — bit-identical
   * to the Column-function formulation it replaces (and to engines that
-  * accumulate sequentially). */
+  * accumulate sequentially). Real `doGenCode` (not CodegenFallback): the
+  * loop inlines into the whole-stage-codegen method instead of bouncing
+  * through an interpreted eval call per joined row — dot/cosine sit in the
+  * innermost loop of every pairwise-similarity join. */
 case class VecDot(left: Expression, right: Expression) extends VecBinary {
   override def dataType: DataType = DoubleType
   private lazy val lf = isFloatArr(left)
@@ -468,12 +477,29 @@ case class VecDot(left: Expression, right: Expression) extends VecBinary {
     while (i < n) { acc += elem(a, lf, i) * elem(b, rf, i); i += 1 }
     java.lang.Double.valueOf(acc)
   }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ((double) ${VecBinary.getter(a, lf, i)})
+            * ((double) ${VecBinary.getter(b, rf, i)});
+        }
+        ${ev.value} = $acc;
+      """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
 
 /** cosine(a, b) = dot / (sqrt(norm_a) * sqrt(norm_b)), each sum accumulated
-  * sequentially — matches the previous zip_with/aggregate semantics exactly. */
+  * sequentially — matches the previous zip_with/aggregate semantics exactly.
+  * Codegen'd like [[VecDot]] (identical loop structure and accumulation
+  * order, so interpreted and generated paths are bit-identical — the oracle
+  * gates would catch any drift). */
 case class VecCosine(left: Expression, right: Expression) extends VecBinary {
   override def dataType: DataType = DoubleType
   private lazy val lf = isFloatArr(left)
@@ -490,6 +516,33 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinary {
     val denom = math.sqrt(na) * math.sqrt(nb)
     java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
   }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val denom = ctx.freshName("denom")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += ((double) ${VecBinary.getter(a, lf, i)})
+            * ((double) ${VecBinary.getter(b, rf, i)});
+        }
+        double $na = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) ${VecBinary.getter(a, lf, i)};
+          $na += $x * $x;
+        }
+        double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) ${VecBinary.getter(b, rf, i)};
+          $nb += $x * $x;
+        }
+        double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+      """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
