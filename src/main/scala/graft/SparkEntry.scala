@@ -3120,7 +3120,35 @@ object SparkEntry {
               JOIN dg gb ON gb.doc_id = id_b)
         SELECT group_lo, group_hi, count(*) AS n_pairs,
           min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
-        FROM m GROUP BY 1, 2"""))
+        FROM m GROUP BY 1, 2""")),
+
+    // --- ONLINE point lookup under the oracle gate: latest feature row per
+    // requested entity, entity keys pushed into the scan (the spec asserts
+    // the PushedFilters plan; this asserts the VALUES). ts derives from the
+    // unique o_orderkey so "latest" is deterministic; absent entities
+    // surface as nulls, like a missing HMGET key ---
+    Q("q139_online_lookup",
+      (s, dir) => {
+        val v = graft.contract.FeatureView("cust_latest",
+          source = graft.sources.TransformSource(
+            graft.sources.ParquetSource(s"$dir/orders.parquet"),
+            df => df.withColumn("ts", timestamp_seconds(col("o_orderkey")))),
+          entities = Seq(graft.contract.Feature("o_custkey", graft.core.FeatureType.FInt64)),
+          features = Seq(
+            graft.contract.Feature("o_totalprice", graft.core.FeatureType.FFloat64),
+            graft.contract.Feature("o_orderstatus", graft.core.FeatureType.FString)),
+          eventTimestamp = Some(graft.contract.EventTimestamp("ts")))
+        val store = new graft.store.ContractStore().addView(v)
+        store.onlineFeaturesFor(s,
+          s.range(1, 101).select(col("id").as("o_custkey")),
+          Seq("cust_latest:o_totalprice", "cust_latest:o_orderstatus"))
+      },
+      Some("""WITH e AS (SELECT CAST(range AS BIGINT) AS o_custkey FROM range(1, 101)),
+          r AS (SELECT o_custkey, o_totalprice, o_orderstatus,
+              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+            FROM orders WHERE o_custkey BETWEEN 1 AND 100)
+        SELECT e.o_custkey, r.o_totalprice, r.o_orderstatus
+        FROM e LEFT JOIN r ON r.o_custkey = e.o_custkey AND r.rn = 1"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,
