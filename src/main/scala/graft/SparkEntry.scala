@@ -3148,7 +3148,71 @@ object SparkEntry {
               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
             FROM orders WHERE o_custkey BETWEEN 1 AND 100)
         SELECT e.o_custkey, r.o_totalprice, r.o_orderstatus
-        FROM e LEFT JOIN r ON r.o_custkey = e.o_custkey AND r.rn = 1"""))
+        FROM e LEFT JOIN r ON r.o_custkey = e.o_custkey AND r.rn = 1""")),
+
+    // --- EXACT SUBSTRING DEDUP SPANS (Lee et al. 2021): maximal runs of
+    // word positions whose 5-gram recurs in >=2 documents. Gram agg + join
+    // back + per-doc gap-and-island window — no n-squared pair join, no
+    // global window ---
+    Q("q140_duplicate_spans",
+      (s, dir) => Dedup.duplicateSpans(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, minDocs = 2),
+      Some("""WITH d AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS pos FROM d),
+          g AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+4], ' ') AS gram FROM g0),
+          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          q AS (SELECT doc_id, pos,
+              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM g JOIN dup USING (gram))
+        SELECT doc_id, span_start, span_end, span_end - span_start + 1 AS span_tokens
+        FROM (SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+          FROM q GROUP BY doc_id, grp)""")),
+
+    // --- SEGMENT-LEVEL EXACT DEDUP (RefinedWeb repeated-paragraph removal
+    // on a fixed 8-word segmenter): keep the globally first occurrence of
+    // each segment, reassemble surviving text per document ---
+    Q("q141_segment_dedup",
+      (s, dir) => Dedup.segmentDedup(t(s, dir, "documents"), "text", "doc_id",
+        segWords = 8),
+      Some("""WITH d AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          s0 AS (SELECT doc_id, ws, unnest(generate_series(1,
+              CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS seg_idx FROM d),
+          s AS (SELECT doc_id, seg_idx,
+              array_to_string(ws[(seg_idx-1)*8+1 : seg_idx*8], ' ') AS seg FROM s0),
+          k AS (SELECT doc_id, seg_idx, seg,
+              row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS kept
+            FROM s)
+        SELECT doc_id,
+          coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '') AS text_clean,
+          count(*) AS n_seg,
+          CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM k GROUP BY doc_id""")),
+
+    // --- CROSS-DOC DUPLICATE FRACTION (Dolma/Gopher quality signal): share
+    // of each document's 3-gram positions whose gram occurs in >=2 docs.
+    // long/long IEEE division — deterministic across engines ---
+    Q("q142_crossdoc_dup_frac",
+      (s, dir) => Dedup.crossDocDupFraction(t(s, dir, "documents"), "text", "doc_id",
+        k = 3, minDocs = 2),
+      Some("""WITH d AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos FROM d),
+          g AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+2], ' ') AS gram FROM g0),
+          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          f AS (SELECT g.doc_id, count(*) AS n_grams,
+              CAST(sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) AS dup_frac
+            FROM g LEFT JOIN dup USING (gram) GROUP BY g.doc_id)
+        SELECT doc_id, coalesce(n_grams, 0) AS n_grams,
+          coalesce(dup_frac, 0.0) AS dup_frac
+        FROM documents LEFT JOIN f USING (doc_id)"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

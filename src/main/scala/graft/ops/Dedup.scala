@@ -756,4 +756,131 @@ object Dedup {
     corpusGrams.join(broadcast(benchGrams), Seq("h"))
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
+
+  /** (id, pos, gram) table of word k-grams with 1-based positions. Words are
+    * lowercased whitespace tokens; documents shorter than k words contribute
+    * no rows. Shared by [[duplicateSpans]] and [[crossDocDupFraction]]. */
+  private def gramTable(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
+      w => length(w) > 0)
+    df.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol), posexplode(
+        when(size(col("__ws")) >= k,
+          transform(sequence(lit(1), size(col("__ws")) - k + 1),
+            i => concat_ws(" ", slice(col("__ws"), i, lit(k)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+  }
+
+  /** EXACT SUBSTRING DEDUP SPANS (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — the suffix-array
+    * pass, re-expressed relationally): for every document, the maximal runs
+    * of word positions whose k-gram also occurs in at least `minDocs` OTHER
+    * documents. A run of consecutive qualifying k-gram start positions
+    * [p..q] is the duplicated substring [p .. q+k-1].
+    *
+    * Plan shape: one shuffle groups grams by value to find the cross-doc
+    * ones (count(DISTINCT doc) ≥ minDocs — a 2-level exact agg, no sketch),
+    * one shuffle joins qualifying grams back to positions, and the run-merge
+    * is the classic `pos - row_number()` gap-and-island window PARTITIONED
+    * BY DOCUMENT — no global window, no n² pair join, no driver state. At
+    * 100 TB the gram join key would be xxhash64(gram) (8-byte shuffle;
+    * collisions only ever WIDEN a span by one false gram) — the string key
+    * here keeps the operator bit-portable for the DuckDB oracle, same
+    * results either way absent 64-bit collisions.
+    *
+    * Returns (idCol, span_start, span_end, span_tokens), positions 1-based
+    * inclusive. Reference anchor for the dedup family contract:
+    * aligned/retrieval_job.py:2131-2163. */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    val g = gramTable(df, textCol, idCol, k)
+    val dup = g.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("gram")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    g.join(dup, Seq("gram"))
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k - 1).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** SEGMENT-LEVEL EXACT DEDUP (the RefinedWeb / MassiveText "repeated
+    * paragraph removal" shape, generalized to a fixed word-window segmenter
+    * so it is well-defined on newline-free corpora): split each document
+    * into consecutive `segWords`-word segments, keep only the globally FIRST
+    * occurrence of each distinct segment (order = (idCol, segment index)),
+    * and reassemble the surviving text in segment order.
+    *
+    * Plan shape: one shuffle on the segment value elects the winner per
+    * duplicate group (row_number window — at scale the partition key becomes
+    * xxhash64(segment), same answer absent collisions), one shuffle on the
+    * document id reassembles. Reassembly aggregates per document — never a
+    * global window — and a fully-deduplicated document survives with
+    * `text_clean = ""` rather than vanishing, so downstream joins on the id
+    * stay total.
+    *
+    * Returns (idCol, text_clean, n_seg, n_dropped). */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+      segWords: Int = 8): DataFrame = {
+    require(segWords >= 1, "segWords must be >= 1")
+    val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
+      w => length(w) > 0)
+    val segs = df.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol), posexplode(
+        when(size(col("__ws")) >= 1,
+          transform(sequence(lit(0L), floor((size(col("__ws")) - 1) / lit(segWords)).cast("long")),
+            i => concat_ws(" ",
+              slice(col("__ws"), i * segWords + 1, lit(segWords)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), (col("pos") + 1).as("seg_idx"), col("col").as("seg"))
+    val w = Window.partitionBy(col("seg")).orderBy(col(idCol), col("seg_idx"))
+    segs.withColumn("__kept", row_number().over(w) === 1)
+      .groupBy(idCol)
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg"))).as("text_clean"),
+        count(lit(1)).as("n_seg"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  /** CROSS-DOCUMENT DUPLICATE FRACTION (the Dolma / Gopher "fraction of the
+    * document duplicated elsewhere" quality signal): for each document, the
+    * share of its word k-gram positions whose gram also occurs in at least
+    * `minDocs` documents corpus-wide (the document's own occurrence counts
+    * toward the threshold, matching the paragraph-dup-fraction rule).
+    *
+    * Plan shape: the same two shuffles as [[duplicateSpans]] (gram agg +
+    * join back) followed by a per-document agg; the fraction is an exact
+    * long/long IEEE division — deterministic across engines. Documents
+    * shorter than k words report n_grams = 0, dup_frac = 0.0.
+    *
+    * Returns (idCol, n_grams, dup_frac). */
+  def crossDocDupFraction(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, minDocs: Int = 2): DataFrame = {
+    val g = gramTable(df, textCol, idCol, k)
+    val dup = g.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gram"), lit(1L).as("__dup"))
+    val perDoc = g.join(dup, Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__dup"), lit(0L))).as("__ndup"))
+      .select(col(idCol), col("n_grams"),
+        (col("__ndup").cast("double") / col("n_grams")).as("dup_frac"))
+    // keep sub-k documents (zero grams) present with dup_frac = 0.0
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"))
+  }
 }

@@ -1023,3 +1023,63 @@ class StreamingTransitionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Segment/substring-level dedup family (Lee et al. 2021 exact substring
+  * spans; RefinedWeb repeated-paragraph removal; Dolma dup-fraction). */
+class SubstringDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("duplicateSpans merges consecutive shared k-grams into one maximal span") {
+    // docs 1 and 2 share the 8-word run "a b c d e f g h"; doc 3 unrelated
+    val shared = "a b c d e f g h"
+    val df = Seq(
+      (1L, s"x1 x2 $shared y1 y2"),
+      (2L, s"z1 $shared z2 z3 z4"),
+      (3L, "p q r s t u v w p q")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: words 3..10 = shared (positions 1-based); doc 2: words 2..9
+    assert(spans.toSet == Set((1L, 3L, 10L, 8L), (2L, 2L, 9L, 8L)))
+  }
+
+  test("duplicateSpans ignores within-doc repeats below minDocs") {
+    val df = Seq(
+      (1L, "m n o p q r m n o p q r"), // repeats itself, no other doc
+      (2L, "unrelated words entirely here now")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(df, "text", "doc_id", k = 5).count() == 0)
+  }
+
+  test("segmentDedup keeps first global occurrence and reassembles") {
+    val seg = "s1 s2 s3 s4" // 4-word segments
+    val df = Seq(
+      (1L, s"$seg a1 a2 a3 a4"),
+      (2L, s"$seg b1 b2 b3 b4"),
+      (3L, s"$seg $seg")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(df, "text", "doc_id", segWords = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((s"$seg a1 a2 a3 a4", 2L, 0L))) // first owner keeps it
+    assert(got(2L) == (("b1 b2 b3 b4", 2L, 1L)))
+    assert(got(3L) == (("", 2L, 2L))) // fully deduped doc survives as empty
+  }
+
+  test("segmentDedup ragged tail segment is its own dedup unit") {
+    val df = Seq((1L, "a b c d e"), (2L, "e")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(df, "text", "doc_id", segWords = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b c d e")
+    assert(got(2L) == "") // tail "e" of doc 1 already owns the segment
+  }
+
+  test("crossDocDupFraction exact fractions and sub-k documents") {
+    val df = Seq(
+      (1L, "a b c d e"),   // grams: abc bcd cde
+      (2L, "a b c x y"),   // grams: abc bcx cxy -> shares only abc
+      (3L, "zz")).toDF("doc_id", "text") // sub-k: 0 grams
+    val got = Dedup.crossDocDupFraction(df, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, 1.0 / 3)))
+    assert(got(2L) == ((3L, 1.0 / 3)))
+    assert(got(3L) == ((0L, 0.0)))
+  }
+}
