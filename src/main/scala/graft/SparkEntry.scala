@@ -3212,7 +3212,59 @@ object SparkEntry {
             FROM g LEFT JOIN dup USING (gram) GROUP BY g.doc_id)
         SELECT doc_id, coalesce(n_grams, 0) AS n_grams,
           coalesce(dup_frac, 0.0) AS dup_frac
-        FROM documents LEFT JOIN f USING (doc_id)"""))
+        FROM documents LEFT JOIN f USING (doc_id)""")),
+
+    // --- TOKEN-BUDGET MIXTURE ALLOCATION (the pretraining data-recipe
+    // planning step): integer relative weights renormalized over present
+    // groups (exact integer window sum — the double-weight form would be
+    // an order-dependent float sum), per-source sampling rate and epoch
+    // count for a 1M-token budget. srcX is absent from the corpus and
+    // must renormalize away ---
+    Q("q143_token_budget",
+      (s, dir) => {
+        val tok = when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        graft.ml.MLOps.tokenBudget(t(s, dir, "documents"), "source", tok,
+          totalBudget = 1000000L,
+          weights = Map("src0" -> 4L, "src1" -> 2L, "src2" -> 2L, "srcX" -> 2L))
+      },
+      Some("""WITH w(source, rw) AS (VALUES ('src0', CAST(4 AS BIGINT)),
+              ('src1', 2), ('src2', 2), ('srcX', 2)),
+          t AS (SELECT source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source),
+          j AS (SELECT t.source, n_docs, n_tokens, rw FROM t JOIN w USING (source))
+        SELECT source, n_docs, n_tokens,
+          CAST(rw AS DOUBLE) / CAST(sum(rw) OVER () AS DOUBLE) AS weight,
+          CAST(rw AS DOUBLE) / CAST(sum(rw) OVER () AS DOUBLE) * 1000000.0 AS target_tokens,
+          CAST(rw AS DOUBLE) / CAST(sum(rw) OVER () AS DOUBLE) * 1000000.0
+            / CAST(n_tokens AS DOUBLE) AS rate,
+          CAST(ceil(CAST(rw AS DOUBLE) / CAST(sum(rw) OVER () AS DOUBLE) * 1000000.0
+            / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs
+        FROM j""")),
+
+    // --- WITHIN-DOCUMENT segment dedup (the C4 "discard repeated lines in
+    // a page" rule on the fixed word-window segmenter): winner election
+    // partitioned by (doc, segment), so cross-doc repeats survive ---
+    Q("q144_perdoc_segment_dedup",
+      (s, dir) => Dedup.segmentDedup(t(s, dir, "documents"), "text", "doc_id",
+        segWords = 2, perDoc = true),
+      Some("""WITH d AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          s0 AS (SELECT doc_id, ws, unnest(generate_series(1,
+              CAST(ceil(len(ws) / 2.0) AS BIGINT))) AS seg_idx FROM d),
+          s AS (SELECT doc_id, seg_idx,
+              array_to_string(ws[(seg_idx-1)*2+1 : seg_idx*2], ' ') AS seg FROM s0),
+          k AS (SELECT doc_id, seg_idx, seg,
+              row_number() OVER (PARTITION BY doc_id, seg ORDER BY doc_id, seg_idx) = 1 AS kept
+            FROM s)
+        SELECT doc_id,
+          coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '') AS text_clean,
+          count(*) AS n_seg,
+          CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM k GROUP BY doc_id"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

@@ -432,4 +432,47 @@ object MLOps {
     val (tr, te, va) = trainTestValidate(df, trainFrac, 1.0 - trainFrac, orderBy, stratifyOn)
     (tr, te.unionByName(va))
   }
+
+  /** TOKEN-BUDGET MIXTURE ALLOCATION (the pretraining "data recipe" step —
+    * the planning counterpart of [[mixtureResample]]): given per-document
+    * token counts, a target total token budget, and desired mixture
+    * weights per group, report for each group its available mass and the
+    * sampling rate that hits its share of the budget. `rate > 1` means the
+    * group must be epoch-repeated (the up-sampling regime Pile/LLaMA-style
+    * recipes publish); weights are renormalized over the groups actually
+    * present so a missing group never silently deflates the mixture.
+    *
+    * Weights are INTEGER relative weights (parts-per-whatever): the
+    * renormalizer is then an exact integer window sum — order-independent
+    * across engines — and every emitted ratio is a single IEEE division/
+    * multiplication of exact operands (deterministic; oracle-checked).
+    * Double weights would make the normalizer an order-dependent float
+    * sum, the classic cross-engine ulp trap.
+    *
+    * One groupBy shuffle over (group) — the per-group table is O(groups),
+    * the broadcast-scale side of any downstream resample join.
+    *
+    * Returns (groupCol, n_docs, n_tokens, weight, target_tokens, rate,
+    * epochs). */
+  def tokenBudget(df: DataFrame, groupCol: String, tokenCount: Column,
+      totalBudget: Long, weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0L),
+      "weights must be non-empty and positive")
+    val weightExpr = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, w)) => when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    val perGroup = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount).as("n_tokens"))
+      .withColumn("__w", weightExpr)
+      .filter(col("__w").isNotNull)
+    val wsum = org.apache.spark.sql.expressions.Window.partitionBy()
+    perGroup
+      .withColumn("weight",
+        col("__w").cast("double") / sum(col("__w")).over(wsum).cast("double"))
+      .withColumn("target_tokens", col("weight") * lit(totalBudget.toDouble))
+      .withColumn("rate", col("target_tokens") / col("n_tokens").cast("double"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("rate"),
+        ceil(col("rate")).cast("long").as("epochs"))
+  }
 }

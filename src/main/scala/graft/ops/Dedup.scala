@@ -795,8 +795,14 @@ object Dedup {
     * inclusive. Reference anchor for the dedup family contract:
     * aligned/retrieval_job.py:2131-2163. */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, minDocs: Int = 2): DataFrame = {
-    val g = gramTable(df, textCol, idCol, k)
+      k: Int = 5, minDocs: Int = 2, hashKey: Boolean = false): DataFrame = {
+    val g0 = gramTable(df, textCol, idCol, k)
+    // the 100 TB form: an 8-byte xxhash64 key crosses the two shuffles
+    // instead of the k-word string (collisions only ever WIDEN a span by
+    // one false gram; equivalence spec-gated at test scale)
+    val g = if (hashKey) g0.select(col(idCol), col("pos"),
+        xxhash64(col("gram")).as("gram"))
+      else g0
     val dup = g.groupBy("gram")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -826,9 +832,17 @@ object Dedup {
     * `text_clean = ""` rather than vanishing, so downstream joins on the id
     * stay total.
     *
+    * `perDoc = true` narrows the dedup scope to WITHIN each document (the
+    * C4 "discard repeated lines in a page" rule): the winner window
+    * partitions by (document, segment) so cross-document repeats survive.
+    * `hashKey = true` is the 100 TB form — the election shuffles on
+    * xxhash64(segment) instead of the segment string (same winners absent
+    * 64-bit collisions; equivalence spec-gated).
+    *
     * Returns (idCol, text_clean, n_seg, n_dropped). */
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
-      segWords: Int = 8): DataFrame = {
+      segWords: Int = 8, perDoc: Boolean = false,
+      hashKey: Boolean = false): DataFrame = {
     require(segWords >= 1, "segWords must be >= 1")
     val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
       w => length(w) > 0)
@@ -840,7 +854,9 @@ object Dedup {
               slice(col("__ws"), i * segWords + 1, lit(segWords)))))
           .otherwise(array().cast("array<string>"))))
       .select(col(idCol), (col("pos") + 1).as("seg_idx"), col("col").as("seg"))
-    val w = Window.partitionBy(col("seg")).orderBy(col(idCol), col("seg_idx"))
+    val segKey = if (hashKey) xxhash64(col("seg")) else col("seg")
+    val w = (if (perDoc) Window.partitionBy(col(idCol), segKey)
+      else Window.partitionBy(segKey)).orderBy(col(idCol), col("seg_idx"))
     segs.withColumn("__kept", row_number().over(w) === 1)
       .groupBy(idCol)
       .agg(

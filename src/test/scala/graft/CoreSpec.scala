@@ -1083,3 +1083,57 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0.0)))
   }
 }
+
+/** Round-5 batch 2: scale-form equivalences + the token-budget allocator. */
+class BudgetAndScaleFormSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b c d e f g h i j a b c d e f"),
+    (2L, "z1 a b c d e f g h z2 z3"),
+    (3L, "p q r s t u v w p q r s")).toDF("doc_id", "text")
+
+  test("duplicateSpans hashKey form matches the string-key form") {
+    val a = Dedup.duplicateSpans(docs, "text", "doc_id", k = 4)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.duplicateSpans(docs, "text", "doc_id", k = 4, hashKey = true)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("segmentDedup hashKey form matches the string-key form") {
+    val a = Dedup.segmentDedup(docs, "text", "doc_id", segWords = 3)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.segmentDedup(docs, "text", "doc_id", segWords = 3, hashKey = true)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("segmentDedup perDoc keeps cross-doc repeats, drops within-doc ones") {
+    val df = Seq(
+      (1L, "a b a b c d"),  // segs: "a b","a b","c d" -> second "a b" dropped
+      (2L, "a b x y")).toDF("doc_id", "text") // cross-doc "a b" SURVIVES
+    val got = Dedup.segmentDedup(df, "text", "doc_id", segWords = 2, perDoc = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b c d", 1L)))
+    assert(got(2L) == (("a b x y", 0L)))
+  }
+
+  test("tokenBudget renormalizes over present groups and computes epochs") {
+    val df = Seq.tabulate(10)(i => (i.toLong, "w " * (i + 1), if (i < 6) "web" else "code"))
+      .toDF("id", "text", "src")
+    val tok = size(split(trim(col("text")), "\\s+")).cast("long")
+    // absent group "books" must renormalize away: web 3/(3+1), code 1/4
+    val got = graft.ml.MLOps.tokenBudget(df, "src", tok, 1000L,
+      Map("web" -> 3L, "code" -> 1L, "books" -> 6L))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5), r.getLong(6)))).toMap
+    // web: docs 1..6 tokens = 21; code: docs 7..10 tokens = 34
+    assert(got("web")._1 == 6 && got("web")._2 == 21)
+    assert(got("code")._1 == 4 && got("code")._2 == 34)
+    assert(got("web")._3 == 0.75 && got("code")._3 == 0.25)
+    assert(got("web")._4 == 750.0 / 21 && got("web")._5 == 36L)
+    assert(got("code")._4 == 250.0 / 34 && got("code")._5 == 8L)
+  }
+}
