@@ -774,6 +774,22 @@ object Dedup {
         col("col").as("gram"))
   }
 
+  /** Grams occurring in ≥ minDocs distinct documents. minDocs = 2 (the
+    * common case) is answered by `min(id) != max(id)` — one ordinary agg
+    * pass, no distinct expansion; the general case pays the exact
+    * two-phase count(DISTINCT). */
+  private def crossDocGrams(g: DataFrame, idCol: String,
+      minDocs: Int): DataFrame = {
+    val grouped = g.groupBy("gram")
+    val dup =
+      if (minDocs <= 2)
+        grouped.agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+          .filter(if (minDocs == 2) col("__mn") =!= col("__mx") else lit(true))
+      else grouped.agg(countDistinct(col(idCol)).as("__nd"))
+        .filter(col("__nd") >= minDocs)
+    dup.select("gram")
+  }
+
   /** EXACT SUBSTRING DEDUP SPANS (Lee et al. 2021, "Deduplicating Training
     * Data Makes Language Models Better", arXiv:2107.06499 — the suffix-array
     * pass, re-expressed relationally): for every document, the maximal runs
@@ -803,12 +819,22 @@ object Dedup {
     val g = if (hashKey) g0.select(col(idCol), col("pos"),
         xxhash64(col("gram")).as("gram"))
       else g0
-    val dup = g.groupBy("gram")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("gram")
+    // minDocs = 2: min≠max over a gram-partitioned window marks cross-doc
+    // grams in the SAME single shuffle that groups them — the gram table
+    // (an interpreted higher-order projection, the expensive part) is
+    // computed once, not once per join side. General minDocs keeps the
+    // agg + join-back shape (partial aggregation absorbs hot-gram skew
+    // that a window partition would concentrate on one task).
+    val marked =
+      if (minDocs <= 2) {
+        val wg = Window.partitionBy(col("gram"))
+        val m = g.withColumn("__mn", min(col(idCol)).over(wg))
+          .withColumn("__mx", max(col(idCol)).over(wg))
+        (if (minDocs == 2) m.filter(col("__mn") =!= col("__mx")) else m)
+          .drop("__mn", "__mx")
+      } else g.join(crossDocGrams(g, idCol, minDocs), Seq("gram"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    g.join(dup, Seq("gram"))
+    marked
       .withColumn("__grp", col("pos") - row_number().over(w))
       .groupBy(col(idCol), col("__grp"))
       .agg(min(col("pos")).as("span_start"),
@@ -883,11 +909,19 @@ object Dedup {
   def crossDocDupFraction(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, minDocs: Int = 2): DataFrame = {
     val g = gramTable(df, textCol, idCol, k)
-    val dup = g.groupBy("gram")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("gram"), lit(1L).as("__dup"))
-    val perDoc = g.join(dup, Seq("gram"), "left")
+    // same single-shuffle marking as duplicateSpans for minDocs = 2
+    val flagged =
+      if (minDocs <= 2) {
+        val wg = Window.partitionBy(col("gram"))
+        g.withColumn("__dup",
+          if (minDocs == 2)
+            when(min(col(idCol)).over(wg) =!= max(col(idCol)).over(wg), 1L)
+              .otherwise(0L)
+          else lit(1L))
+      } else g.join(
+        crossDocGrams(g, idCol, minDocs).select(col("gram"), lit(1L).as("__dup")),
+        Seq("gram"), "left")
+    val perDoc = flagged
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__dup"), lit(0L))).as("__ndup"))
