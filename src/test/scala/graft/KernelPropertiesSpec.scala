@@ -166,3 +166,93 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(collisions <= 4, s"disjoint sets collide on $collisions/32 components")
   }
 }
+
+/** Brute-force equivalence for the substring/segment dedup trio on random
+  * small-vocabulary corpora (tiny vocab forces real cross-doc collisions).
+  * The brute force is a direct driver-side restatement of the definitions;
+  * the operators must match it exactly on every sampled corpus. */
+class SubstringDedupPropertiesSpec extends AnyFunSuite {
+  import graft.ops.Dedup
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(params, org.scalacheck.rng.Seed(1000L + i)))
+  }
+
+  private val wordGen = Gen.oneOf("a", "b", "c", "d", "e")
+  private val docGen = Gen.chooseNum(0, 18).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+  private val corpusGen = Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, docGen))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  private def toks(t: String): Array[String] =
+    t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  test("duplicateSpans equals brute force on random corpora") {
+    val k = 3
+    samples(corpusGen, 15).foreach { corpus =>
+      val byDoc = corpus.map { case (id, t) =>
+        id -> toks(t).sliding(k).filter(_.length == k).map(_.mkString(" ")).toArray
+      }.toMap
+      val gramDocs = byDoc.toSeq.flatMap { case (id, gs) => gs.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+      val expected = byDoc.toSeq.flatMap { case (id, gs) =>
+        val qual = gs.zipWithIndex.collect { case (g, i) if gramDocs(g) >= 2 => i + 1 }
+        // merge consecutive positions into maximal runs
+        qual.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p.toLong) :: rest
+          case (acc, p) => (p.toLong, p.toLong) :: acc
+        }.map { case (s, e) => (id, s, e + k - 1, e + k - 1 - s + 1) }
+      }.toSet
+      val df = corpus.toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(df, "text", "doc_id", k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"corpus: $corpus")
+    }
+  }
+
+  test("segmentDedup equals brute force on random corpora") {
+    val sw = 2
+    samples(corpusGen, 15).foreach { corpus =>
+      val segsByDoc = corpus.map { case (id, t) =>
+        id -> toks(t).grouped(sw).map(_.mkString(" ")).toArray
+      }
+      val firstOwner = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      segsByDoc.sortBy(_._1).foreach { case (id, segs) =>
+        segs.zipWithIndex.foreach { case (s, i) =>
+          if (!firstOwner.contains(s)) firstOwner(s) = (id, i)
+        }
+      }
+      val expected = segsByDoc.filter(_._2.nonEmpty).map { case (id, segs) =>
+        val kept = segs.zipWithIndex.filter { case (s, i) => firstOwner(s) == ((id, i)) }
+        (id, kept.map(_._1).mkString(" "), segs.length.toLong,
+          (segs.length - kept.length).toLong)
+      }.toSet
+      val df = corpus.toDF("doc_id", "text")
+      val got = Dedup.segmentDedup(df, "text", "doc_id", segWords = sw)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"corpus: $corpus")
+    }
+  }
+
+  test("crossDocDupFraction equals brute force on random corpora") {
+    val k = 2
+    samples(corpusGen, 15).foreach { corpus =>
+      val byDoc = corpus.map { case (id, t) =>
+        id -> toks(t).sliding(k).filter(_.length == k).map(_.mkString(" ")).toArray
+      }
+      val gramDocs = byDoc.flatMap { case (id, gs) => gs.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+      val expected = byDoc.map { case (id, gs) =>
+        val nd = gs.count(g => gramDocs(g) >= 2)
+        (id, gs.length.toLong,
+          if (gs.isEmpty) 0.0 else nd.toDouble / gs.length)
+      }.toSet
+      val df = corpus.toDF("doc_id", "text")
+      val got = Dedup.crossDocDupFraction(df, "text", "doc_id", k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"corpus: $corpus")
+    }
+  }
+}
