@@ -284,6 +284,80 @@ object Streaming {
     * AFTER the sink call so a crash in between re-runs the batch (the sink
     * itself must be atomic per batch — upsert-by-key is). The standard
     * batchId-dedup recipe for non-transactional stores. */
+  /** State for one MinHash LSH bucket of [[nearDupStream]]: the most recent
+    * `maxPerBucket` (doc id, signature) entries seen in the bucket. */
+  final case class BucketState(entries: Seq[(Long, Seq[Long])])
+
+  /** STREAMING INCREMENTAL NEAR-DUP — the streaming face of
+    * [[graft.ops.Dedup.nearDuplicates]]: dedup a live document stream (a
+    * crawl, an ingest queue) against everything already seen, without
+    * re-scanning the corpus. Each arriving document is minhash-signed and
+    * exploded to its LSH band buckets (the same banding as the batch
+    * operator); per-bucket keyed state retains the last `maxPerBucket`
+    * (id, signature) entries, and a new document emits (id_seen, id_new,
+    * est_jaccard) for every stored OR same-batch neighbor whose
+    * signature-agreement fraction reaches `threshold` (the
+    * [[graft.ops.Dedup.minhashJaccardEstimate]] estimator — no text is
+    * retained in state, only the numHashes-long signature).
+    *
+    * Scale/state contract: state is O(buckets × maxPerBucket ×
+    * numHashes·8B) and NEVER grows with stream lifetime — a hot bucket
+    * evicts oldest-first, trading recall against the unbounded-state OOM
+    * that a faithful forever-index would hit (the classic streaming-dedup
+    * failure). A pair sharing several bands is emitted once per shared
+    * band and batch — downstream consumers dedup by (id_a, id_b), which
+    * is one `dropDuplicates` in the sink (documented, spec-gated).
+    * Run in Append output mode. Requires a numeric (castable-to-long) id. */
+  def nearDupStream(stream: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 8,
+      k: Int = 3, maxPerBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val sig = stream
+      .select(col(idCol).cast("long").as("id"),
+        graft.ops.Dedup.hashedShingles(col(textCol), k).as("__sh"))
+      .select(col("id"),
+        graft.ops.Dedup.minhashSignatureFast(col("__sh"), numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .select(concat_ws(":", col("pos"), col("col")).as("bkey"),
+        col("id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+    def agree(a: Seq[Long], b: Seq[Long]): Double = {
+      var n = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) n += 1; i += 1 }
+      n.toDouble / a.length
+    }
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, Seq[Long])],
+            state: GroupState[BucketState]) =>
+          var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          // id-sorted batch arrival: same-batch pairs emit deterministically
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sg) =>
+            entries.foreach { case (pid, psig) =>
+              if (pid != id) {
+                val est = agree(psig, sg)
+                if (est >= threshold)
+                  out += ((math.min(pid, id), math.max(pid, id), est))
+              }
+            }
+            entries = (entries :+ (id -> sg)).takeRight(maxPerBucket)
+          }
+          state.update(BucketState(entries))
+          out.result().iterator
+      }
+      .toDF("id_a", "id_b", "est_jaccard")
+  }
+
   def idempotentBatchSink(sink: (DataFrame, Long) => Unit, commitLogDir: String,
       retainMarks: Int = 100)(
       implicit spark: SparkSession): (DataFrame, Long) => Unit = {

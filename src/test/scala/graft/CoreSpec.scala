@@ -1137,3 +1137,45 @@ class BudgetAndScaleFormSpec extends AnyFunSuite {
     assert(got("code")._4 == 250.0 / 34 && got("code")._5 == 8L)
   }
 }
+
+/** Streaming incremental near-dup: cross-batch LSH state. */
+class StreamingNearDupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("nearDupStream finds planted near-dups within and across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    val nearDup2 = (1 to 37).map(i => s"token$i").mkString(" ") + " tokenA tokenB tokenC"
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // batch 1: base + one near-dup + one unrelated
+    Seq((1L, base), (2L, nearDup), (5L, other)).toDF("doc_id", "text")
+      .write.parquet(dir + "/in")
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val pairs = graft.streaming.Streaming.nearDupStream(stream, "text", "doc_id",
+      threshold = 0.5)
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_stream").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.sql("SELECT DISTINCT id_a, id_b FROM neardup_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB1 == Set((1L, 2L))) // same-batch pair, unrelated absent
+      // batch 2: a new near-dup of doc 1 — must match against RETAINED state
+      Seq((3L, nearDup2)).toDF("doc_id", "text")
+        .write.mode("append").parquet(dir + "/in")
+      q.processAllAvailable()
+      val afterB2 = spark.sql("SELECT DISTINCT id_a, id_b FROM neardup_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB2.contains((1L, 3L))) // cross-batch: state carried the sig
+      assert(afterB2.forall { case (a, b) => a != 5L && b != 5L })
+      // estimator sanity: emitted estimates are in (0, 1]
+      val ests = spark.sql("SELECT est_jaccard FROM neardup_stream")
+        .collect().map(_.getDouble(0))
+      assert(ests.forall(e => e > 0.0 && e <= 1.0))
+    } finally q.stop()
+  }
+}
