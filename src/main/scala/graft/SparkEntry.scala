@@ -3264,7 +3264,27 @@ object SparkEntry {
           coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '') AS text_clean,
           count(*) AS n_seg,
           CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-        FROM k GROUP BY doc_id"""))
+        FROM k GROUP BY doc_id""")),
+
+    // --- MATERIALIZE the token-budget recipe: floor(rate) full epochs per
+    // row + one md5-coin fractional copy; rate<1 downsamples, rate>1
+    // epoch-repeats, absent groups drop. epoch = 0-based copy index ---
+    Q("q145_budget_materialize",
+      (s, dir) => graft.ml.MLOps.materializeBudget(
+        t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0))
+        .select("doc_id", "source", "epoch"),
+      Some("""WITH r(source, nc, fc, thr) AS (VALUES
+              ('src0', 3, CAST(2 AS BIGINT), CAST(500000 AS BIGINT)),
+              ('src1', 1, 0, 250000), ('src2', 1, 1, 0)),
+          j AS (SELECT doc_id, d.source, nc, fc, thr
+            FROM documents d JOIN r USING (source)),
+          e AS (SELECT doc_id, source, fc, thr,
+              unnest(generate_series(0, nc - 1)) AS ep FROM j)
+        SELECT doc_id, source, CAST(ep AS BIGINT) AS epoch
+        FROM e WHERE ep < fc OR
+          CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||CAST(ep AS VARCHAR)), 1, 8)
+            AS BIGINT) % 1000000 < thr"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

@@ -475,4 +475,36 @@ object MLOps {
         col("target_tokens"), col("rate"),
         ceil(col("rate")).cast("long").as("epochs"))
   }
+
+  /** MATERIALIZE a [[tokenBudget]] plan: emit each row of group g
+    * `floor(rate(g))` times, plus one extra copy decided by the
+    * deterministic md5 coin on (id, copy) at probability frac(rate(g)) —
+    * the epoch-repeat + fractional-tail sampling step that turns the
+    * recipe's per-group rates into an actual upsampled/downsampled corpus
+    * (rate < 1 downsamples, rate > 1 epoch-repeats; groups absent from
+    * the recipe are dropped). No rand() anywhere: retries, engines and
+    * subset reruns reproduce the same rows. Narrow explode + filter — no
+    * shuffle; the per-group copy count and coin threshold are plan-time
+    * CASE literals computed from the driver-side rate map (O(groups),
+    * the same table [[tokenBudget]] emits).
+    *
+    * Returns the input rows + `epoch` (0-based copy index). */
+  def materializeBudget(df: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && !r.isNaN && !r.isInfinite),
+      "rates must be finite and non-negative")
+    val buckets = 1000000
+    def chain(f: Double => Long): Column =
+      rates.foldLeft(lit(0L)) { case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(f(r))).otherwise(acc)
+      }
+    val nCopies = chain(r => math.ceil(r).toLong)
+    val fullCopies = chain(r => math.floor(r).toLong)
+    val coinThr = chain(r => math.floor((r - math.floor(r)) * buckets).toLong)
+    df.withColumn("epoch", explode(
+        when(nCopies >= 1L, sequence(lit(0L), nCopies - 1))
+          .otherwise(array().cast("array<long>"))))
+      .filter(col("epoch") < fullCopies ||
+        md5Bucket(concat_ws(":", col(idCol), col("epoch")), buckets) < coinThr)
+  }
 }

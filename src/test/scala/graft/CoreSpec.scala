@@ -1120,6 +1120,32 @@ class BudgetAndScaleFormSpec extends AnyFunSuite {
     assert(got(2L) == (("a b x y", 0L)))
   }
 
+  test("materializeBudget: full epochs + deterministic fractional coin") {
+    val df = Seq.tabulate(200)(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val out = graft.ml.MLOps.materializeBudget(df, "id", "grp",
+      Map("a" -> 2.5, "b" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byId = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // group b: exactly one copy (copy 0) per row
+    (1 until 200 by 2).foreach(i => assert(byId(i.toLong) == 1))
+    // group a: 2 or 3 copies per row; the 0.5-coin third copy lands on
+    // roughly half the rows (deterministic md5, loose envelope)
+    val aCounts = (0 until 200 by 2).map(i => byId(i.toLong))
+    assert(aCounts.forall(c => c == 2 || c == 3))
+    val thirds = aCounts.count(_ == 3)
+    assert(thirds > 25 && thirds < 75)
+    // determinism: a rerun emits the identical multiset
+    val rerun = graft.ml.MLOps.materializeBudget(df, "id", "grp",
+      Map("a" -> 2.5, "b" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.toSeq == rerun.sorted.toSeq)
+    // absent group drops
+    val dropped = graft.ml.MLOps.materializeBudget(df, "id", "grp",
+      Map("a" -> 1.0)).filter(col("grp") === "b").count()
+    assert(dropped == 0)
+  }
+
   test("tokenBudget renormalizes over present groups and computes epochs") {
     val df = Seq.tabulate(10)(i => (i.toLong, "w " * (i + 1), if (i < 6) "web" else "code"))
       .toDF("id", "text", "src")
