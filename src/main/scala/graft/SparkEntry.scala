@@ -3284,7 +3284,32 @@ object SparkEntry {
         SELECT doc_id, source, CAST(ep AS BIGINT) AS epoch
         FROM e WHERE ep < fc OR
           CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||CAST(ep AS VARCHAR)), 1, 8)
-            AS BIGINT) % 1000000 < thr"""))
+            AS BIGINT) % 1000000 < thr""")),
+
+    // --- QUALITY-THRESHOLD RETENTION CURVE (the filter-ablation table):
+    // docs/tokens a score>=t filter keeps, per candidate threshold. One
+    // banded scan + driver-side suffix sum over the bounded band table ---
+    Q("q146_retention_curve",
+      (s, dir) => {
+        val tok = when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        TextAnalysis.retentionCurve(t(s, dir, "documents"),
+          col("n_chars"), tok, Seq(250.0, 280.0, 300.0, 320.0))
+      },
+      Some("""WITH t(threshold) AS (VALUES (CAST(250 AS DOUBLE)), (280), (300), (320)),
+          d AS (SELECT n_chars, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok
+            FROM documents),
+          x AS (SELECT threshold, n_chars, tok FROM t CROSS JOIN d)
+        SELECT threshold,
+          CAST(count(CASE WHEN n_chars >= threshold THEN 1 END) AS BIGINT) AS n_docs_kept,
+          CAST(coalesce(sum(CASE WHEN n_chars >= threshold THEN tok END), 0) AS BIGINT)
+            AS n_tokens_kept,
+          CAST(count(CASE WHEN n_chars >= threshold THEN 1 END) AS DOUBLE) / count(*)
+            AS doc_frac,
+          CAST(coalesce(sum(CASE WHEN n_chars >= threshold THEN tok END), 0) AS DOUBLE)
+            / sum(tok) AS token_frac
+        FROM x GROUP BY threshold"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

@@ -652,4 +652,48 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
     words.withColumn("word_rank", row_number().over(w)).filter(col("word_rank") <= k)
   }
+
+  /** QUALITY-THRESHOLD RETENTION CURVE — the filter-ablation table behind
+    * "pick the threshold that keeps X% of tokens" (the FineWeb/C4 tuning
+    * step): for each candidate threshold, how many documents and tokens a
+    * `score >= threshold` filter would retain.
+    *
+    * Single-scan shape: each row is banded to the LARGEST threshold it
+    * passes (a plan-time CASE chain — never a |thresholds|× row explode,
+    * which would multiply a 100 TB scan), one groupBy over ≤
+    * |thresholds|+1 bands, and the cumulative "kept at threshold i =
+    * bands i..n" suffix sum runs driver-side over that bounded band table
+    * (the [[graft.ml.MLOps.tokenShards]] prefix-sum pattern). Fractions
+    * are exact long/long IEEE divisions.
+    *
+    * Returns one row per threshold (ascending): (threshold, n_docs_kept,
+    * n_tokens_kept, doc_frac, token_frac). */
+  def retentionCurve(df: org.apache.spark.sql.DataFrame, scoreCol: Column,
+      tokenCount: Column, thresholds: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    val ts = thresholds.distinct.sorted
+    require(ts.nonEmpty, "at least one threshold")
+    val band = ts.zipWithIndex.foldLeft(lit(-1)) { case (acc, (t, i)) =>
+      when(scoreCol >= lit(t), lit(i)).otherwise(acc)
+    }
+    val byBand = df.select(band.as("__band"), tokenCount.cast("long").as("__t"))
+      .groupBy("__band")
+      .agg(count(lit(1)).as("__d"), sum(col("__t")).as("__tk"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))).toMap
+    val totalDocs = byBand.values.map(_._1).sum
+    val totalToks = byBand.values.map(_._2).sum
+    // suffix sums over the sorted band ids: kept(i) = Σ bands ≥ i
+    val rows = ts.indices.reverse.scanLeft((ts.length, 0L, 0L)) {
+      case ((_, d, tk), i) =>
+        val (bd, btk) = byBand.getOrElse(i, (0L, 0L))
+        (i, d + bd, tk + btk)
+    }.tail.reverse.map { case (i, d, tk) =>
+      (ts(i), d, tk,
+        if (totalDocs == 0) 0.0 else d.toDouble / totalDocs.toDouble,
+        if (totalToks == 0) 0.0 else tk.toDouble / totalToks.toDouble)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("threshold", "n_docs_kept", "n_tokens_kept", "doc_frac", "token_frac")
+  }
 }

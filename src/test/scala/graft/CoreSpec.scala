@@ -1205,3 +1205,27 @@ class StreamingNearDupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Retention-curve ablation table. */
+class RetentionCurveSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("retentionCurve suffix sums match a per-threshold brute force") {
+    val df = Seq.tabulate(50)(i => (i.toLong, i.toDouble, (i % 7 + 1).toLong))
+      .toDF("id", "score", "tok")
+    val ts = Seq(10.0, 25.0, 40.0, 60.0) // 60 keeps nothing
+    val got = graft.ops.TextAnalysis.retentionCurve(df, col("score"), col("tok"), ts)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val rows = (0 until 50).map(i => (i.toDouble, (i % 7 + 1).toLong))
+    val totD = rows.length.toLong
+    val totT = rows.map(_._2).sum
+    ts.foreach { t =>
+      val kept = rows.filter(_._1 >= t)
+      val (d, tk) = (kept.length.toLong, kept.map(_._2).sum)
+      assert(got(t) == ((d, tk, d.toDouble / totD, tk.toDouble / totT)), s"t=$t")
+    }
+    assert(got(60.0)._1 == 0L && got(60.0)._4 == 0.0)
+  }
+}
