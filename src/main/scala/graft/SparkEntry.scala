@@ -3309,7 +3309,62 @@ object SparkEntry {
             AS doc_frac,
           CAST(coalesce(sum(CASE WHEN n_chars >= threshold THEN tok END), 0) AS DOUBLE)
             / sum(tok) AS token_frac
-        FROM x GROUP BY threshold"""))
+        FROM x GROUP BY threshold""")),
+
+    // --- ROUND-5 CAPSTONE RECIPE CHAIN, hash-verified as ONE query:
+    // cross-doc dup-fraction screen (keep dup_frac <= 0.8) -> token-budget
+    // rates over the surviving corpus (integer weights src0:3 src1:1,
+    // 50k-token budget) -> deterministic epoch materialization (floor(rate)
+    // epochs + md5-coin fractional copy). Every stage's arithmetic is
+    // exact-operand IEEE, so the three-operator composition stays
+    // bit-portable end to end ---
+    Q("q147_corpus_recipe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val frac = Dedup.crossDocDupFraction(docs, "text", "doc_id", k = 3, minDocs = 2)
+        val kept = docs.join(
+          frac.filter(col("dup_frac") <= 0.8).select("doc_id"), Seq("doc_id"))
+        val tok = when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        val budget = graft.ml.MLOps.tokenBudget(kept, "source", tok, 50000L,
+          Map("src0" -> 3L, "src1" -> 1L))
+        // O(groups) driver pull — the rates table is the broadcast-scale
+        // side by construction
+        val rates = budget.select(col("source"), col("rate")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        graft.ml.MLOps.materializeBudget(kept, "doc_id", "source", rates)
+          .select("doc_id", "source", "epoch")
+      },
+      Some("""WITH d AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos FROM d),
+          g AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+2], ' ') AS gram FROM g0),
+          dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          f AS (SELECT g.doc_id, CAST(sum(CASE WHEN dupg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS dup_frac
+            FROM g LEFT JOIN dupg USING (gram) GROUP BY g.doc_id),
+          kept AS (SELECT d0.doc_id, d0.source, d0.text
+            FROM documents d0 LEFT JOIN f USING (doc_id)
+            WHERE coalesce(dup_frac, 0.0) <= 0.8),
+          w(source, rw) AS (VALUES ('src0', CAST(3 AS BIGINT)), ('src1', 1)),
+          t AS (SELECT source, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+            FROM kept GROUP BY source),
+          r AS (SELECT t.source, CAST(rw AS DOUBLE) / CAST(sum(rw) OVER () AS DOUBLE)
+                * 50000.0 / CAST(n_tokens AS DOUBLE) AS rate
+            FROM t JOIN w USING (source)),
+          p AS (SELECT source, CAST(ceil(rate) AS BIGINT) AS nc,
+              CAST(floor(rate) AS BIGINT) AS fc,
+              CAST(floor((rate - floor(rate)) * 1000000) AS BIGINT) AS thr FROM r),
+          j AS (SELECT k.doc_id, k.source, nc, fc, thr FROM kept k JOIN p USING (source)),
+          e AS (SELECT doc_id, source, fc, thr,
+              unnest(generate_series(0, nc - 1)) AS ep FROM j)
+        SELECT doc_id, source, CAST(ep AS BIGINT) AS epoch FROM e
+        WHERE ep < fc OR
+          CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||CAST(ep AS VARCHAR)), 1, 8)
+            AS BIGINT) % 1000000 < thr"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,
