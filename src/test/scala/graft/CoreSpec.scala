@@ -1229,3 +1229,49 @@ class RetentionCurveSpec extends AnyFunSuite {
     assert(got(60.0)._1 == 0L && got(60.0)._4 == 0.0)
   }
 }
+
+/** Incremental-equals-batch property for the streaming near-dup. */
+class StreamingNearDupIncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def runStream(batches: Seq[Seq[(Long, String)]]): Set[(Long, Long)] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_inc").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    batches.head.toDF("doc_id", "text").write.parquet(dir + "/in")
+    val stream = graft.streaming.Streaming.fileStream(spark, dir + "/in", schema)
+    val name = s"nd_inc_${System.nanoTime()}"
+    val q = graft.streaming.Streaming.nearDupStream(stream, "text", "doc_id",
+      threshold = 0.5)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      batches.tail.foreach { b =>
+        b.toDF("doc_id", "text").write.mode("append").parquet(dir + "/in")
+        q.processAllAvailable()
+      }
+      spark.sql(s"SELECT DISTINCT id_a, id_b FROM $name")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally q.stop()
+  }
+
+  test("two-batch streaming emits the same pair set as one batch") {
+    val famA = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val famB = (200 to 240).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> famA,
+      2L -> (famA.split(" ").take(38).mkString(" ") + " xA yA"),
+      3L -> (famA.split(" ").take(37).mkString(" ") + " xB yB zB"),
+      4L -> famB,
+      5L -> (famB.split(" ").take(39).mkString(" ") + " qQ rR"),
+      6L -> (300 to 340).map(i => s"u$i").mkString(" "),
+      7L -> (400 to 440).map(i => s"v$i").mkString(" "))
+    // split point preserves id order across batches (state sees lower ids
+    // first, exactly like the id-sorted single batch)
+    val oneShot = runStream(Seq(docs))
+    val twoShot = runStream(Seq(docs.take(4), docs.drop(4)))
+    assert(oneShot == twoShot && oneShot.nonEmpty)
+    assert(oneShot.contains((1L, 2L)) && oneShot.contains((4L, 5L)))
+  }
+}
