@@ -3364,7 +3364,37 @@ object SparkEntry {
         SELECT doc_id, source, CAST(ep AS BIGINT) AS epoch FROM e
         WHERE ep < fc OR
           CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||CAST(ep AS VARCHAR)), 1, 8)
-            AS BIGINT) % 1000000 < thr"""))
+            AS BIGINT) % 1000000 < thr""")),
+
+    // --- SPAN-LEVEL BOILERPLATE EXCISION (the removal step of exact
+    // substring dedup): strip every word position covered by a cross-doc
+    // duplicated >=5-gram run, reassemble the survivors ---
+    Q("q148_strip_spans",
+      (s, dir) => Dedup.stripDuplicateSpans(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, minDocs = 2),
+      Some("""WITH d AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS pos FROM d),
+          g AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+4], ' ') AS gram FROM g0),
+          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          q0 AS (SELECT doc_id, pos,
+              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM g JOIN dup USING (gram)),
+          spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+            FROM q0 GROUP BY doc_id, grp),
+          w AS (SELECT doc_id, unnest(ws) AS word,
+              unnest(generate_series(1, len(ws))) AS pos FROM d),
+          cut AS (SELECT DISTINCT w.doc_id, w.pos FROM w JOIN spans s
+            ON s.doc_id = w.doc_id AND w.pos BETWEEN s.span_start AND s.span_end)
+        SELECT w.doc_id,
+          coalesce(string_agg(word, ' ' ORDER BY w.pos) FILTER (WHERE cut.pos IS NULL), '')
+            AS text_clean,
+          count(*) AS n_words,
+          CAST(sum(CASE WHEN cut.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM w LEFT JOIN cut ON cut.doc_id = w.doc_id AND cut.pos = w.pos
+        GROUP BY w.doc_id"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

@@ -843,6 +843,46 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** STRIP the spans [[duplicateSpans]] detects: remove every word position
+    * covered by a cross-document duplicated run of ≥ k words and reassemble
+    * the survivors — span-level boilerplate excision (the actionable form
+    * of exact substring dedup: headers, footers, license blocks vanish
+    * while the unique prose stays, per Lee et al. 2021's removal step).
+    *
+    * Plan shape: [[duplicateSpans]]' two shuffles, then the span table
+    * (output-sized, far smaller than the corpus) joins back onto the word
+    * positions per document — a doc-key equi-join with a range predicate,
+    * never a cross join — and the rebuild is one per-doc aggregation.
+    * Documents with no spans pass through verbatim (modulo the
+    * lowercase/whitespace normalization all dedup ops share).
+    *
+    * Returns (idCol, text_clean, n_words, n_removed). */
+  def stripDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minDocs: Int = 2, hashKey: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, k, minDocs, hashKey)
+      .select(col(idCol), col("span_start"), col("span_end"))
+    val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
+      w => length(w) > 0)
+    val words = df.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol), posexplode(col("__ws")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("word"))
+    val covered = words.join(spans,
+        words(idCol) === spans(idCol) &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_semi")
+      .select(col(idCol), col("pos"), lit(1L).as("__cut"))
+    words.join(covered, Seq(idCol, "pos"), "left")
+      .groupBy(idCol)
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__cut").isNull,
+            struct(col("pos"), col("word"))))),
+          s => s.getField("word"))).as("text_clean"),
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("__cut"), lit(0L))).as("n_removed"))
+  }
+
   /** SEGMENT-LEVEL EXACT DEDUP (the RefinedWeb / MassiveText "repeated
     * paragraph removal" shape, generalized to a fixed word-window segmenter
     * so it is well-defined on newline-free corpora): split each document

@@ -1275,3 +1275,31 @@ class StreamingNearDupIncrementalSpec extends AnyFunSuite {
     assert(oneShot.contains((1L, 2L)) && oneShot.contains((4L, 5L)))
   }
 }
+
+/** Span excision: the removal step of exact substring dedup. */
+class StripSpansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stripDuplicateSpans removes exactly the covered positions") {
+    val shared = "a b c d e f g h" // 8-word shared run
+    val df = Seq(
+      (1L, s"x1 x2 $shared y1 y2"),
+      (2L, s"z1 $shared z2 z3 z4"),
+      (3L, "p q r s t u v w w v u t s r q p")).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicateSpans(df, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("x1 x2 y1 y2", 12L, 8L)))
+    assert(got(2L) == (("z1 z2 z3 z4", 12L, 8L)))
+    assert(got(3L) == (("p q r s t u v w w v u t s r q p", 16L, 0L))) // untouched
+  }
+
+  test("fully-covered document survives as empty text") {
+    val run = "m n o p q r s t"
+    val df = Seq((1L, run), (2L, run)).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicateSpans(df, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(got(1L) == (("", 8L)) && got(2L) == (("", 8L)))
+  }
+}
