@@ -3394,7 +3394,32 @@ object SparkEntry {
           count(*) AS n_words,
           CAST(sum(CASE WHEN cut.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
         FROM w LEFT JOIN cut ON cut.doc_id = w.doc_id AND cut.pos = w.pos
-        GROUP BY w.doc_id"""))
+        GROUP BY w.doc_id""")),
+
+    // --- PER-GROUP retention curves (per-source threshold tuning):
+    // fractions within each source, same banded-scan + driver suffix-sum
+    // shape as q146 ---
+    Q("q149_retention_by_source",
+      (s, dir) => {
+        val tok = when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        TextAnalysis.retentionCurveBy(t(s, dir, "documents"),
+          col("n_chars"), tok, Seq(260.0, 300.0), groupCol = Some("source"))
+      },
+      Some("""WITH t(threshold) AS (VALUES (CAST(260 AS DOUBLE)), (300)),
+          d AS (SELECT source, n_chars, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok
+            FROM documents),
+          x AS (SELECT threshold, source, n_chars, tok FROM t CROSS JOIN d)
+        SELECT source AS "group", threshold,
+          CAST(count(CASE WHEN n_chars >= threshold THEN 1 END) AS BIGINT) AS n_docs_kept,
+          CAST(coalesce(sum(CASE WHEN n_chars >= threshold THEN tok END), 0) AS BIGINT)
+            AS n_tokens_kept,
+          CAST(count(CASE WHEN n_chars >= threshold THEN 1 END) AS DOUBLE) / count(*)
+            AS doc_frac,
+          CAST(coalesce(sum(CASE WHEN n_chars >= threshold THEN tok END), 0) AS DOUBLE)
+            / sum(tok) AS token_frac
+        FROM x GROUP BY source, threshold"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

@@ -669,31 +669,50 @@ object TextAnalysis {
     * Returns one row per threshold (ascending): (threshold, n_docs_kept,
     * n_tokens_kept, doc_frac, token_frac). */
   def retentionCurve(df: org.apache.spark.sql.DataFrame, scoreCol: Column,
-      tokenCount: Column, thresholds: Seq[Double]): org.apache.spark.sql.DataFrame = {
+      tokenCount: Column, thresholds: Seq[Double]): org.apache.spark.sql.DataFrame =
+    retentionCurveBy(df, scoreCol, tokenCount, thresholds, groupCol = None)
+      .drop("group")
+
+  /** [[retentionCurve]] PER GROUP (the per-language/per-source threshold
+    * tuning loop — thresholds that keep 60% of English may keep 5% of a
+    * low-resource language): one banded scan grouped by (group, band),
+    * driver-side suffix sums over the bounded group×band table, fractions
+    * within each group. `groupCol = None` degenerates to the global curve
+    * with a constant "" group. */
+  def retentionCurveBy(df: org.apache.spark.sql.DataFrame, scoreCol: Column,
+      tokenCount: Column, thresholds: Seq[Double],
+      groupCol: Option[String]): org.apache.spark.sql.DataFrame = {
     val ts = thresholds.distinct.sorted
     require(ts.nonEmpty, "at least one threshold")
     val band = ts.zipWithIndex.foldLeft(lit(-1)) { case (acc, (t, i)) =>
       when(scoreCol >= lit(t), lit(i)).otherwise(acc)
     }
-    val byBand = df.select(band.as("__band"), tokenCount.cast("long").as("__t"))
-      .groupBy("__band")
+    val g = groupCol.map(col).getOrElse(lit("")).cast("string")
+    val byBand = df.select(g.as("__g"), band.as("__band"),
+        tokenCount.cast("long").as("__t"))
+      .groupBy("__g", "__band")
       .agg(count(lit(1)).as("__d"), sum(col("__t")).as("__tk"))
-      .collect().map(r => r.getInt(0) -> ((r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2)))).toMap
-    val totalDocs = byBand.values.map(_._1).sum
-    val totalToks = byBand.values.map(_._2).sum
-    // suffix sums over the sorted band ids: kept(i) = Σ bands ≥ i
-    val rows = ts.indices.reverse.scanLeft((ts.length, 0L, 0L)) {
-      case ((_, d, tk), i) =>
-        val (bd, btk) = byBand.getOrElse(i, (0L, 0L))
-        (i, d + bd, tk + btk)
-    }.tail.reverse.map { case (i, d, tk) =>
-      (ts(i), d, tk,
-        if (totalDocs == 0) 0.0 else d.toDouble / totalDocs.toDouble,
-        if (totalToks == 0) 0.0 else tk.toDouble / totalToks.toDouble)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3)))).toMap
+    val rows = byBand.keys.map(_._1).toSeq.distinct.sorted.flatMap { grp =>
+      val bands = (-1 until ts.length)
+        .map(i => i -> byBand.getOrElse((grp, i), (0L, 0L))).toMap
+      val totalDocs = bands.values.map(_._1).sum
+      val totalToks = bands.values.map(_._2).sum
+      // suffix sums over the sorted band ids: kept(i) = Σ bands ≥ i
+      ts.indices.reverse.scanLeft((ts.length, 0L, 0L)) {
+        case ((_, d, tk), i) =>
+          val (bd, btk) = bands(i)
+          (i, d + bd, tk + btk)
+      }.tail.reverse.map { case (i, d, tk) =>
+        (grp, ts(i), d, tk,
+          if (totalDocs == 0) 0.0 else d.toDouble / totalDocs.toDouble,
+          if (totalToks == 0) 0.0 else tk.toDouble / totalToks.toDouble)
+      }
     }
     val spark = df.sparkSession
     import spark.implicits._
-    rows.toDF("threshold", "n_docs_kept", "n_tokens_kept", "doc_frac", "token_frac")
+    rows.toDF("group", "threshold", "n_docs_kept", "n_tokens_kept",
+      "doc_frac", "token_frac")
   }
 }

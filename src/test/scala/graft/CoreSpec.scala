@@ -1303,3 +1303,27 @@ class StripSpansSpec extends AnyFunSuite {
     assert(got(1L) == (("", 8L)) && got(2L) == (("", 8L)))
   }
 }
+
+/** Grouped retention curves. */
+class RetentionCurveBySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("per-group fractions are within-group and global form matches q146 shape") {
+    val df = Seq(
+      (1L, 10.0, 5L, "en"), (2L, 20.0, 5L, "en"), (3L, 30.0, 10L, "en"),
+      (4L, 10.0, 2L, "de"), (5L, 40.0, 8L, "de")).toDF("id", "score", "tok", "lang")
+    val got = graft.ops.TextAnalysis.retentionCurveBy(df, col("score"), col("tok"),
+      Seq(15.0, 35.0), Some("lang"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(("en", 15.0)) == ((2L, 15L, 2.0 / 3, 15.0 / 20)))
+    assert(got(("en", 35.0)) == ((0L, 0L, 0.0, 0.0)))
+    assert(got(("de", 15.0)) == ((1L, 8L, 0.5, 8.0 / 10)))
+    assert(got(("de", 35.0)) == ((1L, 8L, 0.5, 8.0 / 10)))
+    // ungrouped wrapper drops the group column and totals globally
+    val global = graft.ops.TextAnalysis.retentionCurve(df, col("score"), col("tok"),
+      Seq(15.0)).collect().head
+    assert(global.getLong(1) == 3L && global.getLong(2) == 23L)
+  }
+}
