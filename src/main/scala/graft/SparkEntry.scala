@@ -3419,7 +3419,142 @@ object SparkEntry {
             AS doc_frac,
           CAST(coalesce(sum(CASE WHEN n_chars >= threshold THEN tok END), 0) AS DOUBLE)
             / sum(tok) AS token_frac
-        FROM x GROUP BY source, threshold"""))
+        FROM x GROUP BY source, threshold""")),
+
+    // --- PORTABLE COUNT-MIN SKETCH: the frequency sibling of q137's
+    // portable HLL — integer counters, counter-wise-sum merge, min-over-
+    // depth point estimates; sketch, rollup AND estimates all recomputed by
+    // the oracle. exact_count rides along so the never-undercounts
+    // guarantee is visible in the result itself ---
+    Q("q150_cms_portable",
+      (s, dir) => {
+        val probes = Seq("spark", "table", "hash", "value", "the", "zz_absent")
+        val tokens = t(s, dir, "documents").select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        val sk = Aggregations.cmsPortableSketch(tokens, Seq("source"), "w")
+        val allSk = Aggregations.cmsPortableRollup(sk, Nil)
+          .withColumn("source", lit("ALL"))
+        val est = Aggregations.cmsPortableEstimate(sk, Seq("source"), probes)
+          .unionByName(Aggregations.cmsPortableEstimate(allSk, Seq("source"), probes))
+        val exact = tokens.filter(col("w").isin(probes: _*))
+          .groupBy("source", "w").agg(count(lit(1)).as("exact_count"))
+        val exactAll = exact.groupBy("w")
+          .agg(sum(col("exact_count")).as("exact_count"))
+          .withColumn("source", lit("ALL"))
+        est.join(exact.unionByName(exactAll).withColumnRenamed("w", "probe"),
+            Seq("source", "probe"), "left")
+          .na.fill(0L, Seq("exact_count"))
+      },
+      Some("""WITH w AS (SELECT source,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS val FROM documents),
+          dep(dep) AS (VALUES (0), (1), (2), (3)),
+          hx AS (SELECT source, dep,
+              CAST(concat('0x', substr(md5(concat(CAST(dep AS VARCHAR), ':', val)), 1, 14))
+                AS BIGINT) % 1024 AS slot
+            FROM w CROSS JOIN dep),
+          sk AS (SELECT source, dep, slot, count(*) AS n FROM hx GROUP BY 1, 2, 3),
+          skall AS (SELECT 'ALL' AS source, dep, slot, CAST(sum(n) AS BIGINT) AS n
+            FROM sk GROUP BY 2, 3),
+          u AS (SELECT * FROM sk UNION ALL SELECT * FROM skall),
+          p(probe) AS (VALUES ('spark'), ('table'), ('hash'), ('value'), ('the'), ('zz_absent')),
+          ph AS (SELECT probe, dep,
+              CAST(concat('0x', substr(md5(concat(CAST(dep AS VARCHAR), ':', probe)), 1, 14))
+                AS BIGINT) % 1024 AS slot
+            FROM p CROSS JOIN dep),
+          grp AS (SELECT DISTINCT source FROM u),
+          est AS (SELECT grp.source, ph.probe,
+              CAST(min(coalesce(u.n, 0)) AS BIGINT) AS est_count
+            FROM grp CROSS JOIN ph
+              LEFT JOIN u ON u.source = grp.source AND u.dep = ph.dep AND u.slot = ph.slot
+            GROUP BY 1, 2),
+          ex AS (SELECT source, val AS probe, count(*) AS c FROM w
+            WHERE val IN ('spark', 'table', 'hash', 'value', 'the', 'zz_absent')
+            GROUP BY 1, 2),
+          exall AS (SELECT 'ALL' AS source, probe, CAST(sum(c) AS BIGINT) AS c
+            FROM ex GROUP BY 2),
+          exu AS (SELECT * FROM ex UNION ALL SELECT * FROM exall)
+        SELECT est.source, est.probe, est_count,
+          CAST(coalesce(exu.c, 0) AS BIGINT) AS exact_count
+        FROM est LEFT JOIN exu ON exu.source = est.source AND exu.probe = est.probe""")),
+
+    // --- DSIR data selection (Xie et al. 2023), integer-quantized: hashed-
+    // unigram likelihood-ratio scores toward the lang='en' target, exact
+    // long sums, top-25% selection with integer k and deterministic ties ---
+    Q("q151_dsir_select",
+      (s, dir) => graft.ml.MLOps.dsirSelect(t(s, dir, "documents"), "text", "doc_id",
+        targetPred = col("lang") === "en", buckets = 4096, scale = 1000000L, keepPct = 25),
+      Some("""WITH d AS (SELECT doc_id, lang, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest(ws) AS w FROM d),
+          tb AS (SELECT doc_id, tgt,
+              CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 4096 AS b FROM tok),
+          bs AS (SELECT b,
+              ((count(CASE WHEN tgt THEN 1 END) + 1) * 1000000) // (count(*) + 1) AS sc
+            FROM tb GROUP BY b),
+          ds AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS dsir_score
+            FROM tb JOIN bs USING (b) GROUP BY doc_id),
+          al AS (SELECT d.doc_id, CAST(coalesce(ds.dsir_score, 0) AS BIGINT) AS dsir_score
+            FROM d LEFT JOIN ds ON ds.doc_id = d.doc_id),
+          r AS (SELECT doc_id, dsir_score,
+              row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn,
+              count(*) OVER () AS total FROM al)
+        SELECT doc_id, dsir_score, CAST(rn AS BIGINT) AS "rank",
+          rn <= (total * 25 + 99) // 100 AS selected FROM r""")),
+
+    // --- GOPHER rule-set filter (Rae et al. 2021 A1.1): the published hard
+    // quality gate with a per-rule failure bitmask; counting + single IEEE
+    // divisions only, so the whole rule table hash-matches. minWords
+    // lowered to 20 for this corpus (30-60-word synthetic docs) — the
+    // paper's 50 is the default ---
+    Q("q152_gopher_filter",
+      (s, dir) => TextAnalysis.gopherFilter(t(s, dir, "documents"), "text", "doc_id",
+        minWords = 20),
+      Some("""WITH d AS (SELECT doc_id, text, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws,
+            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+              l -> length(l) > 0) AS ls
+            FROM documents),
+          m AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len,
+              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_cnt,
+              CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots_cnt,
+              CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                OR starts_with(l, '• '))) AS BIGINT) AS bullet_cnt,
+              CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+                AS BIGINT) AS ellipsis_cnt,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_cnt,
+              CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                sw -> list_contains(ws, sw))) AS BIGINT) AS stop_hits
+            FROM d),
+          x AS (SELECT doc_id, n_words,
+              CASE WHEN n_words = 0 THEN NULL
+                ELSE CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+              CASE WHEN n_words = 0 THEN NULL
+                ELSE CAST(hash_cnt + dots_cnt AS DOUBLE) / n_words END AS symbol_ratio,
+              CASE WHEN n_lines = 0 THEN 0.0
+                ELSE CAST(bullet_cnt AS DOUBLE) / n_lines END AS bullet_frac,
+              CASE WHEN n_lines = 0 THEN 0.0
+                ELSE CAST(ellipsis_cnt AS DOUBLE) / n_lines END AS ellipsis_frac,
+              CASE WHEN n_words = 0 THEN NULL
+                ELSE CAST(alpha_cnt AS DOUBLE) / n_words END AS alpha_frac,
+              stop_hits AS n_stop_hits
+            FROM m),
+          y AS (SELECT *,
+              CAST(CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END
+                + CASE WHEN mean_word_len IS NULL OR mean_word_len < 3.0
+                    OR mean_word_len > 10.0 THEN 2 ELSE 0 END
+                + CASE WHEN symbol_ratio IS NOT NULL AND symbol_ratio >= 0.1 THEN 4 ELSE 0 END
+                + CASE WHEN bullet_frac >= 0.9 THEN 8 ELSE 0 END
+                + CASE WHEN ellipsis_frac >= 0.3 THEN 16 ELSE 0 END
+                + CASE WHEN alpha_frac IS NULL OR alpha_frac < 0.8 THEN 32 ELSE 0 END
+                + CASE WHEN n_stop_hits < 2 THEN 64 ELSE 0 END AS BIGINT) AS fail_mask
+            FROM x)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+          ellipsis_frac, alpha_frac, n_stop_hits, fail_mask, fail_mask = 0 AS keep
+        FROM y"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

@@ -507,4 +507,51 @@ object MLOps {
       .filter(col("epoch") < fullCopies ||
         md5Bucket(concat_ws(":", col(idCol), col("epoch")), buckets) < coinThr)
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"), INTEGER-QUANTIZED so any
+    * engine reproduces it bit-for-bit: features are hashed unigrams
+    * ([[md5Bucket]] over `buckets`); each bucket scores
+    * `((n_target+1)·scale) DIV (n_raw+1)` — the add-one-smoothed
+    * target/raw likelihood ratio in fixed point, integer floor division —
+    * and a document's importance is the exact LONG sum of its token
+    * positions' bucket scores. (The paper's log-likelihood-ratio sum is an
+    * order-dependent float chain through libm log — the classic
+    * cross-engine trap; the fixed-point ratio sum gives the same
+    * target-like-documents-first ordering and is exactly restatable in
+    * SQL.) Docs are ranked (score desc, id) and the top `keepPct`% flagged,
+    * with k = (N·keepPct + 99) DIV 100 — all integer, ties deterministic.
+    *
+    * Shuffle shape: one token-level groupBy on the hash bucket (the bucket
+    * table is O(buckets) and BROADCASTS back), one per-doc sum keyed on the
+    * doc id. The final global rank is a single-sort window — fine to ~10^8
+    * docs; at 100 TB swap the exact rank for a banded score histogram
+    * ([[graft.ops.TextAnalysis.retentionCurve]] shape) and select by
+    * threshold, which needs no global sort. `scale·max_bucket_count` must
+    * stay < 2^63: the default 10^6 scale holds to ~10^12 tokens per bucket.
+    *
+    * Returns (idCol, dsir_score, rank, selected); docs with no tokens
+    * score 0. */
+  def dsirSelect(df: DataFrame, textCol: String, idCol: String, targetPred: Column,
+      buckets: Int = 4096, scale: Long = 1000000L, keepPct: Int = 25): DataFrame = {
+    require(buckets > 0 && scale > 0 && keepPct >= 0 && keepPct <= 100,
+      "buckets/scale positive, 0 <= keepPct <= 100")
+    val ws = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
+    val toks = df.select(col(idCol), targetPred.as("__tgt"), explode(ws).as("__w"))
+      .withColumn("__b", md5Bucket(col("__w"), buckets))
+    val bucketScores = toks.groupBy("__b")
+      .agg(count(when(col("__tgt"), 1)).as("__nt"), count(lit(1)).as("__nr"))
+      .withColumn("__sc", expr(s"((__nt + 1) * ${scale}L) DIV (__nr + 1)"))
+      .select("__b", "__sc")
+    val docScores = toks
+      .join(broadcast(bucketScores), "__b")
+      .groupBy(idCol).agg(sum(col("__sc")).as("dsir_score"))
+    df.select(col(idCol)).join(docScores, Seq(idCol), "left")
+      .na.fill(0L, Seq("dsir_score"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("dsir_score").desc, col(idCol))).cast("long"))
+      .withColumn("__total", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("selected", col("rank") <= expr(s"(__total * $keepPct + 99) DIV 100"))
+      .drop("__total")
+  }
 }

@@ -430,6 +430,71 @@ object Aggregations {
     alpha * m * m * math.pow(2.0, 56 - lgK + 1)
   }
 
+  /** PORTABLE Count-Min Sketch (Cormode & Muthukrishnan 2005): the FREQUENCY
+    * sibling of [[hllPortableRegisters]] (distinct-count). `depth` hash rows
+    * × `2^lgWidth` counters; row d hashes value v at slot = low lgWidth bits
+    * of the first 14 md5 hex chars of "d:v" — the same 56-bit md5-prefix
+    * primitive as the portable HLL, salted by the depth index. Counters are
+    * PLAIN integer sums, so the sketch, its merge ([[cmsPortableRollup]] —
+    * counter-wise add) and every estimate are bit-exact in any engine
+    * (SparkEntry q150's DuckDB oracle recomputes all three), unlike the
+    * opaque binary sketches of DataSketches.
+    *
+    * At 100 TB this is the frequency path that stays auditable: per-shard
+    * sketches are (group, int, int, long) rows bounded by depth·2^lgWidth
+    * per group — they merge by addition across shards/days without
+    * rescanning raw data, and point-frequency queries need only the merged
+    * table. Only OCCUPIED slots materialize; absent slots mean 0. */
+  def cmsPortableSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+      depth: Int = 4, lgWidth: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 8, "1 <= depth <= 8")
+    require(lgWidth >= 4 && lgWidth <= 20, "4 <= lgWidth <= 20")
+    val w = 1L << lgWidth
+    df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).cast("string").as("__v"): _*)
+      .withColumn("cms_depth", explode(lit((0 until depth).toArray)))
+      .withColumn("cms_slot",
+        conv(substring(md5(concat_ws(":", col("cms_depth"), col("__v"))), 1, 14), 16, 10)
+          .cast("long").bitwiseAND(lit(w - 1)))
+      .groupBy(keys.map(col) ++ Seq(col("cms_depth"), col("cms_slot")): _*)
+      .agg(count(lit(1)).as("cms_n"))
+  }
+
+  /** Merge portable CMS sketches to coarser keys: counter-wise SUM per
+    * (depth, slot) — exact (the linearity of CMS), restatable in SQL, so
+    * rollup chains (shard → day → corpus) stay oracle-checkable. */
+  def cmsPortableRollup(sketch: DataFrame, keys: Seq[String]): DataFrame =
+    sketch.groupBy(keys.map(col) ++ Seq(col("cms_depth"), col("cms_slot")): _*)
+      .agg(sum(col("cms_n")).as("cms_n"))
+
+  /** Point-frequency estimates from a portable CMS: for each probe value,
+    * est = min over the depth rows of the counter at that row's slot (absent
+    * slot = 0). Estimates NEVER undercount (every occurrence of the probe
+    * landed in each probed slot); overcounts are collision mass, bounded in
+    * expectation by (total − true)/2^lgWidth per row, and the min over
+    * `depth` independent rows drives the tail down. The probe slots are
+    * computed with the engine's own md5 — no JVM-side hashing — so the
+    * DuckDB oracle reproduces them verbatim. Returns (keys…, probe,
+    * est_count); the keys×probes×depth probe frame is tiny and broadcasts. */
+  def cmsPortableEstimate(sketch: DataFrame, keys: Seq[String], probes: Seq[String],
+      depth: Int = 4, lgWidth: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "estimate needs at least one group key")
+    val w = 1L << lgWidth
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val probeSlots = probes.toDF("probe")
+      .withColumn("cms_depth", explode(lit((0 until depth).toArray)))
+      .withColumn("cms_slot",
+        conv(substring(md5(concat_ws(":", col("cms_depth"), col("probe"))), 1, 14), 16, 10)
+          .cast("long").bitwiseAND(lit(w - 1)))
+    val keyGroups = sketch.select(keys.map(col): _*).distinct()
+    keyGroups.crossJoin(broadcast(probeSlots))
+      .join(sketch, keys ++ Seq("cms_depth", "cms_slot"), "left")
+      .na.fill(0L, Seq("cms_n"))
+      .groupBy(keys.map(col) :+ col("probe"): _*)
+      .agg(min(col("cms_n")).as("est_count"))
+  }
+
   /** MERGEABLE fixed-width HISTOGRAM sketches per group: bin = floor(value /
     * binWidth), one (keys…, bin, n) row per occupied bin. [[hllSketches]]'
     * quantile sibling, but — unlike HLL's opaque binary — the sketch is

@@ -715,4 +715,69 @@ object TextAnalysis {
     rows.toDF("group", "threshold", "n_docs_kept", "n_tokens_kept",
       "doc_frac", "token_frac")
   }
+
+  /** The GOPHER rule-set filter (Rae et al. 2021, appendix A1.1) as hard
+    * per-document rules with an auditable failure bitmask — the published
+    * web-scale quality gate, vs [[qualityScore]]'s soft composite. Rules
+    * (bit set ⇒ FAILED):
+    *   bit 0 — word count outside [minWords, maxWords] (paper: 50–100 000)
+    *   bit 1 — mean word length outside [3, 10]
+    *   bit 2 — symbol-to-word ratio ('#' chars + '...' occurrences) ≥ 0.1
+    *   bit 3 — ≥ 90% of lines start with a bullet ('- ', '* ', '• ')
+    *   bit 4 — ≥ 30% of lines end with an ellipsis ('...' or '…')
+    *   bit 5 — < 80% of words contain an alphabetic character
+    *   bit 6 — fewer than 2 distinct required stopwords present
+    * Every metric is counting + ONE IEEE division of exact integers, and
+    * the line/word tests are prefix/suffix string tests — no regex class
+    * semantics to drift between engines (the only regex is the [a-z]
+    * class, identical in Java and RE2). Empty documents fail bits 0/5/6.
+    * Pure narrow expressions — codegen'd, no shuffle; filters 100 TB at
+    * scan speed. Returns (idCol, n_words, mean_word_len, symbol_ratio,
+    * bullet_frac, ellipsis_frac, alpha_frac, n_stop_hits, fail_mask,
+    * keep). */
+  def gopherFilter(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
+    val reqStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val txt = col(textCol)
+    val ws = filter(split(lower(trim(txt)), "\\s+"), w => length(w) > 0)
+    val lines = filter(transform(split(txt, "\n"), l => trim(l)), l => length(l) > 0)
+    val nW = size(ws).cast("long")
+    val nL = size(lines).cast("long")
+    // Σ word lengths as an exact long; '#' count via replace-delta, '...'
+    // count via replace-delta over the 3-char needle
+    val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val hashCnt = (length(txt) - length(regexp_replace(txt, "#", ""))).cast("long")
+    val dotsCnt = ((length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3).cast("long")
+    val bulletCnt = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))).cast("long")
+    val ellipsisCnt = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaCnt = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    val stopHits = size(filter(lit(reqStop.toArray), sw => array_contains(ws, sw))).cast("long")
+    val meanLen = when(nW === 0, lit(null).cast("double"))
+      .otherwise(sumLen.cast("double") / nW.cast("double"))
+    val symRatio = when(nW === 0, lit(null).cast("double"))
+      .otherwise((hashCnt + dotsCnt).cast("double") / nW.cast("double"))
+    val bulletFrac = when(nL === 0, lit(0.0))
+      .otherwise(bulletCnt.cast("double") / nL.cast("double"))
+    val ellipsisFrac = when(nL === 0, lit(0.0))
+      .otherwise(ellipsisCnt.cast("double") / nL.cast("double"))
+    val alphaFrac = when(nW === 0, lit(null).cast("double"))
+      .otherwise(alphaCnt.cast("double") / nW.cast("double"))
+    def bit(i: Int, failed: Column): Column =
+      when(failed, lit(1L << i)).otherwise(lit(0L))
+    val mask =
+      bit(0, nW < minWords || nW > maxWords) +
+      bit(1, meanLen.isNull || meanLen < 3.0 || meanLen > 10.0) +
+      bit(2, symRatio.isNotNull && symRatio >= 0.1) +
+      bit(3, bulletFrac >= 0.9) +
+      bit(4, ellipsisFrac >= 0.3) +
+      bit(5, alphaFrac.isNull || alphaFrac < 0.8) +
+      bit(6, stopHits < 2)
+    df.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      stopHits.as("n_stop_hits"), mask.as("fail_mask"),
+      (mask === 0L).as("keep"))
+  }
 }

@@ -1327,3 +1327,139 @@ class RetentionCurveBySpec extends AnyFunSuite {
     assert(global.getLong(1) == 3L && global.getLong(2) == 23L)
   }
 }
+
+/** Portable Count-Min Sketch: guarantees + merge linearity. */
+class CmsPortableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toks(rows: Seq[(String, String)]) = rows.toDF("g", "w")
+
+  test("estimates never undercount and exact-count light items under low load") {
+    val words = Seq.tabulate(300)(i => s"w${i % 40}") // 40 distinct, skewed load
+    val df = toks(words.map(("a", _)))
+    val sk = Aggregations.cmsPortableSketch(df, Seq("g"), "w", depth = 4, lgWidth = 10)
+    val probes = Seq("w0", "w7", "w39", "absent")
+    val est = Aggregations.cmsPortableEstimate(sk, Seq("g"), probes, depth = 4, lgWidth = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val exact = words.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    probes.foreach { p =>
+      assert(est(p) >= exact.getOrElse(p, 0L), s"undercount at $p")
+    }
+    // 40 items in 4x1024 counters: collisions are overwhelmingly unlikely to
+    // survive the min over 4 independent rows
+    assert(est("w0") == exact("w0") && est("absent") == 0L)
+  }
+
+  test("rollup of shard sketches equals the sketch of the union (linearity)") {
+    val a = toks(Seq.tabulate(100)(i => ("s1", s"x${i % 11}")))
+    val b = toks(Seq.tabulate(80)(i => ("s2", s"x${i % 7}")))
+    val skA = Aggregations.cmsPortableSketch(a, Seq("g"), "w")
+    val skB = Aggregations.cmsPortableSketch(b, Seq("g"), "w")
+    val merged = Aggregations.cmsPortableRollup(skA.unionByName(skB), Nil)
+      .select("cms_depth", "cms_slot", "cms_n")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Aggregations.cmsPortableSketch(
+        a.unionByName(b).withColumn("g", lit("all")), Seq("g"), "w")
+      .select("cms_depth", "cms_slot", "cms_n")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct)
+  }
+
+  test("null values are no-ops, not a phantom key") {
+    val df = Seq(("a", "x"), ("a", null), ("a", "x")).toDF("g", "w")
+    val sk = Aggregations.cmsPortableSketch(df, Seq("g"), "w")
+    // total mass = depth * non-null occurrences
+    assert(sk.agg(sum("cms_n")).head.getLong(0) == 4L * 2L)
+  }
+}
+
+/** DSIR integer-quantized data selection. */
+class DsirSelectSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("target-like documents rank first; k and ties are exact") {
+    // target docs speak "alpha beta gamma"; off-target docs "zeta eta theta"
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "alpha gamma alpha gamma beta", true),
+      (3L, "zeta eta theta zeta eta", false),
+      (4L, "theta eta zeta theta zeta", false),
+      (5L, "alpha beta zeta eta gamma", false), // mixed, off-target
+      (6L, "", false)).toDF("doc_id", "text", "is_tgt")
+    val got = graft.ml.MLOps.dsirSelect(docs, "text", "doc_id",
+        targetPred = col("is_tgt"), buckets = 512, keepPct = 34)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // k = ceil(6 * 34 / 100) via integer arithmetic = (204 + 99) / 100 = 3
+    assert(got.values.count(_._3) == 3)
+    // the two pure-target docs + the mixed doc outrank pure off-target docs
+    val selected = got.filter(_._2._3).keySet
+    assert(selected.contains(1L) && selected.contains(2L) && selected.contains(5L))
+    // empty doc scores 0 and ranks by id among zero-score docs
+    assert(got(6L)._1 == 0L && !got(6L)._3)
+  }
+
+  test("keepPct bounds: 0 selects none, 100 selects all") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val none = graft.ml.MLOps.dsirSelect(docs, "text", "doc_id", lit(false), keepPct = 0)
+    assert(none.filter(col("selected")).count() == 0)
+    val all = graft.ml.MLOps.dsirSelect(docs, "text", "doc_id", lit(false), keepPct = 100)
+    assert(all.filter(col("selected")).count() == 2)
+  }
+}
+
+/** Gopher rule-set filter: each bit fires on its crafted violation. */
+class GopherFilterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val goodText = // 24 words, mean len >= 3, stopwords, alphabetic
+    "the quick brown fox jumps over the lazy dog and that dog naps " +
+    "with every friend they have while autumn leaves drift slowly down"
+
+  private def run(rows: (Long, String)*) =
+    TextAnalysis.gopherFilter(rows.toDF("doc_id", "text"), "text", "doc_id",
+        minWords = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(8), r.getBoolean(9)))).toMap
+
+  test("a clean document passes every rule") {
+    val got = run(1L -> goodText)
+    assert(got(1L) == ((0L, true)))
+  }
+
+  test("each rule flips exactly its own bit") {
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n") // >=90% bullet lines
+    val ellipsis = Seq("first line goes on...", "second line too...",
+      "third one as well...", "plain").mkString("\n")
+    val got = run(
+      1L -> "too short",                                   // bit 0 (and 6)
+      2L -> ("ab " * 24).trim,                             // bit 1: mean len 2 (and 6)
+      3L -> goodText.replace("autumn", "# # # # # # #"),   // bit 2: symbols
+      4L -> (goodText + "\n" + bullets),                   // bit 3 needs its own doc
+      5L -> (goodText + "\n" + ellipsis),
+      6L -> (goodText.replaceAll("[a-z]", "7") + " " + goodText), // bit 5 fails <80% alpha
+      7L -> ("alpha beta gamma delta " * 6).trim)          // bit 6: no stopwords
+    assert((got(1L)._1 & 1L) != 0L)
+    assert((got(2L)._1 & 2L) != 0L)
+    assert((got(3L)._1 & 4L) != 0L && !got(3L)._2)
+    assert((got(6L)._1 & 32L) != 0L)
+    assert((got(7L)._1 & 64L) != 0L)
+    assert(got.values.forall(v => v._2 == (v._1 == 0L)))
+  }
+
+  test("bullet and ellipsis line fractions use trimmed non-empty lines") {
+    val doc = Seq("- a", "- b", "- c", "- d", "- e", "- f", "- g", "- h", "- i",
+      "  ", "tail...").mkString("\n")
+    // 10 non-empty lines: 9 bullets (0.9 -> bit 3), 1 ellipsis (0.1 < 0.3)
+    val got = run(1L -> doc)
+    assert((got(1L)._1 & 8L) != 0L && (got(1L)._1 & 16L) == 0L)
+  }
+
+  test("empty document fails the empty-sensitive rules") {
+    val got = run(1L -> "   ")
+    val mask = got(1L)._1
+    assert((mask & 1L) != 0L && (mask & 2L) != 0L && (mask & 32L) != 0L && (mask & 64L) != 0L)
+  }
+}
