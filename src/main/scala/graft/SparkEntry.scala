@@ -3449,7 +3449,7 @@ object SparkEntry {
             unnest(string_split_regex(lower(trim(text)), '\s+')) AS val FROM documents),
           dep(dep) AS (VALUES (0), (1), (2), (3)),
           hx AS (SELECT source, dep,
-              CAST(concat('0x', substr(md5(concat(CAST(dep AS VARCHAR), ':', val)), 1, 14))
+              CAST(concat('0x', substr(md5(val), dep * 8 + 1, 8))
                 AS BIGINT) % 1024 AS slot
             FROM w CROSS JOIN dep),
           sk AS (SELECT source, dep, slot, count(*) AS n FROM hx GROUP BY 1, 2, 3),
@@ -3458,7 +3458,7 @@ object SparkEntry {
           u AS (SELECT * FROM sk UNION ALL SELECT * FROM skall),
           p(probe) AS (VALUES ('spark'), ('table'), ('hash'), ('value'), ('the'), ('zz_absent')),
           ph AS (SELECT probe, dep,
-              CAST(concat('0x', substr(md5(concat(CAST(dep AS VARCHAR), ':', probe)), 1, 14))
+              CAST(concat('0x', substr(md5(probe), dep * 8 + 1, 8))
                 AS BIGINT) % 1024 AS slot
             FROM p CROSS JOIN dep),
           grp AS (SELECT DISTINCT source FROM u),

@@ -430,15 +430,28 @@ object Aggregations {
     alpha * m * m * math.pow(2.0, 56 - lgK + 1)
   }
 
+  /** The shared slot derivation: ONE md5 per value, row d's slot = low
+    * lgWidth bits of the d-th 8-hex-char (32-bit) chunk of the digest —
+    * 128 md5 bits give 4 independent 32-bit rows, no per-depth re-hash.
+    * `depthCol` must hold 0-based ints < 4. */
+  private def cmsSlot(md5Hex: Column, depthCol: Column, lgWidth: Int): Column =
+    conv(md5Hex.substr(depthCol * 8 + 1, lit(8)), 16, 10)
+      .cast("long").bitwiseAND(lit((1L << lgWidth) - 1))
+
   /** PORTABLE Count-Min Sketch (Cormode & Muthukrishnan 2005): the FREQUENCY
     * sibling of [[hllPortableRegisters]] (distinct-count). `depth` hash rows
-    * × `2^lgWidth` counters; row d hashes value v at slot = low lgWidth bits
-    * of the first 14 md5 hex chars of "d:v" — the same 56-bit md5-prefix
-    * primitive as the portable HLL, salted by the depth index. Counters are
+    * × `2^lgWidth` counters; row d hashes value v at slot = the d-th 32-bit
+    * chunk of md5(v) masked to lgWidth bits ([[cmsSlot]]) — one digest per
+    * value, the same md5-prefix primitive as the portable HLL. Counters are
     * PLAIN integer sums, so the sketch, its merge ([[cmsPortableRollup]] —
     * counter-wise add) and every estimate are bit-exact in any engine
     * (SparkEntry q150's DuckDB oracle recomputes all three), unlike the
     * opaque binary sketches of DataSketches.
+    *
+    * Execution shape: occurrences are pre-aggregated to (keys, value, n) —
+    * ONE map-side-combined shuffle over the raw data — and only the
+    * DISTINCT values are hashed and exploded to depth rows, so the md5 and
+    * the depth-fan run over the vocabulary, not the corpus.
     *
     * At 100 TB this is the frequency path that stays auditable: per-shard
     * sketches are (group, int, int, long) rows bounded by depth·2^lgWidth
@@ -447,17 +460,16 @@ object Aggregations {
     * table. Only OCCUPIED slots materialize; absent slots mean 0. */
   def cmsPortableSketch(df: DataFrame, keys: Seq[String], valueCol: String,
       depth: Int = 4, lgWidth: Int = 10): DataFrame = {
-    require(depth >= 1 && depth <= 8, "1 <= depth <= 8")
+    require(depth >= 1 && depth <= 4, "1 <= depth <= 4 (32 md5 bits per row)")
     require(lgWidth >= 4 && lgWidth <= 20, "4 <= lgWidth <= 20")
-    val w = 1L << lgWidth
     df.filter(col(valueCol).isNotNull)
       .select(keys.map(col) :+ col(valueCol).cast("string").as("__v"): _*)
+      .groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__n"))
       .withColumn("cms_depth", explode(lit((0 until depth).toArray)))
-      .withColumn("cms_slot",
-        conv(substring(md5(concat_ws(":", col("cms_depth"), col("__v"))), 1, 14), 16, 10)
-          .cast("long").bitwiseAND(lit(w - 1)))
+      .withColumn("cms_slot", cmsSlot(md5(col("__v")), col("cms_depth"), lgWidth))
       .groupBy(keys.map(col) ++ Seq(col("cms_depth"), col("cms_slot")): _*)
-      .agg(count(lit(1)).as("cms_n"))
+      .agg(sum(col("__n")).as("cms_n"))
   }
 
   /** Merge portable CMS sketches to coarser keys: counter-wise SUM per
@@ -479,14 +491,11 @@ object Aggregations {
   def cmsPortableEstimate(sketch: DataFrame, keys: Seq[String], probes: Seq[String],
       depth: Int = 4, lgWidth: Int = 10): DataFrame = {
     require(keys.nonEmpty, "estimate needs at least one group key")
-    val w = 1L << lgWidth
     val spark = sketch.sparkSession
     import spark.implicits._
     val probeSlots = probes.toDF("probe")
       .withColumn("cms_depth", explode(lit((0 until depth).toArray)))
-      .withColumn("cms_slot",
-        conv(substring(md5(concat_ws(":", col("cms_depth"), col("probe"))), 1, 14), 16, 10)
-          .cast("long").bitwiseAND(lit(w - 1)))
+      .withColumn("cms_slot", cmsSlot(md5(col("probe")), col("cms_depth"), lgWidth))
     val keyGroups = sketch.select(keys.map(col): _*).distinct()
     keyGroups.crossJoin(broadcast(probeSlots))
       .join(sketch, keys ++ Seq("cms_depth", "cms_slot"), "left")
