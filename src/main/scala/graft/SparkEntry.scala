@@ -3554,7 +3554,100 @@ object SparkEntry {
             FROM x)
         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
           ellipsis_frac, alpha_frac, n_stop_hits, fail_mask, fail_mask = 0 AS keep
-        FROM y"""))
+        FROM y""")),
+
+    // --- QUALITY->SELECTION->RECIPE CAPSTONE, hash-verified as ONE query:
+    // Gopher rule gate (q152, bits 0-5 — the English-stopword bit 6 is
+    // masked out for this multilingual corpus, exactly the per-language
+    // rule adaptation the bitmask exists for) -> DSIR top-50% toward the
+    // lang='en' target (q151, bucket stats over the GATED corpus) ->
+    // per-language token-budget rates (q143 arithmetic, integer weights
+    // en4/de2/es2/fr1/zh1, 100k-token budget). The three-stage composition
+    // is the curation pipeline a pretraining run actually executes, and
+    // every stage is exact-operand arithmetic so the chain stays
+    // bit-portable end to end ---
+    Q("q153_quality_dsir_recipe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // each stage's surviving-id set is tiny (O(docs) ids, no text) and
+        // reused by every downstream stage — localCheckpoint truncates the
+        // lineage so the Gopher HOFs and the DSIR token fan run ONCE, not
+        // once per downstream reuse
+        val gateIds = TextAnalysis.gopherFilter(docs, "text", "doc_id", minWords = 20)
+          .filter((col("fail_mask").bitwiseAND(lit(63L))) === 0L)
+          .select("doc_id").localCheckpoint(true)
+        val kept = docs.join(gateIds, Seq("doc_id"))
+        val selIds = graft.ml.MLOps.dsirSelect(kept, "text", "doc_id",
+            targetPred = col("lang") === "en", buckets = 4096, keepPct = 50)
+          .filter(col("selected")).select("doc_id").localCheckpoint(true)
+        val corpus = kept.join(selIds, Seq("doc_id"))
+        val tok = when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        graft.ml.MLOps.tokenBudget(corpus, "lang", tok, 100000L,
+          Map("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L))
+      },
+      Some("""WITH d0 AS (SELECT doc_id, lang, text, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws,
+            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+              l -> length(l) > 0) AS ls
+            FROM documents),
+          m AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len,
+              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_cnt,
+              CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots_cnt,
+              CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                OR starts_with(l, '• '))) AS BIGINT) AS bullet_cnt,
+              CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+                AS BIGINT) AS ellipsis_cnt,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_cnt,
+              CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                sw -> list_contains(ws, sw))) AS BIGINT) AS stop_hits
+            FROM d0),
+          gm AS (SELECT doc_id FROM (SELECT doc_id,
+              CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END
+              + CASE WHEN n_words = 0 OR CAST(sum_len AS DOUBLE) / n_words < 3.0
+                  OR CAST(sum_len AS DOUBLE) / n_words > 10.0 THEN 2 ELSE 0 END
+              + CASE WHEN n_words > 0
+                  AND CAST(hash_cnt + dots_cnt AS DOUBLE) / n_words >= 0.1 THEN 4 ELSE 0 END
+              + CASE WHEN n_lines > 0
+                  AND CAST(bullet_cnt AS DOUBLE) / n_lines >= 0.9 THEN 8 ELSE 0 END
+              + CASE WHEN n_lines > 0
+                  AND CAST(ellipsis_cnt AS DOUBLE) / n_lines >= 0.3 THEN 16 ELSE 0 END
+              + CASE WHEN n_words = 0
+                  OR CAST(alpha_cnt AS DOUBLE) / n_words < 0.8 THEN 32 ELSE 0 END
+              + CASE WHEN stop_hits < 2 THEN 64 ELSE 0 END AS mask
+            FROM m) WHERE (mask & 63) = 0),
+          kept AS (SELECT d0.* FROM d0 JOIN gm USING (doc_id)),
+          tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest(ws) AS w FROM kept),
+          tb AS (SELECT doc_id, tgt,
+              CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 4096 AS b FROM tok),
+          bs AS (SELECT b,
+              ((count(CASE WHEN tgt THEN 1 END) + 1) * 1000000) // (count(*) + 1) AS sc
+            FROM tb GROUP BY b),
+          dsc AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score
+            FROM tb JOIN bs USING (b) GROUP BY doc_id),
+          al AS (SELECT kept.doc_id, CAST(coalesce(score, 0) AS BIGINT) AS score
+            FROM kept LEFT JOIN dsc USING (doc_id)),
+          rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+              count(*) OVER () AS total FROM al),
+          sel AS (SELECT doc_id FROM rk WHERE rn <= (total * 50 + 99) // 100),
+          corpus AS (SELECT kept.* FROM kept JOIN sel USING (doc_id)),
+          wt(lang, rw) AS (VALUES ('en', CAST(4 AS BIGINT)), ('de', 2), ('es', 2),
+            ('fr', 1), ('zh', 1)),
+          t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+            FROM corpus GROUP BY lang)
+        SELECT t.lang, n_docs, n_tokens,
+          CAST(rw AS DOUBLE) / CAST(sum(rw) OVER () AS DOUBLE) AS weight,
+          CAST(rw AS DOUBLE) / CAST(sum(rw) OVER () AS DOUBLE) * 100000.0 AS target_tokens,
+          CAST(rw AS DOUBLE) / CAST(sum(rw) OVER () AS DOUBLE) * 100000.0
+            / CAST(n_tokens AS DOUBLE) AS rate,
+          CAST(ceil(CAST(rw AS DOUBLE) / CAST(sum(rw) OVER () AS DOUBLE) * 100000.0
+            / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs
+        FROM t JOIN wt USING (lang)"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

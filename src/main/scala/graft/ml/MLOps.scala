@@ -522,9 +522,10 @@ object MLOps {
     * SQL.) Docs are ranked (score desc, id) and the top `keepPct`% flagged,
     * with k = (N·keepPct + 99) DIV 100 — all integer, ties deterministic.
     *
-    * Shuffle shape: one token-level groupBy on the hash bucket (the bucket
-    * table is O(buckets) and BROADCASTS back), one per-doc sum keyed on the
-    * doc id. The final global rank is a single-sort window — fine to ~10^8
+    * Shuffle shape: ONE token-level shuffle, folding tokens to (doc,
+    * bucket, n) with map-side combine and lineage truncated there; the
+    * O(buckets) score table derives from that frame and BROADCASTS back
+    * for the per-doc sum. The final global rank is a single-sort window — fine to ~10^8
     * docs; at 100 TB swap the exact rank for a banded score histogram
     * ([[graft.ops.TextAnalysis.retentionCurve]] shape) and select by
     * threshold, which needs no global sort. `scale·max_bucket_count` must
@@ -539,13 +540,23 @@ object MLOps {
     val ws = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
     val toks = df.select(col(idCol), targetPred.as("__tgt"), explode(ws).as("__w"))
       .withColumn("__b", md5Bucket(col("__w"), buckets))
-    val bucketScores = toks.groupBy("__b")
-      .agg(count(when(col("__tgt"), 1)).as("__nt"), count(lit(1)).as("__nr"))
+    // ONE pass over the exploded tokens: fold them to (doc, tgt, bucket, n)
+    // and truncate lineage there — both the global bucket table and the
+    // per-doc scores derive from this (much smaller) frame, so the text
+    // scan + explode never reruns. Σ_positions sc ≡ Σ_buckets n·sc: the
+    // integer scores are unchanged
+    val docBuckets = toks
+      .groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val bucketScores = docBuckets.groupBy("__b")
+      .agg(sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__nt"),
+        sum(col("__c")).as("__nr"))
       .withColumn("__sc", expr(s"((__nt + 1) * ${scale}L) DIV (__nr + 1)"))
       .select("__b", "__sc")
-    val docScores = toks
+    val docScores = docBuckets
       .join(broadcast(bucketScores), "__b")
-      .groupBy(idCol).agg(sum(col("__sc")).as("dsir_score"))
+      .groupBy(idCol).agg(sum(col("__c") * col("__sc")).as("dsir_score"))
     df.select(col(idCol)).join(docScores, Seq(idCol), "left")
       .na.fill(0L, Seq("dsir_score"))
       .withColumn("rank",
