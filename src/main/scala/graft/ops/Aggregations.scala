@@ -491,13 +491,14 @@ object Aggregations {
   def cmsPortableEstimate(sketch: DataFrame, keys: Seq[String], probes: Seq[String],
       depth: Int = 4, lgWidth: Int = 10): DataFrame = {
     require(keys.nonEmpty, "estimate needs at least one group key")
-    val spark = sketch.sparkSession
-    import spark.implicits._
-    val probeSlots = probes.toDF("probe")
+    // groups × probes × depth fan-out as two narrow EXPLODES over the
+    // distinct-keys frame (probes and depth indices are plan-time
+    // literals) — no join, so no cross-join-shaped plan; slots are
+    // computed per exploded row with the engine's md5
+    sketch.select(keys.map(col): _*).distinct()
+      .withColumn("probe", explode(lit(probes.toArray)))
       .withColumn("cms_depth", explode(lit((0 until depth).toArray)))
       .withColumn("cms_slot", cmsSlot(md5(col("probe")), col("cms_depth"), lgWidth))
-    val keyGroups = sketch.select(keys.map(col): _*).distinct()
-    keyGroups.crossJoin(broadcast(probeSlots))
       .join(sketch, keys ++ Seq("cms_depth", "cms_slot"), "left")
       .na.fill(0L, Seq("cms_n"))
       .groupBy(keys.map(col) :+ col("probe"): _*)
