@@ -3650,6 +3650,114 @@ object SparkEntry {
         FROM t JOIN wt USING (lang)"""))
   )
 
+  /** Closed-form Morton-interleave SQL for [[Layout.zorderKey]]: per
+    * dimension d (of n) and bit b, ((bucket_d >> b) & 1) << (b*n + d) —
+    * generated term-by-term so the oracle needs no per-row grouping key. */
+  private def sqlZorderTerms(buckets: Seq[String], bits: Int): String =
+    (for {
+      b <- 0 until bits
+      (bk, i) <- buckets.zipWithIndex
+    } yield s"((($bk >> $b) & 1) << ${b * buckets.length + i})").mkString(" + ")
+
+  // ---------- layout / graph-rank queries (round 5) ----------
+
+  private val layoutQueries: Seq[Q] = Seq(
+    // --- Z-ORDER (Morton) layout audit: two-dimensional clustering key +
+    // per-file min/max envelopes — the file-skipping table-maintenance
+    // operator (Delta OPTIMIZE ZORDER BY analog), exact integer rescale +
+    // bit interleave so the whole layout plan hash-matches. 64 files over
+    // a 16-bit key space; the envelope widths ARE the skipping quality ---
+    Q("q154_zorder_layout",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        // plan-time bounds (the TF-IDF corpus-count idiom: one O(1) agg,
+        // baked as literals — a 1-row join would plan a banned BNL join)
+        val b = li.agg(min("l_orderkey"), max("l_orderkey"),
+          min("l_partkey"), max("l_partkey")).collect().head
+        Layout.zorderFileSummary(li, Seq("l_orderkey", "l_partkey"),
+          mins = Seq(b.getLong(0), b.getLong(2)), maxs = Seq(b.getLong(1), b.getLong(3)),
+          bits = 8, nFiles = 64)
+      },
+      Some(s"""WITH bd AS (SELECT min(l_orderkey) AS mn1, max(l_orderkey) AS mx1,
+              min(l_partkey) AS mn2, max(l_partkey) AS mx2 FROM lineitem),
+          bk AS (SELECT l_orderkey AS k1, l_partkey AS k2,
+              ((l_orderkey - mn1) * 256) // (mx1 - mn1 + 1) AS b1,
+              ((l_partkey - mn2) * 256) // (mx2 - mn2 + 1) AS b2
+            FROM lineitem CROSS JOIN bd),
+          z AS (SELECT k1, k2,
+              CAST(${sqlZorderTerms(Seq("b1", "b2"), 8)} AS BIGINT) AS zkey FROM bk)
+        SELECT zkey // 1024 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(min(k1) AS BIGINT) AS min_l_orderkey, CAST(max(k1) AS BIGINT) AS max_l_orderkey,
+          CAST(min(k2) AS BIGINT) AS min_l_partkey, CAST(max(k2) AS BIGINT) AS max_l_partkey,
+          min(zkey) AS min_zkey, max(zkey) AS max_zkey
+        FROM z GROUP BY 1""")),
+
+    // --- SMALL-FILE COMPACTION PLAN: next-fit bin-packing of a per-source
+    // file manifest (window cumsum DIV target over METADATA rows, never
+    // data) — the OPTIMIZE/rewrite work list for upsert-decayed tables ---
+    Q("q155_compaction_plan",
+      (s, dir) => {
+        val manifest = t(s, dir, "documents")
+          .groupBy(col("source"), (col("doc_id") % 40).as("file_id"))
+          .agg(sum("n_chars").cast("long").as("bytes"))
+        Layout.compactionPlan(manifest, Seq("source"), "file_id", "bytes",
+          targetBytes = 1500L)
+      },
+      Some("""WITH f AS (SELECT source, doc_id % 40 AS file_id,
+              CAST(sum(n_chars) AS BIGINT) AS bytes
+            FROM documents GROUP BY 1, 2),
+          c AS (SELECT source, file_id, bytes,
+              CAST(coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+            FROM f)
+        SELECT source, file_id, bytes, cum_before, cum_before // 1500 AS out_bin
+        FROM c""")),
+
+    // --- INTEGER-MASS PAGERANK (3 fixed iterations, damping 85%) over the
+    // customer-nation -> supplier-nation trade graph: the CommonCrawl-style
+    // source-ranking primitive, made hash-exact by integer mass
+    // (contrib = mass*85*w DIV (100*outw); float PageRank is
+    // addition-order-dependent and unverifiable cross-engine) ---
+    Q("q156_nation_rank",
+      (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val ranks = GraphRank.pageRank(edges, t(s, dir, "nation").select("n_nationkey"),
+          "n_nationkey", "src", "dst", "w", iterations = 3)
+        ranks.join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          Seq("n_nationkey"))
+      },
+      Some("""WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+              CAST(count(*) AS BIGINT) AS w
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+          ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e0 GROUP BY 1),
+          e AS (SELECT e0.src, e0.dst, e0.w, ow.outw FROM e0 JOIN ow USING (src)),
+          nd AS (SELECT n_nationkey AS node, n_name FROM nation),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nd),
+          c1 AS (SELECT dst AS node, CAST(sum((mass * 85 * w) // (100 * outw)) AS BIGINT) AS m
+            FROM e JOIN r0 ON r0.node = e.src GROUP BY 1),
+          r1 AS (SELECT nd.node, CAST(150000 + coalesce(m, 0) AS BIGINT) AS mass
+            FROM nd LEFT JOIN c1 USING (node)),
+          c2 AS (SELECT dst AS node, CAST(sum((mass * 85 * w) // (100 * outw)) AS BIGINT) AS m
+            FROM e JOIN r1 ON r1.node = e.src GROUP BY 1),
+          r2 AS (SELECT nd.node, CAST(150000 + coalesce(m, 0) AS BIGINT) AS mass
+            FROM nd LEFT JOIN c2 USING (node)),
+          c3 AS (SELECT dst AS node, CAST(sum((mass * 85 * w) // (100 * outw)) AS BIGINT) AS m
+            FROM e JOIN r2 ON r2.node = e.src GROUP BY 1),
+          r3 AS (SELECT nd.node, CAST(150000 + coalesce(m, 0) AS BIGINT) AS mass
+            FROM nd LEFT JOIN c3 USING (node))
+        SELECT nd.node AS n_nationkey, nd.n_name, r3.mass AS rank_mass,
+          CAST(coalesce(ow.outw, 0) AS BIGINT) AS out_weight
+        FROM nd JOIN r3 ON r3.node = nd.node LEFT JOIN ow ON ow.src = nd.node"""))
+  )
+
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,
     * bucket/rank integer splits, CASE leading-zero rank, elementwise-max
     * union, and the SAME numerator double literal
@@ -3683,7 +3791,7 @@ object SparkEntry {
   val specs: Seq[Q] =
     relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++
       statsQueries ++ analyticQueries ++ storeQueries ++ pipelineQueries3 ++ pipelineQueries4 ++
-      pipelineQueries5
+      pipelineQueries5 ++ layoutQueries
 
   // ---------- driver contract ----------
 
