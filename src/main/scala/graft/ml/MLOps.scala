@@ -525,11 +525,13 @@ object MLOps {
     * Shuffle shape: ONE token-level shuffle, folding tokens to (doc,
     * bucket, n) with map-side combine and lineage truncated there; the
     * O(buckets) score table derives from that frame and BROADCASTS back
-    * for the per-doc sum. The final global rank is a single-sort window — fine to ~10^8
-    * docs; at 100 TB swap the exact rank for a banded score histogram
-    * ([[graft.ops.TextAnalysis.retentionCurve]] shape) and select by
-    * threshold, which needs no global sort. `scale·max_bucket_count` must
-    * stay < 2^63: the default 10^6 scale holds to ~10^12 tokens per bucket.
+    * for the per-doc sum. The final global rank is a single-sort window —
+    * fine to ~10^8 docs; at 100 TB use [[dsirSelectByThreshold]], which
+    * replaces the exact rank with an iteratively-refined score histogram
+    * and a threshold filter — no global sort, no single-partition window
+    * (equivalence spec-gated on ties-free data).
+    * `scale·max_bucket_count` must stay < 2^63: the default 10^6 scale
+    * holds to ~10^12 tokens per bucket.
     *
     * Returns (idCol, dsir_score, rank, selected); docs with no tokens
     * score 0. */
@@ -537,6 +539,20 @@ object MLOps {
       buckets: Int = 4096, scale: Long = 1000000L, keepPct: Int = 25): DataFrame = {
     require(buckets > 0 && scale > 0 && keepPct >= 0 && keepPct <= 100,
       "buckets/scale positive, 0 <= keepPct <= 100")
+    dsirScores(df, textCol, idCol, targetPred, buckets, scale)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("dsir_score").desc, col(idCol))).cast("long"))
+      .withColumn("__total", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("selected", col("rank") <= expr(s"(__total * $keepPct + 99) DIV 100"))
+      .drop("__total")
+  }
+
+  /** The shared DSIR scoring pass of [[dsirSelect]] /
+    * [[dsirSelectByThreshold]]: exact integer (idCol, dsir_score) for EVERY
+    * input document (token-free docs score 0), lineage truncated at the
+    * (doc, bucket, n) fold so no caller ever reruns the text scan. */
+  private def dsirScores(df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column, buckets: Int, scale: Long): DataFrame = {
     val ws = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
     val toks = df.select(col(idCol), targetPred.as("__tgt"), explode(ws).as("__w"))
       .withColumn("__b", md5Bucket(col("__w"), buckets))
@@ -559,10 +575,79 @@ object MLOps {
       .groupBy(idCol).agg(sum(col("__c") * col("__sc")).as("dsir_score"))
     df.select(col(idCol)).join(docScores, Seq(idCol), "left")
       .na.fill(0L, Seq("dsir_score"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("dsir_score").desc, col(idCol))).cast("long"))
-      .withColumn("__total", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("selected", col("rank") <= expr(s"(__total * $keepPct + 99) DIV 100"))
-      .drop("__total")
+  }
+
+  /** THE 100 TB FORM of [[dsirSelect]]: same integer scores, but the top-k
+    * selection is a THRESHOLD, found by iteratively-refined banded score
+    * histograms — the [[graft.ops.TextAnalysis.retentionCurve]] shape —
+    * instead of a global single-task sort.
+    *
+    * The k-th largest score value T is located by narrowing a value range:
+    * each round splits the current [lo, hi] into ≤ `bands` equal-width
+    * value bands, aggregates a per-band doc-count histogram (map-side
+    * combine; O(bands) rows to the driver), and a driver suffix-sum walks
+    * the bands from the top to find the band containing the k-th doc.
+    * The range shrinks by ~`bands`× per round, so ≤ ⌈64 / log2(bands)⌉ = 6
+    * rounds bound ANY long score range; each round is one narrow
+    * aggregation over the checkpointed (id, score) frame. The output is
+    * then one filter: `selected = dsir_score >= T`.
+    *
+    * Contract vs [[dsirSelect]]: identical selected set when scores at the
+    * cut are ties-free (equivalence spec-gated). When several documents tie
+    * exactly AT the threshold, ALL ties are kept (so `selected` can exceed
+    * k) — the deterministic, engine-portable convention for threshold
+    * selects; dsirSelect instead breaks such ties by id to land on exact k.
+    * No global sort, no single-partition window, no O(docs) driver pull
+    * anywhere: driver traffic is O(bands) longs per round.
+    *
+    * Returns (idCol, dsir_score, selected). */
+  def dsirSelectByThreshold(df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column, buckets: Int = 4096, scale: Long = 1000000L,
+      keepPct: Int = 25, bands: Int = 4096): DataFrame = {
+    require(buckets > 0 && scale > 0 && keepPct >= 0 && keepPct <= 100,
+      "buckets/scale positive, 0 <= keepPct <= 100")
+    require(bands >= 2, "bands must be >= 2")
+    val scores = dsirScores(df, textCol, idCol, targetPred, buckets, scale)
+      .localCheckpoint(true) // (id, long) — re-read per refinement round
+    val head = scores.agg(count(lit(1)).as("n"),
+      coalesce(max(col("dsir_score")), lit(0L)).as("mx"),
+      coalesce(min(col("dsir_score")), lit(0L)).as("mn")).head()
+    val n = head.getLong(0)
+    val k = (n * keepPct + 99) / 100
+    val thr: Long =
+      if (n == 0 || k <= 0) Long.MaxValue      // select nothing
+      else if (k >= n) head.getAs[Long]("mn")  // select everything
+      else {
+        var lo = head.getAs[Long]("mn")
+        var hi = head.getAs[Long]("mx")
+        var above = 0L // docs with score > hi (already accounted for)
+        // invariant: the k-th largest score lies in [lo, hi]
+        while (lo < hi) {
+          // ceil-div band width so bands*width covers [lo, hi] without
+          // overflow (hi - lo < 2^63 is guaranteed: scores are >= 0)
+          val width = math.max(1L, (hi - lo) / bands + 1)
+          val hist = scores
+            .filter(col("dsir_score").between(lo, hi))
+            .groupBy(expr(s"(dsir_score - ${lo}L) DIV ${width}L").as("__band"))
+            .agg(count(lit(1)).as("__c"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // walk bands from the top; find the band holding the k-th doc
+          var band = (hi - lo) / width
+          var cum = above
+          while (band >= 0 && cum + hist.getOrElse(band, 0L) < k) {
+            cum += hist.getOrElse(band, 0L)
+            band -= 1
+          }
+          above = cum
+          val newLo = lo + band * width
+          val newHi = math.min(hi, lo + (band + 1) * width - 1)
+          if (newLo == lo && newHi == hi) {
+            // width == 1 band resolved to a single value
+            lo = newLo; hi = newLo
+          } else { lo = newLo; hi = newHi }
+        }
+        lo
+      }
+    scores.withColumn("selected", col("dsir_score") >= lit(thr))
   }
 }

@@ -819,14 +819,21 @@ object Dedup {
     val g = if (hashKey) g0.select(col(idCol), col("pos"),
         xxhash64(col("gram")).as("gram"))
       else g0
-    // minDocs = 2: min≠max over a gram-partitioned window marks cross-doc
-    // grams in the SAME single shuffle that groups them — the gram table
-    // (an interpreted higher-order projection, the expensive part) is
-    // computed once, not once per join side. General minDocs keeps the
-    // agg + join-back shape (partial aggregation absorbs hot-gram skew
-    // that a window partition would concentrate on one task).
+    // Two marking shapes, chosen by hashKey (= the declared scale switch):
+    //  - hashKey = false (oracle/demo form, minDocs <= 2): min≠max over a
+    //    gram-partitioned window marks cross-doc grams in the SAME single
+    //    shuffle that groups them — fastest at test scale, but a window
+    //    partition ships EVERY (doc,pos) row of a hot gram to one task; a
+    //    boilerplate 5-gram in 10^8 documents is a straggler.
+    //  - hashKey = true (the 100 TB form) and any minDocs > 2: the
+    //    pre-aggregated crossDocGrams + join-back shape. Partial (map-side)
+    //    aggregation collapses a hot gram to one row per map task before
+    //    the shuffle, and the join-back probe side is skew-splittable by
+    //    AQE (each probe row needs only the single matching gram row) —
+    //    neither is true of a window partition. Same answer either way;
+    //    equivalence spec-gated on a deliberately skewed corpus.
     val marked =
-      if (minDocs <= 2) {
+      if (minDocs <= 2 && !hashKey) {
         val wg = Window.partitionBy(col("gram"))
         val m = g.withColumn("__mn", min(col(idCol)).over(wg))
           .withColumn("__mx", max(col(idCol)).over(wg))
@@ -900,10 +907,16 @@ object Dedup {
     *
     * `perDoc = true` narrows the dedup scope to WITHIN each document (the
     * C4 "discard repeated lines in a page" rule): the winner window
-    * partitions by (document, segment) so cross-document repeats survive.
-    * `hashKey = true` is the 100 TB form — the election shuffles on
-    * xxhash64(segment) instead of the segment string (same winners absent
-    * 64-bit collisions; equivalence spec-gated).
+    * partitions by (document, segment) — bounded by document length, so the
+    * window form is safe at any corpus size. `hashKey = true` is the 100 TB
+    * form — the election shuffles on xxhash64(segment) instead of the
+    * segment string (same winners absent 64-bit collisions), AND the global
+    * election switches from a segment-partitioned window to a skew-safe
+    * min(struct(id, seg_idx)) aggregation + join-back: map-side combine
+    * collapses a boilerplate segment repeated in 10^8 documents to one row
+    * per map task, and the join-back probe is AQE-skew-splittable, where a
+    * window partition would ship every occurrence to one task
+    * (equivalence spec-gated).
     *
     * Returns (idCol, text_clean, n_seg, n_dropped). */
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
@@ -920,10 +933,28 @@ object Dedup {
               slice(col("__ws"), i * segWords + 1, lit(segWords)))))
           .otherwise(array().cast("array<string>"))))
       .select(col(idCol), (col("pos") + 1).as("seg_idx"), col("col").as("seg"))
-    val segKey = if (hashKey) xxhash64(col("seg")) else col("seg")
-    val w = (if (perDoc) Window.partitionBy(col(idCol), segKey)
-      else Window.partitionBy(segKey)).orderBy(col(idCol), col("seg_idx"))
-    segs.withColumn("__kept", row_number().over(w) === 1)
+    val elected =
+      if (hashKey && !perDoc) {
+        // 100 TB form: winner = min (id, seg_idx) per segment hash, found
+        // by an ordinary aggregate (partial agg absorbs hot segments) and
+        // joined back; the struct min is lexicographic = the window's
+        // orderBy(id, seg_idx)
+        val sk = segs.withColumn("__sk", xxhash64(col("seg")))
+        val winners = sk.groupBy(col("__sk"))
+          .agg(min(struct(col(idCol), col("seg_idx"))).as("__w"))
+          .select(col("__sk"), col("__w").getField(idCol).as("__wid"),
+            col("__w").getField("seg_idx").as("__widx"))
+        sk.join(winners, Seq("__sk"))
+          .withColumn("__kept",
+            col(idCol) === col("__wid") && col("seg_idx") === col("__widx"))
+          .drop("__sk", "__wid", "__widx")
+      } else {
+        val segKey = if (hashKey) xxhash64(col("seg")) else col("seg")
+        val w = (if (perDoc) Window.partitionBy(col(idCol), segKey)
+          else Window.partitionBy(segKey)).orderBy(col(idCol), col("seg_idx"))
+        segs.withColumn("__kept", row_number().over(w) === 1)
+      }
+    elected
       .groupBy(idCol)
       .agg(
         concat_ws(" ", transform(
@@ -944,14 +975,24 @@ object Dedup {
     * join back) followed by a per-document agg; the fraction is an exact
     * long/long IEEE division — deterministic across engines. Documents
     * shorter than k words report n_grams = 0, dup_frac = 0.0.
+    * `hashKey = true` is the 100 TB form, exactly as in [[duplicateSpans]]:
+    * the marking shuffles on xxhash64(gram) AND switches from the
+    * gram-partitioned window to the skew-safe pre-aggregated
+    * crossDocGrams + left-join-back shape (map-side combine collapses hot
+    * grams; AQE can skew-split the probe side — a window partition can do
+    * neither).
     *
     * Returns (idCol, n_grams, dup_frac). */
   def crossDocDupFraction(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, minDocs: Int = 2): DataFrame = {
-    val g = gramTable(df, textCol, idCol, k)
-    // same single-shuffle marking as duplicateSpans for minDocs = 2
+      k: Int = 3, minDocs: Int = 2, hashKey: Boolean = false): DataFrame = {
+    val g0 = gramTable(df, textCol, idCol, k)
+    val g = if (hashKey) g0.select(col(idCol), col("pos"),
+        xxhash64(col("gram")).as("gram"))
+      else g0
+    // single-shuffle window marking for the demo form only; hashKey (the
+    // declared scale form) and minDocs > 2 take the skew-safe agg + join
     val flagged =
-      if (minDocs <= 2) {
+      if (minDocs <= 2 && !hashKey) {
         val wg = Window.partitionBy(col("gram"))
         g.withColumn("__dup",
           if (minDocs == 2)

@@ -20,11 +20,17 @@ import org.apache.spark.sql.functions._
   * headroom: mass*85*w per edge — at nodeScale 1e6 and 1e9-count edges
   * that is ~2.5e17 < 2^63.
   *
-  * Scale shape per iteration: the rank table is |nodes| rows (≪ |edges|) →
-  * broadcast to the edge side; edges shuffle ONCE to aggregate by dst. The
-  * edge list itself is computed once and localCheckpoint-materialized so the
-  * 3-iteration plan does not recompute the upstream joins (the q123
-  * connected-components idiom).
+  * Scale shape per iteration: edges join ranks with a plain equi-join on
+  * `src` — NO forced broadcast. At demo scale AQE turns the join into a
+  * broadcast-hash join on its own (ranks is tiny); at web-graph scale
+  * (10^8+ nodes the rank vector no longer fits an executor) the same plan
+  * degrades gracefully to a shuffled hash join, which is the correct
+  * 100 TB shape. Forcing `broadcast(ranks)` would remove that choice and
+  * OOM every executor at node counts beyond the broadcast threshold.
+  * Edges then shuffle ONCE to aggregate by dst. The edge list itself is
+  * computed once and localCheckpoint-materialized so the 3-iteration plan
+  * does not recompute the upstream joins (the q123 connected-components
+  * idiom).
   */
 object GraphRank {
 
@@ -46,13 +52,13 @@ object GraphRank {
     // then re-read a local snapshot instead of re-running the joins
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w"))
-      .join(broadcast(outW.withColumnRenamed(srcCol, "src")), Seq("src"))
+      .join(outW.withColumnRenamed(srcCol, "src"), Seq("src"))
       .localCheckpoint()
     val n = nodes.select(col(nodeCol).as("node"))
     val teleport = scale * (100 - dampPct) / 100
     val init = n.withColumn("mass", lit(scale))
     val ranked = (1 to iterations).foldLeft(init) { (ranks, _) =>
-      val contrib = e.join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
+      val contrib = e.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .withColumn("contrib", expr(s"(mass * $dampPct * w) DIV (100 * out_weight)"))
         .groupBy(col("dst").as("node"))
         .agg(sum("contrib").cast("long").as("in_mass"))
@@ -61,7 +67,7 @@ object GraphRank {
         .select("node", "mass")
     }
     ranked.withColumnRenamed("mass", "rank_mass")
-      .join(broadcast(outW).withColumnRenamed(srcCol, "node"), Seq("node"), "left")
+      .join(outW.withColumnRenamed(srcCol, "node"), Seq("node"), "left")
       .na.fill(0L, Seq("out_weight"))
       .withColumnRenamed("node", nodeCol)
   }
