@@ -27,13 +27,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and convert to a microsecond timestamp
-    * (matching DuckDB's native µs TIMESTAMP after CAST). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  /** events.parquet's `ts` physical type has varied across driver testdata
+    * generations: TIMESTAMP(NANOS) (Spark rejects → read nanos as long and
+    * convert) vs plain µs TIMESTAMP (read directly, normalize NTZ → session-TZ
+    * timestamp; session is pinned UTC so the instant is unchanged). Dispatch
+    * on the actual schema so both generations load identically — downstream
+    * queries always see a µs TimestampType `ts`, matching DuckDB's TIMESTAMP. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   // ---------- exact-aggregation helpers ----------

@@ -401,8 +401,7 @@ class ScalePathSpec extends AnyFunSuite {
 
   test("ContractStore PIT strategies agree (sorted default vs join)") {
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = SparkEntry.events(spark, dir)
     val viewSrc = graft.sources.TransformSource(
       graft.sources.ParquetSource(s"$dir/events.parquet"),
       _ => ev.filter($"event_type" === "view").groupBy("user_id", "ts")
