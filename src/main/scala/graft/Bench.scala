@@ -52,31 +52,54 @@ object Bench {
         if (p.isEmpty) System.err.println(s"[bench] bad SPARK_GRAFT_REPEAT_SEC '$v', using 1.0")
         p
       }.getOrElse(1.0)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-      .map { case (name, fn) =>
-      // (seconds, succeeded): a failed run must never replace a successful
-      // one via math.min — a fast failure on the repeat would silently
-      // under-report the query
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name: ${e.getMessage}"); false }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      val (first, firstOk) = once()
-      name -> (if (first <= repeatThreshold) first
+    // (seconds, succeeded): a failed run must never replace a successful
+    // one via math.min — a fast failure on a repeat would silently
+    // under-report the query
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: ${e.getMessage}"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    // PASS 1 — best-of-2 with a cheap-query shortcut (see note above).
+    val pass1 = selected.map { case (name, fn) =>
+      val (first, firstOk) = once(name, fn)
+      val (best, ok) =
+        if (first <= repeatThreshold) (first, firstOk)
         else {
-          val (second, secondOk) = once()
+          val (second, secondOk) = once(name, fn)
           (firstOk, secondOk) match {
-            case (true, true)  => math.min(first, second)
-            case (true, false) => first
-            case (false, true) => second
-            case _             => first
+            case (true, true)  => (math.min(first, second), true)
+            case (true, false) => (first, true)
+            case (false, true) => (second, true)
+            case _             => (first, false)
           }
-        })
+        }
+      (name, fn, best, ok)
+    }
+    // PASS 2 — contention insurance (r05 driver capture: two multi-minute
+    // host-contention windows inflated run-order-contiguous blocks 3-35×
+    // on UNCHANGED plans; back-to-back best-of-2 cannot save a query when
+    // the window outlasts both runs). Re-run the expensive tail — every
+    // successful query whose pass-1 minimum exceeds max(repeatThreshold,
+    // 3× the suite median) — AFTER the whole suite has finished, so the
+    // repeat lands minutes away from whatever inflated the original, and
+    // record the per-query minimum across passes. Bounded cost: one extra
+    // run over only the tail (the genuinely-expensive tail re-measures at
+    // its true cost; an inflated entry re-measures fast).
+    val p1Times = pass1.map(_._3).sorted
+    val median = if (p1Times.isEmpty) 0.0 else p1Times(p1Times.size / 2)
+    val cutoff = math.max(repeatThreshold, 3.0 * median)
+    val results = pass1.map { case (name, fn, best, ok) =>
+      name -> (if (ok && best > cutoff) {
+        val (again, againOk) = once(name, fn)
+        if (againOk) math.min(best, again) else best
+      } else best)
     }.toMap
     // The driver records only the LAST 2000 output chars (measured from
     // BENCH_r01/r02: tail_len 2000, metric line truncated at its START →
@@ -86,14 +109,18 @@ object Bench {
     // precision (~1.3 KB at 96 queries). The full-name line prints FIRST so
     // humans and BENCH_NOTES still get it when reading the whole log.
     def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    def line(entries: Seq[(String, Double)]): String = {
+    def line(entries: Seq[(String, Double)], sf: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = entries.map(_._2).sum // from the entries printed, not the outer map
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
     val sorted = results.toSeq.sortBy(_._1)
-    println(line(sorted)) // full names, for humans reading the whole log
-    println(line(sorted.map { case (k, v) => k.takeWhile(_ != '_') -> v })) // fits the tail window
+    println(line(sorted, sfDir)) // full names, for humans reading the whole log
+    // short-key line: qNN names + basename sf — every saved char is tail-
+    // window headroom (the window is 2000 chars; the line was 1861 at 157
+    // queries, so a handful of new queries would push its START out)
+    println(line(sorted.map { case (k, v) => k.takeWhile(_ != '_') -> v },
+      new java.io.File(sfDir).getName))
     System.out.flush()
     spark.stop()
   }
