@@ -1110,6 +1110,45 @@ class BudgetAndScaleFormSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  /** A deliberately skewed corpus: one boilerplate gram/segment appears in
+    * EVERY doc (the 100 TB straggler case the hashKey forms exist for —
+    * window-partition marking would ship all its occurrences to one task;
+    * the agg + join-back shape collapses it map-side). The two shapes must
+    * agree exactly on it. */
+  private def skewed = {
+    val hot = "terms of service apply here"
+    (1 to 60).map { i =>
+      (i.toLong, s"$hot unique$i filler${i * 7} tail${i * 13} $hot")
+    }.toDF("doc_id", "text")
+  }
+
+  test("duplicateSpans hashKey agg+join-back agrees with the window form on a hot-gram corpus") {
+    val a = Dedup.duplicateSpans(skewed, "text", "doc_id", k = 5)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.duplicateSpans(skewed, "text", "doc_id", k = 5, hashKey = true)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("crossDocDupFraction hashKey form matches the string-key form (skewed + plain)") {
+    for (df <- Seq(docs, skewed)) {
+      val a = Dedup.crossDocDupFraction(df, "text", "doc_id", k = 3)
+        .collect().map(_.toSeq).toSet
+      val b = Dedup.crossDocDupFraction(df, "text", "doc_id", k = 3, hashKey = true)
+        .collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty)
+    }
+  }
+
+  test("segmentDedup hashKey global election agrees on a hot-segment corpus") {
+    // every doc shares the hot 5-word segment; winner = lowest (id, idx)
+    val a = Dedup.segmentDedup(skewed, "text", "doc_id", segWords = 5)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.segmentDedup(skewed, "text", "doc_id", segWords = 5, hashKey = true)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("segmentDedup perDoc keeps cross-doc repeats, drops within-doc ones") {
     val df = Seq(
       (1L, "a b a b c d"),  // segs: "a b","a b","c d" -> second "a b" dropped
@@ -1407,6 +1446,62 @@ class DsirSelectSpec extends AnyFunSuite {
     assert(none.filter(col("selected")).count() == 0)
     val all = graft.ml.MLOps.dsirSelect(docs, "text", "doc_id", lit(false), keepPct = 100)
     assert(all.filter(col("selected")).count() == 2)
+  }
+
+  // the 100 TB form: banded-histogram threshold select, no global sort
+  test("dsirSelectByThreshold matches dsirSelect on ties-free scores") {
+    // doc i repeats the target token i times → strictly increasing scores
+    val docs = (1 to 12).map(i =>
+      (i.toLong, (Seq.fill(i)("alpha") ++ Seq.fill(13 - i)("zeta")).mkString(" "),
+        i > 8)).toDF("doc_id", "text", "is_tgt")
+    val exact = graft.ml.MLOps.dsirSelect(docs, "text", "doc_id",
+      col("is_tgt"), buckets = 512, keepPct = 40)
+    // precondition of the equivalence: no two docs share a score
+    val scores = exact.select("dsir_score").collect().map(_.getLong(0))
+    assert(scores.distinct.length == scores.length, "test data must be ties-free")
+    val byThr = graft.ml.MLOps.dsirSelectByThreshold(docs, "text", "doc_id",
+      col("is_tgt"), buckets = 512, keepPct = 40, bands = 4)
+    // bands = 4 forces several refinement rounds over a 64-bit score range
+    val a = exact.filter(col("selected")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = byThr.filter(col("selected")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 5) // k = (12*40 + 99) DIV 100 = 5
+    // scores agree row-for-row too (shared scoring pass contract)
+    val se = exact.select("doc_id", "dsir_score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = byThr.select("doc_id", "dsir_score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(se == st)
+  }
+
+  test("dsirSelectByThreshold keeps ALL ties at the cut") {
+    // four identical target-y docs tie exactly; k = 2 cuts inside the tie
+    // group → the threshold convention keeps all four (selected >= k),
+    // and nothing below the tie score is selected
+    val docs = Seq(
+      (1L, "alpha alpha alpha", true), (2L, "alpha alpha alpha", true),
+      (3L, "alpha alpha alpha", false), (4L, "alpha alpha alpha", false),
+      (5L, "zeta zeta zeta", false), (6L, "zeta zeta", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val got = graft.ml.MLOps.dsirSelectByThreshold(docs, "text", "doc_id",
+        col("is_tgt"), buckets = 512, keepPct = 34, bands = 4) // k = 3
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val tieScore = got(1L)._1
+    assert(Seq(2L, 3L, 4L).forall(id => got(id)._1 == tieScore))
+    assert(Seq(1L, 2L, 3L, 4L).forall(id => got(id)._2), "all ties kept")
+    assert(!got(5L)._2 && !got(6L)._2)
+  }
+
+  test("dsirSelectByThreshold bounds: keepPct 0 none, 100 all, empty input") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    assert(graft.ml.MLOps.dsirSelectByThreshold(docs, "text", "doc_id",
+      lit(false), keepPct = 0).filter(col("selected")).count() == 0)
+    assert(graft.ml.MLOps.dsirSelectByThreshold(docs, "text", "doc_id",
+      lit(false), keepPct = 100).filter(col("selected")).count() == 2)
+    val empty = docs.filter(lit(false))
+    assert(graft.ml.MLOps.dsirSelectByThreshold(empty, "text", "doc_id",
+      lit(false), keepPct = 50).count() == 0)
   }
 }
 
