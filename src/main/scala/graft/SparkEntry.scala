@@ -3511,6 +3511,37 @@ object SparkEntry {
         SELECT doc_id, dsir_score, CAST(rn AS BIGINT) AS "rank",
           rn <= (total * 25 + 99) // 100 AS selected FROM r""")),
 
+    // --- DSIR THRESHOLD SELECT — the 100 TB form of q151: same integer
+    // scores, but the top-25% cut is a score THRESHOLD found by
+    // iteratively-refined banded histograms (O(bands) driver longs per
+    // round, <= 6 rounds) instead of a global single-task sort; ties AT the
+    // cut are all kept. The oracle restates the convention directly: the
+    // k-th largest score is the threshold, selected = score >= threshold ---
+    Q("q151b_dsir_threshold",
+      (s, dir) => graft.ml.MLOps.dsirSelectByThreshold(t(s, dir, "documents"),
+        "text", "doc_id", targetPred = col("lang") === "en",
+        buckets = 4096, scale = 1000000L, keepPct = 25),
+      Some("""WITH d AS (SELECT doc_id, lang, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest(ws) AS w FROM d),
+          tb AS (SELECT doc_id, tgt,
+              CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 4096 AS b FROM tok),
+          bs AS (SELECT b,
+              ((count(CASE WHEN tgt THEN 1 END) + 1) * 1000000) // (count(*) + 1) AS sc
+            FROM tb GROUP BY b),
+          ds AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS dsir_score
+            FROM tb JOIN bs USING (b) GROUP BY doc_id),
+          al AS (SELECT d.doc_id, CAST(coalesce(ds.dsir_score, 0) AS BIGINT) AS dsir_score
+            FROM d LEFT JOIN ds ON ds.doc_id = d.doc_id),
+          r AS (SELECT doc_id, dsir_score,
+              row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn,
+              count(*) OVER () AS total FROM al),
+          t AS (SELECT min(dsir_score) AS thr FROM r
+            WHERE rn <= (total * 25 + 99) // 100)
+        SELECT doc_id, dsir_score, dsir_score >= (SELECT thr FROM t) AS selected
+        FROM al""")),
+
     // --- GOPHER rule-set filter (Rae et al. 2021 A1.1): the published hard
     // quality gate with a per-rule failure bitmask; counting + single IEEE
     // divisions only, so the whole rule table hash-matches. minWords

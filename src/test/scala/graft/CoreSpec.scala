@@ -1558,3 +1558,47 @@ class GopherFilterSpec extends AnyFunSuite {
     assert((mask & 1L) != 0L && (mask & 2L) != 0L && (mask & 32L) != 0L && (mask & 64L) != 0L)
   }
 }
+
+/** Integer-mass PageRank: hand-computed fixture + the no-forced-broadcast
+  * scale contract (the rank vector must stay joinable, not broadcast, so
+  * web-graph node counts beyond the broadcast threshold degrade to a
+  * shuffled join instead of OOMing every executor). */
+class GraphRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 1→2, 2→3, 3→{1,2} (split out-weight), 4 isolated/dangling
+  private def edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (3L, 2L, 1L))
+    .toDF("src", "dst", "w")
+  private def nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+
+  test("two iterations match the hand-computed integer masses") {
+    val got = graft.ops.GraphRank.pageRank(edges, nodes, "node", "src", "dst", "w",
+        iterations = 2, scale = 1000L, dampPct = 85)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // iter1: teleport 150; contribs 1→2:850, 2→3:850, 3→1:425, 3→2:425
+    //   masses: n1 575, n2 1425, n3 1000, n4 150
+    // iter2: contribs (575*85)DIV100=488→2, (1425*85)DIV100=1211→3,
+    //   (1000*85*1)DIV(100*2)=425→1 and →2
+    assert(got(1L) == ((150L + 425L, 1L)))
+    assert(got(2L) == ((150L + 488L + 425L, 1L)))
+    assert(got(3L) == ((150L + 1211L, 2L)))
+    assert(got(4L) == ((150L, 0L))) // isolated: teleport floor, out_weight 0
+  }
+
+  test("zero iterations return the initial mass for every node") {
+    val got = graft.ops.GraphRank.pageRank(edges, nodes, "node", "src", "dst", "w",
+        iterations = 0, scale = 777L)
+      .select("rank_mass").collect().map(_.getLong(0))
+    assert(got.length == 4 && got.forall(_ == 777L))
+  }
+
+  test("pageRank forces no broadcast hint (rank side must stay shuffled-joinable)") {
+    val df = graft.ops.GraphRank.pageRank(edges, nodes, "node", "src", "dst", "w",
+      iterations = 3)
+    // the analyzed plan carries every hint the operator itself inserted;
+    // AQE choosing a broadcast join at runtime is fine — FORCING one is not
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "pageRank must not force-broadcast any side")
+  }
+}
