@@ -546,14 +546,17 @@ object SparkEntry {
           doc_id > min(doc_id) OVER (PARTITION BY text) AS is_duplicate
         FROM documents""")),
 
-    // --- MinHash + LSH near-dup (banding → bucket join → jaccard verify);
-    // LSH recall is probabilistic, so the gate is rows-only — the jaccard
-    // verification math itself is oracle-checked by q24 ---
+    // --- MinHash + LSH near-dup (banding → bucket join → jaccard verify)
+    // at a SECOND operating point of the portable hash family: 8 narrow
+    // bands (2 rows each — high recall at low thresholds) over word
+    // 2-grams, vs q67's 4×4 banding over 3-grams. Fully hash-checked; the
+    // xxhash64 production form ([[Dedup.nearDuplicates]]) stays the
+    // generic-speed path, its banding/verify algebra spec-gated against
+    // this one ---
     Q("q23_minhash_neardup",
-      (s, dir) => Dedup.nearDuplicates(t(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.5, numHashes = 32, bands = 8, k = 3)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard")),
-      None),
+      (s, dir) => Dedup.nearDuplicatesPortable(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.35, bands = 8, k = 2),
+      Some(sqlMinhashOracle(threshold = 0.35, bands = 8, k = 2))),
 
     // --- exact n-gram Jaccard within same-source blocks ---
     Q("q24_jaccard_pairs",
@@ -571,20 +574,25 @@ object SparkEntry {
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2""")),
 
-    // --- SimHash + Hamming near-dup (xxhash-based → rows-only) ---
+    // --- SimHash + Hamming near-dup, ALL-PAIRS within source blocks (the
+    // small-block demo shape; the banded pigeonhole q61/q81 is the scale
+    // form) — over the PORTABLE 24-bit signature so every pair and distance
+    // hash-checks; the 64-bit xxhash form ([[Dedup.withSimhash]]) stays the
+    // production signature, equivalence spec-gated ---
     Q("q25_simhash_pairs",
       (s, dir) => {
-        val d = Dedup.withSimhash(
-          t(s, dir, "documents").select("source", "doc_id", "text"), "text", "sig", 2)
-          .drop("text")
+        val d = Dedup.withSimhashPortable(
+          t(s, dir, "documents").select("source", "doc_id", "text"), "text", "sig",
+          bits = 24, k = 2).drop("text")
         val a = d.select(col("source"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
         val b = d.select(col("source"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
         a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
-          .withColumn("hamming", Dedup.hamming(col("sig_a"), col("sig_b")))
-          .filter(col("hamming") <= 14)
+          .withColumn("hamming", Dedup.hamming(col("sig_a"), col("sig_b")).cast("int"))
+          .filter(col("hamming") <= 5)
           .select("source", "id_a", "id_b", "hamming")
       },
-      None),
+      Some(sqlSimhashOracle(bits = 24, maxHamming = 5, k = 2,
+        blockBy = Some("source"), allPairs = true))),
 
     // --- token counting: whitespace + BPE-ish regex ---
     Q("q26_token_stats",
@@ -719,12 +727,15 @@ object SparkEntry {
       Some(sqlIvfPortableOracle(k = 5, nlist = 8, nprobe = 3, dim = 64,
         queryPred = "vec_id < 20"))),
 
-    // --- random-hyperplane LSH embedding near-dup (approximate → rows-only) ---
+    // --- random-hyperplane LSH embedding near-dup at a SECOND operating
+    // point of the portable plane family: 5 planes / threshold 0.25 (finer
+    // buckets, looser verify) vs q68's 4 planes / 0.3. Fully hash-checked;
+    // the xxhash-derived-plane form ([[Dedup.embeddingNearDup]]) stays the
+    // generic path, spec-gated ---
     Q("q33_embedding_neardup",
-      (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.25, planes = 4)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine")),
-      None),
+      (s, dir) => Dedup.embeddingNearDupPortable(t(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.25, planes = 5, dim = 64),
+      Some(sqlEmbeddingNearDupOracle(threshold = 0.25, planes = 5, dim = 64))),
 
     // --- near-dup pairs → clusters → canonical docs: connected components
     // (min-label propagation) over the PORTABLE minhash pairs at its own
@@ -748,12 +759,17 @@ object SparkEntry {
         LEFT JOIN comp ON comp.id = d.doc_id
         WHERE comp.comp IS NULL OR comp.comp = d.doc_id""")),
 
-    // --- banded simhash near-dup (exact-recall pigeonhole buckets; the scale
-    // form of q25's all-pairs demo — equivalence proven in spec → rows-only) ---
+    // --- banded simhash near-dup (exact-recall pigeonhole buckets; the
+    // scale form of q25's all-pairs demo) at a SECOND portable operating
+    // point: 20-bit signature in 5 bands (Hamming ≤ 4) blocked by source,
+    // vs q81's global 24-bit/4-band gate. Fully hash-checked; the 64-bit
+    // xxhash form ([[Dedup.simhashNearDup]]) stays the production path,
+    // its pigeonhole algebra spec-gated banded-vs-pairwise ---
     Q("q61_simhash_banded",
-      (s, dir) => Dedup.simhashNearDup(t(s, dir, "documents"), "text", "doc_id",
-        maxHamming = 7, blockBy = Seq("source")),
-      None),
+      (s, dir) => Dedup.simhashNearDupPortable(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 4, bits = 20, k = 2, blockBy = Seq("source")),
+      Some(sqlSimhashOracle(bits = 20, maxHamming = 4, k = 2,
+        blockBy = Some("source")))),
 
     // --- unpack embedding into scalar columns + array ops ---
     Q("q34_vector_ops",
@@ -1308,18 +1324,21 @@ object SparkEntry {
     * with [[Dedup.portableCoeffs]] / [[Dedup.PortableP]]. Shared by q67
     * (pairs), q69/q123/q132 (connected components over the pairs) and q60
     * (canonicalize, at its own threshold). */
-  private def minhashCtes(threshold: Double = 0.5): String = {
+  private def minhashCtes(threshold: Double = 0.5, bands: Int = 4, k: Int = 3): String = {
     val p = Dedup.PortableP
+    val n = Dedup.portableCoeffs.size
+    require(n % bands == 0, s"bands=$bands must divide $n coefficients")
+    val rpb = n / bands
     val sigExprs = Dedup.portableCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(h, x -> ($a * x + $b) % $p)) AS s$i"
     }.mkString(",\n            ")
-    val bandSelects = (0 until 4).map { j =>
-      val cols = (0 until 4).map(r => s"CAST(s${j * 4 + r} AS VARCHAR)").mkString(", ", ", ", "")
+    val bandSelects = (0 until bands).map { j =>
+      val cols = (0 until rpb).map(r => s"CAST(s${j * rpb + r} AS VARCHAR)").mkString(", ", ", ", "")
       s"SELECT doc_id, $j AS band, concat_ws('_'$cols) AS bucket FROM sigs"
     }.mkString("\n          UNION ALL ")
     s"""w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
-        g AS (SELECT doc_id, [array_to_string(w[i:i+2], ' ')
-            for i in generate_series(1, greatest(len(w)-2, 0))] AS grams FROM w),
+        g AS (SELECT doc_id, [array_to_string(w[i:i+${k - 1}], ' ')
+            for i in generate_series(1, greatest(len(w)-${k - 1}, 0))] AS grams FROM w),
         h AS (SELECT doc_id, list_transform(grams,
             s -> CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) % $p) AS h
           FROM g WHERE len(grams) > 0),
@@ -1339,8 +1358,8 @@ object SparkEntry {
               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= $threshold)"""
   }
 
-  private def sqlMinhashOracle: String =
-    s"WITH ${minhashCtes()} SELECT id_a, id_b, jaccard FROM pairs"
+  private def sqlMinhashOracle(threshold: Double = 0.5, bands: Int = 4, k: Int = 3): String =
+    s"WITH ${minhashCtes(threshold, bands, k)} SELECT id_a, id_b, jaccard FROM pairs"
 
   /** [[graft.functions.Native.VecCosine]] restated in DuckDB: sequential
     * dot / (sqrt(Σa²)·sqrt(Σb²)), 0.0 on a zero denominator. Both engines
@@ -1588,7 +1607,7 @@ object SparkEntry {
     Q("q67_minhash_portable",
       (s, dir) => Dedup.nearDuplicatesPortable(t(s, dir, "documents"), "text", "doc_id",
         threshold = 0.5, bands = 4, k = 3),
-      Some(sqlMinhashOracle)),
+      Some(sqlMinhashOracle())),
 
     // --- embedding near-dup with the PORTABLE hyperplane matrix: plan-time
     // literal planes (no per-row hashing), sign-bucket equi-join, exact
@@ -1615,21 +1634,24 @@ object SparkEntry {
             UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
         SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a""")),
 
-    // --- MERGEABLE distinct-count sketches (DataSketches HLL): per-source
-    // vocabulary estimate + a global rollup built by unioning the per-source
-    // sketches (no second scan of the tokens). Sketch internals are
-    // engine-specific → rows-only; the ≤5% error envelope and the
-    // merge = direct-global property are spec-gated (PipelineOpsSpec) ---
+    // --- MERGEABLE distinct-count sketches at a SECOND portable operating
+    // point: per-LANGUAGE vocabulary registers at lgK=6 (coarser sketch,
+    // different key) + the elementwise-max rollup, vs q137's per-source
+    // lgK=8 gate — sketch AND merge hash-checked. The DataSketches HLL
+    // ([[Aggregations.hllSketches]], binary-opaque to any oracle) stays the
+    // production default; its ≤5% error envelope and merge = direct-global
+    // property are spec-gated (PipelineOpsSpec) ---
     Q("q70_hll_distinct",
       (s, dir) => {
-        val tokens = t(s, dir, "documents").select(col("source"),
+        val tokens = t(s, dir, "documents").select(col("lang"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        val per = Aggregations.hllSketches(tokens, Seq("source"), "w")
-        val global = Aggregations.hllRollup(per, Nil).withColumn("source", lit("ALL"))
-        per.select(col("source"), col("est_distinct"))
-          .unionByName(global.select(col("source"), col("est_distinct")))
+        val regs = Aggregations.hllPortableRegisters(tokens, Seq("lang"), "w", lgK = 6)
+        val allRegs = Aggregations.hllPortableRollup(regs, Nil)
+          .withColumn("lang", lit("ALL"))
+        Aggregations.hllPortableEstimate(regs, Seq("lang"), lgK = 6)
+          .unionByName(Aggregations.hllPortableEstimate(allRegs, Seq("lang"), lgK = 6))
       },
-      None),
+      Some(sqlHllPortableOracle(lgK = 6, key = "lang"))),
 
     // --- incremental exact dedup: a "new batch" (doc_id % 5 == 0) deduped
     // against the accumulated corpus via an 8-byte-key anti-join, then
@@ -1910,7 +1932,7 @@ object SparkEntry {
     Q("q81_simhash_portable",
       (s, dir) => Dedup.simhashNearDupPortable(t(s, dir, "documents"),
         "text", "doc_id", maxHamming = 3, bits = 24, k = 2),
-      Some(sqlSimhashOracle))
+      Some(sqlSimhashOracle()))
   )
 
   private val pipelineQueries4: Seq[Q] = Seq(
@@ -2307,36 +2329,55 @@ object SparkEntry {
         GROUP BY label, i"""))
   )
 
-  /** q81's portable simhash restated for DuckDB: same md5 base hashes as
-    * [[minhashCtes]], bit votes as integer div/mod arithmetic. */
-  private def sqlSimhashOracle: String = {
+  /** The portable simhash (q81/q61/q25) restated for DuckDB: same md5 base
+    * hashes as [[minhashCtes]], bit votes as integer div/mod arithmetic.
+    * `blockBy` carries a blocking column through sigs and into the join;
+    * `allPairs` swaps the band-pigeonhole candidate join for the all-pairs
+    * (within-block) demo shape. */
+  private def sqlSimhashOracle(bits: Int = 24, maxHamming: Int = 3, k: Int = 2,
+      blockBy: Option[String] = None, allPairs: Boolean = false): String = {
     val p = Dedup.PortableP
-    val bitExprs = (0 until 24).map { i =>
+    val bands = maxHamming + 1
+    require(bits % bands == 0, s"bits=$bits must split into $bands bands")
+    val width = bits / bands
+    val bitExprs = (0 until bits).map { i =>
       val p2 = 1L << i
       s"""(CASE WHEN list_sum(list_transform(h,
          x -> CASE WHEN (x // $p2) % 2 = 1 THEN 1 ELSE -1 END)) > 0
          THEN $p2 ELSE 0 END)"""
     }.mkString("\n            + ")
-    val bandSelects = (0 until 4).map { j =>
-      val div = 1L << (6 * j)
-      s"SELECT doc_id, $j AS band, (sig // $div) % 64 AS bits, sig FROM sigs"
+    val blkSel = blockBy.map(c => s"$c, ").getOrElse("")
+    val blkOut = blockBy.map(c => s"a.$c AS $c, ").getOrElse("")
+    val blkJoin = blockBy.map(c => s" AND a.$c = b.$c").getOrElse("")
+    val blkFinal = blockBy.map(c => s"$c, ").getOrElse("")
+    val bandSelects = (0 until bands).map { j =>
+      val div = 1L << (width * j)
+      s"SELECT $blkSel doc_id, $j AS band, (sig // $div) % ${1L << width} AS bits, sig FROM sigs"
     }.mkString("\n          UNION ALL ")
-    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
-        g AS (SELECT doc_id, [array_to_string(w[i:i+1], ' ')
-            for i in generate_series(1, greatest(len(w)-1, 0))] AS grams FROM w),
-        h AS (SELECT doc_id, list_transform(grams,
-            s -> CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) % $p) AS h
-          FROM g WHERE len(grams) > 0),
-        sigs AS (SELECT doc_id,
-            $bitExprs AS sig
-          FROM h),
-        bands AS ($bandSelects),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    val candCte =
+      if (allPairs)
+        s"""cand AS (SELECT $blkOut a.doc_id AS id_a, b.doc_id AS id_b,
+            a.sig AS sa, b.sig AS sb
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id$blkJoin)"""
+      else
+        s"""bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT $blkOut a.doc_id AS id_a, b.doc_id AS id_b,
             a.sig AS sa, b.sig AS sb
           FROM bands a JOIN bands b ON a.band = b.band AND a.bits = b.bits
-            AND a.doc_id < b.doc_id)
-      SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-      FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+            AND a.doc_id < b.doc_id$blkJoin)"""
+    s"""WITH w AS (SELECT $blkSel doc_id,
+            string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+        g AS (SELECT $blkSel doc_id, [array_to_string(w[i:i+${k - 1}], ' ')
+            for i in generate_series(1, greatest(len(w)-${k - 1}, 0))] AS grams FROM w),
+        h AS (SELECT $blkSel doc_id, list_transform(grams,
+            s -> CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) % $p) AS h
+          FROM g WHERE len(grams) > 0),
+        sigs AS (SELECT $blkSel doc_id,
+            $bitExprs AS sig
+          FROM h),
+        $candCte
+      SELECT $blkFinal id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming"""
   }
 
   private val pipelineQueries5: Seq[Q] = Seq(
@@ -3802,7 +3843,7 @@ object SparkEntry {
     * bucket/rank integer splits, CASE leading-zero rank, elementwise-max
     * union, and the SAME numerator double literal
     * ([[Aggregations.hllPortableNumerator]]). */
-  private def sqlHllPortableOracle(lgK: Int): String = {
+  private def sqlHllPortableOracle(lgK: Int, key: String = "source"): String = {
     val m = 1L << lgK
     val width = 56 - lgK
     val bigW = width + 1
@@ -3811,19 +3852,19 @@ object SparkEntry {
       .mkString("CASE ", " ", s" ELSE ${width + 1} END")
     // sum() widens to HUGEINT in DuckDB — pin BIGINT (values stay < 2^63)
     val denom = s"CAST(d + ($m - n_buckets_set) * (CAST(1 AS BIGINT) << $bigW) AS BIGINT)"
-    s"""WITH w AS (SELECT source,
+    s"""WITH w AS (SELECT $key,
           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS val
         FROM documents),
-      h AS (SELECT source,
+      h AS (SELECT $key,
           CAST(concat('0x', substr(md5(CAST(val AS VARCHAR)), 1, 14)) AS BIGINT) AS h
         FROM w),
-      b AS (SELECT source, h % $m AS bk, h // $m AS r FROM h),
-      regs AS (SELECT source, bk, max($rhoCase) AS m_j FROM b GROUP BY source, bk),
-      allregs AS (SELECT 'ALL' AS source, bk, max(m_j) AS m_j FROM regs GROUP BY bk),
+      b AS (SELECT $key, h % $m AS bk, h // $m AS r FROM h),
+      regs AS (SELECT $key, bk, max($rhoCase) AS m_j FROM b GROUP BY $key, bk),
+      allregs AS (SELECT 'ALL' AS $key, bk, max(m_j) AS m_j FROM regs GROUP BY bk),
       u AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
-      agg AS (SELECT source, count(*) AS n_buckets_set,
-          sum(CAST(1 AS BIGINT) << ($bigW - m_j)) AS d FROM u GROUP BY source)
-    SELECT source, n_buckets_set, $denom AS denom_scaled,
+      agg AS (SELECT $key, count(*) AS n_buckets_set,
+          sum(CAST(1 AS BIGINT) << ($bigW - m_j)) AS d FROM u GROUP BY $key)
+    SELECT $key, n_buckets_set, $denom AS denom_scaled,
       ${Aggregations.hllPortableNumerator(lgK)} / CAST($denom AS DOUBLE) AS est_distinct
     FROM agg"""
   }

@@ -386,7 +386,8 @@ object Dedup {
     * (SparkEntry q81's DuckDB oracle), unlike the xxhash64 64-bit variant.
     * `bits` must split evenly into `maxHamming+1` bands. */
   def simhashNearDupPortable(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, bits: Int = 16, k: Int = 2): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 16, k: Int = 2,
+      blockBy: Seq[String] = Nil): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits=$bits must split into ${bands} bands")
     // base hashes are mod P = 2^31-1, so bits ≥ 31 would vote a constant 0
@@ -394,13 +395,28 @@ object Dedup {
     // join toward all-pairs (the 64-bit form is [[simhashNearDup]])
     require(bits >= bands && bits <= 30, s"1 ≤ bands ≤ bits ≤ 30, got bits=$bits")
     val width = bits / bands
+    val keys = blockBy.map(col)
     val sig = df
-      .select(col(idCol).as("__id"), portableShingleHashes(col(textCol), k).as("__h"))
+      .select(keys :+ col(idCol).as("__id")
+        :+ portableShingleHashes(col(textCol), k).as("__h"): _*)
       .filter(size(col("__h")) > 0)
-      .select(col("__id"),
-        graft.functions.Native.portableSimHash(col("__h"), bits).as("__sig"))
-    simhashBandPairs(sig, Nil, (0 until bands).map(b => (b * width, width)), maxHamming)
+      .select(keys :+ col("__id")
+        :+ graft.functions.Native.portableSimHash(col("__h"), bits).as("__sig"): _*)
+    simhashBandPairs(sig, blockBy, (0 until bands).map(b => (b * width, width)), maxHamming)
   }
+
+  /** Portable [[withSimhash]]: a `bits`-wide signature column from the
+    * md5-derived shingle-hash family — restatable in any engine's SQL
+    * (SparkEntry q25's oracle), for ALL-PAIRS demo shapes where the banded
+    * [[simhashNearDupPortable]] pigeonhole isn't wanted. Rows with no
+    * shingles (shorter than k words) are DROPPED: a signature of "no
+    * evidence" has no meaningful Hamming distance to anything. */
+  def withSimhashPortable(df: DataFrame, textCol: String, out: String,
+      bits: Int = 24, k: Int = 2): DataFrame =
+    df.withColumn("__graft_ph", portableShingleHashes(col(textCol), k))
+      .filter(size(col("__graft_ph")) > 0)
+      .withColumn(out, graft.functions.Native.portableSimHash(col("__graft_ph"), bits))
+      .drop("__graft_ph")
 
   /** Deterministic hyperplane matrix shared with external engines: component
     * (p, i) = ((first 14 hex digits of md5("p:i") as int) mod 2001 − 1000) /

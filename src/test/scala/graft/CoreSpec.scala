@@ -642,6 +642,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("embeddingNearDup (xxhash planes) finds planted near-dups with exact cosines") {
+    // 12 base vectors + noisy copies of 3 of them; the xxhash-plane LSH
+    // production form (q33 now gates the portable-plane variant) must
+    // surface every planted pair with a correct exact-cosine verify
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 12).map(i => i.toLong -> Array.fill(16)(rnd.nextGaussian().toFloat))
+    val noisy = (0 until 3).map { i =>
+      val v = base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      (100L + i) -> v
+    }
+    val df = (base ++ noisy).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+        threshold = 0.9, planes = 3)
+      .select("id_a", "id_b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (i <- 0 until 3)
+      assert(got.contains((i.toLong, 100L + i)), s"planted pair $i missing")
+    // every reported cosine matches the exact brute-force value
+    val vecs = (base ++ noisy).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- a.indices) { d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j) }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case ((a, b), c) =>
+      // 1e-6: the operator may accumulate in float32 order; the check is
+      // "the verify is the exact cosine", not bit-equality of float sums
+      assert(math.abs(c - cos(vecs(a), vecs(b))) < 1e-6 && c >= 0.9)
+    }
+  }
+
   test("simhash hamming distance small for near-dups, large for unrelated") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
