@@ -41,7 +41,13 @@ object SparkEntry {
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      // fail AT THE LOADER, descriptively: round 6 proved an unrecognized
+      // ts encoding flowing through silently breaks 27 queries downstream
+      // with obscure errors (or, worse, wrong timestamps that still run)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — teach SparkEntry.events " +
+        "to decode it (known: LongType nanos, TimestampNTZ, Timestamp)")
     }
   }
 
@@ -2338,8 +2344,12 @@ object SparkEntry {
       blockBy: Option[String] = None, allPairs: Boolean = false): String = {
     val p = Dedup.PortableP
     val bands = maxHamming + 1
-    require(bits % bands == 0, s"bits=$bits must split into $bands bands")
-    val width = bits / bands
+    // the divisibility contract only exists for the band-pigeonhole path;
+    // all-pairs never builds bands, and the registry is eager — a require
+    // here on a valid all-pairs registration (bits=24, maxHamming=6) would
+    // throw at class-init and take down EVERY query, not just the new one
+    require(allPairs || bits % bands == 0, s"bits=$bits must split into $bands bands")
+    val width = if (allPairs) 1 else bits / bands
     val bitExprs = (0 until bits).map { i =>
       val p2 = 1L << i
       s"""(CASE WHEN list_sum(list_transform(h,
@@ -2350,7 +2360,7 @@ object SparkEntry {
     val blkOut = blockBy.map(c => s"a.$c AS $c, ").getOrElse("")
     val blkJoin = blockBy.map(c => s" AND a.$c = b.$c").getOrElse("")
     val blkFinal = blockBy.map(c => s"$c, ").getOrElse("")
-    val bandSelects = (0 until bands).map { j =>
+    def bandSelects = (0 until bands).map { j =>
       val div = 1L << (width * j)
       s"SELECT $blkSel doc_id, $j AS band, (sig // $div) % ${1L << width} AS bits, sig FROM sigs"
     }.mkString("\n          UNION ALL ")

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gate hardening for the round-6 incident class: regenerated testdata
+  * changed the `events` ts encoding, the loader threw, and 27 queries
+  * silently VANISHED from the driver's correctness ledger (157→130 rows,
+  * zero errors recorded). These specs make that failure mode loud and
+  * in-session:
+  *   - every testdata table must load with its contract schema (the events
+  *     loader must normalize ts to µs TimestampType, whatever the physical
+  *     encoding of the current generation);
+  *   - the query registry and oracle map must stay mutually consistent, so
+  *     a registration typo can't produce an orphan oracle row;
+  *   - Bench's final short-key JSON line must stay inside the driver's
+  *     2000-char tail window as the suite grows (it was 1861 chars at 157
+  *     queries — ~170 queries would have pushed its START out and nulled
+  *     the round's BENCH parse).
+  * Companion runtime guards: Verify writes manifest.json before running and
+  * poison rows on failure; tools/check.py iterates the manifest, not the
+  * output dirs. Reference anchor for the idea: the reference's own schema
+  * drift gate, source_validation.py:1-33. */
+class TestdataContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def haveTestdata = new java.io.File(s"$dir/events.parquet").exists()
+
+  // name → accepted Spark types per column, in order. Timestamp columns
+  // accept TZ/NTZ/long-nanos at the RAW layer (physical encoding has varied
+  // across driver generations); the loader-normalized contract is asserted
+  // separately below.
+  private val rawTs: Set[DataType] = Set(TimestampType, TimestampNTZType, LongType)
+  private val contract: Map[String, Seq[(String, Set[DataType])]] = Map(
+    "region" -> Seq("r_regionkey" -> Set(IntegerType), "r_name" -> Set(StringType)),
+    "nation" -> Seq("n_nationkey" -> Set(IntegerType), "n_name" -> Set(StringType),
+      "n_regionkey" -> Set(IntegerType)),
+    "customer" -> Seq("c_custkey" -> Set(LongType), "c_name" -> Set(StringType),
+      "c_nationkey" -> Set(IntegerType), "c_acctbal" -> Set(DoubleType),
+      "c_mktsegment" -> Set(StringType)),
+    "supplier" -> Seq("s_suppkey" -> Set(LongType), "s_name" -> Set(StringType),
+      "s_nationkey" -> Set(IntegerType), "s_acctbal" -> Set(DoubleType)),
+    "part" -> Seq("p_partkey" -> Set(LongType), "p_name" -> Set(StringType),
+      "p_brand" -> Set(StringType), "p_type" -> Set(StringType),
+      "p_size" -> Set(IntegerType), "p_retailprice" -> Set(DoubleType)),
+    "orders" -> Seq("o_orderkey" -> Set(LongType), "o_custkey" -> Set(LongType),
+      "o_orderstatus" -> Set(StringType), "o_totalprice" -> Set(DoubleType),
+      "o_orderdate" -> rawTs, "o_orderpriority" -> Set(StringType)),
+    "lineitem" -> Seq("l_orderkey" -> Set(LongType), "l_partkey" -> Set(LongType),
+      "l_suppkey" -> Set(LongType), "l_linenumber" -> Set(IntegerType),
+      "l_quantity" -> Set(DoubleType), "l_extendedprice" -> Set(DoubleType),
+      "l_discount" -> Set(DoubleType), "l_tax" -> Set(DoubleType),
+      "l_returnflag" -> Set(StringType), "l_linestatus" -> Set(StringType),
+      "l_shipdate" -> rawTs),
+    "events" -> Seq("event_id" -> Set(LongType), "ts" -> rawTs,
+      "user_id" -> Set(LongType), "event_type" -> Set(StringType),
+      "value" -> Set(DoubleType), "props" -> Set(StringType)),
+    "documents" -> Seq("doc_id" -> Set(LongType), "text" -> Set(StringType),
+      "lang" -> Set(StringType), "source" -> Set(StringType),
+      "n_chars" -> Set(LongType)),
+    "embeddings" -> Seq("vec_id" -> Set(LongType),
+      "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, false)),
+      "label" -> Set(IntegerType)))
+
+  test("every testdata table loads with its contract schema") {
+    assume(haveTestdata, s"$dir absent")
+    contract.foreach { case (tbl, cols) =>
+      val schema = spark.read.parquet(s"$dir/$tbl.parquet").schema
+      assert(schema.fieldNames.toSeq == cols.map(_._1),
+        s"$tbl columns drifted: ${schema.fieldNames.mkString(",")}")
+      cols.foreach { case (name, accepted) =>
+        assert(accepted.contains(schema(name).dataType),
+          s"$tbl.$name has ${schema(name).dataType}, expected one of $accepted " +
+            "— a new testdata generation changed the physical encoding; teach " +
+            "the loader (SparkEntry.events for ts) before any query runs")
+      }
+    }
+  }
+
+  test("events loader normalizes ts to µs TimestampType and keeps every row") {
+    assume(haveTestdata, s"$dir absent")
+    val ev = SparkEntry.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"loader emitted ${ev.schema("ts").dataType} — downstream PIT/asof/" +
+        "funnel queries all assume µs TimestampType")
+    val raw = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(ev.filter(org.apache.spark.sql.functions.col("ts").isNotNull).count() == raw,
+      "ts normalization dropped or nulled rows")
+  }
+
+  test("query registry and oracle map are mutually consistent") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    val orphans = os.diff(qs)
+    assert(orphans.isEmpty, s"oracles with no registered query: $orphans")
+    val rowsOnly = qs.diff(os)
+    assert(rowsOnly.isEmpty,
+      s"queries without an oracle (rows-only, weaker gate): $rowsOnly")
+  }
+}
+
+/** The Bench output-line length bound (VERDICT r7 #7). */
+class BenchLineSpec extends AnyFunSuite {
+  private def entries(n: Int): Seq[(String, Double)] =
+    // adversarially chatty values: every entry carries two non-zero
+    // decimals; a sprinkle of >10 s entries like the real expensive tail
+    (1 to n).map(i => s"q$i" -> (if (i % 40 == 0) 12.34 else 0.17 + (i % 83) * 0.01))
+
+  test("short line stays inside the driver tail window at 175 queries") {
+    val line = Bench.shortLine(entries(175))
+    assert(line.length <= Bench.MaxShortLine, s"len=${line.length}")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith("}"))
+  }
+
+  test("short line keeps the rich qNN format at the current suite size") {
+    val line = Bench.shortLine(entries(158))
+    assert(line.length <= Bench.MaxShortLine, s"len=${line.length}")
+    assert(line.contains("\"q1\":"), "ladder degraded below qNN keys at 158 queries")
+  }
+
+  test("short line bound holds even at 250 queries (ladder bottom)") {
+    val line = Bench.shortLine(entries(250))
+    assert(line.length <= Bench.MaxShortLine, s"len=${line.length}")
+  }
+
+  test("adaptive precision: centiseconds under 10 s, deciseconds above") {
+    val line = Bench.shortLine(Seq("q1" -> 0.123, "q2" -> 12.345))
+    assert(line.contains("\"q1\":0.12"))
+    assert(line.contains("\"q2\":12.3") && !line.contains("12.35") && !line.contains("12.34"))
+  }
+}

@@ -38,6 +38,23 @@ for t in TABLES:
 
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 
+# --- ledger shrink-proofing (round-6 incident: 27 queries VANISHED from the
+# driver ledger when the events loader broke — no err rows, no gate trip).
+# The manifest is the full registered-query roll call, written by Verify
+# BEFORE any query runs; every name in it must produce a compared row here,
+# and a shrink (missing manifest, missing output, orphan oracle) is fatal.
+manifest_path = Path(f"{OUT}/manifest.json")
+if not manifest_path.exists():
+    print("FATAL: no manifest.json — Verify predates shrink-proofing or crashed at init")
+    sys.exit(1)
+manifest = json.loads(manifest_path.read_text())
+errors_path = Path(f"{OUT}/errors.json")
+verify_errors = json.loads(errors_path.read_text()) if errors_path.exists() else {}
+orphan_oracles = sorted(set(oracle) - set(manifest))
+if orphan_oracles:
+    print(f"FATAL: oracle entries with no registered query: {orphan_oracles}")
+    sys.exit(1)
+
 def unsortable_cols(df: pd.DataFrame):
     """Columns the DRIVER comparator cannot sort (it sort_values the raw
     frame; ndarray/list/dict cells are unhashable there). Our canon() used
@@ -68,7 +85,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 fails = []
-names = ONLY or sorted(oracle.keys())
+names = ONLY or sorted(manifest)
 for name in names:
     spark_dir = Path(OUT) / name
     if not spark_dir.exists():
@@ -78,6 +95,9 @@ for name in names:
                         ignore_index=True)
     except Exception as e:
         print(f"FAIL {name}: spark read: {e}"); fails.append(name); continue
+    if "__graft_error" in sdf.columns:
+        msg = sdf["__graft_error"].iloc[0] if len(sdf) else "?"
+        print(f"FAIL {name}: query threw in Verify: {msg}"); fails.append(name); continue
     ns = unsortable_cols(sdf)
     if ns:
         print(f"FAIL {name}: non-sortable output cols {ns} (driver comparator would crash)")
@@ -123,5 +143,15 @@ for name in names:
     else:
         print(f"PASS {name} ({len(sdf)} rows)")
 
-print(f"\n{len(names) - len(fails)}/{len(names)} pass")
+compared = len(names)
+print(f"\n{compared - len(fails)}/{compared} pass"
+      + (f" ({len(manifest)} registered)" if not ONLY else ""))
+if verify_errors:
+    print(f"VERIFY ERRORS ({len(verify_errors)}): "
+          + "; ".join(f"{k}: {v[:120]}" for k, v in verify_errors.items()))
+if not ONLY and compared != len(manifest):
+    # unreachable by construction (names == manifest) but kept as a tripwire
+    # against future edits reintroducing the oracle-keys iteration
+    print(f"FATAL: compared {compared} != registered {len(manifest)}")
+    sys.exit(1)
 sys.exit(1 if fails else 0)
