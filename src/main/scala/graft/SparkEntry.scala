@@ -2390,6 +2390,41 @@ object SparkEntry {
       FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming"""
   }
 
+  /** Shared by q140 (window demo form) and q140b (hashKey scale form):
+    * the two plans are output-identical by construction (CoreSpec
+    * hot-gram equivalence), so both gate against the SAME oracle. */
+  private val sqlDuplicateSpansOracle: String =
+    """WITH d AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS pos FROM d),
+          g AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+4], ' ') AS gram FROM g0),
+          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          q AS (SELECT doc_id, pos,
+              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM g JOIN dup USING (gram))
+        SELECT doc_id, span_start, span_end, span_end - span_start + 1 AS span_tokens
+        FROM (SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+          FROM q GROUP BY doc_id, grp)"""
+
+  /** Shared by q142 / q142b, same reasoning as [[sqlDuplicateSpansOracle]]. */
+  private val sqlCrossDocDupFracOracle: String =
+    """WITH d AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+            FROM documents),
+          g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos FROM d),
+          g AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+2], ' ') AS gram FROM g0),
+          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          f AS (SELECT g.doc_id, count(*) AS n_grams,
+              CAST(sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) AS dup_frac
+            FROM g LEFT JOIN dup USING (gram) GROUP BY g.doc_id)
+        SELECT doc_id, coalesce(n_grams, 0) AS n_grams,
+          coalesce(dup_frac, 0.0) AS dup_frac
+        FROM documents LEFT JOIN f USING (doc_id)"""
+
   private val pipelineQueries5: Seq[Q] = Seq(
     // --- SCD TYPE-2 from a changelog: purchases as per-user value updates →
     // validity intervals + current-row flag. One window shuffle on the
@@ -3217,19 +3252,17 @@ object SparkEntry {
     Q("q140_duplicate_spans",
       (s, dir) => Dedup.duplicateSpans(t(s, dir, "documents"), "text", "doc_id",
         k = 5, minDocs = 2),
-      Some("""WITH d AS (SELECT doc_id, list_filter(
-              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
-            FROM documents),
-          g0 AS (SELECT doc_id, ws,
-              unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS pos FROM d),
-          g AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+4], ' ') AS gram FROM g0),
-          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-          q AS (SELECT doc_id, pos,
-              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-            FROM g JOIN dup USING (gram))
-        SELECT doc_id, span_start, span_end, span_end - span_start + 1 AS span_tokens
-        FROM (SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
-          FROM q GROUP BY doc_id, grp)""")),
+      Some(sqlDuplicateSpansOracle)),
+
+    // --- the 100 TB form of q140 oracle-proven in its own right (r7
+    // verdict #5): hashKey=true folds hot grams with map-side combine
+    // (agg + join-back) and crosses the shuffles on an 8-byte xxhash64 key
+    // instead of the 5-word string. Output-identical to the window form
+    // (CoreSpec equivalence on a hot-gram fixture) → SAME oracle SQL ---
+    Q("q140b_duplicate_spans_hashkey",
+      (s, dir) => Dedup.duplicateSpans(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, minDocs = 2, hashKey = true),
+      Some(sqlDuplicateSpansOracle)),
 
     // --- SEGMENT-LEVEL EXACT DEDUP (RefinedWeb repeated-paragraph removal
     // on a fixed 8-word segmenter): keep the globally first occurrence of
@@ -3259,20 +3292,15 @@ object SparkEntry {
     Q("q142_crossdoc_dup_frac",
       (s, dir) => Dedup.crossDocDupFraction(t(s, dir, "documents"), "text", "doc_id",
         k = 3, minDocs = 2),
-      Some("""WITH d AS (SELECT doc_id, list_filter(
-              string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
-            FROM documents),
-          g0 AS (SELECT doc_id, ws,
-              unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos FROM d),
-          g AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+2], ' ') AS gram FROM g0),
-          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-          f AS (SELECT g.doc_id, count(*) AS n_grams,
-              CAST(sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                / count(*) AS dup_frac
-            FROM g LEFT JOIN dup USING (gram) GROUP BY g.doc_id)
-        SELECT doc_id, coalesce(n_grams, 0) AS n_grams,
-          coalesce(dup_frac, 0.0) AS dup_frac
-        FROM documents LEFT JOIN f USING (doc_id)""")),
+      Some(sqlCrossDocDupFracOracle)),
+
+    // --- the 100 TB form of q142 (r7 verdict #5): same skew switch as
+    // q140b — pre-aggregated grams + join-back under an 8-byte hash key;
+    // output-identical (skewed-corpus equivalence spec) → SAME oracle ---
+    Q("q142b_crossdoc_dup_frac_hashkey",
+      (s, dir) => Dedup.crossDocDupFraction(t(s, dir, "documents"), "text", "doc_id",
+        k = 3, minDocs = 2, hashKey = true),
+      Some(sqlCrossDocDupFracOracle)),
 
     // --- TOKEN-BUDGET MIXTURE ALLOCATION (the pretraining data-recipe
     // planning step): integer relative weights renormalized over present
@@ -3651,7 +3679,8 @@ object SparkEntry {
     // Gopher rule gate (q152, bits 0-5 — the English-stopword bit 6 is
     // masked out for this multilingual corpus, exactly the per-language
     // rule adaptation the bitmask exists for) -> DSIR top-50% toward the
-    // lang='en' target (q151, bucket stats over the GATED corpus) ->
+    // lang='en' target in its THRESHOLD form (q151b, bucket stats over the
+    // GATED corpus; banded-histogram cut, no global sort) ->
     // per-language token-budget rates (q143 arithmetic, integer weights
     // en4/de2/es2/fr1/zh1, 100k-token budget). The three-stage composition
     // is the curation pipeline a pretraining run actually executes, and
@@ -3668,7 +3697,12 @@ object SparkEntry {
           .filter((col("fail_mask").bitwiseAND(lit(63L))) === 0L)
           .select("doc_id").localCheckpoint(true)
         val kept = docs.join(gateIds, Seq("doc_id"))
-        val selIds = graft.ml.MLOps.dsirSelect(kept, "text", "doc_id",
+        // THE 100 TB DSIR form (threshold select, r7 verdict #2): the
+        // flagship recipe a user copies must be the shape that survives
+        // 10^9 docs — banded-histogram threshold refinement (O(bands)
+        // driver longs per round), not the exact-k global sort. Ties AT
+        // the threshold are all kept; the oracle states the same rule
+        val selIds = graft.ml.MLOps.dsirSelectByThreshold(kept, "text", "doc_id",
             targetPred = col("lang") === "en", buckets = 4096, keepPct = 50)
           .filter(col("selected")).select("doc_id").localCheckpoint(true)
         val corpus = kept.join(selIds, Seq("doc_id"))
@@ -3721,9 +3755,11 @@ object SparkEntry {
             FROM tb JOIN bs USING (b) GROUP BY doc_id),
           al AS (SELECT kept.doc_id, CAST(coalesce(score, 0) AS BIGINT) AS score
             FROM kept LEFT JOIN dsc USING (doc_id)),
-          rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+          rk AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
               count(*) OVER () AS total FROM al),
-          sel AS (SELECT doc_id FROM rk WHERE rn <= (total * 50 + 99) // 100),
+          thr AS (SELECT min(score) AS thr FROM rk
+            WHERE rn <= (total * 50 + 99) // 100),
+          sel AS (SELECT doc_id FROM al WHERE score >= (SELECT thr FROM thr)),
           corpus AS (SELECT kept.* FROM kept JOIN sel USING (doc_id)),
           wt(lang, rw) AS (VALUES ('en', CAST(4 AS BIGINT)), ('de', 2), ('es', 2),
             ('fr', 1), ('zh', 1)),
@@ -3846,7 +3882,31 @@ object SparkEntry {
             FROM nd LEFT JOIN c3 USING (node))
         SELECT nd.node AS n_nationkey, nd.n_name, r3.mass AS rank_mass,
           CAST(coalesce(ow.outw, 0) AS BIGINT) AS out_weight
-        FROM nd JOIN r3 ON r3.node = nd.node LEFT JOIN ow ON ow.src = nd.node"""))
+        FROM nd JOIN r3 ON r3.node = nd.node LEFT JOIN ow ON ow.src = nd.node""")),
+
+    // --- STREAMING NEAR-DUP, batch-equivalent form under the oracle gate
+    // (r7 verdict #6): the exact operator algebra of
+    // Streaming.nearDupStream — banded LSH candidates filtered by the
+    // signature-AGREEMENT estimator, NO exact-verify join (a stream never
+    // sees shingle sets, only retained signatures) — run as a batch over
+    // documents in the portable hash family. The incremental≡batch
+    // property is spec-gated on the streamed op itself
+    // (StreamingNearDupIncrementalSpec); this row hash-proves the shared
+    // pipeline. Oracle reuses minhashCtes' sigs+cand CTEs and restates the
+    // estimator as integer coordinate agreement / 16 ---
+    Q("q157_stream_neardup_batch",
+      (s, dir) => Dedup.nearDupByEstimate(t(s, dir, "documents"), "text",
+        "doc_id", threshold = 0.5, bands = 4, k = 3),
+      Some {
+        val nH = Dedup.portableCoeffs.size
+        val matches = (0 until nH).map(i =>
+          s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString("\n            + ")
+        s"""WITH ${minhashCtes()}
+        SELECT id_a, id_b, CAST(($matches) AS DOUBLE) / $nH AS est_jaccard
+        FROM cand JOIN sigs sa ON sa.doc_id = id_a
+          JOIN sigs sb ON sb.doc_id = id_b
+        WHERE CAST(($matches) AS DOUBLE) / $nH >= 0.5"""
+      })
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

@@ -599,6 +599,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard", "jaccard_est", "est_error")
   }
 
+  /** The BATCH restatement of [[graft.streaming.Streaming.nearDupStream]]
+    * (same operator algebra: banded LSH candidates → signature-AGREEMENT
+    * estimate ≥ threshold, NO exact-Jaccard verify join — the streamed op
+    * can't see shingle sets, only retained signatures), in the portable
+    * hash family so the whole pipeline is oracle-checkable. The streamed
+    * form ≡ this form when bucket state never evicts (maxPerBucket ≥ the
+    * largest bucket): streaming emits each qualifying pair at least once
+    * (its sink dedups by (id_a, id_b)); this emits it exactly once.
+    * The incremental≡batch property itself is spec-gated on the streamed
+    * op (StreamingNearDupIncrementalSpec); this gives the pipeline a
+    * hash-proven CORRECTNESS row too.
+    * Returns (id_a, id_b, est_jaccard); est is an exact nHashes-ths
+    * integer ratio → portable. */
+  def nearDupByEstimate(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, bands: Int = 4, k: Int = 3): DataFrame = {
+    val cands = portableCandidates(portableSigs(df, textCol, idCol, k),
+      bands, carrySigs = true)
+    cands
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("__sa"), col("__sb"), (a, b) => (a === b).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("double") / portableCoeffs.size)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** SOFT dedup: DOWNWEIGHT duplicates instead of dropping them — weight =
     * 1 / near-dup-cluster size (singletons weigh 1.0), the loss-weighting
     * alternative when hard dedup would discard legitimately repeated

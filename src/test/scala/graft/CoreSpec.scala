@@ -1276,6 +1276,46 @@ class StreamingNearDupSpec extends AnyFunSuite {
   }
 }
 
+/** Batch restatement of the streaming near-dup (q157): same algebra as
+  * nearDupStream — banded candidates + agreement estimator, no exact
+  * verify — in the portable family. */
+class NearDupByEstimateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("finds planted near-dup families, skips unrelated docs") {
+    val famA = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val famB = (200 to 240).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> famA,
+      2L -> (famA.split(" ").take(38).mkString(" ") + " xA yA"),
+      4L -> famB,
+      5L -> (famB.split(" ").take(39).mkString(" ") + " qQ rR"),
+      6L -> (300 to 340).map(i => s"u$i").mkString(" ")).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.nearDupByEstimate(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs.contains((4L, 5L)))
+    assert(pairs.keys.forall { case (a, b) => a != 6L && b != 6L })
+    assert(pairs.values.forall(e => e >= 0.5 && e <= 1.0))
+  }
+
+  test("estimates agree with minhashJaccardEstimate on shared pairs") {
+    val base = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = (0L until 6L).map(i =>
+      i -> (base + " " + (0 to i.toInt).map(j => s"extra$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val byEst = graft.ops.Dedup.nearDupByEstimate(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val calib = graft.ops.Dedup.minhashJaccardEstimate(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // every verified pair whose estimator clears the bar must appear with
+    // the IDENTICAL estimate (same sigs, same integer ratio)
+    calib.filter(_._2 >= 0.5).foreach { case (k, est) =>
+      assert(byEst.get(k).contains(est), s"pair $k: $est vs ${byEst.get(k)}")
+    }
+  }
+}
+
 /** Retention-curve ablation table. */
 class RetentionCurveSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
