@@ -2774,3 +2774,61 @@ class PortableHllSpec extends AnyFunSuite {
     assert(regs(withNulls) == regs(clean))
   }
 }
+
+/** Typed cloud source wrappers (SURVEY §2.1 cloud rows): URI construction,
+  * env-indirected credential conf, and delegation to the shared file-source
+  * algebra — everything provable without the cloud connectors' jars. */
+class CloudSourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.sources._
+
+  test("S3 config builds canonical s3a URIs and per-bucket credential conf") {
+    // PATH always exists in the test env — the config carries env-var
+    // NAMES (the reference's secret indirection), never secret values
+    val cfg = AwsS3Config("my-bucket", region = Some("eu-west-1"),
+      accessKeyEnv = Some("PATH"), secretKeyEnv = Some("__GRAFT_ABSENT__"))
+    assert(cfg.url("a/b.parquet") == "s3a://my-bucket/a/b.parquet")
+    assert(cfg.url("/a/b.parquet") == "s3a://my-bucket/a/b.parquet")
+    assert(cfg.parquetAt("x").path == "s3a://my-bucket/x")
+    cfg.configure(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(conf.get("fs.s3a.bucket.my-bucket.access.key") == sys.env("PATH"))
+    // absent env var: key NOT set → cluster default provider chain wins
+    assert(conf.get("fs.s3a.bucket.my-bucket.secret.key") == null)
+    assert(conf.get("fs.s3a.bucket.my-bucket.endpoint.region") == "eu-west-1")
+  }
+
+  test("Azure config builds abfss URIs and account-scoped key conf") {
+    val cfg = AzureBlobConfig("acct", "data", accountKeyEnv = Some("PATH"))
+    assert(cfg.url("raw/d.parquet")
+      == "abfss://data@acct.dfs.core.windows.net/raw/d.parquet")
+    cfg.configure(spark)
+    assert(spark.sparkContext.hadoopConfiguration
+      .get("fs.azure.account.key.acct.dfs.core.windows.net") == sys.env("PATH"))
+  }
+
+  test("cloud delegate shares the file-source write algebra end to end") {
+    // delegation proof on a local URI: the S3/Azure wrappers are this
+    // exact class pointed at an s3a://-or-abfss:// path
+    val dir = java.nio.file.Files.createTempDirectory("graft_cloud").toString + "/t"
+    var configured = 0
+    val src = CloudDelegateSource(_ => configured += 1, ParquetSource(dir))
+    import spark.implicits._
+    src.insert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    src.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    val out = src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    assert(configured >= 3, "credentials must be applied before every cloud IO")
+  }
+
+  test("UC table chain builds the quoted three-part name and MERGE upsert") {
+    val tbl = DatabricksConfig().catalog("main").schema("ml").table("feat-v1")
+    assert(tbl.fullName == "`main`.`ml`.`feat-v1`")
+    assert(!tbl.exists(spark)) // unbound catalog offline → false, not throw
+    val sql = tbl.mergeSql("src_view", Seq("id", "ts"))
+    assert(sql.startsWith("MERGE INTO `main`.`ml`.`feat-v1` t USING src_view s ON "))
+    assert(sql.contains("t.`id` = s.`id` AND t.`ts` = s.`ts`"))
+    assert(sql.contains("WHEN MATCHED THEN UPDATE SET *"))
+    assert(sql.contains("WHEN NOT MATCHED THEN INSERT *"))
+  }
+}
