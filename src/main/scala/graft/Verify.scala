@@ -30,24 +30,19 @@ object Verify {
     case c => c.toString
   } + "\""
 
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** The dump pass, parameterized by the query registry so the
+    * shrink-proofing contract itself is spec-gated (VerifyShrinkProofSpec)
+    * — returns the failed-query → message map. */
+  private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      oracleSql: Map[String, String]): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = queries.keys.toSeq.sorted
     Files.writeString(Paths.get(s"$outDir/manifest.json"),
       names.map(q).mkString("[", ",", "]"))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = queries(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -67,12 +62,27 @@ object Verify {
     }
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    val json = SparkEntry.oracleSql
+    val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size}/${names.size} queries FAILED: " +
         errors.keys.mkString(", "))
+    errors.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
     spark.stop()
   }
 }

@@ -100,6 +100,38 @@ class TestdataContractSpec extends AnyFunSuite {
   }
 }
 
+/** The round-6 failure mode, replayed against Verify.run directly: a query
+  * that throws must leave (a) its name in manifest.json, (b) a poison
+  * parquet row the comparator reports, (c) an errors.json entry — never a
+  * silent gap. */
+class VerifyShrinkProofSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("a throwing query yields manifest + poison row + error entry") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val out = java.nio.file.Files.createTempDirectory("graft_verify_spec").toString
+    val good: (SparkSession, String) => DataFrame =
+      (s, _) => { import s.implicits._; Seq((1L, "a")).toDF("id", "v") }
+    val bad: (SparkSession, String) => DataFrame =
+      (_, _) => throw new IllegalStateException("loader broke: ts encoding")
+    val errors = Verify.run(spark, "/nonexistent", out,
+      Map("q_good" -> good, "q_bad" -> bad), Map("q_good" -> "SELECT 1"))
+    assert(errors.keySet == Set("q_bad"))
+    assert(errors("q_bad").contains("loader broke"))
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/manifest.json"))
+    assert(manifest.contains("\"q_bad\"") && manifest.contains("\"q_good\""))
+    val poison = spark.read.parquet(s"$out/q_bad")
+    assert(poison.columns.contains("__graft_error"))
+    assert(poison.collect().head.getAs[String]("__graft_error").contains("loader broke"))
+    val errJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/errors.json"))
+    assert(errJson.contains("q_bad"))
+    // and the good query still dumped normally
+    assert(spark.read.parquet(s"$out/q_good").count() == 1)
+  }
+}
+
 /** The Bench output-line length bound (VERDICT r7 #7). */
 class BenchLineSpec extends AnyFunSuite {
   private def entries(n: Int): Seq[(String, Double)] =

@@ -720,6 +720,27 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-8 scale shapes: threshold DSIR and hashKey dup-frac plan no window at all") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the threshold form's whole point: selection without ANY window
+    // operator (the sort form's global row_number is the 10^9-doc killer)
+    val thr = graft.ml.MLOps.dsirSelectByThreshold(docs, "text", "doc_id",
+      targetPred = col("lang") === "en", buckets = 256, keepPct = 25)
+    assert(!thr.queryExecution.executedPlan.toString.contains("Window"),
+      "threshold DSIR planned a window operator")
+    // sanity contrast: the exact-k rank form DOES plan one (global window)
+    val rank = graft.ml.MLOps.dsirSelect(docs, "text", "doc_id",
+      targetPred = col("lang") === "en", buckets = 256, keepPct = 25)
+    assert(rank.queryExecution.executedPlan.toString.contains("Window"))
+    // hashKey dup-fraction: agg + join-back only — the demo form's
+    // single-shuffle gram window must be absent
+    val frac = graft.ops.Dedup.crossDocDupFraction(docs, "text", "doc_id",
+      k = 3, minDocs = 2, hashKey = true)
+    assert(!frac.queryExecution.executedPlan.toString.contains("Window"),
+      "hashKey crossDocDupFraction planned a window operator")
+  }
+
   test("filter and projection reach the parquet scan") {
     val plan = SparkEntry.queries("q8b_customers_with_urgent_orders")(spark, dir)
       .queryExecution.executedPlan.toString

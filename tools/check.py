@@ -103,7 +103,15 @@ for name in names:
         print(f"FAIL {name}: non-sortable output cols {ns} (driver comparator would crash)")
         fails.append(name); continue
     if name not in oracle:
-        print(f"OK?  {name}: rows-only ({len(sdf)} rows)"); continue
+        # ledger policy: EVERY registered query is oracle-gated (the driver
+        # records a weaker rows-only check otherwise). Losing an oracle —
+        # typo'd name, dropped entry — must fail here, not quietly degrade.
+        # Pass --allow-rows-only when registering a deliberately
+        # non-SQL-expressible op.
+        if "--allow-rows-only" in sys.argv:
+            print(f"OK?  {name}: rows-only ({len(sdf)} rows)"); continue
+        print(f"FAIL {name}: no oracle entry (rows-only would weaken the gate)")
+        fails.append(name); continue
     try:
         odf = con.execute(oracle[name]).df()
     except Exception as e:
