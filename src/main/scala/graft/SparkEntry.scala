@@ -3693,8 +3693,13 @@ object SparkEntry {
         // reused by every downstream stage — localCheckpoint truncates the
         // lineage so the Gopher HOFs and the DSIR token fan run ONCE, not
         // once per downstream reuse
-        val gateIds = TextAnalysis.gopherFilter(docs, "text", "doc_id", minWords = 20)
-          .filter((col("fail_mask").bitwiseAND(lit(63L))) === 0L)
+        // ruleMask=63 disables the English-stopword rule AT PLAN TIME, so
+        // its 8 array_contains passes never run (fail_mask(63) ≡
+        // fail_mask & 63, spec-gated) — post-hoc masking would still
+        // compute the metric inside the sum
+        val gateIds = TextAnalysis.gopherFilter(docs, "text", "doc_id", minWords = 20,
+            ruleMask = 63L)
+          .filter(col("fail_mask") === 0L)
           .select("doc_id").localCheckpoint(true)
         val kept = docs.join(gateIds, Seq("doc_id"))
         // THE 100 TB DSIR form (threshold select, r7 verdict #2): the

@@ -735,8 +735,19 @@ object TextAnalysis {
     * scan speed. Returns (idCol, n_words, mean_word_len, symbol_ratio,
     * bullet_frac, ellipsis_frac, alpha_frac, n_stop_hits, fail_mask,
     * keep). */
+  /** `ruleMask` selects which rules are COMPUTED (bit i → rule i, default
+    * all 7): the per-language adaptation the bitmask exists for, done at
+    * plan time — a disabled rule's bit term becomes a literal 0, so its
+    * metric drops out of `fail_mask` entirely and Catalyst column-pruning
+    * removes the metric's scan work wherever the caller doesn't project it
+    * (e.g. disabling the English-stopword rule for a multilingual corpus
+    * removes 8 array_contains passes per document — post-hoc `fail_mask &
+    * 63` masking cannot, because the term stays inside the sum). Metric
+    * COLUMNS are always emitted, so the schema is ruleMask-independent;
+    * fail_mask(ruleMask=m) ≡ fail_mask(default) & m (spec-gated). */
   def gopherFilter(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
+      minWords: Int = 50, maxWords: Int = 100000,
+      ruleMask: Long = 0x7fL): org.apache.spark.sql.DataFrame = {
     val reqStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val txt = col(textCol)
     val ws = filter(split(lower(trim(txt)), "\\s+"), w => length(w) > 0)
@@ -764,8 +775,9 @@ object TextAnalysis {
       .otherwise(ellipsisCnt.cast("double") / nL.cast("double"))
     val alphaFrac = when(nW === 0, lit(null).cast("double"))
       .otherwise(alphaCnt.cast("double") / nW.cast("double"))
-    def bit(i: Int, failed: Column): Column =
-      when(failed, lit(1L << i)).otherwise(lit(0L))
+    def bit(i: Int, failed: => Column): Column =
+      if ((ruleMask & (1L << i)) == 0L) lit(0L)
+      else when(failed, lit(1L << i)).otherwise(lit(0L))
     val mask =
       bit(0, nW < minWords || nW > maxWords) +
       bit(1, meanLen.isNull || meanLen < 3.0 || meanLen > 10.0) +

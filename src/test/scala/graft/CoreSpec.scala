@@ -1628,6 +1628,25 @@ class GopherFilterSpec extends AnyFunSuite {
     val mask = got(1L)._1
     assert((mask & 1L) != 0L && (mask & 2L) != 0L && (mask & 32L) != 0L && (mask & 64L) != 0L)
   }
+
+  test("plan-time ruleMask equals post-hoc mask-and (and prunes the metric)") {
+    val rows = Seq(1L -> goodText, 2L -> "too short",
+      3L -> ("alpha beta gamma delta " * 6).trim, 4L -> "   ",
+      5L -> ("ab " * 24).trim)
+    val full = TextAnalysis.gopherFilter(rows.toDF("doc_id", "text"), "text",
+        "doc_id", minWords = 20)
+      .select(col("doc_id"), (col("fail_mask").bitwiseAND(lit(63L))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pruned = TextAnalysis.gopherFilter(rows.toDF("doc_id", "text"), "text",
+      "doc_id", minWords = 20, ruleMask = 63L)
+    assert(pruned.select(col("doc_id"), col("fail_mask"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == full)
+    // the pruning contract: once the caller drops the metric columns, the
+    // disabled rule's array_contains passes are gone from the physical plan
+    val plan = pruned.filter(col("fail_mask") === 0L).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("array_contains"), "stopword metric survived pruning")
+  }
 }
 
 /** Integer-mass PageRank: hand-computed fixture + the no-forced-broadcast
