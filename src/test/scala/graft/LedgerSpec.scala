@@ -24,6 +24,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class TestdataContractSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
+  // every SF the driver gates on — a regeneration rewrites all of them,
+  // so the contract must hold on each (schema checks are metadata-only;
+  // the row-count assertion below stays on the smallest SF)
+  private val allDirs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"/root/testdata/$s")
 
   private def haveTestdata = new java.io.File(s"$dir/events.parquet").exists()
 
@@ -63,15 +67,16 @@ class TestdataContractSpec extends AnyFunSuite {
       "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, false)),
       "label" -> Set(IntegerType)))
 
-  test("every testdata table loads with its contract schema") {
+  test("every testdata table loads with its contract schema (all SFs)") {
     assume(haveTestdata, s"$dir absent")
-    contract.foreach { case (tbl, cols) =>
-      val schema = spark.read.parquet(s"$dir/$tbl.parquet").schema
+    for (d <- allDirs if new java.io.File(s"$d/events.parquet").exists();
+         (tbl, cols) <- contract) {
+      val schema = spark.read.parquet(s"$d/$tbl.parquet").schema
       assert(schema.fieldNames.toSeq == cols.map(_._1),
-        s"$tbl columns drifted: ${schema.fieldNames.mkString(",")}")
+        s"$d/$tbl columns drifted: ${schema.fieldNames.mkString(",")}")
       cols.foreach { case (name, accepted) =>
         assert(accepted.contains(schema(name).dataType),
-          s"$tbl.$name has ${schema(name).dataType}, expected one of $accepted " +
+          s"$d/$tbl.$name has ${schema(name).dataType}, expected one of $accepted " +
             "— a new testdata generation changed the physical encoding; teach " +
             "the loader (SparkEntry.events for ts) before any query runs")
       }
@@ -80,12 +85,15 @@ class TestdataContractSpec extends AnyFunSuite {
 
   test("events loader normalizes ts to µs TimestampType and keeps every row") {
     assume(haveTestdata, s"$dir absent")
-    val ev = SparkEntry.events(spark, dir)
-    assert(ev.schema("ts").dataType == TimestampType,
-      s"loader emitted ${ev.schema("ts").dataType} — downstream PIT/asof/" +
-        "funnel queries all assume µs TimestampType")
+    for (d <- allDirs if new java.io.File(s"$d/events.parquet").exists()) {
+      val ev = SparkEntry.events(spark, d)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$d: loader emitted ${ev.schema("ts").dataType} — downstream PIT/asof/" +
+          "funnel queries all assume µs TimestampType")
+    }
     val raw = spark.read.parquet(s"$dir/events.parquet").count()
-    assert(ev.filter(org.apache.spark.sql.functions.col("ts").isNotNull).count() == raw,
+    assert(SparkEntry.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("ts").isNotNull).count() == raw,
       "ts normalization dropped or nulled rows")
   }
 
