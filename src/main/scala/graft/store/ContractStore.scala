@@ -159,6 +159,29 @@ final class ContractStore {
     (v.entities ++ v.features).map(_.name).filterNot(actual.contains)
   }
 
+  /** Store-level model wiring check (reference: checks.py:11-85,
+    * ModelHaveNeededFeaturesCheck / check_exposed_models_have_needed_
+    * features): every `view:feature` input ref of every registered model
+    * must resolve against a view's full schema or another model's
+    * prediction view. Pure metadata — no source is scanned — so it runs in
+    * CI/registration time, before a missing feature becomes a runtime
+    * AnalysisException three stages into a pipeline. Returns model name →
+    * unresolvable refs (malformed refs included); empty map = all wired. */
+  def checkModelFeatures(): Map[String, Seq[String]] = {
+    def schemaOf(loc: String): Option[Set[String]] =
+      viewsMap.get(loc).map(_.allFeatureNames.toSet)
+        .orElse(modelsMap.get(loc).flatMap(_.predictionView)
+          .map(_.allFeatureNames.toSet))
+    modelsMap.values.toSeq.sortBy(_.name).map { m =>
+      m.name -> m.inputFeatures.filter { ref =>
+        ref.split(":") match {
+          case Array(loc, feat) => !schemaOf(loc).exists(_.contains(feat))
+          case _ => true
+        }
+      }
+    }.filter(_._2.nonEmpty).toMap
+  }
+
   /** max event-ts of a view's source (feature_store.py:276-298). */
   def freshness(spark: SparkSession, name: String): Option[java.sql.Timestamp] = {
     val v = viewsMap(name)

@@ -2853,3 +2853,36 @@ class CloudSourcesSpec extends AnyFunSuite {
     assert(sql.contains("WHEN NOT MATCHED THEN INSERT *"))
   }
 }
+
+/** Store-level model wiring check (reference checks.py). */
+class ModelChecksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.core.FeatureType._
+
+  test("checkModelFeatures resolves view schemas, prediction views, and flags the rest") {
+    val v = FeatureView("signals", graft.sources.CustomSource(_.emptyDataFrame),
+      entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("clicks", FInt64)),
+      derived = Seq(graft.contract.DerivedFeature("ctr", FFloat64,
+        graft.expr.Ref("clicks"), Seq("clicks"))))
+    val scorer = graft.contract.ModelContract("scorer",
+      inputFeatures = Seq("signals:clicks", "signals:ctr"),
+      predictionView = Some(FeatureView("scorer_out",
+        graft.sources.CustomSource(_.emptyDataFrame),
+        entities = Seq(Feature("id", FInt64)),
+        features = Seq(Feature("score", FFloat64)))))
+    val ranker = graft.contract.ModelContract("ranker",
+      inputFeatures = Seq(
+        "signals:clicks",      // plain feature — ok
+        "signals:ctr",         // derived feature — ok
+        "scorer:score",        // another model's prediction view — ok
+        "signals:ghost",       // missing feature
+        "nosuch:feat",         // missing view
+        "malformed"))          // unparseable ref
+    val store = new graft.store.ContractStore()
+      .addView(v).addModel(scorer).addModel(ranker)
+    val report = store.checkModelFeatures()
+    assert(report.keySet == Set("ranker"))
+    assert(report("ranker") == Seq("signals:ghost", "nosuch:feat", "malformed"))
+  }
+}
