@@ -53,4 +53,36 @@ object ContractDiff {
 
   def isBreaking(old: FeatureView, updated: FeatureView): Boolean =
     diff(old, updated).exists(_.severity == Breaking)
+
+  /** Model-contract diff (reference: checks.py:87-120,
+    * check_exposed_models_for_potential_distribution_shift — the reference
+    * asks each exposed model for its own drift estimate; offline, the
+    * metadata-level signal is the input-feature set and the serving
+    * surface): input refs removed or added → the model now trains/serves
+    * on a different distribution (Warning, the reference's
+    * PotentialModelDistributionShift); prediction-view changes classify
+    * through [[diff]]; swapping the exposed-model implementation class is
+    * a Warning (same contract, different scorer). */
+  def diffModel(old: ModelContract, updated: ModelContract): Seq[Change] = {
+    val changes = Seq.newBuilder[Change]
+    val (oldIn, newIn) = (old.inputFeatures.toSet, updated.inputFeatures.toSet)
+    (oldIn -- newIn).toSeq.sorted.foreach(r =>
+      changes += Change(Warning, s"model input '$r' removed (potential distribution shift)"))
+    (newIn -- oldIn).toSeq.sorted.foreach(r =>
+      changes += Change(Warning, s"model input '$r' added (potential distribution shift)"))
+    (old.predictionView, updated.predictionView) match {
+      case (Some(a), Some(b)) => changes ++= diff(a, b)
+        .map(c => c.copy(what = s"prediction view: ${c.what}"))
+      case (Some(_), None) =>
+        changes += Change(Breaking, "prediction view removed")
+      case (None, Some(_)) =>
+        changes += Change(Warning, "prediction view added")
+      case _ => ()
+    }
+    val cls = (m: ModelContract) => m.model.map(_.getClass.getName)
+    if (cls(old) != cls(updated) && old.model.nonEmpty && updated.model.nonEmpty)
+      changes += Change(Warning,
+        s"exposed model implementation changed: ${cls(old).get} -> ${cls(updated).get}")
+    changes.result()
+  }
 }

@@ -2885,4 +2885,26 @@ class ModelChecksSpec extends AnyFunSuite {
     assert(report.keySet == Set("ranker"))
     assert(report("ranker") == Seq("signals:ghost", "nosuch:feat", "malformed"))
   }
+
+  test("diffModel classifies input-set, prediction-view and scorer changes") {
+    import graft.contract.ContractDiff._
+    val pv = FeatureView("out", graft.sources.CustomSource(_.emptyDataFrame),
+      entities = Seq(Feature("id", FInt64)),
+      features = Seq(Feature("score", FFloat64)))
+    val m1 = graft.contract.ModelContract("m",
+      inputFeatures = Seq("signals:clicks", "signals:ctr"), predictionView = Some(pv))
+    val m2 = m1.copy(inputFeatures = Seq("signals:clicks", "signals:dwell"),
+      predictionView = Some(pv.copy(
+        features = Seq(Feature("score", FInt64)))))
+    val changes = diffModel(m1, m2)
+    assert(changes.exists(c => c.severity == Warning &&
+      c.what.contains("'signals:ctr' removed")))
+    assert(changes.exists(c => c.severity == Warning &&
+      c.what.contains("'signals:dwell' added")))
+    assert(changes.exists(c => c.severity == Breaking &&
+      c.what.contains("prediction view: feature 'score' dtype")))
+    assert(diffModel(m1, m1).isEmpty)
+    assert(diffModel(m1, m1.copy(predictionView = None))
+      .exists(_.severity == Breaking))
+  }
 }
