@@ -137,6 +137,14 @@ class VerifyShrinkProofSpec extends AnyFunSuite {
     assert(errJson.contains("q_bad"))
     // and the good query still dumped normally
     assert(spark.read.parquet(s"$out/q_good").count() == 1)
+    // every emitted artifact must parse as JSON (the checker json.loads
+    // them; builder-authored SQL with tabs/newlines once risked this)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readTree(manifest).size == 2)
+    assert(mapper.readTree(errJson).get("q_bad").asText.contains("loader broke"))
+    val oracleJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"))
+    assert(mapper.readTree(oracleJson).get("q_good").asText == "SELECT 1")
   }
 }
 
@@ -169,5 +177,20 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.shortLine(Seq("q1" -> 0.123, "q2" -> 12.345))
     assert(line.contains("\"q1\":0.12"))
     assert(line.contains("\"q2\":12.3") && !line.contains("12.35") && !line.contains("12.34"))
+  }
+
+  test("emitted lines are valid JSON with every query key (jackson parse)") {
+    // the driver json.loads these lines — a quoting/precision bug here
+    // silently nulls the round's BENCH parse, so parse-validate both forms
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    for (line <- Seq(Bench.shortLine(entries(175)),
+        Bench.shortLine(entries(158)),
+        Bench.fullLine(entries(158).map { case (k, v) => s"${k}_some_name" -> v },
+          "/root/testdata/sf0.1"))) {
+      val node = mapper.readTree(line)
+      assert(node.get("metric").asText == "total")
+      assert(node.get("value").isNumber)
+      assert(node.get("queries").size == 158 || node.get("queries").size == 175)
+    }
   }
 }
