@@ -3911,7 +3911,35 @@ object SparkEntry {
         FROM cand JOIN sigs sa ON sa.doc_id = id_a
           JOIN sigs sb ON sb.doc_id = id_b
         WHERE CAST(($matches) AS DOUBLE) / $nH >= 0.5"""
-      })
+      }),
+
+    // --- QUALITY-AWARE cluster canonicalization: per near-dup cluster keep
+    // the LONGEST doc (n_chars, ties by doc_id) — the production keep-rule
+    // (RefinedWeb keeps the highest-quality duplicate, not the min-id one).
+    // CC labels per q69's portable pair chain; one component-partitioned
+    // top-1 window, singletons keep themselves ---
+    Q("q158_canonicalize_quality",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.canonicalizeBy(docs,
+          Dedup.nearDuplicatesPortable(docs, "text", "doc_id",
+            threshold = 0.5, bands = 4, k = 3),
+          "doc_id", col("n_chars"))
+          .select("doc_id", "source", "lang", "n_chars")
+      },
+      Some(s"""WITH RECURSIVE ${minhashCtes()},
+          sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          cc AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+          d AS (SELECT doc_id, source, lang, n_chars,
+              coalesce(cc.comp, doc_id) AS comp
+            FROM documents LEFT JOIN cc ON cc.id = doc_id),
+          win AS (SELECT doc_id, source, lang, n_chars,
+              row_number() OVER (PARTITION BY comp
+                ORDER BY n_chars DESC, doc_id) AS rn FROM d)
+        SELECT doc_id, source, lang, n_chars FROM win WHERE rn = 1"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

@@ -575,6 +575,24 @@ object Dedup {
       .drop("comp")
   }
 
+  /** QUALITY-AWARE canonicalization: keep, per near-dup cluster, the doc
+    * that MAXIMIZES `score` (ties by smallest id) instead of
+    * [[canonicalize]]'s min-id convention — the production rule
+    * (RefinedWeb-style pipelines keep the longest / highest-quality
+    * duplicate, not an arbitrary one). Singletons keep themselves. One
+    * component-partitioned top-1 window (compiles to `WindowGroupLimit`,
+    * partial top-1 before the shuffle) over the CC labels — no global
+    * window, no per-cluster collect. */
+  def canonicalizeBy(docs: DataFrame, pairs: DataFrame, idCol: String,
+      score: Column, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val withComp = docs.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("comp"), col(idCol)))
+    val w = Window.partitionBy(col("__comp")).orderBy(score.desc, col(idCol).asc)
+    withComp.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("comp", "__comp", "__rn")
+  }
+
   /** MinHash JACCARD ESTIMATE for verified candidate pairs: fraction of
     * agreeing signature coordinates (the classic unbiased estimator) next
     * to the exact intersection value — the calibration that says how many

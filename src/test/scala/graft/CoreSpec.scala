@@ -1299,6 +1299,15 @@ class NearDupByEstimateSpec extends AnyFunSuite {
     assert(pairs.values.forall(e => e >= 0.5 && e <= 1.0))
   }
 
+  test("canonicalizeBy keeps the highest-scored doc per cluster, ties by id") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (9L, 5L))
+      .toDF("doc_id", "len") // cluster {1,2,3}: 2 and 3 tie on score → keep 2
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = graft.ops.Dedup.canonicalizeBy(docs, pairs, "doc_id", col("len"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 9L)) // singleton 9 survives untouched
+  }
+
   test("estimates agree with minhashJaccardEstimate on shared pairs") {
     val base = (1 to 30).map(i => s"t$i").mkString(" ")
     val docs = (0L until 6L).map(i =>
