@@ -3939,7 +3939,24 @@ object SparkEntry {
           win AS (SELECT doc_id, source, lang, n_chars,
               row_number() OVER (PARTITION BY comp
                 ORDER BY n_chars DESC, doc_id) AS rn FROM d)
-        SELECT doc_id, source, lang, n_chars FROM win WHERE rn = 1"""))
+        SELECT doc_id, source, lang, n_chars FROM win WHERE rn = 1""")),
+
+    // --- INCREMENTAL NEAR-DUP (daily-ingest shape, near-dup analog of
+    // q71): the new batch (doc_id % 5 = 0) bands against the full band
+    // index — corpus×corpus never pairs, so the ingest is O(new ×
+    // collisions). Result ≡ the union's full pair set filtered to
+    // new-touching pairs, which is exactly what the oracle states ---
+    Q("q159_neardup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.nearDuplicatesAgainstPortable(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "text", "doc_id", threshold = 0.5, bands = 4, k = 3)
+      },
+      Some(s"""WITH ${minhashCtes()}
+        SELECT id_a, id_b, jaccard FROM pairs
+        WHERE id_a % 5 = 0 OR id_b % 5 = 0"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

@@ -575,6 +575,42 @@ object Dedup {
       .drop("comp")
   }
 
+  /** INCREMENTAL near-dup — the daily-ingest shape for the MinHash family
+    * (the near-dup analog of [[dedupAgainst]]'s exact anti-join): pair the
+    * NEW batch against corpus ∪ batch without ever pairing corpus×corpus.
+    * The banded NEW side (small) equi-joins the full banded index, so one
+    * ingest costs O(|new| × bucket collisions), not O(|corpus|²) — at 100
+    * TB the corpus band index is the thing you MATERIALIZE (bucketed by
+    * (band, bucket)) and the daily join is a co-located probe. Returns
+    * exact-verified pairs (id_a, id_b, jaccard) with at least one side in
+    * the new batch — identical to filtering [[nearDuplicatesPortable]] of
+    * the union down to new-touching pairs (spec-gated), which is what the
+    * oracle restates. */
+  def nearDuplicatesAgainstPortable(corpus: DataFrame, newBatch: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.5,
+      bands: Int = 4, k: Int = 3): DataFrame = {
+    val numHashes = portableCoeffs.size
+    require(numHashes % bands == 0, "bands must divide the coefficient count")
+    val rowsPerBand = numHashes / bands
+    def bandedOf(sig: DataFrame) = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val all = corpus.unionByName(newBatch)
+    val bandedAll = bandedOf(portableSigs(all, textCol, idCol, k))
+    val bandedNew = bandedOf(portableSigs(newBatch, textCol, idCol, k))
+    val cands = bandedNew.select(col("band"), col("bucket"), col("id").as("__new"))
+      .join(bandedAll.select(col("band"), col("bucket"), col("id").as("__any")),
+        Seq("band", "bucket"))
+      .filter(col("__new") =!= col("__any"))
+      // orient before distinct: a new×new pair arrives from both sides
+      .select(least(col("__new"), col("__any")).as("id_a"),
+        greatest(col("__new"), col("__any")).as("id_b"))
+      .distinct()
+    verifyJaccard(cands, all, textCol, idCol, threshold, k)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** QUALITY-AWARE canonicalization: keep, per near-dup cluster, the doc
     * that MAXIMIZES `score` (ties by smallest id) instead of
     * [[canonicalize]]'s min-id convention — the production rule

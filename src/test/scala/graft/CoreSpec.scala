@@ -1308,6 +1308,27 @@ class NearDupByEstimateSpec extends AnyFunSuite {
     assert(kept == Seq(2L, 9L)) // singleton 9 survives untouched
   }
 
+  test("incremental near-dup equals full pair set filtered to new-touching pairs") {
+    val famA = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val famB = (200 to 240).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> famA,
+      2L -> (famA.split(" ").take(38).mkString(" ") + " xA yA"),
+      3L -> (famA.split(" ").take(37).mkString(" ") + " xB yB zB"),
+      4L -> famB,
+      5L -> (famB.split(" ").take(39).mkString(" ") + " qQ rR"),
+      6L -> (300 to 340).map(i => s"u$i").mkString(" ")).toDF("doc_id", "text")
+    val isNew = col("doc_id") >= 3L // corpus {1,2}; new {3,4,5,6}
+    val inc = graft.ops.Dedup.nearDuplicatesAgainstPortable(
+        docs.filter(!isNew), docs.filter(isNew), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.ops.Dedup.nearDuplicatesPortable(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full.filter { case (a, b) => a >= 3L || b >= 3L })
+    assert(inc.contains((1L, 3L)) && inc.contains((4L, 5L))) // old×new and new×new
+    assert(!inc.contains((1L, 2L))) // corpus×corpus excluded by construction
+  }
+
   test("estimates agree with minhashJaccardEstimate on shared pairs") {
     val base = (1 to 30).map(i => s"t$i").mkString(" ")
     val docs = (0L until 6L).map(i =>
