@@ -147,7 +147,7 @@ object Bench {
     * 'q' prefix (keys stay unique — they're the qNN numbers); (3) whole
     * deciseconds. The full-name full-precision line prints FIRST either
     * way, so humans and BENCH_NOTES always get the rich form. */
-  private[graft] val MaxShortLine = 1900
+  private[graft] val MaxShortLine = 1930 // ≥70 chars of tail headroom
   private[graft] def shortLine(entries: Seq[(String, Double)]): String = {
     val ladder = Iterator(
       jsonLine(entries, fmtAdaptive, ""),

@@ -163,9 +163,10 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("short line keeps the rich qNN format at the current suite size") {
-    val line = Bench.shortLine(entries(158))
+    val n = SparkEntry.queries.size // track the real registry, not a constant
+    val line = Bench.shortLine(entries(n))
     assert(line.length <= Bench.MaxShortLine, s"len=${line.length}")
-    assert(line.contains("\"q1\":"), "ladder degraded below qNN keys at 158 queries")
+    assert(line.contains("\"q1\":"), s"ladder degraded below qNN keys at $n queries")
   }
 
   test("short line bound holds even at 250 queries (ladder bottom)") {
