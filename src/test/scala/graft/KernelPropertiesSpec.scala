@@ -256,3 +256,69 @@ class SubstringDedupPropertiesSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Structural properties of the round-8 dedup additions on random inputs:
+  * the incremental form must equal the filtered full form on ANY corpus
+  * and split, and quality canonicalization must pick exactly the argmax
+  * doc of every component — not just on the planted fixtures. */
+class IncrementalDedupPropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(params, org.scalacheck.rng.Seed(i.toLong + 1000)))
+  }
+
+  // corpora with real near-dup structure: docs are noisy slices of two
+  // base word sequences, so band collisions and verified pairs both occur
+  private val corpusGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.chooseNum(4, 8)
+    picks <- Gen.listOfN(n, for {
+      base <- Gen.oneOf(0, 1)
+      drop <- Gen.chooseNum(0, 3)
+      extra <- Gen.chooseNum(0, 2)
+    } yield (base, drop, extra))
+  } yield picks.zipWithIndex.map { case ((base, drop, extra), i) =>
+    val words = (1 to 30).map(w => if (base == 0) s"tok$w" else s"w$w")
+    val text = (words.dropRight(drop) ++ (1 to extra).map(e => s"x${i}_$e")).mkString(" ")
+    (i + 1).toLong -> text
+  }
+
+  test("incremental near-dup == full pair set filtered to new-touching, any split") {
+    samples(corpusGen.flatMap(c => Gen.chooseNum(1, c.size - 1).map(c -> _)), 8)
+      .foreach { case (docs, splitAt) =>
+        val df = docs.toDF("doc_id", "text")
+        val cut = splitAt.toLong
+        val inc = graft.ops.Dedup.nearDuplicatesAgainstPortable(
+            df.filter(col("doc_id") <= cut), df.filter(col("doc_id") > cut),
+            "text", "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val full = graft.ops.Dedup.nearDuplicatesPortable(df, "text", "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val expected = full.filter { case (a, b, _) => a > cut || b > cut }
+        assert(inc == expected, s"split=$cut docs=${docs.map(_._1)}")
+      }
+  }
+
+  test("canonicalizeBy keeps exactly the argmax-score doc of every component") {
+    val caseGen = for {
+      n <- Gen.chooseNum(3, 9)
+      edges <- Gen.listOf(Gen.zip(Gen.chooseNum(1, n), Gen.chooseNum(1, n)))
+      scores <- Gen.listOfN(n, Gen.chooseNum(0L, 5L)) // small range forces ties
+    } yield (n, edges.collect { case (a, b) if a < b => (a.toLong, b.toLong) }.distinct, scores)
+    samples(caseGen, 10).foreach { case (n, edges, scores) =>
+      val docs = (1 to n).map(i => i.toLong -> scores(i - 1)).toDF("doc_id", "s")
+      val pairs = edges.toDF("id_a", "id_b")
+      val kept = graft.ops.Dedup.canonicalizeBy(docs, pairs, "doc_id", col("s"))
+        .collect().map(_.getLong(0)).toSet
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map((1 to n).map(i => i.toLong -> i.toLong): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val expected = (1 to n).map(_.toLong).groupBy(find)
+        .values.map(c => c.maxBy(id => (scores(id.toInt - 1), -id))).toSet
+      assert(kept == expected, s"n=$n edges=$edges scores=$scores")
+    }
+  }
+}
