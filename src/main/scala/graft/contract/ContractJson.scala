@@ -102,6 +102,21 @@ object ContractJson {
     case graft.sources.JdbcSource(url, table, _) =>
       s"""{"kind":"jdbc","url":${q(url)},"table":${q(table)}}"""
     case graft.sources.StorageSource(p, g) => s"""{"kind":"storage","path":${q(p)},"glob":${opt(g)}}"""
+    // transactional / columnar formats are pure path-or-name configs
+    case graft.sources.DeltaSource(p) => s"""{"kind":"delta","path":${q(p)}}"""
+    case graft.sources.IcebergSource(t) => s"""{"kind":"iceberg","table":${q(t)}}"""
+    case graft.sources.OrcSource(p) => s"""{"kind":"orc","path":${q(p)}}"""
+    // jsonl with an explicit schema is code (StructType) → opaque; the
+    // schema-inferring form round-trips
+    case graft.sources.JsonLinesSource(p, None) => s"""{"kind":"jsonl","path":${q(p)}}"""
+    // typed cloud sources: env-var NAMES serialize (never secret values) —
+    // the reference's Codable config model, sources/s3.py:44-60
+    case graft.sources.S3ParquetSource(cfg, key) =>
+      s"""{"kind":"s3_parquet","bucket":${q(cfg.bucket)},"region":${opt(cfg.region)},""" +
+        s""""access_key_env":${opt(cfg.accessKeyEnv)},"secret_key_env":${opt(cfg.secretKeyEnv)},""" +
+        s""""key":${q(key)}}"""
+    case graft.sources.UCTableSource(c, s2, t) =>
+      s"""{"kind":"uc_table","catalog":${q(c)},"schema":${q(s2)},"table":${q(t)}}"""
     case graft.sources.FilteredSource(inner, _) =>
       s"""{"kind":"opaque","note":"filtered(${inner.getClass.getSimpleName})"}"""
     case other => s"""{"kind":"opaque","note":${q(other.getClass.getSimpleName)}}"""
@@ -118,6 +133,18 @@ object ContractJson {
       case "jdbc" => graft.sources.JdbcSource(m("url").toString, m("table").toString)
       case "storage" => graft.sources.StorageSource(m("path").toString,
         Option(m("glob")).map(_.toString))
+      case "delta" => graft.sources.DeltaSource(m("path").toString)
+      case "iceberg" => graft.sources.IcebergSource(m("table").toString)
+      case "orc" => graft.sources.OrcSource(m("path").toString)
+      case "jsonl" => graft.sources.JsonLinesSource(m("path").toString)
+      case "s3_parquet" => graft.sources.S3ParquetSource(
+        graft.sources.AwsS3Config(m("bucket").toString,
+          Option(m("region")).map(_.toString),
+          Option(m("access_key_env")).map(_.toString),
+          Option(m("secret_key_env")).map(_.toString)),
+        m("key").toString)
+      case "uc_table" => graft.sources.UCTableSource(
+        m("catalog").toString, m("schema").toString, m("table").toString)
       case "opaque" => rebind.getOrElse(viewName, throw new IllegalArgumentException(
         s"view '$viewName' has an opaque (code) source; pass a rebind entry"))
     }

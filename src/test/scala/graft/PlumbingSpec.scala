@@ -1097,6 +1097,29 @@ class ContractJsonSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("format and typed cloud sources round-trip through the registry") {
+    val sources = Seq(
+      graft.sources.DeltaSource("/data/t"),
+      graft.sources.IcebergSource("cat.db.t"),
+      graft.sources.OrcSource("/data/o"),
+      graft.sources.JsonLinesSource("/data/j"),
+      graft.sources.S3ParquetSource(
+        graft.sources.AwsS3Config("bkt", Some("eu-west-1"),
+          Some("AK_ENV"), Some("SK_ENV")), "a/b.parquet"),
+      graft.sources.UCTableSource("main", "ml", "feat"))
+    sources.foreach { src =>
+      val v = view.copy(source = src, derived = Nil, aggregates = Nil)
+      val back = ContractJson.fromJson(ContractJson.toJson(v))
+      assert(back.source == src, s"round-trip mismatch for $src")
+      // env-var NAMES serialize, secret VALUES never appear
+      assert(!ContractJson.toJson(v).contains(sys.env.getOrElse("PATH", " ")))
+    }
+    // jsonl WITH an explicit schema is code → opaque, needs rebind
+    val schemaful = view.copy(source = graft.sources.JsonLinesSource("/data/j",
+      Some(org.apache.spark.sql.types.StructType(Seq()))), derived = Nil, aggregates = Nil)
+    assert(ContractJson.toJson(schemaful).contains("\"opaque\""))
+  }
+
   test("opaque sources need a rebind; custom agg refuses serialization") {
     val opaque = view.copy(source = graft.sources.CustomSource(_.emptyDataFrame))
     val json = ContractJson.toJson(opaque)
