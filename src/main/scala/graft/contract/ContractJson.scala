@@ -115,6 +115,10 @@ object ContractJson {
       s"""{"kind":"s3_parquet","bucket":${q(cfg.bucket)},"region":${opt(cfg.region)},""" +
         s""""access_key_env":${opt(cfg.accessKeyEnv)},"secret_key_env":${opt(cfg.secretKeyEnv)},""" +
         s""""key":${q(key)}}"""
+    case graft.sources.AzureBlobParquetSource(cfg, bp) =>
+      s"""{"kind":"azure_parquet","account":${q(cfg.accountName)},""" +
+        s""""container":${q(cfg.container)},"account_key_env":${opt(cfg.accountKeyEnv)},""" +
+        s""""blob_path":${q(bp)}}"""
     case graft.sources.UCTableSource(c, s2, t) =>
       s"""{"kind":"uc_table","catalog":${q(c)},"schema":${q(s2)},"table":${q(t)}}"""
     case graft.sources.FilteredSource(inner, _) =>
@@ -143,6 +147,10 @@ object ContractJson {
           Option(m("access_key_env")).map(_.toString),
           Option(m("secret_key_env")).map(_.toString)),
         m("key").toString)
+      case "azure_parquet" => graft.sources.AzureBlobParquetSource(
+        graft.sources.AzureBlobConfig(m("account").toString, m("container").toString,
+          Option(m("account_key_env")).map(_.toString)),
+        m("blob_path").toString)
       case "uc_table" => graft.sources.UCTableSource(
         m("catalog").toString, m("schema").toString, m("table").toString)
       case "opaque" => rebind.getOrElse(viewName, throw new IllegalArgumentException(

@@ -64,8 +64,7 @@ final case class AzureBlobConfig(
     for (e <- accountKeyEnv; v <- sys.env.get(e))
       conf.set(s"fs.azure.account.key.$host", v)
   }
-  def parquetAt(path: String): CloudDelegateSource =
-    CloudDelegateSource(this.configure, ParquetSource(url(path)))
+  def parquetAt(path: String): AzureBlobParquetSource = AzureBlobParquetSource(this, path)
   def partitionedParquetAt(path: String, partitionKeys: Seq[String]): CloudDelegateSource =
     CloudDelegateSource(this.configure, PartitionedParquetSource(url(path), partitionKeys))
   def csvAt(path: String, sep: String = ",", header: Boolean = true): CloudDelegateSource =
@@ -99,6 +98,20 @@ final case class CloudDelegateSource(
   * with the config/key surfaced as typed fields. */
 final case class S3ParquetSource(config: AwsS3Config, key: String) extends WritableSource {
   val path: String = config.url(key)
+  private val inner = CloudDelegateSource(config.configure, ParquetSource(path))
+  def read(spark: SparkSession): DataFrame = inner.read(spark)
+  override def exists(spark: SparkSession): Boolean = inner.exists(spark)
+  def insert(df: DataFrame): Unit = inner.insert(df)
+  def overwrite(df: DataFrame): Unit = inner.overwrite(df)
+  def upsert(df: DataFrame, keys: Seq[String]): Unit = inner.upsert(df, keys)
+}
+
+/** Named Azure parquet wrapper (reference: AzureBlobParquetDataSource,
+  * sources/azure_blob_storage.py) — the [[S3ParquetSource]] symmetry;
+  * typed fields make it registry-serializable. */
+final case class AzureBlobParquetSource(config: AzureBlobConfig, blobPath: String)
+    extends WritableSource {
+  val path: String = config.url(blobPath)
   private val inner = CloudDelegateSource(config.configure, ParquetSource(path))
   def read(spark: SparkSession): DataFrame = inner.read(spark)
   override def exists(spark: SparkSession): Boolean = inner.exists(spark)

@@ -1106,6 +1106,8 @@ class ContractJsonSpec extends AnyFunSuite {
       graft.sources.S3ParquetSource(
         graft.sources.AwsS3Config("bkt", Some("eu-west-1"),
           Some("AK_ENV"), Some("SK_ENV")), "a/b.parquet"),
+      graft.sources.AzureBlobParquetSource(
+        graft.sources.AzureBlobConfig("acct", "data", Some("AZ_ENV")), "raw/d.parquet"),
       graft.sources.UCTableSource("main", "ml", "feat"))
     sources.foreach { src =>
       val v = view.copy(source = src, derived = Nil, aggregates = Nil)
