@@ -3956,7 +3956,39 @@ object SparkEntry {
       },
       Some(s"""WITH ${minhashCtes()}
         SELECT id_a, id_b, jaccard FROM pairs
-        WHERE id_a % 5 = 0 OR id_b % 5 = 0"""))
+        WHERE id_a % 5 = 0 OR id_b % 5 = 0""")),
+
+    // --- DISTRIBUTION DISTANCE (mixture-shift diagnostic): exact
+    // total-variation distance between per-source unigram OCCURRENCE
+    // distributions — integer numerator (shared-word |cA·TB − cB·TA| sum
+    // plus the closed-form one-sided mass), ONE final IEEE division.
+    // Complements q108's Jaccard (set overlap) with rate shift — the
+    // signal DoReMi-style domain reweighting actually moves ---
+    Q("q160_distribution_distance",
+      (s, dir) => TextAnalysis.distributionDistance(
+        t(s, dir, "documents"), "text", "source"),
+      Some("""WITH w AS (SELECT source AS slice,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        c AS (SELECT slice, w, CAST(count(*) AS BIGINT) AS n FROM w
+          WHERE len(w) > 0 GROUP BY 1, 2),
+        t AS (SELECT slice, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1),
+        shared AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
+            CAST(sum(abs(a.n * tb.t - b.n * ta.t)) AS BIGINT) AS shared_diff,
+            CAST(sum(a.n) AS BIGINT) AS sa, CAST(sum(b.n) AS BIGINT) AS sb
+          FROM c a JOIN c b ON a.w = b.w AND a.slice < b.slice
+          JOIN t ta ON ta.slice = a.slice JOIN t tb ON tb.slice = b.slice
+          GROUP BY 1, 2),
+        pairs AS (SELECT ta.slice AS slice_a, tb.slice AS slice_b,
+            ta.t AS ta, tb.t AS tb
+          FROM t ta JOIN t tb ON ta.slice < tb.slice)
+      SELECT p.slice_a, p.slice_b, p.ta, p.tb,
+        CAST(coalesce(shared_diff, 0)
+          + (p.ta - coalesce(sa, 0)) * p.tb
+          + (p.tb - coalesce(sb, 0)) * p.ta AS DOUBLE)
+          / (2.0 * p.ta * p.tb) AS tv_distance
+      FROM pairs p LEFT JOIN shared
+        ON shared.slice_a = p.slice_a AND shared.slice_b = p.slice_b"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

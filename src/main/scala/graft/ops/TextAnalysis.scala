@@ -639,6 +639,70 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** CORPUS-SLICE distribution distance: exact TOTAL-VARIATION distance
+    * between every pair of slices' unigram OCCURRENCE distributions —
+    * the mixture-shift diagnostic behind DoReMi/FineWeb-style domain
+    * weighting ([[sliceSimilarity]]'s Jaccard asks "do the vocabularies
+    * overlap"; this asks "do the slices USE the shared vocabulary at the
+    * same rates", which is what a mixture reweighting actually changes).
+    * Reference semantics anchor: aligned's slice-profile comparisons
+    * (`aligned/retrieval_job.py` aggregate-per-slice pattern).
+    *
+    * TV(A,B) = ½ · Σ_w |cA(w)/TA − cB(w)/TB|
+    *         = ( Σ_{w∈A∩B} |cA·TB − cB·TA| + (TA−SA)·TB + (TB−SB)·TA )
+    *           / (2·TA·TB)
+    * where SA/SB are the shared-word count mass of each slice in the
+    * pair — so only words present in BOTH slices ever join; the
+    * present-in-one-side-only mass folds into the closed form. Every
+    * term is an exact integer (long at test scale; the numerator is
+    * bounded by 2·TA·TB, so switch the sum to DECIMAL(38,0) once slice
+    * token totals pass ~2^26 ≈ 6·10⁷ — at 100 TB the counts table is
+    * the same shape, only the sum type widens). The single final
+    * division is one IEEE binary64 op — bit-identical across engines.
+    *
+    * Plan shape: one corpus scan → (slice, word-hash) partial-aggregated
+    * counts; slice totals are O(slices) rows broadcast onto both join
+    * sides; the only wide exchange is the counts self-equi-join on the
+    * word hash. The pair skeleton (cross of the tiny totals table with
+    * itself) guarantees a row for every pair even with zero shared
+    * vocabulary. */
+  def distributionDistance(df: org.apache.spark.sql.DataFrame, textCol: String,
+      sliceCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = df.select(col(sliceCol).as("slice"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("slice"), xxhash64(col("w")).as("h"))
+      .groupBy("slice", "h").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("slice").agg(sum("n").as("t"))
+    val a = counts.join(broadcast(totals), "slice")
+      .select(col("slice").as("slice_a"), col("h"),
+        col("n").as("na"), col("t").as("ta"))
+    val b = counts.join(broadcast(totals), "slice")
+      .select(col("slice").as("slice_b"), col("h"),
+        col("n").as("nb"), col("t").as("tb"))
+    val shared = a.join(b, Seq("h")).filter(col("slice_a") < col("slice_b"))
+      .groupBy("slice_a", "slice_b")
+      .agg(sum(abs(col("na") * col("tb") - col("nb") * col("ta"))).as("shared_diff"),
+        sum("na").as("sa"), sum("nb").as("sb"))
+    // pair skeleton from a BOUNDED O(slices) driver pull (slices are
+    // sources/languages/snapshots — dozens, never corpus-scaled), so
+    // zero-shared-vocabulary pairs still get a row WITHOUT planning the
+    // tiny×tiny cross as a nested-loop join in the distributed plan
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ts = totals.select(col("slice").cast("string"), col("t"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val pairs = (for {
+      (sa2, ta2) <- ts; (sb2, tb2) <- ts if sa2 < sb2
+    } yield (sa2, sb2, ta2, tb2)).toSeq.toDF("slice_a", "slice_b", "ta", "tb")
+    pairs.join(shared, Seq("slice_a", "slice_b"), "left")
+      .select(col("slice_a"), col("slice_b"), col("ta"), col("tb"),
+        ((coalesce(col("shared_diff"), lit(0L))
+          + (col("ta") - coalesce(col("sa"), lit(0L))) * col("tb")
+          + (col("tb") - coalesce(col("sb"), lit(0L))) * col("ta")).cast("double")
+          / (lit(2.0) * col("ta") * col("tb"))).as("tv_distance"))
+  }
+
   /** Corpus vocabulary: top-k most frequent words per group (explode →
     * count → ranked window). Deterministic tiebreak on the word itself. */
   def topWords(df: org.apache.spark.sql.DataFrame, textCol: String,

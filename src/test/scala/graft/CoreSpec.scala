@@ -1722,3 +1722,150 @@ class GraphRankSpec extends AnyFunSuite {
       "pageRank must not force-broadcast any side")
   }
 }
+
+/** Exact total-variation distance between slice unigram distributions
+  * (q160) — the mixture-shift diagnostic. */
+class DistributionDistanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tv(df: org.apache.spark.sql.DataFrame) =
+    graft.ops.TextAnalysis.distributionDistance(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+  test("matches the hand-computed distance on a tiny fixture") {
+    // s1: a a b  -> p = {a: 2/3, b: 1/3}
+    // s2: a b b b -> q = {a: 1/4, b: 3/4}
+    // TV = 1/2 (|2/3-1/4| + |1/3-3/4|) = 5/12
+    val docs = Seq(("s1", "a a b"), ("s2", "a b b b")).toDF("source", "text")
+    val got = tv(docs)(("s1", "s2"))
+    assert(got._1 == 3L && got._2 == 4L)
+    assert(math.abs(got._3 - 5.0 / 12) < 1e-15)
+  }
+
+  test("identical distributions are 0; disjoint vocabularies are exactly 1") {
+    val docs = Seq(
+      ("s1", "x y z"), ("s2", "x y z"),  // identical
+      ("s3", "p q")                      // disjoint from both
+    ).toDF("source", "text")
+    val got = tv(docs)
+    assert(got(("s1", "s2"))._3 == 0.0)
+    assert(got(("s1", "s3"))._3 == 1.0) // zero shared words still get a row
+    assert(got(("s2", "s3"))._3 == 1.0)
+    assert(got.size == 3) // full pair skeleton
+  }
+
+  test("agrees with a brute-force over randomized word mixes") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val slices = Seq("u", "v", "w").map { s =>
+      s -> Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val docs = slices.toDF("source", "text")
+    val dist = slices.map { case (s, t) =>
+      s -> t.split(" ").groupBy(identity).view.mapValues(_.length.toDouble / 30).toMap
+    }.toMap
+    val got = tv(docs)
+    for (Seq(a, b) <- Seq("u", "v", "w").combinations(2)) {
+      val exp = vocab.map(w =>
+        math.abs(dist(a).getOrElse(w, 0.0) - dist(b).getOrElse(w, 0.0))).sum / 2
+      assert(math.abs(got((a, b))._3 - exp) < 1e-12, s"pair ($a,$b)")
+    }
+  }
+}
+
+/** Distributed BPE merge-rule trainer vs a single-threaded reference. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference trainer: the textbook in-memory loop (Sennrich 2016 fig 1),
+    * same conventions — overlapping pair counts, left-to-right greedy
+    * apply, (count desc, l, r) tiebreak. */
+  private def refTrain(words: Map[String, Long], maxMerges: Int,
+      minCount: Long): Seq[(String, String, Long)] = {
+    var vocab = words.map { case (w, c) => w.map(_.toString).toVector -> c }.toVector
+    val out = Vector.newBuilder[(String, String, Long)]
+    var continue = true
+    var done = 0
+    while (continue && done < maxMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val best = counts.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }.headOption
+      best match {
+        case Some(((l, r), n)) if n >= minCount =>
+          out += ((l, r, n))
+          vocab = vocab.map { case (syms, c) =>
+            val acc = scala.collection.mutable.ArrayBuffer[String]()
+            for (s <- syms)
+              if (acc.nonEmpty && acc.last == l && s == r)
+                acc(acc.length - 1) = l + r
+              else acc += s
+            acc.toVector -> c
+          }
+          done += 1
+        case _ => continue = false
+      }
+    }
+    out.result()
+  }
+
+  test("learns the classic Sennrich example merges in order") {
+    // {low:5, lower:2, newest:6, widest:3}: (e,s) 9 -> (es,t) 9 -> (est,?) ...
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("id", "text")
+    val got = graft.ops.Bpe.train(docs, "text", maxMerges = 4)
+    assert(got.map(m => (m.left, m.right, m.pairCount)).take(2) ==
+      Seq(("e", "s", 9L), ("es", "t", 9L)))
+    val ref = refTrain(Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L), 4, 2L)
+    assert(got.map(m => (m.left, m.right, m.pairCount)) == ref)
+  }
+
+  test("matches the reference trainer merge-for-merge on random corpora") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val alphabet = "abcd"
+      val words = Seq.fill(12)(
+        Seq.fill(2 + rnd.nextInt(5))(alphabet(rnd.nextInt(4))).mkString)
+      val counts = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val docs = Seq((1L, words.mkString(" "))).toDF("id", "text")
+      val got = graft.ops.Bpe.train(docs, "text", maxMerges = 6, minCount = 2L)
+        .map(m => (m.left, m.right, m.pairCount))
+      assert(got == refTrain(counts, 6, 2L), s"trial $trial corpus $words")
+    }
+  }
+
+  test("overlapping-run semantics: aaaa fuses left-to-right") {
+    val docs = Seq((1L, "aaaa aaaa")).toDF("id", "text")
+    val got = graft.ops.Bpe.train(docs, "text", maxMerges = 2)
+    // round 1: (a,a) appears 3x per word * 2 words = 6; apply -> [aa, aa]
+    // round 2: (aa,aa) count 2
+    assert(got.map(m => (m.left, m.right, m.pairCount)) ==
+      Seq(("a", "a", 6L), ("aa", "aa", 2L)))
+  }
+
+  test("encode applies lowest-rank-first and reconstructs the text") {
+    val docs = Seq((1L, Seq.fill(5)("low").mkString(" ") + " " +
+      Seq.fill(6)("newest").mkString(" "))).toDF("id", "text")
+    val merges = graft.ops.Bpe.train(docs, "text", maxMerges = 5)
+    val toks = graft.ops.Bpe.encode(docs, "text", "id", merges)
+      .collect().head.getSeq[String](1)
+    // token concatenation reconstructs the normalized word stream exactly
+    assert(toks.mkString == ("low" * 5) + ("newest" * 6))
+    // the top rule was actually applied: no token is a bare "e" followed by "s"
+    assert(toks.sliding(2).forall(p => p != Seq("e", "s")))
+  }
+
+  test("stops early when no pair reaches minCount; empty corpus learns nothing") {
+    val docs = Seq((1L, "ab cd ef")).toDF("id", "text") // every pair count 1
+    assert(graft.ops.Bpe.train(docs, "text", maxMerges = 5, minCount = 2L).isEmpty)
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(graft.ops.Bpe.train(empty, "text", maxMerges = 3).isEmpty)
+  }
+}
