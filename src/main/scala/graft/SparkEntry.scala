@@ -3988,7 +3988,26 @@ object SparkEntry {
           + (p.tb - coalesce(sb, 0)) * p.ta AS DOUBLE)
           / (2.0 * p.ta * p.tb) AS tv_distance
       FROM pairs p LEFT JOIN shared
-        ON shared.slice_a = p.slice_a AND shared.slice_b = p.slice_b"""))
+        ON shared.slice_a = p.slice_a AND shared.slice_b = p.slice_b""")),
+
+    // --- BPE trainer, round-1 slice (tokenizer training upstream of
+    // q116's tokenize-to-ids): occurrence-weighted adjacent character-pair
+    // counts over the bounded (word, cnt) vocabulary, top-20 with
+    // deterministic (count desc, l, r) ties. The iterative merge rounds
+    // are driver-steered (one O(1) pull per round) and spec-gated against
+    // a single-threaded reference trainer (BpeSpec) ---
+    Q("q161_bpe_pair_counts",
+      (s, dir) => graft.ops.Bpe.firstRoundPairs(t(s, dir, "documents"), "text", 20),
+      Some("""WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+            FROM documents),
+        wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w
+          WHERE len(word) > 0 GROUP BY 1),
+        p AS (SELECT substr(word, CAST(i AS INTEGER), 1) AS l,
+            substr(word, CAST(i AS INTEGER) + 1, 1) AS r, cnt
+          FROM (SELECT word, cnt,
+              unnest(generate_series(1, len(word) - 1)) AS i FROM wc)),
+        pc AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+      SELECT l, r, n FROM pc ORDER BY n DESC, l, r LIMIT 20"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,
