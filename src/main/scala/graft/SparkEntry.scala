@@ -4007,7 +4007,134 @@ object SparkEntry {
           FROM (SELECT word, cnt,
               unnest(generate_series(1, len(word) - 1)) AS i FROM wc)),
         pc AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n FROM p GROUP BY 1, 2)
-      SELECT l, r, n FROM pc ORDER BY n DESC, l, r LIMIT 20"""))
+      SELECT l, r, n FROM pc ORDER BY n DESC, l, r LIMIT 20""")),
+
+    // --- CORPUS CARD capstone: the per-source data card a curation run
+    // publishes — size, token mass, vocabulary, language mix, quality-gate
+    // pass rate, exact- and near-duplicate exposure — composed from the
+    // registered operators (q28 lang-id, q152 Gopher gate with the
+    // stopword bit masked, q22-family exact dup, q136-family portable
+    // near-dup) and hash-verified as ONE query. Every rate is an
+    // integer÷integer IEEE division; the only corpus-wide shuffles are
+    // the (doc, text-hash) dup window, the word-distinct count, and the
+    // near-dup band join — each already individually plan-audited ---
+    Q("q162_corpus_card",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val tok = when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        val base = docs.select(col("doc_id"), col("source"), tok.as("n_tok"),
+          (TextAnalysis.langIdDeterministic(col("text")) === "en")
+            .cast("long").as("is_en"),
+          xxhash64(col("text")).as("__th"))
+        val perDoc = base.withColumn("dup",
+          (count(lit(1)).over(Window.partitionBy(col("__th"))) > 1).cast("long"))
+        val gop = TextAnalysis.gopherFilter(docs, "text", "doc_id",
+            minWords = 20, ruleMask = 63L)
+          .select(col("doc_id"), (col("fail_mask") === 0L).cast("long").as("gpass"))
+        val ndIds = Dedup.nearDuplicatesPortable(docs, "text", "doc_id",
+            threshold = 0.5, bands = 4, k = 3)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct().withColumn("near", lit(1L))
+        val dw = docs.select(col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("source").agg(countDistinct(col("w")).as("n_distinct_words"))
+        perDoc.join(gop, "doc_id")
+          .join(ndIds, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+            sum("is_en").as("__en"), sum("gpass").as("__gp"),
+            sum("dup").as("__dup"), sum(coalesce(col("near"), lit(0L))).as("__nd"))
+          .join(dw, "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_distinct_words"),
+            (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+              .as("mean_doc_tokens"),
+            (col("__en").cast("double") / col("n_docs").cast("double")).as("pct_en"),
+            (col("__gp").cast("double") / col("n_docs").cast("double"))
+              .as("gopher_pass_frac"),
+            (col("__dup").cast("double") / col("n_docs").cast("double"))
+              .as("exact_dup_frac"),
+            (col("__nd").cast("double") / col("n_docs").cast("double"))
+              .as("near_dup_frac"))
+      },
+      Some {
+        def hits(words: Seq[String]) =
+          words.map(w => s"CAST(regexp_matches(t, '(^|\\s)$w(\\s|$$)') AS INT)").mkString(" + ")
+        val en = hits(Seq("the", "and", "of", "to", "is", "that", "with", "for"))
+        val es = hits(Seq("el", "la", "los", "las", "es", "una", "que", "por", "con"))
+        val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))
+        val fr = hits(Seq("le", "les", "est", "et", "une", "dans", "pour", "des"))
+        s"""WITH ${minhashCtes()},
+          nd AS (SELECT DISTINCT id FROM
+            (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+          lang AS (SELECT doc_id,
+              CASE WHEN zh > 0 AND zh >= greatest(en, es, de, fr) THEN 'zh'
+                WHEN en > 0 AND en >= greatest(es, de, fr) THEN 'en'
+                WHEN es > 0 AND es >= greatest(de, fr) THEN 'es'
+                WHEN de > 0 AND de >= fr THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS plang
+            FROM (SELECT doc_id,
+              CASE WHEN regexp_matches(t, '[\\x{4e00}-\\x{9fff}]') THEN 100 ELSE 0 END AS zh,
+              $en AS en, $es AS es, $de AS de, $fr AS fr
+              FROM (SELECT doc_id, lower(text) AS t FROM documents))),
+          gm AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len,
+              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_cnt,
+              CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots_cnt,
+              CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                OR starts_with(l, '• '))) AS BIGINT) AS bullet_cnt,
+              CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+                AS BIGINT) AS ellipsis_cnt,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_cnt
+            FROM (SELECT doc_id, text, list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS ws,
+              list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> length(l) > 0) AS ls
+              FROM documents)),
+          gp AS (SELECT doc_id,
+              CASE WHEN n_words >= 20 AND n_words <= 100000
+                AND n_words > 0 AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+                AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+                AND CAST(hash_cnt + dots_cnt AS DOUBLE) / n_words < 0.1
+                AND (n_lines = 0 OR CAST(bullet_cnt AS DOUBLE) / n_lines < 0.9)
+                AND (n_lines = 0 OR CAST(ellipsis_cnt AS DOUBLE) / n_lines < 0.3)
+                AND CAST(alpha_cnt AS DOUBLE) / n_words >= 0.8
+              THEN 1 ELSE 0 END AS gpass
+            FROM gm),
+          d AS (SELECT doc_id, source, text,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+              CASE WHEN count(*) OVER (PARTITION BY text) > 1 THEN 1 ELSE 0 END AS dup
+            FROM documents),
+          dw AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words
+            FROM (SELECT source, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                x -> length(x) > 0)) AS w FROM documents)
+            GROUP BY source),
+          card AS (SELECT d.source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN plang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+              CAST(sum(gpass) AS BIGINT) AS n_gp,
+              CAST(sum(dup) AS BIGINT) AS n_dup,
+              CAST(sum(CASE WHEN nd.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_nd
+            FROM d JOIN lang USING (doc_id) JOIN gp USING (doc_id)
+              LEFT JOIN nd ON nd.id = d.doc_id
+            GROUP BY d.source)
+        SELECT card.source, n_docs, n_tokens, n_distinct_words,
+          CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_tokens,
+          CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pct_en,
+          CAST(n_gp AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gopher_pass_frac,
+          CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS exact_dup_frac,
+          CAST(n_nd AS DOUBLE) / CAST(n_docs AS DOUBLE) AS near_dup_frac
+        FROM card JOIN dw ON dw.source = card.source"""
+      })
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,
