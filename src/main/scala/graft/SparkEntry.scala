@@ -4134,7 +4134,34 @@ object SparkEntry {
           CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS exact_dup_frac,
           CAST(n_nd AS DOUBLE) / CAST(n_docs AS DOUBLE) AS near_dup_frac
         FROM card JOIN dw ON dw.source = card.source"""
-      })
+      }),
+
+    // --- LEAKAGE-SAFE train/test split: route whole near-dup COMPONENTS
+    // through one md5 coin — a test doc's near-duplicate can never sit in
+    // train (the dedup-before-eval guard of Lee et al. 2021). CC labels
+    // per q69's chain; singletons are their own component ---
+    Q("q163_leakage_safe_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ml.MLOps.leakageSafeSplit(docs,
+          Dedup.nearDuplicatesPortable(docs, "text", "doc_id",
+            threshold = 0.5, bands = 4, k = 3),
+          "doc_id", trainPct = 80)
+          .select("doc_id", "component", "split")
+      },
+      Some(s"""WITH RECURSIVE ${minhashCtes()},
+          sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          cc AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+          d AS (SELECT doc_id, coalesce(cc.comp, doc_id) AS component
+            FROM documents LEFT JOIN cc ON cc.id = doc_id)
+        SELECT doc_id, component,
+          CASE WHEN CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+        FROM d"""))
   )
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,

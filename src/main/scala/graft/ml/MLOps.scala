@@ -433,6 +433,34 @@ object MLOps {
     (tr, te.unionByName(va))
   }
 
+  /** LEAKAGE-SAFE SPLIT: train/test assignment by duplicate CLUSTER, not
+    * by document. A near-duplicate of a test document sitting in the
+    * training set is test-set contamination (the dedup-before-eval finding
+    * of Lee et al. 2021), so the split router must move whole near-dup
+    * components together. Components come from
+    * [[graft.ops.Dedup.connectedComponents]] over a near-dup pair list;
+    * documents absent from `pairs` are their own singleton component. The
+    * router is [[md5Bucket]] on the component id — engine-auditable and
+    * reproducible, and every member of a component lands in the same split
+    * BY CONSTRUCTION (one hash per component, not per doc).
+    *
+    * At scale: the pair list is already banded near-dup output, CC is
+    * diameter-bounded min-label propagation, and the split adds one
+    * left equi-join plus a narrow hash map — no extra corpus shuffle.
+    * Returns the docs frame + (component, split ∈ train|test). */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      trainPct: Int = 80): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct out of [0,100]")
+    val comp = graft.ops.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "__cc_id")
+    docs.join(comp, docs(idCol) === comp("__cc_id"), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol)))
+      .drop("__cc_id", "comp")
+      .withColumn("split",
+        when(md5Bucket(col("component"), 100) < trainPct, "train")
+          .otherwise("test"))
+  }
+
   /** TOKEN-BUDGET MIXTURE ALLOCATION (the pretraining "data recipe" step —
     * the planning counterpart of [[mixtureResample]]): given per-document
     * token counts, a target total token budget, and desired mixture

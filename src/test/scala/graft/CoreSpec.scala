@@ -1869,3 +1869,45 @@ class BpeSpec extends AnyFunSuite {
     assert(graft.ops.Bpe.train(empty, "text", maxMerges = 3).isEmpty)
   }
 }
+
+/** Cluster-aware train/test routing (q163). */
+class LeakageSafeSplitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq.tabulate(8)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+  private val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+
+  test("every near-dup component lands wholly in one split") {
+    val out = graft.ml.MLOps.leakageSafeSplit(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(Set(0L, 1L, 2L).map(out(_)._1) == Set(0L)) // min-label component
+    assert(Set(5L, 6L).map(out(_)._1) == Set(5L))
+    assert(Set(0L, 1L, 2L).map(out(_)._2).size == 1) // one split per component
+    assert(Set(5L, 6L).map(out(_)._2).size == 1)
+    for (s <- Seq(3L, 4L, 7L)) assert(out(s)._1 == s) // singletons: own component
+    assert(out.values.map(_._2).forall(Set("train", "test")))
+  }
+
+  test("trainPct bounds: 100 routes everything to train, 0 to test") {
+    val all = graft.ml.MLOps.leakageSafeSplit(docs, pairs, "doc_id", trainPct = 100)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(all == Seq("train"))
+    val none = graft.ml.MLOps.leakageSafeSplit(docs, pairs, "doc_id", trainPct = 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(none == Seq("test"))
+  }
+
+  test("router is per-component: a doc's split never depends on its own id") {
+    // re-id doc 2 inside the same component -> identical split as before,
+    // because the coin is md5(component), not md5(doc)
+    val out1 = graft.ml.MLOps.leakageSafeSplit(docs, pairs, "doc_id")
+      .filter(col("doc_id") === 1L).select("split").collect().head.getString(0)
+    val relabeled = docs.withColumn("doc_id",
+      when(col("doc_id") === 2L, 99L).otherwise(col("doc_id")))
+    val pairs2 = Seq((0L, 1L), (1L, 99L), (5L, 6L)).toDF("id_a", "id_b")
+    val out2 = graft.ml.MLOps.leakageSafeSplit(relabeled, pairs2, "doc_id")
+      .filter(col("doc_id") === 1L).select("split").collect().head.getString(0)
+    assert(out1 == out2)
+  }
+}
