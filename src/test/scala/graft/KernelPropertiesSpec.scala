@@ -322,3 +322,46 @@ class IncrementalDedupPropertiesSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Metric / reconstruction properties of the round-8 operators. */
+class Round8PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(params, org.scalacheck.rng.Seed(100L + i)))
+  }
+
+  test("distributionDistance is a metric: bounds and triangle inequality") {
+    val vocab = Vector("ka", "kb", "kc", "kd")
+    val sliceGen = Gen.listOfN(20, Gen.oneOf(vocab))
+    samples(Gen.listOfN(3, sliceGen), 8).foreach { slices =>
+      val docs = slices.zipWithIndex
+        .map { case (ws, i) => (s"s$i", ws.mkString(" ")) }
+        .toDF("source", "text")
+      val tv = graft.ops.TextAnalysis.distributionDistance(docs, "text", "source")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+      def d(a: Int, b: Int) =
+        if (a == b) 0.0 else tv((s"s${math.min(a, b)}", s"s${math.max(a, b)}"))
+      for (i <- 0 to 2; j <- 0 to 2 if i < j) {
+        assert(d(i, j) >= 0.0 && d(i, j) <= 1.0, s"bounds: ${d(i, j)}")
+        val k = 3 - i - j // the third slice
+        assert(d(i, j) <= d(i, k) + d(k, j) + 1e-12,
+          s"triangle: d($i,$j)=${d(i, j)} > d($i,$k)+d($k,$j)")
+      }
+    }
+  }
+
+  test("BPE encode reconstructs the corpus under any learned merge table") {
+    val wordGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    samples(Gen.listOfN(10, wordGen), 6).foreach { words =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("id", "text")
+      val merges = graft.ops.Bpe.train(docs, "text", maxMerges = 5)
+      val toks = graft.ops.Bpe.encode(docs, "text", "id", merges)
+        .collect().head.getSeq[String](1)
+      assert(toks.mkString == words.mkString, s"corpus $words merges $merges")
+    }
+  }
+}
