@@ -103,6 +103,16 @@ object Bpe {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Inverse of [[mergesDF]]: load a persisted merge table (e.g. read back
+    * from parquet) into the rule list, rank-ordered — the tokenizer
+    * artifact round trip. O(merges) driver rows by construction. */
+  def mergesFrom(df: DataFrame): Seq[Merge] =
+    df.select(col("rank").cast("int"), col("left"), col("right"),
+        col("pair_count").cast("long"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
+
   /** BPE-encode a corpus with learned rules: per word, repeatedly fuse the
     * LOWEST-RANK adjacent pair (the standard encode). The merge table is a
     * bounded broadcast; the per-row loop is O(len·applied) imperative

@@ -1911,3 +1911,24 @@ class LeakageSafeSplitSpec extends AnyFunSuite {
     assert(out1 == out2)
   }
 }
+
+/** Tokenizer artifact round trip: merges -> DataFrame -> merges. */
+class BpeArtifactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mergesFrom(mergesDF(m)) == m, through a parquet round trip") {
+    val docs = Seq((1L, Seq.fill(5)("low").mkString(" ") + " " +
+      Seq.fill(6)("newest").mkString(" "))).toDF("id", "text")
+    val merges = graft.ops.Bpe.train(docs, "text", maxMerges = 4)
+    assert(merges.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString + "/merges"
+    graft.ops.Bpe.mergesDF(spark, merges).write.parquet(dir)
+    val back = graft.ops.Bpe.mergesFrom(spark.read.parquet(dir))
+    assert(back == merges)
+    // and the reloaded artifact encodes identically
+    val a = graft.ops.Bpe.encode(docs, "text", "id", merges).collect().head.getSeq[String](1)
+    val b = graft.ops.Bpe.encode(docs, "text", "id", back).collect().head.getSeq[String](1)
+    assert(a == b)
+  }
+}
