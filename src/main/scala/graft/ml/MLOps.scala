@@ -461,6 +461,82 @@ object MLOps {
           .otherwise("test"))
   }
 
+  /** Distributed INTEGER batch-perceptron trainer for hashed-BoW quality
+    * classifiers — the in-engine TRAINING step behind
+    * [[graft.ops.TextAnalysis.hashedLinearScore]]'s documented drop-in
+    * ("a real trained model drops in by replacing the hash-derived weight
+    * with a broadcast weight-table join"). The FineWeb-style quality line:
+    * label a seed set (heuristics, an edu rubric, an existing gate), train
+    * a linear text classifier over hashed unigrams, score the corpus.
+    *
+    * Everything is integer arithmetic — counts, weights, scores — so
+    * training is deterministic across partitionings and retries (no float
+    * gradient accumulation order, no learning-rate ULP drift). Per epoch:
+    * one broadcast join of the O(buckets) weight table onto the
+    * ONE-TIME-FOLDED (doc, bucket, n) feature frame, a full-batch
+    * misclassified-set gradient (equi-join + partial-aggregated sum), and
+    * an O(buckets) driver pull. The corpus text is scanned exactly once —
+    * epochs iterate over the bounded fold, [[graft.ops.Bpe.train]]-style.
+    * Stops early when an epoch produces a zero gradient. `positive` is the
+    * label predicate (+1 where true, −1 otherwise).
+    *
+    * Returns the weight table (bucket, weight) — feed it to
+    * [[linearScoreWith]], persist it like any contract artifact. */
+  def perceptronTrain(df: DataFrame, textCol: String, idCol: String,
+      positive: Column, buckets: Int = 1 << 15, maxEpochs: Int = 5): DataFrame = {
+    require(buckets > 0 && maxEpochs >= 1, s"buckets=$buckets maxEpochs=$maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = df.select(col(idCol).as("__id"),
+        when(positive, 1L).otherwise(-1L).as("__y"),
+        explode(graft.ops.Dedup.portableShingleHashes(col(textCol), 1)).as("__h"))
+      .select(col("__id"), col("__y"), pmod(col("__h"), lit(buckets.toLong)).as("__b"))
+      .groupBy("__id", "__y", "__b").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // the one corpus scan; epochs reread this fold
+    var w = Map.empty[Long, Long]
+    var epoch = 0
+    var converged = false
+    while (epoch < maxEpochs && !converged) {
+      val wDf = w.toSeq.toDF("__b", "__w")
+      val mis = feats.join(broadcast(wDf), Seq("__b"), "left")
+        .groupBy("__id", "__y")
+        .agg(sum(col("__n") * coalesce(col("__w"), lit(0L))).as("__s"))
+        .filter(col("__y") * col("__s") <= 0) // sign(0) counts as wrong
+        .select("__id")
+      // full-batch gradient over the misclassified docs only; the pull is
+      // bounded by `buckets` rows of longs, never by corpus size
+      val grad = feats.join(mis, Seq("__id"))
+        .groupBy("__b").agg(sum(col("__n") * col("__y")).as("__g"))
+        .filter(col("__g") =!= 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      if (grad.isEmpty) converged = true
+      else {
+        grad.foreach { case (b, g) => w += b -> (w.getOrElse(b, 0L) + g) }
+        epoch += 1
+      }
+    }
+    w.toSeq.sortBy(_._1).toDF("bucket", "weight")
+  }
+
+  /** Score a corpus with a trained hashed-BoW weight table (the drop-in
+    * form [[graft.ops.TextAnalysis.hashedLinearScore]] documents): token
+    * hashes fold through the same portable hash and bucket count as
+    * [[perceptronTrain]], the weight table broadcasts, and the per-doc
+    * score is an exact integer sum — order-independent, engine-portable.
+    * Returns (idCol, n_tokens, score, keep = score > 0). */
+  def linearScoreWith(df: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame, buckets: Int = 1 << 15): DataFrame =
+    df.select(col(idCol),
+        explode_outer(graft.ops.Dedup.portableShingleHashes(col(textCol), 1)).as("__h"))
+      .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
+      .join(broadcast(weights.select(col("bucket").as("__b"),
+        col("weight").as("__w"))), Seq("__b"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__h")).as("n_tokens"),
+        sum(coalesce(col("__w"), lit(0L))).as("score"))
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+      .withColumn("keep", col("score") > 0)
+
   /** TOKEN-BUDGET MIXTURE ALLOCATION (the pretraining "data recipe" step —
     * the planning counterpart of [[mixtureResample]]): given per-document
     * token counts, a target total token budget, and desired mixture

@@ -1932,3 +1932,56 @@ class BpeArtifactSpec extends AnyFunSuite {
     assert(a == b)
   }
 }
+
+/** Integer batch-perceptron quality-classifier training. */
+class PerceptronSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = (
+    (1L to 6L).map(i => (i, s"great clear helpful text number$i", true)) ++
+    (7L to 12L).map(i => (i, s"spam junk noise garbage number$i", false))
+  ).toDF("doc_id", "text", "label")
+
+  test("separates a linearly separable corpus and the scorer agrees") {
+    val w = graft.ml.MLOps.perceptronTrain(docs, "text", "doc_id",
+      positive = col("label"))
+    val scored = graft.ml.MLOps.linearScoreWith(docs, "text", "doc_id", w)
+      .join(docs.select("doc_id", "label"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+    // every training doc lands on its label's side of zero
+    scored.foreach { case (id, score, keep, label) =>
+      assert(keep == label, s"doc $id score $score keep=$keep label=$label")
+    }
+  }
+
+  test("training is deterministic and the gradient stops moving on convergence") {
+    val w1 = graft.ml.MLOps.perceptronTrain(docs, "text", "doc_id", col("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val w2 = graft.ml.MLOps.perceptronTrain(docs, "text", "doc_id", col("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(w1 == w2)
+    assert(w1.nonEmpty)
+  }
+
+  test("zero-token and unseen-vocabulary docs score 0 and are dropped") {
+    val w = graft.ml.MLOps.perceptronTrain(docs, "text", "doc_id", col("label"))
+    val odd = Seq((100L, ""), (101L, "completely unseen words")).toDF("doc_id", "text")
+    val out = graft.ml.MLOps.linearScoreWith(odd, "text", "doc_id", w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(100L) == ((0L, 0L, false)))
+    assert(out(101L)._2 == 0L && !out(101L)._3)
+  }
+
+  test("epoch-1 gradient from zero weights is the signed bucket count fold") {
+    // with w=0 every doc is misclassified, so the first update is exactly
+    // sum over ALL docs of n * y per bucket — pin it against a driver fold
+    val tiny = Seq((1L, "aa bb", true), (2L, "aa cc", false)).toDF("doc_id", "text", "label")
+    val w = graft.ml.MLOps.perceptronTrain(tiny, "text", "doc_id", col("label"),
+      maxEpochs = 1)
+    val got = w.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // aa: +1 (doc1) -1 (doc2) = 0 -> filtered out of the weight table
+    // bb: +1; cc: -1  (buckets are portable-hash mod 2^15, values opaque)
+    assert(got.values.toSeq.sorted == Seq(-1L, 1L))
+  }
+}
