@@ -4161,8 +4161,54 @@ object SparkEntry {
           CASE WHEN CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8))
               AS BIGINT) % 100 < 80
             THEN 'train' ELSE 'test' END AS split
-        FROM d"""))
+        FROM d""")),
+
+    // --- TRAINED-WEIGHT linear scoring under the oracle gate: the
+    // broadcast weight-table join `MLOps.linearScoreWith` runs for a
+    // perceptron-trained model, exercised here with a plan-time literal
+    // lexicon (training itself is driver-steered and spec-gated,
+    // PerceptronSpec — like the BPE merge loop). Buckets are the portable
+    // token hash mod 2^15, named identically on both sides via
+    // `Dedup.portableTokenHash`; scores are exact integer sums ---
+    Q("q164_trained_linear_score",
+      (s, dir) => {
+        import s.implicits._
+        val w = SparkEntry.scoringLexicon
+          .map { case (t, wt) => (Dedup.portableTokenHash(t) % 32768L, wt) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+          .toDF("bucket", "weight")
+        graft.ml.MLOps.linearScoreWith(t(s, dir, "documents"), "text", "doc_id", w)
+      },
+      Some {
+        val values = SparkEntry.scoringLexicon
+          .map { case (t, wt) => (Dedup.portableTokenHash(t) % 32768L, wt) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sorted
+          .map { case (b, wt) => s"($b, $wt)" }.mkString(", ")
+        s"""WITH wt(bucket, weight) AS (VALUES $values),
+          tok AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)
+                % 2147483647 % 32768 AS b
+            FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+              FROM documents WHERE length(trim(text)) > 0)),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(coalesce(weight, 0)) AS BIGINT) AS score
+            FROM tok LEFT JOIN wt ON wt.bucket = tok.b GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+          CAST(coalesce(score, 0) AS BIGINT) AS score,
+          coalesce(score, 0) > 0 AS keep
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"""
+      })
   )
+
+  /** The fixed scoring lexicon for q164: English stopwords positive,
+    * es/de/fr stopwords negative — a hand lexicon standing in for trained
+    * perceptron weights (the plan shape is identical either way). A def,
+    * not a val: the eager `specs` registry reads it during class init,
+    * before trailing vals would be assigned. */
+  private[graft] def scoringLexicon: Seq[(String, Long)] = Seq(
+    "the" -> 3L, "and" -> 2L, "of" -> 2L, "with" -> 1L, "that" -> 1L,
+    "la" -> -1L, "el" -> -2L, "und" -> -2L, "der" -> -1L, "les" -> -1L)
 
   /** q137's portable HLL restated for DuckDB: identical md5-prefix hash,
     * bucket/rank integer splits, CASE leading-zero rank, elementwise-max

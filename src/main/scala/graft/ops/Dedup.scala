@@ -439,6 +439,21 @@ object Dedup {
     ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
   }
 
+  /** DRIVER-SIDE twin of [[portableShingleHashes]] for one token (k=1 gram):
+    * lowercase → first 14 md5 hex chars → mod [[PortableP]]. Bit-identical
+    * to the distributed kernel and to the DuckDB restatement — used to
+    * pre-bucket plan-time literal weight tables (q164) so the oracle can
+    * name the same buckets. */
+  def portableTokenHash(token: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(
+      token.toLowerCase(java.util.Locale.ROOT).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    h % PortableP
+  }
+
   /** Embedding near-dup with the PORTABLE plane matrix: sign-of-dot LSH
     * bucketing (one narrow map — the plane matrix is plan-time literals, no
     * md5 at runtime), bucket equi-join, exact-cosine verification. Fully
