@@ -1985,3 +1985,38 @@ class PerceptronSpec extends AnyFunSuite {
     assert(got.values.toSeq.sorted == Seq(-1L, 1L))
   }
 }
+
+/** Plan-shape pins for the round-8 driver-steered trainers. */
+class TrainerPlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("BPE per-round top-1 plans as TakeOrdered, never a global sort") {
+    // the trainer's only per-round driver pull must be the partial top-1
+    // (per-partition top-1 + driver merge), not Sort+Limit over a single
+    // partition — the difference between O(vocab) task memory and a
+    // single-task global sort at 10^6-word vocabularies
+    val docs = Seq((1L, "low lower lowest")).toDF("id", "text")
+    val vocab = graft.ops.Bpe.wordCounts(docs, "text")
+      .select(filter(split(col("word"), ""), s => s =!= lit("")).as("syms"), col("cnt"))
+    val pairs = vocab.select(col("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r")).agg(sum("cnt").as("n"))
+    val plan = pairs.orderBy(desc("n"), asc("l"), asc("r")).limit(1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+  }
+
+  test("perceptron weight table joins broadcast onto the feature fold") {
+    val docs = Seq((1L, "good text", true), (2L, "bad junk", false))
+      .toDF("doc_id", "text", "label")
+    val w = graft.ml.MLOps.perceptronTrain(docs, "text", "doc_id", col("label"),
+      maxEpochs = 2)
+    val plan = graft.ml.MLOps.linearScoreWith(docs, "text", "doc_id", w)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast weight join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"weight table fell into a sort-merge join:\n$plan")
+  }
+}
