@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** PASS-2 re-run cutoff from pass-1 `(seconds, succeeded)` measurements:
+    * max(repeatThreshold, 3× the median) where the median is taken over
+    * SUCCESSFUL runs ONLY — several fast failures would deflate the cutoff
+    * and trigger needless tail re-runs; slow failures would inflate it and
+    * suppress legitimate ones. All-failures degenerates to the floor
+    * (repeatThreshold). Extracted from main for spec coverage
+    * (PlumbingSpec "bench pass-2 cutoff"). */
+  private[graft] def pass2Cutoff(pass1: Seq[(Double, Boolean)],
+      repeatThreshold: Double): Double = {
+    val ok = pass1.collect { case (t, true) => t }.sorted
+    val median = if (ok.isEmpty) 0.0 else ok(ok.size / 2)
+    math.max(repeatThreshold, 3.0 * median)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -92,12 +107,7 @@ object Bench {
     // record the per-query minimum across passes. Bounded cost: one extra
     // run over only the tail (the genuinely-expensive tail re-measures at
     // its true cost; an inflated entry re-measures fast).
-    // median over SUCCESSFUL pass-1 times only: several fast failures
-    // would deflate the cutoff and trigger needless tail re-runs (slow
-    // failures would inflate it and suppress legitimate ones)
-    val p1Times = pass1.filter(_._4).map(_._3).sorted
-    val median = if (p1Times.isEmpty) 0.0 else p1Times(p1Times.size / 2)
-    val cutoff = math.max(repeatThreshold, 3.0 * median)
+    val cutoff = pass2Cutoff(pass1.map(p => (p._3, p._4)), repeatThreshold)
     val results = pass1.map { case (name, fn, best, ok) =>
       name -> (if (ok && best > cutoff) {
         val (again, againOk) = once(name, fn)

@@ -2340,7 +2340,7 @@ object SparkEntry {
     * `blockBy` carries a blocking column through sigs and into the join;
     * `allPairs` swaps the band-pigeonhole candidate join for the all-pairs
     * (within-block) demo shape. */
-  private def sqlSimhashOracle(bits: Int = 24, maxHamming: Int = 3, k: Int = 2,
+  private[graft] def sqlSimhashOracle(bits: Int = 24, maxHamming: Int = 3, k: Int = 2,
       blockBy: Option[String] = None, allPairs: Boolean = false): String = {
     val p = Dedup.PortableP
     val bands = maxHamming + 1
@@ -4024,10 +4024,15 @@ object SparkEntry {
         val docs = t(s, dir, "documents")
         val tok = when(length(trim(col("text"))) === 0, 0L)
           .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        // dup window keyed on md5(text), MIRRORED in the oracle (PARTITION
+        // BY md5(text)): both engines see identical collisions (md5 is the
+        // same function in Spark and DuckDB), so the hash-match is exact
+        // while the exchange key stays 32 bytes instead of the full text —
+        // the scale reason to hash at all
         val base = docs.select(col("doc_id"), col("source"), tok.as("n_tok"),
           (TextAnalysis.langIdDeterministic(col("text")) === "en")
             .cast("long").as("is_en"),
-          xxhash64(col("text")).as("__th"))
+          md5(col("text")).as("__th"))
         val perDoc = base.withColumn("dup",
           (count(lit(1)).over(Window.partitionBy(col("__th"))) > 1).cast("long"))
         val gop = TextAnalysis.gopherFilter(docs, "text", "doc_id",
@@ -4110,7 +4115,7 @@ object SparkEntry {
           d AS (SELECT doc_id, source, text,
               CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
-              CASE WHEN count(*) OVER (PARTITION BY text) > 1 THEN 1 ELSE 0 END AS dup
+              CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1 THEN 1 ELSE 0 END AS dup
             FROM documents),
           dw AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words
             FROM (SELECT source, unnest(list_filter(

@@ -445,13 +445,17 @@ object MLOps {
     * BY CONSTRUCTION (one hash per component, not per doc).
     *
     * At scale: the pair list is already banded near-dup output, CC is
-    * diameter-bounded min-label propagation, and the split adds one
-    * left equi-join plus a narrow hash map — no extra corpus shuffle.
-    * Returns the docs frame + (component, split ∈ train|test). */
+    * diameter-bounded min-label propagation (it THROWS rather than return
+    * partial labels when `ccMaxIter` rounds don't converge — a
+    * half-propagated component would route one duplicate cluster to both
+    * splits, the exact leakage this operator promises to prevent; raise
+    * `ccMaxIter` for pathologically deep near-dup chains), and the split
+    * adds one left equi-join plus a narrow hash map — no extra corpus
+    * shuffle. Returns the docs frame + (component, split ∈ train|test). */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
-      trainPct: Int = 80): DataFrame = {
+      trainPct: Int = 80, ccMaxIter: Int = 30): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct out of [0,100]")
-    val comp = graft.ops.Dedup.connectedComponents(pairs)
+    val comp = graft.ops.Dedup.connectedComponents(pairs, maxIter = ccMaxIter)
       .withColumnRenamed("id", "__cc_id")
     docs.join(comp, docs(idCol) === comp("__cc_id"), "left")
       .withColumn("component", coalesce(col("comp"), col(idCol)))
@@ -493,6 +497,7 @@ object MLOps {
       .select(col("__id"), col("__y"), pmod(col("__h"), lit(buckets.toLong)).as("__b"))
       .groupBy("__id", "__y", "__b").agg(count(lit(1)).as("__n"))
       .localCheckpoint(true) // the one corpus scan; epochs reread this fold
+    try {
     var w = Map.empty[Long, Long]
     var epoch = 0
     var converged = false
@@ -515,7 +520,14 @@ object MLOps {
         epoch += 1
       }
     }
+    // the returned frame is driver-local (toDF over the weight map), so
+    // it survives the fold's release below
     w.toSeq.sortBy(_._1).toDF("bucket", "weight")
+    // the checkpointed fold must not outlive training: repeated training
+    // calls would otherwise accumulate blocks in the block manager for
+    // the session's lifetime (Bpe.train releases its checkpoints the
+    // same way)
+    } finally feats.unpersist(blocking = false)
   }
 
   /** Score a corpus with a trained hashed-BoW weight table (the drop-in

@@ -488,14 +488,21 @@ object Dedup {
     * converging in O(graph diameter) rounds (checked; early exit). Near-dup
     * graphs have tiny diameters — clusters are quasi-cliques out of band
     * buckets — so 2-3 rounds close virtually any real cluster; `maxIter`
-    * bounds pathological chains.
+    * is a SAFETY BOUND, not a quality knob: hitting it without convergence
+    * THROWS rather than returning partial labels (a half-propagated
+    * component silently splits one duplicate cluster into several — the
+    * exact leakage [[graft.ml.MLOps.leakageSafeSplit]] exists to prevent).
+    * Long templated-document chains make deep components realistic at
+    * corpus scale, so the default bound is generous; converged graphs
+    * never pay for it (early exit).
     *
     * Input: (id_a, id_b) pair columns. Output: (id, component) — component =
     * min id of the node's cluster; singleton nodes absent from `pairs` are
     * absent here (their component is themselves).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 6): DataFrame = {
+      maxIter: Int = 30): DataFrame = {
+    require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -524,6 +531,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter rounds — " +
+      "the graph has a deeper chain than the bound allows; partial labels " +
+      "would silently split a component, so raise maxIter instead")
     labels
   }
 

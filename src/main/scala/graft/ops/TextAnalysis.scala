@@ -654,33 +654,38 @@ object TextAnalysis {
     * where SA/SB are the shared-word count mass of each slice in the
     * pair — so only words present in BOTH slices ever join; the
     * present-in-one-side-only mass folds into the closed form. Every
-    * term is an exact integer (long at test scale; the numerator is
-    * bounded by 2·TA·TB, so switch the sum to DECIMAL(38,0) once slice
-    * token totals pass ~2^26 ≈ 6·10⁷ — at 100 TB the counts table is
-    * the same shape, only the sum type widens). The single final
-    * division is one IEEE binary64 op — bit-identical across engines.
+    * term is an exact integer: the numerator is bounded by 2·TA·TB, and
+    * the per-pair totals are REQUIRED (driver-side, before any result
+    * can surface) to satisfy TA·TB ≤ 2⁶²; past that bound non-ANSI long
+    * arithmetic would wrap silently, so the operator fails loudly with
+    * the offending pair instead — widen to DECIMAL(38,0) sums when a
+    * corpus actually gets there (≈2³¹ tokens PER SLICE). The single
+    * final division is one IEEE binary64 op — bit-identical across
+    * engines.
     *
-    * Plan shape: one corpus scan → (slice, word-hash) partial-aggregated
+    * Plan shape: one corpus scan → (slice, word) partial-aggregated
     * counts; slice totals are O(slices) rows broadcast onto both join
     * sides; the only wide exchange is the counts self-equi-join on the
-    * word hash. The pair skeleton (cross of the tiny totals table with
-    * itself) guarantees a row for every pair even with zero shared
-    * vocabulary. */
+    * word itself (grouping by the RAW word, not a 64-bit hash of it —
+    * a hash collision would merge distinct words' counts and break the
+    * exact-TV claim, and the word is vocabulary-bounded and already
+    * being shuffled anyway). The pair skeleton (cross of the tiny
+    * totals table with itself) guarantees a row for every pair even
+    * with zero shared vocabulary. */
   def distributionDistance(df: org.apache.spark.sql.DataFrame, textCol: String,
       sliceCol: String): org.apache.spark.sql.DataFrame = {
     val counts = df.select(col(sliceCol).as("slice"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-      .select(col("slice"), xxhash64(col("w")).as("h"))
-      .groupBy("slice", "h").agg(count(lit(1)).as("n"))
+      .groupBy("slice", "w").agg(count(lit(1)).as("n"))
     val totals = counts.groupBy("slice").agg(sum("n").as("t"))
     val a = counts.join(broadcast(totals), "slice")
-      .select(col("slice").as("slice_a"), col("h"),
+      .select(col("slice").as("slice_a"), col("w"),
         col("n").as("na"), col("t").as("ta"))
     val b = counts.join(broadcast(totals), "slice")
-      .select(col("slice").as("slice_b"), col("h"),
+      .select(col("slice").as("slice_b"), col("w"),
         col("n").as("nb"), col("t").as("tb"))
-    val shared = a.join(b, Seq("h")).filter(col("slice_a") < col("slice_b"))
+    val shared = a.join(b, Seq("w")).filter(col("slice_a") < col("slice_b"))
       .groupBy("slice_a", "slice_b")
       .agg(sum(abs(col("na") * col("tb") - col("nb") * col("ta"))).as("shared_diff"),
         sum("na").as("sa"), sum("nb").as("sb"))
@@ -692,6 +697,15 @@ object TextAnalysis {
     import spark.implicits._
     val ts = totals.select(col("slice").cast("string"), col("t"))
       .as[(String, Long)].collect().sortBy(_._1)
+    // overflow guard (fails loudly, BEFORE the lazy plan can surface a
+    // wrapped sum): the shared-diff numerator is bounded by 2·TA·TB, so
+    // TA·TB must stay within the long-safe half-range. The totals are
+    // already on the driver for the pair skeleton — the check is free.
+    for { (sa2, ta2) <- ts; (sb2, tb2) <- ts if sa2 < sb2 } require(
+      ta2 <= (Long.MaxValue / 2) / math.max(tb2, 1L),
+      s"distributionDistance: slice totals $sa2=$ta2 × $sb2=$tb2 exceed the " +
+      "long-safe numerator bound (TA*TB > 2^62) — widen the shared-diff sum " +
+      "to DECIMAL(38,0) for slices this large")
     val pairs = (for {
       (sa2, ta2) <- ts; (sb2, tb2) <- ts if sa2 < sb2
     } yield (sa2, sb2, ta2, tb2)).toSeq.toDF("slice_a", "slice_b", "ta", "tb")

@@ -204,3 +204,61 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Specs for the three round-8 robustness one-liners (VERDICT r8 "What's
+  * wrong" #1) — each is a loaded-gun class-init/loader/measurement failure
+  * mode this project has already been bitten by, so each fix gets a spec
+  * pinning the behavior:
+  *   (a) the events loader must fail AT THE LOADER, descriptively, on an
+  *       unrecognized ts encoding (round-6 incident class);
+  *   (b) sqlSimhashOracle must accept a valid all-pairs registration whose
+  *       bits don't split into maxHamming+1 bands — the registry is eager,
+  *       so an over-broad require there would throw at class-init and take
+  *       down EVERY query (the q164 lexicon init-order incident class);
+  *   (c) Bench's pass-2 cutoff median must ignore failed runs — fast
+  *       failures would deflate it (needless tail re-runs), slow failures
+  *       inflate it (suppressed legitimate ones). */
+class RobustnessGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("events loader throws descriptively on an unsupported ts type") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badts").toString
+    // a hypothetical future generation that writes ts as a string
+    Seq((1L, "2024-01-01T00:00:00Z", 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] { SparkEntry.events(spark, dir) }
+    assert(e.getMessage.contains("unsupported type"),
+      s"loader must name the failure, got: ${e.getMessage}")
+    assert(e.getMessage.contains("StringType"),
+      "loader must name the offending type so the fix is obvious")
+  }
+
+  test("sqlSimhashOracle: all-pairs skips band divisibility; banded enforces it") {
+    // bits=24, maxHamming=6 → 7 bands: invalid for banding, VALID all-pairs
+    val sql = SparkEntry.sqlSimhashOracle(bits = 24, maxHamming = 6, allPairs = true)
+    assert(sql.nonEmpty)
+    // the banded path keeps the divisibility contract (pigeonhole needs
+    // equal-width bands)
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.sqlSimhashOracle(bits = 24, maxHamming = 6, allPairs = false)
+    }
+    assert(e.getMessage.contains("band"))
+  }
+
+  test("bench pass-2 cutoff: median over successful runs only") {
+    // 5 successes around 1s + 3 fast failures: failures must not drag the
+    // median down (cutoff stays 3×~1s, not 3×~0.01s)
+    val ok = Seq(0.9, 1.0, 1.1, 1.2, 0.8).map((_, true))
+    val fastFail = Seq(0.01, 0.02, 0.01).map((_, false))
+    assert(Bench.pass2Cutoff(ok ++ fastFail, 1.0) == Bench.pass2Cutoff(ok, 1.0))
+    assert(Bench.pass2Cutoff(ok, 1.0) == 3.0 * 1.0)
+    // slow failures must not inflate it either
+    val slowFail = Seq(60.0, 90.0).map((_, false))
+    assert(Bench.pass2Cutoff(ok ++ slowFail, 1.0) == 3.0 * 1.0)
+    // all-failures degenerates to the floor, never NaN/0-div
+    assert(Bench.pass2Cutoff(fastFail, 1.5) == 1.5)
+    assert(Bench.pass2Cutoff(Nil, 2.0) == 2.0)
+  }
+}

@@ -634,6 +634,41 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == (1L to 6L).map(_ -> 1L).toMap)
   }
 
+  test("connectedComponents throws on non-convergence instead of splitting a component") {
+    // 15-node path needs more than 2 rounds; partial labels would hand back
+    // SEVERAL component ids for ONE cluster — the silent-leakage shape the
+    // advisor flagged (ADVICE r8 #1). The bound must fail loudly...
+    val edges = (1L to 14L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.connectedComponents(edges, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // ...and the default bound must close a chain this deep (it converges,
+    // every node labels 1)
+    val got = graft.ops.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 15L).map(_ -> 1L).toMap)
+  }
+
+  test("leakageSafeSplit routes a deep near-dup chain to ONE split (no leakage)") {
+    // a 12-hop templated-document chain: under the old maxIter=6 default
+    // this got multiple component labels and could straddle train/test
+    val docs = (1L to 13L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (1L to 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.ml.MLOps.leakageSafeSplit(docs, pairs, "doc_id")
+      .select("doc_id", "component", "split").collect()
+    assert(out.map(_.getLong(1)).distinct.toSeq == Seq(1L),
+      "every chain member must share one component")
+    assert(out.map(_.getString(2)).distinct.length == 1,
+      "one component must mean one split — anything else is leakage")
+    // and the cc bound is caller-tunable: an under-provisioned bound fails
+    // loudly rather than silently leaking
+    intercept[IllegalStateException] {
+      graft.ml.MLOps.leakageSafeSplit(docs, pairs, "doc_id", ccMaxIter = 2)
+        .collect()
+    }
+  }
+
   test("simhashNearDup banding equals the all-pairs Hamming filter (exact recall)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("source", "doc_id", "text")
