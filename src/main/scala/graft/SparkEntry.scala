@@ -4203,8 +4203,119 @@ object SparkEntry {
           CAST(coalesce(score, 0) AS BIGINT) AS score,
           coalesce(score, 0) > 0 AS keep
         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"""
-      })
+      }),
+
+    // --- TRAIN-then-score under the oracle gate (retires q164's literal-
+    // lexicon caveat): the epoch-1 batch-perceptron step from zero weights
+    // is pure SQL — at w=0 EVERY doc is misclassified, so the full-batch
+    // gradient is one per-bucket sum of token label signs — which makes a
+    // weight table that was actually TRAINED in-engine restatable and
+    // hash-checkable end to end. Label: lang = 'en' (the FineWeb-style
+    // seed-set shape). Further epochs depend on the epoch-1 weights and
+    // stay spec-gated (PerceptronSpec, the declared iterative-trainer
+    // policy) ---
+    Q("q164b_perceptron_epoch1_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val w = graft.ml.MLOps.perceptronTrain(docs, "text", "doc_id",
+          col("lang") === "en", buckets = 32768, maxEpochs = 1)
+        graft.ml.MLOps.linearScoreWith(docs, "text", "doc_id", w)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+            CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+            CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)
+              % 2147483647 % 32768 AS b
+          FROM (SELECT doc_id, lang,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+            FROM documents WHERE length(trim(text)) > 0)),
+        wt AS (SELECT b AS bucket, CAST(sum(y) AS BIGINT) AS weight
+          FROM tok GROUP BY b HAVING sum(y) <> 0),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(coalesce(weight, 0)) AS BIGINT) AS score
+          FROM tok LEFT JOIN wt ON wt.bucket = tok.b GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(score, 0) AS BIGINT) AS score,
+        coalesce(score, 0) > 0 AS keep
+      FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""")),
+
+    // --- BPE ENCODE under the oracle gate (closes the trainer family's
+    // encode side): rank-order fold of the single-rule merge over a
+    // literal rule list ≡ the lowest-rank-first encode (the no-new-
+    // old-old-adjacency argument, Bpe.applyMergesColumn scaladoc;
+    // property-gated against the mapPartitions encode in BpeSpec). The
+    // rules are the ACTUAL top-8 merges Bpe.train learns on the sf0.01
+    // corpus — frozen as literals because the oracle SQL is static (same
+    // policy as q164's lexicon). DuckDB restates the fold as nested
+    // list_reduce with a tab-delimited symbol-string accumulator
+    // (list_reduce seeds from the first element, so the accumulator must
+    // be element-typed; symbols never contain whitespace, making the tab
+    // unambiguous) ---
+    Q("q161b_bpe_encode",
+      (s, dir) => graft.ops.Bpe.encodeColumn(
+        t(s, dir, "documents"), "text", "doc_id", SparkEntry.bpeLiteralRules),
+      Some(sqlBpeEncodeOracle(SparkEntry.bpeLiteralRules))),
+
+    // --- GENUINE Structured-Streaming execution under the oracle gate
+    // (the one §2 family whose RUNTIME path had no green ledger row —
+    // q157 proves the batch restatement of the streamed algebra; THIS row
+    // is produced by an actual readStream job): events staged as a
+    // time-ordered 4-file stream, one micro-batch per file
+    // (maxFilesPerTrigger=1, so watermark state genuinely carries across
+    // batches), event-time watermark + tumbling 1-hour window aggregate,
+    // update-mode foreachBatch upserting a parquet online store through
+    // the idempotent batch sink; the returned frame is the FINAL STORE
+    // STATE, which the staging order + update-mode-upsert + exact decimal
+    // partials make equal to the static aggregate (argument:
+    // Streaming.stagedWindowAggRun scaladoc). Oracle = the same aggregate
+    // stated over the static table ---
+    Q("q165_streaming_window_store",
+      (s, dir) => graft.streaming.Streaming.stagedWindowAggRun(
+        s, events(s, dir), "ts", "event_type", "value"),
+      Some("""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+          AS window_start,
+        event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2"""))
   )
+
+  /** Frozen top-8 merge rules for q161b — learned by [[graft.ops.Bpe.train]]
+    * on the sf0.01 documents corpus (rank order; rule 6 composes rule 1's
+    * 'er', exercising the merged-symbol path). A def for the same eager-
+    * registry init-order reason as [[scoringLexicon]]. */
+  private[graft] def bpeLiteralRules: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** DuckDB restatement of [[graft.ops.Bpe.encodeColumn]] for a literal
+    * rule list: per word, chars → one list_reduce PER RULE in rank order.
+    * DuckDB 1.0's list_reduce has no initial-accumulator form, so the
+    * accumulator is the tab-joined symbol string itself (seeded by the
+    * first char; `ends_with(acc, TAB || l)` tests "last symbol == l"
+    * exactly because symbols never contain whitespace), re-split between
+    * rules. Verified equal to the lowest-rank-first reference encode on
+    * the full sf0.001 corpus before registration. */
+  private[graft] def sqlBpeEncodeOracle(rules: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val chars = "list_transform(range(1, length(wd)+1), " +
+      "ci -> substr(wd, CAST(ci AS INTEGER), 1))"
+    val folded = rules.zipWithIndex.foldLeft(chars) { case (inner, ((l, r), i)) =>
+      val (a, x) = (s"ac${i + 1}", s"sx${i + 1}")
+      val src = if (i == 0) inner else s"string_split($inner, chr(9))"
+      s"""list_reduce($src, ($a, $x) -> CASE WHEN $x = '${esc(r)}' AND
+         ($a = '${esc(l)}' OR ends_with($a, chr(9) || '${esc(l)}'))
+         THEN $a || $x ELSE $a || chr(9) || $x END)"""
+    }
+    s"""WITH w AS (SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\\s+'),
+          x0 -> length(x0) > 0) AS words FROM documents),
+      e AS (SELECT doc_id, replace(array_to_string(
+          list_transform(words, wd -> $folded), ' '), chr(9), ' ') AS tokens_str
+        FROM w)
+    SELECT doc_id, tokens_str,
+      CASE WHEN tokens_str = '' THEN 0
+        ELSE CAST(len(string_split(tokens_str, ' ')) AS BIGINT) END AS n_syms
+    FROM e"""
+  }
 
   /** The fixed scoring lexicon for q164: English stopwords positive,
     * es/de/fr stopwords negative — a hand lexicon standing in for trained

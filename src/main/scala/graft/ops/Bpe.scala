@@ -159,6 +159,37 @@ object Bpe {
     syms
   }
 
+  /** Rank-order FOLD of the single-rule merge over a symbol array — the
+    * pure-Column form of [[encode]] for a bounded LITERAL rule list (one
+    * nested [[mergeSyms]] HOF per rule, codegen-friendly, no
+    * mapPartitions). Equivalence with encode's lowest-rank-first loop is
+    * the classical BPE argument: a merge only ever creates adjacencies
+    * that involve the NEW symbol (neighbors of a fused pair become
+    * adjacent to the fusion, never to each other), and a rule's
+    * components predate it by construction of training — so once rule k
+    * has been applied exhaustively, no later rule can create a fresh
+    * (left_k, right_k) adjacency, and applying rules 1..k in rank order
+    * (each as one greedy left-to-right pass) IS the standard encode.
+    * Property-gated against [[encode]] in BpeSpec, including l==r chains
+    * where the greedy no-refuse subtlety lives. */
+  def applyMergesColumn(syms: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(syms) { case (c, (l, r)) => mergeSyms(c, l, r) }
+
+  /** [[encode]] restated as pure Columns for a literal rule list: per doc,
+    * whitespace-split words each char-segment and fold through
+    * [[applyMergesColumn]]; the doc's token stream is the in-order
+    * flatten. Emits (idCol, tokens_str — space-joined symbols (lossless:
+    * symbols never contain whitespace), n_syms) — flat hash-friendly
+    * columns for the oracle gate. */
+  def encodeColumn(df: DataFrame, textCol: String, idCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
+    val encoded = flatten(transform(words, w =>
+      applyMergesColumn(filter(split(w, ""), s => s =!= lit("")), rules)))
+    df.select(col(idCol), array_join(encoded, " ").as("tokens_str"),
+      size(encoded).cast("long").as("n_syms"))
+  }
+
   /** Round-1 character-pair counts straight off the corpus — the
     * SQL-restatable slice of the trainer (the iterative rounds are
     * driver-steered and spec-gated instead). Top-k by (count desc, l, r). */

@@ -377,4 +377,86 @@ object Streaming {
       }
     }
   }
+
+  /** GENUINE streaming-runtime run of the worker shape (reference:
+    * worker.py:172-260, StreamAggregationJob retrieval_job.py:2541-2650),
+    * batch-oracle-checkable: stage a static event frame as a TIME-ORDERED
+    * multi-file stream, run a real `readStream` job — file source with
+    * `maxFilesPerTrigger=1` (one micro-batch per chunk, so watermark state
+    * genuinely carries across batches), event-time watermark, tumbling
+    * window aggregate, update-mode `foreachBatch` upserting into a
+    * [[graft.sources.ParquetSource]] online store through
+    * [[idempotentBatchSink]] — then return the final store state.
+    *
+    * Why the final state equals the static aggregate (the oracle):
+    *   - chunks are split on the GLOBAL ts order, so chunk k+1's earliest
+    *     event is ≥ chunk k's latest; the watermark (which only advances
+    *     between micro-batches) therefore never overtakes incoming data
+    *     and NO row is late-dropped;
+    *   - update mode re-emits a window's CUMULATIVE aggregate every batch
+    *     that touches it, and upsert-by-key keeps the latest emission, so
+    *     each window's final store row is its full aggregate;
+    *   - the sum is a DECIMAL(18,4) partial aggregate — exact integer
+    *     arithmetic, so incremental state accumulation is order-independent
+    *     and bit-equal to the one-shot batch sum.
+    *
+    * The global-sort staging is the TEST harness (a real deployment's
+    * stream arrives time-ordered from Kafka); everything from `readStream`
+    * on is the production path. Emits (window_start = epoch seconds,
+    * keyCol, n_events, sum_value). */
+  def stagedWindowAggRun(spark: SparkSession, events: DataFrame, tsCol: String,
+      keyCol: String, valueCol: String, chunks: Int = 4,
+      windowDur: String = "1 hour", lateness: String = "1 day",
+      workDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val work = workDir.map(d => java.nio.file.Paths.get(d))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
+    java.nio.file.Files.createDirectories(work)
+    val inDir = work.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val storeDir = work.resolve("store").toString
+    val slim = events.select(col(tsCol), col(keyCol), col(valueCol))
+    val n = slim.count()
+    val c = math.max(1L, math.min(chunks.toLong, n)).toInt
+    // staging-only global sort (tiebreak on key+value keeps the split
+    // deterministic); production streams arrive ordered from the broker
+    val ranked = slim.withColumn("__rn", row_number().over(
+      Window.orderBy(col(tsCol), col(keyCol), col(valueCol))))
+    for (k <- 0 until c) {
+      val lo = k.toLong * n / c + 1; val hi = (k + 1).toLong * n / c
+      val stage = work.resolve(s"stage_$k")
+      ranked.filter(col("__rn") >= lo && col("__rn") <= hi).drop("__rn")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file staged in $stage"))
+      val target = inDir.resolve(f"chunk_$k%03d.parquet")
+      java.nio.file.Files.move(part.toPath, target)
+      // ascending mtimes pin the file-source processing order (it sorts by
+      // modification time) — chunk k must stream before chunk k+1 for the
+      // watermark argument above
+      target.toFile.setLastModified(System.currentTimeMillis() + k * 2000L)
+    }
+    val store = graft.sources.ParquetSource(storeDir)
+    val agg = spark.readStream.schema(slim.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,4)")).as("__sum_dec"))
+    val upsert = idempotentBatchSink((batch, _) =>
+      store.upsert(batch.select(
+          col("window.start").cast("long").as("window_start"), col(keyCol),
+          col("n_events"), col("__sum_dec")),
+        Seq("window_start", keyCol)),
+      work.resolve("commitlog").toString)(spark)
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch(upsert)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    store.read(spark).select(col("window_start"), col(keyCol),
+      col("n_events"), col("__sum_dec").cast("double").as("sum_value"))
+  }
 }

@@ -2020,3 +2020,87 @@ class TrainerPlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"weight table fell into a sort-merge join:\n$plan")
   }
 }
+
+/** q161b's plan form: the rank-order Column fold over a literal rule list
+  * must equal the lowest-rank-first mapPartitions encode — including the
+  * l==r chain and merged-symbol cases where the greedy subtleties live. */
+class BpeColumnEncodeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def both(docs: Seq[(Long, String)], rules: Seq[(String, String)]): Unit = {
+    val df = docs.toDF("doc_id", "text")
+    val merges = rules.zipWithIndex.map { case ((l, r), i) =>
+      graft.ops.Bpe.Merge(i + 1, l, r, 0L) }
+    val viaLoop = graft.ops.Bpe.encode(df, "text", "doc_id", merges)
+      .select(col("doc_id"), array_join(col("tokens"), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaFold = graft.ops.Bpe.encodeColumn(df, "text", "doc_id", rules)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaFold == viaLoop, s"rules=$rules")
+  }
+
+  test("fold ≡ encode on adversarial chains (l==r, interleaved, composed symbols)") {
+    val docs = Seq(
+      1L -> "aaa aaaa aaaaa ababab",
+      2L -> "merge summer hammer",
+      3L -> "a ab aab abb baba",
+      4L -> "   ", // whitespace-only → empty token stream
+      5L -> "xyz")
+    both(docs, Seq("a" -> "a", "a" -> "b"))
+    both(docs, Seq("a" -> "b", "a" -> "a"))
+    both(docs, Seq("e" -> "r", "m" -> "er", "mer" -> "g"))
+    both(docs, SparkEntry.bpeLiteralRules)
+  }
+
+  test("fold ≡ encode with rules learned by the real trainer on testdata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val learned = graft.ops.Bpe.train(docs, "text", maxMerges = 6)
+    val rules = learned.map(m => m.left -> m.right)
+    val viaLoop = graft.ops.Bpe.encode(docs, "text", "doc_id", learned)
+      .select(col("doc_id"), array_join(col("tokens"), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaFold = graft.ops.Bpe.encodeColumn(docs, "text", "doc_id", rules)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaFold == viaLoop && viaFold.nonEmpty)
+  }
+}
+
+/** q165's runtime path, observed from the inside: the staged file stream
+  * must execute MULTIPLE genuine micro-batches (watermark state carrying
+  * across them), and the final upserted store must equal the static
+  * aggregate. */
+class StreamingGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("staged readStream run: ≥2 micro-batches, final store = static agg") {
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val events = (0 until 300).map { i =>
+      (new java.sql.Timestamp(base + i * 60000L), // one event per minute, 5 hours
+        if (i % 3 == 0) "click" else "view", (i % 7).toDouble)
+    }.toDF("ts", "event_type", "value")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_spec").toString
+    val got = graft.streaming.Streaming.stagedWindowAggRun(
+        spark, events, "ts", "event_type", "value", workDir = Some(work))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = events.groupBy(
+        col("ts").cast("long").-(col("ts").cast("long") % 3600).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 10) // 5 hours × 2 event types
+    // the run must have been genuinely incremental: one commit marker per
+    // micro-batch, one per staged chunk file
+    val marks = new java.io.File(s"$work/commitlog").listFiles()
+      .count(_.getName.startsWith("batch-"))
+    assert(marks >= 4, s"expected ≥4 micro-batches, saw $marks")
+    assert(new java.io.File(s"$work/in").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 4)
+  }
+}
