@@ -4239,29 +4239,40 @@ object SparkEntry {
       FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""")),
 
     // --- BPE ENCODE under the oracle gate (closes the trainer family's
-    // encode side): rank-order fold of the single-rule merge over a
-    // literal rule list ≡ the lowest-rank-first encode (the no-new-
-    // old-old-adjacency argument, Bpe.applyMergesColumn scaladoc;
-    // property-gated against the mapPartitions encode in BpeSpec). The
-    // rules are the ACTUAL top-8 merges Bpe.train learns on the sf0.01
-    // corpus — frozen as literals because the oracle SQL is static (same
-    // policy as q164's lexicon). DuckDB restates the fold as nested
-    // list_reduce with a tab-delimited symbol-string accumulator
+    // encode side): the Spark side is the PRODUCTION encode path — the
+    // memoized mapPartitions lowest-rank-first loop (the documented
+    // justified mapPartitions case; each DISTINCT word pays the merge
+    // loop once per partition, the scale-correct shape since vocabulary
+    // is Zipf-bounded while occurrences are corpus-scale). Its
+    // equivalence to the rank-order Column fold (Bpe.applyMergesColumn,
+    // the no-new-old-adjacency argument) is property-gated in
+    // BpeColumnEncodeSpec, and the ORACLE restates that fold as nested
+    // DuckDB list_reduce with a tab-delimited symbol-string accumulator
     // (list_reduce seeds from the first element, so the accumulator must
     // be element-typed; symbols never contain whitespace, making the tab
-    // unambiguous) ---
+    // unambiguous). Rules are the ACTUAL top-8 merges Bpe.train learns
+    // on the sf0.01 corpus — frozen as literals because the oracle SQL
+    // is static (same policy as q164's lexicon) ---
     Q("q161b_bpe_encode",
-      (s, dir) => graft.ops.Bpe.encodeColumn(
-        t(s, dir, "documents"), "text", "doc_id", SparkEntry.bpeLiteralRules),
+      (s, dir) => {
+        val merges = SparkEntry.bpeLiteralRules.zipWithIndex.map {
+          case ((l, r), i) => graft.ops.Bpe.Merge(i + 1, l, r, 0L) }
+        graft.ops.Bpe.encode(t(s, dir, "documents"), "text", "doc_id", merges)
+          .select(col("doc_id"), array_join(col("tokens"), " ").as("tokens_str"),
+            size(col("tokens")).cast("long").as("n_syms"))
+      },
       Some(sqlBpeEncodeOracle(SparkEntry.bpeLiteralRules))),
 
     // --- GENUINE Structured-Streaming execution under the oracle gate
     // (the one §2 family whose RUNTIME path had no green ledger row —
     // q157 proves the batch restatement of the streamed algebra; THIS row
     // is produced by an actual readStream job): events staged as a
-    // time-ordered 4-file stream, one micro-batch per file
-    // (maxFilesPerTrigger=1, so watermark state genuinely carries across
-    // batches), event-time watermark + tumbling 1-hour window aggregate,
+    // time-ordered multi-file stream with RAW source columns (evt_type,
+    // value-as-string), one micro-batch per file (maxFilesPerTrigger=1,
+    // so watermark state genuinely carries across batches), the worker's
+    // CONTRACT PIPELINE (rename evt_type→event_type, ensure-types
+    // string→double — worker.py:172-204) running inside the streaming
+    // job, then event-time watermark + tumbling 1-hour window aggregate,
     // update-mode foreachBatch upserting a parquet online store through
     // the idempotent batch sink; the returned frame is the FINAL STORE
     // STATE, which the staging order + update-mode-upsert + exact decimal
@@ -4269,8 +4280,20 @@ object SparkEntry {
     // Streaming.stagedWindowAggRun scaladoc). Oracle = the same aggregate
     // stated over the static table ---
     Q("q165_streaming_window_store",
-      (s, dir) => graft.streaming.Streaming.stagedWindowAggRun(
-        s, events(s, dir), "ts", "event_type", "value"),
+      (s, dir) => {
+        import graft.core.FeatureType._
+        val raw = events(s, dir).select(col("ts"),
+          col("event_type").as("evt_type"), col("value").cast("string"))
+        val view = graft.contract.FeatureView("events_stream",
+          graft.sources.CustomSource(_.emptyDataFrame),
+          entities = Seq(graft.contract.Feature("event_type", FString)),
+          features = Seq(graft.contract.Feature("value", FFloat64)),
+          eventTimestamp = Some(graft.contract.EventTimestamp("ts")),
+          mappingKeys = Map("evt_type" -> "event_type"))
+        graft.streaming.Streaming.stagedWindowAggRun(
+          s, raw, "ts", "event_type", "value",
+          pipeline = graft.streaming.Streaming.contractPipeline(view))
+      },
       Some("""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
           AS window_start,
         event_type, CAST(count(*) AS BIGINT) AS n_events,

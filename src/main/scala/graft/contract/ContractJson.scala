@@ -202,6 +202,37 @@ object ContractJson {
       s""""prediction_view":${m.predictionView.fold("null")(toJson)},""" +
       s""""description":${opt(m.description)}}"""
 
+  /** Curation recipe ↔ JSON: every field is plain data by design
+    * ([[CurationRecipe]] scaladoc), so the round trip is total — no rebind
+    * map needed, unlike views with opaque code sources. */
+  def recipeToJson(r: CurationRecipe): String =
+    s"""{"name":${q(r.name)},"text_col":${q(r.textCol)},"id_col":${q(r.idCol)},""" +
+      s""""gopher_min_words":${r.gopherMinWords},"gopher_rule_mask":${r.gopherRuleMask},""" +
+      s""""near_dup_threshold":${r.nearDupThreshold},"near_dup_bands":${r.nearDupBands},""" +
+      s""""near_dup_k":${r.nearDupK},"quality_score_col":${opt(r.qualityScoreCol)},""" +
+      s""""dsir_target_col":${opt(r.dsirTargetCol)},"dsir_target_value":${q(r.dsirTargetValue)},""" +
+      s""""dsir_keep_pct":${r.dsirKeepPct},"dsir_buckets":${r.dsirBuckets},""" +
+      s""""train_pct":${r.trainPct},"cc_max_iter":${r.ccMaxIter},""" +
+      s""""description":${opt(r.description)}}"""
+
+  def recipeFromValue(m: Map[String, Any]): CurationRecipe = CurationRecipe(
+    name = m("name").toString,
+    textCol = m("text_col").toString,
+    idCol = m("id_col").toString,
+    gopherMinWords = num(m("gopher_min_words")).toInt,
+    gopherRuleMask = num(m("gopher_rule_mask")).toLong,
+    nearDupThreshold = num(m("near_dup_threshold")),
+    nearDupBands = num(m("near_dup_bands")).toInt,
+    nearDupK = num(m("near_dup_k")).toInt,
+    qualityScoreCol = Option(m("quality_score_col")).map(_.toString),
+    dsirTargetCol = Option(m("dsir_target_col")).map(_.toString),
+    dsirTargetValue = m("dsir_target_value").toString,
+    dsirKeepPct = num(m("dsir_keep_pct")).toInt,
+    dsirBuckets = num(m("dsir_buckets")).toInt,
+    trainPct = num(m("train_pct")).toInt,
+    ccMaxIter = num(m("cc_max_iter")).toInt,
+    description = Option(m("description")).map(_.toString))
+
   def modelFromValue(mv: Map[String, Any],
       rebindSources: Map[String, graft.sources.BatchSource] = Map.empty,
       rebindModels: Map[String, graft.ml.ExposedModel] = Map.empty): graft.contract.ModelContract = {

@@ -1,0 +1,102 @@
+package graft.contract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** END-TO-END CURATION RECIPE — contract-as-code for the LLM-pretraining
+  * data pipeline, promoting the oracle-green stages from "compose them by
+  * reading SparkEntry" into ONE registered, serializable contract (the
+  * reference's contract-as-code story for feature views,
+  * feature_view/feature_view.py:673-720, applied to corpus curation).
+  *
+  * Stage order is the production (RefinedWeb/FineWeb) shape, each stage an
+  * already-oracle-gated operator:
+  *   1. Gopher quality gate        — [[graft.ops.TextAnalysis.gopherFilter]] (q152)
+  *   2. MinHash near-dup pairs     — [[graft.ops.Dedup.nearDuplicatesPortable]] (q136)
+  *   3. keep-BEST canonicalization — [[graft.ops.Dedup.canonicalizeBy]] (q158)
+  *   4. threshold-DSIR selection   — [[graft.ml.MLOps.dsirSelectByThreshold]] (q153)
+  *   5. leakage-safe split         — [[graft.ml.MLOps.leakageSafeSplit]] (q163)
+  *
+  * Canonicalization already keeps one best doc per near-dup component, so
+  * most components reaching stage 5 are singletons; routing the split by
+  * component anyway is deliberate belt-and-braces — any residual pair
+  * (e.g. docs whose similarity sits just under the canonicalization
+  * threshold but still bands together) moves to ONE side by construction.
+  *
+  * Every knob is plain data — no closures — so the recipe serializes into
+  * the contract registry next to views and models
+  * ([[ContractJson.recipeToJson]]) and a loaded registry can re-run the
+  * exact pipeline. The target-slice predicate is expressed as
+  * (column = value) for the same reason; richer predicates belong in a
+  * derived column upstream.
+  *
+  * At 100 TB nothing here changes shape: every stage is the operator's
+  * own scale path (banded candidate generation, component-partitioned
+  * top-1 window, O(bands)-driver threshold refinement, one left join for
+  * the split router).
+  */
+final case class CurationRecipe(
+    name: String,
+    textCol: String = "text",
+    idCol: String = "doc_id",
+    // stage 1: Gopher gate
+    gopherMinWords: Int = 20,
+    gopherRuleMask: Long = 63L,
+    // stage 2: near-dup candidate generation
+    nearDupThreshold: Double = 0.5,
+    nearDupBands: Int = 4,
+    nearDupK: Int = 3,
+    // stage 3: keep-best rule — score column (higher wins, id tiebreak);
+    // None scores by token count (keep the longest member)
+    qualityScoreCol: Option[String] = None,
+    // stage 4: DSIR target slice as (column = value); keepPct = 100 (or no
+    // target column) skips selection
+    dsirTargetCol: Option[String] = None,
+    dsirTargetValue: String = "",
+    dsirKeepPct: Int = 100,
+    dsirBuckets: Int = 4096,
+    // stage 5: leakage-safe split
+    trainPct: Int = 80,
+    ccMaxIter: Int = 30,
+    description: Option[String] = None) {
+
+  require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct out of [0,100]")
+  require(dsirKeepPct >= 0 && dsirKeepPct <= 100, s"dsirKeepPct=$dsirKeepPct out of [0,100]")
+  require(nearDupBands >= 1 && nearDupK >= 1, "nearDupBands/nearDupK must be >= 1")
+
+  /** Execute the recipe over a document frame. Returns the curated corpus:
+    * the input columns of every surviving doc plus (component, split). */
+  def run(docs: DataFrame): DataFrame = {
+    // 1. quality gate — keep docs passing every enabled Gopher rule
+    val gatePass = graft.ops.TextAnalysis.gopherFilter(docs, textCol, idCol,
+        minWords = gopherMinWords, ruleMask = gopherRuleMask)
+      .filter(col("fail_mask") === 0L).select(col(idCol))
+    val gated = docs.join(gatePass, Seq(idCol), "left_semi")
+    // 2. near-dup pairs over the gated corpus (banded — never all-pairs)
+    val pairs = graft.ops.Dedup.nearDuplicatesPortable(gated, textCol, idCol,
+      threshold = nearDupThreshold, bands = nearDupBands, k = nearDupK)
+    // 3. keep the best member of every near-dup component
+    val score = qualityScoreCol.map(col).getOrElse(
+      size(filter(split(lower(trim(col(textCol))), "\\s+"),
+        w => length(w) > 0)).cast("long"))
+    val canonical = graft.ops.Dedup.canonicalizeBy(gated, pairs, idCol, score)
+    // 4. importance-select toward the target slice
+    val selected = dsirTargetCol match {
+      case Some(tc) if dsirKeepPct < 100 =>
+        val keep = graft.ml.MLOps.dsirSelectByThreshold(canonical, textCol, idCol,
+            col(tc) === lit(dsirTargetValue),
+            buckets = dsirBuckets, keepPct = dsirKeepPct)
+          .filter(col("selected")).select(col(idCol))
+        canonical.join(keep, Seq(idCol), "left_semi")
+      case _ => canonical
+    }
+    // 5. leakage-safe split routed by the SAME pair list — residual
+    // components move whole
+    graft.ml.MLOps.leakageSafeSplit(selected, pairs, idCol,
+      trainPct = trainPct, ccMaxIter = ccMaxIter)
+  }
+
+  /** Execute against a registered source. */
+  def runOn(spark: SparkSession, source: graft.sources.BatchSource): DataFrame =
+    run(source.read(spark))
+}

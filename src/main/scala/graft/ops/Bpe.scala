@@ -128,9 +128,15 @@ object Bpe {
       .as[(Long, String)]
       .mapPartitions { it =>
         val rk = ranks.value
+        // per-partition word memo: vocabulary is Zipf-bounded (a few
+        // million entries at web-corpus scale — bounded executor memory)
+        // while occurrences are corpus-scale, so each distinct word pays
+        // the merge loop once per partition instead of once per occurrence
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
         it.map { case (id, text) =>
           val toks = text.trim.toLowerCase.split("\\s+")
-            .filter(_.nonEmpty).flatMap(w => encodeWord(w, rk))
+            .filter(_.nonEmpty)
+            .flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, rk)))
           (id, toks)
         }
       }.toDF(idCol, "tokens")

@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
 final class ContractStore {
   private var viewsMap: Map[String, FeatureView] = Map.empty
   private var modelsMap: Map[String, ModelContract] = Map.empty
+  private var recipesMap: Map[String, graft.contract.CurationRecipe] = Map.empty
 
   /** PIT physical strategy: "sorted" (default — union + one per-key window
     * pass, O(facts+features) rows; the 100 TB path) or "join" (equi-join +
@@ -33,8 +34,13 @@ final class ContractStore {
 
   def addView(v: FeatureView): ContractStore = { viewsMap += v.name -> v; this }
   def addModel(m: ModelContract): ContractStore = { modelsMap += m.name -> m; this }
+  def addRecipe(r: graft.contract.CurationRecipe): ContractStore = {
+    recipesMap += r.name -> r; this
+  }
   def views: Map[String, FeatureView] = viewsMap
   def models: Map[String, ModelContract] = modelsMap
+  def recipes: Map[String, graft.contract.CurationRecipe] = recipesMap
+  def recipe(name: String): graft.contract.CurationRecipe = recipesMap(name)
 
   def view(name: String): ViewStore = new ViewStore(this, viewsMap(name))
   def model(name: String): ModelStore = new ModelStore(this, modelsMap(name))
@@ -48,7 +54,9 @@ final class ContractStore {
       .map(graft.contract.ContractJson.toJson).mkString("[", ",\n", "]")
     val models = modelsMap.values.toSeq.sortBy(_.name)
       .map(graft.contract.ContractJson.modelToJson).mkString("[", ",\n", "]")
-    val json = s"""{"views":$views,\n"models":$models}"""
+    val recipes = recipesMap.values.toSeq.sortBy(_.name)
+      .map(graft.contract.ContractJson.recipeToJson).mkString("[", ",\n", "]")
+    val json = s"""{"views":$views,\n"models":$models,\n"recipes":$recipes}"""
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -75,6 +83,8 @@ final class ContractStore {
       m.get("models").toSeq.flatMap(_.asInstanceOf[Seq[Any]]).foreach(x => addModel(
         graft.contract.ContractJson.modelFromValue(
           x.asInstanceOf[Map[String, Any]], rebindSources, rebindModels)))
+      m.get("recipes").toSeq.flatMap(_.asInstanceOf[Seq[Any]]).foreach(x => addRecipe(
+        graft.contract.ContractJson.recipeFromValue(x.asInstanceOf[Map[String, Any]])))
     }
     this
   }

@@ -405,22 +405,38 @@ object Streaming {
     * on is the production path. Emits (window_start = epoch seconds,
     * keyCol, n_events, sum_value). */
   def stagedWindowAggRun(spark: SparkSession, events: DataFrame, tsCol: String,
-      keyCol: String, valueCol: String, chunks: Int = 4,
+      keyCol: String, valueCol: String, chunks: Int = 3,
       windowDur: String = "1 hour", lateness: String = "1 day",
-      workDir: Option[String] = None): DataFrame = {
+      workDir: Option[String] = None,
+      pipeline: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val work = workDir.map(d => java.nio.file.Paths.get(d))
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
     java.nio.file.Files.createDirectories(work)
     val inDir = work.resolve("in"); java.nio.file.Files.createDirectories(inDir)
     val storeDir = work.resolve("store").toString
-    val slim = events.select(col(tsCol), col(keyCol), col(valueCol))
-    val n = slim.count()
-    val c = math.max(1L, math.min(chunks.toLong, n)).toInt
-    // staging-only global sort (tiebreak on key+value keeps the split
-    // deterministic); production streams arrive ordered from the broker
+    val debugT = sys.env.contains("GRAFT_STREAM_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (debugT) {
+      System.err.println(f"[stream-gate] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+    }
+    // stage the input frame AS GIVEN (raw source column names/types);
+    // `pipeline` — typically contractPipeline(view): rename → fill →
+    // ensure-types → derive, the worker's per-batch contract stage — runs
+    // INSIDE the streaming job, between readStream and the watermark, so
+    // tsCol/keyCol/valueCol name POST-pipeline columns. tsCol must also
+    // exist pre-pipeline (it orders the staging chunks).
+    val slim = events
+    // staging-only global sort (full-column tiebreak keeps the split
+    // deterministic); production streams arrive ordered from the broker.
+    // localCheckpoint: each chunk filter re-reads the sorted frame instead
+    // of re-running the sort per chunk
     val ranked = slim.withColumn("__rn", row_number().over(
-      Window.orderBy(col(tsCol), col(keyCol), col(valueCol))))
+      Window.orderBy(col(tsCol) +: slim.columns.filterNot(_ == tsCol).map(col): _*)))
+      .localCheckpoint()
+    val n = ranked.count()
+    val c = math.max(1L, math.min(chunks.toLong, n)).toInt
     for (k <- 0 until c) {
       val lo = k.toLong * n / c + 1; val hi = (k + 1).toLong * n / c
       val stage = work.resolve(s"stage_$k")
@@ -436,26 +452,51 @@ object Streaming {
       // watermark argument above
       target.toFile.setLastModified(System.currentTimeMillis() + k * 2000L)
     }
+    ranked.unpersist(blocking = false) // staged to disk; release the checkpoint blocks
+    lap("staging")
     val store = graft.sources.ParquetSource(storeDir)
-    val agg = spark.readStream.schema(slim.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(inDir.toString)
+    // the stateful agg + per-batch upserts move store-scale data (windows ×
+    // keys), not corpus-scale — a wide micro-batch fan-out only adds state
+    // store and task overhead per batch. Pin a narrow shuffle width for the
+    // streaming lifecycle and restore the session's after.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+    val agg = pipeline(spark.readStream.schema(slim.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString))
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowDur), col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("decimal(18,4)")).as("__sum_dec"))
-    val upsert = idempotentBatchSink((batch, _) =>
-      store.upsert(batch.select(
-          col("window.start").cast("long").as("window_start"), col(keyCol),
-          col("n_events"), col("__sum_dec")),
-        Seq("window_start", keyCol)),
+    // coalesce(1): the store is (windows × keys) rows — metadata-bounded,
+    // never corpus-bounded — so one task per upsert write beats a fan-out.
+    // Skip no-data batches: Spark runs a final watermark-advance batch with
+    // an empty emission, and an empty upsert still pays the full
+    // read-merge-swap job chain for nothing.
+    val upsert = idempotentBatchSink({ (batch, _) =>
+      val tU = System.nanoTime()
+      val nonEmpty = !batch.isEmpty
+      if (debugT) System.err.println(f"[stream-gate]   isEmpty ${(System.nanoTime()-tU)/1e9}%.2fs")
+      val tV = System.nanoTime()
+      if (nonEmpty)
+        store.upsert(batch.select(
+            col("window.start").cast("long").as("window_start"), col(keyCol),
+            col("n_events"), col("__sum_dec")).coalesce(1),
+          Seq("window_start", keyCol))
+      if (debugT) System.err.println(f"[stream-gate]   upsert ${(System.nanoTime()-tV)/1e9}%.2fs")
+      },
       work.resolve("commitlog").toString)(spark)
     val q = agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", work.resolve("ckpt").toString)
-      .foreachBatch(upsert)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        upsert(b, id); lap(s"batch-$id")
+      }
       .start()
     try { q.processAllAvailable() } finally q.stop()
+    lap("stream")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     store.read(spark).select(col("window_start"), col(keyCol),
       col("n_events"), col("__sum_dec").cast("double").as("sum_value"))
   }

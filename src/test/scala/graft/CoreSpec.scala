@@ -2099,8 +2099,8 @@ class StreamingGateSpec extends AnyFunSuite {
     // micro-batch, one per staged chunk file
     val marks = new java.io.File(s"$work/commitlog").listFiles()
       .count(_.getName.startsWith("batch-"))
-    assert(marks >= 4, s"expected ≥4 micro-batches, saw $marks")
+    assert(marks >= 3, s"expected >=3 micro-batches, saw $marks")
     assert(new java.io.File(s"$work/in").listFiles()
-      .count(_.getName.endsWith(".parquet")) == 4)
+      .count(_.getName.endsWith(".parquet")) == 3)
   }
 }

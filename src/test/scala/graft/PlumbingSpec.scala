@@ -2902,6 +2902,36 @@ class CloudSourcesSpec extends AnyFunSuite {
     assert(configured >= 3, "credentials must be applied before every cloud IO")
   }
 
+  test("delta-through-delegate: credentials apply BEFORE every write, MERGE on the s3a URI") {
+    // VERDICT r9 #7 — the newest composition (cfg.deltaAt → CloudDelegateSource
+    // wrapping DeltaSource) had no ordering spec. The failure mode this
+    // pins: an upsert that touches the object store before configure() ran
+    // would authenticate with stale/absent credentials.
+    val cfg = AwsS3Config("lake", accessKeyEnv = Some("PATH"))
+    val delta = cfg.deltaAt("tables/features")
+    assert(delta.inner == DeltaSource("s3a://lake/tables/features"))
+    assert(delta.inner.asInstanceOf[DeltaSource]
+      .mergeSql("src", Seq("id"))
+      .startsWith("MERGE INTO delta.`s3a://lake/tables/features` t USING src s ON "))
+    // ordering proof with a recording delegate on a local stand-in path:
+    // every write verb must see configure() FIRST
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    val probe = new WritableSource {
+      def read(s: org.apache.spark.sql.SparkSession) = { calls += "read"; s.emptyDataFrame }
+      override def exists(s: org.apache.spark.sql.SparkSession) = { calls += "exists"; false }
+      def insert(df: org.apache.spark.sql.DataFrame): Unit = calls += "insert"
+      def overwrite(df: org.apache.spark.sql.DataFrame): Unit = calls += "overwrite"
+      def upsert(df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Unit = calls += "upsert"
+    }
+    val src = CloudDelegateSource(_ => calls += "configure", probe)
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "v")
+    src.upsert(df, Seq("id")); src.insert(df); src.overwrite(df)
+    src.read(spark); src.exists(spark)
+    assert(calls.toSeq == Seq("configure", "upsert", "configure", "insert",
+      "configure", "overwrite", "configure", "read", "configure", "exists"))
+  }
+
   test("UC table chain builds the quoted three-part name and MERGE upsert") {
     val tbl = DatabricksConfig().catalog("main").schema("ml").table("feat-v1")
     assert(tbl.fullName == "`main`.`ml`.`feat-v1`")
@@ -2966,5 +2996,74 @@ class ModelChecksSpec extends AnyFunSuite {
     assert(diffModel(m1, m1).isEmpty)
     assert(diffModel(m1, m1.copy(predictionView = None))
       .exists(_.severity == Breaking))
+  }
+}
+
+/** VERDICT r9 #6: the end-to-end curation recipe as a REGISTERED contract —
+  * serializable like views/models, executable from the store, and sane on
+  * real testdata. */
+class CurationRecipeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val recipe = graft.contract.CurationRecipe(
+    name = "pretrain_en",
+    gopherMinWords = 10,
+    nearDupThreshold = 0.5, nearDupBands = 4, nearDupK = 3,
+    dsirTargetCol = Some("lang"), dsirTargetValue = "en", dsirKeepPct = 60,
+    trainPct = 80,
+    description = Some("gate → near-dup keep-best → DSIR(en) → leakage-safe split"))
+
+  test("recipe JSON round trip is total (Some and None fields)") {
+    for (r <- Seq(recipe,
+        graft.contract.CurationRecipe(name = "defaults"),
+        recipe.copy(qualityScoreCol = Some("n_chars"), dsirTargetCol = None,
+          description = None))) {
+      val json = graft.contract.ContractJson.recipeToJson(r)
+      val back = graft.contract.ContractJson.recipeFromValue(
+        graft.expr.JsonValue.parseObject(json))
+      assert(back == r)
+    }
+  }
+
+  test("store registry save/load carries recipes next to views and models") {
+    val store = new graft.store.ContractStore().addRecipe(recipe)
+    val path = java.nio.file.Files.createTempDirectory("graft_recipe").toString + "/registry.json"
+    store.saveTo(spark, path)
+    val loaded = new graft.store.ContractStore().loadFrom(spark, path)
+    assert(loaded.recipes == Map("pretrain_en" -> recipe))
+    assert(loaded.recipe("pretrain_en") == recipe)
+    // legacy registries (no recipes key) still load
+    val legacy = new graft.store.ContractStore()
+    val p2 = java.nio.file.Files.createTempDirectory("graft_recipe").toString + "/old.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p2),
+      """{"views":[],"models":[]}""")
+    assert(legacy.loadFrom(spark, p2).recipes.isEmpty)
+  }
+
+  test("recipe executes end-to-end on testdata with the pipeline invariants") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = recipe.run(docs).cache()
+    try {
+      val rows = out.select("doc_id", "component", "split").collect()
+      assert(rows.nonEmpty && rows.length < docs.count())
+      // one survivor per component (keep-best canonicalization ran)
+      assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+      // split is total and binary
+      assert(rows.map(_.getString(2)).toSet.subsetOf(Set("train", "test")))
+      // every survivor passes the recipe's own gate
+      val gated = graft.ops.TextAnalysis.gopherFilter(docs, "text", "doc_id",
+          minWords = 10, ruleMask = 63L)
+        .filter(col("fail_mask") === 0L).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(rows.map(_.getLong(0)).forall(gated.contains))
+      // deterministic: a second run reproduces the exact survivor/split map
+      val again = recipe.run(docs).select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(again == rows.map(r => r.getLong(0) -> r.getString(2)).toMap)
+      // DSIR stage actually selects: keepPct=100 keeps strictly more (or equal)
+      val noDsir = recipe.copy(dsirKeepPct = 100).run(docs).count()
+      assert(out.count() <= noDsir)
+    } finally { out.unpersist(); () }
   }
 }
