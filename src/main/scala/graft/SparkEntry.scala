@@ -1330,7 +1330,8 @@ object SparkEntry {
     * with [[Dedup.portableCoeffs]] / [[Dedup.PortableP]]. Shared by q67
     * (pairs), q69/q123/q132 (connected components over the pairs) and q60
     * (canonicalize, at its own threshold). */
-  private def minhashCtes(threshold: Double = 0.5, bands: Int = 4, k: Int = 3): String = {
+  private def minhashCtes(threshold: Double = 0.5, bands: Int = 4, k: Int = 3,
+      from: String = "documents"): String = {
     val p = Dedup.PortableP
     val n = Dedup.portableCoeffs.size
     require(n % bands == 0, s"bands=$bands must divide $n coefficients")
@@ -1342,7 +1343,7 @@ object SparkEntry {
       val cols = (0 until rpb).map(r => s"CAST(s${j * rpb + r} AS VARCHAR)").mkString(", ", ", ", "")
       s"SELECT doc_id, $j AS band, concat_ws('_'$cols) AS bucket FROM sigs"
     }.mkString("\n          UNION ALL ")
-    s"""w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+    s"""w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM $from),
         g AS (SELECT doc_id, [array_to_string(w[i:i+${k - 1}], ' ')
             for i in generate_series(1, greatest(len(w)-${k - 1}, 0))] AS grams FROM w),
         h AS (SELECT doc_id, list_transform(grams,
@@ -4298,7 +4299,94 @@ object SparkEntry {
           AS window_start,
         event_type, CAST(count(*) AS BIGINT) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2"""))
+      FROM events GROUP BY 1, 2""")),
+
+    // --- The CURATION RECIPE CONTRACT itself under the oracle gate: the
+    // registered, JSON-round-tripped CurationRecipe executes all five
+    // stages (Gopher gate → banded near-dup → keep-best canonicalize →
+    // threshold-DSIR → leakage-safe split) and the WHOLE composition is
+    // hash-checked as one query — the contract-as-code story, proven, not
+    // just spec'd. The Spark side deliberately runs the recipe that
+    // SURVIVED a registry JSON round trip, so serialization is inside the
+    // gate too. Oracle = the proven per-stage CTEs composed: q153's
+    // Gopher mask + DSIR threshold chains, the minhash pair CTEs over the
+    // GATED corpus, q163's recursive-CC + md5 split router, and the
+    // keep-best top-1 window (score = token count, id tiebreak) ---
+    Q("q166_curation_recipe",
+      (s, dir) => {
+        val r = graft.contract.CurationRecipe(name = "q166_recipe",
+          gopherMinWords = 20, dsirTargetCol = Some("lang"),
+          dsirTargetValue = "en", dsirKeepPct = 50)
+        val roundTripped = graft.contract.ContractJson.recipeFromValue(
+          graft.expr.JsonValue.parseObject(
+            graft.contract.ContractJson.recipeToJson(r)))
+        roundTripped.run(t(s, dir, "documents"))
+          .select("doc_id", "component", "split")
+      },
+      Some(s"""WITH RECURSIVE d0 AS (SELECT doc_id, lang, text, list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS ws,
+            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+              l -> length(l) > 0) AS ls
+            FROM documents),
+          m AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len,
+              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_cnt,
+              CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots_cnt,
+              CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                OR starts_with(l, '• '))) AS BIGINT) AS bullet_cnt,
+              CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+                AS BIGINT) AS ellipsis_cnt,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_cnt
+            FROM d0),
+          gm AS (SELECT doc_id FROM (SELECT doc_id,
+              CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END
+              + CASE WHEN n_words = 0 OR CAST(sum_len AS DOUBLE) / n_words < 3.0
+                  OR CAST(sum_len AS DOUBLE) / n_words > 10.0 THEN 2 ELSE 0 END
+              + CASE WHEN n_words > 0
+                  AND CAST(hash_cnt + dots_cnt AS DOUBLE) / n_words >= 0.1 THEN 4 ELSE 0 END
+              + CASE WHEN n_lines > 0
+                  AND CAST(bullet_cnt AS DOUBLE) / n_lines >= 0.9 THEN 8 ELSE 0 END
+              + CASE WHEN n_lines > 0
+                  AND CAST(ellipsis_cnt AS DOUBLE) / n_lines >= 0.3 THEN 16 ELSE 0 END
+              + CASE WHEN n_words = 0
+                  OR CAST(alpha_cnt AS DOUBLE) / n_words < 0.8 THEN 32 ELSE 0 END AS mask
+            FROM m) WHERE (mask & 63) = 0),
+          kept AS (SELECT d0.* FROM d0 JOIN gm USING (doc_id)),
+          ${minhashCtes(0.5, 4, 3, from = "kept")},
+          sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          cc AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+          comp AS (SELECT kept.doc_id, coalesce(cc.comp, kept.doc_id) AS component,
+              CAST(len(ws) AS BIGINT) AS n_tok
+            FROM kept LEFT JOIN cc ON cc.id = kept.doc_id),
+          canon AS (SELECT doc_id, component FROM (SELECT doc_id, component,
+              row_number() OVER (PARTITION BY component
+                ORDER BY n_tok DESC, doc_id ASC) AS rn FROM comp) WHERE rn = 1),
+          ckept AS (SELECT kept.* FROM kept JOIN canon USING (doc_id)),
+          tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest(ws) AS w FROM ckept),
+          tb AS (SELECT doc_id, tgt,
+              CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 4096 AS b FROM tok),
+          bs AS (SELECT b,
+              ((count(CASE WHEN tgt THEN 1 END) + 1) * 1000000) // (count(*) + 1) AS sc
+            FROM tb GROUP BY b),
+          dsc AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score
+            FROM tb JOIN bs USING (b) GROUP BY doc_id),
+          al AS (SELECT ckept.doc_id, CAST(coalesce(score, 0) AS BIGINT) AS score
+            FROM ckept LEFT JOIN dsc USING (doc_id)),
+          rk AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+              count(*) OVER () AS total FROM al),
+          thr AS (SELECT min(score) AS thr FROM rk
+            WHERE rn <= (total * 50 + 99) // 100),
+          sel AS (SELECT doc_id FROM al WHERE score >= (SELECT thr FROM thr))
+        SELECT canon.doc_id, canon.component,
+          CASE WHEN CAST(concat('0x', substr(md5(CAST(canon.component AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+        FROM canon JOIN sel USING (doc_id)"""))
   )
 
   /** Frozen top-8 merge rules for q161b — learned by [[graft.ops.Bpe.train]]

@@ -65,21 +65,34 @@ final case class CurationRecipe(
   require(nearDupBands >= 1 && nearDupK >= 1, "nearDupBands/nearDupK must be >= 1")
 
   /** Execute the recipe over a document frame. Returns the curated corpus:
-    * the input columns of every surviving doc plus (component, split). */
+    * the input columns of every surviving doc plus (component, split).
+    *
+    * Reuse discipline (the q153-capstone pattern): every cross-stage
+    * intermediate is either a BOUNDED frame — the gate's id list, the CC
+    * label table — localCheckpointed so its producing corpus scan runs
+    * once, or consumed exactly once. Connected components run ONCE and
+    * feed both keep-best canonicalization and the split router via the
+    * operators' `components` hooks. */
   def run(docs: DataFrame): DataFrame = {
-    // 1. quality gate — keep docs passing every enabled Gopher rule
+    // 1. quality gate — keep docs passing every enabled Gopher rule; the
+    // id list (O(docs) longs, no text) is reused by stages 2, 3 and 5
     val gatePass = graft.ops.TextAnalysis.gopherFilter(docs, textCol, idCol,
         minWords = gopherMinWords, ruleMask = gopherRuleMask)
       .filter(col("fail_mask") === 0L).select(col(idCol))
+      .localCheckpoint(true)
     val gated = docs.join(gatePass, Seq(idCol), "left_semi")
-    // 2. near-dup pairs over the gated corpus (banded — never all-pairs)
+    // 2. near-dup pairs over the gated corpus (banded — never all-pairs),
+    // folded once into the CC label table (O(paired docs) longs)
     val pairs = graft.ops.Dedup.nearDuplicatesPortable(gated, textCol, idCol,
       threshold = nearDupThreshold, bands = nearDupBands, k = nearDupK)
+    val comps = Some(graft.ops.Dedup.connectedComponents(pairs,
+      maxIter = ccMaxIter))
     // 3. keep the best member of every near-dup component
     val score = qualityScoreCol.map(col).getOrElse(
       size(filter(split(lower(trim(col(textCol))), "\\s+"),
         w => length(w) > 0)).cast("long"))
-    val canonical = graft.ops.Dedup.canonicalizeBy(gated, pairs, idCol, score)
+    val canonical = graft.ops.Dedup.canonicalizeBy(gated, pairs, idCol, score,
+      components = comps)
     // 4. importance-select toward the target slice
     val selected = dsirTargetCol match {
       case Some(tc) if dsirKeepPct < 100 =>
@@ -90,10 +103,10 @@ final case class CurationRecipe(
         canonical.join(keep, Seq(idCol), "left_semi")
       case _ => canonical
     }
-    // 5. leakage-safe split routed by the SAME pair list — residual
+    // 5. leakage-safe split routed by the SAME component labels — residual
     // components move whole
     graft.ml.MLOps.leakageSafeSplit(selected, pairs, idCol,
-      trainPct = trainPct, ccMaxIter = ccMaxIter)
+      trainPct = trainPct, ccMaxIter = ccMaxIter, components = comps)
   }
 
   /** Execute against a registered source. */

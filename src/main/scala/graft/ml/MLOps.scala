@@ -453,9 +453,11 @@ object MLOps {
     * adds one left equi-join plus a narrow hash map — no extra corpus
     * shuffle. Returns the docs frame + (component, split ∈ train|test). */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
-      trainPct: Int = 80, ccMaxIter: Int = 30): DataFrame = {
+      trainPct: Int = 80, ccMaxIter: Int = 30,
+      components: Option[DataFrame] = None): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct out of [0,100]")
-    val comp = graft.ops.Dedup.connectedComponents(pairs, maxIter = ccMaxIter)
+    val comp = components
+      .getOrElse(graft.ops.Dedup.connectedComponents(pairs, maxIter = ccMaxIter))
       .withColumnRenamed("id", "__cc_id")
     docs.join(comp, docs(idCol) === comp("__cc_id"), "left")
       .withColumn("component", coalesce(col("comp"), col(idCol)))

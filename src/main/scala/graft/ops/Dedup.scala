@@ -644,10 +644,14 @@ object Dedup {
     * duplicate, not an arbitrary one). Singletons keep themselves. One
     * component-partitioned top-1 window (compiles to `WindowGroupLimit`,
     * partial top-1 before the shuffle) over the CC labels — no global
-    * window, no per-cluster collect. */
+    * window, no per-cluster collect. Pass `components` (an (id, comp)
+    * frame from [[connectedComponents]]) to reuse labels a pipeline
+    * already computed — e.g. [[graft.contract.CurationRecipe]] shares one
+    * CC run between canonicalization and the leakage-safe split. */
   def canonicalizeBy(docs: DataFrame, pairs: DataFrame, idCol: String,
-      score: Column, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol)
+      score: Column, aCol: String = "id_a", bCol: String = "id_b",
+      components: Option[DataFrame] = None): DataFrame = {
+    val comps = components.getOrElse(connectedComponents(pairs, aCol, bCol))
     val withComp = docs.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("__comp", coalesce(col("comp"), col(idCol)))
     val w = Window.partitionBy(col("__comp")).orderBy(score.desc, col(idCol).asc)
