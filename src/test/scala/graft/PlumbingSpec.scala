@@ -687,6 +687,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(banded == pairwise && banded.nonEmpty)
   }
 
+  test("precomputed-components hooks are result-identical to in-op CC") {
+    // the CurationRecipe shares ONE connectedComponents run between
+    // keep-best canonicalization and the split router — the hook must be
+    // pure plumbing, never a semantic fork
+    val docs = ((1L to 9L).map(i => (i, "x" * i.toInt)) :+ ((10L, "y")))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L)).toDF("id_a", "id_b")
+    val comps = graft.ops.Dedup.connectedComponents(pairs).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(graft.ops.Dedup.canonicalizeBy(docs, pairs, "doc_id",
+        length(col("text")).cast("long"), components = Some(comps))) ==
+      rows(graft.ops.Dedup.canonicalizeBy(docs, pairs, "doc_id",
+        length(col("text")).cast("long"))))
+    assert(rows(graft.ml.MLOps.leakageSafeSplit(docs, pairs, "doc_id",
+        components = Some(comps))) ==
+      rows(graft.ml.MLOps.leakageSafeSplit(docs, pairs, "doc_id")))
+  }
+
   test("canonicalize keeps one doc per cluster and passes singletons through") {
     val docs = Seq((1L, "a"), (2L, "a'"), (3L, "b"), (4L, "c"), (5L, "a''"))
       .toDF("doc_id", "text")
