@@ -4301,6 +4301,46 @@ object SparkEntry {
         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""")),
 
+    // --- The SECOND streaming-runtime modality under the gate: CUSTOM
+    // KEYED STATE (flatMapGroupsWithState), not just built-in window
+    // aggregation — statefulLatest's per-entity latest-row changelog
+    // compaction (the online-store update stream, reference
+    // sources/redis.py:225-307 upsert semantics) run as a REAL streaming
+    // job over staged time-ordered chunks; one row of state per user
+    // carries across micro-batches, update emissions upsert the store.
+    // The (ts, event_id) tiebreak makes the winner reproducible and the
+    // oracle exact: final store = top-1 per user by (ts DESC, id DESC) ---
+    Q("q167_streaming_stateful_latest",
+      (s, dir) => graft.streaming.Streaming.stagedStatefulLatestRun(
+          s, events(s, dir).select("ts", "user_id", "event_type", "value", "event_id"),
+          keys = Seq("user_id"), tsCol = "ts", tieCol = Some("event_id"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"), col("event_id")),
+      Some("""SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+          event_type, value, event_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1""")),
+
+    // --- SHARD MANIFEST: the per-shard integrity card of an exported
+    // training set — row count + an order-independent 32-bit-summand md5
+    // checksum per shard, so a copy / re-export / engine port verifies
+    // shard-by-shard in any read order (the artifact-integrity companion
+    // of q117's equal-token sharding and q93's epoch shards). Shard
+    // assignment here is the auditable md5 router ---
+    Q("q168_shard_manifest",
+      (s, dir) => graft.ml.MLOps.shardManifest(
+        t(s, dir, "documents").withColumn("shard",
+          graft.ml.MLOps.md5Bucket(col("doc_id"), 16)),
+        "shard", Seq("doc_id", "text")),
+      Some("""SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) % 16 AS shard,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+            CAST(doc_id AS VARCHAR), text)), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+        FROM documents GROUP BY 1""")),
+
     // --- The CURATION RECIPE CONTRACT itself under the oracle gate: the
     // registered, JSON-round-tripped CurationRecipe executes all five
     // stages (Gopher gate → banded near-dup → keep-best canonicalize →

@@ -73,6 +73,24 @@ object MLOps {
   def md5Bucket(c: Column, buckets: Int): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets
 
+  /** SHARD MANIFEST — the per-shard integrity card of an exported training
+    * dataset: row count plus an ORDER-INDEPENDENT integer checksum (sum of
+    * a 32-bit md5 prefix over the concatenated key columns), so a copy,
+    * re-export, or engine port can be verified shard-by-shard without
+    * reading rows in any particular order. 32-bit summands keep the sum
+    * long-safe to 2³¹ rows per shard; the md5 base makes the checksum
+    * recomputable in ANY engine (same portability family as
+    * [[md5Bucket]]). One partial-aggregated pass — no window, no driver
+    * state; at 100 TB this is the cheapest possible full-scan shape.
+    * NULL key columns are skipped by concat_ws identically in Spark and
+    * DuckDB, so the checksum stays engine-portable on sparse rows. */
+  def shardManifest(df: DataFrame, shardCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(col(shardCol).as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(concat_ws("\u0001",
+            keyCols.map(c => col(c).cast("string")): _*)), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+
   /** Deterministic STRATIFIED sampling: keep a row iff its key's hash bucket
     * falls under its stratum's rate — per-class downsampling of a training
     * corpus (e.g. keep 10% of crawl text but 100% of curated text) with no

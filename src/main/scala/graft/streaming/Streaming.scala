@@ -164,22 +164,32 @@ object Streaming {
     * when its latest value ADVANCES, so downstream sinks receive a compacted
     * update stream instead of every raw event. Null timestamps never win.
     * Run the query in Update output mode. */
-  def statefulLatest(stream: DataFrame, keys: Seq[String], ts: String): DataFrame = {
+  def statefulLatest(stream: DataFrame, keys: Seq[String], ts: String,
+      tieCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val schema = stream.schema
     val tsIdx = schema.fieldIndex(ts)
+    // optional NUMERIC tiebreak (e.g. an event id): equal-ts rows otherwise
+    // resolve by arrival order — nondeterministic across retries/plans.
+    // With a tie column the winner is the max (ts, tie) pair, reproducible
+    // and restatable as a row_number-over-(ts DESC, tie DESC) oracle (q167).
+    val tieIdx = tieCol.map(schema.fieldIndex)
     implicit val rowEnc = Encoders.row(schema)
     def tsOf(r: Row): Long =
       if (r.isNullAt(tsIdx)) Long.MinValue else r.getTimestamp(tsIdx).getTime
+    def ordOf(r: Row): (Long, Long) = (tsOf(r),
+      tieIdx.fold(0L)(i => if (r.isNullAt(i)) Long.MinValue
+        else r.getAs[Number](i).longValue))
+    val ord = Ordering.Tuple2[Long, Long]
     stream
       .groupByKey(r => keys.map(k => String.valueOf(r.getAs[Any](k))).mkString("\u0001"))(
         Encoders.STRING)
       .flatMapGroupsWithState[Row, Row](OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
-          val newest = rows.maxBy(tsOf)
+          val newest = rows.maxBy(ordOf)(ord)
           val current = state.getOption
-          if (current.forall(c => tsOf(newest) > tsOf(c))) {
+          if (current.forall(c => ord.gt(ordOf(newest), ordOf(c)))) {
             state.update(newest); Iterator.single(newest)
           } else Iterator.empty
       }
@@ -378,62 +388,33 @@ object Streaming {
     }
   }
 
-  /** GENUINE streaming-runtime run of the worker shape (reference:
-    * worker.py:172-260, StreamAggregationJob retrieval_job.py:2541-2650),
-    * batch-oracle-checkable: stage a static event frame as a TIME-ORDERED
-    * multi-file stream, run a real `readStream` job — file source with
-    * `maxFilesPerTrigger=1` (one micro-batch per chunk, so watermark state
-    * genuinely carries across batches), event-time watermark, tumbling
-    * window aggregate, update-mode `foreachBatch` upserting into a
-    * [[graft.sources.ParquetSource]] online store through
-    * [[idempotentBatchSink]] — then return the final store state.
-    *
-    * Why the final state equals the static aggregate (the oracle):
-    *   - chunks are split on the GLOBAL ts order, so chunk k+1's earliest
-    *     event is ≥ chunk k's latest; the watermark (which only advances
-    *     between micro-batches) therefore never overtakes incoming data
-    *     and NO row is late-dropped;
-    *   - update mode re-emits a window's CUMULATIVE aggregate every batch
-    *     that touches it, and upsert-by-key keeps the latest emission, so
-    *     each window's final store row is its full aggregate;
-    *   - the sum is a DECIMAL(18,4) partial aggregate — exact integer
-    *     arithmetic, so incremental state accumulation is order-independent
-    *     and bit-equal to the one-shot batch sum.
-    *
-    * The global-sort staging is the TEST harness (a real deployment's
-    * stream arrives time-ordered from Kafka); everything from `readStream`
-    * on is the production path. Emits (window_start = epoch seconds,
-    * keyCol, n_events, sum_value). */
-  def stagedWindowAggRun(spark: SparkSession, events: DataFrame, tsCol: String,
-      keyCol: String, valueCol: String, chunks: Int = 3,
-      windowDur: String = "1 hour", lateness: String = "1 day",
-      workDir: Option[String] = None,
-      pipeline: DataFrame => DataFrame = identity): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val work = workDir.map(d => java.nio.file.Paths.get(d))
-      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
-    java.nio.file.Files.createDirectories(work)
-    val inDir = work.resolve("in"); java.nio.file.Files.createDirectories(inDir)
-    val storeDir = work.resolve("store").toString
+  // ---- runtime-gate harness (q165/q167): TEST staging + store run ----
+
+  private def gateLap(): (String => Unit, Boolean) = {
     val debugT = sys.env.contains("GRAFT_STREAM_DEBUG")
     var t0 = System.nanoTime()
-    def lap(tag: String): Unit = if (debugT) {
+    val lap = (tag: String) => if (debugT) {
       System.err.println(f"[stream-gate] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
       t0 = System.nanoTime()
     }
-    // stage the input frame AS GIVEN (raw source column names/types);
-    // `pipeline` — typically contractPipeline(view): rename → fill →
-    // ensure-types → derive, the worker's per-batch contract stage — runs
-    // INSIDE the streaming job, between readStream and the watermark, so
-    // tsCol/keyCol/valueCol name POST-pipeline columns. tsCol must also
-    // exist pre-pipeline (it orders the staging chunks).
-    val slim = events
-    // staging-only global sort (full-column tiebreak keeps the split
-    // deterministic); production streams arrive ordered from the broker.
+    (lap, debugT)
+  }
+
+  /** Stage `df` as a time-ordered multi-file parquet stream dir — the TEST
+    * harness half of the runtime gates (a real deployment's stream arrives
+    * time-ordered from the broker). Global sort with full-column tiebreak
+    * keeps the split deterministic; chunk k+1's earliest ts ≥ chunk k's
+    * latest, so a watermark advancing between micro-batches never
+    * overtakes incoming data; ascending mtimes pin the file-source
+    * processing order. */
+  private def stageChunks(df: DataFrame, tsCol: String, chunks: Int,
+      work: java.nio.file.Path, lap: String => Unit): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val inDir = work.resolve("in"); java.nio.file.Files.createDirectories(inDir)
     // localCheckpoint: each chunk filter re-reads the sorted frame instead
     // of re-running the sort per chunk
-    val ranked = slim.withColumn("__rn", row_number().over(
-      Window.orderBy(col(tsCol) +: slim.columns.filterNot(_ == tsCol).map(col): _*)))
+    val ranked = df.withColumn("__rn", row_number().over(
+      Window.orderBy(col(tsCol) +: df.columns.filterNot(_ == tsCol).map(col): _*)))
       .localCheckpoint()
     val n = ranked.count()
     val c = math.max(1L, math.min(chunks.toLong, n)).toInt
@@ -447,47 +428,34 @@ object Streaming {
         .getOrElse(throw new IllegalStateException(s"no part file staged in $stage"))
       val target = inDir.resolve(f"chunk_$k%03d.parquet")
       java.nio.file.Files.move(part.toPath, target)
-      // ascending mtimes pin the file-source processing order (it sorts by
-      // modification time) — chunk k must stream before chunk k+1 for the
-      // watermark argument above
       target.toFile.setLastModified(System.currentTimeMillis() + k * 2000L)
     }
     ranked.unpersist(blocking = false) // staged to disk; release the checkpoint blocks
     lap("staging")
-    val store = graft.sources.ParquetSource(storeDir)
-    // the stateful agg + per-batch upserts move store-scale data (windows ×
-    // keys), not corpus-scale — a wide micro-batch fan-out only adds state
-    // store and task overhead per batch. Pin a narrow shuffle width for the
-    // streaming lifecycle and restore the session's after.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    try {
-    val agg = pipeline(spark.readStream.schema(slim.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir.toString))
-      .withWatermark(tsCol, lateness)
-      .groupBy(window(col(tsCol), windowDur), col(keyCol))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(18,4)")).as("__sum_dec"))
-    // coalesce(1): the store is (windows × keys) rows — metadata-bounded,
-    // never corpus-bounded — so one task per upsert write beats a fan-out.
-    // Skip no-data batches: Spark runs a final watermark-advance batch with
-    // an empty emission, and an empty upsert still pays the full
-    // read-merge-swap job chain for nothing.
+  }
+
+  /** Run an update-mode streaming frame into a keyed parquet online store:
+    * per-batch `project`ed rows upsert through [[idempotentBatchSink]]
+    * (empty watermark-finalize batches skip the upsert job chain), the
+    * query drains with processAllAvailable, and the store source is
+    * returned. coalesce(1): the store is key-cardinality rows —
+    * metadata-bounded, never corpus-bounded — so one task per upsert
+    * write beats a fan-out. */
+  private def runUpsertStream(spark: SparkSession, streamed: DataFrame,
+      project: DataFrame => DataFrame, keys: Seq[String],
+      work: java.nio.file.Path, lap: String => Unit,
+      debugT: Boolean): graft.sources.ParquetSource = {
+    val store = graft.sources.ParquetSource(work.resolve("store").toString)
     val upsert = idempotentBatchSink({ (batch, _) =>
       val tU = System.nanoTime()
       val nonEmpty = !batch.isEmpty
-      if (debugT) System.err.println(f"[stream-gate]   isEmpty ${(System.nanoTime()-tU)/1e9}%.2fs")
+      if (debugT) System.err.println(f"[stream-gate]   isEmpty ${(System.nanoTime() - tU) / 1e9}%.2fs")
       val tV = System.nanoTime()
-      if (nonEmpty)
-        store.upsert(batch.select(
-            col("window.start").cast("long").as("window_start"), col(keyCol),
-            col("n_events"), col("__sum_dec")).coalesce(1),
-          Seq("window_start", keyCol))
-      if (debugT) System.err.println(f"[stream-gate]   upsert ${(System.nanoTime()-tV)/1e9}%.2fs")
+      if (nonEmpty) store.upsert(project(batch).coalesce(1), keys)
+      if (debugT) System.err.println(f"[stream-gate]   upsert ${(System.nanoTime() - tV) / 1e9}%.2fs")
       },
       work.resolve("commitlog").toString)(spark)
-    val q = agg.writeStream
+    val q = streamed.writeStream
       .outputMode("update")
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -496,8 +464,98 @@ object Streaming {
       .start()
     try { q.processAllAvailable() } finally q.stop()
     lap("stream")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    store
+  }
+
+  /** GENUINE streaming-runtime run of the worker shape (reference:
+    * worker.py:172-260, StreamAggregationJob retrieval_job.py:2541-2650),
+    * batch-oracle-checkable: stage a static event frame as a TIME-ORDERED
+    * multi-file stream, run a real `readStream` job — file source with
+    * `maxFilesPerTrigger=1` (one micro-batch per chunk, so watermark state
+    * genuinely carries across batches), the contract `pipeline` INSIDE the
+    * stream, event-time watermark, tumbling window aggregate, update-mode
+    * `foreachBatch` upserting into a [[graft.sources.ParquetSource]]
+    * online store through [[idempotentBatchSink]] — then return the final
+    * store state.
+    *
+    * Why the final state equals the static aggregate (the oracle):
+    *   - chunks are split on the GLOBAL ts order, so the watermark never
+    *     overtakes incoming data and NO row is late-dropped
+    *     ([[stageChunks]]);
+    *   - update mode re-emits a window's CUMULATIVE aggregate every batch
+    *     that touches it, and upsert-by-key keeps the latest emission, so
+    *     each window's final store row is its full aggregate;
+    *   - the sum is a DECIMAL(18,4) partial aggregate — exact integer
+    *     arithmetic, so incremental state accumulation is order-independent
+    *     and bit-equal to the one-shot batch sum.
+    *
+    * `pipeline` — typically [[contractPipeline]] of a view: rename → fill →
+    * ensure-types → derive, the worker's per-batch contract stage — runs
+    * between readStream and the watermark, so tsCol/keyCol/valueCol name
+    * POST-pipeline columns; tsCol must also exist pre-pipeline (it orders
+    * the staging chunks). Emits (window_start = epoch seconds, keyCol,
+    * n_events, sum_value). */
+  def stagedWindowAggRun(spark: SparkSession, events: DataFrame, tsCol: String,
+      keyCol: String, valueCol: String, chunks: Int = 3,
+      windowDur: String = "1 hour", lateness: String = "1 day",
+      workDir: Option[String] = None,
+      pipeline: DataFrame => DataFrame = identity): DataFrame = {
+    val work = workDir.map(d => java.nio.file.Paths.get(d))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
+    java.nio.file.Files.createDirectories(work)
+    val (lap, debugT) = gateLap()
+    stageChunks(events, tsCol, chunks, work, lap)
+    // the stateful agg + per-batch upserts move store-scale data (windows ×
+    // keys), not corpus-scale — a wide micro-batch fan-out only adds state
+    // store and task overhead per batch. Pin a narrow shuffle width for the
+    // streaming lifecycle and restore the session's after.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val store =
+      try {
+        val agg = pipeline(spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(work.resolve("in").toString))
+          .withWatermark(tsCol, lateness)
+          .groupBy(window(col(tsCol), windowDur), col(keyCol))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col(valueCol).cast("decimal(18,4)")).as("__sum_dec"))
+        runUpsertStream(spark, agg,
+          b => b.select(col("window.start").cast("long").as("window_start"),
+            col(keyCol), col("n_events"), col("__sum_dec")),
+          Seq("window_start", keyCol), work, lap, debugT)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     store.read(spark).select(col("window_start"), col(keyCol),
       col("n_events"), col("__sum_dec").cast("double").as("sum_value"))
+  }
+
+  /** The CUSTOM-KEYED-STATE runtime gate (q167) — [[statefulLatest]]'s
+    * per-entity latest-row changelog compaction run as a REAL streaming
+    * job: staged time-ordered chunks, `flatMapGroupsWithState` carrying
+    * one row of state per key across micro-batches, update-mode emissions
+    * upserted into the parquet online store. Final store state = the
+    * latest row per key by (ts, tie) — exactly the static
+    * row_number-over-(ts DESC, tie DESC) top-1, which is the oracle.
+    * State is one row per key (bounded by key cardinality, the
+    * changelog-compaction shape), so no watermark is needed. */
+  def stagedStatefulLatestRun(spark: SparkSession, events: DataFrame,
+      keys: Seq[String], tsCol: String, tieCol: Option[String] = None,
+      chunks: Int = 3, workDir: Option[String] = None): DataFrame = {
+    val work = workDir.map(d => java.nio.file.Paths.get(d))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
+    java.nio.file.Files.createDirectories(work)
+    val (lap, debugT) = gateLap()
+    stageChunks(events, tsCol, chunks, work, lap)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val store =
+      try {
+        val latest = statefulLatest(spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(work.resolve("in").toString),
+          keys, tsCol, tieCol)
+        runUpsertStream(spark, latest, identity, keys, work, lap, debugT)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    store.read(spark)
   }
 }

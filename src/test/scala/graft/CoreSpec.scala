@@ -2104,3 +2104,39 @@ class StreamingGateSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".parquet")) == 3)
   }
 }
+
+/** q167's runtime path: custom keyed state (flatMapGroupsWithState) through
+  * a genuine staged stream, including the deterministic (ts, tie) rule on
+  * equal timestamps. */
+class StatefulLatestGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("staged stateful-latest run equals static top-1, ties resolved by tie id") {
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(t0 + m * 60000L)
+    val events = (
+      (1 to 120).map(i => (ts(i), (i % 4).toLong, s"e$i", i.toLong)) ++
+      // user 9: two rows with the SAME ts — the higher event_id must win,
+      // regardless of arrival/batch order
+      Seq((ts(200), 9L, "tie_low", 900L), (ts(200), 9L, "tie_high", 901L))
+    ).toDF("ts", "user_id", "event_type", "event_id")
+    val work = java.nio.file.Files.createTempDirectory("graft_sls_spec").toString
+    val got = graft.streaming.Streaming.stagedStatefulLatestRun(
+        spark, events, Seq("user_id"), "ts", tieCol = Some("event_id"),
+        workDir = Some(work))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("event_id"), r.getAs[String]("event_type"))).toMap
+    val want = events.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("event_id"), r.getAs[String]("event_type"))).toMap
+    assert(got == want)
+    assert(got(9L) == (901L, "tie_high"))
+    // genuinely incremental: a commit marker per staged chunk
+    assert(new java.io.File(s"$work/commitlog").listFiles()
+      .count(_.getName.startsWith("batch-")) >= 3)
+  }
+}

@@ -3086,3 +3086,32 @@ class CurationRecipeSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 }
+
+/** Shard-manifest integrity card (q168): the checksum must be independent
+  * of row order/partitioning and sensitive to any row-level change. */
+class ShardManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("checksum is partitioning-invariant and change-sensitive") {
+    val df = (1L to 500L).map(i => (i, i % 7, s"text $i")).toDF("id", "shard", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      graft.ml.MLOps.shardManifest(d, "shard", Seq("id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = rows(df)
+    assert(base.keySet == (0L to 6L).toSet)
+    // any repartitioning / ordering yields the identical manifest
+    assert(rows(df.repartition(13)) == base)
+    assert(rows(df.orderBy(col("text").desc)) == base)
+    // one changed row flips exactly its shard's checksum, not its count
+    val tweaked = rows(df.withColumn("text",
+      when(col("id") === 42L, lit("TEXT 42")).otherwise(col("text"))))
+    assert(tweaked(42L % 7)._1 == base(42L % 7)._1)
+    assert(tweaked(42L % 7)._2 != base(42L % 7)._2)
+    assert((0L to 6L).filter(_ != 42L % 7).forall(k => tweaked(k) == base(k)))
+    // null keys don't poison the sum (concat_ws skips them in both engines)
+    val withNull = (1L to 10L).map(i =>
+      (i, 0L, if (i == 5) null else s"t$i")).toDF("id", "shard", "text")
+    assert(rows(withNull)(0L)._1 == 10L)
+  }
+}
