@@ -85,4 +85,47 @@ object ContractDiff {
         s"exposed model implementation changed: ${cls(old).get} -> ${cls(updated).get}")
     changes.result()
   }
+
+  /** Curation-recipe diff — impact analysis for the third contract kind.
+    * Severity grading follows what the change does to the CURATED CORPUS
+    * and the EVAL BOUNDARY, the two things downstream consumers depend on:
+    *   - split-router changes (trainPct, or any change to the near-dup
+    *     family that re-shapes components) MOVE DOCUMENTS ACROSS THE
+    *     TRAIN/TEST BOUNDARY — Breaking, the eval-contamination hazard
+    *     leakageSafeSplit exists to prevent;
+    *   - column rebindings (text/id) re-key the whole pipeline — Breaking;
+    *   - gate / selection / keep-best tuning changes WHICH rows survive
+    *     but not the schema or the boundary semantics — Warning (rebuild
+    *     and re-materialize, consumers re-read);
+    *   - description/ccMaxIter are metadata/robustness only — Info. */
+  def diffRecipe(old: CurationRecipe, updated: CurationRecipe): Seq[Change] = {
+    val changes = Seq.newBuilder[Change]
+    def chg[A](what: String, f: CurationRecipe => A, sev: Severity): Unit =
+      if (f(old) != f(updated))
+        changes += Change(sev, s"$what: ${f(old)} -> ${f(updated)}")
+    chg("text column", _.textCol, Breaking)
+    chg("id column", _.idCol, Breaking)
+    chg("train pct (split boundary moves)", _.trainPct, Breaking)
+    // the near-dup family defines the COMPONENTS the split routes by: any
+    // change re-clusters, so previously-together docs can land in
+    // different splits — same hazard class as moving trainPct
+    chg("near-dup threshold (components re-form; split boundary moves)",
+      _.nearDupThreshold, Breaking)
+    chg("near-dup bands (components re-form; split boundary moves)",
+      _.nearDupBands, Breaking)
+    chg("near-dup shingle k (components re-form; split boundary moves)",
+      _.nearDupK, Breaking)
+    chg("gopher min words (gate tuning)", _.gopherMinWords, Warning)
+    chg("gopher rule mask (gate tuning)", _.gopherRuleMask, Warning)
+    chg("keep-best score column", _.qualityScoreCol, Warning)
+    chg("dsir target", r => (r.dsirTargetCol, r.dsirTargetValue), Warning)
+    chg("dsir keep pct", _.dsirKeepPct, Warning)
+    chg("dsir buckets", _.dsirBuckets, Warning)
+    chg("cc max iter (robustness bound only)", _.ccMaxIter, Info)
+    chg("description", _.description, Info)
+    changes.result()
+  }
+
+  def isBreakingRecipe(old: CurationRecipe, updated: CurationRecipe): Boolean =
+    diffRecipe(old, updated).exists(_.severity == Breaking)
 }

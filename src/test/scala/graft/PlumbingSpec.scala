@@ -3115,3 +3115,34 @@ class ShardManifestSpec extends AnyFunSuite {
     assert(rows(withNull)(0L)._1 == 10L)
   }
 }
+
+/** Recipe contract-diff: split-boundary-moving changes must grade Breaking;
+  * gate tuning Warning; metadata Info. */
+class RecipeDiffSpec extends AnyFunSuite {
+  private val base = graft.contract.CurationRecipe(name = "r",
+    dsirTargetCol = Some("lang"), dsirTargetValue = "en", dsirKeepPct = 50)
+
+  test("severity grading follows corpus/boundary impact") {
+    import graft.contract.ContractDiff._
+    assert(diffRecipe(base, base).isEmpty)
+    // boundary movers are Breaking
+    for (changed <- Seq(base.copy(trainPct = 90),
+        base.copy(nearDupThreshold = 0.7), base.copy(nearDupBands = 8),
+        base.copy(nearDupK = 5), base.copy(idCol = "id2"),
+        base.copy(textCol = "body"))) {
+      assert(isBreakingRecipe(base, changed), s"$changed must be Breaking")
+    }
+    // gate/selection tuning is Warning, not Breaking
+    for (changed <- Seq(base.copy(gopherMinWords = 50),
+        base.copy(gopherRuleMask = 127L), base.copy(dsirKeepPct = 25),
+        base.copy(qualityScoreCol = Some("n_chars")))) {
+      val ds = diffRecipe(base, changed)
+      assert(ds.nonEmpty && !isBreakingRecipe(base, changed), s"$changed")
+      assert(ds.forall(_.severity == Warning))
+    }
+    // metadata/robustness only → Info
+    val info = diffRecipe(base, base.copy(ccMaxIter = 50,
+      description = Some("tuned")))
+    assert(info.nonEmpty && info.forall(_.severity == Info))
+  }
+}
