@@ -94,9 +94,11 @@ object ContractDiff {
     *     TRAIN/TEST BOUNDARY — Breaking, the eval-contamination hazard
     *     leakageSafeSplit exists to prevent;
     *   - column rebindings (text/id) re-key the whole pipeline — Breaking;
-    *   - gate / selection / keep-best tuning changes WHICH rows survive
-    *     but not the schema or the boundary semantics — Warning (rebuild
-    *     and re-materialize, consumers re-read);
+    *   - selection / keep-best tuning changes WHICH rows survive but not
+    *     any surviving doc's split side (components and their labels are
+    *     computed BEFORE those stages) — Warning (rebuild and
+    *     re-materialize, consumers re-read); the GATE is upstream of pair
+    *     generation, so its knobs are boundary movers (Breaking);
     *   - description/ccMaxIter are metadata/robustness only — Info. */
   def diffRecipe(old: CurationRecipe, updated: CurationRecipe): Seq[Change] = {
     val changes = Seq.newBuilder[Change]
@@ -115,8 +117,14 @@ object ContractDiff {
       _.nearDupBands, Breaking)
     chg("near-dup shingle k (components re-form; split boundary moves)",
       _.nearDupK, Breaking)
-    chg("gopher min words (gate tuning)", _.gopherMinWords, Warning)
-    chg("gopher rule mask (gate tuning)", _.gopherRuleMask, Warning)
+    // the gate feeds pair generation over the GATED corpus, and the split
+    // coin is md5(component) where component = the cluster's min surviving
+    // id — so gate changes can re-form components and re-roll the coin for
+    // surviving docs: boundary movers, same class as trainPct
+    chg("gopher min words (gate re-forms components; split boundary moves)",
+      _.gopherMinWords, Breaking)
+    chg("gopher rule mask (gate re-forms components; split boundary moves)",
+      _.gopherRuleMask, Breaking)
     chg("keep-best score column", _.qualityScoreCol, Warning)
     chg("dsir target", r => (r.dsirTargetCol, r.dsirTargetValue), Warning)
     chg("dsir keep pct", _.dsirKeepPct, Warning)

@@ -72,7 +72,16 @@ final case class CurationRecipe(
     * label table — localCheckpointed so its producing corpus scan runs
     * once, or consumed exactly once. Connected components run ONCE and
     * feed both keep-best canonicalization and the split router via the
-    * operators' `components` hooks. */
+    * operators' `components` hooks.
+    *
+    * Checkpoint lifecycle: the returned frame READS those checkpointed id/
+    * label blocks lazily, so run() cannot release them itself (truncated
+    * lineage is not recomputable) — they live until session end or a
+    * caller-side unpersist once the result is consumed. They are id and
+    * label rows ONLY (never text), so retention is O(docs) longs per run —
+    * unlike the corpus×bucket-scaled trainer fold perceptronTrain releases
+    * eagerly; a service looping over recipes should checkpoint its OWN
+    * consumption of the result and release both. */
   def run(docs: DataFrame): DataFrame = {
     // 1. quality gate — keep docs passing every enabled Gopher rule; the
     // id list (O(docs) longs, no text) is reused by stages 2, 3 and 5

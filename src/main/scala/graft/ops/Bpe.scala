@@ -134,7 +134,10 @@ object Bpe {
         // the merge loop once per partition instead of once per occurrence
         val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
         it.map { case (id, text) =>
-          val toks = text.trim.toLowerCase.split("\\s+")
+          // Locale.ROOT: Spark's lower() is locale-independent — a tr_TR
+          // default locale would otherwise map I->dotless-i here and
+          // diverge from the Column path (portableTokenHash precedent)
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
             .filter(_.nonEmpty)
             .flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, rk)))
           (id, toks)
@@ -144,7 +147,11 @@ object Bpe {
 
   private def encodeWord(w: String,
       ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = w.map(_.toString).toArray
+    // CODE-POINT segmentation, not UTF-16 units: Spark's split(w, "") — the
+    // trainer's and encodeColumn's symbol granularity — keeps astral chars
+    // (emoji) whole; w.map(_.toString) would shear them into lone
+    // surrogates and break the fold ≡ encode equivalence
+    var syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     var done = syms.length < 2
     while (!done) {
       var bestIdx = -1

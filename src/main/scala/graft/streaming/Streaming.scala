@@ -175,6 +175,11 @@ object Streaming {
     // With a tie column the winner is the max (ts, tie) pair, reproducible
     // and restatable as a row_number-over-(ts DESC, tie DESC) oracle (q167).
     val tieIdx = tieCol.map(schema.fieldIndex)
+    tieIdx.foreach(i => require(
+      schema(i).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"statefulLatest tieCol '${tieCol.get}' must be numeric, got " +
+        s"${schema(i).dataType} — a non-numeric tie would fail mid-stream " +
+        "inside the state function instead of here"))
     implicit val rowEnc = Encoders.row(schema)
     def tsOf(r: Row): Long =
       if (r.isNullAt(tsIdx)) Long.MinValue else r.getTimestamp(tsIdx).getTime
@@ -464,6 +469,12 @@ object Streaming {
       .start()
     try { q.processAllAvailable() } finally q.stop()
     lap("stream")
+    // an all-empty input never triggers an upsert, so the store path would
+    // not exist and the final read would throw — materialize the empty
+    // store with the projected schema instead of crashing on zero events
+    if (!store.exists(spark))
+      store.overwrite(project(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], streamed.schema)))
     store
   }
 

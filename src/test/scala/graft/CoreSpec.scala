@@ -2046,7 +2046,11 @@ class BpeColumnEncodeSpec extends AnyFunSuite {
       2L -> "merge summer hammer",
       3L -> "a ab aab abb baba",
       4L -> "   ", // whitespace-only → empty token stream
-      5L -> "xyz")
+      5L -> "xyz",
+      // unicode hazards: an astral (non-BMP) emoji must stay ONE symbol on
+      // both paths (code-point segmentation, not UTF-16 units), and I/İ
+      // must lowercase locale-independently like Spark's lower()
+      6L -> "a\ud83d\ude00b caf\u00e9 I\u0130stanbul")
     both(docs, Seq("a" -> "a", "a" -> "b"))
     both(docs, Seq("a" -> "b", "a" -> "a"))
     both(docs, Seq("e" -> "r", "m" -> "er", "mer" -> "g"))

@@ -3087,6 +3087,34 @@ class CurationRecipeSpec extends AnyFunSuite {
   }
 }
 
+/** Review fixes for the runtime gates: empty inputs must return an empty
+  * store (not a path-does-not-exist crash), and a non-numeric tie column
+  * must fail fast at construction, not mid-stream in the state function. */
+class GateEdgeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stagedWindowAggRun on an empty frame returns an empty store with the right schema") {
+    val empty = Seq.empty[(java.sql.Timestamp, String, Double)]
+      .toDF("ts", "event_type", "value")
+    val out = graft.streaming.Streaming.stagedWindowAggRun(
+      spark, empty, "ts", "event_type", "value")
+    assert(out.columns.toSeq ==
+      Seq("window_start", "event_type", "n_events", "sum_value"))
+    assert(out.count() == 0)
+  }
+
+  test("statefulLatest rejects a non-numeric tie column at construction") {
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "x"))
+      .toDF("ts", "user_id", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.statefulLatest(df, Seq("user_id"), "ts",
+        tieCol = Some("event_type"))
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
+}
+
 /** Shard-manifest integrity card (q168): the checksum must be independent
   * of row order/partitioning and sensitive to any row-level change. */
 class ShardManifestSpec extends AnyFunSuite {
@@ -3126,15 +3154,18 @@ class RecipeDiffSpec extends AnyFunSuite {
     import graft.contract.ContractDiff._
     assert(diffRecipe(base, base).isEmpty)
     // boundary movers are Breaking
+    // ...including the Gopher gate: it is upstream of pair generation, so
+    // a gate change can re-form a component and re-roll its split coin
     for (changed <- Seq(base.copy(trainPct = 90),
         base.copy(nearDupThreshold = 0.7), base.copy(nearDupBands = 8),
         base.copy(nearDupK = 5), base.copy(idCol = "id2"),
-        base.copy(textCol = "body"))) {
+        base.copy(textCol = "body"), base.copy(gopherMinWords = 50),
+        base.copy(gopherRuleMask = 127L))) {
       assert(isBreakingRecipe(base, changed), s"$changed must be Breaking")
     }
-    // gate/selection tuning is Warning, not Breaking
-    for (changed <- Seq(base.copy(gopherMinWords = 50),
-        base.copy(gopherRuleMask = 127L), base.copy(dsirKeepPct = 25),
+    // selection/keep-best tuning is Warning, not Breaking (components and
+    // labels are fixed before those stages, so no surviving doc moves)
+    for (changed <- Seq(base.copy(dsirKeepPct = 25),
         base.copy(qualityScoreCol = Some("n_chars")))) {
       val ds = diffRecipe(base, changed)
       assert(ds.nonEmpty && !isBreakingRecipe(base, changed), s"$changed")
