@@ -136,6 +136,20 @@ final class ContractStore {
       n
     }
 
+  /** Execute a REGISTERED curation recipe against a source and UPSERT the
+    * curated corpus (input columns + component + split) into `sink`, keyed
+    * by the recipe's id column — the recipe analog of [[materializeAll]]:
+    * "run the registered pipeline, publish the corpus". Upsert rather than
+    * overwrite because every router in the pipeline is an md5 hash:
+    * re-running after an ingest re-derives the SAME component/split for
+    * unchanged documents, so only genuinely new/changed rows move. */
+  def materializeRecipe(spark: SparkSession, name: String,
+      source: graft.sources.BatchSource,
+      sink: graft.sources.WritableSource): Unit = {
+    val r = recipesMap(name)
+    sink.upsert(r.run(source.read(spark)), Seq(r.idCol))
+  }
+
   /** Freshness classification against the view's SLOs (acceptable /
     * unacceptable_freshness, feature_view.py:84-85): `fresh`, `stale`
     * (update due), `unhealthy` (SLO broken; alert), or `unknown` (no data /
