@@ -51,7 +51,11 @@ object Bench {
     // force FULL materialization of every output column via the noop sink —
     // count() would let Catalyst prune the very expressions being measured
     // local-iteration filter: SPARK_GRAFT_ONLY=q60,q65 times just those
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // blank var or stray commas must not select EVERYTHING via
+    // startsWith(""): empty elements drop, and an all-empty set means unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     // BEST-OF-2 with a cheap-query shortcut: single-shot timing proved
     // fragile to shared-host contention and first-touch Janino compilation
     // (r03 driver run: q19 0.54→7.30 s, q21 2.29→18.25 s on UNCHANGED
@@ -108,12 +112,18 @@ object Bench {
     // run over only the tail (the genuinely-expensive tail re-measures at
     // its true cost; an inflated entry re-measures fast).
     val cutoff = pass2Cutoff(pass1.map(p => (p._3, p._4)), repeatThreshold)
-    val results = pass1.map { case (name, fn, best, ok) =>
-      name -> (if (ok && best > cutoff) {
+    val finals = pass1.map { case (name, fn, best, ok) =>
+      if (ok && best > cutoff) {
         val (again, againOk) = once(name, fn)
-        if (againOk) math.min(best, again) else best
-      } else best)
-    }.toMap
+        (name, if (againOk) math.min(best, again) else best, true)
+      } else (name, best, ok)
+    }
+    // a failed query must NEVER appear in the queries map — its failure
+    // duration is indistinguishable from a fast success to the driver's
+    // JSON parse, silently deflating the metric. Failures are listed by
+    // name instead (and the correctness gate flags them loudly anyway).
+    val results = finals.collect { case (n, t, true) => n -> t }.toMap
+    val failed = finals.collect { case (n, _, false) => n }.sorted
     // The driver records only the LAST 2000 output chars (measured from
     // BENCH_r01/r02: tail_len 2000, metric line truncated at its START →
     // "parsed": null both rounds). The FINAL line must therefore be a
@@ -122,11 +132,12 @@ object Bench {
     // precision (~1.3 KB at 96 queries). The full-name line prints FIRST so
     // humans and BENCH_NOTES still get it when reading the whole log.
     val sorted = results.toSeq.sortBy(_._1)
-    println(fullLine(sorted, sfDir)) // full names, for humans reading the whole log
+    println(fullLine(sorted, sfDir, failed)) // full names, for humans reading the whole log
     // short-key line: adaptive format bounded ≤ MaxShortLine chars — the
     // suite outgrew the fixed format (1861 chars at 157 queries inside the
     // 2000-char driver tail window; ~170 queries would push its START out)
-    println(shortLine(sorted.map { case (k, v) => k.takeWhile(_ != '_') -> v }))
+    println(shortLine(sorted.map { case (k, v) => k.takeWhile(_ != '_') -> v },
+      nFailed = failed.size))
     System.out.flush()
     spark.stop()
   }
@@ -146,8 +157,15 @@ object Bench {
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$sfSuffix}"""
   }
 
-  private[graft] def fullLine(entries: Seq[(String, Double)], sfDir: String): String =
-    jsonLine(entries, fmt2, s""","sf":"$sfDir"""")
+  private[graft] def fullLine(entries: Seq[(String, Double)], sfDir: String,
+      failed: Seq[String] = Nil): String = {
+    // sf path + failed names go through the shared JSON escaper
+    // (Verify.q) — raw interpolation corrupts the line on a quote or
+    // backslash in a path
+    val failSuffix = if (failed.isEmpty) ""
+      else s""","failed":${failed.map(Verify.q).mkString("[", ",", "]")}"""
+    jsonLine(entries, fmt2, s""","sf":${Verify.q(sfDir)}$failSuffix""")
+  }
 
   /** The driver records only the LAST 2000 output chars (measured from
     * BENCH_r01/r02: tail_len 2000, metric line truncated at its START →
@@ -158,13 +176,15 @@ object Bench {
     * deciseconds. The full-name full-precision line prints FIRST either
     * way, so humans and BENCH_NOTES always get the rich form. */
   private[graft] val MaxShortLine = 1930 // ≥70 chars of tail headroom
-  private[graft] def shortLine(entries: Seq[(String, Double)]): String = {
+  private[graft] def shortLine(entries: Seq[(String, Double)],
+      nFailed: Int = 0): String = {
+    val failSuffix = if (nFailed == 0) "" else s""","failed":$nFailed"""
     val ladder = Iterator(
-      jsonLine(entries, fmtAdaptive, ""),
-      jsonLine(entries.map { case (k, v) => k.stripPrefix("q") -> v }, fmtAdaptive, ""),
+      jsonLine(entries, fmtAdaptive, failSuffix),
+      jsonLine(entries.map { case (k, v) => k.stripPrefix("q") -> v }, fmtAdaptive, failSuffix),
       jsonLine(entries.map { case (k, v) => k.stripPrefix("q") -> v },
-        v => "%.1f".formatLocal(java.util.Locale.ROOT, v), ""))
+        v => "%.1f".formatLocal(java.util.Locale.ROOT, v), failSuffix))
     ladder.find(_.length <= MaxShortLine)
-      .getOrElse(s"""{"metric":"total","value":${fmt2(entries.map(_._2).sum)},"unit":"sec"}""")
+      .getOrElse(s"""{"metric":"total","value":${fmt2(entries.map(_._2).sum)},"unit":"sec"$failSuffix}""")
   }
 }

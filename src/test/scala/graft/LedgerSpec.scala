@@ -183,6 +183,28 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= Bench.MaxShortLine, s"len=${line.length}")
   }
 
+  test("failed queries never enter the queries map; counts surface in both lines") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ok = entries(170)
+    val full = Bench.fullLine(ok, "/root/testdata/sf0.1",
+      failed = Seq("q9_asof_last_click", "q97_funnel"))
+    val fn = mapper.readTree(full)
+    assert(fn.get("queries").size == 170)
+    assert(fn.get("failed").size == 2)
+    assert(fn.get("failed").get(0).asText == "q9_asof_last_click")
+    val short = Bench.shortLine(ok, nFailed = 2)
+    assert(short.length <= Bench.MaxShortLine)
+    val sn = mapper.readTree(short)
+    assert(sn.get("failed").asInt == 2)
+    assert(sn.get("queries").size == 170)
+    // zero failures: no failed key at all (driver-side absence == clean)
+    assert(!Bench.shortLine(ok).contains("failed"))
+    assert(!Bench.fullLine(ok, "/x").contains("failed"))
+    // sf path with a quote must not corrupt the JSON
+    val weird = Bench.fullLine(ok, "/tmp/we\"ird")
+    assert(mapper.readTree(weird).get("sf").asText == "/tmp/we\"ird")
+  }
+
   test("adaptive precision: centiseconds under 10 s, deciseconds above") {
     val line = Bench.shortLine(Seq("q1" -> 0.123, "q2" -> 12.345))
     assert(line.contains("\"q1\":0.12"))

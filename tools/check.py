@@ -2,6 +2,9 @@
 """Local dev harness mimicking the driver's DuckDB-oracle compare.
 
 Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [query...]
+Positionals are classified by shape: path-like args (containing '/') bind
+SF then OUT in order; everything else is a query-name filter — so
+`check.py --skip-verify q135` and `check.py q135` both do what they say.
 Runs graft.Verify, then for each query compares the Spark parquet result with
 the DuckDB oracle result: schema (normalized), row count, and exact values
 (columns sorted by name, rows sorted).
@@ -13,9 +16,11 @@ import duckdb
 import pandas as pd
 import numpy as np
 
-SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/tmp/graft_verify"
-ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+_paths = [a for a in _pos if "/" in a]
+SF = _paths[0] if len(_paths) > 0 else "/root/testdata/sf0.01"
+OUT = _paths[1] if len(_paths) > 1 else "/tmp/graft_verify"
+ONLY = [a for a in _pos if a not in _paths]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-verify" not in sys.argv:
@@ -36,18 +41,26 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
-oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
-
 # --- ledger shrink-proofing (round-6 incident: 27 queries VANISHED from the
 # driver ledger when the events loader broke — no err rows, no gate trip).
 # The manifest is the full registered-query roll call, written by Verify
 # BEFORE any query runs; every name in it must produce a compared row here,
 # and a shrink (missing manifest, missing output, orphan oracle) is fatal.
+# Manifest FIRST: Verify writes oracle_sql.json only after every query ran,
+# so a crash mid-suite leaves a manifest without an oracle file — that case
+# must reach the shrink diagnostics, not die in an unguarded read.
 manifest_path = Path(f"{OUT}/manifest.json")
 if not manifest_path.exists():
     print("FATAL: no manifest.json — Verify predates shrink-proofing or crashed at init")
     sys.exit(1)
 manifest = json.loads(manifest_path.read_text())
+oracle_path = Path(f"{OUT}/oracle_sql.json")
+if not oracle_path.exists():
+    print(f"FATAL: manifest lists {len(manifest)} queries but oracle_sql.json is missing"
+          " — Verify crashed mid-suite; output dirs present: "
+          + str(sorted(p.name for p in Path(OUT).iterdir() if p.is_dir())[:10]) + "...")
+    sys.exit(1)
+oracle = json.loads(oracle_path.read_text())
 errors_path = Path(f"{OUT}/errors.json")
 verify_errors = json.loads(errors_path.read_text()) if errors_path.exists() else {}
 orphan_oracles = sorted(set(oracle) - set(manifest))
@@ -162,4 +175,7 @@ if not ONLY and compared != len(manifest):
     # against future edits reintroducing the oracle-keys iteration
     print(f"FATAL: compared {compared} != registered {len(manifest)}")
     sys.exit(1)
-sys.exit(1 if fails else 0)
+# verify_errors gates the exit too: if the poison-row write ITSELF failed
+# and a stale output dir from a prior run survived, the compare could pass
+# on stale data — an errors.json entry must fail the run regardless.
+sys.exit(1 if (fails or verify_errors) else 0)
