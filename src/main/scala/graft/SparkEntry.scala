@@ -572,7 +572,7 @@ object SparkEntry {
       Some("""WITH sh AS (
           SELECT doc_id, source, list_distinct([array_to_string(w[i:i+2], ' ')
               for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
-          FROM (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents))
+          FROM (SELECT doc_id, source, list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0) AS w FROM documents))
         SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
@@ -609,8 +609,7 @@ object SparkEntry {
         length(col("text")).as("n_chars_actual"),
         (col("n_chars") === length(col("text"))).as("n_chars_ok")),
       Some(s"""SELECT doc_id,
-          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens_ws,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), tws -> length(tws) > 0)) AS INT) AS n_tokens_ws,
           CAST(len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPattern}')) AS INT) AS n_tokens_bpe,
           CAST(length(text) AS INT) AS n_chars_actual,
           n_chars = length(text) AS n_chars_ok
@@ -626,7 +625,7 @@ object SparkEntry {
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality")),
       Some("""WITH t AS (SELECT doc_id, text,
-            string_split_regex(lower(trim(text)), '\s+') AS w,
+            list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0) AS w,
             CAST(length(text) AS DOUBLE) AS total
           FROM documents)
         SELECT doc_id,
@@ -679,7 +678,7 @@ object SparkEntry {
           list_reduce(
             list_prepend(CAST(7 AS BIGINT),
               [CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT) % 1099511627776
-                for x in string_split_regex(lower(trim(text)), '\s+')]),
+                for x in list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0)]),
             (a, b) -> (a * 31 + b) % 1099511627776) AS fp
         FROM documents""")),
 
@@ -1061,7 +1060,7 @@ object SparkEntry {
     Q("q48_top_words",
       (s, dir) => TextAnalysis.topWords(t(s, dir, "documents"), "text", Seq("source"), 10)
         .select("source", "word", "n", "word_rank"),
-      Some("""WITH w AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      Some("""WITH w AS (SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0)) AS word
               FROM documents),
           counts AS (SELECT source, word, count(*) AS n FROM w
             WHERE length(word) > 0 GROUP BY source, word)
@@ -1097,7 +1096,7 @@ object SparkEntry {
         TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio")),
       Some("""WITH sh AS (SELECT doc_id,
             [array_to_string(w[i:i+2], ' ') for i in generate_series(1, greatest(len(w)-2, 0))] AS s
-          FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents))
+          FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0) AS w FROM documents))
         SELECT doc_id,
           CASE WHEN len(s) = 0 THEN 0.0
             ELSE 1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s) END AS rep_ratio
@@ -1343,7 +1342,7 @@ object SparkEntry {
       val cols = (0 until rpb).map(r => s"CAST(s${j * rpb + r} AS VARCHAR)").mkString(", ", ", ", "")
       s"SELECT doc_id, $j AS band, concat_ws('_'$cols) AS bucket FROM sigs"
     }.mkString("\n          UNION ALL ")
-    s"""w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM $from),
+    s"""w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0) AS w FROM $from),
         g AS (SELECT doc_id, [array_to_string(w[i:i+${k - 1}], ' ')
             for i in generate_series(1, greatest(len(w)-${k - 1}, 0))] AS grams FROM w),
         h AS (SELECT doc_id, list_transform(grams,
@@ -1508,7 +1507,7 @@ object SparkEntry {
           docs.filter(col("doc_id") % 97 === 0),
           "text", "doc_id", n = 3)
       },
-      Some(s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      Some(s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0) AS w
             FROM documents),
           g AS (SELECT doc_id, list_distinct([CAST(concat('0x',
                 substr(md5(array_to_string(w[i:i+2], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
@@ -1536,7 +1535,7 @@ object SparkEntry {
       (s, dir) => TextAnalysis.ngramLmCounts(t(s, dir, "documents"), "text", n = 2)
         .orderBy(col("n_gram").desc, col("gram").asc)
         .limit(100),
-      Some("""WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      Some("""WITH w AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0) AS w FROM documents),
           g AS (SELECT unnest([array_to_string(w[i:i+1], ' ')
               for i in generate_series(1, greatest(len(w)-1, 0))]) AS gram FROM w),
           gc AS (SELECT gram, count(*) AS n_gram FROM g GROUP BY gram),
@@ -1652,6 +1651,7 @@ object SparkEntry {
       (s, dir) => {
         val tokens = t(s, dir, "documents").select(col("lang"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
         val regs = Aggregations.hllPortableRegisters(tokens, Seq("lang"), "w", lgK = 6)
         val allRegs = Aggregations.hllPortableRollup(regs, Nil)
           .withColumn("lang", lit("ALL"))
@@ -1685,8 +1685,7 @@ object SparkEntry {
       (s, dir) => TextAnalysis.packSequences(t(s, dir, "documents"),
         "text", "doc_id", budget = 512, shardBy = "source"),
       Some("""WITH t AS (SELECT doc_id, source,
-            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+            CAST(len(list_filter(string_split_regex(trim(text), '\s+'), tws -> length(tws) > 0)) AS BIGINT) AS n_tokens
           FROM documents),
           o AS (SELECT doc_id, source, n_tokens,
             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -1888,7 +1887,7 @@ object SparkEntry {
             WHERE doc_id % 97 <> 0 AND length(trim(text)) >= 100),
           dedup AS (SELECT * FROM base
             QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
-          wds AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          wds AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0) AS w
             FROM documents),
           g AS (SELECT doc_id, list_distinct([CAST(concat('0x',
                 substr(md5(array_to_string(w[i:i+2], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
@@ -1903,8 +1902,7 @@ object SparkEntry {
             WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000000
               < CASE source WHEN 'src1' THEN 500000 ELSE 200000 END),
           tok AS (SELECT doc_id, source,
-            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+            CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), tws -> length(tws) > 0)) AS BIGINT) AS n_tokens
             FROM sampled),
           o AS (SELECT doc_id, source, n_tokens,
             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -1950,7 +1948,7 @@ object SparkEntry {
     // shuffle moves (hash, id) pairs, never text, never doc pairs ---
     Q("q82_selfoverlap",
       (s, dir) => TextAnalysis.selfOverlap(t(s, dir, "documents"), "text", "doc_id", k = 8),
-      Some(s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      Some(s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0) AS w
             FROM documents),
           g AS (SELECT doc_id, list_distinct([CAST(concat('0x',
                 substr(md5(array_to_string(w[i:i+7], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
@@ -1976,7 +1974,7 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1),
           "text", "doc_id")
       },
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      Some("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0) AS w
             FROM documents),
           g AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
               for i in generate_series(1, greatest(len(w)-1, 0))]) AS gram FROM w),
@@ -1996,8 +1994,7 @@ object SparkEntry {
       (s, dir) => TextAnalysis.packStats(t(s, dir, "documents"), "text",
         budget = 512, shardBy = "source"),
       Some("""WITH t AS (SELECT source,
-            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+            CAST(len(list_filter(string_split_regex(trim(text), '\s+'), tws -> length(tws) > 0)) AS BIGINT) AS n
           FROM documents)
         SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
           CAST((sum(n) + 511) // 512 AS BIGINT) AS n_chunks,
@@ -2066,8 +2063,7 @@ object SparkEntry {
       (s, dir) => TextAnalysis.chunkSpans(t(s, dir, "documents"), "text", "doc_id",
         window = 48, stride = 32),
       Some("""WITH t AS (SELECT doc_id,
-            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+            CAST(len(list_filter(string_split_regex(trim(text), '\s+'), tws -> length(tws) > 0)) AS BIGINT) AS n
           FROM documents),
           e AS (SELECT doc_id, n,
             unnest([i for i in generate_series(0, CAST((n - 1) // 32 AS BIGINT))]) AS i
@@ -2114,7 +2110,7 @@ object SparkEntry {
           .withColumn("novelty_rate",
             col("n_novel").cast("double") / col("n_new_distinct").cast("double"))
       },
-      Some(s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      Some(s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0) AS w
             FROM documents),
           g AS (SELECT doc_id, [CAST(concat('0x',
                 substr(md5(array_to_string(w[i:i+1], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
@@ -2251,7 +2247,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_chunks"), sum(col("chunk_len")).as("total_len"))
           .withColumnRenamed("(doc_id % 10)", "bucket")
       },
-      Some(s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      Some(s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0) AS w
             FROM documents),
           g AS (SELECT doc_id, list_distinct([CAST(concat('0x',
                 substr(md5(array_to_string(w[i:i+7], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
@@ -2273,8 +2269,7 @@ object SparkEntry {
             WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000000
               < CAST(round(rate * 1000000) AS BIGINT)),
           tok AS (SELECT doc_id,
-            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n
+            CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), tws -> length(tws) > 0)) AS BIGINT) AS n
             FROM bal),
           ch AS (SELECT doc_id, n,
               unnest([i for i in generate_series(0, CAST((n - 1) // 48 AS BIGINT))]) AS i
@@ -2377,7 +2372,7 @@ object SparkEntry {
           FROM bands a JOIN bands b ON a.band = b.band AND a.bits = b.bits
             AND a.doc_id < b.doc_id$blkJoin)"""
     s"""WITH w AS (SELECT $blkSel doc_id,
-            string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+            list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0) AS w FROM documents),
         g AS (SELECT $blkSel doc_id, [array_to_string(w[i:i+${k - 1}], ' ')
             for i in generate_series(1, greatest(len(w)-${k - 1}, 0))] AS grams FROM w),
         h AS (SELECT $blkSel doc_id, list_transform(grams,
@@ -2454,7 +2449,7 @@ object SparkEntry {
     Q("q102_containment",
       (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
         threshold = 0.6, k = 3),
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      Some("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0) AS w
             FROM documents),
           g AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
               for i in generate_series(1, greatest(len(w)-2, 0))]) AS gs FROM w),
@@ -2528,7 +2523,7 @@ object SparkEntry {
           docs.filter(col("doc_id") % 97 === 0),
           "text", "doc_id", n = 3, mBits = 1 << 16, numProbes = 3)
       },
-      Some(s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      Some(s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0) AS w
             FROM documents),
           g AS (SELECT doc_id, list_distinct([CAST(concat('0x',
                 substr(md5(array_to_string(w[i:i+2], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
@@ -2549,7 +2544,7 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
           "text", "doc_id", threshold = 0.5, k = 3)
       },
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      Some("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0) AS w
             FROM documents),
           g AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
               for i in generate_series(1, greatest(len(w)-2, 0))]) AS gs FROM w),
@@ -2576,7 +2571,7 @@ object SparkEntry {
             CAST((CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
               % 1000000) // 250000 AS INT) AS b
             FROM documents),
-          w AS (SELECT doc_id, b, string_split_regex(lower(trim(text)), '\s+') AS w FROM d),
+          w AS (SELECT doc_id, b, list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0) AS w FROM d),
           g AS (SELECT doc_id, b, list_distinct([array_to_string(w[i:i+1], ' ')
               for i in generate_series(1, greatest(len(w)-1, 0))]) AS gs FROM w),
           e AS (SELECT b, unnest(gs) AS h FROM g),
@@ -2598,7 +2593,7 @@ object SparkEntry {
     Q("q108_source_similarity",
       (s, dir) => TextAnalysis.sliceSimilarity(t(s, dir, "documents"), "text",
         "source", k = 2),
-      Some("""WITH w AS (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w
+      Some("""WITH w AS (SELECT source, list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0) AS w
             FROM documents),
           g AS (SELECT source, list_distinct([array_to_string(w[i:i+1], ' ')
               for i in generate_series(1, greatest(len(w)-1, 0))]) AS gs FROM w),
@@ -2748,15 +2743,13 @@ object SparkEntry {
     // the global cumulative order without a single-partition window ---
     Q("q117_token_shards",
       (s, dir) => {
-        val tok = when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        val tok = TextAnalysis.tokenCountWs(col("text")).cast("long")
         graft.ml.MLOps.tokenShards(t(s, dir, "documents"), "doc_id", tok,
           targetTokens = 2000, buckets = 16)
           .select(col("doc_id"), col("__n").as("n_tok"), col("shard"))
       },
       Some("""WITH t AS (SELECT doc_id,
-            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+            CAST(len(list_filter(string_split_regex(trim(text), '\s+'), tws -> length(tws) > 0)) AS BIGINT) AS n_tok,
             CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
               % 1000000 AS u
           FROM documents),
@@ -2890,8 +2883,7 @@ object SparkEntry {
             .select("doc_id", "score"), Seq("doc_id"))
         val kept = graft.ml.MLOps.topFractionByScore(scored, "source", "score",
           "doc_id", 0.5)
-        val tok = when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        val tok = TextAnalysis.tokenCountWs(col("text")).cast("long")
         graft.ml.MLOps.tokenShards(kept, "doc_id", tok, targetTokens = 4000, buckets = 16)
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"))
@@ -2911,8 +2903,7 @@ object SparkEntry {
               count(*) OVER (PARTITION BY source) AS cnt FROM sc),
           kept AS (SELECT doc_id, text FROM tf WHERE rn <= CAST(ceil(0.5 * cnt) AS BIGINT)),
           tok AS (SELECT doc_id,
-              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n,
+              CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), tws -> length(tws) > 0)) AS BIGINT) AS n,
               CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                 % 1000000 AS u
             FROM kept),
@@ -3188,6 +3179,7 @@ object SparkEntry {
       (s, dir) => {
         val tokens = t(s, dir, "documents").select(col("source"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
         val regs = Aggregations.hllPortableRegisters(tokens, Seq("source"), "w")
         val allRegs = Aggregations.hllPortableRollup(regs, Nil)
           .withColumn("source", lit("ALL"))
@@ -3311,8 +3303,7 @@ object SparkEntry {
     // must renormalize away ---
     Q("q143_token_budget",
       (s, dir) => {
-        val tok = when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        val tok = TextAnalysis.tokenCountWs(col("text")).cast("long")
         graft.ml.MLOps.tokenBudget(t(s, dir, "documents"), "source", tok,
           totalBudget = 1000000L,
           weights = Map("src0" -> 4L, "src1" -> 2L, "src2" -> 2L, "srcX" -> 2L))
@@ -3320,8 +3311,7 @@ object SparkEntry {
       Some("""WITH w(source, rw) AS (VALUES ('src0', CAST(4 AS BIGINT)),
               ('src1', 2), ('src2', 2), ('srcX', 2)),
           t AS (SELECT source, count(*) AS n_docs,
-              CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+              CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), tws -> length(tws) > 0))) AS BIGINT) AS n_tokens
             FROM documents GROUP BY source),
           j AS (SELECT t.source, n_docs, n_tokens, rw FROM t JOIN w USING (source))
         SELECT source, n_docs, n_tokens,
@@ -3380,14 +3370,12 @@ object SparkEntry {
     // banded scan + driver-side suffix sum over the bounded band table ---
     Q("q146_retention_curve",
       (s, dir) => {
-        val tok = when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        val tok = TextAnalysis.tokenCountWs(col("text")).cast("long")
         TextAnalysis.retentionCurve(t(s, dir, "documents"),
           col("n_chars"), tok, Seq(250.0, 280.0, 300.0, 320.0))
       },
       Some("""WITH t(threshold) AS (VALUES (CAST(250 AS DOUBLE)), (280), (300), (320)),
-          d AS (SELECT n_chars, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok
+          d AS (SELECT n_chars, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), tws -> length(tws) > 0)) AS BIGINT) AS tok
             FROM documents),
           x AS (SELECT threshold, n_chars, tok FROM t CROSS JOIN d)
         SELECT threshold,
@@ -3413,8 +3401,7 @@ object SparkEntry {
         val frac = Dedup.crossDocDupFraction(docs, "text", "doc_id", k = 3, minDocs = 2)
         val kept = docs.join(
           frac.filter(col("dup_frac") <= 0.8).select("doc_id"), Seq("doc_id"))
-        val tok = when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        val tok = TextAnalysis.tokenCountWs(col("text")).cast("long")
         val budget = graft.ml.MLOps.tokenBudget(kept, "source", tok, 50000L,
           Map("src0" -> 3L, "src1" -> 1L))
         // O(groups) driver pull — the rates table is the broadcast-scale
@@ -3438,8 +3425,7 @@ object SparkEntry {
             FROM documents d0 LEFT JOIN f USING (doc_id)
             WHERE coalesce(dup_frac, 0.0) <= 0.8),
           w(source, rw) AS (VALUES ('src0', CAST(3 AS BIGINT)), ('src1', 1)),
-          t AS (SELECT source, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+          t AS (SELECT source, CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), tws -> length(tws) > 0))) AS BIGINT) AS n_tokens
             FROM kept GROUP BY source),
           r AS (SELECT t.source, CAST(rw AS DOUBLE) / CAST(sum(rw) OVER () AS DOUBLE)
                 * 50000.0 / CAST(n_tokens AS DOUBLE) AS rate
@@ -3490,14 +3476,12 @@ object SparkEntry {
     // shape as q146 ---
     Q("q149_retention_by_source",
       (s, dir) => {
-        val tok = when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        val tok = TextAnalysis.tokenCountWs(col("text")).cast("long")
         TextAnalysis.retentionCurveBy(t(s, dir, "documents"),
           col("n_chars"), tok, Seq(260.0, 300.0), groupCol = Some("source"))
       },
       Some("""WITH t(threshold) AS (VALUES (CAST(260 AS DOUBLE)), (300)),
-          d AS (SELECT source, n_chars, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok
+          d AS (SELECT source, n_chars, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), tws -> length(tws) > 0)) AS BIGINT) AS tok
             FROM documents),
           x AS (SELECT threshold, source, n_chars, tok FROM t CROSS JOIN d)
         SELECT source AS "group", threshold,
@@ -3520,6 +3504,7 @@ object SparkEntry {
         val probes = Seq("spark", "table", "hash", "value", "the", "zz_absent")
         val tokens = t(s, dir, "documents").select(col("source"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
         val sk = Aggregations.cmsPortableSketch(tokens, Seq("source"), "w")
         val allSk = Aggregations.cmsPortableRollup(sk, Nil)
           .withColumn("source", lit("ALL"))
@@ -3535,7 +3520,7 @@ object SparkEntry {
           .na.fill(0L, Seq("exact_count"))
       },
       Some("""WITH w AS (SELECT source,
-            unnest(string_split_regex(lower(trim(text)), '\s+')) AS val FROM documents),
+            unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0)) AS val FROM documents),
           dep(dep) AS (VALUES (0), (1), (2), (3)),
           hx AS (SELECT source, dep,
               CAST(concat('0x', substr(md5(val), dep * 8 + 1, 8))
@@ -3712,8 +3697,7 @@ object SparkEntry {
             targetPred = col("lang") === "en", buckets = 4096, keepPct = 50)
           .filter(col("selected")).select("doc_id").localCheckpoint(true)
         val corpus = kept.join(selIds, Seq("doc_id"))
-        val tok = when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        val tok = TextAnalysis.tokenCountWs(col("text")).cast("long")
         graft.ml.MLOps.tokenBudget(corpus, "lang", tok, 100000L,
           Map("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L))
       },
@@ -3770,8 +3754,7 @@ object SparkEntry {
           wt(lang, rw) AS (VALUES ('en', CAST(4 AS BIGINT)), ('de', 2), ('es', 2),
             ('fr', 1), ('zh', 1)),
           t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+              CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), tws -> length(tws) > 0))) AS BIGINT) AS n_tokens
             FROM corpus GROUP BY lang)
         SELECT t.lang, n_docs, n_tokens,
           CAST(rw AS DOUBLE) / CAST(sum(rw) OVER () AS DOUBLE) AS weight,
@@ -3969,7 +3952,7 @@ object SparkEntry {
       (s, dir) => TextAnalysis.distributionDistance(
         t(s, dir, "documents"), "text", "source"),
       Some("""WITH w AS (SELECT source AS slice,
-            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0)) AS w
           FROM documents),
         c AS (SELECT slice, w, CAST(count(*) AS BIGINT) AS n FROM w
           WHERE len(w) > 0 GROUP BY 1, 2),
@@ -3999,7 +3982,7 @@ object SparkEntry {
     // a single-threaded reference trainer (BpeSpec) ---
     Q("q161_bpe_pair_counts",
       (s, dir) => graft.ops.Bpe.firstRoundPairs(t(s, dir, "documents"), "text", 20),
-      Some("""WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      Some("""WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0)) AS word
             FROM documents),
         wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w
           WHERE len(word) > 0 GROUP BY 1),
@@ -4023,8 +4006,7 @@ object SparkEntry {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = t(s, dir, "documents")
-        val tok = when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        val tok = TextAnalysis.tokenCountWs(col("text")).cast("long")
         // dup window keyed on md5(text), MIRRORED in the oracle (PARTITION
         // BY md5(text)): both engines see identical collisions (md5 is the
         // same function in Spark and DuckDB), so the hash-match is exact
@@ -4114,8 +4096,7 @@ object SparkEntry {
               THEN 1 ELSE 0 END AS gpass
             FROM gm),
           d AS (SELECT doc_id, source, text,
-              CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+              len(list_filter(string_split_regex(trim(text), '\\s+'), tws -> length(tws) > 0)) AS n_tok,
               CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1 THEN 1 ELSE 0 END AS dup
             FROM documents),
           dw AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words
@@ -4195,7 +4176,7 @@ object SparkEntry {
               CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)
                 % 2147483647 % 32768 AS b
             FROM (SELECT doc_id,
-                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+                unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0)) AS t
               FROM documents WHERE length(trim(text)) > 0)),
           agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
               CAST(sum(coalesce(weight, 0)) AS BIGINT) AS score
@@ -4227,7 +4208,7 @@ object SparkEntry {
             CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)
               % 2147483647 % 32768 AS b
           FROM (SELECT doc_id, lang,
-              unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+              unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0)) AS t
             FROM documents WHERE length(trim(text)) > 0)),
         wt AS (SELECT b AS bucket, CAST(sum(y) AS BIGINT) AS weight
           FROM tok GROUP BY b HAVING sum(y) <> 0),
@@ -4491,7 +4472,7 @@ object SparkEntry {
     // sum() widens to HUGEINT in DuckDB — pin BIGINT (values stay < 2^63)
     val denom = s"CAST(d + ($m - n_buckets_set) * (CAST(1 AS BIGINT) << $bigW) AS BIGINT)"
     s"""WITH w AS (SELECT $key,
-          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS val
+          unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0)) AS val
         FROM documents),
       h AS (SELECT $key,
           CAST(concat('0x', substr(md5(CAST(val AS VARCHAR)), 1, 14)) AS BIGINT) AS h

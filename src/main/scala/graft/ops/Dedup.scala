@@ -31,7 +31,11 @@ object Dedup {
 
   /** Normalize + shingle a text column into k-gram (word) shingles. */
   def shingles(textCol: Column, k: Int = 3): Column = {
-    val words = split(lower(trim(textCol)), "\\s+")
+    // empty segments filtered: SQL trim strips only spaces, so boundary
+    // tabs/newlines would otherwise mint "" words and shingles like " foo"
+    // — diverging from the native kernels, which Java-trim ALL whitespace
+    // before splitting (Native.scala WordShingleHashes)
+    val words = filter(split(lower(trim(textCol)), "\\s+"), w => length(w) > 0)
     // sliding word k-grams via transform over indices
     val n = size(words)
     filter(
@@ -69,6 +73,12 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
+    // same contract its portable siblings enforce: bands > numHashes would
+    // make rowsPerBand 0 — every band bucket hashes an EMPTY slice, every
+    // doc shares it, and the bucket self-join degenerates to all-pairs
+    // O(n²); a non-dividing bands would silently ignore trailing hashes
+    require(numHashes % bands == 0 && bands >= 1,
+      s"bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
     // two projections: shingle hashes once per doc, then the signature from
     // the materialized array via the native kernel (never collapsed — the
@@ -103,7 +113,12 @@ object Dedup {
     * Inline-column form for single-use contexts; for DataFrame pipelines use
     * [[withSimhash]], which materializes the hash array once per row. */
   def simhash(textCol: Column, k: Int = 2): Column =
-    simhashFromHashes(transform(shingles(textCol, k), s => xxhash64(s)))
+    // SAME kernel hash family as withSimhash — the inline form must be
+    // interchangeable with the df-level form (they once used different
+    // shingle hashes: xxhash64-over-string here vs mix64 in the kernel,
+    // so mixed pipelines silently never matched; TokenizationAlignmentSpec
+    // pins the equality now)
+    graft.functions.Native.simhash64(hashedShingles(textCol, k))
 
   /** df-level simhash: shingle-hash array in its own projection, then the 64
     * bit-votes over the materialized attribute — O(len·64) per row instead of
@@ -618,11 +633,17 @@ object Dedup {
     val numHashes = portableCoeffs.size
     require(numHashes % bands == 0, "bands must divide the coefficient count")
     val rowsPerBand = numHashes / bands
+    // a RE-INGESTED id (present in both corpus and newBatch) must not
+    // produce two shingle-set rows — every verified pair would join twice
+    // and emit twice, inflating downstream dup stats. Batch wins: the
+    // ingest's version is the current content.
+    
     def bandedOf(sig: DataFrame) = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val all = corpus.unionByName(newBatch)
+    val all = newBatch.unionByName(
+      corpus.join(newBatch.select(col(idCol)), Seq(idCol), "left_anti"))
     val bandedAll = bandedOf(portableSigs(all, textCol, idCol, k))
     val bandedNew = bandedOf(portableSigs(newBatch, textCol, idCol, k))
     val cands = bandedNew.select(col("band"), col("bucket"), col("id").as("__new"))
@@ -736,7 +757,11 @@ object Dedup {
     * stats are ORDER-INDEPENDENT only (count/min/max — a jaccard sum would
     * be float-order-dependent and break cross-engine hashing). */
   def dupMatrix(docs: DataFrame, pairs: DataFrame, idCol: String,
-      groupCol: String): DataFrame = {
+      groupCol: String, scoreCol: String = "jaccard"): DataFrame = {
+    require(pairs.columns.contains(scoreCol),
+      s"dupMatrix: pair frame has no '$scoreCol' column (columns: " +
+        s"${pairs.columns.mkString(", ")}) — pass scoreCol for non-jaccard " +
+        "pair sources (e.g. scoreCol = \"hamming\" for simhash banding)")
     val g = docs.select(col(idCol), col(groupCol))
     pairs
       .join(g.withColumnsRenamed(Map(idCol -> "id_a", groupCol -> "__ga")), "id_a")
@@ -744,8 +769,8 @@ object Dedup {
       .groupBy(least(col("__ga"), col("__gb")).as("group_lo"),
         greatest(col("__ga"), col("__gb")).as("group_hi"))
       .agg(count(lit(1)).as("n_pairs"),
-        min(col("jaccard")).as("min_jaccard"),
-        max(col("jaccard")).as("max_jaccard"))
+        min(col(scoreCol)).as(s"min_$scoreCol"),
+        max(col(scoreCol)).as(s"max_$scoreCol"))
   }
 
   /** CONTAINMENT pairs (asymmetric Jaccard): |A∩B| / min(|A|, |B|) ≥

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Vector similarity search over an embedding column (Array[Float]) — the
   * engine behind the reference's VectorIndexStore.nearest_n_to

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count — empty segments are FILTERED, so boundary
+    * tabs/newlines (SQL trim strips only spaces; split keeps boundary
+    * empties at limit -1) never mint phantom tokens: "hello world\n" is 2
+    * tokens, "\t" is 0. Every oracle restatement mirrors the filter
+    * (list_filter(..., length > 0)). */
   def tokenCountWs(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+    size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
 
   /** BPE-ish subword token estimate: letter runs, digit runs, and single
     * punctuation marks — the usual cheap proxy for LLM token counts without
@@ -51,7 +55,7 @@ object TextAnalysis {
 
   /** Fraction of tokens that are common English stopwords. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = enStop): Column = {
-    val words = split(lower(trim(text)), "\\s+")
+    val words = filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
     val n = size(words)
     when(n === 0, 0.0).otherwise(
       size(filter(words, w => w.isin(stopwords: _*))).cast("double") / n.cast("double"))
@@ -92,11 +96,15 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint: polynomial rolling hash over word
-    * tokens (order-sensitive, content-defined). Deterministic across runs. */
+    * tokens (order-sensitive, content-defined). Deterministic across runs.
+    * Arithmetic is BOUNDED mod 2⁴⁰ (acc·31 + h stays < 2⁴⁶) — the raw
+    * xxhash64 fold would overflow longs and THROW under ANSI mode, which
+    * is Spark 4's default. */
   def fingerprint(text: Column): Column = {
-    val words = split(lower(trim(text)), "\\s+")
-    aggregate(words, lit(1469598103934665603L),
-      (acc, w) => acc * lit(31L) + xxhash64(w))
+    val M = 1099511627776L // 2^40
+    val words = filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+    aggregate(words, lit(1469598103934665603L % M),
+      (acc, w) => pmod(acc * lit(31L) + pmod(xxhash64(w), lit(M)), lit(M)))
   }
 
   /** Portable variant of [[fingerprint]] built only on md5 + arithmetic mod
@@ -105,7 +113,7 @@ object TextAnalysis {
     * rolling combine = (acc*31 + h) mod 2^40. */
   def fingerprintPortable(text: Column): Column = {
     val M = 1099511627776L // 2^40
-    val words = split(lower(trim(text)), "\\s+")
+    val words = filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
     val hashes = transform(words,
       w => pmod(conv(substring(md5(w), 1, 14), 16, 10).cast("long"), lit(M)))
     aggregate(hashes, lit(7L), (acc, h) => pmod(acc * lit(31L) + h, lit(M)))
@@ -281,6 +289,8 @@ object TextAnalysis {
     * corpus is packed (per input file / date / source shard). */
   def packSequences(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
       budget: Int, shardBy: String): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive — floor(x / 0) " +
+      "would null every chunk_id silently under non-ANSI mode")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(shardBy)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -354,7 +364,9 @@ object TextAnalysis {
     * is padding waste). One partial-aggregated sum per shard; the ratio is
     * an integer÷integer division so it hashes identically everywhere. */
   def packStats(df: org.apache.spark.sql.DataFrame, textCol: String,
-      budget: Int, shardBy: String): org.apache.spark.sql.DataFrame =
+      budget: Int, shardBy: String): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive — DIV 0 would " +
+      "null n_chunks/fill_ratio silently under non-ANSI mode")
     df.select(col(shardBy), tokenCountWs(col(textCol)).cast("long").as("__n"))
       .groupBy(shardBy)
       .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"))
@@ -364,6 +376,7 @@ object TextAnalysis {
         expr(s"CAST((total_tokens + ${budget - 1}) DIV $budget AS BIGINT)"))
       .withColumn("fill_ratio",
         col("total_tokens").cast("double") / (col("n_chunks") * budget).cast("double"))
+  }
 
   /** Sliding CHUNK SPANS over each document's token sequence (the
     * RAG/embedding-pipeline chunker): windows of `window` tokens starting
@@ -680,12 +693,17 @@ object TextAnalysis {
       .groupBy("slice", "w").agg(count(lit(1)).as("n"))
     val totals = counts.groupBy("slice").agg(sum("n").as("t"))
     val a = counts.join(broadcast(totals), "slice")
-      .select(col("slice").as("slice_a"), col("w"),
+      .select(col("slice").cast("string").as("slice_a"), col("w"),
         col("n").as("na"), col("t").as("ta"))
     val b = counts.join(broadcast(totals), "slice")
-      .select(col("slice").as("slice_b"), col("w"),
+      .select(col("slice").cast("string").as("slice_b"), col("w"),
         col("n").as("nb"), col("t").as("tb"))
-    val shared = a.join(b, Seq("w")).filter(col("slice_a") < col("slice_b"))
+    // pair orientation by the STRING form of the slice on BOTH sides: the
+    // driver-built skeleton sorts string casts, so the distributed side
+    // must too — native numeric ordering would orient (2, 10) while the
+    // skeleton holds ("10", "2") and the join would silently miss the pair
+    val shared = a.join(b, Seq("w"))
+      .filter(col("slice_a").cast("string") < col("slice_b").cast("string"))
       .groupBy("slice_a", "slice_b")
       .agg(sum(abs(col("na") * col("tb") - col("nb") * col("ta"))).as("shared_diff"),
         sum("na").as("sa"), sum("nb").as("sb"))
@@ -765,7 +783,10 @@ object TextAnalysis {
     val band = ts.zipWithIndex.foldLeft(lit(-1)) { case (acc, (t, i)) =>
       when(scoreCol >= lit(t), lit(i)).otherwise(acc)
     }
-    val g = groupCol.map(col).getOrElse(lit("")).cast("string")
+    // null groups bucket under a sentinel label (e.g. docs that failed
+    // language ID) — a raw null would NPE the driver-side sort below
+    val g = coalesce(groupCol.map(col).getOrElse(lit("")).cast("string"),
+      lit("__null__"))
     val byBand = df.select(g.as("__g"), band.as("__band"),
         tokenCount.cast("long").as("__t"))
       .groupBy("__g", "__band")
@@ -808,7 +829,8 @@ object TextAnalysis {
     * Every metric is counting + ONE IEEE division of exact integers, and
     * the line/word tests are prefix/suffix string tests — no regex class
     * semantics to drift between engines (the only regex is the [a-z]
-    * class, identical in Java and RE2). Empty documents fail bits 0/5/6.
+    * class, identical in Java and RE2). Empty documents fail bits 0/1/5/6
+    * (the null mean word length counts as a bit-1 failure too).
     * Pure narrow expressions — codegen'd, no shuffle; filters 100 TB at
     * scan speed. Returns (idCol, n_words, mean_word_len, symbol_ratio,
     * bullet_frac, ellipsis_frac, alpha_frac, n_stop_hits, fail_mask,

@@ -3196,3 +3196,51 @@ class RecipeDiffSpec extends AnyFunSuite {
     assert(info.nonEmpty && info.forall(_.severity == Info))
   }
 }
+
+/** Whitespace-tokenization alignment (review findings): boundary tabs and
+  * newlines must not mint phantom tokens anywhere, and the SQL shingle path
+  * must agree with the native kernels' Java-trim on dirty text. */
+class TokenizationAlignmentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenCountWs: boundary whitespace never counts") {
+    val df = Seq(
+      ("hello world\n", 2), ("\thello", 1), ("\t", 0), ("", 0),
+      ("a  b", 2), ("  spaced  ", 1), ("one", 1))
+      .toDF("text", "want")
+    val got = df.select(col("want"),
+      graft.ops.TextAnalysis.tokenCountWs(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(0), r.toString))
+  }
+
+  test("SQL shingles agree with the native kernel on boundary-whitespace text") {
+    val df = Seq((1L, "\tfoo bar baz\n"), (2L, "plain text here"), (3L, " x "))
+      .toDF("id", "text")
+    val both = df.select(col("id"),
+        size(graft.ops.Dedup.shingles(col("text"), 2)).as("sql_n"),
+        size(graft.ops.Dedup.hashedShingles(col("text"), 2)).as("kernel_n"))
+      .collect()
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"id=${r.getLong(0)}: sql=${r.getInt(1)} kernel=${r.getInt(2)}"))
+    // the reviewer's exact scenario: inline simhash (SQL shingles) must
+    // equal withSimhash (kernel) on text with a leading tab
+    val sigs = graft.ops.Dedup.withSimhash(df, "text", "ksig", k = 2)
+      .withColumn("ssig", graft.ops.Dedup.simhash(col("text"), k = 2))
+      .collect()
+    sigs.foreach(r => assert(r.getAs[Long]("ksig") == r.getAs[Long]("ssig")))
+  }
+
+  test("fingerprints ignore boundary whitespace (match their clean forms)") {
+    val pairs = Seq(("\thello world\n", "hello world"), (" a  b ", "a b"))
+    for ((dirty, clean) <- pairs) {
+      val r = Seq((dirty, clean)).toDF("d", "c").select(
+        graft.ops.TextAnalysis.fingerprintPortable(col("d")),
+        graft.ops.TextAnalysis.fingerprintPortable(col("c")),
+        graft.ops.TextAnalysis.fingerprint(col("d")),
+        graft.ops.TextAnalysis.fingerprint(col("c"))).collect().head
+      assert(r.getLong(0) == r.getLong(1), s"portable: $dirty")
+      assert(r.getLong(2) == r.getLong(3), s"xxhash: $dirty")
+    }
+  }
+}
