@@ -4407,7 +4407,50 @@ object SparkEntry {
           CASE WHEN CAST(concat('0x', substr(md5(CAST(canon.component AS VARCHAR)), 1, 8))
               AS BIGINT) % 100 < 80
             THEN 'train' ELSE 'test' END AS split
-        FROM canon JOIN sel USING (doc_id)"""))
+        FROM canon JOIN sel USING (doc_id)""")),
+
+    // --- CCNET LM-QUALITY TERCILES (Wenzek et al. 2020): unigram model
+    // on the en reference slice, saturating fixed-point log2 magnitude
+    // (length(bin(m^3))-1, m capped at 2^20 so the cube stays in a long),
+    // milli-mean integer doc score, head/middle/tail by threshold cutoffs
+    // from the bounded score histogram — the LM member of the quality
+    // family (rules = q152, trained-linear = q164b); exact integers end
+    // to end, terciles without a global sort ---
+    Q("q169_ccnet_partition",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        TextAnalysis.lmQualityPartition(
+          d.filter(col("lang") === "en"), d, "text", "doc_id")
+      },
+      Some("""WITH ref AS (SELECT unnest(list_filter(
+              string_split_regex(lower(trim(text)), '\s+'),
+              xf -> length(xf) > 0)) AS w
+            FROM documents WHERE lang = 'en'),
+          freq AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM ref GROUP BY w),
+          tok AS (SELECT doc_id, unnest(list_filter(
+              string_split_regex(lower(trim(text)), '\s+'),
+              xf -> length(xf) > 0)) AS w
+            FROM documents),
+          pd AS (SELECT t.doc_id,
+              CAST(sum(length(bin(least(coalesce(f.n, 0) + 1, 1048576)
+                * least(coalesce(f.n, 0) + 1, 1048576)
+                * least(coalesce(f.n, 0) + 1, 1048576))) - 1) AS BIGINT) AS sumb,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM tok t LEFT JOIN freq f USING (w) GROUP BY t.doc_id),
+          sc AS (SELECT d.doc_id,
+              CAST(coalesce((1000 * pd.sumb) // pd.cnt, -1) AS BIGINT) AS lm_milli
+            FROM documents d LEFT JOIN pd USING (doc_id)),
+          hist AS (SELECT lm_milli AS s, count(*) AS c FROM sc GROUP BY 1),
+          cum AS (SELECT s, sum(c) OVER (ORDER BY s DESC) AS cum FROM hist),
+          nn AS (SELECT count(*) AS n FROM sc),
+          cuts AS (SELECT
+              (SELECT max(s) FROM cum, nn WHERE cum >= (n + 2) // 3) AS s1,
+              (SELECT max(s) FROM cum, nn WHERE cum >= (2 * n + 2) // 3) AS s2)
+        SELECT sc.doc_id, sc.lm_milli,
+          CASE WHEN sc.lm_milli >= c.s1 THEN 'head'
+               WHEN sc.lm_milli >= c.s2 THEN 'middle'
+               ELSE 'tail' END AS part
+        FROM sc, cuts c"""))
   )
 
   /** Frozen top-8 merge rules for q161b — learned by [[graft.ops.Bpe.train]]

@@ -892,4 +892,71 @@ object TextAnalysis {
       stopHits.as("n_stop_hits"), mask.as("fail_mask"),
       (mask === 0L).as("keep"))
   }
+
+  /** CCNET-STYLE LM QUALITY PARTITION (Wenzek et al. 2020 §4.3, the
+    * perplexity-tercile filter of the CCNet/LLaMA data pipeline): score
+    * each document by how "expected" its tokens are under a unigram
+    * frequency model trained on a REFERENCE slice (CCNet trains KenLM on
+    * Wikipedia; pass any high-trust slice), then split the corpus into
+    * head / middle / tail terciles — head reads like the reference, tail
+    * is what CCNet drops or down-samples. Complements the quality family:
+    * rule-based ([[gopherFilter]]), trained-linear
+    * ([[graft.ml.MLOps.perceptronTrain]]) — this is the LM-based member.
+    * Reference-semantics anchor: aligned's per-row quality annotations
+    * (`aligned/schemas/transformation.py` scoring transforms); the
+    * tercile mechanics are CCNet's, which aligned does not have.
+    *
+    * Arithmetic is EXACT so the partition hash-matches any engine: the
+    * per-token log-probability proxy is the saturating fixed-point
+    * magnitude floor(3·log2 m) = length(bin(m³))−1 with
+    * m = min(freq+1, 2²⁰) — third-of-a-bit resolution, no libm, and m³
+    * stays within a long; past the 2²⁰ cap "very common" has saturated as
+    * a quality signal. The doc score is the milli-scaled integer mean
+    * (1000·Σb) div count (empty docs score −1), and the tercile cutoffs
+    * are score THRESHOLDS — every tied document stays on one side, so the
+    * groups are threshold-exact rather than forced equal-size (NTILE
+    * would need a global total-order sort and split ties arbitrarily).
+    *
+    * Plan shape at 100 TB: the reference vocabulary is Zipf-bounded → the
+    * token join is broadcast-or-shuffle-hash on the word; ONE corpus
+    * explode feeds one partial-aggregated per-doc group-by; the cutoffs
+    * come from the integer score histogram — a driver pull bounded by the
+    * score RANGE (≤ 60·1000+2 buckets) regardless of corpus size (the
+    * q153 threshold-DSIR idiom) — and the final assignment is a literal
+    * threshold CASE. No global sort anywhere. */
+  def lmQualityPartition(reference: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    def toks(c: Column) = filter(split(lower(trim(c)), "\\s+"), w => length(w) > 0)
+    val freq = reference.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__n"))
+    val m = least(coalesce(col("__n"), lit(0L)) + lit(1L), lit(1048576L))
+    val bucket = length(bin(m * m * m)) - lit(1)
+    val perDoc = corpus.select(col(idCol), explode(toks(col(textCol))).as("w"))
+      .join(freq, Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(sum(bucket).as("__sumb"), count(lit(1)).as("__cnt"))
+    val scored = corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(expr("(1000 * __sumb) div __cnt"), lit(-1L)).as("lm_milli"))
+    // integer-score histogram: bounded by the score range, not the corpus
+    val hist = scored.groupBy("lm_milli").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    val k1 = (n + 2) / 3      // ceil(n/3): min head size before ties extend it
+    val k2 = (2 * n + 2) / 3  // ceil(2n/3): head+middle floor
+    var cum = 0L
+    var s1 = Long.MinValue
+    var s2 = Long.MinValue
+    hist.foreach { case (s, c) =>
+      cum += c
+      if (s1 == Long.MinValue && cum >= k1) s1 = s
+      if (s2 == Long.MinValue && cum >= k2) s2 = s
+    }
+    scored.withColumn("part",
+      when(col("lm_milli") >= lit(s1), "head")
+        .when(col("lm_milli") >= lit(s2), "middle")
+        .otherwise(lit("tail")))
+  }
 }

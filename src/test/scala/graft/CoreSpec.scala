@@ -1679,6 +1679,49 @@ class GopherFilterSpec extends AnyFunSuite {
   }
 }
 
+/** CCNet-style LM quality terciles: exact fixed-point log2 buckets,
+  * threshold cutoffs, ties stay on one side. */
+class LmQualityPartitionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def part(ref: Seq[String], corpus: Seq[(Long, String)]) =
+    TextAnalysis.lmQualityPartition(ref.toDF("text"),
+        corpus.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+  test("scores are the exact milli-mean of floor(3*log2(freq+1)) buckets") {
+    // ref freqs: the=5 -> floor(3*log2 6)=7; cat=1 -> floor(3*log2 2)=3;
+    // unknown -> floor(3*log2 1)=0; empty doc -> -1 sentinel
+    val got = part(Seq("the the the the cat", "the dog"),
+      Seq(1L -> "the the", 2L -> "cat", 3L -> "zzz qqq", 4L -> "   "))
+    assert(got(1L)._1 == 7000L) // (1000*14) div 2
+    assert(got(2L)._1 == 3000L)
+    assert(got(3L)._1 == 0L)
+    assert(got(4L)._1 == -1L)
+    // n=4: k1=2, k2=3 -> s1=3000 (cum 2), s2=0 (cum 3)
+    assert(got(1L)._2 == "head" && got(2L)._2 == "head")
+    assert(got(3L)._2 == "middle" && got(4L)._2 == "tail")
+  }
+
+  test("tied scores all land on the same side of a cutoff") {
+    // three docs tie at the head cutoff: head takes all of them (5 docs,
+    // k1=ceil(5/3)=2 reached inside the tie block -> head grows past n/3)
+    val got = part(Seq("the the the the cat"),
+      Seq(1L -> "the", 2L -> "the", 3L -> "the", 4L -> "cat", 5L -> "zzz"))
+    assert(Seq(1L, 2L, 3L).forall(got(_)._2 == "head"))
+    assert(got(4L)._2 == "middle" && got(5L)._2 == "tail")
+  }
+
+  test("frequency cap saturates the bucket instead of overflowing the cube") {
+    // one word repeated > 2^20 times can't be built here; assert the cap
+    // algebra directly instead: bin((2^20)^3) has 61 chars -> bucket 60
+    assert(spark.sql(
+      "SELECT length(bin(CAST(1048576 AS BIGINT)*1048576*1048576)) - 1")
+      .head.getInt(0) == 60)
+  }
+}
+
 /** Integer-mass PageRank: hand-computed fixture + the no-forced-broadcast
   * scale contract (the rank vector must stay joinable, not broadcast, so
   * web-graph node counts beyond the broadcast threshold degrade to a
