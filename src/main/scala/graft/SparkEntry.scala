@@ -4450,7 +4450,36 @@ object SparkEntry {
           CASE WHEN sc.lm_milli >= c.s1 THEN 'head'
                WHEN sc.lm_milli >= c.s2 THEN 'middle'
                ELSE 'tail' END AS part
-        FROM sc, cuts c"""))
+        FROM sc, cuts c""")),
+
+    // --- TOKENIZER FERTILITY per source: chars-per-token under the
+    // learned BPE rules (the standard tokenizer-eval metric — how many
+    // characters one token "buys" on each slice; low fertility = the
+    // vocabulary fits the slice, high = the slice fragments). Rides the
+    // q161b memoized encode; per-source sums are one partial-aggregated
+    // pass and the ratio is milli-scaled integer division, so the whole
+    // card hash-matches. nullif guards an all-empty source (ANSI div) ---
+    Q("q170_tokenizer_fertility",
+      (s, dir) => {
+        val merges = SparkEntry.bpeLiteralRules.zipWithIndex.map {
+          case ((l, r), i) => graft.ops.Bpe.Merge(i + 1, l, r, 0L) }
+        val d = t(s, dir, "documents")
+        val enc = graft.ops.Bpe.encode(d, "text", "doc_id", merges)
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("n_syms"))
+        d.select(col("doc_id"), col("source"), col("n_chars"))
+          .join(enc, Seq("doc_id"))
+          .groupBy("source")
+          .agg(sum("n_chars").as("sum_chars"), sum("n_syms").as("sum_syms"),
+            expr("(1000 * sum(n_chars)) div nullif(sum(n_syms), 0)")
+              .as("fertility_milli"))
+      },
+      Some(s"""WITH enc AS (${sqlBpeEncodeOracle(SparkEntry.bpeLiteralRules)})
+        SELECT d.source, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+          CAST(sum(e.n_syms) AS BIGINT) AS sum_syms,
+          CAST((1000 * sum(d.n_chars)) // nullif(sum(e.n_syms), 0) AS BIGINT)
+            AS fertility_milli
+        FROM documents d JOIN enc e USING (doc_id)
+        GROUP BY d.source"""))
   )
 
   /** Frozen top-8 merge rules for q161b — learned by [[graft.ops.Bpe.train]]

@@ -1955,6 +1955,29 @@ class LeakageSafeSplitSpec extends AnyFunSuite {
   }
 }
 
+/** Tokenizer fertility: q170's per-source chars-per-token card. */
+class TokenizerFertilitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fertility is the milli-scaled integer quotient of source sums") {
+    // one rule e+r: "er er" -> 2 syms (4 chars... n_chars supplied raw)
+    val merges = Seq(graft.ops.Bpe.Merge(1, "e", "r", 0L))
+    val d = Seq((1L, "er er", "s1", 5L), (2L, "xy", "s1", 2L),
+        (3L, "", "s2", 0L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val enc = graft.ops.Bpe.encode(d, "text", "doc_id", merges)
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("n_syms"))
+    val got = d.join(enc, Seq("doc_id")).groupBy("source")
+      .agg(expr("(1000 * sum(n_chars)) div nullif(sum(n_syms), 0)").as("f"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    // s1: chars 7, syms: "er","er" (2) + "xy"->x,y (2) = 4 -> 1750
+    assert(got("s1").contains(1750L))
+    // s2: all-empty source -> 0 syms -> null, not an ANSI div-by-zero
+    assert(got("s2").isEmpty)
+  }
+}
+
 /** Tokenizer artifact round trip: merges -> DataFrame -> merges. */
 class BpeArtifactSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
