@@ -4479,7 +4479,67 @@ object SparkEntry {
           CAST((1000 * sum(d.n_chars)) // nullif(sum(e.n_syms), 0) AS BIGINT)
             AS fertility_milli
         FROM documents d JOIN enc e USING (doc_id)
-        GROUP BY d.source"""))
+        GROUP BY d.source""")),
+
+    // --- CCNet-STAGED curation recipe under the gate: the recipe contract
+    // with its optional stage 3b enabled (dedup THEN LM-filter — CCNet's
+    // own order; keep head+middle, drop tail, the LLaMA practice). Gopher
+    // mask 0 makes the gate identity so the oracle composes just the
+    // proven CTEs: q136's minhash pairs, q163's recursive CC, q158's
+    // keep-best window, q169's tercile chain over the CANONICAL corpus
+    // (keep ⟺ lm_milli ≥ s2), q163's md5 component router. The executed
+    // recipe again survives a registry JSON round trip first, so the new
+    // fields' serialization sits inside the gate too ---
+    Q("q171_ccnet_recipe",
+      (s, dir) => {
+        val r = graft.contract.CurationRecipe(name = "q171_recipe",
+          gopherRuleMask = 0L, ccnetRefCol = Some("lang"), ccnetRefValue = "en")
+        val roundTripped = graft.contract.ContractJson.recipeFromValue(
+          graft.expr.JsonValue.parseObject(
+            graft.contract.ContractJson.recipeToJson(r)))
+        roundTripped.run(t(s, dir, "documents"))
+          .select("doc_id", "component", "split")
+      },
+      Some(s"""WITH RECURSIVE ${minhashCtes(0.5, 4, 3)},
+          sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          cc AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+          dtok AS (SELECT doc_id, lang, list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              xq -> length(xq) > 0) AS ws
+            FROM documents),
+          comp AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS component,
+              CAST(len(d.ws) AS BIGINT) AS n_tok
+            FROM dtok d LEFT JOIN cc ON cc.id = d.doc_id),
+          canon AS (SELECT doc_id, component FROM (SELECT doc_id, component,
+              row_number() OVER (PARTITION BY component
+                ORDER BY n_tok DESC, doc_id ASC) AS rn FROM comp) WHERE rn = 1),
+          ckept AS (SELECT dtok.* FROM dtok JOIN canon USING (doc_id)),
+          ref AS (SELECT unnest(ws) AS w0 FROM ckept WHERE lang = 'en'),
+          freq AS (SELECT w0, CAST(count(*) AS BIGINT) AS n FROM ref GROUP BY w0),
+          tok AS (SELECT doc_id, unnest(ws) AS w0 FROM ckept),
+          pd AS (SELECT t.doc_id,
+              CAST(sum(length(bin(least(coalesce(f.n, 0) + 1, 1048576)
+                * least(coalesce(f.n, 0) + 1, 1048576)
+                * least(coalesce(f.n, 0) + 1, 1048576))) - 1) AS BIGINT) AS sumb,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM tok t LEFT JOIN freq f USING (w0) GROUP BY t.doc_id),
+          sc AS (SELECT k.doc_id,
+              CAST(coalesce((1000 * pd.sumb) // pd.cnt, -1) AS BIGINT) AS lm_milli
+            FROM ckept k LEFT JOIN pd USING (doc_id)),
+          hist AS (SELECT lm_milli AS s0, count(*) AS c FROM sc GROUP BY 1),
+          cum AS (SELECT s0, sum(c) OVER (ORDER BY s0 DESC) AS cum FROM hist),
+          nn AS (SELECT count(*) AS n FROM sc),
+          cuts AS (SELECT
+              (SELECT max(s0) FROM cum, nn WHERE cum >= (2 * n + 2) // 3) AS s2),
+          lmkeep AS (SELECT sc.doc_id FROM sc, cuts c WHERE sc.lm_milli >= c.s2)
+        SELECT canon.doc_id, canon.component,
+          CASE WHEN CAST(concat('0x', substr(md5(CAST(canon.component AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+        FROM canon JOIN lmkeep USING (doc_id)"""))
   )
 
   /** Frozen top-8 merge rules for q161b — learned by [[graft.ops.Bpe.train]]

@@ -210,6 +210,7 @@ object ContractJson {
       s""""gopher_min_words":${r.gopherMinWords},"gopher_rule_mask":${r.gopherRuleMask},""" +
       s""""near_dup_threshold":${r.nearDupThreshold},"near_dup_bands":${r.nearDupBands},""" +
       s""""near_dup_k":${r.nearDupK},"quality_score_col":${opt(r.qualityScoreCol)},""" +
+      s""""ccnet_ref_col":${opt(r.ccnetRefCol)},"ccnet_ref_value":${q(r.ccnetRefValue)},""" +
       s""""dsir_target_col":${opt(r.dsirTargetCol)},"dsir_target_value":${q(r.dsirTargetValue)},""" +
       s""""dsir_keep_pct":${r.dsirKeepPct},"dsir_buckets":${r.dsirBuckets},""" +
       s""""train_pct":${r.trainPct},"cc_max_iter":${r.ccMaxIter},""" +
@@ -225,6 +226,10 @@ object ContractJson {
     nearDupBands = num(m("near_dup_bands")).toInt,
     nearDupK = num(m("near_dup_k")).toInt,
     qualityScoreCol = Option(m("quality_score_col")).map(_.toString),
+    // absent-key tolerant: registries serialized before the CCNet stage
+    // existed must load as "stage skipped", not throw
+    ccnetRefCol = m.get("ccnet_ref_col").flatMap(Option(_)).map(_.toString),
+    ccnetRefValue = m.get("ccnet_ref_value").flatMap(Option(_)).fold("")(_.toString),
     dsirTargetCol = Option(m("dsir_target_col")).map(_.toString),
     dsirTargetValue = m("dsir_target_value").toString,
     dsirKeepPct = num(m("dsir_keep_pct")).toInt,

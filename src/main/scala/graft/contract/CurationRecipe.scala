@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *   1. Gopher quality gate        — [[graft.ops.TextAnalysis.gopherFilter]] (q152)
   *   2. MinHash near-dup pairs     — [[graft.ops.Dedup.nearDuplicatesPortable]] (q136)
   *   3. keep-BEST canonicalization — [[graft.ops.Dedup.canonicalizeBy]] (q158)
+  *   3b. CCNet LM-quality filter   — [[graft.ops.TextAnalysis.lmQualityPartition]]
+  *       (q169; optional — dedup THEN perplexity-filter is CCNet's own
+  *       order, and the LLaMA recipe keeps head+middle, drops tail)
   *   4. threshold-DSIR selection   — [[graft.ml.MLOps.dsirSelectByThreshold]] (q153)
   *   5. leakage-safe split         — [[graft.ml.MLOps.leakageSafeSplit]] (q163)
   *
@@ -49,6 +52,11 @@ final case class CurationRecipe(
     // stage 3: keep-best rule — score column (higher wins, id tiebreak);
     // None scores by token count (keep the longest member)
     qualityScoreCol: Option[String] = None,
+    // stage 3b: CCNet LM filter — reference slice as (column = value);
+    // None skips the stage. When set, a unigram model trained on the
+    // canonical corpus's reference slice drops the tail tercile
+    ccnetRefCol: Option[String] = None,
+    ccnetRefValue: String = "",
     // stage 4: DSIR target slice as (column = value); keepPct = 100 (or no
     // target column) skips selection
     dsirTargetCol: Option[String] = None,
@@ -102,15 +110,29 @@ final case class CurationRecipe(
         w => length(w) > 0)).cast("long"))
     val canonical = graft.ops.Dedup.canonicalizeBy(gated, pairs, idCol, score,
       components = comps)
+    // 3b. CCNet LM filter — unigram model on the canonical corpus's
+    // reference slice, drop the tail tercile (dedup-then-perplexity is
+    // CCNet's own order). The kept-id list is O(docs) longs,
+    // checkpointed so the tercile scoring plan runs once
+    val lmKept = ccnetRefCol match {
+      case Some(rc) =>
+        val keep = graft.ops.TextAnalysis.lmQualityPartition(
+            canonical.filter(col(rc) === lit(ccnetRefValue)), canonical,
+            textCol, idCol)
+          .filter(col("part") =!= "tail").select(col(idCol))
+          .localCheckpoint(true)
+        canonical.join(keep, Seq(idCol), "left_semi")
+      case _ => canonical
+    }
     // 4. importance-select toward the target slice
     val selected = dsirTargetCol match {
       case Some(tc) if dsirKeepPct < 100 =>
-        val keep = graft.ml.MLOps.dsirSelectByThreshold(canonical, textCol, idCol,
+        val keep = graft.ml.MLOps.dsirSelectByThreshold(lmKept, textCol, idCol,
             col(tc) === lit(dsirTargetValue),
             buckets = dsirBuckets, keepPct = dsirKeepPct)
           .filter(col("selected")).select(col(idCol))
-        canonical.join(keep, Seq(idCol), "left_semi")
-      case _ => canonical
+        lmKept.join(keep, Seq(idCol), "left_semi")
+      case _ => lmKept
     }
     // 5. leakage-safe split routed by the SAME component labels — residual
     // components move whole

@@ -3037,12 +3037,40 @@ class CurationRecipeSpec extends AnyFunSuite {
     for (r <- Seq(recipe,
         graft.contract.CurationRecipe(name = "defaults"),
         recipe.copy(qualityScoreCol = Some("n_chars"), dsirTargetCol = None,
-          description = None))) {
+          description = None),
+        recipe.copy(ccnetRefCol = Some("lang"), ccnetRefValue = "en"))) {
       val json = graft.contract.ContractJson.recipeToJson(r)
       val back = graft.contract.ContractJson.recipeFromValue(
         graft.expr.JsonValue.parseObject(json))
       assert(back == r)
     }
+  }
+
+  test("pre-CCNet recipe JSON (no ccnet keys) loads as stage-skipped") {
+    val json = graft.contract.ContractJson.recipeToJson(recipe)
+      .replace(""""ccnet_ref_col":null,"ccnet_ref_value":"",""", "")
+    assert(!json.contains("ccnet"))
+    val back = graft.contract.ContractJson.recipeFromValue(
+      graft.expr.JsonValue.parseObject(json))
+    assert(back == recipe)
+  }
+
+  test("CCNet stage drops exactly the canonical corpus's tail tercile") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // identity gate + no DSIR isolates stage 3b (q171's configuration)
+    val base = graft.contract.CurationRecipe(name = "lm", gopherRuleMask = 0L)
+    val withLm = base.copy(ccnetRefCol = Some("lang"), ccnetRefValue = "en")
+    val all = base.run(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = withLm.run(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(all) && kept.size < all.size)
+    // the dropped set IS the tail of lmQualityPartition over the canonical
+    // corpus (reference = its en slice)
+    val canonical = docs.join(base.run(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    val tail = graft.ops.TextAnalysis.lmQualityPartition(
+        canonical.filter(col("lang") === "en"), canonical, "text", "doc_id")
+      .filter(col("part") === "tail").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(all -- kept == tail)
   }
 
   test("store registry save/load carries recipes next to views and models") {
