@@ -116,9 +116,16 @@ final case class CurationRecipe(
     // checkpointed so the tercile scoring plan runs once
     val lmKept = ccnetRefCol match {
       case Some(rc) =>
+        val refSlice = canonical.filter(col(rc) === lit(ccnetRefValue))
+        // loud-misconfiguration guard: an EMPTY reference slice (typo'd
+        // value, wrong column) would zero every token bucket and the
+        // stage would silently keep everything — the silent-no-op class.
+        // The probe stops at the first matching row on a sane config
+        require(!refSlice.isEmpty,
+          s"ccnet reference slice is empty: no rows with $rc = '$ccnetRefValue'" +
+            " after canonicalization — check ccnetRefCol/ccnetRefValue")
         val keep = graft.ops.TextAnalysis.lmQualityPartition(
-            canonical.filter(col(rc) === lit(ccnetRefValue)), canonical,
-            textCol, idCol)
+            refSlice, canonical, textCol, idCol)
           .filter(col("part") =!= "tail").select(col(idCol))
           .localCheckpoint(true)
         canonical.join(keep, Seq(idCol), "left_semi")

@@ -3055,6 +3055,15 @@ class CurationRecipeSpec extends AnyFunSuite {
     assert(back == recipe)
   }
 
+  test("an empty CCNet reference slice fails loudly, not as a silent no-op") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = graft.contract.CurationRecipe(name = "typo", gopherRuleMask = 0L,
+      ccnetRefCol = Some("lang"), ccnetRefValue = "nope")
+    val e = intercept[IllegalArgumentException] { r.run(docs) }
+    assert(e.getMessage.contains("reference slice is empty"))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("CCNet stage drops exactly the canonical corpus's tail tercile") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // identity gate + no DSIR isolates stage 3b (q171's configuration)
