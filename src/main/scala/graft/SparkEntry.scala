@@ -4237,9 +4237,8 @@ object SparkEntry {
     // is static (same policy as q164's lexicon) ---
     Q("q161b_bpe_encode",
       (s, dir) => {
-        val merges = SparkEntry.bpeLiteralRules.zipWithIndex.map {
-          case ((l, r), i) => graft.ops.Bpe.Merge(i + 1, l, r, 0L) }
-        graft.ops.Bpe.encode(t(s, dir, "documents"), "text", "doc_id", merges)
+        graft.ops.Bpe.encode(t(s, dir, "documents"), "text", "doc_id",
+            SparkEntry.bpeLiteralMerges)
           .select(col("doc_id"), array_join(col("tokens"), " ").as("tokens_str"),
             size(col("tokens")).cast("long").as("n_syms"))
       },
@@ -4461,10 +4460,9 @@ object SparkEntry {
     // card hash-matches. nullif guards an all-empty source (ANSI div) ---
     Q("q170_tokenizer_fertility",
       (s, dir) => {
-        val merges = SparkEntry.bpeLiteralRules.zipWithIndex.map {
-          case ((l, r), i) => graft.ops.Bpe.Merge(i + 1, l, r, 0L) }
         val d = t(s, dir, "documents")
-        val enc = graft.ops.Bpe.encode(d, "text", "doc_id", merges)
+        val enc = graft.ops.Bpe.encode(d, "text", "doc_id",
+            SparkEntry.bpeLiteralMerges)
           .select(col("doc_id"), size(col("tokens")).cast("long").as("n_syms"))
         d.select(col("doc_id"), col("source"), col("n_chars"))
           .join(enc, Seq("doc_id"))
@@ -4549,6 +4547,13 @@ object SparkEntry {
   private[graft] def bpeLiteralRules: Seq[(String, String)] = Seq(
     "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
     "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** The frozen rules as rank-ordered Merge artifacts — ONE construction
+    * shared by every query that encodes with them (q161b, q170), so rank
+    * numbering can never drift between registered tokenizer consumers. */
+  private[graft] def bpeLiteralMerges: Seq[graft.ops.Bpe.Merge] =
+    bpeLiteralRules.zipWithIndex.map {
+      case ((l, r), i) => graft.ops.Bpe.Merge(i + 1, l, r, 0L) }
 
   /** DuckDB restatement of [[graft.ops.Bpe.encodeColumn]] for a literal
     * rule list: per word, chars → one list_reduce PER RULE in rank order.

@@ -126,6 +126,11 @@ object ContractDiff {
     chg("gopher rule mask (gate re-forms components; split boundary moves)",
       _.gopherRuleMask, Breaking)
     chg("keep-best score column", _.qualityScoreCol, Warning)
+    // stage 3b drops/keeps whole terciles of the canonical corpus but sits
+    // DOWNSTREAM of component formation, so (like DSIR) it shrinks the
+    // curated corpus without re-rolling any split coin — Warning class
+    chg("ccnet reference (tail-tercile filter re-selects)",
+      r => (r.ccnetRefCol, r.ccnetRefValue), Warning)
     chg("dsir target", r => (r.dsirTargetCol, r.dsirTargetValue), Warning)
     chg("dsir keep pct", _.dsirKeepPct, Warning)
     chg("dsir buckets", _.dsirBuckets, Warning)

@@ -112,23 +112,23 @@ final case class CurationRecipe(
       components = comps)
     // 3b. CCNet LM filter — unigram model on the canonical corpus's
     // reference slice, drop the tail tercile (dedup-then-perplexity is
-    // CCNet's own order). The kept-id list is O(docs) longs,
-    // checkpointed so the tercile scoring plan runs once
+    // CCNet's own order). The partition references its corpus several
+    // times (reference freq, token explode, score histogram, final
+    // output), so first collapse `canonical` to its checkpointed id list
+    // (O(docs) longs — the run() retention discipline) and rebuild the
+    // frame as one cheap semi-join: every reuse then costs a shallow scan,
+    // not a replay of the CC + keep-best window chain. An empty/
+    // all-whitespace reference fails loudly inside lmQualityPartition
     val lmKept = ccnetRefCol match {
       case Some(rc) =>
-        val refSlice = canonical.filter(col(rc) === lit(ccnetRefValue))
-        // loud-misconfiguration guard: an EMPTY reference slice (typo'd
-        // value, wrong column) would zero every token bucket and the
-        // stage would silently keep everything — the silent-no-op class.
-        // The probe stops at the first matching row on a sane config
-        require(!refSlice.isEmpty,
-          s"ccnet reference slice is empty: no rows with $rc = '$ccnetRefValue'" +
-            " after canonicalization — check ccnetRefCol/ccnetRefValue")
+        val canonIds = canonical.select(col(idCol)).localCheckpoint(true)
+        val canonShallow = gated.join(canonIds, Seq(idCol), "left_semi")
         val keep = graft.ops.TextAnalysis.lmQualityPartition(
-            refSlice, canonical, textCol, idCol)
+            canonShallow.filter(col(rc) === lit(ccnetRefValue)), canonShallow,
+            textCol, idCol)
           .filter(col("part") =!= "tail").select(col(idCol))
           .localCheckpoint(true)
-        canonical.join(keep, Seq(idCol), "left_semi")
+        canonShallow.join(keep, Seq(idCol), "left_semi")
       case _ => canonical
     }
     // 4. importance-select toward the target slice

@@ -930,6 +930,15 @@ object TextAnalysis {
     def toks(c: Column) = filter(split(lower(trim(c)), "\\s+"), w => length(w) > 0)
     val freq = reference.select(explode(toks(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("__n"))
+    // loud-misconfiguration guard: a reference that produces ZERO tokens
+    // (empty slice, or rows whose text is all whitespace) would zero every
+    // bucket, collapse all scores to one value, and make the partition a
+    // silent no-op — fail instead. Row-level probes can't catch the
+    // all-whitespace case; the token-level one does
+    require(!freq.isEmpty, "lmQualityPartition: the reference slice " +
+      "produced no tokens — the unigram model would zero every bucket and " +
+      "the head/middle/tail partition would be a silent no-op; check the " +
+      "reference filter")
     val m = least(coalesce(col("__n"), lit(0L)) + lit(1L), lit(1048576L))
     val bucket = length(bin(m * m * m)) - lit(1)
     val perDoc = corpus.select(col(idCol), explode(toks(col(textCol))).as("w"))

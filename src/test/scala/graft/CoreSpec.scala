@@ -1713,6 +1713,16 @@ class LmQualityPartitionSpec extends AnyFunSuite {
     assert(got(4L)._2 == "middle" && got(5L)._2 == "tail")
   }
 
+  test("a token-empty reference fails loudly (empty slice OR all-whitespace)") {
+    val corpus = Seq(1L -> "the cat").toDF("doc_id", "text")
+    for (ref <- Seq(Seq.empty[String], Seq("   ", "\t\n"))) {
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.lmQualityPartition(ref.toDF("text"), corpus, "text", "doc_id")
+      }
+      assert(e.getMessage.contains("produced no tokens"))
+    }
+  }
+
   test("frequency cap saturates the bucket instead of overflowing the cube") {
     // one word repeated > 2^20 times can't be built here; assert the cap
     // algebra directly instead: bin((2^20)^3) has 61 chars -> bucket 60

@@ -3060,8 +3060,19 @@ class CurationRecipeSpec extends AnyFunSuite {
     val r = graft.contract.CurationRecipe(name = "typo", gopherRuleMask = 0L,
       ccnetRefCol = Some("lang"), ccnetRefValue = "nope")
     val e = intercept[IllegalArgumentException] { r.run(docs) }
-    assert(e.getMessage.contains("reference slice is empty"))
-    assert(e.getMessage.contains("nope"))
+    assert(e.getMessage.contains("produced no tokens"))
+  }
+
+  test("diffRecipe grades a CCNet-stage change as corpus-affecting") {
+    import graft.contract.ContractDiff._
+    val base = recipe
+    val staged = recipe.copy(ccnetRefCol = Some("lang"), ccnetRefValue = "en")
+    val changes = diffRecipe(base, staged)
+    assert(changes.exists(c => c.severity == Warning &&
+      c.what.contains("ccnet reference")))
+    // downstream of component formation: selection-stage class, never Breaking
+    assert(!isBreakingRecipe(base, staged))
+    assert(diffRecipe(staged, staged).isEmpty)
   }
 
   test("CCNet stage drops exactly the canonical corpus's tail tercile") {
