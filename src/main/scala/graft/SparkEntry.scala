@@ -1367,6 +1367,21 @@ object SparkEntry {
   private def sqlMinhashOracle(threshold: Double = 0.5, bands: Int = 4, k: Int = 3): String =
     s"WITH ${minhashCtes(threshold, bands, k)} SELECT id_a, id_b, jaccard FROM pairs"
 
+  /** Shared oracle of the estimate-only near-dup algebra (q157 batch form,
+    * q172 genuine streaming run): banded LSH candidates from [[minhashCtes]]'
+    * sigs+cand CTEs, the signature-AGREEMENT estimator restated as integer
+    * coordinate agreement / numHashes, NO exact-verify join. */
+  private def sqlNearDupEstimateOracle(threshold: Double): String = {
+    val nH = Dedup.portableCoeffs.size
+    val matches = (0 until nH).map(i =>
+      s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString("\n            + ")
+    s"""WITH ${minhashCtes()}
+        SELECT id_a, id_b, CAST(($matches) AS DOUBLE) / $nH AS est_jaccard
+        FROM cand JOIN sigs sa ON sa.doc_id = id_a
+          JOIN sigs sb ON sb.doc_id = id_b
+        WHERE CAST(($matches) AS DOUBLE) / $nH >= $threshold"""
+  }
+
   /** [[graft.functions.Native.VecCosine]] restated in DuckDB: sequential
     * dot / (sqrt(Σa²)·sqrt(Σb²)), 0.0 on a zero denominator. Both engines
     * accumulate left-to-right over identical doubles, so the result is
@@ -3886,16 +3901,7 @@ object SparkEntry {
     Q("q157_stream_neardup_batch",
       (s, dir) => Dedup.nearDupByEstimate(t(s, dir, "documents"), "text",
         "doc_id", threshold = 0.5, bands = 4, k = 3),
-      Some {
-        val nH = Dedup.portableCoeffs.size
-        val matches = (0 until nH).map(i =>
-          s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString("\n            + ")
-        s"""WITH ${minhashCtes()}
-        SELECT id_a, id_b, CAST(($matches) AS DOUBLE) / $nH AS est_jaccard
-        FROM cand JOIN sigs sa ON sa.doc_id = id_a
-          JOIN sigs sb ON sb.doc_id = id_b
-        WHERE CAST(($matches) AS DOUBLE) / $nH >= 0.5"""
-      }),
+      Some(sqlNearDupEstimateOracle(0.5))),
 
     // --- QUALITY-AWARE cluster canonicalization: per near-dup cluster keep
     // the LONGEST doc (n_chars, ties by doc_id) — the production keep-rule
@@ -4537,7 +4543,139 @@ object SparkEntry {
           CASE WHEN CAST(concat('0x', substr(md5(CAST(canon.component AS VARCHAR)), 1, 8))
               AS BIGINT) % 100 < 80
             THEN 'train' ELSE 'test' END AS split
-        FROM canon JOIN lmkeep USING (doc_id)"""))
+        FROM canon JOIN lmkeep USING (doc_id)""")),
+
+    // --- ONE LLOYD K-MEANS ROUND under the oracle gate — the distributed
+    // content of [[graft.ops.Similarity.kmeansCentroids]]'s trainer loop
+    // (the IVF coarse quantizer's training step, the declared-policy gap
+    // for iterative trainers closed the q164b way): nearest-centroid
+    // assignment against the q32 portable plane matrix (the same argmax
+    // the asg CTE proves ≡ the Native.nearestCentroids kernel), then the
+    // EXACT integer update statistic per (centroid, dim) — member count +
+    // Σ floor(v·2^20). Power-of-two scaling never rounds a double and
+    // floor is engine-independent on identical doubles, so the statistic
+    // hash-matches where a double mean would be summation-order-dependent.
+    // Output is k·d rows; the only exchange is the partial-sum shuffle ---
+    Q("q173_kmeans_round",
+      (s, dir) => Similarity.kmeansRoundStats(t(s, dir, "embeddings"),
+        "embedding", 1 to 8, Dedup.portablePlanes(8, 64)),
+      Some(s"""WITH ${sqlCentroidSims(8, 64)},
+          asg AS (SELECT vec_id, v, cid FROM sims WHERE rn = 1),
+          ex AS (SELECT cid, unnest(range(0, len(v))) AS pos, unnest(v) AS val
+            FROM asg)
+        SELECT cid AS centroid_id, CAST(pos AS INT) AS pos,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(val * 1048576) AS BIGINT)) AS BIGINT) AS sum_q
+        FROM ex GROUP BY 1, 2""")),
+
+    // --- PROTOTYPICALITY PRUNING (Sorscher et al. 2022, "Beyond neural
+    // scaling laws"): drop the 10% most prototypical members of each
+    // embedding cluster — nearest-centroid assignment + quantized cosine
+    // (bucket-granular, deterministic), per-cluster cutoff from an
+    // O(k·buckets) driver histogram pull, literal-threshold filter. The
+    // q169 tercile shape, NOT a per-cluster window (k≈8 partitions would
+    // each sort corpus/k rows in one task at 100 TB). Oracle restates the
+    // histogram suffix-sum cutoff over the same integer buckets ---
+    Q("q174_prototype_prune",
+      (s, dir) => Similarity.prototypePrune(t(s, dir, "embeddings"),
+        "embedding", "vec_id", 1 to 8, Dedup.portablePlanes(8, 64),
+        dropFrac = 0.1, buckets = 1000),
+      Some(s"""WITH ${sqlCentroidSims(8, 64)},
+          asg AS (SELECT vec_id, v, cid FROM sims WHERE rn = 1),
+          scored AS (SELECT a.vec_id, a.cid,
+              CAST(floor(${sqlCos("a.v", "c.cv")} * 1000) AS BIGINT) AS qcos
+            FROM asg a JOIN cents c ON c.cid = a.cid),
+          hist AS (SELECT cid, qcos, CAST(count(*) AS BIGINT) AS cnt
+            FROM scored GROUP BY 1, 2),
+          tot AS (SELECT cid, count(*) AS n FROM scored GROUP BY 1),
+          sfx AS (SELECT cid, qcos,
+              sum(cnt) OVER (PARTITION BY cid ORDER BY qcos DESC) AS suffix
+            FROM hist),
+          cut AS (SELECT s.cid, min(s.qcos) AS cutb
+            FROM sfx s JOIN tot t0 ON t0.cid = s.cid
+            WHERE s.suffix <= CAST(floor(0.1 * t0.n) AS BIGINT) GROUP BY s.cid)
+        SELECT sc.vec_id, sc.cid AS centroid_id, sc.qcos
+        FROM scored sc LEFT JOIN cut ON cut.cid = sc.cid
+        WHERE cut.cutb IS NULL OR sc.qcos < cut.cutb""")),
+
+    // --- The THIRD streaming-runtime modality under the oracle gate:
+    // APPEND-mode custom keyed state — the incremental LSH near-dup
+    // (Streaming.nearDupStream) run as a GENUINE streaming job over
+    // id-ordered staged chunks, portable signature family, cross-chunk
+    // pairs found only via bucket state carried across micro-batches,
+    // upsert-by-pair-key compacting the per-band/per-batch emissions.
+    // Zero bucket evictions are REQUIRED (accumulator-checked) — eviction
+    // is exactly where stream ≠ batch. Oracle = the q157 batch
+    // restatement of the same algebra ---
+    Q("q172_streaming_neardup_run",
+      (s, dir) => graft.streaming.Streaming.stagedNearDupRun(
+        s, t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.5, bands = 4, k = 3),
+      Some(sqlNearDupEstimateOracle(0.5))),
+
+    // --- The FOURTH streaming-runtime modality: STREAM-STREAM JOIN —
+    // click⋈purchase attribution via Streaming.intervalJoin (two
+    // watermarked branches of one readStream, inner join with a time
+    // bound) run as a genuine streaming job; ts-ordered arrival means the
+    // watermark never late-drops a matching pair and state eviction only
+    // releases lefts no future right can reach. Final store state = the
+    // static interval join, which is the oracle ---
+    Q("q175_streaming_interval_join",
+      (s, dir) => graft.streaming.Streaming.stagedIntervalJoinRun(
+        s, events(s, dir).select("ts", "user_id", "event_type", "event_id"),
+        tsCol = "ts", keys = Seq("user_id"), idCol = "event_id",
+        leftPred = "event_type = 'click'",
+        rightPred = "event_type = 'purchase'", after = "1 hour"),
+      Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+          epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS lag_us
+        FROM events a JOIN events b ON a.user_id = b.user_id
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+          AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+          AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR""")),
+
+    // --- The FIFTH streaming-runtime modality: Spark's BUILT-IN stateful
+    // dedup (dropDuplicatesWithinWatermark) under the gate, in the
+    // at-least-once-delivery shape it exists for: every event row is
+    // DELIVERED TWICE (events ∪ events — duplicate deliveries of an
+    // immutable row are byte-identical, so keep-first is deterministic no
+    // matter which physical copy wins), the stream collapses them on the
+    // event_id key, and the final store must be exactly the original
+    // table — which IS the oracle ---
+    Q("q176_streaming_dedup_run",
+      (s, dir) => {
+        val e = events(s, dir).select("ts", "user_id", "event_type", "value", "event_id")
+        graft.streaming.Streaming.stagedDedupRun(s, e.unionAll(e), "ts", Seq("event_id"))
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+      },
+      Some("""SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+          user_id, event_type, value FROM events""")),
+
+    // --- The SIXTH streaming-runtime modality: SESSION WINDOWS
+    // (gap-based session_window — the beyond-reference SURVEY §2.9
+    // operator) as a genuine streaming run. ts-ordered arrival means
+    // sessions only ever EXTEND (never merge/re-start), so
+    // upsert-by-(user, session_start) converges to the final session row;
+    // DECIMAL partials make the sum exact. Oracle = the classic
+    // gaps-and-islands restatement: a session breaks where the gap to the
+    // previous event is ≥ 30 min (session_window's end is exclusive at
+    // last_ts + gap) ---
+    Q("q177_streaming_session_run",
+      (s, dir) => graft.streaming.Streaming.stagedSessionAggRun(
+        s, events(s, dir).select("ts", "user_id", "value", "event_id"),
+        tsCol = "ts", keyCol = "user_id", valueCol = "value", gap = "30 minutes"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+          g AS (SELECT user_id, ts, value,
+              CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS session_start, user_id,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid"""))
   )
 
   /** Frozen top-8 merge rules for q161b — learned by [[graft.ops.Bpe.train]]

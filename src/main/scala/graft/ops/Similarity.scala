@@ -96,6 +96,91 @@ object Similarity {
     centroids.map { case (id, v) => (id, v.toSeq) }.toDF("centroid_id", "cvec")
   }
 
+  /** ONE Lloyd round's EXACT sufficient statistic, oracle-checkable
+    * (SparkEntry q173): assign every vector to its nearest of the given
+    * plan-time centroids (cosine argmax, ties to the lowest id — the same
+    * [[graft.functions.Native.nearestCentroids]] kernel the production
+    * loop in [[kmeansCentroids]] uses), then per (centroid, dimension)
+    * emit the member count and the exact integer partial sum
+    * Σ floor(v_pos · 2^20). Power-of-two scaling never rounds a double
+    * and floor of an identical double is engine-independent, so the
+    * update statistic hash-matches across engines where a double mean
+    * would be summation-order-dependent; the quantized next centroid is
+    * sum_q / (n · 2^20). [[kmeansCentroids]] keeps the double mean for
+    * its own loop (convergence is spec-gated there) — THIS form puts the
+    * distributed content of a Lloyd round, assignment + the (centroid,
+    * pos) partial-sum shuffle (k·d rows after map-side combine), under
+    * the oracle gate. Assignment is a narrow map: centroids are baked
+    * into the plan, no join, no rows×k shuffle. */
+  def kmeansRoundStats(corpus: DataFrame, vecCol: String,
+      ids: Seq[Int], mat: Seq[Seq[Double]]): DataFrame =
+    corpus.select(col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("centroid_id", element_at(
+        graft.functions.Native.nearestCentroids(col("__v"), ids, mat, 1), 1))
+      .select(col("centroid_id"), posexplode(col("__v")))
+      .groupBy("centroid_id", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("col") * lit(1048576.0))).cast("long").as("sum_q"))
+
+  /** PROTOTYPICALITY PRUNING (Sorscher et al., "Beyond neural scaling
+    * laws", NeurIPS 2022): drop the `dropFrac` most prototypical members
+    * of each embedding cluster — the vectors closest to their cluster
+    * centroid carry the least marginal information, so pruning them loses
+    * less than random subsampling. Scale shape mirrors q169's blessed
+    * tercile pattern, NOT a per-cluster window (a window partitioned by
+    * k≈16 centroids would sort corpus/k rows in one task at 100 TB):
+    *
+    *  1. narrow-map assignment to the nearest plan-time centroid + the
+    *     cosine to it, quantized to `buckets` integer buckets
+    *     (bucket-granular pruning — deterministic, no intra-bucket ties);
+    *  2. one (centroid, bucket) histogram shuffle, O(k · 2·buckets) rows
+    *     pulled to the driver — bounded, never corpus-scale;
+    *  3. per-cluster cutoff = the smallest bucket whose suffix count is ≤
+    *     floor(dropFrac · cluster_size); docs at or above it drop. A
+    *     cluster where even the top bucket exceeds the budget keeps all
+    *     rows (no qualifying cutoff).
+    *
+    * The corpus is scanned twice (histogram pass + literal-threshold
+    * filter pass) — same trade as q169's tercile chain; both passes are
+    * narrow maps over the scan. Returns kept (vec_id, centroid_id, qcos). */
+  def prototypePrune(df: DataFrame, vecCol: String, idCol: String,
+      ids: Seq[Int], mat: Seq[Seq[Double]], dropFrac: Double,
+      buckets: Int = 1000): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, s"dropFrac=$dropFrac must be in [0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = broadcast(ids.zip(mat).toDF("centroid_id", "__cent"))
+    val scored = df
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("centroid_id", element_at(
+        graft.functions.Native.nearestCentroids(col("__v"), ids, mat, 1), 1))
+      .join(cents, Seq("centroid_id"))
+      .withColumn("qcos", floor(cosine(col("__v"), col("__cent")) * buckets))
+      .select("vec_id", "centroid_id", "qcos")
+    // bounded driver pull: the (centroid, bucket) histogram, ≤ k · 2·buckets rows
+    val hist = scored.groupBy("centroid_id", "qcos").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val cuts: Map[Int, Long] = hist.groupBy(_._1).flatMap { case (cid, rows) =>
+      val target = math.floor(dropFrac * rows.map(_._3).sum).toLong
+      var suffix = 0L
+      var cut = Option.empty[Long]
+      // descending bucket scan: suffix after adding bucket b = #(qcos ≥ b),
+      // monotone in b — the last qualifying b is the minimal cutoff
+      rows.sortBy(-_._2).foreach { case (_, qb, cnt) =>
+        suffix += cnt
+        if (suffix <= target) cut = Some(qb)
+      }
+      cut.map(cid -> _)
+    }
+    if (cuts.isEmpty) scored
+    else {
+      val cutCol = cuts.foldLeft(lit(Long.MaxValue)) { case (acc, (cid, c)) =>
+        when(col("centroid_id") === cid, lit(c)).otherwise(acc)
+      }
+      scored.filter(col("qcos") < cutCol)
+    }
+  }
+
   /** IVF approximate nearest neighbours: coarse-quantize the corpus into
     * `nlist` inverted lists (k-means centroids, `kmeansIters` Lloyd rounds —
     * 0 keeps the deterministic hash-picked seeds); each query probes its

@@ -322,21 +322,39 @@ object Streaming {
     * failure). A pair sharing several bands is emitted once per shared
     * band and batch — downstream consumers dedup by (id_a, id_b), which
     * is one `dropDuplicates` in the sink (documented, spec-gated).
-    * Run in Append output mode. Requires a numeric (castable-to-long) id. */
+    * Run in Append output mode. Requires a numeric (castable-to-long) id.
+    *
+    * `portable = true` switches the signature to the cross-engine
+    * deterministic family ([[graft.ops.Dedup.portableCoeffs]], numHashes
+    * is then fixed to the coefficient count and zero-shingle docs drop,
+    * exactly like the batch [[graft.ops.Dedup.nearDupByEstimate]]) — the
+    * oracle-gated configuration (q172). `evictions` counts entries pushed
+    * out of full buckets; the staged runtime gate requires it to stay 0,
+    * since eviction is precisely where the streamed result can diverge
+    * from the batch restatement. */
   def nearDupStream(stream: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 8,
-      k: Int = 3, maxPerBucket: Int = 64): DataFrame = {
+      k: Int = 3, maxPerBucket: Int = 64, portable: Boolean = false,
+      evictions: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
+    val nH = if (portable) graft.ops.Dedup.portableCoeffs.size else numHashes
+    require(nH % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = nH / bands
     val spark = stream.sparkSession
     import spark.implicits._
-    val sig = stream
-      .select(col(idCol).cast("long").as("id"),
-        graft.ops.Dedup.hashedShingles(col(textCol), k).as("__sh"))
-      .select(col("id"),
-        graft.ops.Dedup.minhashSignatureFast(col("__sh"), numHashes).as("sig"))
+    val sig =
+      if (portable) stream
+        .select(col(idCol).cast("long").as("id"),
+          graft.ops.Dedup.portableShingleHashes(col(textCol), k).as("__sh"))
+        .filter(size(col("__sh")) > 0)
+        .select(col("id"),
+          graft.ops.Dedup.minhashSignaturePortable(col("__sh")).as("sig"))
+      else stream
+        .select(col(idCol).cast("long").as("id"),
+          graft.ops.Dedup.hashedShingles(col(textCol), k).as("__sh"))
+        .select(col("id"),
+          graft.ops.Dedup.minhashSignatureFast(col("__sh"), numHashes).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
@@ -365,7 +383,11 @@ object Streaming {
                   out += ((math.min(pid, id), math.max(pid, id), est))
               }
             }
-            entries = (entries :+ (id -> sg)).takeRight(maxPerBucket)
+            entries = entries :+ (id -> sg)
+            if (entries.size > maxPerBucket) {
+              evictions.foreach(_.add(entries.size - maxPerBucket))
+              entries = entries.takeRight(maxPerBucket)
+            }
           }
           state.update(BucketState(entries))
           out.result().iterator
@@ -449,7 +471,7 @@ object Streaming {
   private def runUpsertStream(spark: SparkSession, streamed: DataFrame,
       project: DataFrame => DataFrame, keys: Seq[String],
       work: java.nio.file.Path, lap: String => Unit,
-      debugT: Boolean): graft.sources.ParquetSource = {
+      debugT: Boolean, outputMode: String = "update"): graft.sources.ParquetSource = {
     val store = graft.sources.ParquetSource(work.resolve("store").toString)
     val upsert = idempotentBatchSink({ (batch, _) =>
       val tU = System.nanoTime()
@@ -461,7 +483,7 @@ object Streaming {
       },
       work.resolve("commitlog").toString)(spark)
     val q = streamed.writeStream
-      .outputMode("update")
+      .outputMode(outputMode)
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .foreachBatch { (b: DataFrame, id: Long) =>
         upsert(b, id); lap(s"batch-$id")
@@ -566,6 +588,207 @@ object Streaming {
             .parquet(work.resolve("in").toString),
           keys, tsCol, tieCol)
         runUpsertStream(spark, latest, identity, keys, work, lap, debugT)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    store.read(spark)
+  }
+
+  /** The THIRD streaming-runtime modality under the oracle gate (q172):
+    * APPEND-mode custom keyed state — [[nearDupStream]]'s bounded-LSH
+    * incremental near-dup run as a REAL streaming job. Documents staged as
+    * an id-ordered multi-file stream (one micro-batch per chunk, so bucket
+    * state genuinely carries across batches: cross-chunk duplicate pairs
+    * exist only because the earlier doc's signature was retained in
+    * state), the portable-family signature/banding inside the stream,
+    * emitted pairs upserted by (id_a, id_b) — compacting the documented
+    * once-per-shared-band-and-batch duplicate emissions — into the
+    * parquet store, whose final state is returned.
+    *
+    * Why the final state equals the batch restatement
+    * ([[graft.ops.Dedup.nearDupByEstimate]], the q157 oracle): with ZERO
+    * bucket evictions every pair sharing ≥1 band bucket is compared when
+    * the later doc arrives (same batch or any later one), the agreement
+    * estimate is a pure function of the two retained signatures, and
+    * upsert-by-pair-key collapses repeat emissions. Eviction is exactly
+    * where the equivalence breaks, so this gate run REQUIRES zero
+    * evictions (accumulator-checked, throws with the observed count) —
+    * the production op keeps its bounded-state default; the gate pins
+    * `maxPerBucket` above the largest test-corpus bucket. */
+  def stagedNearDupRun(spark: SparkSession, docs: DataFrame, textCol: String,
+      idCol: String, threshold: Double = 0.5, bands: Int = 4, k: Int = 3,
+      maxPerBucket: Int = 1 << 16, chunks: Int = 3,
+      workDir: Option[String] = None): DataFrame = {
+    val work = workDir.map(d => java.nio.file.Paths.get(d))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
+    java.nio.file.Files.createDirectories(work)
+    val (lap, debugT) = gateLap()
+    stageChunks(docs, idCol, chunks, work, lap) // id-ordered arrival
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val acc = spark.sparkContext.longAccumulator("nearDupStreamEvictions")
+    val store =
+      try {
+        val pairs = nearDupStream(spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(work.resolve("in").toString),
+          textCol, idCol, threshold = threshold, bands = bands, k = k,
+          maxPerBucket = maxPerBucket, portable = true, evictions = Some(acc))
+        // the documented once-per-shared-band-and-batch duplicate emissions:
+        // upsert replaces STORE rows by key but keeps duplicates inside one
+        // incoming batch — dedup the batch itself (est is a pure function of
+        // the pair, so any representative row is THE row)
+        runUpsertStream(spark, pairs, _.dropDuplicates("id_a", "id_b"),
+          Seq("id_a", "id_b"), work, lap, debugT, outputMode = "append")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    require(acc.value == 0L, s"stagedNearDupRun: ${acc.value} bucket evictions " +
+      s"at maxPerBucket=$maxPerBucket — the batch-oracle equivalence requires " +
+      "zero evictions; raise maxPerBucket above the largest LSH bucket")
+    store.read(spark)
+  }
+
+  /** STREAMING EXACT-DEDUP runtime gate (q176): [[dedupStream]]
+    * (dropDuplicatesWithinWatermark — Spark's bounded-state stateful dedup
+    * operator) run as a REAL streaming job over staged time-ordered
+    * chunks; kept rows append into the store (upsert-by-key for
+    * idempotency) and the final state is returned. The at-least-once
+    * shape: feed it a stream with duplicate DELIVERIES of immutable rows
+    * (same key ⇒ byte-identical row) and the final store is exactly one
+    * copy per key — keep-first is then deterministic regardless of which
+    * physical duplicate won, so the static distinct IS the oracle. `delay`
+    * defaults high so no test key expires mid-run; production tunes it to
+    * the real re-delivery horizon (state is O(keys within the delay)). */
+  def stagedDedupRun(spark: SparkSession, rows: DataFrame, tsCol: String,
+      keys: Seq[String], delay: String = "365 days", chunks: Int = 3,
+      workDir: Option[String] = None): DataFrame = {
+    val work = workDir.map(d => java.nio.file.Paths.get(d))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
+    java.nio.file.Files.createDirectories(work)
+    val (lap, debugT) = gateLap()
+    stageChunks(rows, tsCol, chunks, work, lap)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val store =
+      try {
+        val ded = dedupStream(spark.readStream.schema(rows.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(work.resolve("in").toString),
+          keys, tsCol, delay)
+        runUpsertStream(spark, ded, identity, keys, work, lap, debugT,
+          outputMode = "append")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    store.read(spark)
+  }
+
+  /** SESSION-WINDOW runtime gate (q177): gap-based sessionization
+    * (`session_window`, the SURVEY §2.9 beyond-reference operator) run as
+    * a REAL streaming job. Session aggregation only supports APPEND
+    * output (Spark emits a session exactly once, when the watermark
+    * passes its end), so a bounded test input needs what production gets
+    * for free from time passing: a far-future SENTINEL row (+30 days,
+    * staged as the final chunk) advances the watermark past every real
+    * session's end on the last micro-batch and flushes them all; the
+    * sentinel's own session never finalizes, so it cannot appear in the
+    * store.
+    *
+    * Why the final state equals the static sessionization (the oracle):
+    * arrival is globally ts-ordered, so a new event either extends the
+    * key's LATEST open session or opens a new one — it can never bridge
+    * two closed sessions (its ts ≥ every seen ts) — and every real
+    * session finalizes under the sentinel watermark with its full
+    * aggregate: an integral count and an exact DECIMAL(18,4) sum. Emits
+    * (session_start epoch-MICROseconds — exact across engines where
+    * seconds would round sub-second starts — keys, n_events, sum_value). */
+  def stagedSessionAggRun(spark: SparkSession, events: DataFrame,
+      tsCol: String, keyCol: String, valueCol: String, gap: String,
+      lateness: String = "1 minute", chunks: Int = 3,
+      workDir: Option[String] = None): DataFrame = {
+    val work = workDir.map(d => java.nio.file.Paths.get(d))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
+    java.nio.file.Files.createDirectories(work)
+    val (lap, debugT) = gateLap()
+    stageChunks(events, tsCol, chunks, work, lap)
+    // the flush sentinel: one row 30 days past the corpus max — far past
+    // max + gap + lateness, so every REAL session end is behind the final
+    // watermark. Reusing a real row's key is safe: the sentinel opens a
+    // NEW far-future session for that key (30 days ≫ gap), which itself
+    // never finalizes.
+    val maxTs = events.agg(max(col(tsCol))).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400000L)
+    stageExtraChunk(events.limit(1).withColumn(tsCol, lit(flushTs)),
+      work, chunks)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val store =
+      try {
+        val agg = spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(work.resolve("in").toString)
+          .withWatermark(tsCol, lateness)
+          .groupBy(session_window(col(tsCol), gap), col(keyCol))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col(valueCol).cast("decimal(18,4)")).as("__sum_dec"))
+        runUpsertStream(spark, agg,
+          b => b.select(unix_micros(col("session_window.start")).as("session_start"),
+            col(keyCol), col("n_events"), col("__sum_dec")),
+          Seq("session_start", keyCol), work, lap, debugT,
+          outputMode = "append")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    store.read(spark).select(col("session_start"), col(keyCol),
+      col("n_events"), col("__sum_dec").cast("double").as("sum_value"))
+  }
+
+  /** Write one more single-file chunk AFTER [[stageChunks]]' `chunks`
+    * files, with a later mtime, so the file source processes it last. */
+  private def stageExtraChunk(df: DataFrame, work: java.nio.file.Path,
+      afterChunks: Int): Unit = {
+    val stage = work.resolve(s"stage_extra")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file staged in $stage"))
+    val target = work.resolve("in").resolve(f"chunk_${afterChunks}%03d.parquet")
+    java.nio.file.Files.move(part.toPath, target)
+    target.toFile.setLastModified(System.currentTimeMillis() + afterChunks * 2000L)
+  }
+
+  /** STREAM-STREAM JOIN runtime gate (q175): [[intervalJoin]] — two
+    * watermarked branches of one live source, inner-joined on entity keys
+    * with a time-bound — run as a REAL streaming job over staged
+    * time-ordered chunks; each matched pair appends (upsert-by-pair-key
+    * for idempotency) into the parquet store, whose final state is
+    * returned.
+    *
+    * Why the final state equals the static join (the oracle): arrival is
+    * globally ts-ordered, so every new row's event time ≥ the watermark,
+    * and a buffered left row is evicted only once the watermark passes
+    * `leftTs + after` — past which no future right row can satisfy the
+    * bound — so no pair is late-dropped; inner stream-stream join emits
+    * each matched pair exactly once. Emits keys + (a_id, b_id, lag_us). */
+  def stagedIntervalJoinRun(spark: SparkSession, events: DataFrame,
+      tsCol: String, keys: Seq[String], idCol: String,
+      leftPred: String, rightPred: String, after: String = "1 hour",
+      chunks: Int = 3, workDir: Option[String] = None): DataFrame = {
+    val work = workDir.map(d => java.nio.file.Paths.get(d))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
+    java.nio.file.Files.createDirectories(work)
+    val (lap, debugT) = gateLap()
+    stageChunks(events, tsCol, chunks, work, lap)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val store =
+      try {
+        val src = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(work.resolve("in").toString)
+        val l = src.filter(expr(leftPred))
+          .select(keys.map(col) :+ col(tsCol).as("a_ts") :+ col(idCol).as("a_id"): _*)
+        val r = src.filter(expr(rightPred))
+          .select(keys.map(col) :+ col(tsCol).as("b_ts") :+ col(idCol).as("b_id"): _*)
+        val joined = intervalJoin(l, r, keys, "a_ts", "b_ts",
+            before = "0 seconds", after = after, lateness = "1 minute")
+          .select(keys.map(col) :+ col("a_id") :+ col("b_id") :+
+            (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("lag_us"): _*)
+        runUpsertStream(spark, joined, identity, Seq("a_id", "b_id"),
+          work, lap, debugT, outputMode = "append")
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     store.read(spark)
   }

@@ -2220,3 +2220,230 @@ class StatefulLatestGateSpec extends AnyFunSuite {
       .count(_.getName.startsWith("batch-")) >= 3)
   }
 }
+
+/** q173's Lloyd-round statistic: exactness bound of the integer
+  * quantization and partition-of-the-corpus invariants. */
+class KmeansRoundStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("round stats partition the corpus and bound the quantized mean") {
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val vecs = (1L to 200L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f).toSeq)).toDF("vec_id", "embedding")
+    val ids = 1 to 4
+    val mat = graft.ops.Dedup.portablePlanes(4, dim)
+    val stats = graft.ops.Similarity.kmeansRoundStats(vecs, "embedding", ids, mat)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // every (centroid, pos) pair carries the full dim range; n is constant
+    // across pos within a centroid; Σ n over centroids = corpus size
+    val byCid = stats.keys.groupBy(_._1)
+    byCid.foreach { case (cid, keys) =>
+      assert(keys.map(_._2).toSet == (0 until dim).toSet, s"centroid $cid dims")
+      assert(keys.map(k => stats(k)._1).toSet.size == 1, s"centroid $cid n varies by pos")
+    }
+    assert(byCid.keys.map(cid => stats((cid, 0))._1).sum == 200L)
+    // quantized-mean error bound: floor drops < 1 per member per dim, so
+    // |sum_q / (n·2^20) − true mean| < 2^-20
+    val assign = vecs.withColumn("cid", element_at(
+        graft.functions.Native.nearestCentroids(
+          col("embedding").cast("array<double>"), ids, mat, 1), 1))
+      .select(col("cid"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy("cid", "pos").agg(avg(col("col")).as("mean"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assign.foreach { case (k, mean) =>
+      val (n, sumQ) = stats(k)
+      assert(math.abs(sumQ.toDouble / (n * 1048576.0) - mean) < 1.0 / 1048576.0, s"$k")
+    }
+  }
+}
+
+/** q174's prototypicality pruning: budget, cut ordering, and the
+  * keep-all edge cases. */
+class PrototypePruneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("per-cluster drops respect the budget and the bucket cut ordering") {
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val df = (1L to 300L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f).toSeq)).toDF("vec_id", "embedding")
+    val ids = 1 to 4
+    val mat = graft.ops.Dedup.portablePlanes(4, dim)
+    val all = graft.ops.Similarity.prototypePrune(df, "embedding", "vec_id",
+      ids, mat, dropFrac = 0.0)
+    assert(all.count() == 300L) // dropFrac 0 keeps everything
+    val kept = graft.ops.Similarity.prototypePrune(df, "embedding", "vec_id",
+      ids, mat, dropFrac = 0.25)
+      .collect().map(r => (r.getInt(1), r.getLong(0), r.getLong(2)))
+    val full = all.collect().map(r => (r.getInt(1), r.getLong(0), r.getLong(2)))
+    assert(kept.map(_._2).toSet.subsetOf(full.map(_._2).toSet))
+    full.groupBy(_._1).foreach { case (cid, members) =>
+      val keptC = kept.filter(_._1 == cid)
+      val dropped = members.filterNot(m => keptC.exists(_._2 == m._2))
+      // at most floor(dropFrac·n) drop, and every dropped bucket sits
+      // strictly above every kept bucket (cut ordering)
+      assert(dropped.length <= math.floor(0.25 * members.length).toLong, s"cluster $cid budget")
+      if (dropped.nonEmpty && keptC.nonEmpty)
+        assert(dropped.map(_._3).min > keptC.map(_._3).max, s"cluster $cid ordering")
+    }
+  }
+}
+
+/** q172's runtime path: the genuinely-streaming near-dup run equals the
+  * batch estimate restatement, and the zero-eviction gate trips loudly. */
+class StreamingNearDupGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river delta"),
+    (4L, "completely different text about distributed query engines and parquet"),
+    (5L, "another unrelated document discussing spark catalyst optimizer rules"),
+    (6L, "the quick brown fox jumps over the lazy dog near the river bank")
+  ).toDF("doc_id", "text")
+
+  test("staged streaming near-dup equals the batch estimate form") {
+    val work = java.nio.file.Files.createTempDirectory("graft_snd_spec").toString
+    val got = graft.streaming.Streaming.stagedNearDupRun(
+        spark, docs, "text", "doc_id", threshold = 0.5, bands = 4, k = 3,
+        workDir = Some(work))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.ops.Dedup.nearDupByEstimate(docs, "text", "doc_id",
+        threshold = 0.5, bands = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty) // the duplicate cluster must surface
+    // cross-batch pairs require state: ≥3 micro-batches ran
+    assert(new java.io.File(s"$work/commitlog").listFiles()
+      .count(_.getName.startsWith("batch-")) >= 3)
+  }
+
+  test("eviction trips the gate instead of silently diverging") {
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.stagedNearDupRun(
+        spark, docs, "text", "doc_id", threshold = 0.5, bands = 4, k = 3,
+        maxPerBucket = 1)
+    }
+    assert(e.getMessage.contains("evictions"))
+  }
+}
+
+/** q175's runtime path: genuine stream-stream interval join over staged
+  * chunks equals the static join; the no-match case yields an empty store. */
+class IntervalJoinGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("staged stream-stream interval join equals the static join") {
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(t0 + m * 60000L)
+    // clicks every 10 min per user; purchases offset so some fall inside
+    // the 1 h window and some outside; a cross-chunk match needs buffered
+    // left state (click in chunk 1, purchase in chunk 3)
+    val events = (
+      (0 until 40).map(i => (ts(i * 10), (i % 3).toLong, "click", 1000L + i)) ++
+      (0 until 40).map(i => (ts(i * 10 + 45), (i % 3).toLong, "purchase", 2000L + i)) ++
+      (0 until 5).map(i => (ts(500 + i), 7L, "purchase", 3000L + i))
+    ).toDF("ts", "user_id", "event_type", "event_id")
+    // read by NAME: the upsert store leads with its key columns, so the
+    // store's physical column order differs from the emit order
+    val got = graft.streaming.Streaming.stagedIntervalJoinRun(
+        spark, events, "ts", Seq("user_id"), "event_id",
+        leftPred = "event_type = 'click'", rightPred = "event_type = 'purchase'",
+        after = "1 hour")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_id"),
+        r.getAs[Long]("b_id"), r.getAs[Long]("lag_us"))).toSet
+    val a = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("a_ts"), $"event_id".as("a_id"))
+    val b = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("u2"), $"ts".as("b_ts"), $"event_id".as("b_id"))
+    val want = a.join(b, $"user_id" === $"u2" && $"b_ts" >= $"a_ts" &&
+        $"b_ts" <= $"a_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"a_id", $"b_id",
+        (unix_micros($"b_ts") - unix_micros($"a_ts")).as("lag_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("no matching pairs yields an empty store, not a crash") {
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    val events = (0 until 20).map(i =>
+      (new java.sql.Timestamp(t0 + i * 60000L), i.toLong, "view", i.toLong))
+      .toDF("ts", "user_id", "event_type", "event_id")
+    val got = graft.streaming.Streaming.stagedIntervalJoinRun(
+      spark, events, "ts", Seq("user_id"), "event_id",
+      leftPred = "event_type = 'click'", rightPred = "event_type = 'purchase'")
+    assert(got.count() == 0L)
+  }
+}
+
+/** q176's runtime path: Spark's built-in stateful dedup
+  * (dropDuplicatesWithinWatermark) collapses at-least-once deliveries —
+  * including re-deliveries arriving in LATER micro-batches, which only
+  * key state carried across batches can catch. */
+class StreamingDedupGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("double-delivered rows collapse to exactly one copy per key") {
+    val t0 = java.sql.Timestamp.valueOf("2024-07-01 00:00:00").getTime
+    val rows = (0 until 90).map(i =>
+      (new java.sql.Timestamp(t0 + i * 60000L), (i % 5).toLong, s"e$i", i.toLong))
+      .toDF("ts", "user_id", "event_type", "event_id")
+    // duplicate EVERY delivery; staging sorts by (ts, tiebreak) so the two
+    // copies of a row may straddle a chunk boundary — the cross-batch case
+    val got = graft.streaming.Streaming.stagedDedupRun(
+        spark, rows.unionAll(rows), "ts", Seq("event_id"))
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .toSet
+    val want = rows.collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"))).toSet
+    assert(got == want)
+    assert(got.size == 90)
+  }
+}
+
+/** q177's runtime path: gap-based session windows through a genuine
+  * APPEND-mode streaming run — the far-future sentinel must flush every
+  * real session and never surface itself. */
+class SessionAggGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("staged session-window run equals batch session_window, sentinel absent") {
+    val t0 = java.sql.Timestamp.valueOf("2024-08-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(t0 + m * 60000L)
+    // per user: bursts of minutes-apart events separated by >30 min gaps;
+    // user 2's last event sits at the global max — its final session only
+    // flushes because of the sentinel
+    val events = (
+      (0 until 30).map(i => (ts(i * 7), (i % 3).toLong, (i % 4).toDouble, i.toLong)) ++
+      (0 until 10).map(i => (ts(400 + i * 5), (i % 3).toLong, 1.5, 100L + i)) :+
+      ((ts(500), 2L, 9.0, 999L))
+    ).toDF("ts", "user_id", "value", "event_id")
+    val got = graft.streaming.Streaming.stagedSessionAggRun(
+        spark, events, "ts", "user_id", "value", gap = "30 minutes")
+      .collect().map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    val want = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("s"))
+      .select(unix_micros(col("session_window.start")).as("st"),
+        col("user_id"), col("n"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    // the isolated last event formed its own flushed session
+    assert(got.exists { case (st, u, n, s) =>
+      u == 2L && n == 1L && s == 9.0 && st == ts(500).getTime * 1000L })
+    // and nothing 30 days out (the sentinel's session) leaked into the store
+    assert(got.forall(_._1 <= ts(500).getTime * 1000L))
+  }
+}
