@@ -4675,7 +4675,122 @@ object SparkEntry {
         SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS session_start, user_id,
           CAST(count(*) AS BIGINT) AS n_events,
           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        FROM s GROUP BY user_id, sid"""))
+        FROM s GROUP BY user_id, sid""")),
+
+    // --- CURATION FUNNEL AUDIT: per-doc drop attribution across the FULL
+    // recipe (all five stages + CCNet enabled — the maximal funnel): every
+    // input doc labeled with the FIRST stage that dropped it (gate /
+    // near_dup / lm_tail / dsir) or 'kept' + its split. The "why did my
+    // corpus shrink" ops primitive; the audit body shares run()'s
+    // operators and reuse discipline (one CC run; id-list attribution
+    // joins only), and audit-kept ≡ run()-kept is spec-gated. Oracle =
+    // the q166 gate/canon/DSIR CTEs + q171's LM tercile chain, composed
+    // over the right stage inputs, with a labeling final select ---
+    Q("q178_curation_funnel",
+      (s, dir) => {
+        val r = graft.contract.CurationRecipe(name = "q178_recipe",
+          gopherMinWords = 20, ccnetRefCol = Some("lang"), ccnetRefValue = "en",
+          dsirTargetCol = Some("lang"), dsirTargetValue = "en", dsirKeepPct = 50)
+        val roundTripped = graft.contract.ContractJson.recipeFromValue(
+          graft.expr.JsonValue.parseObject(
+            graft.contract.ContractJson.recipeToJson(r)))
+        roundTripped.runAudit(t(s, dir, "documents"))
+      },
+      Some(s"""WITH RECURSIVE d0 AS (SELECT doc_id, lang, text, list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS ws,
+            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+              l -> length(l) > 0) AS ls
+            FROM documents),
+          m AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len,
+              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_cnt,
+              CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots_cnt,
+              CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                OR starts_with(l, '• '))) AS BIGINT) AS bullet_cnt,
+              CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+                AS BIGINT) AS ellipsis_cnt,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_cnt
+            FROM d0),
+          gm AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id,
+              CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END
+              + CASE WHEN n_words = 0 OR CAST(sum_len AS DOUBLE) / n_words < 3.0
+                  OR CAST(sum_len AS DOUBLE) / n_words > 10.0 THEN 2 ELSE 0 END
+              + CASE WHEN n_words > 0
+                  AND CAST(hash_cnt + dots_cnt AS DOUBLE) / n_words >= 0.1 THEN 4 ELSE 0 END
+              + CASE WHEN n_lines > 0
+                  AND CAST(bullet_cnt AS DOUBLE) / n_lines >= 0.9 THEN 8 ELSE 0 END
+              + CASE WHEN n_lines > 0
+                  AND CAST(ellipsis_cnt AS DOUBLE) / n_lines >= 0.3 THEN 16 ELSE 0 END
+              + CASE WHEN n_words = 0
+                  OR CAST(alpha_cnt AS DOUBLE) / n_words < 0.8 THEN 32 ELSE 0 END AS mask
+            FROM m) WHERE (mask & 63) = 0),
+          kept AS MATERIALIZED (SELECT d0.* FROM d0 JOIN gm USING (doc_id)),
+          ${minhashCtes(0.5, 4, 3, from = "kept")},
+          sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          cc AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+          comp AS (SELECT kept.doc_id, coalesce(cc.comp, kept.doc_id) AS component,
+              CAST(len(ws) AS BIGINT) AS n_tok
+            FROM kept LEFT JOIN cc ON cc.id = kept.doc_id),
+          canon AS MATERIALIZED (SELECT doc_id, component FROM (SELECT doc_id, component,
+              row_number() OVER (PARTITION BY component
+                ORDER BY n_tok DESC, doc_id ASC) AS rn FROM comp) WHERE rn = 1),
+          ckept AS MATERIALIZED (SELECT kept.* FROM kept JOIN canon USING (doc_id)),
+          lref AS (SELECT unnest(ws) AS w0 FROM ckept WHERE lang = 'en'),
+          lfreq AS MATERIALIZED (SELECT w0, CAST(count(*) AS BIGINT) AS n FROM lref GROUP BY w0),
+          ltok AS (SELECT doc_id, unnest(ws) AS w0 FROM ckept),
+          lpd AS (SELECT t.doc_id,
+              CAST(sum(length(bin(least(coalesce(f.n, 0) + 1, 1048576)
+                * least(coalesce(f.n, 0) + 1, 1048576)
+                * least(coalesce(f.n, 0) + 1, 1048576))) - 1) AS BIGINT) AS sumb,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM ltok t LEFT JOIN lfreq f USING (w0) GROUP BY t.doc_id),
+          lsc AS MATERIALIZED (SELECT k.doc_id,
+              CAST(coalesce((1000 * lpd.sumb) // lpd.cnt, -1) AS BIGINT) AS lm_milli
+            FROM ckept k LEFT JOIN lpd USING (doc_id)),
+          lhist AS (SELECT lm_milli AS s0, count(*) AS c FROM lsc GROUP BY 1),
+          lcum AS (SELECT s0, sum(c) OVER (ORDER BY s0 DESC) AS cum FROM lhist),
+          lnn AS (SELECT count(*) AS n FROM lsc),
+          lcuts AS (SELECT
+              (SELECT max(s0) FROM lcum, lnn WHERE cum >= (2 * n + 2) // 3) AS s2),
+          lmkeep AS MATERIALIZED (SELECT lsc.doc_id FROM lsc, lcuts c WHERE lsc.lm_milli >= c.s2),
+          lmk AS MATERIALIZED (SELECT ckept.* FROM ckept JOIN lmkeep USING (doc_id)),
+          ttok AS (SELECT doc_id, lang = 'en' AS tgt, unnest(ws) AS w FROM lmk),
+          tb AS (SELECT doc_id, tgt,
+              CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 4096 AS b FROM ttok),
+          bs AS (SELECT b,
+              ((count(CASE WHEN tgt THEN 1 END) + 1) * 1000000) // (count(*) + 1) AS sc
+            FROM tb GROUP BY b),
+          dsc AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score
+            FROM tb JOIN bs USING (b) GROUP BY doc_id),
+          al AS MATERIALIZED (SELECT lmk.doc_id, CAST(coalesce(score, 0) AS BIGINT) AS score
+            FROM lmk LEFT JOIN dsc USING (doc_id)),
+          rk AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+              count(*) OVER () AS total FROM al),
+          thr AS (SELECT min(score) AS thr FROM rk
+            WHERE rn <= (total * 50 + 99) // 100),
+          sel AS MATERIALIZED (SELECT doc_id FROM al WHERE score >= (SELECT thr FROM thr))
+        SELECT d.doc_id,
+          CASE WHEN gm.doc_id IS NULL THEN 'gate'
+               WHEN canon.doc_id IS NULL THEN 'near_dup'
+               WHEN lmkeep.doc_id IS NULL THEN 'lm_tail'
+               WHEN sel.doc_id IS NULL THEN 'dsir'
+               ELSE 'kept' END AS stage,
+          CASE WHEN gm.doc_id IS NOT NULL AND canon.doc_id IS NOT NULL
+                AND lmkeep.doc_id IS NOT NULL AND sel.doc_id IS NOT NULL
+            THEN CASE WHEN CAST(concat('0x',
+                  substr(md5(CAST(canon.component AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END
+          END AS split
+        FROM documents d
+        LEFT JOIN gm ON gm.doc_id = d.doc_id
+        LEFT JOIN canon ON canon.doc_id = d.doc_id
+        LEFT JOIN lmkeep ON lmkeep.doc_id = d.doc_id
+        LEFT JOIN sel ON sel.doc_id = d.doc_id"""))
   )
 
   /** Frozen top-8 merge rules for q161b — learned by [[graft.ops.Bpe.train]]

@@ -147,6 +147,75 @@ final case class CurationRecipe(
       trainPct = trainPct, ccMaxIter = ccMaxIter, components = comps)
   }
 
+  /** FUNNEL AUDIT — per-document drop attribution across the recipe's
+    * stages: every INPUT doc gets exactly one row (idCol, stage, split)
+    * where stage names the FIRST stage that dropped the doc — 'gate'
+    * (Gopher rules), 'near_dup' (lost keep-best canonicalization),
+    * 'lm_tail' (CCNet tail tercile), 'dsir' (below the importance
+    * threshold) — or 'kept', and split is non-null exactly for kept docs.
+    * Disabled stages never label. THE curation ops primitive at 100 TB:
+    * "why did the corpus shrink 40%?" is one group-by over this frame,
+    * and any single doc's fate is a point lookup.
+    *
+    * Same operators, same knobs, same reuse discipline as [[run]] (one CC
+    * run feeds canonicalize AND the split router; every cross-stage
+    * intermediate is a checkpointed O(docs) id list); the attribution
+    * itself is four id-list left joins — never a second corpus-scale
+    * shuffle. audit-kept ≡ run()-kept is spec-gated (RecipeAuditSpec), so
+    * the two bodies cannot drift silently. */
+  def runAudit(docs: DataFrame): DataFrame = {
+    val gatePass = graft.ops.TextAnalysis.gopherFilter(docs, textCol, idCol,
+        minWords = gopherMinWords, ruleMask = gopherRuleMask)
+      .filter(col("fail_mask") === 0L).select(col(idCol))
+      .localCheckpoint(true)
+    val gated = docs.join(gatePass, Seq(idCol), "left_semi")
+    val pairs = graft.ops.Dedup.nearDuplicatesPortable(gated, textCol, idCol,
+      threshold = nearDupThreshold, bands = nearDupBands, k = nearDupK)
+    val comps = Some(graft.ops.Dedup.connectedComponents(pairs,
+      maxIter = ccMaxIter))
+    val score = qualityScoreCol.map(col).getOrElse(
+      size(filter(split(lower(trim(col(textCol))), "\\s+"),
+        w => length(w) > 0)).cast("long"))
+    val canonIds = graft.ops.Dedup.canonicalizeBy(gated, pairs, idCol, score,
+        components = comps).select(col(idCol)).localCheckpoint(true)
+    val canonShallow = gated.join(canonIds, Seq(idCol), "left_semi")
+    val lmKeptIds = ccnetRefCol.map { rc =>
+      graft.ops.TextAnalysis.lmQualityPartition(
+          canonShallow.filter(col(rc) === lit(ccnetRefValue)), canonShallow,
+          textCol, idCol)
+        .filter(col("part") =!= "tail").select(col(idCol))
+        .localCheckpoint(true)
+    }
+    val afterLm = lmKeptIds.map(k => canonShallow.join(k, Seq(idCol), "left_semi"))
+      .getOrElse(canonShallow)
+    val selectedIds = dsirTargetCol.collect { case tc if dsirKeepPct < 100 =>
+      graft.ml.MLOps.dsirSelectByThreshold(afterLm, textCol, idCol,
+          col(tc) === lit(dsirTargetValue),
+          buckets = dsirBuckets, keepPct = dsirKeepPct)
+        .filter(col("selected")).select(col(idCol)).localCheckpoint(true)
+    }
+    val afterSel = selectedIds.map(k => afterLm.join(k, Seq(idCol), "left_semi"))
+      .getOrElse(afterLm)
+    val splitDf = graft.ml.MLOps.leakageSafeSplit(afterSel, pairs, idCol,
+        trainPct = trainPct, ccMaxIter = ccMaxIter, components = comps)
+      .select(col(idCol), col("split"))
+    def mark(df: DataFrame, m: String) = df.withColumn(m, lit(1))
+    var out = docs.select(col(idCol))
+      .join(mark(gatePass, "__g"), Seq(idCol), "left")
+      .join(mark(canonIds, "__c"), Seq(idCol), "left")
+    lmKeptIds.foreach(k => out = out.join(mark(k, "__l"), Seq(idCol), "left"))
+    selectedIds.foreach(k => out = out.join(mark(k, "__s"), Seq(idCol), "left"))
+    out = out.join(splitDf, Seq(idCol), "left")
+    val stage = {
+      var c = when(col("__g").isNull, lit("gate"))
+        .when(col("__c").isNull, lit("near_dup"))
+      if (lmKeptIds.nonEmpty) c = c.when(col("__l").isNull, lit("lm_tail"))
+      if (selectedIds.nonEmpty) c = c.when(col("__s").isNull, lit("dsir"))
+      c.otherwise(lit("kept"))
+    }
+    out.select(col(idCol), stage.as("stage"), col("split"))
+  }
+
   /** Execute against a registered source. */
   def runOn(spark: SparkSession, source: graft.sources.BatchSource): DataFrame =
     run(source.read(spark))

@@ -2447,3 +2447,46 @@ class SessionAggGateSpec extends AnyFunSuite {
     assert(got.forall(_._1 <= ts(500).getTime * 1000L))
   }
 }
+
+/** q178's funnel audit: the attribution frame must partition the corpus,
+  * agree with run() on the kept set, and respect disabled stages. */
+class RecipeAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // a corpus with one of everything: too-short docs (gate), a duplicate
+  // cluster (near_dup), and enough en/de spread for LM terciles and DSIR
+  private def docs = {
+    val long = (1 to 40).map(i => s"the quick brown fox number $i jumps over the lazy dog and keeps running along the river")
+    val dup = "identical duplicated document text repeated across several ids for the cluster"
+    (
+      long.zipWithIndex.map { case (t, i) => (i.toLong, t, if (i % 4 == 0) "de" else "en") } ++
+      Seq((100L, dup, "en"), (101L, dup, "en"), (102L, dup, "en")) ++
+      Seq((200L, "too short", "en"), (201L, "x", "de"))
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("audit partitions the corpus and its kept set equals run()'s") {
+    val r = graft.contract.CurationRecipe(name = "audit_spec",
+      gopherMinWords = 5, ccnetRefCol = Some("lang"), ccnetRefValue = "en",
+      dsirTargetCol = Some("lang"), dsirTargetValue = "en", dsirKeepPct = 60)
+    val audit = r.runAudit(docs).collect()
+      .map(x => (x.getLong(0), x.getString(1), Option(x.getString(2))))
+    assert(audit.length == docs.count()) // exactly one row per input doc
+    val kept = audit.filter(_._2 == "kept")
+    assert(kept.forall(_._3.exists(s => s == "train" || s == "test")))
+    assert(audit.filterNot(_._2 == "kept").forall(_._3.isEmpty))
+    val ranKept = r.run(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._1).toSet == ranKept, "audit-kept diverged from run()-kept")
+    // the short docs died at the gate; the dup cluster lost 2 of 3 members
+    assert(audit.filter(x => x._1 >= 200L).forall(_._2 == "gate"))
+    assert(audit.count(x => x._1 >= 100L && x._1 <= 102L && x._2 == "near_dup") == 2)
+  }
+
+  test("disabled stages never label") {
+    val r = graft.contract.CurationRecipe(name = "audit_min", gopherMinWords = 5)
+    val stages = r.runAudit(docs).select("stage").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!stages.contains("lm_tail") && !stages.contains("dsir"))
+  }
+}
