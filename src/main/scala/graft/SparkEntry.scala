@@ -4790,7 +4790,47 @@ object SparkEntry {
         LEFT JOIN gm ON gm.doc_id = d.doc_id
         LEFT JOIN canon ON canon.doc_id = d.doc_id
         LEFT JOIN lmkeep ON lmkeep.doc_id = d.doc_id
-        LEFT JOIN sel ON sel.doc_id = d.doc_id"""))
+        LEFT JOIN sel ON sel.doc_id = d.doc_id""")),
+
+    // --- CURRICULUM ORDER: a materialized global training order (rank
+    // 1..N) in (phase asc, md5-shuffle within phase) order — the
+    // sequence-length-warmup curriculum (short docs first), deterministic
+    // in any engine. The Spark side is tokenShards' distributed prefix sum
+    // (per-(phase,bucket) counts → driver offsets → partitioned windows),
+    // NEVER the oracle's global row_number — that single-partition sort is
+    // exactly what the operator exists to avoid at 10^9 docs ---
+    Q("q179_curriculum_order",
+      (s, dir) => graft.ml.MLOps.curriculumOrder(t(s, dir, "documents"),
+        "doc_id",
+        when(col("n_chars") < 200, 0).when(col("n_chars") < 1000, 1).otherwise(2),
+        phases = 3)
+        .select(col("doc_id"), col("phase"), col("curriculum_rank")),
+      Some("""SELECT doc_id, phase, CAST(row_number() OVER (ORDER BY phase,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000,
+            doc_id) AS BIGINT) AS curriculum_rank
+        FROM (SELECT doc_id,
+            CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 1000 THEN 1 ELSE 2 END AS phase
+          FROM documents)""")),
+
+    // --- LEAVE-ONE-SOURCE-OUT ablation bookkeeping: per excluded source,
+    // the complement corpus's size/token/en-fraction card — the data-
+    // attribution study's ledger. ONE scan + total-minus-source arithmetic
+    // against a broadcast totals row; K ablation slices, zero extra scans ---
+    Q("q180_loso_ablation",
+      (s, dir) => graft.ml.MLOps.ablationComplements(t(s, dir, "documents"),
+        "text", "source", "lang", "en"),
+      Some("""WITH s AS (SELECT source AS excluded_source,
+            CAST(count(*) AS BIGINT) AS d,
+            CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> length(x) > 0))) AS BIGINT) AS t,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS e
+          FROM documents GROUP BY 1),
+        tot AS (SELECT sum(d) AS td, sum(t) AS tt, sum(e) AS te FROM s)
+      SELECT excluded_source, CAST(td - d AS BIGINT) AS n_docs,
+        CAST(tt - t AS BIGINT) AS n_tokens,
+        CAST((1000 * (te - e)) // nullif(td - d, 0) AS BIGINT) AS en_milli
+      FROM s, tot"""))
   )
 
   /** Frozen top-8 merge rules for q161b — learned by [[graft.ops.Bpe.train]]

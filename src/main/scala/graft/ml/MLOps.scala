@@ -247,6 +247,68 @@ object MLOps {
       .drop("__b", "__u", "__before")
   }
 
+  /** CURRICULUM ORDER — materialize a deterministic global training order
+    * (SparkEntry q179): rank 1..N in (phase asc, md5 shuffle within phase)
+    * order — the sequence-length-warmup / easy-to-hard curriculum, with
+    * the md5 hash standing in for the within-phase shuffle so the order is
+    * reproducible in any engine. Same distributed-prefix-sum shape as
+    * [[tokenShards]], never a global window: per-(phase, coarse-bucket)
+    * COUNTS (O(phases·buckets) rows) prefix-sum on the driver, offsets
+    * broadcast back, and the in-bucket row_number window runs partitioned
+    * by (phase, bucket) — fully parallel, equal to the global rank because
+    * (phase, bucket) order is a prefix of (phase, u, key) order. `phase`
+    * must evaluate into [0, phases) — out-of-range fails loudly here, not
+    * as a silent mis-ranking. Returns df + (phase, rankCol). */
+  def curriculumOrder(df: DataFrame, keyCol: String, phase: Column,
+      phases: Int, buckets: Int = 256,
+      rankCol: String = "curriculum_rank"): DataFrame = {
+    require(phases >= 1 && buckets >= 1, "phases >= 1, buckets >= 1")
+    val u = md5Bucket(col(keyCol), 1000000)
+    val b = floor(u * buckets / lit(1000000.0)).cast("int")
+    val based = df.withColumn("__p", phase.cast("int"))
+      .withColumn("__b", b).withColumn("__u", u)
+    val counts = based.groupBy("__p", "__b").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val badPhases = counts.keys.map(_._1).filter(p => p < 0 || p >= phases)
+    require(badPhases.isEmpty,
+      s"curriculumOrder: phase values ${badPhases.toSeq.sorted.distinct} outside [0, $phases)")
+    val offsets = {
+      var acc = 0L
+      (for (p <- 0 until phases; i <- 0 until buckets) yield {
+        val o = (p, i) -> acc; acc += counts.getOrElse((p, i), 0L); o
+      }).toMap
+    }
+    val offCol = element_at(
+      typedLit((0 until phases).flatMap(p => (0 until buckets).map(i => offsets((p, i))))),
+      col("__p") * buckets + col("__b") + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p"), col("__b")).orderBy(col("__u"), col(keyCol))
+    based.withColumn(rankCol, row_number().over(w).cast("long") + offCol)
+      .withColumnRenamed("__p", "phase").drop("__b", "__u")
+  }
+
+  /** LEAVE-ONE-SOURCE-OUT ablation bookkeeping (SparkEntry q180): for every
+    * source, the corpus stats of its COMPLEMENT (docs, whitespace tokens,
+    * en-doc fraction in milli) — what a data-ablation study trains against
+    * when it excludes that source. ONE corpus scan computes the per-source
+    * stats; complements are total-minus-source arithmetic against the
+    * single broadcast totals row — K ablation slices never cost K scans.
+    * nullif guards the one-source corpus (empty complement → null milli). */
+  def ablationComplements(docs: DataFrame, textCol: String,
+      sourceCol: String, langCol: String, lang: String): DataFrame = {
+    val per = docs.groupBy(col(sourceCol).as("excluded_source"))
+      .agg(count(lit(1)).as("__d"),
+        sum(graft.ops.TextAnalysis.tokenCountWs(col(textCol))).as("__t"),
+        sum(when(col(langCol) === lang, 1L).otherwise(0L)).as("__e"))
+    val tot = per.agg(sum("__d").as("__td"), sum("__t").as("__tt"),
+      sum("__e").as("__te")).withColumn("__k", lit(1))
+    per.withColumn("__k", lit(1)).join(broadcast(tot), Seq("__k"))
+      .select(col("excluded_source"),
+        (col("__td") - col("__d")).as("n_docs"),
+        (col("__tt") - col("__t")).as("n_tokens"),
+        expr("(1000 * (__te - __e)) div nullif(__td - __d, 0)").as("en_milli"))
+  }
+
   /** Per-group deterministic CAP: at most `k` rows per group, chosen by md5
     * hash order of the key (C4-style per-domain caps; also the reproducible
     * "reservoir" for eval-slice extraction). One row_number window per

@@ -2490,3 +2490,64 @@ class RecipeAuditSpec extends AnyFunSuite {
     assert(!stages.contains("lm_tail") && !stages.contains("dsir"))
   }
 }
+
+/** q179's distributed curriculum rank: a permutation 1..N equal to the
+  * global-window restatement, phases strictly ordered. */
+class CurriculumOrderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = (1L to 500L).map(i => (i, (i % 7).toInt)).toDF("doc_id", "len_bucket")
+
+  test("rank is the global (phase, md5, key) permutation, without a global window") {
+    val phase = when(col("len_bucket") < 2, 0).when(col("len_bucket") < 5, 1).otherwise(2)
+    val got = graft.ml.MLOps.curriculumOrder(docs, "doc_id", phase, phases = 3, buckets = 16)
+      .select("doc_id", "phase", "curriculum_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.map(_._3).sorted.toSeq == (1L to 500L)) // a permutation
+    val want = docs.withColumn("phase", phase)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("phase"),
+          graft.ml.MLOps.md5Bucket(col("doc_id"), 1000000), col("doc_id"))).cast("long"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk"))).toMap
+    assert(got.forall { case (id, _, rk) => want(id) == rk })
+    // phases are strictly ordered blocks
+    val maxByPhase = got.groupBy(_._2).view.mapValues(_.map(_._3).max)
+    val minByPhase = got.groupBy(_._2).view.mapValues(_.map(_._3).min)
+    assert(maxByPhase(0) < minByPhase(1) && maxByPhase(1) < minByPhase(2))
+  }
+
+  test("out-of-range phase fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.MLOps.curriculumOrder(docs, "doc_id", col("len_bucket"), phases = 3)
+        .count()
+    }
+    assert(e.getMessage.contains("outside"))
+  }
+}
+
+/** q180's one-scan LOSO complements: total-minus-source arithmetic equals
+  * recomputing each complement directly. */
+class AblationComplementsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("complement stats equal direct per-complement computation") {
+    val docs = Seq(
+      (1L, "one two three", "a", "en"), (2L, "four five", "a", "de"),
+      (3L, "six", "b", "en"), (4L, "seven eight nine ten", "b", "en"),
+      (5L, "eleven twelve", "c", "fr")
+    ).toDF("doc_id", "text", "source", "lang")
+    val got = graft.ml.MLOps.ablationComplements(docs, "text", "source", "lang", "en")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (s <- Seq("a", "b", "c")) {
+      val c = docs.filter(col("source") =!= s)
+      val d = c.count()
+      val t = c.select(sum(graft.ops.TextAnalysis.tokenCountWs(col("text"))))
+        .head().getLong(0)
+      val e = c.filter(col("lang") === "en").count()
+      assert(got(s) == ((d, t, 1000 * e / d)), s)
+    }
+  }
+}
