@@ -268,10 +268,15 @@ object MLOps {
     val based = df.withColumn("__p", phase.cast("int"))
       .withColumn("__b", b).withColumn("__u", u)
     val counts = based.groupBy("__p", "__b").agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      .collect()
+      // a NULL phase (e.g. the phase expression read a null column) maps to
+      // -1 so it reaches the descriptive range check, not a bare NPE
+      .map(r => ((if (r.isNullAt(0)) -1 else r.getInt(0)), r.getInt(1)) -> r.getLong(2))
+      .toMap
     val badPhases = counts.keys.map(_._1).filter(p => p < 0 || p >= phases)
     require(badPhases.isEmpty,
-      s"curriculumOrder: phase values ${badPhases.toSeq.sorted.distinct} outside [0, $phases)")
+      s"curriculumOrder: phase values ${badPhases.toSeq.sorted.distinct} outside [0, $phases)" +
+        " (-1 = null phase)")
     val offsets = {
       var acc = 0L
       (for (p <- 0 until phases; i <- 0 until buckets) yield {
@@ -291,18 +296,24 @@ object MLOps {
     * source, the corpus stats of its COMPLEMENT (docs, whitespace tokens,
     * en-doc fraction in milli) — what a data-ablation study trains against
     * when it excludes that source. ONE corpus scan computes the per-source
-    * stats; complements are total-minus-source arithmetic against the
-    * single broadcast totals row — K ablation slices never cost K scans.
-    * nullif guards the one-source corpus (empty complement → null milli). */
+    * stats; complements are total-minus-source arithmetic with the totals
+    * window-summed over the BOUNDED per-source frame (the mixtureResample
+    * discipline — a constant-key totals join would fold to a nested-loop
+    * join, the SCALE.md driver-discipline hazard; the single-partition
+    * window touches O(sources) rows, never the corpus). K ablation slices
+    * never cost K scans. nullif guards the one-source corpus (empty
+    * complement → null milli). */
   def ablationComplements(docs: DataFrame, textCol: String,
       sourceCol: String, langCol: String, lang: String): DataFrame = {
     val per = docs.groupBy(col(sourceCol).as("excluded_source"))
       .agg(count(lit(1)).as("__d"),
         sum(graft.ops.TextAnalysis.tokenCountWs(col(textCol))).as("__t"),
         sum(when(col(langCol) === lang, 1L).otherwise(0L)).as("__e"))
-    val tot = per.agg(sum("__d").as("__td"), sum("__t").as("__tt"),
-      sum("__e").as("__te")).withColumn("__k", lit(1))
-    per.withColumn("__k", lit(1)).join(broadcast(tot), Seq("__k"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    per
+      .withColumn("__td", sum("__d").over(w))
+      .withColumn("__tt", sum("__t").over(w))
+      .withColumn("__te", sum("__e").over(w))
       .select(col("excluded_source"),
         (col("__td") - col("__d")).as("n_docs"),
         (col("__tt") - col("__t")).as("n_tokens"),

@@ -711,10 +711,15 @@ object Streaming {
     // watermark. Reusing a real row's key is safe: the sentinel opens a
     // NEW far-future session for that key (30 days ≫ gap), which itself
     // never finalizes.
-    val maxTs = events.agg(max(col(tsCol))).head().getTimestamp(0)
-    val flushTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400000L)
-    stageExtraChunk(events.limit(1).withColumn(tsCol, lit(flushTs)),
-      work, chunks)
+    val maxRow = events.agg(max(col(tsCol))).head()
+    // an empty input has no sessions to flush — skip the sentinel instead
+    // of NPEing on the null max
+    if (!maxRow.isNullAt(0)) {
+      val flushTs = new java.sql.Timestamp(
+        maxRow.getTimestamp(0).getTime + 30L * 86400000L)
+      stageExtraChunk(events.limit(1).withColumn(tsCol, lit(flushTs)),
+        work, chunks)
+    }
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     val store =

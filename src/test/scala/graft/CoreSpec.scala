@@ -2446,6 +2446,21 @@ class SessionAggGateSpec extends AnyFunSuite {
     // and nothing 30 days out (the sentinel's session) leaked into the store
     assert(got.forall(_._1 <= ts(500).getTime * 1000L))
   }
+
+  test("empty input yields an empty store, not an NPE on the sentinel") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+    val got = graft.streaming.Streaming.stagedSessionAggRun(
+      spark, empty, "ts", "user_id", "value", gap = "30 minutes")
+    assert(got.count() == 0L)
+  }
 }
 
 /** q178's funnel audit: the attribution frame must partition the corpus,
@@ -2523,6 +2538,16 @@ class CurriculumOrderSpec extends AnyFunSuite {
         .count()
     }
     assert(e.getMessage.contains("outside"))
+  }
+
+  test("null phase fails descriptively, not with an NPE") {
+    val withNull = docs.withColumn("len_bucket",
+      when(col("doc_id") === 7L, lit(null)).otherwise(lit(0)))
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.MLOps.curriculumOrder(withNull, "doc_id", col("len_bucket"), phases = 3)
+        .count()
+    }
+    assert(e.getMessage.contains("null phase"))
   }
 }
 
