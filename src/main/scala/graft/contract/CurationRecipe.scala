@@ -216,6 +216,66 @@ final case class CurationRecipe(
     out.select(col(idCol), stage.as("stage"), col("split"))
   }
 
+  /** INCREMENTAL INGEST — the recipe's daily-batch path (SparkEntry q181):
+    * admit a NEW batch against an already-curated corpus without ever
+    * re-pairing corpus×corpus.
+    *
+    *   1. Gopher-gate the batch (the per-doc stateless stage — same knobs);
+    *   2. near-dup PROBE the corpus band index
+    *      ([[graft.ops.Dedup.nearDuplicatesAgainstPortable]], the q159
+    *      ingest shape: O(new × bucket collisions), corpus never
+    *      self-pairs). A new doc pairing with ANY corpus doc drops —
+    *      the corpus member is already canonical, so the corpus wins;
+    *   3. within-batch clusters (new×new pairs) keep their BEST member
+    *      (the run() score rule);
+    *   4. leakage-safe split routed by the new-pair components.
+    *
+    * Corpus-DEPENDENT stages (the CCNet tercile, the DSIR threshold) are
+    * deliberately NOT recomputed per ingest — their cutoffs move with the
+    * whole corpus distribution, so they refresh on the next full [[run]],
+    * not on every batch (CCNet's own batch-vs-refresh split). Returns the
+    * admitted batch docs + (component, split) — the same shape as [[run]],
+    * ready to append to the corpus. */
+  def runIncremental(corpus: DataFrame, newBatch: DataFrame): DataFrame = {
+    val gatePass = graft.ops.TextAnalysis.gopherFilter(newBatch, textCol, idCol,
+        minWords = gopherMinWords, ruleMask = gopherRuleMask)
+      .filter(col("fail_mask") === 0L).select(col(idCol))
+      .localCheckpoint(true)
+    val gated = newBatch.join(gatePass, Seq(idCol), "left_semi")
+    // O(pairs) id rows, referenced three times below — checkpoint once
+    val pairs = graft.ops.Dedup.nearDuplicatesAgainstPortable(corpus, gated,
+        textCol, idCol, threshold = nearDupThreshold,
+        bands = nearDupBands, k = nearDupK)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val newIds = gated.select(col(idCol))
+    val marked = pairs
+      .join(newIds.select(col(idCol).as("id_a")).withColumn("__an", lit(1)),
+        Seq("id_a"), "left")
+      .join(newIds.select(col(idCol).as("id_b")).withColumn("__bn", lit(1)),
+        Seq("id_b"), "left")
+    // exactly one side new → the new side duplicates the standing corpus
+    val corpusDupNew = marked.filter(col("__an").isNotNull && col("__bn").isNull)
+      .select(col("id_a").as(idCol))
+      .unionByName(marked.filter(col("__bn").isNotNull && col("__an").isNull)
+        .select(col("id_b").as(idCol)))
+      .distinct()
+    val survivors = gated.join(corpusDupNew, Seq(idCol), "left_anti")
+    val newPairs = marked.filter(col("__an").isNotNull && col("__bn").isNotNull)
+      .select("id_a", "id_b")
+    val score = qualityScoreCol.map(col).getOrElse(
+      size(filter(split(lower(trim(col(textCol))), "\\s+"),
+        w => length(w) > 0)).cast("long"))
+    // ONE CC run over the new-only pairs feeds keep-best AND the router;
+    // components may be labeled through a corpus-dropped member — harmless,
+    // labels only need consistency, not survivorship
+    val comps = Some(graft.ops.Dedup.connectedComponents(newPairs,
+      maxIter = ccMaxIter))
+    val canonical = graft.ops.Dedup.canonicalizeBy(survivors, newPairs, idCol,
+      score, components = comps)
+    graft.ml.MLOps.leakageSafeSplit(canonical, newPairs, idCol,
+      trainPct = trainPct, ccMaxIter = ccMaxIter, components = comps)
+  }
+
   /** Execute against a registered source. */
   def runOn(spark: SparkSession, source: graft.sources.BatchSource): DataFrame =
     run(source.read(spark))

@@ -2506,6 +2506,54 @@ class RecipeAuditSpec extends AnyFunSuite {
   }
 }
 
+/** q181's incremental ingest: corpus near-dups drop (corpus wins),
+  * within-batch clusters keep best, gate applies, corpus never re-pairs. */
+class RecipeIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val boiler = "the quick brown fox jumps over the lazy dog and keeps running along the river"
+
+  test("corpus duplicates drop, batch clusters keep best, gate applies") {
+    val corpus = Seq(
+      (10L, s"$boiler in the standing corpus"),
+      (11L, "a completely different corpus document about query engines")
+    ).toDF("doc_id", "text")
+    // the batch cluster (21/22) shares NO shingles with the corpus —
+    // otherwise the corpus-dup rule correctly claims it first
+    val batchBoiler = "catalyst planner rewrites logical trees into physical operators before execution begins today"
+    val batch = Seq(
+      (20L, s"$boiler in the standing corpus"),          // dup of corpus 10 → drop
+      (21L, s"$batchBoiler with extra trailing words"),  // batch cluster, longer
+      (22L, s"$batchBoiler"),                            // same cluster, shorter
+      (23L, "short")                                     // gate drop (min words 5)
+    ).toDF("doc_id", "text")
+    val r = graft.contract.CurationRecipe(name = "ingest_spec", gopherMinWords = 5)
+    val got = r.runIncremental(corpus, batch)
+      .select("doc_id", "component", "split").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val ids = got.map(_._1).toSet
+    assert(!ids.contains(20L), "corpus duplicate must drop (corpus wins)")
+    assert(!ids.contains(23L), "gate-failing doc must drop")
+    assert(ids.contains(21L), "the longer batch-cluster member is kept")
+    assert(!ids.contains(22L), "the shorter batch-cluster member drops")
+    assert(got.forall(x => x._3 == "train" || x._3 == "test"))
+  }
+
+  test("a clean batch admits entirely and corpus ids never appear") {
+    val corpus = Seq((10L, "corpus only document about distributed joins and shuffles here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, s"one wholly novel batch document $boiler alpha"),
+      (21L, "another novel batch document with entirely distinct words about catalyst rules")
+    ).toDF("doc_id", "text")
+    val r = graft.contract.CurationRecipe(name = "ingest_clean", gopherMinWords = 5)
+    val ids = r.runIncremental(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(20L, 21L))
+  }
+}
+
 /** q179's distributed curriculum rank: a permutation 1..N equal to the
   * global-window restatement, phases strictly ordered. */
 class CurriculumOrderSpec extends AnyFunSuite {
