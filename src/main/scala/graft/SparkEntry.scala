@@ -4910,7 +4910,35 @@ object SparkEntry {
         SELECT doc_id, component,
           CASE WHEN CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8))
               AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS split
-        FROM canon"""))
+        FROM canon""")),
+
+    // --- TRAINING-EXPORT PLAN capstone: curriculum rank (q179's
+    // distributed prefix sum) → equal-doc shards in curriculum order →
+    // per-shard integrity manifest (q168's order-independent checksum) —
+    // the export a training run actually consumes, hash-proven as ONE
+    // query: shard k holds curriculum ranks [k·250, (k+1)·250), so
+    // workers stream shards in order and replay the curriculum exactly ---
+    Q("q182_curriculum_export",
+      (s, dir) => {
+        val ranked = graft.ml.MLOps.curriculumOrder(t(s, dir, "documents"),
+          "doc_id",
+          when(col("n_chars") < 200, 0).when(col("n_chars") < 1000, 1).otherwise(2),
+          phases = 3)
+        graft.ml.MLOps.shardManifest(
+          ranked.withColumn("shard", expr("(curriculum_rank - 1) div 250")),
+          "shard", Seq("doc_id", "text"))
+      },
+      Some("""WITH rk AS (SELECT doc_id, text, row_number() OVER (ORDER BY
+            CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 1000 THEN 1 ELSE 2 END,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000,
+            doc_id) AS r
+          FROM documents)
+        SELECT CAST((r - 1) // 250 AS BIGINT) AS shard,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+            CAST(doc_id AS VARCHAR), text)), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+        FROM rk GROUP BY 1"""))
   )
 
   /** Frozen top-8 merge rules for q161b — learned by [[graft.ops.Bpe.train]]
