@@ -474,12 +474,17 @@ object Streaming {
       debugT: Boolean, outputMode: String = "update"): graft.sources.ParquetSource = {
     val store = graft.sources.ParquetSource(work.resolve("store").toString)
     val upsert = idempotentBatchSink({ (batch, _) =>
-      val tU = System.nanoTime()
-      val nonEmpty = !batch.isEmpty
-      if (debugT) System.err.println(f"[stream-gate]   isEmpty ${(System.nanoTime() - tU) / 1e9}%.2fs")
-      val tV = System.nanoTime()
-      if (nonEmpty) store.upsert(project(batch).coalesce(1), keys)
-      if (debugT) System.err.println(f"[stream-gate]   upsert ${(System.nanoTime() - tV) / 1e9}%.2fs")
+      // the batch frame is read twice (emptiness probe + upsert) — persist
+      // so the state-store emission materializes once per micro-batch
+      batch.persist()
+      try {
+        val tU = System.nanoTime()
+        val nonEmpty = !batch.isEmpty
+        if (debugT) System.err.println(f"[stream-gate]   isEmpty ${(System.nanoTime() - tU) / 1e9}%.2fs")
+        val tV = System.nanoTime()
+        if (nonEmpty) store.upsert(project(batch).coalesce(1), keys)
+        if (debugT) System.err.println(f"[stream-gate]   upsert ${(System.nanoTime() - tV) / 1e9}%.2fs")
+      } finally batch.unpersist(blocking = false)
       },
       work.resolve("commitlog").toString)(spark)
     val q = streamed.writeStream
