@@ -1371,11 +1371,12 @@ object SparkEntry {
     * q172 genuine streaming run): banded LSH candidates from [[minhashCtes]]'
     * sigs+cand CTEs, the signature-AGREEMENT estimator restated as integer
     * coordinate agreement / numHashes, NO exact-verify join. */
-  private def sqlNearDupEstimateOracle(threshold: Double): String = {
+  private def sqlNearDupEstimateOracle(threshold: Double, bands: Int = 4,
+      k: Int = 3): String = {
     val nH = Dedup.portableCoeffs.size
     val matches = (0 until nH).map(i =>
       s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString("\n            + ")
-    s"""WITH ${minhashCtes()}
+    s"""WITH ${minhashCtes(threshold, bands, k)}
         SELECT id_a, id_b, CAST(($matches) AS DOUBLE) / $nH AS est_jaccard
         FROM cand JOIN sigs sa ON sa.doc_id = id_a
           JOIN sigs sb ON sb.doc_id = id_b
@@ -3901,7 +3902,7 @@ object SparkEntry {
     Q("q157_stream_neardup_batch",
       (s, dir) => Dedup.nearDupByEstimate(t(s, dir, "documents"), "text",
         "doc_id", threshold = 0.5, bands = 4, k = 3),
-      Some(sqlNearDupEstimateOracle(0.5))),
+      Some(sqlNearDupEstimateOracle(0.5, bands = 4, k = 3))),
 
     // --- QUALITY-AWARE cluster canonicalization: per near-dup cluster keep
     // the LONGEST doc (n_chars, ties by doc_id) — the production keep-rule
@@ -4611,7 +4612,7 @@ object SparkEntry {
       (s, dir) => graft.streaming.Streaming.stagedNearDupRun(
         s, t(s, dir, "documents"), "text", "doc_id",
         threshold = 0.5, bands = 4, k = 3),
-      Some(sqlNearDupEstimateOracle(0.5))),
+      Some(sqlNearDupEstimateOracle(0.5, bands = 4, k = 3))),
 
     // --- The FOURTH streaming-runtime modality: STREAM-STREAM JOIN —
     // click⋈purchase attribution via Streaming.intervalJoin (two

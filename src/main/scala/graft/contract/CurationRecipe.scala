@@ -1,6 +1,6 @@
 package graft.contract
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** END-TO-END CURATION RECIPE — contract-as-code for the LLM-pretraining
@@ -72,27 +72,28 @@ final case class CurationRecipe(
   require(dsirKeepPct >= 0 && dsirKeepPct <= 100, s"dsirKeepPct=$dsirKeepPct out of [0,100]")
   require(nearDupBands >= 1 && nearDupK >= 1, "nearDupBands/nearDupK must be >= 1")
 
-  /** Execute the recipe over a document frame. Returns the curated corpus:
-    * the input columns of every surviving doc plus (component, split).
+  /** The per-stage survivor frames both execution modes consume — ONE
+    * pipeline body, so [[run]] and [[runAudit]] cannot drift apart in a
+    * configuration no spec exercises (the RecipeAuditSpec audit-kept ≡
+    * run()-kept equality is now true by construction, and the spec is
+    * the regression tripwire, not the only guard). */
+  private final class Stages(
+      val gatePass: DataFrame, val pairs: DataFrame, val canonIds: DataFrame,
+      val lmKeptIds: Option[DataFrame], val selectedIds: Option[DataFrame],
+      val split: DataFrame)
+
+  /** Execute the five stages over `docs`.
     *
     * Reuse discipline (the q153-capstone pattern): every cross-stage
-    * intermediate is either a BOUNDED frame — the gate's id list, the CC
-    * label table — localCheckpointed so its producing corpus scan runs
-    * once, or consumed exactly once. Connected components run ONCE and
-    * feed both keep-best canonicalization and the split router via the
-    * operators' `components` hooks.
-    *
-    * Checkpoint lifecycle: the returned frame READS those checkpointed id/
-    * label blocks lazily, so run() cannot release them itself (truncated
-    * lineage is not recomputable) — they live until session end or a
-    * caller-side unpersist once the result is consumed. They are id and
-    * label rows ONLY (never text), so retention is O(docs) longs per run —
-    * unlike the corpus×bucket-scaled trainer fold perceptronTrain releases
-    * eagerly; a service looping over recipes should checkpoint its OWN
-    * consumption of the result and release both. */
-  def run(docs: DataFrame): DataFrame = {
-    // 1. quality gate — keep docs passing every enabled Gopher rule; the
-    // id list (O(docs) longs, no text) is reused by stages 2, 3 and 5
+    * intermediate is a BOUNDED id list (O(docs) longs, no text),
+    * localCheckpointed so its producing corpus scan runs once, and each
+    * stage's corpus frame is rebuilt as one cheap semi-join of the gated
+    * scan against that list — every reuse then costs a shallow scan, not
+    * a replay of the CC + keep-best window chain. Connected components run
+    * ONCE and feed both keep-best canonicalization and the split router
+    * via the operators' `components` hooks. */
+  private def stages(docs: DataFrame): Stages = {
+    // 1. quality gate — keep docs passing every enabled Gopher rule
     val gatePass = graft.ops.TextAnalysis.gopherFilter(docs, textCol, idCol,
         minWords = gopherMinWords, ruleMask = gopherRuleMask)
       .filter(col("fail_mask") === 0L).select(col(idCol))
@@ -105,47 +106,59 @@ final case class CurationRecipe(
     val comps = Some(graft.ops.Dedup.connectedComponents(pairs,
       maxIter = ccMaxIter))
     // 3. keep the best member of every near-dup component
-    val score = qualityScoreCol.map(col).getOrElse(
-      size(filter(split(lower(trim(col(textCol))), "\\s+"),
-        w => length(w) > 0)).cast("long"))
-    val canonical = graft.ops.Dedup.canonicalizeBy(gated, pairs, idCol, score,
-      components = comps)
+    val canonIds = graft.ops.Dedup.canonicalizeBy(gated, pairs, idCol,
+        memberScore, components = comps)
+      .select(col(idCol)).localCheckpoint(true)
+    val canonShallow = gated.join(canonIds, Seq(idCol), "left_semi")
     // 3b. CCNet LM filter — unigram model on the canonical corpus's
     // reference slice, drop the tail tercile (dedup-then-perplexity is
-    // CCNet's own order). The partition references its corpus several
-    // times (reference freq, token explode, score histogram, final
-    // output), so first collapse `canonical` to its checkpointed id list
-    // (O(docs) longs — the run() retention discipline) and rebuild the
-    // frame as one cheap semi-join: every reuse then costs a shallow scan,
-    // not a replay of the CC + keep-best window chain. An empty/
-    // all-whitespace reference fails loudly inside lmQualityPartition
-    val lmKept = ccnetRefCol match {
-      case Some(rc) =>
-        val canonIds = canonical.select(col(idCol)).localCheckpoint(true)
-        val canonShallow = gated.join(canonIds, Seq(idCol), "left_semi")
-        val keep = graft.ops.TextAnalysis.lmQualityPartition(
-            canonShallow.filter(col(rc) === lit(ccnetRefValue)), canonShallow,
-            textCol, idCol)
-          .filter(col("part") =!= "tail").select(col(idCol))
-          .localCheckpoint(true)
-        canonShallow.join(keep, Seq(idCol), "left_semi")
-      case _ => canonical
+    // CCNet's own order). An empty/all-whitespace reference fails loudly
+    // inside lmQualityPartition
+    val lmKeptIds = ccnetRefCol.map { rc =>
+      graft.ops.TextAnalysis.lmQualityPartition(
+          canonShallow.filter(col(rc) === lit(ccnetRefValue)), canonShallow,
+          textCol, idCol)
+        .filter(col("part") =!= "tail").select(col(idCol))
+        .localCheckpoint(true)
     }
+    val afterLm = lmKeptIds.map(k => canonShallow.join(k, Seq(idCol), "left_semi"))
+      .getOrElse(canonShallow)
     // 4. importance-select toward the target slice
-    val selected = dsirTargetCol match {
-      case Some(tc) if dsirKeepPct < 100 =>
-        val keep = graft.ml.MLOps.dsirSelectByThreshold(lmKept, textCol, idCol,
-            col(tc) === lit(dsirTargetValue),
-            buckets = dsirBuckets, keepPct = dsirKeepPct)
-          .filter(col("selected")).select(col(idCol))
-        lmKept.join(keep, Seq(idCol), "left_semi")
-      case _ => lmKept
+    val selectedIds = dsirTargetCol.collect { case tc if dsirKeepPct < 100 =>
+      graft.ml.MLOps.dsirSelectByThreshold(afterLm, textCol, idCol,
+          col(tc) === lit(dsirTargetValue),
+          buckets = dsirBuckets, keepPct = dsirKeepPct)
+        .filter(col("selected")).select(col(idCol)).localCheckpoint(true)
     }
+    val afterSel = selectedIds.map(k => afterLm.join(k, Seq(idCol), "left_semi"))
+      .getOrElse(afterLm)
     // 5. leakage-safe split routed by the SAME component labels — residual
     // components move whole
-    graft.ml.MLOps.leakageSafeSplit(selected, pairs, idCol,
-      trainPct = trainPct, ccMaxIter = ccMaxIter, components = comps)
+    new Stages(gatePass, pairs, canonIds, lmKeptIds, selectedIds,
+      graft.ml.MLOps.leakageSafeSplit(afterSel, pairs, idCol,
+        trainPct = trainPct, ccMaxIter = ccMaxIter, components = comps))
   }
+
+  /** The stage-3 keep-best score: the configured column, else token count
+    * (keep the longest member). */
+  private def memberScore: Column =
+    qualityScoreCol.map(col).getOrElse(
+      size(filter(split(lower(trim(col(textCol))), "\\s+"),
+        w => length(w) > 0)).cast("long"))
+
+  /** Execute the recipe over a document frame. Returns the curated corpus:
+    * the input columns of every surviving doc plus (component, split).
+    *
+    * Checkpoint lifecycle: the returned frame READS the pipeline's
+    * checkpointed id/label blocks lazily, so run() cannot release them
+    * itself (truncated lineage is not recomputable) — they live until
+    * session end or a caller-side unpersist once the result is consumed.
+    * They are id and label rows ONLY (never text), so retention is
+    * O(docs) longs per run — unlike the corpus×bucket-scaled trainer fold
+    * perceptronTrain releases eagerly; a service looping over recipes
+    * should checkpoint its OWN consumption of the result and release
+    * both. */
+  def run(docs: DataFrame): DataFrame = stages(docs).split
 
   /** FUNNEL AUDIT — per-document drop attribution across the recipe's
     * stages: every INPUT doc gets exactly one row (idCol, stage, split)
@@ -157,60 +170,25 @@ final case class CurationRecipe(
     * "why did the corpus shrink 40%?" is one group-by over this frame,
     * and any single doc's fate is a point lookup.
     *
-    * Same operators, same knobs, same reuse discipline as [[run]] (one CC
-    * run feeds canonicalize AND the split router; every cross-stage
-    * intermediate is a checkpointed O(docs) id list); the attribution
-    * itself is four id-list left joins — never a second corpus-scale
-    * shuffle. audit-kept ≡ run()-kept is spec-gated (RecipeAuditSpec), so
-    * the two bodies cannot drift silently. */
+    * Shares [[stages]] with [[run]] — same operators, same knobs, same
+    * frames by construction; the attribution itself is four id-list left
+    * joins over the stages' checkpointed survivor lists — never a second
+    * corpus-scale shuffle. */
   def runAudit(docs: DataFrame): DataFrame = {
-    val gatePass = graft.ops.TextAnalysis.gopherFilter(docs, textCol, idCol,
-        minWords = gopherMinWords, ruleMask = gopherRuleMask)
-      .filter(col("fail_mask") === 0L).select(col(idCol))
-      .localCheckpoint(true)
-    val gated = docs.join(gatePass, Seq(idCol), "left_semi")
-    val pairs = graft.ops.Dedup.nearDuplicatesPortable(gated, textCol, idCol,
-      threshold = nearDupThreshold, bands = nearDupBands, k = nearDupK)
-    val comps = Some(graft.ops.Dedup.connectedComponents(pairs,
-      maxIter = ccMaxIter))
-    val score = qualityScoreCol.map(col).getOrElse(
-      size(filter(split(lower(trim(col(textCol))), "\\s+"),
-        w => length(w) > 0)).cast("long"))
-    val canonIds = graft.ops.Dedup.canonicalizeBy(gated, pairs, idCol, score,
-        components = comps).select(col(idCol)).localCheckpoint(true)
-    val canonShallow = gated.join(canonIds, Seq(idCol), "left_semi")
-    val lmKeptIds = ccnetRefCol.map { rc =>
-      graft.ops.TextAnalysis.lmQualityPartition(
-          canonShallow.filter(col(rc) === lit(ccnetRefValue)), canonShallow,
-          textCol, idCol)
-        .filter(col("part") =!= "tail").select(col(idCol))
-        .localCheckpoint(true)
-    }
-    val afterLm = lmKeptIds.map(k => canonShallow.join(k, Seq(idCol), "left_semi"))
-      .getOrElse(canonShallow)
-    val selectedIds = dsirTargetCol.collect { case tc if dsirKeepPct < 100 =>
-      graft.ml.MLOps.dsirSelectByThreshold(afterLm, textCol, idCol,
-          col(tc) === lit(dsirTargetValue),
-          buckets = dsirBuckets, keepPct = dsirKeepPct)
-        .filter(col("selected")).select(col(idCol)).localCheckpoint(true)
-    }
-    val afterSel = selectedIds.map(k => afterLm.join(k, Seq(idCol), "left_semi"))
-      .getOrElse(afterLm)
-    val splitDf = graft.ml.MLOps.leakageSafeSplit(afterSel, pairs, idCol,
-        trainPct = trainPct, ccMaxIter = ccMaxIter, components = comps)
-      .select(col(idCol), col("split"))
+    val st = stages(docs)
+    val splitDf = st.split.select(col(idCol), col("split"))
     def mark(df: DataFrame, m: String) = df.withColumn(m, lit(1))
     var out = docs.select(col(idCol))
-      .join(mark(gatePass, "__g"), Seq(idCol), "left")
-      .join(mark(canonIds, "__c"), Seq(idCol), "left")
-    lmKeptIds.foreach(k => out = out.join(mark(k, "__l"), Seq(idCol), "left"))
-    selectedIds.foreach(k => out = out.join(mark(k, "__s"), Seq(idCol), "left"))
+      .join(mark(st.gatePass, "__g"), Seq(idCol), "left")
+      .join(mark(st.canonIds, "__c"), Seq(idCol), "left")
+    st.lmKeptIds.foreach(k => out = out.join(mark(k, "__l"), Seq(idCol), "left"))
+    st.selectedIds.foreach(k => out = out.join(mark(k, "__s"), Seq(idCol), "left"))
     out = out.join(splitDf, Seq(idCol), "left")
     val stage = {
       var c = when(col("__g").isNull, lit("gate"))
         .when(col("__c").isNull, lit("near_dup"))
-      if (lmKeptIds.nonEmpty) c = c.when(col("__l").isNull, lit("lm_tail"))
-      if (selectedIds.nonEmpty) c = c.when(col("__s").isNull, lit("dsir"))
+      if (st.lmKeptIds.nonEmpty) c = c.when(col("__l").isNull, lit("lm_tail"))
+      if (st.selectedIds.nonEmpty) c = c.when(col("__s").isNull, lit("dsir"))
       c.otherwise(lit("kept"))
     }
     out.select(col(idCol), stage.as("stage"), col("split"))
@@ -262,16 +240,13 @@ final case class CurationRecipe(
     val survivors = gated.join(corpusDupNew, Seq(idCol), "left_anti")
     val newPairs = marked.filter(col("__an").isNotNull && col("__bn").isNotNull)
       .select("id_a", "id_b")
-    val score = qualityScoreCol.map(col).getOrElse(
-      size(filter(split(lower(trim(col(textCol))), "\\s+"),
-        w => length(w) > 0)).cast("long"))
     // ONE CC run over the new-only pairs feeds keep-best AND the router;
     // components may be labeled through a corpus-dropped member — harmless,
     // labels only need consistency, not survivorship
     val comps = Some(graft.ops.Dedup.connectedComponents(newPairs,
       maxIter = ccMaxIter))
     val canonical = graft.ops.Dedup.canonicalizeBy(survivors, newPairs, idCol,
-      score, components = comps)
+      memberScore, components = comps)
     graft.ml.MLOps.leakageSafeSplit(canonical, newPairs, idCol,
       trainPct = trainPct, ccMaxIter = ccMaxIter, components = comps)
   }

@@ -258,21 +258,32 @@ object MLOps {
     * by (phase, bucket) — fully parallel, equal to the global rank because
     * (phase, bucket) order is a prefix of (phase, u, key) order. `phase`
     * must evaluate into [0, phases) — out-of-range fails loudly here, not
-    * as a silent mis-ranking. Returns df + (phase, rankCol). */
+    * as a silent mis-ranking, and so does a null `keyCol` value (a null key
+    * cannot be hashed into the shuffle order). Returns df + (phaseCol,
+    * rankCol); both names must be free in the input frame. */
   def curriculumOrder(df: DataFrame, keyCol: String, phase: Column,
       phases: Int, buckets: Int = 256,
-      rankCol: String = "curriculum_rank"): DataFrame = {
+      rankCol: String = "curriculum_rank",
+      phaseCol: String = "phase"): DataFrame = {
     require(phases >= 1 && buckets >= 1, "phases >= 1, buckets >= 1")
+    require(!df.columns.contains(phaseCol) && !df.columns.contains(rankCol),
+      s"curriculumOrder: output columns '$phaseCol'/'$rankCol' already exist in the" +
+        " input frame — pass phaseCol/rankCol names that are free")
     val u = md5Bucket(col(keyCol), 1000000)
     val b = floor(u * buckets / lit(1000000.0)).cast("int")
     val based = df.withColumn("__p", phase.cast("int"))
       .withColumn("__b", b).withColumn("__u", u)
     val counts = based.groupBy("__p", "__b").agg(count(lit(1)).as("__c"))
       .collect()
-      // a NULL phase (e.g. the phase expression read a null column) maps to
-      // -1 so it reaches the descriptive range check, not a bare NPE
-      .map(r => ((if (r.isNullAt(0)) -1 else r.getInt(0)), r.getInt(1)) -> r.getLong(2))
+      // a NULL phase (null phase expression) or a NULL bucket (null keyCol
+      // value — md5 of null is null) maps to -1 so it reaches the
+      // descriptive checks below, not a bare NPE on the unboxing getInt
+      .map(r => ((if (r.isNullAt(0)) -1 else r.getInt(0)),
+        (if (r.isNullAt(1)) -1 else r.getInt(1))) -> r.getLong(2))
       .toMap
+    require(!counts.keys.exists(_._2 < 0),
+      s"curriculumOrder: null $keyCol value(s) in the input frame — the shuffle" +
+        " hash needs a non-null key")
     val badPhases = counts.keys.map(_._1).filter(p => p < 0 || p >= phases)
     require(badPhases.isEmpty,
       s"curriculumOrder: phase values ${badPhases.toSeq.sorted.distinct} outside [0, $phases)" +
@@ -289,7 +300,7 @@ object MLOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__p"), col("__b")).orderBy(col("__u"), col(keyCol))
     based.withColumn(rankCol, row_number().over(w).cast("long") + offCol)
-      .withColumnRenamed("__p", "phase").drop("__b", "__u")
+      .withColumnRenamed("__p", phaseCol).drop("__b", "__u")
   }
 
   /** LEAVE-ONE-SOURCE-OUT ablation bookkeeping (SparkEntry q180): for every

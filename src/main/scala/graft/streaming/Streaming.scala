@@ -333,13 +333,24 @@ object Streaming {
     * since eviction is precisely where the streamed result can diverge
     * from the batch restatement. */
   def nearDupStream(stream: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, numHashes: Int = -1, bands: Int = 8,
       k: Int = 3, maxPerBucket: Int = 64, portable: Boolean = false,
       evictions: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val nH = if (portable) graft.ops.Dedup.portableCoeffs.size else numHashes
-    require(nH % bands == 0, "bands must divide numHashes")
+    // numHashes = -1 means "auto": 32 for the fast family, the portable
+    // coefficient count for portable. The portable family's hash count is
+    // NOT tunable (the coefficients are a fixed cross-engine table), so an
+    // explicit numHashes there is a caller error — fail loudly rather than
+    // silently running with a different count than asked.
+    require(!portable || numHashes == -1,
+      s"portable = true fixes the hash count to portableCoeffs.size" +
+        s" (${graft.ops.Dedup.portableCoeffs.size}); leave numHashes unset")
+    val nH = if (portable) graft.ops.Dedup.portableCoeffs.size
+             else if (numHashes == -1) 32 else numHashes
+    require(nH % bands == 0,
+      s"bands ($bands) must divide the hash count ($nH" +
+        (if (portable) " = portableCoeffs.size)" else ")"))
     val rowsPerBand = nH / bands
     val spark = stream.sparkSession
     import spark.implicits._
@@ -354,7 +365,7 @@ object Streaming {
         .select(col(idCol).cast("long").as("id"),
           graft.ops.Dedup.hashedShingles(col(textCol), k).as("__sh"))
         .select(col("id"),
-          graft.ops.Dedup.minhashSignatureFast(col("__sh"), numHashes).as("sig"))
+          graft.ops.Dedup.minhashSignatureFast(col("__sh"), nH).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
@@ -461,6 +472,38 @@ object Streaming {
     lap("staging")
   }
 
+  /** Handle the shared harness of one staged runtime gate hands its body:
+    * the work dir, the lap logger, and the staged file-stream source (one
+    * micro-batch per chunk, so state genuinely carries across batches). */
+  private final class StagedGate(val work: java.nio.file.Path,
+      val lap: String => Unit, val debugT: Boolean,
+      spark: SparkSession, schema: org.apache.spark.sql.types.StructType) {
+    def source: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(work.resolve("in").toString)
+  }
+
+  /** The shared preamble/epilogue of every staged runtime gate (held ONCE
+    * so a harness fix cannot silently diverge one gate): resolve/create
+    * the work dir, stage `df` as `orderCol`-ordered chunks, pin
+    * `spark.sql.shuffle.partitions=1` for the streaming lifecycle — the
+    * stateful agg + per-batch upserts move store-scale data (windows ×
+    * keys), not corpus-scale, so a wide micro-batch fan-out only adds
+    * state-store and task overhead per batch — and restore the session's
+    * width after, exception paths included. */
+  private def withStagedGate[T](spark: SparkSession, df: DataFrame,
+      orderCol: String, chunks: Int, workDir: Option[String])(
+      body: StagedGate => T): T = {
+    val work = workDir.map(d => java.nio.file.Paths.get(d))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
+    java.nio.file.Files.createDirectories(work)
+    val (lap, debugT) = gateLap()
+    stageChunks(df, orderCol, chunks, work, lap)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try body(new StagedGate(work, lap, debugT, spark, df.schema))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Run an update-mode streaming frame into a keyed parquet online store:
     * per-batch `project`ed rows upsert through [[idempotentBatchSink]]
     * (empty watermark-finalize batches skip the upsert job chain), the
@@ -538,31 +581,17 @@ object Streaming {
       windowDur: String = "1 hour", lateness: String = "1 day",
       workDir: Option[String] = None,
       pipeline: DataFrame => DataFrame = identity): DataFrame = {
-    val work = workDir.map(d => java.nio.file.Paths.get(d))
-      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
-    java.nio.file.Files.createDirectories(work)
-    val (lap, debugT) = gateLap()
-    stageChunks(events, tsCol, chunks, work, lap)
-    // the stateful agg + per-batch upserts move store-scale data (windows ×
-    // keys), not corpus-scale — a wide micro-batch fan-out only adds state
-    // store and task overhead per batch. Pin a narrow shuffle width for the
-    // streaming lifecycle and restore the session's after.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    val store =
-      try {
-        val agg = pipeline(spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(work.resolve("in").toString))
-          .withWatermark(tsCol, lateness)
-          .groupBy(window(col(tsCol), windowDur), col(keyCol))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col(valueCol).cast("decimal(18,4)")).as("__sum_dec"))
-        runUpsertStream(spark, agg,
-          b => b.select(col("window.start").cast("long").as("window_start"),
-            col(keyCol), col("n_events"), col("__sum_dec")),
-          Seq("window_start", keyCol), work, lap, debugT)
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val store = withStagedGate(spark, events, tsCol, chunks, workDir) { g =>
+      val agg = pipeline(g.source)
+        .withWatermark(tsCol, lateness)
+        .groupBy(window(col(tsCol), windowDur), col(keyCol))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col(valueCol).cast("decimal(18,4)")).as("__sum_dec"))
+      runUpsertStream(spark, agg,
+        b => b.select(col("window.start").cast("long").as("window_start"),
+          col(keyCol), col("n_events"), col("__sum_dec")),
+        Seq("window_start", keyCol), g.work, g.lap, g.debugT)
+    }
     store.read(spark).select(col("window_start"), col(keyCol),
       col("n_events"), col("__sum_dec").cast("double").as("sum_value"))
   }
@@ -579,21 +608,10 @@ object Streaming {
   def stagedStatefulLatestRun(spark: SparkSession, events: DataFrame,
       keys: Seq[String], tsCol: String, tieCol: Option[String] = None,
       chunks: Int = 3, workDir: Option[String] = None): DataFrame = {
-    val work = workDir.map(d => java.nio.file.Paths.get(d))
-      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
-    java.nio.file.Files.createDirectories(work)
-    val (lap, debugT) = gateLap()
-    stageChunks(events, tsCol, chunks, work, lap)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    val store =
-      try {
-        val latest = statefulLatest(spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(work.resolve("in").toString),
-          keys, tsCol, tieCol)
-        runUpsertStream(spark, latest, identity, keys, work, lap, debugT)
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val store = withStagedGate(spark, events, tsCol, chunks, workDir) { g =>
+      runUpsertStream(spark, statefulLatest(g.source, keys, tsCol, tieCol),
+        identity, keys, g.work, g.lap, g.debugT)
+    }
     store.read(spark)
   }
 
@@ -622,28 +640,19 @@ object Streaming {
       idCol: String, threshold: Double = 0.5, bands: Int = 4, k: Int = 3,
       maxPerBucket: Int = 1 << 16, chunks: Int = 3,
       workDir: Option[String] = None): DataFrame = {
-    val work = workDir.map(d => java.nio.file.Paths.get(d))
-      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
-    java.nio.file.Files.createDirectories(work)
-    val (lap, debugT) = gateLap()
-    stageChunks(docs, idCol, chunks, work, lap) // id-ordered arrival
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
     val acc = spark.sparkContext.longAccumulator("nearDupStreamEvictions")
-    val store =
-      try {
-        val pairs = nearDupStream(spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(work.resolve("in").toString),
-          textCol, idCol, threshold = threshold, bands = bands, k = k,
-          maxPerBucket = maxPerBucket, portable = true, evictions = Some(acc))
-        // the documented once-per-shared-band-and-batch duplicate emissions:
-        // upsert replaces STORE rows by key but keeps duplicates inside one
-        // incoming batch — dedup the batch itself (est is a pure function of
-        // the pair, so any representative row is THE row)
-        runUpsertStream(spark, pairs, _.dropDuplicates("id_a", "id_b"),
-          Seq("id_a", "id_b"), work, lap, debugT, outputMode = "append")
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // id-ordered arrival
+    val store = withStagedGate(spark, docs, idCol, chunks, workDir) { g =>
+      val pairs = nearDupStream(g.source,
+        textCol, idCol, threshold = threshold, bands = bands, k = k,
+        maxPerBucket = maxPerBucket, portable = true, evictions = Some(acc))
+      // the documented once-per-shared-band-and-batch duplicate emissions:
+      // upsert replaces STORE rows by key but keeps duplicates inside one
+      // incoming batch — dedup the batch itself (est is a pure function of
+      // the pair, so any representative row is THE row)
+      runUpsertStream(spark, pairs, _.dropDuplicates("id_a", "id_b"),
+        Seq("id_a", "id_b"), g.work, g.lap, g.debugT, outputMode = "append")
+    }
     require(acc.value == 0L, s"stagedNearDupRun: ${acc.value} bucket evictions " +
       s"at maxPerBucket=$maxPerBucket — the batch-oracle equivalence requires " +
       "zero evictions; raise maxPerBucket above the largest LSH bucket")
@@ -664,22 +673,10 @@ object Streaming {
   def stagedDedupRun(spark: SparkSession, rows: DataFrame, tsCol: String,
       keys: Seq[String], delay: String = "365 days", chunks: Int = 3,
       workDir: Option[String] = None): DataFrame = {
-    val work = workDir.map(d => java.nio.file.Paths.get(d))
-      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
-    java.nio.file.Files.createDirectories(work)
-    val (lap, debugT) = gateLap()
-    stageChunks(rows, tsCol, chunks, work, lap)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    val store =
-      try {
-        val ded = dedupStream(spark.readStream.schema(rows.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(work.resolve("in").toString),
-          keys, tsCol, delay)
-        runUpsertStream(spark, ded, identity, keys, work, lap, debugT,
-          outputMode = "append")
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val store = withStagedGate(spark, rows, tsCol, chunks, workDir) { g =>
+      runUpsertStream(spark, dedupStream(g.source, keys, tsCol, delay),
+        identity, keys, g.work, g.lap, g.debugT, outputMode = "append")
+    }
     store.read(spark)
   }
 
@@ -706,42 +703,32 @@ object Streaming {
       tsCol: String, keyCol: String, valueCol: String, gap: String,
       lateness: String = "1 minute", chunks: Int = 3,
       workDir: Option[String] = None): DataFrame = {
-    val work = workDir.map(d => java.nio.file.Paths.get(d))
-      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
-    java.nio.file.Files.createDirectories(work)
-    val (lap, debugT) = gateLap()
-    stageChunks(events, tsCol, chunks, work, lap)
-    // the flush sentinel: one row 30 days past the corpus max — far past
-    // max + gap + lateness, so every REAL session end is behind the final
-    // watermark. Reusing a real row's key is safe: the sentinel opens a
-    // NEW far-future session for that key (30 days ≫ gap), which itself
-    // never finalizes.
-    val maxRow = events.agg(max(col(tsCol))).head()
-    // an empty input has no sessions to flush — skip the sentinel instead
-    // of NPEing on the null max
-    if (!maxRow.isNullAt(0)) {
-      val flushTs = new java.sql.Timestamp(
-        maxRow.getTimestamp(0).getTime + 30L * 86400000L)
-      stageExtraChunk(events.limit(1).withColumn(tsCol, lit(flushTs)),
-        work, chunks)
+    val store = withStagedGate(spark, events, tsCol, chunks, workDir) { g =>
+      // the flush sentinel: one row 30 days past the corpus max — far past
+      // max + gap + lateness, so every REAL session end is behind the final
+      // watermark. Reusing a real row's key is safe: the sentinel opens a
+      // NEW far-future session for that key (30 days ≫ gap), which itself
+      // never finalizes.
+      val maxRow = events.agg(max(col(tsCol))).head()
+      // an empty input has no sessions to flush — skip the sentinel instead
+      // of NPEing on the null max
+      if (!maxRow.isNullAt(0)) {
+        val flushTs = new java.sql.Timestamp(
+          maxRow.getTimestamp(0).getTime + 30L * 86400000L)
+        stageExtraChunk(events.limit(1).withColumn(tsCol, lit(flushTs)),
+          g.work, chunks)
+      }
+      val agg = g.source
+        .withWatermark(tsCol, lateness)
+        .groupBy(session_window(col(tsCol), gap), col(keyCol))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col(valueCol).cast("decimal(18,4)")).as("__sum_dec"))
+      runUpsertStream(spark, agg,
+        b => b.select(unix_micros(col("session_window.start")).as("session_start"),
+          col(keyCol), col("n_events"), col("__sum_dec")),
+        Seq("session_start", keyCol), g.work, g.lap, g.debugT,
+        outputMode = "append")
     }
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    val store =
-      try {
-        val agg = spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(work.resolve("in").toString)
-          .withWatermark(tsCol, lateness)
-          .groupBy(session_window(col(tsCol), gap), col(keyCol))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col(valueCol).cast("decimal(18,4)")).as("__sum_dec"))
-        runUpsertStream(spark, agg,
-          b => b.select(unix_micros(col("session_window.start")).as("session_start"),
-            col(keyCol), col("n_events"), col("__sum_dec")),
-          Seq("session_start", keyCol), work, lap, debugT,
-          outputMode = "append")
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     store.read(spark).select(col("session_start"), col(keyCol),
       col("n_events"), col("__sum_dec").cast("double").as("sum_value"))
   }
@@ -777,29 +764,19 @@ object Streaming {
       tsCol: String, keys: Seq[String], idCol: String,
       leftPred: String, rightPred: String, after: String = "1 hour",
       chunks: Int = 3, workDir: Option[String] = None): DataFrame = {
-    val work = workDir.map(d => java.nio.file.Paths.get(d))
-      .getOrElse(java.nio.file.Files.createTempDirectory("graft_stream_gate"))
-    java.nio.file.Files.createDirectories(work)
-    val (lap, debugT) = gateLap()
-    stageChunks(events, tsCol, chunks, work, lap)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    val store =
-      try {
-        val src = spark.readStream.schema(events.schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(work.resolve("in").toString)
-        val l = src.filter(expr(leftPred))
-          .select(keys.map(col) :+ col(tsCol).as("a_ts") :+ col(idCol).as("a_id"): _*)
-        val r = src.filter(expr(rightPred))
-          .select(keys.map(col) :+ col(tsCol).as("b_ts") :+ col(idCol).as("b_id"): _*)
-        val joined = intervalJoin(l, r, keys, "a_ts", "b_ts",
-            before = "0 seconds", after = after, lateness = "1 minute")
-          .select(keys.map(col) :+ col("a_id") :+ col("b_id") :+
-            (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("lag_us"): _*)
-        runUpsertStream(spark, joined, identity, Seq("a_id", "b_id"),
-          work, lap, debugT, outputMode = "append")
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val store = withStagedGate(spark, events, tsCol, chunks, workDir) { g =>
+      val src = g.source
+      val l = src.filter(expr(leftPred))
+        .select(keys.map(col) :+ col(tsCol).as("a_ts") :+ col(idCol).as("a_id"): _*)
+      val r = src.filter(expr(rightPred))
+        .select(keys.map(col) :+ col(tsCol).as("b_ts") :+ col(idCol).as("b_id"): _*)
+      val joined = intervalJoin(l, r, keys, "a_ts", "b_ts",
+          before = "0 seconds", after = after, lateness = "1 minute")
+        .select(keys.map(col) :+ col("a_id") :+ col("b_id") :+
+          (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("lag_us"): _*)
+      runUpsertStream(spark, joined, identity, Seq("a_id", "b_id"),
+        g.work, g.lap, g.debugT, outputMode = "append")
+    }
     store.read(spark)
   }
 }

@@ -1239,6 +1239,15 @@ class StreamingNearDupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("portable mode rejects an explicit numHashes instead of silently ignoring it") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.nearDupStream(df, "text", "doc_id",
+        numHashes = 64, portable = true)
+    }
+    assert(e.getMessage.contains("portableCoeffs"))
+  }
+
   test("nearDupStream finds planted near-dups within and across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
@@ -2596,6 +2605,28 @@ class CurriculumOrderSpec extends AnyFunSuite {
         .count()
     }
     assert(e.getMessage.contains("null phase"))
+  }
+
+  test("null key fails descriptively, not with an NPE on the bucket unboxing") {
+    val withNullKey = (1L to 20L).map(i => (i, 0)).toDF("doc_id", "len_bucket")
+      .withColumn("doc_id", when(col("doc_id") === 7L, lit(null)).otherwise(col("doc_id")))
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.MLOps.curriculumOrder(withNullKey, "doc_id", col("len_bucket"), phases = 1)
+        .count()
+    }
+    assert(e.getMessage.contains("null doc_id"))
+  }
+
+  test("an input frame already carrying the output column names fails loudly") {
+    val clash = docs.withColumn("phase", lit(9))
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.MLOps.curriculumOrder(clash, "doc_id", lit(0), phases = 1)
+    }
+    assert(e.getMessage.contains("already exist"))
+    // a caller-chosen free name routes around the clash
+    val ok = graft.ml.MLOps.curriculumOrder(clash, "doc_id", lit(0), phases = 1,
+      phaseCol = "cur_phase")
+    assert(ok.columns.count(_ == "phase") == 1 && ok.columns.contains("cur_phase"))
   }
 }
 
