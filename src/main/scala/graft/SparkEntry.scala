@@ -4634,6 +4634,29 @@ object SparkEntry {
           AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
           AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR""")),
 
+    // --- The EIGHTH streaming-runtime modality: WATERMARK-CLOSED LEFT
+    // OUTER stream-stream join — which clicks did NOT convert. The
+    // unmatched-left null row exists only because the runtime's watermark
+    // EVICTED the click's buffered state (no per-row function produces
+    // it); far-future per-branch sentinels close every real click's
+    // verdict. b_id_key = -1 materializes "no conversion" as an
+    // upsertable training label. Oracle = the static LEFT JOIN under the
+    // same time bound ---
+    Q("q187_streaming_outer_join_run",
+      (s, dir) => graft.streaming.Streaming.stagedOuterIntervalJoinRun(
+        s, events(s, dir).select("ts", "user_id", "event_type", "event_id"),
+        tsCol = "ts", keys = Seq("user_id"), idCol = "event_id",
+        leftPred = "event_type = 'click'",
+        rightPred = "event_type = 'purchase'", after = "1 hour"),
+      Some("""SELECT a.user_id, a.event_id AS a_id,
+          coalesce(b.event_id, -1) AS b_id_key,
+          epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS lag_us
+        FROM events a LEFT JOIN events b ON a.user_id = b.user_id
+          AND b.event_type = 'purchase'
+          AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+          AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        WHERE a.event_type = 'click'""")),
+
     // --- The FIFTH streaming-runtime modality: Spark's BUILT-IN stateful
     // dedup (dropDuplicatesWithinWatermark) under the gate, in the
     // at-least-once-delivery shape it exists for: every event row is
@@ -4939,7 +4962,151 @@ object SparkEntry {
           CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(CAST(concat('0x', substr(md5(concat_ws(chr(1),
             CAST(doc_id AS VARCHAR), text)), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
-        FROM rk GROUP BY 1"""))
+        FROM rk GROUP BY 1""")),
+
+    // --- The SEVENTH streaming-runtime modality: STREAM-STATIC
+    // ENRICHMENT — orders stream joined per micro-batch against the
+    // broadcast customer dimension (Streaming.stagedEnrichJoinRun), the
+    // production shape of a stream whose contract loads features from a
+    // batch view mid-stream. Stateless: no watermark, no state store, the
+    // stream never shuffles; the oracle is the plain static left join ---
+    Q("q183_streaming_enrich_run",
+      (s, dir) => graft.streaming.Streaming.stagedEnrichJoinRun(
+        s, t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        orderCol = "o_orderdate", idCol = "o_orderkey",
+        dim = t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"), col("c_nationkey")),
+        joinKeys = Seq("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+          col("c_nationkey"), col("o_totalprice")),
+      Some("""SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment, c.c_nationkey,
+          o.o_totalprice
+        FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey""")),
+
+    // --- MULTI-BENCHMARK decontamination MATRIX: which of N eval suites
+    // does each corpus doc leak into — q62's gram algebra, but the
+    // benchmark side is the union of per-suite distinct grams TAGGED with
+    // the suite name (here the held-out docs' lang stands in for the
+    // suite label), so ONE corpus explode answers all N suites at once
+    // instead of N corpus scans ---
+    Q("q184_decontam_matrix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.decontaminationMatrix(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0)
+            .select(col("lang").as("benchmark"), col("text")),
+          "text", "doc_id", "benchmark", n = 3)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0) AS w
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([CAST(concat('0x',
+                substr(md5(array_to_string(w[i:i+2], ' ')), 1, 14)) AS BIGINT) % ${Dedup.PortableP}
+              for i in generate_series(1, greatest(len(w)-2, 0))]) AS gs
+            FROM w),
+          bench AS (SELECT DISTINCT benchmark, h FROM (
+            SELECT d.lang AS benchmark, unnest(g.gs) AS h
+            FROM g JOIN documents d USING (doc_id) WHERE d.doc_id % 97 = 0)),
+          corpus AS (SELECT doc_id, unnest(gs) AS h FROM g WHERE doc_id % 97 <> 0)
+        SELECT corpus.doc_id, bench.benchmark, count(*) AS n_shared
+        FROM corpus JOIN bench USING (h)
+        GROUP BY corpus.doc_id, bench.benchmark""")),
+
+    // --- One DOMAIN-REWEIGHTING round (DoReMi, Xie et al. 2023): lift
+    // mixture weight where the proxy loss (chars-per-token milli — long
+    // fragmenting words read as "hard") exceeds the mixture average;
+    // integer multiplicative-weights + uniform smoothing +
+    // largest-remainder, new weights sum to exactly 1000. The trainer
+    // side of the q143 token-budget allocator ---
+    Q("q185_domain_reweight",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("__tok", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+          .withColumn("__loss", expr("(1000 * n_chars) div (__tok + 1)"))
+        graft.ml.MLOps.domainReweightRound(d, "source", col("__loss"),
+          weights = Map("src0" -> 200L, "src1" -> 150L, "src2" -> 150L,
+            "src3" -> 125L, "src4" -> 125L, "src5" -> 100L, "src6" -> 100L,
+            "src7" -> 50L),
+          etaMilli = 2000L, smoothMilli = 100L)
+      },
+      Some("""WITH l AS (SELECT source,
+            least(greatest((1000 * n_chars) //
+              (len(list_filter(string_split_regex(trim(text), '\s+'),
+                xf -> length(xf) > 0)) + 1), 0), 1000000) AS lv
+          FROM documents),
+        per AS (SELECT source, CAST(sum(lv) // count(*) AS BIGINT) AS mean_loss_milli
+          FROM l GROUP BY source),
+        wt AS (SELECT * FROM (VALUES ('src0', 200), ('src1', 150), ('src2', 150),
+            ('src3', 125), ('src4', 125), ('src5', 100), ('src6', 100),
+            ('src7', 50)) AS t(source, w)),
+        j AS (SELECT per.source, mean_loss_milli, CAST(w AS BIGINT) AS w
+          FROM per JOIN wt USING (source)),
+        a AS (SELECT *, (SELECT CAST(sum(w * mean_loss_milli) // sum(w) AS BIGINT) FROM j) AS avgl FROM j),
+        e AS (SELECT *, greatest(mean_loss_milli - avgl, 0) AS excess FROM a),
+        r AS (SELECT *, w * (1000 + (2000 * excess) // 1000) AS raw FROM e),
+        t2 AS (SELECT *, (SELECT CAST(sum(raw) AS BIGINT) FROM r) AS sumraw,
+            (SELECT CAST(count(*) AS BIGINT) FROM r) AS k FROM r),
+        nm AS (SELECT *, 900 * k * raw + 100 * sumraw AS numer, k * sumraw AS den FROM t2),
+        fl AS (SELECT *, numer // den AS flo, numer % den AS rem FROM nm),
+        lf AS (SELECT *, (SELECT CAST(1000 - sum(flo) AS BIGINT) FROM fl) AS leftover,
+            row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM fl)
+      SELECT source, mean_loss_milli, CAST(excess AS BIGINT) AS excess_milli,
+        w AS weight_milli,
+        CAST(flo + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          AS new_weight_milli
+      FROM lf""")),
+
+    // --- INTERPOLATED BIGRAM LM terciles: q169's CCNet partition one
+    // model-order up — each bigram transition scores
+    // floor(log2(mB²·mU)) (⅔ conditional evidence, ⅓ unigram backoff,
+    // counts+1 capped at 2^20 so the product is long-exact), milli-mean
+    // per doc, tercile cutoffs from the bounded score histogram ---
+    Q("q186_bigram_lm_terciles",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        TextAnalysis.lmQualityPartitionBigram(
+          d.filter(col("lang") === "en"), d, "text", "doc_id")
+      },
+      Some("""WITH wl AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\s+'),
+              xf -> length(xf) > 0) AS w
+            FROM documents),
+          frequ AS (SELECT wd, CAST(count(*) AS BIGINT) AS nu FROM (
+              SELECT unnest(w) AS wd FROM wl JOIN documents USING (doc_id)
+              WHERE lang = 'en') GROUP BY wd),
+          freqb AS (SELECT g, CAST(count(*) AS BIGINT) AS nb FROM (
+              SELECT unnest([array_to_string(w[i:i+1], ' ')
+                for i in generate_series(1, greatest(len(w)-1, 0))]) AS g
+              FROM wl JOIN documents USING (doc_id) WHERE lang = 'en')
+            GROUP BY g),
+          tk AS (SELECT doc_id, g, split_part(g, ' ', 2) AS wd FROM (
+            SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+              for i in generate_series(1, greatest(len(w)-1, 0))]) AS g
+            FROM wl)),
+          pd AS (SELECT t.doc_id,
+              CAST(sum(length(bin(
+                least(coalesce(b.nb, 0) + 1, 1048576)
+                * least(coalesce(b.nb, 0) + 1, 1048576)
+                * least(coalesce(u.nu, 0) + 1, 1048576))) - 1) AS BIGINT) AS sumb,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM tk t LEFT JOIN freqb b USING (g)
+              LEFT JOIN frequ u ON u.wd = t.wd
+            GROUP BY t.doc_id),
+          sc AS (SELECT d.doc_id,
+              CAST(coalesce((1000 * pd.sumb) // pd.cnt, -1) AS BIGINT) AS lm2_milli
+            FROM documents d LEFT JOIN pd USING (doc_id)),
+          hist AS (SELECT lm2_milli AS s, count(*) AS c FROM sc GROUP BY 1),
+          cum AS (SELECT s, sum(c) OVER (ORDER BY s DESC) AS cum FROM hist),
+          nn AS (SELECT count(*) AS n FROM sc),
+          cuts AS (SELECT
+              (SELECT max(s) FROM cum, nn WHERE cum >= (n + 2) // 3) AS s1,
+              (SELECT max(s) FROM cum, nn WHERE cum >= (2 * n + 2) // 3) AS s2)
+        SELECT sc.doc_id, sc.lm2_milli,
+          CASE WHEN sc.lm2_milli >= c.s1 THEN 'head'
+               WHEN sc.lm2_milli >= c.s2 THEN 'middle'
+               ELSE 'tail' END AS part
+        FROM sc, cuts c"""))
   )
 
   /** Frozen top-8 merge rules for q161b — learned by [[graft.ops.Bpe.train]]

@@ -674,6 +674,76 @@ object MLOps {
     *
     * Returns (groupCol, n_docs, n_tokens, weight, target_tokens, rate,
     * epochs). */
+  /** One DOMAIN-REWEIGHTING round — the DoReMi idea (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): lift the mixture weight of domains whose proxy loss
+    * EXCEEDS the current-mixture average, smooth toward uniform,
+    * renormalize — the trainer side of [[tokenBudget]]/[[mixtureResample]]
+    * (those CONSUME a weight table; this one COMPUTES the next one, and a
+    * training loop alternates the two).
+    *
+    * All-INTEGER multiplicative weights, exactly restatable in any
+    * engine: the paper's exp(η·excess) step is replaced by the linear MW
+    * form w·(1000 + η·excess/1000) (Arora-Hazan-Kale; equal to first
+    * order in η·excess, and exp through libm is the classic cross-engine
+    * ulp trap), smoothing by the closed-form mix
+    * (1000−s)/1000·norm(raw) + s/1000·uniform, and the final milli
+    * weights by floor division with largest-remainder rounding (remainder
+    * desc, domain asc) so they sum to EXACTLY 1000. Per-doc losses clamp
+    * into [0, 10^6] milli so a poisoned loss column cannot overflow the
+    * sums (safe to ~10^12 docs/domain); the requires bound every operand
+    * far inside int64.
+    *
+    * Plan shape: ONE partial-aggregated groupBy folds the corpus to
+    * O(domains) rows; everything after — mixture average, excess, MW
+    * step, normalization — is single-partition windows over that bounded
+    * frame (the mixtureResample discipline: a constant-key totals join
+    * would fold to a nested-loop join). Domains absent from `weights`
+    * drop, like [[tokenBudget]].
+    *
+    * Returns (domainCol, mean_loss_milli, excess_milli, weight_milli,
+    * new_weight_milli), new weights summing to 1000. */
+  def domainReweightRound(df: DataFrame, domainCol: String, lossMilli: Column,
+      weights: Map[String, Long], etaMilli: Long = 1000L,
+      smoothMilli: Long = 100L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w > 0L && w <= 1000000L),
+      "weights must be positive milli values <= 1e6")
+    require(weights.size <= 10000, "at most 10^4 domains (int64 headroom)")
+    require(etaMilli >= 0L && etaMilli <= 10000L, "etaMilli in [0, 10^4]")
+    require(smoothMilli >= 0L && smoothMilli <= 1000L, "smoothMilli in [0, 1000]")
+    val k = weights.size.toLong
+    val weightExpr = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, w)) => when(col(domainCol) === g, lit(w)).otherwise(acc)
+    }
+    df.select(col(domainCol),
+        least(greatest(lossMilli.cast("long"), lit(0L)), lit(1000000L)).as("__l"))
+      .groupBy(domainCol)
+      .agg(expr("sum(__l) div count(1)").as("mean_loss_milli"))
+      .withColumn("__w", weightExpr).filter(col("__w").isNotNull)
+      .withColumn("__wl", col("__w") * col("mean_loss_milli"))
+      .withColumn("__avg", expr("sum(__wl) over () div sum(__w) over ()"))
+      .withColumn("excess_milli",
+        greatest(col("mean_loss_milli") - col("__avg"), lit(0L)))
+      .withColumn("__raw",
+        col("__w") * (lit(1000L) + expr(s"($etaMilli * excess_milli) div 1000")))
+      .withColumn("__sumraw", expr("sum(__raw) over ()"))
+      // Σ_d numer_d = 1000·k·Σraw exactly, so den = k·Σraw normalizes to
+      // milli without a further 1000× factor (int64 headroom)
+      .withColumn("__numer", lit(1000L - smoothMilli) * lit(k) * col("__raw") +
+        lit(smoothMilli) * col("__sumraw"))
+      .withColumn("__den", lit(k) * col("__sumraw"))
+      .withColumn("__flo", expr("__numer div __den"))
+      .withColumn("__rem", expr("__numer % __den"))
+      .withColumn("__left", lit(1000L) - expr("sum(__flo) over ()"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy()
+          .orderBy(col("__rem").desc, col(domainCol).asc)).cast("long"))
+      .select(col(domainCol), col("mean_loss_milli"), col("excess_milli"),
+        col("__w").as("weight_milli"),
+        (col("__flo") + when(col("__rk") <= col("__left"), lit(1L))
+          .otherwise(lit(0L))).as("new_weight_milli"))
+  }
+
   def tokenBudget(df: DataFrame, groupCol: String, tokenCount: Column,
       totalBudget: Long, weights: Map[String, Long]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0L),

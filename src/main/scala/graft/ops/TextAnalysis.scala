@@ -199,6 +199,35 @@ object TextAnalysis {
       .groupBy(idCol).agg(count(lit(1)).as("n_shared")) // grams pre-distinct per doc
   }
 
+  /** MULTI-BENCHMARK decontamination MATRIX: [[decontaminate]] against a
+    * whole eval SUITE in one corpus pass — `benchmarks` carries one row
+    * per eval document labeled by `benchCol` (MMLU, GSM8K, …), and the
+    * output is one row per contaminated (document, benchmark) pair with
+    * the shared-gram count. The operational question at corpus scale is
+    * never "does my corpus overlap THE benchmark" but "which of my N
+    * benchmarks does each document leak into" — run separately that is N
+    * corpus scans; here the corpus explodes ONCE and the broadcast side
+    * is the union of every benchmark's distinct grams tagged with their
+    * suite name (eval suites are tiny next to a 100 TB corpus, so the
+    * union still broadcasts). Same portable md5-derived gram hashes as
+    * [[decontaminate]] — 8-byte join keys, corpus never shuffles; a gram
+    * appearing in several benchmarks fans out only the matched rows.
+    *
+    * Returns (idCol, benchCol, n_shared), contaminated pairs only. */
+  def decontaminationMatrix(corpus: org.apache.spark.sql.DataFrame,
+      benchmarks: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, benchCol: String,
+      n: Int = 5): org.apache.spark.sql.DataFrame = {
+    val bench = benchmarks.select(col(benchCol),
+        explode(array_distinct(Dedup.portableShingleHashes(col(textCol), n))).as("h"))
+      .distinct()
+    val corpusGrams = corpus.select(col(idCol),
+      explode(array_distinct(Dedup.portableShingleHashes(col(textCol), n))).as("h"))
+    corpusGrams.join(broadcast(bench), Seq("h"))
+      .groupBy(col(idCol), col(benchCol))
+      .agg(count(lit(1)).as("n_shared")) // grams pre-distinct per doc AND suite
+  }
+
   /** Gopher-style repetition signals that need a per-document mode (most
     * frequent n-gram): fraction of all 2-grams taken by the single most
     * frequent 2-gram, plus the word-level duplicate fraction. Explode →
@@ -949,8 +978,19 @@ object TextAnalysis {
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(expr("(1000 * __sumb) div __cnt"), lit(-1L)).as("lm_milli"))
-    // integer-score histogram: bounded by the score range, not the corpus
-    val hist = scored.groupBy("lm_milli").agg(count(lit(1)).as("c"))
+    tercileCut(scored, "lm_milli")
+  }
+
+  /** Head/middle/tail cut of an integer score column by ceil-tercile
+    * thresholds from the BOUNDED score histogram: O(score range) driver
+    * rows, never a global sort — head = score ≥ s1 where s1 is the lowest
+    * score whose descending-cumulative count reaches ceil(n/3), middle
+    * likewise at ceil(2n/3); ties extend a tercile rather than split it.
+    * Shared by the unigram ([[lmQualityPartition]]) and bigram
+    * ([[lmQualityPartitionBigram]]) CCNet partitions. */
+  private def tercileCut(scored: org.apache.spark.sql.DataFrame,
+      scoreCol: String): org.apache.spark.sql.DataFrame = {
+    val hist = scored.groupBy(scoreCol).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     val n = hist.map(_._2).sum
     val k1 = (n + 2) / 3      // ceil(n/3): min head size before ties extend it
@@ -964,8 +1004,66 @@ object TextAnalysis {
       if (s2 == Long.MinValue && cum >= k2) s2 = s
     }
     scored.withColumn("part",
-      when(col("lm_milli") >= lit(s1), "head")
-        .when(col("lm_milli") >= lit(s2), "middle")
+      when(col(scoreCol) >= lit(s1), "head")
+        .when(col(scoreCol) >= lit(s2), "middle")
         .otherwise(lit("tail")))
+  }
+
+  /** INTERPOLATED BIGRAM LM quality terciles — [[lmQualityPartition]]'s
+    * CCNet partition upgraded from a unigram to a bigram model (Wenzek et
+    * al. 2020 use a 5-gram KenLM; the bigram is the first rung of that
+    * ladder that actually scores word-order evidence). Each bigram
+    * TRANSITION in a document scores the saturating fixed-point magnitude
+    * floor(log2(mB² · mU)) where mB = min(n_bigram+1, 2^20) from the
+    * reference-slice bigram table and mU = min(n_unigram+1, 2^20) for the
+    * transition's target word — geometric interpolation in log space: ⅔
+    * weight on the conditional evidence, ⅓ on the unigram backoff, so an
+    * unseen bigram over a common word degrades gracefully instead of
+    * zeroing the doc. Both factors capped at 2^20 keeps the product
+    * < 2^60 — exact in a long, restatable in any engine (the q169
+    * arithmetic, one power higher). Doc score = milli-mean over its
+    * transitions (integer div); docs with < 2 tokens have no transitions
+    * and score -1 (q169's no-token convention). Terciles via
+    * [[tercileCut]] — no global sort.
+    *
+    * Plan shape: TWO bounded vocab tables from one reference scan family
+    * (bigram counts + unigram counts), corpus explodes its bigrams ONCE;
+    * the unigram join keys on the transition's target word extracted from
+    * the gram string — no second corpus explode. Reference tables join by
+    * 8-to-few-byte string keys with map-side partials; at 100 TB the
+    * reference slice is the small side and both freq joins broadcast.
+    *
+    * Returns (idCol, lm2_milli, part). */
+  def lmQualityPartitionBigram(reference: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val freqB = reference.select(
+        explode(graft.functions.Native.wordShingleStrings(col(textCol), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("__nb"))
+    val freqU = reference.select(
+        explode(graft.functions.Native.wordShingleStrings(col(textCol), 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__nu"))
+    // same loud-misconfiguration guard as the unigram partition: a
+    // reference with no bigram (every doc < 2 tokens) would flatten every
+    // transition's conditional term and the partition silently degrades
+    // to backoff-only — fail instead
+    require(!freqB.isEmpty, "lmQualityPartitionBigram: the reference slice " +
+      "produced no bigrams (every document has < 2 tokens) — the " +
+      "conditional term would be constant; check the reference filter")
+    val mB = least(coalesce(col("__nb"), lit(0L)) + lit(1L), lit(1048576L))
+    val mU = least(coalesce(col("__nu"), lit(0L)) + lit(1L), lit(1048576L))
+    val bucket = length(bin(mB * mB * mU)) - lit(1)
+    val perDoc = corpus.select(col(idCol),
+        explode(graft.functions.Native.wordShingleStrings(col(textCol), 2)).as("g"))
+      .withColumn("w", element_at(split(col("g"), " "), 2))
+      .join(freqB, Seq("g"), "left")
+      .join(freqU, Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(sum(bucket).as("__sumb"), count(lit(1)).as("__cnt"))
+    val scored = corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(expr("(1000 * __sumb) div __cnt"), lit(-1L)).as("lm2_milli"))
+    tercileCut(scored, "lm2_milli")
   }
 }

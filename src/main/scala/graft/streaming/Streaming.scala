@@ -43,17 +43,23 @@ object Streaming {
     * conversion). `leftTs`/`rightTs` must be distinct column names. */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, before: String, after: String,
-      lateness: String = "10 minutes"): DataFrame = {
+      lateness: String = "10 minutes", joinType: String = "inner"): DataFrame = {
     require(leftTs != rightTs, "rename one side: leftTs and rightTs must differ")
     val l = left.withWatermark(leftTs, lateness)
-    val r = right.withWatermark(rightTs, lateness)
-    // qualify the time bounds through each side, like the keys — bare
-    // col() refs are AMBIGUOUS_REFERENCE when both streams carry both
-    // timestamp column names (e.g. pre-enriched events)
-    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+    // rename the right side's key copies BEFORE the join: the output must
+    // keep exactly l's keys (on an unmatched left under an outer join,
+    // r's copies are null), and a post-join drop-by-reference is not
+    // reliable through the streaming join's plan rewrite — renamed inputs
+    // leave nothing to disambiguate
+    val r = keys.foldLeft(right.withWatermark(rightTs, lateness))(
+      (df, k) => df.withColumnRenamed(k, "__r_" + k))
+    // qualify the time bounds through each side — bare col() refs are
+    // AMBIGUOUS_REFERENCE when both streams carry both timestamp column
+    // names (e.g. pre-enriched events)
+    val cond = keys.map(k => l(k) === r("__r_" + k)).reduce(_ && _) &&
       r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after")
-    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+    keys.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop("__r_" + k))
   }
 
   /** Streaming exact dedup with BOUNDED state: keep the first row per key,
@@ -715,8 +721,14 @@ object Streaming {
       if (!maxRow.isNullAt(0)) {
         val flushTs = new java.sql.Timestamp(
           maxRow.getTimestamp(0).getTime + 30L * 86400000L)
-        stageExtraChunk(events.limit(1).withColumn(tsCol, lit(flushTs)),
-          g.work, chunks)
+        val sentinel = events.limit(1).withColumn(tsCol, lit(flushTs))
+        stageExtraChunk(sentinel, g.work, chunks)
+        // staged twice for the same reason as the outer-join gate: session
+        // finalization under the advanced watermark runs in the batch
+        // AFTER the sentinel arrives, and a trailing no-data micro-batch
+        // races processAllAvailable — a second same-ts sentinel chunk
+        // makes that batch real data the drain must process
+        stageExtraChunk(sentinel, g.work, chunks + 1)
       }
       val agg = g.source
         .withWatermark(tsCol, lateness)
@@ -776,6 +788,119 @@ object Streaming {
           (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("lag_us"): _*)
       runUpsertStream(spark, joined, identity, Seq("a_id", "b_id"),
         g.work, g.lap, g.debugT, outputMode = "append")
+    }
+    store.read(spark)
+  }
+
+  /** WATERMARK-CLOSED LEFT OUTER stream-stream join runtime gate: the
+    * attribution question the inner join (q175 / [[stagedIntervalJoinRun]])
+    * cannot answer — which clicks did NOT convert. An unmatched left row
+    * emits, with null right columns, only when the watermark passes
+    * `leftTs + after` and the runtime EVICTS its buffered state — a
+    * negative result produced by time passing, not by any per-row
+    * function, which makes this the modality where streaming semantics
+    * are most their own thing.
+    *
+    * A bounded test input therefore needs what production gets free from
+    * the clock: as with session windows, far-future SENTINEL rows (+30
+    * days, staged as the final chunk) — one per predicate branch, because
+    * each branch's watermark tracks only the rows passing ITS filter —
+    * advance both watermarks past every real left row's eviction bound,
+    * so every real left's verdict (its matched pairs, or the one null
+    * row) is in the store. Neither sentinel can pollute it: the left one
+    * never emits (the global watermark, pinned by the left branch to
+    * flushTs − lateness, never passes its own bound), the right one rides
+    * `after`+1h later still — strictly outside the left sentinel's match
+    * bound even when the two share a key, and no real left's bound
+    * reaches 30 days out.
+    *
+    * Emits keys + (a_id, b_id_key = coalesce(b_id, -1), lag_us nullable):
+    * the -1 key materializes "did not convert" as an upsertable row —
+    * exactly the training-label shape a conversion model consumes. Oracle
+    * = the static LEFT JOIN under the same time bound. */
+  def stagedOuterIntervalJoinRun(spark: SparkSession, events: DataFrame,
+      tsCol: String, keys: Seq[String], idCol: String,
+      leftPred: String, rightPred: String, after: String = "1 hour",
+      chunks: Int = 3, workDir: Option[String] = None): DataFrame = {
+    val store = withStagedGate(spark, events, tsCol, chunks, workDir) { g =>
+      val maxRow = events.agg(max(col(tsCol))).head()
+      if (!maxRow.isNullAt(0)) {
+        val flushTs = new java.sql.Timestamp(
+          maxRow.getTimestamp(0).getTime + 30L * 86400000L)
+        // the sentinels KEEP their real join keys: Catalyst infers
+        // IsNotNull filters on equi-join keys and pushes them below the
+        // watermark node, so a null-keyed sentinel is dropped before it
+        // can advance the watermark (observed: the last hour's unmatched
+        // clicks never flush). Sentinel-pair pollution — the two
+        // sentinels matching EACH OTHER if they share a key — is instead
+        // ruled out by TIME: the right sentinel rides `after`+1h past the
+        // left one, strictly outside the left sentinel's match bound.
+        val sentinels = events.filter(expr(leftPred)).limit(1)
+          .withColumn(tsCol, lit(flushTs))
+          .unionByName(events.filter(expr(rightPred)).limit(1)
+            .withColumn(tsCol,
+              lit(flushTs) + expr(s"INTERVAL $after") + expr("INTERVAL 1 HOUR")))
+        stageExtraChunk(sentinels, g.work, chunks)
+        // …and the SAME rows again as one more chunk: the runtime computes
+        // the batch-N watermark from batch N-1's event times, so the
+        // evictions that produce the unmatched-null rows run in the batch
+        // AFTER the sentinels arrive — with no further data that is a
+        // no-data micro-batch racing processAllAvailable (observed lost at
+        // sf0.01: exactly the last hour's unmatched clicks missing). A
+        // second sentinel chunk is real data the drain must process, so
+        // the eviction batch is deterministic. Same ts ⇒ the watermark
+        // does not advance further and sentinel state still never emits.
+        stageExtraChunk(sentinels, g.work, chunks + 1)
+      }
+      val src = g.source
+      val l = src.filter(expr(leftPred))
+        .select(keys.map(col) :+ col(tsCol).as("a_ts") :+ col(idCol).as("a_id"): _*)
+      val r = src.filter(expr(rightPred))
+        .select(keys.map(col) :+ col(tsCol).as("b_ts") :+ col(idCol).as("b_id"): _*)
+      val joined = intervalJoin(l, r, keys, "a_ts", "b_ts",
+          before = "0 seconds", after = after, lateness = "1 minute",
+          joinType = "leftOuter")
+        .select(keys.map(col) :+ col("a_id") :+
+          coalesce(col("b_id"), lit(-1L)).as("b_id_key") :+
+          (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("lag_us"): _*)
+      runUpsertStream(spark, joined, identity, Seq("a_id", "b_id_key"),
+        g.work, g.lap, g.debugT, outputMode = "append")
+    }
+    // the sentinels cannot reach the store (see above): the left one never
+    // evicts, the right one never matches — nothing to filter out
+    store.read(spark)
+  }
+
+  /** STREAM-STATIC ENRICHMENT runtime gate: the most common production
+    * streaming shape — a live event stream joined against a slow-moving
+    * dimension table (user profile, product catalog, feature view) — run
+    * as a REAL streaming job. The reference's worker does exactly this
+    * when a stream's contract loads features from a batch view mid-stream
+    * (worker.py:172-260, LoadFeature in the stream pipeline); here it is
+    * the Spark-native form: `readStream ⋈ broadcast(static dim)`.
+    *
+    * Physical shape: a stream-static equi-join is STATELESS — each
+    * micro-batch hash-joins against the broadcast dimension; no watermark,
+    * no state store, no shuffle of the stream (at 100 TB/day of events the
+    * dimension is the small side by construction; a corpus-scale right
+    * side belongs in a stream-stream join instead). Left join: an event
+    * whose key misses the dimension still flows, with null attributes —
+    * dropping it would silently shrink the stream on a late-arriving
+    * dimension row.
+    *
+    * Why the final state equals the static join (the oracle): the join is
+    * a pure per-row function of (event, dim) with dim constant for the
+    * run, so batch boundaries cannot change any output row; append mode
+    * emits each enriched event exactly once and upsert-by-`idCol` makes
+    * redelivery idempotent. Returns the final store state: every staged
+    * row enriched with the dimension's columns. */
+  def stagedEnrichJoinRun(spark: SparkSession, rows: DataFrame,
+      orderCol: String, idCol: String, dim: DataFrame,
+      joinKeys: Seq[String], chunks: Int = 3,
+      workDir: Option[String] = None): DataFrame = {
+    val store = withStagedGate(spark, rows, orderCol, chunks, workDir) { g =>
+      runUpsertStream(spark, g.source.join(broadcast(dim), joinKeys, "left"),
+        identity, Seq(idCol), g.work, g.lap, g.debugT, outputMode = "append")
     }
     store.read(spark)
   }

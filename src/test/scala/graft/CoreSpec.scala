@@ -2655,3 +2655,181 @@ class AblationComplementsSpec extends AnyFunSuite {
     }
   }
 }
+
+/** q183's stream-static enrichment gate: the streamed store equals the
+  * static left join, including unmatched keys flowing with nulls. */
+class StreamEnrichGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("final store = static left join; dimension misses keep the event") {
+    val events = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", 5.0),
+      (2L, 20L, "2024-01-01 01:00:00", 7.0),
+      (3L, 99L, "2024-01-01 02:00:00", 9.0), // 99 absent from the dim
+      (4L, 10L, "2024-01-01 03:00:00", 2.0),
+      (5L, 20L, "2024-01-01 04:00:00", 1.0)
+    ).toDF("id", "k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val dim = Seq((10L, "gold"), (20L, "silver"), (30L, "unused"))
+      .toDF("k", "tier")
+    val got = graft.streaming.Streaming.stagedEnrichJoinRun(
+        spark, events, orderCol = "ts", idCol = "id", dim = dim,
+        joinKeys = Seq("k"), chunks = 3)
+      .select("id", "k", "tier", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)), r.getDouble(3)))
+      .toSet
+    val want = events.join(broadcast(dim), Seq("k"), "left")
+      .select("id", "k", "tier", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    assert(got.exists { case (id, _, tier, _) => id == 3L && tier.isEmpty })
+  }
+}
+
+/** q184's multi-benchmark decontamination matrix: one corpus pass equals
+  * running decontaminate per benchmark. */
+class DecontamMatrixSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon"),   // leaks into A (and B's shared gram)
+    (2L, "zeta eta theta iota kappa"),        // leaks into B
+    (3L, "completely disjoint words here now") // clean
+  ).toDF("doc_id", "text")
+  private val benchmarks = Seq(
+    ("A", "alpha beta gamma something else"),
+    ("A", "gamma delta epsilon tail words"),
+    ("B", "zeta eta theta other stuff"),
+    ("B", "alpha beta gamma shared with a")   // the A gram appears in B too
+  ).toDF("benchmark", "text")
+
+  test("matrix rows equal per-benchmark decontaminate runs") {
+    val got = graft.ops.TextAnalysis.decontaminationMatrix(
+        corpus, benchmarks, "text", "doc_id", "benchmark", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = Seq("A", "B").flatMap { b =>
+      graft.ops.TextAnalysis.decontaminate(
+          corpus, benchmarks.filter(col("benchmark") === b), "text", "doc_id", n = 3)
+        .collect().map(r => (r.getLong(0), b) -> r.getLong(1))
+    }.toMap
+    assert(got == want)
+    // doc 1 contaminates BOTH suites (the shared "alpha beta gamma" gram)
+    assert(got.contains((1L, "A")) && got.contains((1L, "B")))
+    assert(!got.keys.exists(_._1 == 3L))
+  }
+}
+
+/** q185's DoReMi-style reweighting round: exact-sum invariant, monotone
+  * response to excess loss, eta=0 = pure uniform smoothing. */
+class DomainReweightSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // domain c is twice as lossy as a/b
+  private def docs = Seq(
+    ("a", 100L), ("a", 100L), ("b", 100L), ("b", 100L),
+    ("c", 300L), ("c", 500L)
+  ).toDF("domain", "loss")
+  private val w0 = Map("a" -> 400L, "b" -> 400L, "c" -> 200L)
+
+  test("new weights sum to exactly 1000 and the lossy domain gains") {
+    val got = graft.ml.MLOps.domainReweightRound(docs, "domain", col("loss"), w0)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got.values.map(_._2).sum == 1000L)
+    assert(got("c")._2 > got("c")._1)            // excess loss ⇒ weight up
+    assert(got("a")._2 < got("a")._1)            // renormalization pays for it
+  }
+
+  test("eta = 0 is pure smoothing toward uniform") {
+    val got = graft.ml.MLOps.domainReweightRound(docs, "domain", col("loss"), w0,
+        etaMilli = 0L, smoothMilli = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // 0.9·norm(w) + 0.1·uniform: floors 393/393/213 leave one milli, and
+    // all three remainders tie (1e6 each) so domain-asc hands it to "a"
+    assert(got == Map("a" -> 394L, "b" -> 393L, "c" -> 213L))
+    assert(got.values.sum == 1000L)
+  }
+
+  test("domains absent from the weight table drop") {
+    val got = graft.ml.MLOps.domainReweightRound(docs, "domain", col("loss"),
+      Map("a" -> 500L, "b" -> 500L))
+    assert(got.select("domain").collect().map(_.getString(0)).toSet == Set("a", "b"))
+  }
+}
+
+/** q186's interpolated bigram LM partition: reference-like word ORDER is
+  * what separates head from tail (the evidence a unigram model cannot
+  * see), and short docs take the no-transition score. */
+class BigramLmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fluent word order outranks the same words scrambled") {
+    val ref = Seq.tabulate(12)(i => (100L + i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),   // reference bigrams throughout
+      (2L, "mat the on sat cat the"),   // same unigrams, unseen bigrams
+      (3L, "zzz qqq"),                  // unseen everything
+      (4L, "single")                    // < 2 tokens: no transitions
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.lmQualityPartitionBigram(ref, corpus,
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(1L)._1 > got(2L)._1) // conditional evidence, not just vocabulary
+    assert(got(2L)._1 > got(3L)._1) // unigram backoff still separates known words
+    assert(got(4L)._1 == -1L)
+    assert(got(1L)._2 == "head")
+  }
+
+  test("a reference with no bigrams fails loudly") {
+    val ref = Seq((1L, "single"), (2L, "words")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.lmQualityPartitionBigram(ref, corpus, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("no bigrams"))
+  }
+}
+
+/** q187's watermark-closed left-outer interval join gate: unmatched lefts
+  * surface as -1/null rows only via state eviction, sentinels stay out. */
+class StreamingOuterJoinGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("non-converting clicks emit the null row; matches emit pairs; no sentinels") {
+    val events = Seq(
+      (1L, 10L, "click", "2024-01-01 00:00:00"),
+      (2L, 10L, "purchase", "2024-01-01 00:30:00"),  // converts click 1
+      (3L, 20L, "click", "2024-01-01 01:00:00"),     // never converts
+      (4L, 30L, "click", "2024-01-01 02:00:00"),
+      (5L, 30L, "purchase", "2024-01-01 04:00:00"),  // outside the 1h bound
+      (6L, 10L, "click", "2024-01-01 05:00:00"),
+      (7L, 10L, "purchase", "2024-01-01 05:10:00"),  // converts click 6
+      // the tail case that once failed at sf0.01: this click's eviction
+      // bound (06:30) is past every real event, so its null row exists
+      // ONLY if the sentinels actually advance the watermark (a
+      // null-keyed sentinel is silently dropped by the inferred
+      // IsNotNull join-key filters and this row never flushes)
+      (8L, 40L, "click", "2024-01-01 05:30:00"),
+      (9L, 50L, "view", "2024-01-01 05:40:00")
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = graft.streaming.Streaming.stagedOuterIntervalJoinRun(
+        spark, events, tsCol = "ts", keys = Seq("user_id"), idCol = "event_id",
+        leftPred = "event_type = 'click'", rightPred = "event_type = 'purchase'",
+        after = "1 hour", chunks = 3)
+      .select("user_id", "a_id", "b_id_key", "lag_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == Set(
+      (10L, 1L, 2L, Some(1800000000L)),
+      (20L, 3L, -1L, None),
+      (30L, 4L, -1L, None),
+      (10L, 6L, 7L, Some(600000000L)),
+      (40L, 8L, -1L, None)))
+  }
+}

@@ -743,7 +743,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // q62: the benchmark gram set must be the BUILD side of a broadcast hash
     // join (the corpus side never shuffles); q65: the 3-row cut table joins
     // broadcast over the fact scan
-    for (name <- Seq("q62_decontaminate", "q65_quantile_bins")) {
+    for (name <- Seq("q62_decontaminate", "q184_decontam_matrix", "q65_quantile_bins")) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"$name: expected a broadcast join\n$plan")
       assert(!plan.contains("SortMergeJoin"), s"$name: small side fell into a sort-merge join")
