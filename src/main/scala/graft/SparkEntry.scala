@@ -5013,6 +5013,79 @@ object SparkEntry {
         FROM corpus JOIN bench USING (h)
         GROUP BY corpus.doc_id, bench.benchmark""")),
 
+    // --- CONTAMINATED SPANS: WHERE each corpus doc overlaps the eval set
+    // (q62 tells you which docs; this one gives the positional runs —
+    // duplicateSpans' gap-and-island algebra with the cross-doc marker
+    // swapped for benchmark membership; broadcast gram set, corpus never
+    // shuffles for the marking) ---
+    Q("q188_contamination_spans",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.contaminationSpans(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 3)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              xf -> length(xf) > 0) AS ws
+            FROM documents),
+          g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos FROM w),
+          g AS (SELECT doc_id, pos, CAST(concat('0x',
+              substr(md5(array_to_string(ws[pos:pos+2], ' ')), 1, 14)) AS BIGINT)
+                % ${Dedup.PortableP} AS h
+            FROM g0),
+          bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+          m AS (SELECT g.doc_id, g.pos,
+              g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+            FROM g JOIN bench USING (h) WHERE g.doc_id % 97 <> 0)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          CAST(max(pos) + 2 AS BIGINT) AS span_end,
+          CAST(max(pos) + 2 - min(pos) + 1 AS BIGINT) AS span_tokens
+        FROM m GROUP BY doc_id, grp""")),
+
+    // --- DECONTAMINATE BY EXCISION: cut the overlapping spans, keep the
+    // prose — GPT-3's own decontamination removed the overlapping WINDOW,
+    // not the page. q188's spans + q148's strip/rebuild; uncontaminated
+    // docs pass through with n_removed = 0 ---
+    Q("q189_decontam_excise",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.decontaminateByExcision(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 3)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              xf -> length(xf) > 0) AS ws
+            FROM documents),
+          g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos FROM w),
+          g AS (SELECT doc_id, pos, CAST(concat('0x',
+              substr(md5(array_to_string(ws[pos:pos+2], ' ')), 1, 14)) AS BIGINT)
+                % ${Dedup.PortableP} AS h
+            FROM g0),
+          bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+          m AS (SELECT g.doc_id, g.pos,
+              g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+            FROM g JOIN bench USING (h) WHERE g.doc_id % 97 <> 0),
+          spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end
+            FROM m GROUP BY doc_id, grp),
+          wd AS (SELECT doc_id, unnest(ws) AS word,
+              unnest(generate_series(1, len(ws))) AS pos
+            FROM w WHERE doc_id % 97 <> 0),
+          cut AS (SELECT DISTINCT wd.doc_id, wd.pos FROM wd JOIN spans s
+            ON s.doc_id = wd.doc_id AND wd.pos BETWEEN s.span_start AND s.span_end)
+        SELECT wd.doc_id,
+          coalesce(string_agg(word, ' ' ORDER BY wd.pos) FILTER (WHERE cut.pos IS NULL), '')
+            AS text_clean,
+          count(*) AS n_words,
+          CAST(sum(CASE WHEN cut.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM wd LEFT JOIN cut ON cut.doc_id = wd.doc_id AND cut.pos = wd.pos
+        GROUP BY wd.doc_id""")),
+
     // --- One DOMAIN-REWEIGHTING round (DoReMi, Xie et al. 2023): lift
     // mixture weight where the proxy loss (chars-per-token milli — long
     // fragmenting words read as "hard") exceeds the mixture average;

@@ -1015,9 +1015,19 @@ object Dedup {
     *
     * Returns (idCol, text_clean, n_words, n_removed). */
   def stripDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, minDocs: Int = 2, hashKey: Boolean = false): DataFrame = {
-    val spans = duplicateSpans(df, textCol, idCol, k, minDocs, hashKey)
-      .select(col(idCol), col("span_start"), col("span_end"))
+      k: Int = 5, minDocs: Int = 2, hashKey: Boolean = false): DataFrame =
+    stripSpans(df, textCol, idCol,
+      duplicateSpans(df, textCol, idCol, k, minDocs, hashKey)
+        .select(col(idCol), col("span_start"), col("span_end")))
+
+  /** The span-removal half shared by [[stripDuplicateSpans]] and
+    * [[decontaminateByExcision]]: drop every word position of `df` covered
+    * by a (idCol, span_start, span_end) row and reassemble the survivors.
+    * The span table is output-sized (≪ corpus) and joins back per document
+    * — a doc-key equi-join with a range predicate, never a cross join;
+    * the rebuild is one per-doc aggregation. */
+  private def stripSpans(df: DataFrame, textCol: String, idCol: String,
+      spans: DataFrame): DataFrame = {
     val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
       w => length(w) > 0)
     val words = df.select(col(idCol), ws.as("__ws"))
@@ -1039,6 +1049,57 @@ object Dedup {
         count(lit(1)).as("n_words"),
         sum(coalesce(col("__cut"), lit(0L))).as("n_removed"))
   }
+
+  /** CONTAMINATED SPANS: for every corpus document, the maximal runs of
+    * word positions whose n-gram also appears in the benchmark/eval set —
+    * [[duplicateSpans]]' gap-and-island algebra with the cross-document
+    * marker swapped for benchmark membership. The positional sibling of
+    * [[graft.ops.TextAnalysis.decontaminate]]: that one tells you WHICH
+    * docs leak, this one tells you WHERE.
+    *
+    * Plan shape: the benchmark collapses to a distinct gram-hash set and
+    * BROADCASTS (eval sets are tiny next to a 100 TB corpus); the corpus
+    * explodes its positional grams once, marks by one broadcast hash
+    * join — the corpus never shuffles for the marking — and the run-merge
+    * is the pos − row_number gap-and-island window partitioned by
+    * document. Portable md5-derived hashes, so any engine reproduces the
+    * exact spans.
+    *
+    * Returns (idCol, span_start, span_end, span_tokens), 1-based
+    * inclusive. */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    val bench = benchmark.select(
+        explode(array_distinct(portableShingleHashes(col(textCol), n))).as("h"))
+      .distinct()
+    val pos = corpus.select(col(idCol),
+        posexplode(portableShingleHashes(col(textCol), n)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    pos.join(broadcast(bench), Seq("h"))
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n - 1).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** DECONTAMINATE BY EXCISION: cut the benchmark-overlapping spans out of
+    * each document and keep the rest — the surgical alternative to
+    * dropping whole contaminated documents (GPT-3's own decontamination
+    * removed the overlapping WINDOW, not the page; a long document with
+    * one quoted eval question keeps its unique prose). Span detection =
+    * [[contaminationSpans]]; removal = the shared [[stripSpans]] rebuild.
+    * Returns (idCol, text_clean, n_words, n_removed) for every corpus doc
+    * (uncontaminated docs pass through with n_removed = 0, modulo the
+    * lowercase/whitespace normalization all dedup ops share). */
+  def decontaminateByExcision(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame =
+    stripSpans(corpus, textCol, idCol,
+      contaminationSpans(corpus, benchmark, textCol, idCol, n)
+        .select(col(idCol), col("span_start"), col("span_end")))
 
   /** SEGMENT-LEVEL EXACT DEDUP (the RefinedWeb / MassiveText "repeated
     * paragraph removal" shape, generalized to a fixed word-window segmenter

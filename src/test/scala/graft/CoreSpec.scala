@@ -2833,3 +2833,39 @@ class StreamingOuterJoinGateSpec extends AnyFunSuite {
       (40L, 8L, -1L, None)))
   }
 }
+
+/** q188/q189: contamination spans and excision — the quoted eval text
+  * vanishes, the unique prose stays. */
+class DecontamExciseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val benchmark = Seq(
+    (100L, "what is the capital of france paris obviously")
+  ).toDF("doc_id", "text")
+  private val corpus = Seq(
+    // quotes the eval question mid-document
+    (1L, "my blog post asks what is the capital of france and then rambles on"),
+    (2L, "completely original writing about distributed systems and shuffles"),
+    (3L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("spans cover exactly the quoted run") {
+    val spans = graft.ops.Dedup.contaminationSpans(corpus, benchmark,
+        "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // "what is the capital of france" = positions 5-10 in doc 1: 3-gram
+    // starts 5..8 qualify, span = [5, 8+3-1=10], 6 tokens
+    assert(spans.toSeq == Seq((1L, 5L, 10L, 6L)))
+  }
+
+  test("excision removes the span and keeps everything else verbatim") {
+    val got = graft.ops.Dedup.decontaminateByExcision(corpus, benchmark,
+        "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == (("my blog post asks and then rambles on", 14L, 6L)))
+    assert(got(2L) == (("completely original writing about distributed systems and shuffles", 8L, 0L)))
+    assert(got(3L) == (("tiny", 1L, 0L)))
+  }
+}
