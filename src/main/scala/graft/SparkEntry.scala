@@ -4964,6 +4964,58 @@ object SparkEntry {
             CAST(doc_id AS VARCHAR), text)), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
         FROM rk GROUP BY 1""")),
 
+    // --- DECONTAMINATION-STAGED curation recipe under the gate: stage 0
+    // enabled — the src19 slice is the EVAL SUITE (its rows leave the
+    // corpus; docs sharing any 3-gram with it drop) — then the standard
+    // near-dup/keep-best/split chain (Gopher mask 0 = identity gate, no
+    // CCNet/DSIR so the oracle composes q62's decontam CTEs with q136/
+    // q163/q158's proven chain). Executed through a registry JSON round
+    // trip, so the new decontam fields are oracle-proven serializable ---
+    Q("q190_recipe_decontam",
+      (s, dir) => {
+        val r = graft.contract.CurationRecipe(name = "q190_recipe",
+          decontamCol = Some("source"), decontamValue = "src19",
+          decontamN = 3, gopherRuleMask = 0L)
+        val roundTripped = graft.contract.ContractJson.recipeFromValue(
+          graft.expr.JsonValue.parseObject(
+            graft.contract.ContractJson.recipeToJson(r)))
+        roundTripped.run(t(s, dir, "documents"))
+          .select("doc_id", "component", "split")
+      },
+      Some(s"""WITH RECURSIVE w0 AS (SELECT doc_id, source, text, list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              xf -> length(xf) > 0) AS ws
+            FROM documents),
+          g0 AS (SELECT doc_id, source, list_distinct([CAST(concat('0x',
+                substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 14)) AS BIGINT)
+                % ${Dedup.PortableP}
+              for i in generate_series(1, greatest(len(ws)-2, 0))]) AS gs
+            FROM w0),
+          bench0 AS (SELECT DISTINCT unnest(gs) AS h FROM g0 WHERE source = 'src19'),
+          cont AS (SELECT DISTINCT doc_id FROM (
+              SELECT doc_id, unnest(gs) AS h FROM g0 WHERE source <> 'src19') cg
+            JOIN bench0 USING (h)),
+          kept AS MATERIALIZED (SELECT w0.doc_id, w0.text, w0.ws FROM w0
+            WHERE source <> 'src19'
+              AND doc_id NOT IN (SELECT doc_id FROM cont)),
+          ${minhashCtes(0.5, 4, 3, from = "kept")},
+          sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          cc AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+          comp AS (SELECT kept.doc_id, coalesce(cc.comp, kept.doc_id) AS component,
+              CAST(len(ws) AS BIGINT) AS n_tok
+            FROM kept LEFT JOIN cc ON cc.id = kept.doc_id),
+          canon AS (SELECT doc_id, component FROM (SELECT doc_id, component,
+              row_number() OVER (PARTITION BY component
+                ORDER BY n_tok DESC, doc_id ASC) AS rn FROM comp) WHERE rn = 1)
+        SELECT canon.doc_id, canon.component,
+          CASE WHEN CAST(concat('0x', substr(md5(CAST(canon.component AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+        FROM canon""")),
+
     // --- The SEVENTH streaming-runtime modality: STREAM-STATIC
     // ENRICHMENT — orders stream joined per micro-batch against the
     // broadcast customer dimension (Streaming.stagedEnrichJoinRun), the

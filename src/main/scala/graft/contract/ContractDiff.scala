@@ -106,6 +106,12 @@ object ContractDiff {
       if (f(old) != f(updated))
         changes += Change(sev, s"$what: ${f(old)} -> ${f(updated)}")
     chg("text column", _.textCol, Breaking)
+    // stage 0 sits upstream of pair generation: changing which docs are
+    // eval (or the overlap gram size) re-forms components and re-rolls
+    // split coins — AND moves the eval boundary itself: Breaking
+    chg("decontamination slice (eval boundary + components move)",
+      r => (r.decontamCol, r.decontamValue), Breaking)
+    chg("decontamination gram size (overlap rule moves)", _.decontamN, Breaking)
     chg("id column", _.idCol, Breaking)
     chg("train pct (split boundary moves)", _.trainPct, Breaking)
     // the near-dup family defines the COMPONENTS the split routes by: any

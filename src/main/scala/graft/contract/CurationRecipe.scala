@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Stage order is the production (RefinedWeb/FineWeb) shape, each stage an
   * already-oracle-gated operator:
+  *   0. decontamination            — [[graft.ops.TextAnalysis.decontaminate]]
+  *      (q62; optional — the eval slice leaves the corpus and docs sharing
+  *      an n-gram with it drop, BEFORE any other stage sees them)
   *   1. Gopher quality gate        — [[graft.ops.TextAnalysis.gopherFilter]] (q152)
   *   2. MinHash near-dup pairs     — [[graft.ops.Dedup.nearDuplicatesPortable]] (q136)
   *   3. keep-BEST canonicalization — [[graft.ops.Dedup.canonicalizeBy]] (q158)
@@ -42,6 +45,15 @@ final case class CurationRecipe(
     name: String,
     textCol: String = "text",
     idCol: String = "doc_id",
+    // stage 0: decontamination — eval slice as (column = value); None
+    // skips. Eval rows LEAVE the corpus (they are held-out data, not
+    // training candidates), and corpus docs sharing any decontamN-gram
+    // with them drop — the GPT-3/PaLM doc-level rule; span excision
+    // (Dedup.decontaminateByExcision) is the surgical alternative for
+    // pipelines that keep the prose
+    decontamCol: Option[String] = None,
+    decontamValue: String = "",
+    decontamN: Int = 5,
     // stage 1: Gopher gate
     gopherMinWords: Int = 20,
     gopherRuleMask: Long = 63L,
@@ -78,11 +90,12 @@ final case class CurationRecipe(
     * run()-kept equality is now true by construction, and the spec is
     * the regression tripwire, not the only guard). */
   private final class Stages(
+      val decontamKeep: Option[DataFrame],
       val gatePass: DataFrame, val pairs: DataFrame, val canonIds: DataFrame,
       val lmKeptIds: Option[DataFrame], val selectedIds: Option[DataFrame],
       val split: DataFrame)
 
-  /** Execute the five stages over `docs`.
+  /** Execute the pipeline stages over `docs`.
     *
     * Reuse discipline (the q153-capstone pattern): every cross-stage
     * intermediate is a BOUNDED id list (O(docs) longs, no text),
@@ -93,12 +106,29 @@ final case class CurationRecipe(
     * ONCE and feed both keep-best canonicalization and the split router
     * via the operators' `components` hooks. */
   private def stages(docs: DataFrame): Stages = {
+    // 0. decontamination — the eval slice leaves the corpus and every doc
+    // sharing an n-gram with it drops; the kept-id list is the stage's
+    // audit artifact (eval membership itself is a plain column predicate
+    // and needs no list). coalesce: a null slice column is "not eval"
+    val (corpus0, decontamKeep) = decontamCol match {
+      case Some(dc) =>
+        val isEval = coalesce(col(dc) === lit(decontamValue), lit(false))
+        val contaminated = graft.ops.TextAnalysis.decontaminate(
+            docs.filter(!isEval), docs.filter(isEval), textCol, idCol,
+            n = decontamN)
+          .select(col(idCol))
+        val keep = docs.filter(!isEval)
+          .join(contaminated, Seq(idCol), "left_anti")
+          .select(col(idCol)).localCheckpoint(true)
+        (docs.join(keep, Seq(idCol), "left_semi"), Some(keep))
+      case _ => (docs, None)
+    }
     // 1. quality gate — keep docs passing every enabled Gopher rule
-    val gatePass = graft.ops.TextAnalysis.gopherFilter(docs, textCol, idCol,
+    val gatePass = graft.ops.TextAnalysis.gopherFilter(corpus0, textCol, idCol,
         minWords = gopherMinWords, ruleMask = gopherRuleMask)
       .filter(col("fail_mask") === 0L).select(col(idCol))
       .localCheckpoint(true)
-    val gated = docs.join(gatePass, Seq(idCol), "left_semi")
+    val gated = corpus0.join(gatePass, Seq(idCol), "left_semi")
     // 2. near-dup pairs over the gated corpus (banded — never all-pairs),
     // folded once into the CC label table (O(paired docs) longs)
     val pairs = graft.ops.Dedup.nearDuplicatesPortable(gated, textCol, idCol,
@@ -134,7 +164,7 @@ final case class CurationRecipe(
       .getOrElse(afterLm)
     // 5. leakage-safe split routed by the SAME component labels — residual
     // components move whole
-    new Stages(gatePass, pairs, canonIds, lmKeptIds, selectedIds,
+    new Stages(decontamKeep, gatePass, pairs, canonIds, lmKeptIds, selectedIds,
       graft.ml.MLOps.leakageSafeSplit(afterSel, pairs, idCol,
         trainPct = trainPct, ccMaxIter = ccMaxIter, components = comps))
   }
@@ -178,14 +208,26 @@ final case class CurationRecipe(
     val st = stages(docs)
     val splitDf = st.split.select(col(idCol), col("split"))
     def mark(df: DataFrame, m: String) = df.withColumn(m, lit(1))
-    var out = docs.select(col(idCol))
+    // eval membership is a plain predicate on the input row — evaluated
+    // inline, no join; it must label BEFORE 'contaminated' (eval rows are
+    // absent from decontamKeep too)
+    val evalFlag = decontamCol.map(dc =>
+      coalesce(col(dc) === lit(decontamValue), lit(false)))
+    var out = docs.select(col(idCol) +: evalFlag.map(_.as("__e")).toSeq: _*)
+    st.decontamKeep.foreach(k => out = out.join(mark(k, "__d"), Seq(idCol), "left"))
+    out = out
       .join(mark(st.gatePass, "__g"), Seq(idCol), "left")
       .join(mark(st.canonIds, "__c"), Seq(idCol), "left")
     st.lmKeptIds.foreach(k => out = out.join(mark(k, "__l"), Seq(idCol), "left"))
     st.selectedIds.foreach(k => out = out.join(mark(k, "__s"), Seq(idCol), "left"))
     out = out.join(splitDf, Seq(idCol), "left")
     val stage = {
-      var c = when(col("__g").isNull, lit("gate"))
+      var c = when(lit(false), lit("")) // seed; first real branch follows
+      if (decontamCol.nonEmpty) {
+        c = c.when(col("__e"), lit("eval_slice"))
+          .when(col("__d").isNull, lit("contaminated"))
+      }
+      c = c.when(col("__g").isNull, lit("gate"))
         .when(col("__c").isNull, lit("near_dup"))
       if (st.lmKeptIds.nonEmpty) c = c.when(col("__l").isNull, lit("lm_tail"))
       if (st.selectedIds.nonEmpty) c = c.when(col("__s").isNull, lit("dsir"))
@@ -198,6 +240,9 @@ final case class CurationRecipe(
     * admit a NEW batch against an already-curated corpus without ever
     * re-pairing corpus×corpus.
     *
+    *   0. decontaminate the batch (when configured — a per-doc stateless
+    *      rule given the eval slice, so it applies on ingest, against the
+    *      corpus's eval slice plus the batch's own eval rows);
     *   1. Gopher-gate the batch (the per-doc stateless stage — same knobs);
     *   2. near-dup PROBE the corpus band index
     *      ([[graft.ops.Dedup.nearDuplicatesAgainstPortable]], the q159
@@ -215,11 +260,28 @@ final case class CurationRecipe(
     * admitted batch docs + (component, split) — the same shape as [[run]],
     * ready to append to the corpus. */
   def runIncremental(corpus: DataFrame, newBatch: DataFrame): DataFrame = {
-    val gatePass = graft.ops.TextAnalysis.gopherFilter(newBatch, textCol, idCol,
+    // stage 0 per batch: unlike the CCNet/DSIR cutoffs (which move with
+    // the corpus distribution and refresh on full run()), decontamination
+    // is a per-doc STATELESS rule given the eval slice — so the batch
+    // decontaminates on ingest: its own eval rows drop (held-out data is
+    // never a training candidate), and batch docs overlapping the
+    // standing corpus's eval slice ∪ the batch's eval rows drop
+    val batch0 = decontamCol match {
+      case Some(dc) =>
+        val isEval = coalesce(col(dc) === lit(decontamValue), lit(false))
+        val bench = corpus.filter(isEval).select(col(idCol), col(textCol))
+          .unionByName(newBatch.filter(isEval).select(col(idCol), col(textCol)))
+        val rest = newBatch.filter(!isEval)
+        val contaminated = graft.ops.TextAnalysis.decontaminate(
+          rest, bench, textCol, idCol, n = decontamN).select(col(idCol))
+        rest.join(contaminated, Seq(idCol), "left_anti")
+      case _ => newBatch
+    }
+    val gatePass = graft.ops.TextAnalysis.gopherFilter(batch0, textCol, idCol,
         minWords = gopherMinWords, ruleMask = gopherRuleMask)
       .filter(col("fail_mask") === 0L).select(col(idCol))
       .localCheckpoint(true)
-    val gated = newBatch.join(gatePass, Seq(idCol), "left_semi")
+    val gated = batch0.join(gatePass, Seq(idCol), "left_semi")
     // O(pairs) id rows, referenced three times below — checkpoint once
     val pairs = graft.ops.Dedup.nearDuplicatesAgainstPortable(corpus, gated,
         textCol, idCol, threshold = nearDupThreshold,

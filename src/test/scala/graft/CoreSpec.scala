@@ -2869,3 +2869,56 @@ class DecontamExciseSpec extends AnyFunSuite {
     assert(got(3L) == (("tiny", 1L, 0L)))
   }
 }
+
+/** The recipe's decontamination stage 0 (q190): eval rows and overlapping
+  * docs leave before any other stage sees them, with audit attribution;
+  * the ingest path decontaminates per batch. */
+class RecipeDecontamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // distinct fillers per doc — identical boilerplate would make the
+  // clean docs near-duplicates of one another and muddy the attribution
+  private def fill(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+  private def docs = Seq(
+    (1L, s"what is the capital of france ${fill("a")}", "web"),
+    (2L, s"entirely original prose about spark plans ${fill("b")} extra", "web"),
+    (3L, "what is the capital of france paris", "eval"),
+    (4L, s"another unrelated clean document ${fill("c")} more words", "web")
+  ).toDF("doc_id", "text", "src")
+  private val r = graft.contract.CurationRecipe(name = "decon_spec",
+    decontamCol = Some("src"), decontamValue = "eval", decontamN = 3,
+    gopherRuleMask = 0L)
+
+  test("run() drops the eval slice and the contaminated doc") {
+    val kept = r.run(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("runAudit labels eval_slice and contaminated distinctly") {
+    val got = r.runAudit(docs).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(got == Map(1L -> "contaminated", 2L -> "kept",
+      3L -> "eval_slice", 4L -> "kept"))
+  }
+
+  test("runIncremental decontaminates the batch against corpus + batch eval rows") {
+    val corpus = docs.filter(col("doc_id") =!= 1L) // standing corpus incl. eval row
+    val batch = Seq(
+      (10L, s"quoting what is the capital of france again ${fill("d")}", "web"),
+      (11L, s"novel batch document with its own words ${fill("e")} tail", "web"),
+      (12L, "a brand new eval question entirely", "eval"),
+      (13L, s"quotes a brand new eval question ${fill("f")} too", "web")
+    ).toDF("doc_id", "text", "src")
+    val kept = r.runIncremental(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L)) // 10 hits corpus eval, 12 IS eval, 13 hits batch eval
+  }
+
+  test("decontamination knob changes are Breaking in the recipe diff") {
+    val changed = r.copy(decontamValue = "other")
+    assert(graft.contract.ContractDiff.isBreakingRecipe(r, changed))
+    val n = r.copy(decontamN = 5)
+    assert(graft.contract.ContractDiff.isBreakingRecipe(r, n))
+  }
+}

@@ -3038,7 +3038,9 @@ class CurationRecipeSpec extends AnyFunSuite {
         graft.contract.CurationRecipe(name = "defaults"),
         recipe.copy(qualityScoreCol = Some("n_chars"), dsirTargetCol = None,
           description = None),
-        recipe.copy(ccnetRefCol = Some("lang"), ccnetRefValue = "en"))) {
+        recipe.copy(ccnetRefCol = Some("lang"), ccnetRefValue = "en"),
+        recipe.copy(decontamCol = Some("source"), decontamValue = "src9",
+          decontamN = 3))) {
       val json = graft.contract.ContractJson.recipeToJson(r)
       val back = graft.contract.ContractJson.recipeFromValue(
         graft.expr.JsonValue.parseObject(json))
@@ -3050,6 +3052,15 @@ class CurationRecipeSpec extends AnyFunSuite {
     val json = graft.contract.ContractJson.recipeToJson(recipe)
       .replace(""""ccnet_ref_col":null,"ccnet_ref_value":"",""", "")
     assert(!json.contains("ccnet"))
+    val back = graft.contract.ContractJson.recipeFromValue(
+      graft.expr.JsonValue.parseObject(json))
+    assert(back == recipe)
+  }
+
+  test("pre-decontamination recipe JSON (no decontam keys) loads as stage-skipped") {
+    val json = graft.contract.ContractJson.recipeToJson(recipe)
+      .replace(""""decontam_col":null,"decontam_value":"","decontam_n":5,""", "")
+    assert(!json.contains("decontam"))
     val back = graft.contract.ContractJson.recipeFromValue(
       graft.expr.JsonValue.parseObject(json))
     assert(back == recipe)
