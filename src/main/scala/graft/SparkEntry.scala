@@ -2437,6 +2437,66 @@ object SparkEntry {
           coalesce(dup_frac, 0.0) AS dup_frac
         FROM documents LEFT JOIN f USING (doc_id)"""
 
+  /** The q181 ingest-path CTE chain (batch gate, corpus-probe near-dup,
+    * corpus-dup drop, within-batch CC + keep-best) — shared verbatim by
+    * the ingest result oracle (q181) and the ingest funnel-audit oracle
+    * (q191), so the two restatements cannot drift. Heavy CTEs are
+    * MATERIALIZED: inlined references through the recursive CC chain
+    * re-evaluate multiplicatively (the q178 lesson). */
+  private def sqlIngestCtes: String = s"""nb AS (SELECT doc_id, lang, text, list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS ws,
+            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+              l -> length(l) > 0) AS ls
+            FROM documents WHERE doc_id % 5 = 0),
+          m AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len,
+              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_cnt,
+              CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots_cnt,
+              CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                OR starts_with(l, '• '))) AS BIGINT) AS bullet_cnt,
+              CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+                AS BIGINT) AS ellipsis_cnt,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_cnt
+            FROM nb),
+          gm AS (SELECT doc_id FROM (SELECT doc_id,
+              CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END
+              + CASE WHEN n_words = 0 OR CAST(sum_len AS DOUBLE) / n_words < 3.0
+                  OR CAST(sum_len AS DOUBLE) / n_words > 10.0 THEN 2 ELSE 0 END
+              + CASE WHEN n_words > 0
+                  AND CAST(hash_cnt + dots_cnt AS DOUBLE) / n_words >= 0.1 THEN 4 ELSE 0 END
+              + CASE WHEN n_lines > 0
+                  AND CAST(bullet_cnt AS DOUBLE) / n_lines >= 0.9 THEN 8 ELSE 0 END
+              + CASE WHEN n_lines > 0
+                  AND CAST(ellipsis_cnt AS DOUBLE) / n_lines >= 0.3 THEN 16 ELSE 0 END
+              + CASE WHEN n_words = 0
+                  OR CAST(alpha_cnt AS DOUBLE) / n_words < 0.8 THEN 32 ELSE 0 END AS mask
+            FROM m) WHERE (mask & 63) = 0),
+          gnew AS MATERIALIZED (SELECT nb.* FROM nb JOIN gm USING (doc_id)),
+          uni AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+            UNION ALL SELECT doc_id, text FROM gnew),
+          ${minhashCtes(0.5, 4, 3, from = "uni")},
+          ap AS MATERIALIZED (SELECT id_a, id_b FROM pairs),
+          cdrop AS MATERIALIZED (SELECT DISTINCT
+              CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS doc_id
+            FROM ap WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)),
+          np AS MATERIALIZED (SELECT id_a, id_b FROM ap
+            WHERE id_a % 5 = 0 AND id_b % 5 = 0),
+          surv AS MATERIALIZED (SELECT gnew.* FROM gnew
+            WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),
+          sym AS (SELECT id_a AS a, id_b AS b FROM np
+            UNION SELECT id_b, id_a FROM np),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          cc AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+          comp AS (SELECT surv.doc_id, coalesce(cc.comp, surv.doc_id) AS component,
+              CAST(len(ws) AS BIGINT) AS n_tok
+            FROM surv LEFT JOIN cc ON cc.id = surv.doc_id),
+          canon AS (SELECT doc_id, component FROM (SELECT doc_id, component,
+              row_number() OVER (PARTITION BY component
+                ORDER BY n_tok DESC, doc_id ASC) AS rn FROM comp) WHERE rn = 1)"""
+
   private val pipelineQueries5: Seq[Q] = Seq(
     // --- SCD TYPE-2 from a changelog: purchases as per-user value updates →
     // validity intervals + current-row flag. One window shuffle on the
@@ -4878,63 +4938,41 @@ object SparkEntry {
           docs.filter(col("doc_id") % 5 === 0))
           .select("doc_id", "component", "split")
       },
-      Some(s"""WITH RECURSIVE nb AS (SELECT doc_id, lang, text, list_filter(
-              string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS ws,
-            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-              l -> length(l) > 0) AS ls
-            FROM documents WHERE doc_id % 5 = 0),
-          m AS (SELECT doc_id,
-              CAST(len(ws) AS BIGINT) AS n_words,
-              CAST(len(ls) AS BIGINT) AS n_lines,
-              CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len,
-              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_cnt,
-              CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots_cnt,
-              CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
-                OR starts_with(l, '• '))) AS BIGINT) AS bullet_cnt,
-              CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
-                AS BIGINT) AS ellipsis_cnt,
-              CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_cnt
-            FROM nb),
-          gm AS (SELECT doc_id FROM (SELECT doc_id,
-              CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END
-              + CASE WHEN n_words = 0 OR CAST(sum_len AS DOUBLE) / n_words < 3.0
-                  OR CAST(sum_len AS DOUBLE) / n_words > 10.0 THEN 2 ELSE 0 END
-              + CASE WHEN n_words > 0
-                  AND CAST(hash_cnt + dots_cnt AS DOUBLE) / n_words >= 0.1 THEN 4 ELSE 0 END
-              + CASE WHEN n_lines > 0
-                  AND CAST(bullet_cnt AS DOUBLE) / n_lines >= 0.9 THEN 8 ELSE 0 END
-              + CASE WHEN n_lines > 0
-                  AND CAST(ellipsis_cnt AS DOUBLE) / n_lines >= 0.3 THEN 16 ELSE 0 END
-              + CASE WHEN n_words = 0
-                  OR CAST(alpha_cnt AS DOUBLE) / n_words < 0.8 THEN 32 ELSE 0 END AS mask
-            FROM m) WHERE (mask & 63) = 0),
-          gnew AS MATERIALIZED (SELECT nb.* FROM nb JOIN gm USING (doc_id)),
-          uni AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
-            UNION ALL SELECT doc_id, text FROM gnew),
-          ${minhashCtes(0.5, 4, 3, from = "uni")},
-          ap AS MATERIALIZED (SELECT id_a, id_b FROM pairs),
-          cdrop AS MATERIALIZED (SELECT DISTINCT
-              CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS doc_id
-            FROM ap WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)),
-          np AS MATERIALIZED (SELECT id_a, id_b FROM ap
-            WHERE id_a % 5 = 0 AND id_b % 5 = 0),
-          surv AS MATERIALIZED (SELECT gnew.* FROM gnew
-            WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),
-          sym AS (SELECT id_a AS a, id_b AS b FROM np
-            UNION SELECT id_b, id_a FROM np),
-          reach AS (SELECT a, b FROM sym
-            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-          cc AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
-          comp AS (SELECT surv.doc_id, coalesce(cc.comp, surv.doc_id) AS component,
-              CAST(len(ws) AS BIGINT) AS n_tok
-            FROM surv LEFT JOIN cc ON cc.id = surv.doc_id),
-          canon AS (SELECT doc_id, component FROM (SELECT doc_id, component,
-              row_number() OVER (PARTITION BY component
-                ORDER BY n_tok DESC, doc_id ASC) AS rn FROM comp) WHERE rn = 1)
+      Some(s"""WITH RECURSIVE ${sqlIngestCtes}
         SELECT doc_id, component,
           CASE WHEN CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8))
               AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS split
         FROM canon""")),
+
+    // --- INGEST FUNNEL AUDIT: runIncremental's drop attribution — every
+    // batch doc labeled with the first ingest stage that dropped it
+    // ('gate' / 'corpus_dup' / 'near_dup') or 'kept' + split; the daily
+    // "why did today's batch shrink?" is one group-by over this frame.
+    // Oracle shares q181's CTE chain verbatim (sqlIngestCtes), so the
+    // result and audit restatements cannot drift ---
+    Q("q191_recipe_ingest_audit",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.contract.CurationRecipe(name = "q191_recipe",
+            gopherMinWords = 20)
+          .runIncrementalAudit(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0))
+      },
+      Some(s"""WITH RECURSIVE ${sqlIngestCtes},
+          spl AS (SELECT doc_id,
+              CASE WHEN CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS split
+            FROM canon)
+        SELECT nb.doc_id,
+          CASE WHEN gm.doc_id IS NULL THEN 'gate'
+               WHEN cd.doc_id IS NOT NULL THEN 'corpus_dup'
+               WHEN spl.doc_id IS NULL THEN 'near_dup'
+               ELSE 'kept' END AS stage,
+          spl.split
+        FROM nb LEFT JOIN gm USING (doc_id)
+          LEFT JOIN cdrop cd USING (doc_id)
+          LEFT JOIN spl USING (doc_id)""")),
 
     // --- TRAINING-EXPORT PLAN capstone: curriculum rank (q179's
     // distributed prefix sum) → equal-doc shards in curriculum order →

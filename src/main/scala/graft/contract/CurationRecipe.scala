@@ -259,14 +259,25 @@ final case class CurationRecipe(
     * not on every batch (CCNet's own batch-vs-refresh split). Returns the
     * admitted batch docs + (component, split) — the same shape as [[run]],
     * ready to append to the corpus. */
-  def runIncremental(corpus: DataFrame, newBatch: DataFrame): DataFrame = {
+  def runIncremental(corpus: DataFrame, newBatch: DataFrame): DataFrame =
+    ingestStages(corpus, newBatch).split
+
+  /** The ingest path's per-stage survivor frames — one body shared by
+    * [[runIncremental]] and [[runIncrementalAudit]], the same
+    * no-drift-by-construction discipline as [[stages]]. */
+  private final class IngestStages(
+      val decontamKeep: Option[DataFrame], val gatePass: DataFrame,
+      val corpusDup: DataFrame, val canonIds: DataFrame,
+      val split: DataFrame)
+
+  private def ingestStages(corpus: DataFrame, newBatch: DataFrame): IngestStages = {
     // stage 0 per batch: unlike the CCNet/DSIR cutoffs (which move with
     // the corpus distribution and refresh on full run()), decontamination
     // is a per-doc STATELESS rule given the eval slice — so the batch
     // decontaminates on ingest: its own eval rows drop (held-out data is
     // never a training candidate), and batch docs overlapping the
     // standing corpus's eval slice ∪ the batch's eval rows drop
-    val batch0 = decontamCol match {
+    val (batch0, decontamKeep) = decontamCol match {
       case Some(dc) =>
         val isEval = coalesce(col(dc) === lit(decontamValue), lit(false))
         val bench = corpus.filter(isEval).select(col(idCol), col(textCol))
@@ -274,8 +285,10 @@ final case class CurationRecipe(
         val rest = newBatch.filter(!isEval)
         val contaminated = graft.ops.TextAnalysis.decontaminate(
           rest, bench, textCol, idCol, n = decontamN).select(col(idCol))
-        rest.join(contaminated, Seq(idCol), "left_anti")
-      case _ => newBatch
+        val keep = rest.join(contaminated, Seq(idCol), "left_anti")
+          .select(col(idCol)).localCheckpoint(true)
+        (newBatch.join(keep, Seq(idCol), "left_semi"), Some(keep))
+      case _ => (newBatch, None)
     }
     val gatePass = graft.ops.TextAnalysis.gopherFilter(batch0, textCol, idCol,
         minWords = gopherMinWords, ruleMask = gopherRuleMask)
@@ -293,13 +306,15 @@ final case class CurationRecipe(
         Seq("id_a"), "left")
       .join(newIds.select(col(idCol).as("id_b")).withColumn("__bn", lit(1)),
         Seq("id_b"), "left")
-    // exactly one side new → the new side duplicates the standing corpus
-    val corpusDupNew = marked.filter(col("__an").isNotNull && col("__bn").isNull)
+    // exactly one side new → the new side duplicates the standing corpus.
+    // Checkpointed: consumed by the survivor anti-join AND the audit's
+    // attribution join
+    val corpusDup = marked.filter(col("__an").isNotNull && col("__bn").isNull)
       .select(col("id_a").as(idCol))
       .unionByName(marked.filter(col("__bn").isNotNull && col("__an").isNull)
         .select(col("id_b").as(idCol)))
-      .distinct()
-    val survivors = gated.join(corpusDupNew, Seq(idCol), "left_anti")
+      .distinct().localCheckpoint(true)
+    val survivors = gated.join(corpusDup, Seq(idCol), "left_anti")
     val newPairs = marked.filter(col("__an").isNotNull && col("__bn").isNotNull)
       .select("id_a", "id_b")
     // ONE CC run over the new-only pairs feeds keep-best AND the router;
@@ -307,10 +322,50 @@ final case class CurationRecipe(
     // labels only need consistency, not survivorship
     val comps = Some(graft.ops.Dedup.connectedComponents(newPairs,
       maxIter = ccMaxIter))
-    val canonical = graft.ops.Dedup.canonicalizeBy(survivors, newPairs, idCol,
-      memberScore, components = comps)
-    graft.ml.MLOps.leakageSafeSplit(canonical, newPairs, idCol,
-      trainPct = trainPct, ccMaxIter = ccMaxIter, components = comps)
+    val canonIds = graft.ops.Dedup.canonicalizeBy(survivors, newPairs, idCol,
+        memberScore, components = comps)
+      .select(col(idCol)).localCheckpoint(true)
+    val canonical = survivors.join(canonIds, Seq(idCol), "left_semi")
+    new IngestStages(decontamKeep, gatePass, corpusDup, canonIds,
+      graft.ml.MLOps.leakageSafeSplit(canonical, newPairs, idCol,
+        trainPct = trainPct, ccMaxIter = ccMaxIter, components = comps))
+  }
+
+  /** FUNNEL AUDIT for the ingest path (the [[runAudit]] of
+    * [[runIncremental]]): every BATCH doc gets exactly one row (idCol,
+    * stage, split) where stage names the first ingest stage that dropped
+    * it — 'eval_slice', 'contaminated' (when stage 0 is configured),
+    * 'gate', 'corpus_dup' (duplicates the standing corpus — the corpus
+    * member is already canonical, so the batch doc loses), 'near_dup'
+    * (lost within-batch keep-best) — or 'kept' with its split. The daily
+    * ops question "why did today's batch shrink?" is one group-by over
+    * this frame. Attribution = id-list left joins over [[ingestStages]]'
+    * checkpointed survivor lists; never a second batch-scale shuffle. */
+  def runIncrementalAudit(corpus: DataFrame, newBatch: DataFrame): DataFrame = {
+    val st = ingestStages(corpus, newBatch)
+    val splitDf = st.split.select(col(idCol), col("split"))
+    def mark(df: DataFrame, m: String) = df.withColumn(m, lit(1))
+    val evalFlag = decontamCol.map(dc =>
+      coalesce(col(dc) === lit(decontamValue), lit(false)))
+    var out = newBatch.select(col(idCol) +: evalFlag.map(_.as("__e")).toSeq: _*)
+    st.decontamKeep.foreach(k => out = out.join(mark(k, "__d"), Seq(idCol), "left"))
+    out = out
+      .join(mark(st.gatePass, "__g"), Seq(idCol), "left")
+      .join(mark(st.corpusDup, "__cd"), Seq(idCol), "left")
+      .join(mark(st.canonIds, "__c"), Seq(idCol), "left")
+      .join(splitDf, Seq(idCol), "left")
+    val stage = {
+      var c = when(lit(false), lit("")) // seed; first real branch follows
+      if (decontamCol.nonEmpty) {
+        c = c.when(col("__e"), lit("eval_slice"))
+          .when(col("__d").isNull, lit("contaminated"))
+      }
+      c = c.when(col("__g").isNull, lit("gate"))
+        .when(col("__cd").isNotNull, lit("corpus_dup"))
+        .when(col("__c").isNull, lit("near_dup"))
+      c.otherwise(lit("kept"))
+    }
+    out.select(col(idCol), stage.as("stage"), col("split"))
   }
 
   /** Execute against a registered source. */

@@ -2922,3 +2922,37 @@ class RecipeDecontamSpec extends AnyFunSuite {
     assert(graft.contract.ContractDiff.isBreakingRecipe(r, n))
   }
 }
+
+/** q191: the ingest funnel audit agrees with runIncremental and labels
+  * each drop with its first stage. */
+class RecipeIngestAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("audit-kept equals runIncremental's admitted set; labels are per-stage") {
+    def fill(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"standing corpus document about joins ${fill("a")}")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "too short"),                                             // gate
+      (11L, s"standing corpus document about joins ${fill("a")} x"),  // corpus dup
+      (12L, s"fresh batch document one ${fill("b")} alpha beta"),     // near-dup pair...
+      (13L, s"fresh batch document one ${fill("b")} alpha"),          // ...keep-best loser
+      (14L, s"wholly unrelated batch document ${fill("c")}")          // kept
+    ).toDF("doc_id", "text")
+    val r = graft.contract.CurationRecipe(name = "ingest_audit", gopherMinWords = 5)
+    val audit = r.runIncrementalAudit(corpus, batch).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), Option(x.getString(2)))).toMap
+    assert(audit(10L)._1 == "gate")
+    assert(audit(11L)._1 == "corpus_dup")
+    assert(audit(13L)._1 == "near_dup")
+    assert(audit(12L)._1 == "kept" && audit(12L)._2.nonEmpty)
+    assert(audit(14L)._1 == "kept")
+    val admitted = r.runIncremental(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(audit.filter(_._2._1 == "kept").keySet == admitted)
+    // non-kept rows have no split
+    assert(audit.filter(_._2._1 != "kept").values.forall(_._2.isEmpty))
+  }
+}
