@@ -5167,14 +5167,19 @@ object SparkEntry {
               unnest(generate_series(1, len(ws))) AS pos
             FROM w WHERE doc_id % 97 <> 0),
           cut AS (SELECT DISTINCT wd.doc_id, wd.pos FROM wd JOIN spans s
-            ON s.doc_id = wd.doc_id AND wd.pos BETWEEN s.span_start AND s.span_end)
-        SELECT wd.doc_id,
-          coalesce(string_agg(word, ' ' ORDER BY wd.pos) FILTER (WHERE cut.pos IS NULL), '')
-            AS text_clean,
-          count(*) AS n_words,
-          CAST(sum(CASE WHEN cut.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
-        FROM wd LEFT JOIN cut ON cut.doc_id = wd.doc_id AND cut.pos = wd.pos
-        GROUP BY wd.doc_id""")),
+            ON s.doc_id = wd.doc_id AND wd.pos BETWEEN s.span_start AND s.span_end),
+          agg AS (SELECT wd.doc_id,
+              coalesce(string_agg(word, ' ' ORDER BY wd.pos) FILTER (WHERE cut.pos IS NULL), '')
+                AS text_clean,
+              count(*) AS n_words,
+              CAST(sum(CASE WHEN cut.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+            FROM wd LEFT JOIN cut ON cut.doc_id = wd.doc_id AND cut.pos = wd.pos
+            GROUP BY wd.doc_id)
+        SELECT d.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+          CAST(coalesce(agg.n_words, 0) AS BIGINT) AS n_words,
+          CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed
+        FROM documents d LEFT JOIN agg USING (doc_id)
+        WHERE d.doc_id % 97 <> 0""")),
 
     // --- One DOMAIN-REWEIGHTING round (DoReMi, Xie et al. 2023): lift
     // mixture weight where the proxy loss (chars-per-token milli — long

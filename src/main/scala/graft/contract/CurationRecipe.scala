@@ -95,6 +95,37 @@ final case class CurationRecipe(
       val lmKeptIds: Option[DataFrame], val selectedIds: Option[DataFrame],
       val split: DataFrame)
 
+  /** The eval-membership predicate of stage 0 (None when the stage is
+    * off). coalesce: a null slice column is "not eval". */
+  private def evalPredicate: Option[Column] = decontamCol.map(dc =>
+    coalesce(col(dc) === lit(decontamValue), lit(false)))
+
+  /** Stage 0's kept-id list, shared by [[stages]] and [[ingestStages]]
+    * (one body, the no-drift discipline): `rest` docs minus those sharing
+    * any decontamN-gram with `bench`, checkpointed. An eval slice that
+    * selects ZERO rows fails loudly — the same misconfiguration class as
+    * an empty CCNet reference (a typo'd decontamValue would otherwise
+    * silently ship an undecontaminated corpus the operator believes is
+    * decontaminated). */
+  private def decontamKeepIds(rest: DataFrame, bench: DataFrame): DataFrame = {
+    require(bench.limit(1).count() > 0,
+      s"CurationRecipe '$name': decontamination is configured " +
+        s"($decontamCol = '$decontamValue') but the eval slice selects ZERO " +
+        "rows — the stage would be a silent no-op; check the slice value")
+    val contaminated = graft.ops.TextAnalysis.decontaminate(
+      rest, bench, textCol, idCol, n = decontamN).select(col(idCol))
+    rest.join(contaminated, Seq(idCol), "left_anti")
+      .select(col(idCol)).localCheckpoint(true)
+  }
+
+  /** First-drop-stage label chain shared by the two audits: conditions in
+    * funnel order, each naming the stage that claims the doc; anything
+    * surviving them all is 'kept'. */
+  private def firstDropStage(conds: Seq[(Column, String)]): Column =
+    conds.foldLeft(when(lit(false), lit(""))) {
+      case (c, (p, l)) => c.when(p, lit(l))
+    }.otherwise(lit("kept"))
+
   /** Execute the pipeline stages over `docs`.
     *
     * Reuse discipline (the q153-capstone pattern): every cross-stage
@@ -109,17 +140,10 @@ final case class CurationRecipe(
     // 0. decontamination — the eval slice leaves the corpus and every doc
     // sharing an n-gram with it drops; the kept-id list is the stage's
     // audit artifact (eval membership itself is a plain column predicate
-    // and needs no list). coalesce: a null slice column is "not eval"
-    val (corpus0, decontamKeep) = decontamCol match {
-      case Some(dc) =>
-        val isEval = coalesce(col(dc) === lit(decontamValue), lit(false))
-        val contaminated = graft.ops.TextAnalysis.decontaminate(
-            docs.filter(!isEval), docs.filter(isEval), textCol, idCol,
-            n = decontamN)
-          .select(col(idCol))
-        val keep = docs.filter(!isEval)
-          .join(contaminated, Seq(idCol), "left_anti")
-          .select(col(idCol)).localCheckpoint(true)
+    // and needs no list)
+    val (corpus0, decontamKeep) = evalPredicate match {
+      case Some(isEval) =>
+        val keep = decontamKeepIds(docs.filter(!isEval), docs.filter(isEval))
         (docs.join(keep, Seq(idCol), "left_semi"), Some(keep))
       case _ => (docs, None)
     }
@@ -211,9 +235,7 @@ final case class CurationRecipe(
     // eval membership is a plain predicate on the input row — evaluated
     // inline, no join; it must label BEFORE 'contaminated' (eval rows are
     // absent from decontamKeep too)
-    val evalFlag = decontamCol.map(dc =>
-      coalesce(col(dc) === lit(decontamValue), lit(false)))
-    var out = docs.select(col(idCol) +: evalFlag.map(_.as("__e")).toSeq: _*)
+    var out = docs.select(col(idCol) +: evalPredicate.map(_.as("__e")).toSeq: _*)
     st.decontamKeep.foreach(k => out = out.join(mark(k, "__d"), Seq(idCol), "left"))
     out = out
       .join(mark(st.gatePass, "__g"), Seq(idCol), "left")
@@ -221,18 +243,13 @@ final case class CurationRecipe(
     st.lmKeptIds.foreach(k => out = out.join(mark(k, "__l"), Seq(idCol), "left"))
     st.selectedIds.foreach(k => out = out.join(mark(k, "__s"), Seq(idCol), "left"))
     out = out.join(splitDf, Seq(idCol), "left")
-    val stage = {
-      var c = when(lit(false), lit("")) // seed; first real branch follows
-      if (decontamCol.nonEmpty) {
-        c = c.when(col("__e"), lit("eval_slice"))
-          .when(col("__d").isNull, lit("contaminated"))
-      }
-      c = c.when(col("__g").isNull, lit("gate"))
-        .when(col("__c").isNull, lit("near_dup"))
-      if (st.lmKeptIds.nonEmpty) c = c.when(col("__l").isNull, lit("lm_tail"))
-      if (st.selectedIds.nonEmpty) c = c.when(col("__s").isNull, lit("dsir"))
-      c.otherwise(lit("kept"))
-    }
+    val stage = firstDropStage(
+      (if (decontamCol.nonEmpty)
+        Seq(col("__e") -> "eval_slice", col("__d").isNull -> "contaminated")
+      else Nil) ++
+      Seq(col("__g").isNull -> "gate", col("__c").isNull -> "near_dup") ++
+      st.lmKeptIds.map(_ => col("__l").isNull -> "lm_tail").toSeq ++
+      st.selectedIds.map(_ => col("__s").isNull -> "dsir").toSeq)
     out.select(col(idCol), stage.as("stage"), col("split"))
   }
 
@@ -277,16 +294,11 @@ final case class CurationRecipe(
     // decontaminates on ingest: its own eval rows drop (held-out data is
     // never a training candidate), and batch docs overlapping the
     // standing corpus's eval slice ∪ the batch's eval rows drop
-    val (batch0, decontamKeep) = decontamCol match {
-      case Some(dc) =>
-        val isEval = coalesce(col(dc) === lit(decontamValue), lit(false))
+    val (batch0, decontamKeep) = evalPredicate match {
+      case Some(isEval) =>
         val bench = corpus.filter(isEval).select(col(idCol), col(textCol))
           .unionByName(newBatch.filter(isEval).select(col(idCol), col(textCol)))
-        val rest = newBatch.filter(!isEval)
-        val contaminated = graft.ops.TextAnalysis.decontaminate(
-          rest, bench, textCol, idCol, n = decontamN).select(col(idCol))
-        val keep = rest.join(contaminated, Seq(idCol), "left_anti")
-          .select(col(idCol)).localCheckpoint(true)
+        val keep = decontamKeepIds(newBatch.filter(!isEval), bench)
         (newBatch.join(keep, Seq(idCol), "left_semi"), Some(keep))
       case _ => (newBatch, None)
     }
@@ -345,26 +357,20 @@ final case class CurationRecipe(
     val st = ingestStages(corpus, newBatch)
     val splitDf = st.split.select(col(idCol), col("split"))
     def mark(df: DataFrame, m: String) = df.withColumn(m, lit(1))
-    val evalFlag = decontamCol.map(dc =>
-      coalesce(col(dc) === lit(decontamValue), lit(false)))
-    var out = newBatch.select(col(idCol) +: evalFlag.map(_.as("__e")).toSeq: _*)
+    var out = newBatch.select(col(idCol) +: evalPredicate.map(_.as("__e")).toSeq: _*)
     st.decontamKeep.foreach(k => out = out.join(mark(k, "__d"), Seq(idCol), "left"))
     out = out
       .join(mark(st.gatePass, "__g"), Seq(idCol), "left")
       .join(mark(st.corpusDup, "__cd"), Seq(idCol), "left")
       .join(mark(st.canonIds, "__c"), Seq(idCol), "left")
       .join(splitDf, Seq(idCol), "left")
-    val stage = {
-      var c = when(lit(false), lit("")) // seed; first real branch follows
-      if (decontamCol.nonEmpty) {
-        c = c.when(col("__e"), lit("eval_slice"))
-          .when(col("__d").isNull, lit("contaminated"))
-      }
-      c = c.when(col("__g").isNull, lit("gate"))
-        .when(col("__cd").isNotNull, lit("corpus_dup"))
-        .when(col("__c").isNull, lit("near_dup"))
-      c.otherwise(lit("kept"))
-    }
+    val stage = firstDropStage(
+      (if (decontamCol.nonEmpty)
+        Seq(col("__e") -> "eval_slice", col("__d").isNull -> "contaminated")
+      else Nil) ++
+      Seq(col("__g").isNull -> "gate",
+        col("__cd").isNotNull -> "corpus_dup",
+        col("__c").isNull -> "near_dup"))
     out.select(col(idCol), stage.as("stage"), col("split"))
   }
 

@@ -708,9 +708,21 @@ object MLOps {
       smoothMilli: Long = 100L): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(w => w > 0L && w <= 1000000L),
       "weights must be positive milli values <= 1e6")
-    require(weights.size <= 10000, "at most 10^4 domains (int64 headroom)")
+    require(weights.size <= 10000, "at most 10^4 domains")
     require(etaMilli >= 0L && etaMilli <= 10000L, "etaMilli in [0, 10^4]")
     require(smoothMilli >= 0L && smoothMilli <= 1000L, "smoothMilli in [0, 1000]")
+    // int64 headroom, checked on the ACTUAL worst case rather than each
+    // knob in isolation (k = 10^4 AND w = 10^6 AND eta = 10^4 together
+    // would overflow the k²-scaled denominator): raw ≤ 1000·w·(1+η) per
+    // domain, numer ≤ 1000·k·raw_max, den = k·Σraw ≤ k²·raw_max — bound
+    // the larger of the two. BigInt so the check itself cannot wrap.
+    val rawMax = BigInt(1000) * weights.values.max * (1 + etaMilli)
+    val k0 = BigInt(weights.size)
+    require((k0 * k0 * rawMax).max(BigInt(1000) * k0 * rawMax) <=
+        BigInt("9000000000000000000"),
+      s"domainReweightRound: k=${weights.size} domains with max weight " +
+        s"${weights.values.max} and etaMilli=$etaMilli would overflow the " +
+        "int64 normalization — lower the weight scale, eta, or domain count")
     val k = weights.size.toLong
     val weightExpr = weights.foldLeft(lit(null).cast("long")) {
       case (acc, (g, w)) => when(col(domainCol) === g, lit(w)).otherwise(acc)

@@ -1092,14 +1092,23 @@ object Dedup {
     * removed the overlapping WINDOW, not the page; a long document with
     * one quoted eval question keeps its unique prose). Span detection =
     * [[contaminationSpans]]; removal = the shared [[stripSpans]] rebuild.
-    * Returns (idCol, text_clean, n_words, n_removed) for every corpus doc
-    * (uncontaminated docs pass through with n_removed = 0, modulo the
-    * lowercase/whitespace normalization all dedup ops share). */
+    * Returns (idCol, text_clean, n_words, n_removed) for EVERY corpus doc
+    * — uncontaminated docs pass through with n_removed = 0 (modulo the
+    * lowercase/whitespace normalization all dedup ops share), and a doc
+    * with no tokens at all comes back as ("", 0, 0) rather than vanishing
+    * (this output replaces the corpus downstream, so it must be total;
+    * the left join back onto the id spine is what makes it so). */
   def decontaminateByExcision(corpus: DataFrame, benchmark: DataFrame,
-      textCol: String, idCol: String, n: Int = 5): DataFrame =
-    stripSpans(corpus, textCol, idCol,
+      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    val stripped = stripSpans(corpus, textCol, idCol,
       contaminationSpans(corpus, benchmark, textCol, idCol, n)
         .select(col(idCol), col("span_start"), col("span_end")))
+    corpus.select(col(idCol)).join(stripped, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 
   /** SEGMENT-LEVEL EXACT DEDUP (the RefinedWeb / MassiveText "repeated
     * paragraph removal" shape, generalized to a fixed word-window segmenter

@@ -825,6 +825,19 @@ object Streaming {
     val store = withStagedGate(spark, events, tsCol, chunks, workDir) { g =>
       val maxRow = events.agg(max(col(tsCol))).head()
       if (!maxRow.isNullAt(0)) {
+        // each sentinel is built FROM a row passing its branch's predicate
+        // (an arbitrary predicate cannot be satisfied synthetically). A
+        // left-matching row exists but no right-matching row ⇒ the right
+        // branch's watermark could never advance and every unmatched left
+        // would silently never flush — fail loudly instead: the caller
+        // must feed the gate at least one row per branch (production has
+        // no such constraint; real time advances real watermarks)
+        require(events.filter(expr(rightPred)).limit(1).count() > 0 ||
+            events.filter(expr(leftPred)).limit(1).count() == 0,
+          s"stagedOuterIntervalJoinRun: no row matches rightPred ($rightPred)" +
+            " — the right branch's watermark cannot advance and unmatched" +
+            " left rows would never emit; the bounded gate needs >= 1 row" +
+            " per predicate branch")
         val flushTs = new java.sql.Timestamp(
           maxRow.getTimestamp(0).getTime + 30L * 86400000L)
         // the sentinels KEEP their real join keys: Catalyst infers
@@ -898,6 +911,18 @@ object Streaming {
       orderCol: String, idCol: String, dim: DataFrame,
       joinKeys: Seq[String], chunks: Int = 3,
       workDir: Option[String] = None): DataFrame = {
+    // the "final state = static join" contract needs a UNIQUE-keyed dim:
+    // a duplicate dim key fans each event out to several rows sharing the
+    // same idCol, and upsert-by-idCol would keep an arbitrary one — fail
+    // loudly (the dim is the small side; this probe is cheap) rather than
+    // silently diverging from the oracle
+    val dup = dim.groupBy(joinKeys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L).limit(1).count()
+    require(dup == 0L,
+      s"stagedEnrichJoinRun: dimension has duplicate rows per join key" +
+        s" (${joinKeys.mkString(", ")}) — upsert-by-$idCol would keep an" +
+        " arbitrary match; deduplicate the dimension (e.g. latest SCD" +
+        " version) before enriching")
     val store = withStagedGate(spark, rows, orderCol, chunks, workDir) { g =>
       runUpsertStream(spark, g.source.join(broadcast(dim), joinKeys, "left"),
         identity, Seq(idCol), g.work, g.lap, g.debugT, outputMode = "append")

@@ -2685,6 +2685,18 @@ class StreamEnrichGateSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.exists { case (id, _, tier, _) => id == 3L && tier.isEmpty })
   }
+
+  test("a duplicate-keyed dimension fails loudly instead of keeping an arbitrary match") {
+    val events = Seq((1L, 10L, "2024-01-01 00:00:00", 5.0))
+      .toDF("id", "k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val dupDim = Seq((10L, "gold"), (10L, "silver")).toDF("k", "tier")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.stagedEnrichJoinRun(
+        spark, events, orderCol = "ts", idCol = "id", dim = dupDim,
+        joinKeys = Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
 }
 
 /** q184's multi-benchmark decontamination matrix: one corpus pass equals
@@ -2750,6 +2762,15 @@ class DomainReweightSpec extends AnyFunSuite {
     // all three remainders tie (1e6 each) so domain-asc hands it to "a"
     assert(got == Map("a" -> 394L, "b" -> 393L, "c" -> 213L))
     assert(got.values.sum == 1000L)
+  }
+
+  test("a knob combination that would overflow int64 is rejected up front") {
+    val many = (1 to 5000).map(i => s"d$i" -> 1000000L).toMap
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.MLOps.domainReweightRound(docs, "domain", col("loss"), many,
+        etaMilli = 10000L)
+    }
+    assert(e.getMessage.contains("overflow"))
   }
 
   test("domains absent from the weight table drop") {
@@ -2832,6 +2853,18 @@ class StreamingOuterJoinGateSpec extends AnyFunSuite {
       (10L, 6L, 7L, Some(600000000L)),
       (40L, 8L, -1L, None)))
   }
+
+  test("clicks with zero purchases anywhere fails loudly (right watermark cannot advance)") {
+    val events = Seq((1L, 10L, "click", "2024-01-01 00:00:00"))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.stagedOuterIntervalJoinRun(
+        spark, events, tsCol = "ts", keys = Seq("user_id"), idCol = "event_id",
+        leftPred = "event_type = 'click'", rightPred = "event_type = 'purchase'")
+    }
+    assert(e.getMessage.contains("rightPred"))
+  }
 }
 
 /** q188/q189: contamination spans and excision — the quoted eval text
@@ -2867,6 +2900,16 @@ class DecontamExciseSpec extends AnyFunSuite {
     assert(got(1L) == (("my blog post asks and then rambles on", 14L, 6L)))
     assert(got(2L) == (("completely original writing about distributed systems and shuffles", 8L, 0L)))
     assert(got(3L) == (("tiny", 1L, 0L)))
+  }
+
+  test("a token-free doc comes back as empty, not missing (the output is total)") {
+    val withEmpty = corpus.unionByName(Seq((9L, "   ")).toDF("doc_id", "text"))
+    val got = graft.ops.Dedup.decontaminateByExcision(withEmpty, benchmark,
+        "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(9L) == (("", 0L, 0L)))
+    assert(got.keySet == Set(1L, 2L, 3L, 9L))
   }
 }
 
@@ -2913,6 +2956,16 @@ class RecipeDecontamSpec extends AnyFunSuite {
     val kept = r.runIncremental(corpus, batch)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(11L)) // 10 hits corpus eval, 12 IS eval, 13 hits batch eval
+  }
+
+  test("an empty eval slice fails loudly, not as a silent no-op") {
+    val typo = r.copy(decontamValue = "evall")
+    val e = intercept[IllegalArgumentException] { typo.run(docs).count() }
+    assert(e.getMessage.contains("ZERO"))
+    val e2 = intercept[IllegalArgumentException] {
+      typo.runIncremental(docs, docs.limit(2)).count()
+    }
+    assert(e2.getMessage.contains("ZERO"))
   }
 
   test("decontamination knob changes are Breaking in the recipe diff") {
