@@ -5054,6 +5054,77 @@ object SparkEntry {
             THEN 'train' ELSE 'test' END AS split
         FROM canon""")),
 
+    // --- EXCISION-MODE decontamination recipe: stage 0 with
+    // decontamMode = "excise" — contaminated docs SURVIVE with the
+    // overlapping windows cut out (the surgical FineWeb-style path), and
+    // every later stage sees the CLEANED text; the output's text column
+    // IS the cleaned text, so the oracle hash-proves the surgery and the
+    // downstream chain together. JSON round trip proves the mode field
+    // serializes ---
+    Q("q192_recipe_excise",
+      (s, dir) => {
+        val r = graft.contract.CurationRecipe(name = "q192_recipe",
+          decontamCol = Some("source"), decontamValue = "src19",
+          decontamN = 3, decontamMode = "excise", gopherRuleMask = 0L)
+        val roundTripped = graft.contract.ContractJson.recipeFromValue(
+          graft.expr.JsonValue.parseObject(
+            graft.contract.ContractJson.recipeToJson(r)))
+        roundTripped.run(t(s, dir, "documents"))
+          .select("doc_id", "text", "component", "split")
+      },
+      Some(s"""WITH RECURSIVE w0 AS (SELECT doc_id, source, list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              xf -> length(xf) > 0) AS ws
+            FROM documents),
+          gp AS (SELECT doc_id, pos, CAST(concat('0x',
+              substr(md5(array_to_string(ws[pos:pos+2], ' ')), 1, 14)) AS BIGINT)
+                % ${Dedup.PortableP} AS h
+            FROM (SELECT doc_id, ws,
+                unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos
+              FROM w0 WHERE source <> 'src19')),
+          bench AS (SELECT DISTINCT CAST(concat('0x',
+              substr(md5(array_to_string(ws[pos:pos+2], ' ')), 1, 14)) AS BIGINT)
+                % ${Dedup.PortableP} AS h
+            FROM (SELECT ws,
+                unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos
+              FROM w0 WHERE source = 'src19')),
+          m AS (SELECT gp.doc_id, gp.pos,
+              gp.pos - row_number() OVER (PARTITION BY gp.doc_id ORDER BY gp.pos) AS grp
+            FROM gp JOIN bench USING (h)),
+          spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end
+            FROM m GROUP BY doc_id, grp),
+          wd AS (SELECT doc_id, unnest(ws) AS word,
+              unnest(generate_series(1, len(ws))) AS pos
+            FROM w0 WHERE source <> 'src19'),
+          cut AS (SELECT DISTINCT wd.doc_id, wd.pos FROM wd JOIN spans s2
+            ON s2.doc_id = wd.doc_id AND wd.pos BETWEEN s2.span_start AND s2.span_end),
+          agg AS (SELECT wd.doc_id,
+              coalesce(string_agg(word, ' ' ORDER BY wd.pos)
+                FILTER (WHERE cut.pos IS NULL), '') AS text_clean
+            FROM wd LEFT JOIN cut ON cut.doc_id = wd.doc_id AND cut.pos = wd.pos
+            GROUP BY wd.doc_id),
+          kept AS MATERIALIZED (SELECT w0.doc_id,
+              coalesce(agg.text_clean, '') AS text
+            FROM w0 LEFT JOIN agg USING (doc_id) WHERE w0.source <> 'src19'),
+          ${minhashCtes(0.5, 4, 3, from = "kept")},
+          sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (SELECT a, b FROM sym
+            UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          cc AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+          comp AS (SELECT kept.doc_id, coalesce(cc.comp, kept.doc_id) AS component,
+              CAST(len(list_filter(string_split_regex(lower(trim(kept.text)), '\\s+'),
+                xk -> length(xk) > 0)) AS BIGINT) AS n_tok
+            FROM kept LEFT JOIN cc ON cc.id = kept.doc_id),
+          canon AS (SELECT doc_id, component FROM (SELECT doc_id, component,
+              row_number() OVER (PARTITION BY component
+                ORDER BY n_tok DESC, doc_id ASC) AS rn FROM comp) WHERE rn = 1)
+        SELECT canon.doc_id, kept.text, canon.component,
+          CASE WHEN CAST(concat('0x', substr(md5(CAST(canon.component AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+        FROM canon JOIN kept USING (doc_id)""")),
+
     // --- The SEVENTH streaming-runtime modality: STREAM-STATIC
     // ENRICHMENT — orders stream joined per micro-batch against the
     // broadcast customer dimension (Streaming.stagedEnrichJoinRun), the

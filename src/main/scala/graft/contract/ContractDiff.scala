@@ -112,6 +112,10 @@ object ContractDiff {
     chg("decontamination slice (eval boundary + components move)",
       r => (r.decontamCol, r.decontamValue), Breaking)
     chg("decontamination gram size (overlap rule moves)", _.decontamN, Breaking)
+    // drop vs excise changes the TEXT every later stage sees (and which
+    // docs survive) — upstream of pair generation like the other stage-0
+    // knobs: Breaking
+    chg("decontamination mode (corpus text changes)", _.decontamMode, Breaking)
     chg("id column", _.idCol, Breaking)
     chg("train pct (split boundary moves)", _.trainPct, Breaking)
     // the near-dup family defines the COMPONENTS the split routes by: any

@@ -208,7 +208,7 @@ object ContractJson {
   def recipeToJson(r: CurationRecipe): String =
     s"""{"name":${q(r.name)},"text_col":${q(r.textCol)},"id_col":${q(r.idCol)},""" +
       s""""decontam_col":${opt(r.decontamCol)},"decontam_value":${q(r.decontamValue)},""" +
-      s""""decontam_n":${r.decontamN},""" +
+      s""""decontam_n":${r.decontamN},"decontam_mode":${q(r.decontamMode)},""" +
       s""""gopher_min_words":${r.gopherMinWords},"gopher_rule_mask":${r.gopherRuleMask},""" +
       s""""near_dup_threshold":${r.nearDupThreshold},"near_dup_bands":${r.nearDupBands},""" +
       s""""near_dup_k":${r.nearDupK},"quality_score_col":${opt(r.qualityScoreCol)},""" +
@@ -227,6 +227,7 @@ object ContractJson {
     decontamCol = m.get("decontam_col").flatMap(Option(_)).map(_.toString),
     decontamValue = m.get("decontam_value").flatMap(Option(_)).fold("")(_.toString),
     decontamN = m.get("decontam_n").flatMap(Option(_)).map(v => num(v).toInt).getOrElse(5),
+    decontamMode = m.get("decontam_mode").flatMap(Option(_)).fold("drop")(_.toString),
     gopherMinWords = num(m("gopher_min_words")).toInt,
     gopherRuleMask = num(m("gopher_rule_mask")).toLong,
     nearDupThreshold = num(m("near_dup_threshold")),

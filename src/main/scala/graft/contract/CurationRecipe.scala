@@ -54,6 +54,11 @@ final case class CurationRecipe(
     decontamCol: Option[String] = None,
     decontamValue: String = "",
     decontamN: Int = 5,
+    // "drop" removes whole contaminated docs (the GPT-3/PaLM rule);
+    // "excise" keeps them with the overlapping windows cut out
+    // (Dedup.decontaminateByExcision — the surgical FineWeb-style path);
+    // every later stage then sees the CLEANED text
+    decontamMode: String = "drop",
     // stage 1: Gopher gate
     gopherMinWords: Int = 20,
     gopherRuleMask: Long = 63L,
@@ -83,6 +88,8 @@ final case class CurationRecipe(
   require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct out of [0,100]")
   require(dsirKeepPct >= 0 && dsirKeepPct <= 100, s"dsirKeepPct=$dsirKeepPct out of [0,100]")
   require(nearDupBands >= 1 && nearDupK >= 1, "nearDupBands/nearDupK must be >= 1")
+  require(decontamMode == "drop" || decontamMode == "excise",
+    s"decontamMode must be 'drop' or 'excise', got '$decontamMode'")
 
   /** The per-stage survivor frames both execution modes consume — ONE
     * pipeline body, so [[run]] and [[runAudit]] cannot drift apart in a
@@ -118,6 +125,22 @@ final case class CurationRecipe(
       .select(col(idCol)).localCheckpoint(true)
   }
 
+  /** Stage 0's "excise" form, shared like [[decontamKeepIds]]: rebuild
+    * `rest` with the benchmark-overlapping windows cut out of `textCol`
+    * (same empty-eval-slice loud guard). The excision op is total, so
+    * every `rest` doc survives — possibly with empty text, which the
+    * Gopher gate then handles under its own rules. */
+  private def exciseAgainst(rest: DataFrame, bench: DataFrame): DataFrame = {
+    require(bench.limit(1).count() > 0,
+      s"CurationRecipe '$name': decontamination is configured " +
+        s"($decontamCol = '$decontamValue') but the eval slice selects ZERO " +
+        "rows — the stage would be a silent no-op; check the slice value")
+    val cleaned = graft.ops.Dedup.decontaminateByExcision(
+        rest, bench, textCol, idCol, n = decontamN)
+      .select(col(idCol), col("text_clean").as(textCol))
+    rest.drop(textCol).join(cleaned, Seq(idCol))
+  }
+
   /** First-drop-stage label chain shared by the two audits: conditions in
     * funnel order, each naming the stage that claims the doc; anything
     * surviving them all is 'kept'. */
@@ -142,6 +165,12 @@ final case class CurationRecipe(
     // audit artifact (eval membership itself is a plain column predicate
     // and needs no list)
     val (corpus0, decontamKeep) = evalPredicate match {
+      case Some(isEval) if decontamMode == "excise" =>
+        // surgical mode: no doc drops at stage 0 (beyond the eval rows) —
+        // the overlapping windows are cut and every later stage sees the
+        // cleaned text; the excision op is total, so the id set is
+        // exactly the non-eval input
+        (exciseAgainst(docs.filter(!isEval), docs.filter(isEval)), None)
       case Some(isEval) =>
         val keep = decontamKeepIds(docs.filter(!isEval), docs.filter(isEval))
         (docs.join(keep, Seq(idCol), "left_semi"), Some(keep))
@@ -244,9 +273,8 @@ final case class CurationRecipe(
     st.selectedIds.foreach(k => out = out.join(mark(k, "__s"), Seq(idCol), "left"))
     out = out.join(splitDf, Seq(idCol), "left")
     val stage = firstDropStage(
-      (if (decontamCol.nonEmpty)
-        Seq(col("__e") -> "eval_slice", col("__d").isNull -> "contaminated")
-      else Nil) ++
+      (if (decontamCol.nonEmpty) Seq(col("__e") -> "eval_slice") else Nil) ++
+      st.decontamKeep.map(_ => col("__d").isNull -> "contaminated").toSeq ++
       Seq(col("__g").isNull -> "gate", col("__c").isNull -> "near_dup") ++
       st.lmKeptIds.map(_ => col("__l").isNull -> "lm_tail").toSeq ++
       st.selectedIds.map(_ => col("__s").isNull -> "dsir").toSeq)
@@ -298,8 +326,12 @@ final case class CurationRecipe(
       case Some(isEval) =>
         val bench = corpus.filter(isEval).select(col(idCol), col(textCol))
           .unionByName(newBatch.filter(isEval).select(col(idCol), col(textCol)))
-        val keep = decontamKeepIds(newBatch.filter(!isEval), bench)
-        (newBatch.join(keep, Seq(idCol), "left_semi"), Some(keep))
+        if (decontamMode == "excise")
+          (exciseAgainst(newBatch.filter(!isEval), bench), None)
+        else {
+          val keep = decontamKeepIds(newBatch.filter(!isEval), bench)
+          (newBatch.join(keep, Seq(idCol), "left_semi"), Some(keep))
+        }
       case _ => (newBatch, None)
     }
     val gatePass = graft.ops.TextAnalysis.gopherFilter(batch0, textCol, idCol,
@@ -365,9 +397,8 @@ final case class CurationRecipe(
       .join(mark(st.canonIds, "__c"), Seq(idCol), "left")
       .join(splitDf, Seq(idCol), "left")
     val stage = firstDropStage(
-      (if (decontamCol.nonEmpty)
-        Seq(col("__e") -> "eval_slice", col("__d").isNull -> "contaminated")
-      else Nil) ++
+      (if (decontamCol.nonEmpty) Seq(col("__e") -> "eval_slice") else Nil) ++
+      st.decontamKeep.map(_ => col("__d").isNull -> "contaminated").toSeq ++
       Seq(col("__g").isNull -> "gate",
         col("__cd").isNotNull -> "corpus_dup",
         col("__c").isNull -> "near_dup"))

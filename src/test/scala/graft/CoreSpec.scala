@@ -2968,11 +2968,41 @@ class RecipeDecontamSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("ZERO"))
   }
 
+  test("excise mode keeps the contaminated doc with the quote removed") {
+    val re = r.copy(decontamMode = "excise")
+    val got = re.run(docs).select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    // doc 1 survives, quote excised; the eval row is still gone. The quote
+    // is doc 1's PREFIX, so the cleaned text is exactly the filler tail.
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L) == fill("a") && !got(1L).contains("capital"))
+    // audit: nothing labels 'contaminated' in excise mode
+    val stages = re.runAudit(docs).select("stage").collect().map(_.getString(0)).toSet
+    assert(!stages.contains("contaminated") && stages.contains("eval_slice"))
+    // ingest path trims the batch the same way
+    val corpus = docs.filter(col("doc_id") =!= 1L)
+    val batch = Seq(
+      (20L, s"mentions what is the capital of france mid text ${fill("z")}", "web")
+    ).toDF("doc_id", "text", "src")
+    val adm = re.runIncremental(corpus, batch)
+      .select("doc_id", "text").collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(adm.length == 1 && !adm.head._2.contains("capital"))
+  }
+
+  test("a bad decontamMode fails at construction") {
+    val e = intercept[IllegalArgumentException] {
+      graft.contract.CurationRecipe(name = "bad", decontamMode = "remove")
+    }
+    assert(e.getMessage.contains("excise"))
+  }
+
   test("decontamination knob changes are Breaking in the recipe diff") {
     val changed = r.copy(decontamValue = "other")
     assert(graft.contract.ContractDiff.isBreakingRecipe(r, changed))
     val n = r.copy(decontamN = 5)
     assert(graft.contract.ContractDiff.isBreakingRecipe(r, n))
+    assert(graft.contract.ContractDiff.isBreakingRecipe(r,
+      r.copy(decontamMode = "excise")))
   }
 }
 

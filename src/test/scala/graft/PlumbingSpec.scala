@@ -3040,7 +3040,9 @@ class CurationRecipeSpec extends AnyFunSuite {
           description = None),
         recipe.copy(ccnetRefCol = Some("lang"), ccnetRefValue = "en"),
         recipe.copy(decontamCol = Some("source"), decontamValue = "src9",
-          decontamN = 3))) {
+          decontamN = 3),
+        recipe.copy(decontamCol = Some("source"), decontamValue = "src9",
+          decontamMode = "excise"))) {
       val json = graft.contract.ContractJson.recipeToJson(r)
       val back = graft.contract.ContractJson.recipeFromValue(
         graft.expr.JsonValue.parseObject(json))
@@ -3059,7 +3061,9 @@ class CurationRecipeSpec extends AnyFunSuite {
 
   test("pre-decontamination recipe JSON (no decontam keys) loads as stage-skipped") {
     val json = graft.contract.ContractJson.recipeToJson(recipe)
-      .replace(""""decontam_col":null,"decontam_value":"","decontam_n":5,""", "")
+      .replace(
+        """"decontam_col":null,"decontam_value":"","decontam_n":5,""" +
+          """"decontam_mode":"drop",""", "")
     assert(!json.contains("decontam"))
     val back = graft.contract.ContractJson.recipeFromValue(
       graft.expr.JsonValue.parseObject(json))
