@@ -578,4 +578,48 @@ object Aggregations {
         col("__cum") - col("n") < col("__rank"))
       .select(keys.map(col) :+ (col("bin") * binWidth).as("quantile_lo"): _*)
   }
+
+  /** GROUPED OLS LINEAR TREND over integer (x, y) pairs — per group the
+    * closed-form slope/intercept from the five classic sums:
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * The monitoring primitive behind "is this source's document length /
+    * quality score drifting over ingest order" — a fitted direction per
+    * slice, not a full regression stack.
+    *
+    * Determinism at any scale: every sum runs in DECIMAL(38,0)
+    * unconditionally (operands pre-cast to DECIMAL(19,0) so products stay
+    * exact — the TV-distance lesson: Σx² over ordinal ids passes 2^63 long
+    * before the data is big, and non-ANSI long arithmetic wraps silently),
+    * numerator and denominator are exact integers, and the only float ops
+    * are ONE cast each plus ONE division — bit-identical in any IEEE
+    * engine (DuckDB restates the sums in HUGEINT). A constant-x group
+    * (den = 0) yields null slope/intercept rather than ±Inf.
+    *
+    * Plan shape: one groupBy with map-side partial aggregation — a single
+    * shuffle of O(groups) rows, nothing else. */
+  def linearTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(xCol).cast(d19)
+    val y = col(yCol).cast(d19)
+    val sums = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_points"),
+      sum(col(xCol).cast(d38)).as("__sx"),
+      sum(col(yCol).cast(d38)).as("__sy"),
+      sum((x * y).cast(d38)).as("__sxy"),
+      sum((x * x).cast(d38)).as("__sxx"))
+    val n38 = col("n_points").cast(d38)
+    val num = n38 * col("__sxy") - col("__sx") * col("__sy")
+    val den = n38 * col("__sxx") - col("__sx") * col("__sx")
+    val slope = when(den === lit(0L).cast(d38), lit(null))
+      .otherwise(num.cast("double") / den.cast("double"))
+    sums
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        when(col("slope").isNull, lit(null)).otherwise(
+          (col("__sy").cast("double") - col("slope") * col("__sx").cast("double")) /
+            col("n_points").cast("double")))
+      .select(col(groupCol), col("n_points"), col("slope"), col("intercept"))
+  }
 }

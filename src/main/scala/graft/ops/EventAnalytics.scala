@@ -143,4 +143,49 @@ object EventAnalytics {
     changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** DAILY-VOLUME ANOMALY SCORES per key: z-score of each (key, day)'s
+    * event count against that key's own daily mean/σ — the ingest-monitor
+    * question "did source X suddenly send 5× its usual volume (or go
+    * dark)?" asked of the same events table the funnels read.
+    *
+    * Determinism: mean and the variance numerator n·Σc² − (Σc)² are exact
+    * DECIMAL(38,0) integers (counts pre-cast to DECIMAL(19,0) before
+    * squaring — per-day counts at 100 TB overflow a squared long), and the
+    * float tail is a FIXED chain: two casts, one division for the mean,
+    * one sqrt (IEEE-754 requires sqrt correctly rounded — bit-exact in
+    * every engine, unlike libm log/exp), one subtraction, one division. A
+    * constant-volume key (variance 0) scores z = 0 for every day rather
+    * than 0/0.
+    *
+    * Plan shape: one groupBy (key, day) with map-side partials, then one
+    * window pass PARTITIONED BY KEY over the per-day rows — O(keys·days)
+    * rows in the window, never raw events; no global window, no second
+    * scan. */
+  def volumeAnomalies(events: DataFrame, tsCol: String, keyCol: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    require(zThreshold > 0, s"zThreshold=$zThreshold must be positive")
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = events
+      .groupBy(col(keyCol), date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val c19 = col("n_events").cast(d19)
+    val withSums = daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sc", sum(col("n_events").cast(d38)).over(w))
+      .withColumn("__scc", sum((c19 * c19).cast(d38)).over(w))
+    val n38 = col("__n").cast(d38)
+    val varNum = n38 * col("__scc") - col("__sc") * col("__sc")
+    val mean = col("__sc").cast("double") / col("__n").cast("double")
+    val sd = sqrt(varNum.cast("double") / (col("__n") * col("__n")).cast("double"))
+    val z = when(varNum === lit(0L).cast(d38), lit(0.0))
+      .otherwise((col("n_events").cast("double") - mean) / sd)
+    withSums
+      .withColumn("z_score", z)
+      .withColumn("is_anomaly", abs(col("z_score")) > zThreshold)
+      .select(col(keyCol), col("day"), col("n_events"), col("z_score"),
+        col("is_anomaly"))
+  }
 }

@@ -550,4 +550,35 @@ object Similarity {
     df.select(col(idCol), explode(array(comps: _*)).as("__p"))
       .select(col(idCol), col("__p.out_dim"), col("__p.value"))
   }
+
+  /** RECIPROCAL RANK FUSION of two rankers (Cormack, Clarke & Buettcher,
+    * SIGIR'09) — the standard hybrid-retrieval combiner: fused(d) =
+    * Σᵢ 1/(k + rankᵢ(d)), an id absent from a list contributing 0. The
+    * canonical pairing here is [[graft.ops.TextAnalysis.bm25TopK]] lexical
+    * ranks with a [[bruteForceTopK]]/[[ivfTopKPortable]] vector rank list;
+    * any (id, rank) frames fuse.
+    *
+    * Determinism: each term is one IEEE division by an integer (k + rank),
+    * the two-term total is a single fixed-order `+` — never an unordered
+    * float aggregate — and the final ordering tie-breaks on the id, so
+    * external engines reproduce the fused list bit-exactly.
+    *
+    * Plan shape: one full-outer equi-join of two ALREADY-top-k lists
+    * (bounded by k_a + k_b rows, broadcast-sized at any corpus scale) and
+    * a ranking window over that bounded union — the corpus itself is never
+    * touched here. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String = "rank", kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    require(kRrf >= 1, s"kRrf=$kRrf must be >= 1 (k=0 over-weights rank 1)")
+    val la = a.select(col(idCol), col(rankCol).cast("int").as("rank_a"))
+    val lb = b.select(col(idCol), col(rankCol).cast("int").as("rank_b"))
+    val fused = la.join(lb, Seq(idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("rank_b")), lit(0.0)))
+    val w = Window.orderBy(col("rrf").desc, col(idCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w).cast("int"))
+      .filter(col("fused_rank") <= topK)
+      .select(col(idCol), col("rank_a"), col("rank_b"), col("rrf"), col("fused_rank"))
+  }
 }

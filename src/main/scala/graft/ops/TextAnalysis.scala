@@ -1066,4 +1066,148 @@ object TextAnalysis {
         coalesce(expr("(1000 * __sumb) div __cnt"), lit(-1L)).as("lm2_milli"))
     tercileCut(scored, "lm2_milli")
   }
+
+  /** BM25 TOP-K full-text retrieval for a literal query-term list — the
+    * lexical half of hybrid retrieval (Robertson & Walker's Okapi BM25;
+    * the reference has only vector search, `sources/lancedb.py:318-360`,
+    * so this is the engine's own lexical complement).
+    *
+    * The idf factor is the Robertson RATIO (N − df + ½)/(df + ½), not its
+    * log: libm log differs across engines in the last ulp (an oracle-hash
+    * hazard, same reasoning as [[distinctiveTerms]]) while the ratio is a
+    * single IEEE division on exactly-representable x.5 halves — bit-exact
+    * everywhere. Per-term ORDERING is identical (ln is monotone); per-doc
+    * sums weight high-idf terms more than textbook BM25, documented as
+    * this engine's variant. With k1 = 1.2, b = 0.75 the saturation term
+    * clears to the all-integer form
+    *   tf·(k1+1) / (tf + k1(1−b) + k1·b·dl/avgdl)
+    *     = (22·tf·T) / (10·tf·T + 3·T + 9·dl·N)      (avgdl = T/N)
+    * so every input to the two divisions is an integer ≤ 2^53 (exact in a
+    * double at any realistic corpus size: 22·tf·T needs tf·T < 4·10^14),
+    * and the per-doc total is a FIXED-ORDER chain over the literal term
+    * list, never a `sum()` — float addition is not associative, so an
+    * unordered aggregate over doubles is ordering-dependent across
+    * engines; the fold is written left-to-right in term order on both
+    * sides.
+    *
+    * Plan shape: one corpus explode filtered TO THE QUERY TERMS before any
+    * shuffle (the posting lists of |terms| words, not the corpus), df from
+    * the tf frame (no second pass), dl via [[tokenCountWs]] on an
+    * unexploded scan, N and T one bounded O(1) driver pull. The ranking
+    * window is global but over only the docs containing ≥ 1 query term —
+    * the posting union, the same bound an inverted index pays. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, terms: Seq[String], topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25TopK: empty query-term list")
+    require(terms.map(_.toLowerCase).distinct.size == terms.size,
+      s"bm25TopK: duplicate query terms in $terms — each term must appear " +
+        "once or its score double-counts")
+    val stats = df.agg(count(lit(1)), sum(tokenCountWs(col(textCol)).cast("long"))).head()
+    val n = stats.getLong(0)
+    val tot = stats.getLong(1)
+    require(tot > 0, "bm25TopK: corpus has zero tokens")
+    val words = df.select(col(idCol),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          w => length(w) > 0)).as("term"))
+      .filter(col("term").isin(terms.map(_.toLowerCase): _*))
+    val tf = words.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = df.select(col(idCol), tokenCountWs(col(textCol)).cast("long").as("dl"))
+    val nD = lit(n.toDouble)
+    val totD = lit(tot.toDouble)
+    val idf = ((lit(2.0) * nD - lit(2.0) * col("df")) + lit(1.0)) /
+      (lit(2.0) * col("df") + lit(1.0))
+    val num = (lit(22.0) * col("tf")) * totD
+    val den = ((lit(10.0) * col("tf")) * totD + lit(3.0) * totD) +
+      (lit(9.0) * col("dl")) * nD
+    val scored = tf.join(dfreq, "term").join(dl, idCol)
+      .withColumn("__s", idf * (num / den))
+    val qTerms = terms.map(_.toLowerCase)
+    val pivoted = scored.groupBy(col(idCol)).agg(
+      max(when(col("term") === qTerms.head, col("__s"))).as("__s0"),
+      qTerms.tail.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === t, col("__s"))).as(s"__s${i + 1}") }: _*)
+    val bm25 = qTerms.indices.map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = Window.orderBy(col("bm25").desc, col(idCol).asc)
+    pivoted.withColumn("bm25", bm25)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("bm25"), col("rank"))
+  }
+
+  /** KNESER-NEY RARE-BIGRAM quality gate: score every document by the
+    * fraction of its bigrams whose interpolated Kneser-Ney probability
+    * under a reference slice falls below `rareMilli`/1000 — the smoothed
+    * upgrade of [[lmQualityPartitionBigram]]'s MLE buckets (Kneser & Ney
+    * 1995; the CCNet filtering shape, reference has no LM ops at all).
+    *
+    * With discount d = ¾, p_kn(w₂|w₁) = (max(c₁₂−¾, 0) + ¾·n₁₊(w₁•)·
+    * p_cont(w₂)) / c₁ and p_cont(w₂) = n₁₊(•w₂)/D (D = distinct bigram
+    * types) clears to the all-integer rational
+    *   p = (max(4c₁₂−3, 0)·D + 3·n₁₊(w₁•)·n₁₊(•w₂)) / (4·c₁·D)
+    * and the rare test p < m/1000 becomes the INTEGER comparison
+    * 1000·num < m·den — no float ever enters the gate, so the oracle
+    * matches bit-for-bit by construction. Both sides are computed in
+    * DECIMAL(38,0) (DuckDB: HUGEINT) unconditionally — the TV-distance
+    * lesson: at corpus scale c₁₂·D passes 2^63 and non-ANSI long
+    * arithmetic would wrap silently. OOV prefix (c₁ = 0) backs off to the
+    * continuation distribution p = n₁₊(•w₂)/D; an unseen w₂ there scores
+    * p = 0 → rare, the right call for out-of-domain text.
+    *
+    * Plan shape: the reference slice explodes once into the bigram-type
+    * table; c₁/n₁₊(w₁•)/n₁₊(•w₂) are second aggregations OF that table
+    * (no second reference pass); D is one bounded driver pull. The corpus
+    * explodes its bigrams once and takes three small-side joins — at
+    * 100 TB the reference tables are the broadcast side.
+    *
+    * Returns (idCol, n_bigrams, n_rare, rare_frac); rare_frac = −1 marks
+    * docs with no bigram (< 2 tokens), mirroring lm2_milli's convention. */
+  def knRareBigrams(reference: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      rareMilli: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(rareMilli >= 1 && rareMilli <= 999,
+      s"rareMilli=$rareMilli out of [1,999]")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gtab = reference.select(
+        explode(graft.functions.Native.wordShingleStrings(col(textCol), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("__c12"))
+      .withColumn("__w1", substring_index(col("g"), " ", 1))
+      .withColumn("__w2", element_at(split(col("g"), " "), 2))
+    val w1tab = gtab.groupBy(col("__w1"))
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1p"))
+    val w2tab = gtab.groupBy(col("__w2")).agg(count(lit(1)).as("__cont"))
+    val dTypes = gtab.count()
+    require(dTypes > 0, "knRareBigrams: the reference slice produced no " +
+      "bigrams (every document has < 2 tokens) — every probability would " +
+      "be the backoff constant; check the reference filter")
+    val dLit = lit(dTypes).cast(d38)
+    val grams = corpus.select(col(idCol),
+        explode(graft.functions.Native.wordShingleStrings(col(textCol), 2)).as("g"))
+      .withColumn("__w1", substring_index(col("g"), " ", 1))
+      .withColumn("__w2", element_at(split(col("g"), " "), 2))
+      .join(gtab.select("g", "__c12"), Seq("g"), "left")
+      .join(w1tab, Seq("__w1"), "left")
+      .join(w2tab, Seq("__w2"), "left")
+    val contD = coalesce(col("__cont"), lit(0L)).cast(d38)
+    val num = when(col("__c1").isNotNull,
+      greatest(lit(4L) * coalesce(col("__c12"), lit(0L)) - lit(3L), lit(0L))
+        .cast(d38) * dLit + lit(3L).cast(d38) * coalesce(col("__n1p"), lit(0L))
+        .cast(d38) * contD).otherwise(contD)
+    val den = when(col("__c1").isNotNull,
+      (lit(4L) * col("__c1")).cast(d38) * dLit).otherwise(dLit)
+    val rare = (lit(1000L).cast(d38) * num) < (lit(rareMilli.toLong).cast(d38) * den)
+    val perDoc = grams
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(rare.cast("long")).as("n_rare"))
+    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(col("n_bigrams").isNull, lit(-1.0))
+          .otherwise(col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+          .as("rare_frac"))
+  }
 }
