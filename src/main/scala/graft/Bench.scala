@@ -151,10 +151,13 @@ object Bench {
     (if (v < 10) "%.2f" else "%.1f").formatLocal(java.util.Locale.ROOT, v)
 
   private def jsonLine(entries: Seq[(String, Double)], fmt: Double => String,
-      sfSuffix: String): String = {
+      sfSuffix: String, totalFmt: Double => String = null): String = {
     val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = entries.map(_._2).sum // from the entries printed, not the outer map
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$sfSuffix}"""
+    // the TOTAL stays in seconds even when a rung switches the per-query
+    // unit (rung 4 deciseconds) — the driver's headline metric is seconds
+    val tf = if (totalFmt == null) fmt else totalFmt
+    s"""{"metric":"total","value":${tf(total)},"unit":"sec","queries":$qs$sfSuffix}"""
   }
 
   private[graft] def fullLine(entries: Seq[(String, Double)], sfDir: String,
@@ -172,18 +175,28 @@ object Bench {
     * "parsed": null both rounds), so the FINAL line must be self-contained
     * JSON comfortably inside that window. Format ladder, richest that fits
     * [[MaxShortLine]]: (1) qNN keys at adaptive precision; (2) strip the
-    * 'q' prefix (keys stay unique — they're the qNN numbers); (3) whole
-    * deciseconds. The full-name full-precision line prints FIRST either
-    * way, so humans and BENCH_NOTES always get the rich form. */
+    * 'q' prefix (keys stay unique — they're the qNN numbers); (3) decisecond
+    * values as "N.d" seconds; (4) INTEGER deciseconds (`"165":37` = 3.7 s),
+    * self-described by a `"qunit":"ds"` marker so no consumer can misread
+    * the per-query unit — the total `value` stays SECONDS on every rung.
+    * Rung 4 saves ~2 chars/entry over rung 3 and holds per-query keys to
+    * ~240 registered queries (the r10 regression: at 198 queries rungs 1-3
+    * all overflowed and the ladder fell to the keyless fallback, so
+    * BENCH_r10.json parsed with no per-query data). The full-name
+    * full-precision line prints FIRST either way, so humans and
+    * BENCH_NOTES always get the rich form. */
   private[graft] val MaxShortLine = 1930 // ≥70 chars of tail headroom
   private[graft] def shortLine(entries: Seq[(String, Double)],
       nFailed: Int = 0): String = {
     val failSuffix = if (nFailed == 0) "" else s""","failed":$nFailed"""
+    val stripped = entries.map { case (k, v) => k.stripPrefix("q") -> v }
     val ladder = Iterator(
       jsonLine(entries, fmtAdaptive, failSuffix),
-      jsonLine(entries.map { case (k, v) => k.stripPrefix("q") -> v }, fmtAdaptive, failSuffix),
-      jsonLine(entries.map { case (k, v) => k.stripPrefix("q") -> v },
-        v => "%.1f".formatLocal(java.util.Locale.ROOT, v), failSuffix))
+      jsonLine(stripped, fmtAdaptive, failSuffix),
+      jsonLine(stripped,
+        v => "%.1f".formatLocal(java.util.Locale.ROOT, v), failSuffix),
+      jsonLine(stripped, v => math.round(v * 10).toString,
+        s""","qunit":"ds"$failSuffix""", totalFmt = fmt2))
     ladder.find(_.length <= MaxShortLine)
       .getOrElse(s"""{"metric":"total","value":${fmt2(entries.map(_._2).sum)},"unit":"sec"$failSuffix}""")
   }

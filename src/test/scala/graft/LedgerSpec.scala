@@ -164,12 +164,14 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("short line stays parseable with per-query keys at the current suite size") {
     // rung history: the registry outgrew the q-prefixed form at 166
-    // queries (→ rung 2, 'q' stripped, centisecond) and rung 2's
-    // centisecond form at ~180 (→ rung 3, decisecond values). The pins
-    // that matter at the REAL registry size: per-query keys never drop to
-    // the keyless bottom fallback, the line parses with every key, and it
-    // stays inside the driver tail window. The full-name full-precision
-    // line prints FIRST either way, so BENCH_NOTES keeps centiseconds.
+    // queries (→ rung 2, 'q' stripped, centisecond), rung 2's centisecond
+    // form at ~180 (→ rung 3, decisecond values), and rung 3 at 198 (the
+    // BENCH_r10 parsed-null regression → rung 4, integer deciseconds with
+    // a "qunit":"ds" marker). The pins that matter at the REAL registry
+    // size: per-query keys never drop to the keyless bottom fallback, the
+    // line parses with every key, and it stays inside the driver tail
+    // window. The full-name full-precision line prints FIRST either way,
+    // so BENCH_NOTES keeps centiseconds.
     val n = SparkEntry.queries.size // track the real registry, not a constant
     val line = Bench.shortLine(entries(n))
     assert(line.length <= Bench.MaxShortLine, s"len=${line.length}")
@@ -178,6 +180,38 @@ class BenchLineSpec extends AnyFunSuite {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     assert(mapper.readTree(line).get("queries").size == n,
       s"short line dropped query keys at $n queries")
+    // EARLY WARNING at +10% registry growth: when this margin assertion
+    // starts failing, the NEXT rung must land BEFORE the real registry
+    // hits the wall — the r10 lesson is that the first visible symptom
+    // otherwise is a silently keyless driver artifact
+    val grown = (n * 1.1).toInt
+    val gl = Bench.shortLine(entries(grown))
+    assert(mapper.readTree(gl).get("queries") != null &&
+      mapper.readTree(gl).get("queries").size == grown,
+      s"ladder has no rung for $grown queries (registry $n +10%) — add one now")
+  }
+
+  test("rung 4: integer deciseconds, qunit marker, total stays seconds") {
+    // 210 adversarial entries overflow rungs 1-3 (measured: rung 3 is
+    // ~1960 chars at 198) so rung 4 must fire — and be self-describing
+    val es = entries(210)
+    val line = Bench.shortLine(es)
+    assert(line.length <= Bench.MaxShortLine, s"len=${line.length}")
+    assert(line.contains("\"qunit\":\"ds\""), "rung 4 must carry the unit marker")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(line)
+    assert(node.get("queries").size == 210)
+    // per-query values are integers (deciseconds): 12.34 s → 123
+    assert(node.get("queries").get("40").asText == "123")
+    assert(node.get("queries").get("40").isIntegralNumber)
+    // the headline total is still seconds at centisecond precision
+    val expectedTotal = es.map(_._2).sum
+    assert(math.abs(node.get("value").asDouble - expectedTotal) < 0.01,
+      s"total must stay in seconds; got ${node.get("value").asDouble} vs $expectedTotal")
+    // failed-count suffix composes with the qunit marker
+    val withFailed = Bench.shortLine(es, nFailed = 3)
+    val fn2 = mapper.readTree(withFailed)
+    assert(fn2.get("failed").asInt == 3 && fn2.get("qunit").asText == "ds")
   }
 
   test("short line bound holds even at 250 queries (ladder bottom)") {
