@@ -5433,10 +5433,338 @@ object SparkEntry {
     FROM agg"""
   }
 
+  /** DuckDB restatement of [[graft.ops.TextAnalysis.bm25TopK]] for the
+    * literal three-term query (spark, window, merge) at k1 = 1.2, b = 0.75:
+    * the CTE chain ending in `rk(doc_id, bm25)`. ONE body serves q193
+    * (ranks it directly) and q194 (fuses it with the q30-shape vector
+    * list), so the two restatements cannot drift. Every float op mirrors
+    * the operator's fixed chain: the Robertson-ratio idf, the all-integer
+    * saturation operands, and the LEFT-TO-RIGHT per-term coalesce sum. */
+  private def sqlBm25Ctes: String = raw"""nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          tws -> length(tws) > 0)) AS BIGINT)) AS DOUBLE) AS t
+      FROM documents),
+    bdl AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        tws -> length(tws) > 0)) AS BIGINT) AS dl FROM documents),
+    btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          w -> length(w) > 0)) AS term
+        FROM documents) WHERE term IN ('spark','window','merge') GROUP BY doc_id, term),
+    bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY term),
+    bsc AS (SELECT btf.doc_id, btf.term,
+        ((2.0*nn.n - 2.0*bdf.df + 1.0) / (2.0*bdf.df + 1.0)) *
+        ((22.0*btf.tf*nn.t) / (10.0*btf.tf*nn.t + 3.0*nn.t + 9.0*bdl.dl*nn.n)) AS s
+      FROM btf JOIN bdf USING (term) JOIN bdl USING (doc_id), nn),
+    bpv AS (SELECT doc_id,
+        max(CASE WHEN term='spark' THEN s END) AS s0,
+        max(CASE WHEN term='window' THEN s END) AS s1,
+        max(CASE WHEN term='merge' THEN s END) AS s2
+      FROM bsc GROUP BY doc_id),
+    rk AS (SELECT doc_id, coalesce(s0,0.0)+coalesce(s1,0.0)+coalesce(s2,0.0) AS bm25 FROM bpv)"""
+
+  /** Retrieval + monitoring family (round 11): the five operators the r10
+    * ADVICE flagged as registered-but-ungated, each now oracle-gated. */
+  private val retrievalQueries: Seq[Q] = Seq(
+
+    // --- BM25 top-k lexical retrieval (TextAnalysis.bm25TopK): the
+    // engine-deterministic Okapi variant — Robertson-RATIO idf, all-integer
+    // saturation operands, fixed-order per-term sum; posting lists of the
+    // three query terms are the only rows that shuffle ---
+    Q("q193_bm25_topk",
+      (s, dir) => TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "window", "merge"), topK = 20),
+      Some(s"""WITH $sqlBm25Ctes
+        SELECT doc_id, bm25,
+          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+        FROM rk QUALIFY rank <= 20""")),
+
+    // --- reciprocal-rank fusion of the BM25 list with the q30-shape
+    // brute-force cosine list for query vec 0 (Similarity.rrfFuse) — the
+    // standard hybrid-retrieval combiner over two bounded top-k lists;
+    // the corpus is never touched by the fusion itself ---
+    Q("q194_rrf_hybrid",
+      (s, dir) => {
+        val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+          Seq("spark", "window", "merge"), topK = 20).select(col("doc_id"), col("rank"))
+        val emb = t(s, dir, "embeddings")
+        val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(lex, vec, "doc_id", kRrf = 60, topK = 15)
+      },
+      Some(s"""WITH $sqlBm25Ctes,
+        lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_a
+          FROM rk QUALIFY rank_a <= 20),
+        qv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        vec AS (SELECT c.vec_id AS doc_id, CAST(row_number() OVER (ORDER BY
+            list_inner_product(q.v, c.v) /
+              (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) DESC,
+            c.vec_id) AS INT) AS rank_b
+          FROM qv q JOIN cv c ON c.vec_id != q.vec_id
+          QUALIFY rank_b <= 20),
+        fu AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, lex.rank_a, vec.rank_b,
+            coalesce(1.0/(60.0 + lex.rank_a), 0.0) + coalesce(1.0/(60.0 + vec.rank_b), 0.0) AS rrf
+          FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        SELECT doc_id, rank_a, rank_b, rrf,
+          CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS fused_rank
+        FROM fu QUALIFY fused_rank <= 15""")),
+
+    // --- interpolated Kneser-Ney rare-bigram gate (TextAnalysis
+    // .knRareBigrams): reference = the en slice, corpus = all docs; the
+    // rare test is the all-integer comparison 1000·num < 20·den in
+    // DECIMAL(38,0)/HUGEINT, so no float enters the gate on either engine ---
+    Q("q195_kn_rare_bigrams",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        TextAnalysis.knRareBigrams(d.filter(col("lang") === "en"), d,
+          "text", "doc_id", rareMilli = 20)
+      },
+      Some(raw"""WITH wl AS (SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0) AS w
+        FROM documents),
+        gt AS (SELECT g, CAST(count(*) AS BIGINT) AS c12 FROM (
+            SELECT unnest([array_to_string(w[i:i+1], ' ')
+              for i in generate_series(1, greatest(len(w)-1, 0))]) AS g
+            FROM wl JOIN documents USING (doc_id) WHERE lang = 'en') GROUP BY g),
+        gt2 AS (SELECT g, c12, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2 FROM gt),
+        w1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1p
+          FROM gt2 GROUP BY w1),
+        w2t AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont FROM gt2 GROUP BY w2),
+        dd AS (SELECT CAST(count(*) AS HUGEINT) AS d FROM gt),
+        cg AS (SELECT doc_id, g, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2 FROM (
+            SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+              for i in generate_series(1, greatest(len(w)-1, 0))]) AS g FROM wl)),
+        j AS (SELECT cg.doc_id,
+            CASE WHEN w1t.c1 IS NOT NULL THEN
+              CAST(greatest(4*coalesce(gt.c12,0) - 3, 0) AS HUGEINT) * dd.d
+                + CAST(3 AS HUGEINT)*CAST(coalesce(w1t.n1p,0) AS HUGEINT)
+                  *CAST(coalesce(w2t.cont,0) AS HUGEINT)
+            ELSE CAST(coalesce(w2t.cont,0) AS HUGEINT) END AS num,
+            CASE WHEN w1t.c1 IS NOT NULL THEN CAST(4*w1t.c1 AS HUGEINT) * dd.d
+            ELSE dd.d END AS den
+          FROM cg LEFT JOIN gt USING (g) LEFT JOIN w1t USING (w1)
+            LEFT JOIN w2t USING (w2), dd),
+        pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            CAST(sum(CASE WHEN CAST(1000 AS HUGEINT)*num < CAST(20 AS HUGEINT)*den
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+          FROM j GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(pd.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+          coalesce(pd.n_rare, CAST(0 AS BIGINT)) AS n_rare,
+          CASE WHEN pd.n_bigrams IS NULL THEN -1.0
+            ELSE CAST(pd.n_rare AS DOUBLE)/CAST(pd.n_bigrams AS DOUBLE) END AS rare_frac
+        FROM documents d LEFT JOIN pd USING (doc_id)""")),
+
+    // --- grouped OLS linear trend (Aggregations.linearTrend): per-source
+    // drift of document length over ingest order; exact DECIMAL(38,0)
+    // sums, the only floats are one cast each + one division ---
+    Q("q196_linear_trend",
+      (s, dir) => Aggregations.linearTrend(t(s, dir, "documents"),
+        "source", "doc_id", "n_chars"),
+      Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+          CAST(sum(CAST(doc_id AS HUGEINT)) AS HUGEINT) AS sx,
+          CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sy,
+          CAST(sum(CAST(doc_id AS HUGEINT)*CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sxy,
+          CAST(sum(CAST(doc_id AS HUGEINT)*CAST(doc_id AS HUGEINT)) AS HUGEINT) AS sxx
+        FROM documents GROUP BY source),
+        c AS (SELECT source, n_points,
+          CAST(n_points AS HUGEINT)*sxy - sx*sy AS num,
+          CAST(n_points AS HUGEINT)*sxx - sx*sx AS den, sx, sy FROM s)
+        SELECT source, n_points,
+          CASE WHEN den = 0 THEN NULL
+            ELSE CAST(num AS DOUBLE)/CAST(den AS DOUBLE) END AS slope,
+          CASE WHEN den = 0 THEN NULL
+            ELSE (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE)/CAST(den AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE) END AS intercept
+        FROM c""")),
+
+    // --- per-key daily-volume anomaly z-scores (EventAnalytics
+    // .volumeAnomalies) with the zero-filled day grid — a day the key went
+    // dark IS a scored row; exact integer variance numerator, float tail
+    // is two casts + division + correctly-rounded sqrt ---
+    Q("q197_volume_anomalies",
+      (s, dir) => EventAnalytics.volumeAnomalies(events(s, dir), "ts", "event_type"),
+      Some("""WITH ac AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        sp AS (SELECT event_type, min(d) AS lo, max(d) AS hi FROM ac GROUP BY 1),
+        gr AS (SELECT event_type, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+          CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM sp),
+        da AS (SELECT gr.event_type, gr.d, coalesce(ac.c, CAST(0 AS BIGINT)) AS n_events
+          FROM gr LEFT JOIN ac ON ac.event_type = gr.event_type AND ac.d = gr.d),
+        ws AS (SELECT event_type, d, n_events,
+            CAST(count(*) OVER w AS BIGINT) AS n,
+            CAST(sum(CAST(n_events AS HUGEINT)) OVER w AS HUGEINT) AS sc,
+            CAST(sum(CAST(n_events AS HUGEINT)*CAST(n_events AS HUGEINT)) OVER w AS HUGEINT) AS scc
+          FROM da WINDOW w AS (PARTITION BY event_type)),
+        z AS (SELECT event_type, d, n_events,
+            CASE WHEN CAST(n AS HUGEINT)*scc - sc*sc = 0 THEN 0.0
+              ELSE (CAST(n_events AS DOUBLE) - CAST(sc AS DOUBLE)/CAST(n AS DOUBLE)) /
+                sqrt(CAST(CAST(n AS HUGEINT)*scc - sc*sc AS DOUBLE)/CAST(n*n AS DOUBLE))
+            END AS z_score
+          FROM ws)
+        SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n_events, z_score,
+          abs(z_score) > 2.0 AS is_anomaly
+        FROM z""")),
+
+    // --- overlapping-window document chunking (TextAnalysis
+    // .chunkDocuments): 40-token windows advancing by 30 (10-token
+    // overlap) — the RAG-index / long-doc complement of q72's cross-doc
+    // packing; all-integer chunk-count arithmetic, one narrow bounded
+    // explode, no shuffle ---
+    Q("q202_chunking",
+      (s, dir) => TextAnalysis.chunkDocuments(t(s, dir, "documents"),
+        "text", "doc_id", chunkTokens = 40, overlapTokens = 10),
+      Some(raw"""WITH wl AS (SELECT doc_id, list_filter(
+          string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS w
+        FROM documents),
+        nn AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM wl WHERE len(w) > 0),
+        kk AS (SELECT doc_id, w, n,
+          CASE WHEN n <= 40 THEN 0 ELSE (n - 40 + 29) // 30 END AS klast FROM nn),
+        e AS (SELECT doc_id, w, n, unnest(generate_series(0, klast)) AS chunk_id FROM kk)
+        SELECT doc_id, chunk_id, chunk_id*30 AS start_token,
+          CAST(len(w[chunk_id*30+1 : chunk_id*30+40]) AS BIGINT) AS n_tokens,
+          array_to_string(w[chunk_id*30+1 : chunk_id*30+40], ' ') AS chunk_text
+        FROM e"""))
+  )
+
+  /** The multi-view SQL statement q201 runs through BOTH engines verbatim:
+    * `ContractStore.executeSql` registers every contract as a Spark temp
+    * view and runs it through Catalyst; the oracle hands the SAME string to
+    * DuckDB over the raw tables — one string, so the restatements cannot
+    * drift, and the gate proves the temp-view catalog and Catalyst agree
+    * with ANSI semantics on a join + aggregate + window statement. */
+  private val q201Sql: String =
+    """SELECT c_mktsegment, o_orderpriority, n_orders, total, revenue_rank FROM (
+      SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        CAST(row_number() OVER (PARTITION BY c_mktsegment
+          ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) DESC, o_orderpriority) AS INT)
+          AS revenue_rank
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment, o_orderpriority) t
+    WHERE revenue_rank <= 3"""
+
+  /** Lifecycle gates (round 11, VERDICT r10 next-round #2/#3/#6/#7): the
+    * four spec-only paths promoted to oracle rows — the EventTrigger emit
+    * path run as streaming modality #9, the predict_over → prediction-source
+    * → read-back lifecycle, the DatasetStore save/reload round trip, and a
+    * multi-view join+aggregate+window statement through executeSql. */
+  private val lifecycleQueries: Seq[Q] = Seq(
+
+    // --- streaming modality #9: the EventTrigger emit path through the
+    // PRODUCTION runWorker entry point (reference ListenForTriggers,
+    // schemas/event_trigger.py:20-97) — contract pipeline (rename +
+    // derived gate flag) inside the stream, trigger predicate routing
+    // matching rows to a second store per micro-batch; final trigger-store
+    // state = the static filter ---
+    Q("q198_event_trigger_run",
+      (s, dir) => {
+        import graft.core.FeatureType._
+        val raw = events(s, dir).select(col("event_id"), col("ts"),
+          col("event_type").as("evt_type"), col("value"))
+        val view = graft.contract.FeatureView("events_trigger",
+          graft.sources.CustomSource(_.emptyDataFrame),
+          entities = Seq(graft.contract.Feature("event_id", FInt64)),
+          features = Seq(graft.contract.Feature("value", FFloat64),
+            graft.contract.Feature("event_type", FString)),
+          derived = Seq(graft.contract.DerivedFeature("high_value", FBool,
+            Ref("value") > Lit(100.0), Seq("value"))),
+          eventTimestamp = Some(graft.contract.EventTimestamp("ts")),
+          mappingKeys = Map("evt_type" -> "event_type"))
+        graft.streaming.Streaming.stagedTriggerRun(s, raw, "ts", "event_id",
+            view, col("high_value"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("ts").cast("long").as("ts_epoch"))
+      },
+      Some("""SELECT event_id, event_type, value,
+          CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch
+        FROM events WHERE value > 100.0""")),
+        // floor, not a bare CAST: Spark's timestamp→long TRUNCATES the
+        // fractional second while DuckDB's BIGINT cast rounds half-up —
+        // raw event ts carries micros (unlike the whole-hour window_start
+        // gates, where the two agree)
+
+    // --- predict_over end to end (reference PredictionJob,
+    // retrieval_job.py:3328-3451 + model_store.py:144-167): assemble
+    // inputs for an entity frame, run the exposed model, stamp
+    // model_version + predicted_at, UPSERT into the prediction view's
+    // source, and read the prediction source back — the row that comes
+    // back out of the written artifact is what the oracle checks ---
+    Q("q199_predict_over",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_predict").toString
+        val docsView = FeatureView("docs_pv", ParquetSource(s"$dir/documents.parquet"),
+          entities = Seq(Feature("doc_id", FInt64)),
+          features = Seq(Feature("n_chars", FInt64), Feature("lang", FString)))
+        val predView = FeatureView("doc_len_preds",
+          ParquetSource(s"$work/preds.parquet"),
+          entities = Seq(Feature("doc_id", FInt64)),
+          features = Seq(Feature("p", FInt64)))
+        val store = new ContractStore().addView(docsView)
+          .addModel(ModelContract("doc_scorer", Seq("docs_pv:n_chars"),
+            predictionView = Some(predView),
+            model = Some(graft.ml.ExpressionModel("doc_scorer", "v1", "p",
+              col("n_chars") * 2L + 1L))))
+        val entities = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") < 100)
+        store.model("doc_scorer").predictAndStore(s, entities)
+        // read back through the WRITTEN prediction source, not the
+        // in-memory prediction frame — the round trip is the operator
+        predView.source.read(s)
+          .select(col("doc_id"), col("p"), col("model_version"),
+            col("predicted_at").isNotNull.as("stamped"))
+      },
+      Some("""SELECT doc_id, CAST(n_chars * 2 + 1 AS BIGINT) AS p,
+          'v1' AS model_version, TRUE AS stamped
+        FROM documents WHERE doc_id < 100""")),
+
+    // --- DatasetStore save/reload round trip (reference schemas/folder.py
+    // dataset store + TrainTestJob store/load): persist a deterministic
+    // ordered split's artifacts + manifest, reload BOTH splits from disk,
+    // and hand the reloaded membership to the oracle — split stability is
+    // the contract (the reference caches splits precisely so reruns cannot
+    // resample) ---
+    Q("q200_dataset_store",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_dataset").toString
+        val ds = new graft.ml.DatasetStore(work)
+        val (tr, te) = graft.ml.MLOps.trainTest(t(s, dir, "documents"), 0.8,
+          orderBy = Some("doc_id"))
+        ds.save("docs_v1", Map("train" -> tr, "test" -> te),
+          Map("note" -> "round11 roundtrip gate"))
+        require(ds.exists(s, "docs_v1"), "manifest missing after save")
+        ds.load(s, "docs_v1", "train").select(col("doc_id"))
+          .withColumn("split", lit("train"))
+          .unionByName(ds.load(s, "docs_v1", "test").select(col("doc_id"))
+            .withColumn("split", lit("test")))
+      },
+      Some("""WITH r AS (SELECT doc_id,
+            percent_rank() OVER (ORDER BY doc_id) AS pr FROM documents)
+        SELECT doc_id, CASE WHEN pr <= 0.8 THEN 'train' ELSE 'test' END AS split
+        FROM r""")),
+
+    // --- executeSql over a multi-view catalog: join + aggregate + window
+    // in ONE statement shared verbatim with the oracle (reference
+    // feature_store.py:457-499 does this through sqlglot → polars; here
+    // the temp-view catalog + Catalyst carry it natively) ---
+    Q("q201_sql_multiview",
+      (s, dir) => {
+        val store = new ContractStore()
+          .addView(FeatureView("orders", ParquetSource(s"$dir/orders.parquet"),
+            entities = Seq(Feature("o_orderkey", FInt64)),
+            features = Seq(Feature("o_custkey", FInt64),
+              Feature("o_orderpriority", FString), Feature("o_totalprice", FFloat64))))
+          .addView(FeatureView("customer", ParquetSource(s"$dir/customer.parquet"),
+            entities = Seq(Feature("c_custkey", FInt64)),
+            features = Seq(Feature("c_mktsegment", FString))))
+        store.executeSql(s, q201Sql)
+      },
+      Some(q201Sql))
+  )
+
   val specs: Seq[Q] =
     relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++
       statsQueries ++ analyticQueries ++ storeQueries ++ pipelineQueries3 ++ pipelineQueries4 ++
-      pipelineQueries5 ++ layoutQueries
+      pipelineQueries5 ++ layoutQueries ++ retrievalQueries ++ lifecycleQueries
 
   // ---------- driver contract ----------
 

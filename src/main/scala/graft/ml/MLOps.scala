@@ -266,6 +266,15 @@ object MLOps {
       rankCol: String = "curriculum_rank",
       phaseCol: String = "phase"): DataFrame = {
     require(phases >= 1 && buckets >= 1, "phases >= 1, buckets >= 1")
+    // the offsets table ships as a plan-literal typedLit array serialized to
+    // every executor (and into codegen) — bound it like domainReweightRound
+    // bounds its domain count, rather than letting a large phase count bloat
+    // the plan silently. 10^6 Longs ≈ 8 MB is the broadcast-threshold-sized
+    // ceiling; past that the offsets belong in a broadcast join, not a literal
+    require(phases.toLong * buckets <= 1000000L,
+      s"curriculumOrder: phases*buckets = ${phases.toLong * buckets} exceeds 10^6 —" +
+        " the plan-literal offset table would bloat the serialized plan; lower" +
+        " buckets or restructure the phase space")
     require(!df.columns.contains(phaseCol) && !df.columns.contains(rankCol),
       s"curriculumOrder: output columns '$phaseCol'/'$rankCol' already exist in the" +
         " input frame — pass phaseCol/rankCol names that are free")
@@ -727,10 +736,24 @@ object MLOps {
     val weightExpr = weights.foldLeft(lit(null).cast("long")) {
       case (acc, (g, w)) => when(col(domainCol) === g, lit(w)).otherwise(acc)
     }
+    // NULL losses fail LOUDLY at execution: greatest() ignores nulls, so the
+    // clamp alone would coerce null → 0 and silently deflate the domain mean
+    // (the ADVICE r10 finding). The null count rides the same aggregate —
+    // no extra pass — and raise_error fires before any consumer reads a row.
     df.select(col(domainCol),
-        least(greatest(lossMilli.cast("long"), lit(0L)), lit(1000000L)).as("__l"))
+        when(lossMilli.isNull, lit(null).cast("long"))
+          .otherwise(least(greatest(lossMilli.cast("long"), lit(0L)),
+            lit(1000000L))).as("__l"))
       .groupBy(domainCol)
-      .agg(expr("sum(__l) div count(1)").as("mean_loss_milli"))
+      .agg(expr("sum(__l) div count(1)").as("__mean_raw"),
+        sum(col("__l").isNull.cast("long")).as("__nulls"))
+      .withColumn("mean_loss_milli",
+        when(col("__nulls") > 0L, raise_error(concat(
+          lit("domainReweightRound: NULL lossMilli rows in domain '"),
+          col(domainCol),
+          lit("' — a null loss would silently deflate the domain mean; filter or fix upstream"))))
+          .otherwise(col("__mean_raw")))
+      .drop("__mean_raw", "__nulls")
       .withColumn("__w", weightExpr).filter(col("__w").isNotNull)
       .withColumn("__wl", col("__w") * col("mean_loss_milli"))
       .withColumn("__avg", expr("sum(__wl) over () div sum(__w) over ()"))

@@ -149,6 +149,15 @@ object EventAnalytics {
     * question "did source X suddenly send 5× its usual volume (or go
     * dark)?" asked of the same events table the funnels read.
     *
+    * The per-key day grid is DENSIFIED between that key's first and last
+    * active day (`sequence` + explode, zero-filled) before scoring, so a
+    * day the source went completely dark IS a scored row (n_events = 0,
+    * negative z) rather than silently absent from the groupBy — the
+    * ADVICE r10 finding. Days outside a key's own [min, max] activity span
+    * are not scored (there is no principled global calendar for a key that
+    * didn't exist yet). The grid is O(span days) per key — bounded by
+    * calendar time, never by event volume.
+    *
     * Determinism: mean and the variance numerator n·Σc² − (Σc)² are exact
     * DECIMAL(38,0) integers (counts pre-cast to DECIMAL(19,0) before
     * squaring — per-day counts at 100 TB overflow a squared long), and the
@@ -167,9 +176,18 @@ object EventAnalytics {
     require(zThreshold > 0, s"zThreshold=$zThreshold must be positive")
     val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val daily = events
-      .groupBy(col(keyCol), date_format(col(tsCol), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("n_events"))
+    val active = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    // zero-fill the key's own activity span: one bounded O(keys) aggregate
+    // for the spans, one explode of O(span days) rows per key, one
+    // co-partitioned left join back — raw events are scanned exactly once
+    val grid = active.groupBy(col(keyCol))
+      .agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+    val daily = grid.join(active, Seq(keyCol, "__d"), "left")
+      .select(col(keyCol), date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("__c"), lit(0L)).as("n_events"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
     val c19 = col("n_events").cast(d19)
     val withSums = daily

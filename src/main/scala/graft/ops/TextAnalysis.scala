@@ -1210,4 +1210,51 @@ object TextAnalysis {
           .otherwise(col("n_rare").cast("double") / col("n_bigrams").cast("double"))
           .as("rare_frac"))
   }
+
+  /** OVERLAPPING-WINDOW DOCUMENT CHUNKING — the RAG-index / long-doc
+    * training complement of [[packSequences]] (which concatenates ACROSS
+    * documents; this splits WITHIN one): each document becomes
+    * ceil-covering windows of `chunkTokens` whitespace tokens advancing by
+    * `chunkTokens − overlapTokens`, so consecutive chunks share
+    * `overlapTokens` tokens of context and every token is covered. The
+    * reference has no chunking op (its embed path takes whole rows,
+    * schemas/text_vectoriser.py) — this is the engine's own member of the
+    * "beyond the reference" pipeline family, next to packSequences.
+    *
+    * Chunk-count arithmetic is ALL-INTEGER on both engines: k_last =
+    * (n − chunk + step − 1) div step (0 when n ≤ chunk), chunk c covers
+    * tokens [c·step, min(c·step + chunk, n)). The last chunk is the only
+    * short one, and a chunk never starts at/after n — no phantom trailing
+    * fragment, no float ceil to disagree on. chunk_text re-joins tokens
+    * with single spaces (whitespace runs NORMALIZE — documented; offsets
+    * are token-space, not char-space, for exactly this reason).
+    *
+    * Plan shape: one narrow projection + one bounded explode of
+    * O(n/step) rows per doc — no shuffle, no window, no state; at 100 TB
+    * this is embarrassingly parallel and composes with the downstream
+    * embed/index stages' own partitioning. Docs with zero tokens emit no
+    * chunk (an empty doc has nothing to index; count them upstream with
+    * [[tokenCountWs]] = 0 if the pipeline needs the audit row). */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, chunkTokens: Int, overlapTokens: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be >= 1")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens=$overlapTokens must be in [0, chunkTokens) — step" +
+        " would be <= 0 and the chunk walk would never advance")
+    val step = chunkTokens - overlapTokens
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    df.select(col(idCol), toks.as("__w"), size(toks).cast("long").as("__n"))
+      .filter(col("__n") > 0L)
+      .withColumn("__k",
+        when(col("__n") <= chunkTokens, lit(0L))
+          .otherwise(expr(s"(__n - $chunkTokens + ${step - 1}) div $step")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("__k"))))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * step).as("start_token"),
+        size(slice(col("__w"), (col("chunk_id") * step + 1L).cast("int"),
+          lit(chunkTokens))).cast("long").as("n_tokens"),
+        array_join(slice(col("__w"), (col("chunk_id") * step + 1L).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
 }

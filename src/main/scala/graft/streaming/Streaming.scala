@@ -929,4 +929,57 @@ object Streaming {
     }
     store.read(spark)
   }
+
+  /** EVENT-TRIGGER runtime gate (modality #9): [[runWorker]]'s
+    * [[EventTrigger]] emit path — the reference's ListenForTriggers
+    * (schemas/event_trigger.py:20-97, retrieval_job.py:3227-3265) — run as
+    * a REAL streaming job through the PRODUCTION worker entry point, not a
+    * rebuilt copy of it: staged time-ordered chunks, `runWorker` with the
+    * view's contract pipeline inside the stream, and a trigger whose
+    * predicate routes matching post-pipeline rows to a SECOND store from
+    * within the same foreachBatch that upserts the main store.
+    *
+    * Why the final trigger-store state equals the static filter (the
+    * oracle): the trigger predicate is a pure per-row function of the
+    * pipeline output, so batch boundaries cannot change membership; the
+    * worker is stateless here (no watermark, no agg), append emissions are
+    * exactly the staged rows, and both stores upsert by `idCol` so
+    * redelivery is idempotent. Returns the trigger store's final state —
+    * every pipeline row matching `condition`, exactly once. */
+  def stagedTriggerRun(spark: SparkSession, rows: DataFrame, orderCol: String,
+      idCol: String, view: FeatureView, condition: Column, chunks: Int = 3,
+      workDir: Option[String] = None): DataFrame = {
+    val trig = withStagedGate(spark, rows, orderCol, chunks, workDir) { g =>
+      val mainStore = graft.sources.ParquetSource(g.work.resolve("store").toString)
+      val trigStore = graft.sources.ParquetSource(g.work.resolve("trigstore").toString)
+      // the main sink goes through the commit-log wrapper (redelivered
+      // batches redo-never-skip, like every other gate); the trigger sink
+      // fires before it inside the same cached batch and is idempotent by
+      // upsert-on-idCol alone — a trigger emit is a per-row routing, not a
+      // second ledger
+      val mainSink = idempotentBatchSink({ (batch, _) =>
+        if (!batch.isEmpty) mainStore.upsert(batch.coalesce(1), Seq(idCol))
+      }, g.work.resolve("commitlog").toString)(spark)
+      val q = runWorker(g.source, view,
+        sink = mainSink,
+        triggers = Seq(EventTrigger(condition,
+          matched => if (!matched.isEmpty) trigStore.upsert(matched.coalesce(1), Seq(idCol)))),
+        checkpointDir = Some(g.work.resolve("ckpt").toString),
+        trigger = Trigger.ProcessingTime(0L))
+      try q.processAllAvailable() finally q.stop()
+      g.lap("stream")
+      // a run where nothing matched must yield an EMPTY frame with the
+      // pipeline schema, not a missing-path read error; the main store is
+      // the schema donor (it saw every batch). An all-empty INPUT is a
+      // caller error here — the gate exists to compare against a non-empty
+      // static filter — so fail loudly rather than fabricate both stores.
+      if (!mainStore.exists(spark))
+        throw new IllegalStateException(
+          "stagedTriggerRun: no batch reached the worker sink — empty input?")
+      if (!trigStore.exists(spark))
+        trigStore.overwrite(mainStore.read(spark).limit(0))
+      trigStore
+    }
+    trig.read(spark)
+  }
 }

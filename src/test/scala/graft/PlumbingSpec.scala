@@ -726,8 +726,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   // exact brute-force kNN and hard-negative mining broadcast the bounded
   // query side and stream the corpus — a BroadcastNestedLoopJoin IS their
-  // intended physical shape
-  private val allowedNonEqui = Set("q30_knn_bruteforce", "q112_hard_negatives")
+  // intended physical shape; q194 embeds the same brute-force scorer (one
+  // broadcast query row against the corpus) as its vector-ranker input
+  private val allowedNonEqui =
+    Set("q30_knn_bruteforce", "q112_hard_negatives", "q194_rrf_hybrid")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.specs.filterNot(q => allowedNonEqui(q.name)).flatMap { q =>
