@@ -5761,10 +5761,119 @@ object SparkEntry {
       Some(q201Sql))
   )
 
+  /** Source round trips + contract conformance + PII scrub (round 11):
+    * the remaining spec-only source paths promoted to oracle rows — the
+    * written-then-reread artifact is what the oracle checks, so the sink,
+    * the reader, and the upsert semantics are all inside the gate. */
+  private val conformQueries: Seq[Q] = Seq(
+
+    // --- CsvFileSource round trip (reference sources/local.py CSV
+    // insert/upsert/overwrite): overwrite the nation table to CSV, then
+    // stage-and-swap upsert a 5-row correction, read back through
+    // inference — quoting, header, and the upsert merge are all under
+    // the hash ---
+    Q("q203_csv_roundtrip",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        val src = graft.sources.CsvSource(s"$work/nation_csv")
+        src.overwrite(t(s, dir, "nation"))
+        src.upsert(t(s, dir, "nation").filter(col("n_nationkey") < 5)
+          .withColumn("n_name", concat(col("n_name"), lit(" (updated)"))),
+          Seq("n_nationkey"))
+        src.read(s).select(col("n_nationkey").cast("long"),
+          col("n_regionkey").cast("long"), col("n_name"))
+      },
+      Some("""SELECT n_nationkey, n_regionkey,
+          CASE WHEN n_nationkey < 5 THEN n_name || ' (updated)' ELSE n_name END AS n_name
+        FROM nation""")),
+
+    // --- PartitionedParquetFileSource round trip (reference
+    // sources/local.py:502-727): hive-partition documents by lang, then
+    // partition-upsert a 10%-of-en correction — dynamic partition
+    // overwrite rewrites ONLY the touched partition (the 100 TB-correct
+    // mutable-table shape); untouched partitions' rows must survive
+    // byte-identical ---
+    Q("q204_partitioned_upsert",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_part").toString
+        val src = graft.sources.PartitionedParquetSource(s"$work/docs_part", Seq("lang"))
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+        src.overwrite(docs)
+        src.upsert(docs.filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L), Seq("doc_id"))
+        src.read(s).select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      },
+      Some("""SELECT doc_id, lang, source,
+          CASE WHEN lang = 'en' AND doc_id % 10 = 0 THEN n_chars + 1000
+            ELSE n_chars END AS n_chars
+        FROM documents""")),
+
+    // --- contract conformance pipeline in one gate (FileFullJob,
+    // local/job.py:218-292): rename (mapping_keys) + fill-missing-with-
+    // default + cast-on-mismatch + derived feature, all through
+    // baseWithDerived — the scan→conform path every view read runs ---
+    Q("q205_contract_conform",
+      (s, dir) => {
+        val view = FeatureView("orders_conform", ParquetSource(s"$dir/orders.parquet"),
+          entities = Seq(Feature("o_orderkey", FInt64)),
+          features = Seq(
+            Feature("o_custkey", FInt32),
+            Feature("priority", FString),
+            Feature("channel", FString, defaultValue = Some("web"))),
+          derived = Seq(DerivedFeature("is_urgent", FBool,
+            Ref("priority") === Lit("1-URGENT"), Seq("priority"))),
+          mappingKeys = Map("o_orderpriority" -> "priority"))
+        new ContractStore().addView(view).view("orders_conform").baseWithDerived(s)
+          .select(col("o_orderkey"), col("o_custkey"), col("priority"),
+            col("channel"), col("is_urgent"))
+      },
+      Some("""SELECT o_orderkey, CAST(o_custkey AS INT) AS o_custkey,
+          o_orderpriority AS priority, 'web' AS channel,
+          o_orderpriority = '1-URGENT' AS is_urgent
+        FROM orders""")),
+
+    // --- PII detection + redaction (TextAnalysis.redactPii): the query
+    // seeds each doc with deterministic doc_id-derived identifiers
+    // IDENTICALLY on both engines (the raw corpus has none — a gate over
+    // all-zero counts would prove nothing), then the stage-sequential
+    // count→replace chain runs email → IPv4 → phone; counts and the
+    // fully-redacted text are both under the hash ---
+    Q("q206_pii_redact",
+      (s, dir) => {
+        val seeded = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."),
+            pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit(".7 call +1555"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 7, "0")).as("text"))
+        TextAnalysis.redactPii(seeded, "text", "doc_id")
+      },
+      Some(raw"""WITH seeded AS (SELECT doc_id, text || ' contact u' || doc_id ||
+            '@example.com from 10.0.' || (doc_id % 256) || '.7 call +1555' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') AS t0 FROM documents),
+          s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(t0,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+              regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '[EMAIL]', 'g') AS t1
+            FROM seeded),
+          s2 AS (SELECT doc_id, n_emails,
+              CAST(len(regexp_extract_all(t1,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+              regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                '[IP]', 'g') AS t2
+            FROM s1)
+          SELECT doc_id, n_emails, n_ips,
+            CAST(len(regexp_extract_all(t2, '\+\d{7,15}')) AS BIGINT) AS n_phones,
+            regexp_replace(t2, '\+\d{7,15}', '[PHONE]', 'g') AS redacted
+          FROM s2"""))
+  )
+
   val specs: Seq[Q] =
     relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++
       statsQueries ++ analyticQueries ++ storeQueries ++ pipelineQueries3 ++ pipelineQueries4 ++
-      pipelineQueries5 ++ layoutQueries ++ retrievalQueries ++ lifecycleQueries
+      pipelineQueries5 ++ layoutQueries ++ retrievalQueries ++ lifecycleQueries ++ conformQueries
 
   // ---------- driver contract ----------
 

@@ -1257,4 +1257,49 @@ object TextAnalysis {
         array_join(slice(col("__w"), (col("chunk_id") * step + 1L).cast("int"),
           lit(chunkTokens)), " ").as("chunk_text"))
   }
+
+  /** Per-type PII detection patterns, shared by [[redactPii]] and its
+    * oracle restatement. Deliberately restricted to the regex dialect
+    * intersection of java.util.regex and RE2 (character classes, ASCII
+    * `\d`/`\b`, bounded repetition — no lookaround, no backreferences) so
+    * the SAME literal pattern string runs on both engines. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\+\\d{7,15}", "[PHONE]"))
+
+  /** PII DETECTION + REDACTION — the pre-training scrub stage every
+    * public web-corpus recipe runs (C4 strips lines with the "bad words"
+    * and obvious identifiers; RefinedWeb and the CCNet lineage redact
+    * emails/IPs before release). The reference has no PII op (its
+    * transformation IR stops at generic regex replace,
+    * schemas/transformation.py ReplaceStrings) — this is a first-class
+    * member of the beyond-the-reference pipeline family.
+    *
+    * Semantics are STAGE-SEQUENTIAL and therefore unambiguous across
+    * engines: for each pattern in [[PiiPatterns]] order (email → IPv4 →
+    * intl phone), count matches on the text AS ALREADY REDACTED by the
+    * previous stages, then replace all matches with the type's placeholder
+    * token. Counting between stages (not on the raw text) makes the three
+    * counts disjoint by construction — an IPv4-shaped substring inside an
+    * email is counted as part of the email it was redacted with, never
+    * twice — and makes the count column exactly "number of placeholders
+    * this stage inserted".
+    *
+    * Plan shape: one narrow projection, three codegen'd regexp kernels in
+    * a single whole-stage span — no shuffle, no UDF, embarrassingly
+    * parallel at 100 TB. Returns (idCol, n_emails, n_ips, n_phones,
+    * redacted). */
+  def redactPii(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val staged = PiiPatterns.foldLeft(
+        (df.select(col(idCol), col(textCol).as("__t")), Seq.empty[Column])) {
+      case ((d, counts), (kind, pat, token)) =>
+        val counted = d.withColumn(s"n_${kind}s",
+            regexp_count(col("__t"), lit(pat)).cast("long"))
+          .withColumn("__t", regexp_replace(col("__t"), pat, token))
+        (counted, counts :+ col(s"n_${kind}s"))
+    }
+    staged._1.select(col(idCol) +: staged._2 :+ col("__t").as("redacted"): _*)
+  }
 }

@@ -172,6 +172,29 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(!got.keys.exists(_._1 == 3L))
   }
 
+  // --- redactPii ---
+
+  test("pii: counts are stage-disjoint and the redaction chain is ordered email→ip→phone") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex.org and 10.0.0.1@ex.com then ip 192.168.1.1 call +4912345678"),
+      (2L, "no identifiers here"),
+      (3L, "two mails x@y.de z@w.fr one ip 8.8.8.8"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.redactPii(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: the dotted-quad LOCAL PART belongs to the email it was redacted
+    // with — 2 emails, 1 ip (not 2), 1 phone
+    assert((got(1L).getLong(1), got(1L).getLong(2), got(1L).getLong(3)) == ((2L, 1L, 1L)))
+    assert(got(1L).getString(4) ==
+      "mail [EMAIL] and [EMAIL] then ip [IP] call [PHONE]")
+    assert((got(2L).getLong(1), got(2L).getLong(2), got(2L).getLong(3)) == ((0L, 0L, 0L)))
+    assert(got(2L).getString(4) == "no identifiers here")
+    assert((got(3L).getLong(1), got(3L).getLong(2)) == ((2L, 1L)))
+    // null text stays null all the way through — no fabricated zeros
+    assert(got(4L).isNullAt(1) && got(4L).isNullAt(4))
+  }
+
   test("chunking: a non-advancing overlap is rejected up front") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     assert(intercept[IllegalArgumentException] {
