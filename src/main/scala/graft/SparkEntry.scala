@@ -5867,7 +5867,33 @@ object SparkEntry {
           SELECT doc_id, n_emails, n_ips,
             CAST(len(regexp_extract_all(t2, '\+\d{7,15}')) AS BIGINT) AS n_phones,
             regexp_replace(t2, '\+\d{7,15}', '[PHONE]', 'g') AS redacted
-          FROM s2"""))
+          FROM s2""")),
+
+    // --- exact grouped ROC-AUC (MLOps.aucByGroup): Mann-Whitney with tie
+    // correction computed from the integer-score histogram — the corpus
+    // folds to O(groups × score-range) rows before the only window, no
+    // global row sort; all-integer half-unit numerator in DECIMAL(38,0),
+    // one float division last. Label (user_id % 3) is independent of the
+    // event_type grouping so every group is two-class ---
+    Q("q207_auc_by_group",
+      (s, dir) => graft.ml.MLOps.aucByGroup(
+        events(s, dir).withColumn("label",
+          when(pmod(col("user_id"), lit(3L)) === 0L, 1).otherwise(0)),
+        "event_type", floor(col("value") * 10), "label"),
+      Some("""WITH e AS (SELECT event_type, CAST(floor(value*10) AS BIGINT) AS s,
+            CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM events),
+          h AS (SELECT event_type, s, CAST(sum(label) AS BIGINT) AS pos,
+              CAST(sum(1-label) AS BIGINT) AS neg FROM e GROUP BY 1, 2),
+          w AS (SELECT event_type, s, pos, neg,
+              coalesce(sum(neg) OVER (PARTITION BY event_type ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negbelow
+            FROM h)
+          SELECT event_type, CAST(sum(pos) AS BIGINT) AS n_pos,
+            CAST(sum(neg) AS BIGINT) AS n_neg,
+            CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
+              ELSE CAST(sum(CAST(2*negbelow*pos + neg*pos AS HUGEINT)) AS DOUBLE)
+                / (2.0 * sum(pos) * sum(neg)) END AS auc
+          FROM w GROUP BY event_type"""))
   )
 
   val specs: Seq[Q] =

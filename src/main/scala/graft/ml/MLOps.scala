@@ -424,6 +424,52 @@ object MLOps {
           .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))))
   }
 
+  /** EXACT grouped ROC-AUC from the SCORE HISTOGRAM — the ranking member
+    * of the eval family next to [[calibrationTable]] (is the probability
+    * honest) and [[confusionAtThreshold]] (one operating point): AUC is
+    * the probability a random positive outscores a random negative, ties
+    * at half credit (Mann-Whitney with tie correction).
+    *
+    * The naive form ranks every row — a global sort, the shape this repo
+    * bans. This form never sorts rows: fold the corpus to one histogram
+    * row per (group, distinct score) — O(groups × score-range) rows for
+    * integer scores, regardless of corpus size — then one bounded window
+    * ordered by score inside each group gives negBelow(s), and
+    *   AUC = Σ_s [negBelow(s)·pos(s) + neg(s)·pos(s)/2] / (P·N)
+    * carried as the all-integer half-unit numerator
+    * num2 = Σ 2·negBelow·pos + neg·pos in DECIMAL(38,0) (operands pre-cast
+    * to DECIMAL(19,0): each product is ≤ N·P — past long at 100 TB counts),
+    * with the single float division last. A one-class group yields NULL
+    * (AUC is undefined), never 0/0.
+    *
+    * Callers pass an INTEGER score expression (milli-scale floats first:
+    * `floor(col*1000)`) — integer scores are what make the histogram
+    * bounded and the grouping portable across engines. */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreInt: Column,
+      labelCol: String): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hist = df.groupBy(col(groupCol), scoreInt.cast("long").as("__s"))
+      .agg(sum(col(labelCol).cast("long")).as("__pos"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("__neg"))
+    val below = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__negBelow", coalesce(sum(col("__neg")).over(below), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        // 2·negBelow fits a long (≤ 2N); the d19×d19 products land in d38
+        // before summing — the volumeAnomalies decimal discipline
+        sum(((col("__negBelow") * 2L).cast(d19) * col("__pos").cast(d19)
+          + col("__neg").cast(d19) * col("__pos").cast(d19)).cast(d38)).as("__num2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(col("__num2").cast("double")
+            / (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
   /** CLASS-BALANCED downsampling: cap every class at the MINORITY class's
     * row count, members chosen by md5 hash order of the key — the
     * deterministic alternative to weighted-loss training when the skew is

@@ -1268,13 +1268,16 @@ object TextAnalysis {
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
     ("phone", "\\+\\d{7,15}", "[PHONE]"))
 
-  /** PII DETECTION + REDACTION — the pre-training scrub stage every
-    * public web-corpus recipe runs (C4 strips lines with the "bad words"
-    * and obvious identifiers; RefinedWeb and the CCNet lineage redact
-    * emails/IPs before release). The reference has no PII op (its
+  /** PII DETECTION + REDACTION — the AUDITABLE form of the scrub stage:
+    * where [[scrubPii]] is the quick one-column cleaner (URL/email/digit
+    * run → placeholder, no accounting), this is the DataFrame operator a
+    * release pipeline runs when it must REPORT what it removed
+    * (RefinedWeb and the CCNet lineage publish exactly these per-type
+    * redaction counts) — per-document email/IPv4/intl-phone counts
+    * alongside the redacted text. The reference has no PII op (its
     * transformation IR stops at generic regex replace,
-    * schemas/transformation.py ReplaceStrings) — this is a first-class
-    * member of the beyond-the-reference pipeline family.
+    * schemas/transformation.py ReplaceStrings) — this extends the
+    * beyond-the-reference pipeline family.
     *
     * Semantics are STAGE-SEQUENTIAL and therefore unambiguous across
     * engines: for each pattern in [[PiiPatterns]] order (email → IPv4 →

@@ -202,6 +202,34 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }.getMessage.contains("overlapTokens"))
   }
 
+  // --- aucByGroup ---
+
+  test("auc: hand-computed value with ties, perfect/inverted/one-class groups") {
+    // group "m": pos scores {3, 2}, neg scores {2, 1}
+    //   pairs: (3,2)+ (3,1)+ (2,2)tie (2,1)+  → AUC = 3.5/4
+    val rows = Seq(
+      ("m", 3L, 1), ("m", 2L, 1), ("m", 2L, 0), ("m", 1L, 0),
+      ("perfect", 9L, 1), ("perfect", 1L, 0),
+      ("inverted", 1L, 1), ("inverted", 9L, 0),
+      ("onecls", 5L, 1), ("onecls", 7L, 1)
+    ).toDF("g", "s", "label")
+    val got = graft.ml.MLOps.aucByGroup(rows, "g", col("s"), "label")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got("m") == ((2L, 2L, Some(0.875))))
+    assert(got("perfect") == ((1L, 1L, Some(1.0))))
+    assert(got("inverted") == ((1L, 1L, Some(0.0))))
+    // one-class AUC is undefined → NULL, never 0/0
+    assert(got("onecls") == ((2L, 0L, None)))
+  }
+
+  test("auc: all-ties group scores exactly 0.5") {
+    val rows = Seq(("g", 4L, 1), ("g", 4L, 0), ("g", 4L, 1), ("g", 4L, 0))
+      .toDF("g", "s", "label")
+    val got = graft.ml.MLOps.aucByGroup(rows, "g", col("s"), "label").collect()(0)
+    assert(got.getDouble(3) == 0.5)
+  }
+
   // --- loud-guard fixes (ADVICE r10) ---
 
   test("domainReweightRound: a NULL loss fails loudly instead of deflating the mean") {
