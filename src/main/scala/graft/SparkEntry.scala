@@ -5893,7 +5893,102 @@ object SparkEntry {
             CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
               ELSE CAST(sum(CAST(2*negbelow*pos + neg*pos AS HUGEINT)) AS DOUBLE)
                 / (2.0 * sum(pos) * sum(neg)) END AS auc
-          FROM w GROUP BY event_type"""))
+          FROM w GROUP BY event_type""")),
+
+    // --- grouped PR curve (MLOps.prCurveByGroup): every operating point of
+    // "positive at score ≥ t" from the same histogram fold as q207 — one
+    // descending cumulative window over O(groups × score-range) rows, each
+    // ratio a single integer÷integer division ---
+    Q("q208_pr_curve",
+      (s, dir) => graft.ml.MLOps.prCurveByGroup(
+        events(s, dir).withColumn("label",
+          when(pmod(col("user_id"), lit(3L)) === 0L, 1).otherwise(0)),
+        "event_type", floor(col("value")), "label"),
+      Some("""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS threshold,
+            CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM events),
+          h AS (SELECT event_type, threshold, CAST(sum(label) AS BIGINT) AS pos,
+              CAST(sum(1-label) AS BIGINT) AS neg FROM e GROUP BY 1, 2),
+          w AS (SELECT event_type, threshold,
+              sum(pos) OVER cum AS tp, sum(neg) OVER cum AS fp,
+              sum(pos) OVER (PARTITION BY event_type) AS p
+            FROM h WINDOW cum AS (PARTITION BY event_type ORDER BY threshold DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT event_type, threshold, CAST(tp AS BIGINT) AS tp,
+            CAST(fp AS BIGINT) AS fp,
+            CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
+            CASE WHEN p = 0 THEN NULL
+              ELSE CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) END AS recall
+          FROM w""")),
+
+    // --- exact two-sample KS per group (MLOps.ksByGroup): distribution
+    // shift of value between even- and odd-user populations; integer
+    // common-denominator numerator max, one division last ---
+    Q("q209_ks_stat",
+      (s, dir) => graft.ml.MLOps.ksByGroup(
+        events(s, dir).withColumn("label",
+          when(pmod(col("user_id"), lit(2L)) === 0L, 1).otherwise(0)),
+        "event_type", floor(col("value") * 10), "label"),
+      Some("""WITH e AS (SELECT event_type, CAST(floor(value*10) AS BIGINT) AS s,
+            CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS label FROM events),
+          h AS (SELECT event_type, s, CAST(sum(label) AS BIGINT) AS pos,
+              CAST(sum(1-label) AS BIGINT) AS neg FROM e GROUP BY 1, 2),
+          w AS (SELECT event_type,
+              sum(pos) OVER cum AS ca, sum(neg) OVER cum AS cb,
+              sum(pos) OVER (PARTITION BY event_type) AS na,
+              sum(neg) OVER (PARTITION BY event_type) AS nb
+            FROM h WINDOW cum AS (PARTITION BY event_type ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+            CAST(max(nb) AS BIGINT) AS n_b,
+            CASE WHEN max(na) = 0 OR max(nb) = 0 THEN NULL
+              ELSE CAST(max(abs(CAST(ca AS HUGEINT)*nb - CAST(cb AS HUGEINT)*na))
+                  AS DOUBLE) / CAST(CAST(max(na) AS HUGEINT) * max(nb) AS DOUBLE) END
+              AS ks
+          FROM w GROUP BY event_type""")),
+
+    // --- tie-corrected Spearman per group (Aggregations.spearmanByGroup):
+    // monotone association between value magnitude and hour-of-day — ranks
+    // from marginal histograms (never a row sort), centered doubled ranks
+    // keep every sum integer-exact ---
+    Q("q210_spearman",
+      (s, dir) => Aggregations.spearmanByGroup(
+        events(s, dir), "event_type", floor(col("value")), hour(col("ts"))),
+      Some("""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS x,
+            CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y FROM events),
+          j AS (SELECT event_type, x, y, count(*) AS c FROM e GROUP BY 1, 2, 3),
+          rx AS (SELECT event_type, x,
+              2*coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m
+                - sum(m) OVER (PARTITION BY event_type) AS r
+            FROM (SELECT event_type, x, sum(c) AS m FROM j GROUP BY 1, 2)),
+          ry AS (SELECT event_type, y,
+              2*coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m
+                - sum(m) OVER (PARTITION BY event_type) AS r
+            FROM (SELECT event_type, y, sum(c) AS m FROM j GROUP BY 1, 2)),
+          s AS (SELECT j.event_type, j.c, rx.r AS rx, ry.r AS ry FROM j
+            JOIN rx ON j.event_type = rx.event_type AND j.x = rx.x
+            JOIN ry ON j.event_type = ry.event_type AND j.y = ry.y)
+          SELECT event_type, CAST(sum(c) AS BIGINT) AS n_points,
+            CASE WHEN sum(c*rx*rx) = 0 OR sum(c*ry*ry) = 0 THEN NULL
+              ELSE CAST(sum(c*rx*ry) AS DOUBLE)
+                / sqrt(CAST(sum(c*rx*rx) AS DOUBLE) * CAST(sum(c*ry*ry) AS DOUBLE))
+              END AS rho
+          FROM s GROUP BY event_type""")),
+
+    // --- corpus-mixture concentration (TextAnalysis.keyConcentration):
+    // HHI + effective source count of each language slice ---
+    Q("q211_source_hhi",
+      (s, dir) => TextAnalysis.keyConcentration(
+        t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH c AS (SELECT lang, source, count(*) AS n
+            FROM documents GROUP BY 1, 2)
+          SELECT lang, count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+            CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE)
+              / CAST(CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE) AS hhi,
+            CAST(CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE)
+              / CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE) AS effective_keys
+          FROM c GROUP BY lang"""))
   )
 
   val specs: Seq[Q] =

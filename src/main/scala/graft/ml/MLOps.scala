@@ -470,6 +470,75 @@ object MLOps {
           .as("auc"))
   }
 
+  /** GROUPED PRECISION-RECALL CURVE from the score histogram — the
+    * threshold-sweep member of the eval family: one row per (group,
+    * distinct integer score), reading "predict positive at score ≥
+    * threshold". Same never-sort-rows shape as [[aucByGroup]]: fold the
+    * corpus to the O(groups × score-range) histogram, then one descending
+    * cumulative window gives tp/fp at every operating point. precision and
+    * recall are each ONE integer÷integer IEEE division (tp+fp ≥ 1 by
+    * construction — the row exists because something scored there);
+    * recall is NULL for a positive-free group, never 0/0. */
+  def prCurveByGroup(df: DataFrame, groupCol: String, scoreInt: Column,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), scoreInt.cast("long").as("threshold"))
+      .agg(sum(col(labelCol).cast("long")).as("__pos"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("__neg"))
+    val wDesc = Window.partitionBy(col(groupCol)).orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // group totals via a window over the BOUNDED histogram frame (the
+    // constant-key-join ban: a 1-row totals join folds to NLJ)
+    val wAll = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("tp", sum(col("__pos")).over(wDesc))
+      .withColumn("fp", sum(col("__neg")).over(wDesc))
+      .withColumn("__p", sum(col("__pos")).over(wAll))
+      .select(col(groupCol), col("threshold"), col("tp"), col("fp"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("__p") === 0L, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / col("__p").cast("double"))
+          .as("recall"))
+  }
+
+  /** EXACT two-sample KOLMOGOROV-SMIRNOV statistic per group — "did this
+    * feature's distribution shift between the two labeled populations"
+    * (treatment/control, this-week/last-week, train/serve), the
+    * distribution-drift member of the eval family. D = max over thresholds
+    * of |ecdfA − ecdfB|, carried as the common-denominator integer
+    * numerator max |cumA·nB − cumB·nA| (DECIMAL products — cumA·nB passes
+    * 2^63 long before 100 TB counts do) with the single float division
+    * last. Same histogram fold as [[aucByGroup]]: no row ever sorts, the
+    * windows run over O(groups × score-range) rows. A one-class group
+    * yields NULL (no second sample to compare). */
+  def ksByGroup(df: DataFrame, groupCol: String, scoreInt: Column,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hist = df.groupBy(col(groupCol), scoreInt.cast("long").as("__s"))
+      .agg(sum(col(labelCol).cast("long")).as("__pos"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("__neg"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("__ca", sum(col("__pos")).over(wCum))
+      .withColumn("__cb", sum(col("__neg")).over(wCum))
+      .withColumn("__na", sum(col("__pos")).over(wAll))
+      .withColumn("__nb", sum(col("__neg")).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__ca").cast(d19) * col("__nb").cast(d19)
+          - col("__cb").cast(d19) * col("__na").cast(d19)).cast(d38)).as("__dnum"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(col("__dnum").cast("double")
+            / (col("n_a").cast(d19) * col("n_b").cast(d19)).cast("double"))
+          .as("ks"))
+  }
+
   /** CLASS-BALANCED downsampling: cap every class at the MINORITY class's
     * row count, members chosen by md5 hash order of the key — the
     * deterministic alternative to weighted-loss training when the skew is

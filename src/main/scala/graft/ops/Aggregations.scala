@@ -622,4 +622,62 @@ object Aggregations {
             col("n_points").cast("double")))
       .select(col(groupCol), col("n_points"), col("slope"), col("intercept"))
   }
+
+  /** GROUPED SPEARMAN RANK CORRELATION with exact tie correction — the
+    * monotone-association sibling of [[linearTrend]] (OLS asks "linear in
+    * the values"; this asks "monotone in the ranks", robust to outliers
+    * and any monotone rescaling — the drift monitor for "does this score
+    * still order the same way").
+    *
+    * Never ranks rows: both inputs are INTEGER expressions, so ranks come
+    * from the marginal histograms — centered DOUBLED average ranks
+    * (2·avgrank − (n+1) = 2·cumBelow + tieCount − n, an exact integer even
+    * at half-rank ties) joined back onto the joint (x, y) histogram. The
+    * windows and joins all run over O(group × value-range) histogram rows,
+    * never the corpus. ρ = Σc·rx·ry / (√Σc·rx² · √Σc·ry²) with the sums
+    * exact in DECIMAL(38,0) (bounded by 4n³ — inside 38 digits to n≈10¹²)
+    * and the only float ops the final casts, two exact-rounded sqrts, and
+    * one division — bit-identical in any IEEE engine. A group constant in
+    * either variable yields NULL (ρ undefined), never 0/0. */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xInt: Column,
+      yInt: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val joint = df.groupBy(col(groupCol), xInt.cast("long").as("__x"),
+        yInt.cast("long").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    // centered doubled rank of each margin, as RANGE windows directly over
+    // the joint histogram (RANGE, not ROWS: "strictly below this value"
+    // must exclude every tied row, whatever (x, y) cell it sits in) — the
+    // corpus folds ONCE; no marginal re-aggregation, no join-back
+    def centered(valCol: String): Column = {
+      val below = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val ties = Window.partitionBy(col(groupCol), col(valCol))
+      val wAll = Window.partitionBy(col(groupCol))
+      coalesce(sum(col("__c")).over(below), lit(0L)) * 2L +
+        sum(col("__c")).over(ties) - sum(col("__c")).over(wAll)
+    }
+    joint
+      .withColumn("__rx", centered("__x"))
+      .withColumn("__ry", centered("__y"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_points"),
+        sum((col("__c").cast(d19) * col("__rx").cast(d19) * col("__ry").cast(d19))
+          .cast(d38)).as("__sxy"),
+        sum((col("__c").cast(d19) * col("__rx").cast(d19) * col("__rx").cast(d19))
+          .cast(d38)).as("__sxx"),
+        sum((col("__c").cast(d19) * col("__ry").cast(d19) * col("__ry").cast(d19))
+          .cast(d38)).as("__syy"))
+      .select(col(groupCol), col("n_points"),
+        when(col("__sxx") === lit(0L).cast(d38) || col("__syy") === lit(0L).cast(d38),
+          lit(null).cast("double"))
+          .otherwise(col("__sxy").cast("double")
+            // one sqrt of the DOUBLE product (not sqrt·sqrt: that loses an
+            // ulp and reports 0.99999…8 for a perfectly monotone group;
+            // the decimal product would overflow 38 digits instead)
+            / sqrt(col("__sxx").cast("double") * col("__syy").cast("double")))
+          .as("rho"))
+  }
 }

@@ -1305,4 +1305,33 @@ object TextAnalysis {
     }
     staged._1.select(col(idCol) +: staged._2 :+ col("__t").as("redacted"): _*)
   }
+
+  /** CORPUS-MIXTURE CONCENTRATION per slice — the Herfindahl-Hirschman
+    * index of `keyCol` shares within each `groupCol` (hhi = Σ pᵢ², the
+    * entropy-free diversity measure: logs are libm-dependent, squared
+    * shares hash identically everywhere) plus its reciprocal, the
+    * EFFECTIVE key count ("this language draws from effectively 3.2
+    * sources, though 20 appear"). The monitor a mixture pipeline runs per
+    * ingest batch to catch one crawl silently taking over a slice.
+    *
+    * Exactness: hhi = Σnᵢ² / N² with the numerator summed in
+    * DECIMAL(38,0) (nᵢ² passes 2^63 long at 100 TB counts) and each
+    * output ONE float division of exact integers. N ≥ 1 whenever the
+    * group exists — no zero-denominator case. Plan: two partial-aggregated
+    * groupBys, shuffles O(groups × keys) then O(groups) rows. */
+  def keyConcentration(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.groupBy(col(groupCol), col(keyCol)).agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"), sum(col("__n")).as("n_rows"),
+        sum((col("__n").cast(d19) * col("__n").cast(d19)).cast(d38)).as("__ss"))
+      .select(col(groupCol), col("n_keys"), col("n_rows"),
+        (col("__ss").cast("double")
+          / (col("n_rows").cast(d19) * col("n_rows").cast(d19)).cast("double"))
+          .as("hhi"),
+        ((col("n_rows").cast(d19) * col("n_rows").cast(d19)).cast("double")
+          / col("__ss").cast("double")).as("effective_keys"))
+  }
 }

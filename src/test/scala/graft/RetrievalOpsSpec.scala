@@ -230,6 +230,88 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got.getDouble(3) == 0.5)
   }
 
+  // --- prCurveByGroup ---
+
+  test("pr curve: cumulative tp/fp and exact ratios at every distinct score") {
+    // scores desc: 3(pos) | 2(pos,neg) | 1(neg)  → P=2
+    val rows = Seq(("g", 3L, 1), ("g", 2L, 1), ("g", 2L, 0), ("g", 1L, 0))
+      .toDF("g", "s", "label")
+    val got = graft.ml.MLOps.prCurveByGroup(rows, "g", col("s"), "label")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(3L) == ((1L, 0L, 1.0, 0.5)))
+    assert(got(2L) == ((2L, 1L, 2.0 / 3.0, 1.0)))
+    assert(got(1L) == ((2L, 2L, 0.5, 1.0)))
+  }
+
+  test("pr curve: positive-free group has NULL recall, defined precision") {
+    val rows = Seq(("g", 5L, 0), ("g", 7L, 0)).toDF("g", "s", "label")
+    val got = graft.ml.MLOps.prCurveByGroup(rows, "g", col("s"), "label").collect()
+    assert(got.forall(r => r.isNullAt(5)), "recall undefined with P=0")
+    assert(got.forall(r => r.getDouble(4) == 0.0), "precision tp/(tp+fp) = 0")
+  }
+
+  // --- ksByGroup ---
+
+  test("ks: separated, interleaved, identical, and one-class groups") {
+    val rows = Seq(
+      // "sep": A={1,2} fully below B={3,4} → D = 1
+      ("sep", 1L, 1), ("sep", 2L, 1), ("sep", 3L, 0), ("sep", 4L, 0),
+      // "mix": A={1,3}, B={2,4} → max gap 1/2 (at s=1)
+      ("mix", 1L, 1), ("mix", 3L, 1), ("mix", 2L, 0), ("mix", 4L, 0),
+      // "same": identical samples → D = 0
+      ("same", 5L, 1), ("same", 5L, 0),
+      ("onecls", 9L, 1), ("onecls", 8L, 1)
+    ).toDF("g", "s", "label")
+    val got = graft.ml.MLOps.ksByGroup(rows, "g", col("s"), "label")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got("sep") == ((2L, 2L, Some(1.0))))
+    assert(got("mix") == ((2L, 2L, Some(0.5))))
+    assert(got("same") == ((1L, 1L, Some(0.0))))
+    assert(got("onecls") == ((2L, 0L, None)))
+  }
+
+  // --- spearmanByGroup ---
+
+  test("spearman: monotone=1, inverted=-1, tied hand case, constant margin=NULL") {
+    val rows = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 90L),
+      ("down", 1L, 3L), ("down", 2L, 2L), ("down", 3L, 1L),
+      // "tie": x=(1,2,2,3), y=(1,3,2,4); avg-ranks x=(1,2.5,2.5,4)
+      // y=(1,3,2,4) → rho = 11/(sqrt(12.5)*sqrt(13...)) hand-checked below
+      ("tie", 1L, 1L), ("tie", 2L, 3L), ("tie", 2L, 2L), ("tie", 3L, 4L),
+      ("const", 7L, 1L), ("const", 7L, 2L)
+    ).toDF("g", "x", "y")
+    val got = graft.ops.Aggregations.spearmanByGroup(rows, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got("up") == ((3L, Some(1.0))))
+    assert(got("down") == ((3L, Some(-1.0))))
+    assert(got("const")._2.isEmpty, "constant x → rho undefined → NULL")
+    // tie group, centered doubled ranks: x → (-3, 0, 0, 3), y → (-3, 1, -1, 3)
+    // num = 9+0+0+9 = 18; dx = 9+0+0+9 = 18; dy = 9+1+1+9 = 20
+    val expected = 18.0 / math.sqrt(18.0 * 20.0)
+    assert(math.abs(got("tie")._2.get - expected) < 1e-15)
+  }
+
+  // --- keyConcentration ---
+
+  test("hhi: monopoly=1, uniform=1/k, effective count is the reciprocal") {
+    val rows = Seq(
+      ("mono", "a"), ("mono", "a"), ("mono", "a"),
+      ("uni", "a"), ("uni", "b"), ("uni", "c"), ("uni", "d"),
+      // skew: 3+1 → hhi = (9+1)/16
+      ("skew", "a"), ("skew", "a"), ("skew", "a"), ("skew", "b")
+    ).toDF("g", "k")
+    val got = graft.ops.TextAnalysis.keyConcentration(rows, "g", "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("mono") == ((1L, 3L, 1.0, 1.0)))
+    assert(got("uni") == ((4L, 4L, 0.25, 4.0)))
+    assert(got("skew") == ((2L, 4L, 10.0 / 16.0, 16.0 / 10.0)))
+  }
+
   // --- loud-guard fixes (ADVICE r10) ---
 
   test("domainReweightRound: a NULL loss fails loudly instead of deflating the mean") {
