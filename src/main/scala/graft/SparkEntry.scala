@@ -5988,7 +5988,27 @@ object SparkEntry {
               / CAST(CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE) AS hhi,
             CAST(CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE)
               / CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE) AS effective_keys
-          FROM c GROUP BY lang"""))
+          FROM c GROUP BY lang""")),
+
+    // --- The TENTH streaming-runtime modality under the gate: CHECKPOINT
+    // RESTART RECOVERY. The stream stops mid-corpus (graceful shutdown
+    // after the first two of four staged chunks), the remaining chunks
+    // land during the outage, and a NEW query resumes from the same
+    // checkpoint — so the oracle equality proves the window state store
+    // RELOADS across query lifecycles (straddling windows keep their
+    // phase-1 counts without re-reading them), the file-source checkpoint
+    // replays nothing and misses nothing, and any recovery redelivery is
+    // absorbed by the idempotent commitlog sink. Oracle = the q165-style
+    // static aggregate over the full table ---
+    Q("q212_restart_recovery",
+      (s, dir) => graft.streaming.Streaming.stagedRestartRecoveryRun(
+        s, events(s, dir).select("ts", "event_type", "value"),
+        "ts", "event_type", "value"),
+      Some("""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+            AS window_start,
+          event_type, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2"""))
   )
 
   val specs: Seq[Q] =

@@ -602,6 +602,59 @@ object Streaming {
       col("n_events"), col("__sum_dec").cast("double").as("sum_value"))
   }
 
+  /** CHECKPOINT RESTART RECOVERY — the runtime modality none of the other
+    * gates exercise: the stream STOPS mid-corpus and a NEW query resumes
+    * from the same checkpoint. Phase 1 sees only the first
+    * `chunks − holdBack` staged chunks, drains, and shuts down (a planned
+    * restart — deploys and crashes share this path: recovery reads the
+    * checkpoint, not the old JVM). The held-back chunks then land while
+    * the job is down; phase 2 starts a fresh query on the SAME
+    * checkpoint/commitlog/store and drains the rest.
+    *
+    * What the oracle equality proves that q165 alone cannot:
+    *   - the watermark + window STATE STORE reloads across query
+    *     lifecycles — windows straddling the restart boundary keep
+    *     accumulating phase-1 counts they never re-read from the source;
+    *   - the file-source checkpoint replays nothing already processed and
+    *     misses nothing that arrived during the outage;
+    *   - any batch Spark re-delivers on recovery (offsets written, commit
+    *     pending) hits [[idempotentBatchSink]]'s commitlog and is skipped,
+    *     so at-least-once redelivery still yields exactly-once store state.
+    * Final store = the static aggregate, same argument as
+    * [[stagedWindowAggRun]] plus the recovery steps above. */
+  def stagedRestartRecoveryRun(spark: SparkSession, events: DataFrame,
+      tsCol: String, keyCol: String, valueCol: String, chunks: Int = 4,
+      holdBack: Int = 2, windowDur: String = "1 hour",
+      lateness: String = "1 day", workDir: Option[String] = None): DataFrame = {
+    require(chunks >= 2 && holdBack >= 1 && holdBack < chunks,
+      s"need chunks >= 2 and 1 <= holdBack < chunks, got chunks=$chunks holdBack=$holdBack" +
+        " — a restart gate with nothing before or after the restart proves nothing")
+    val store = withStagedGate(spark, events, tsCol, chunks, workDir) { g =>
+      val in = g.work.resolve("in")
+      val hold = g.work.resolve("hold")
+      java.nio.file.Files.createDirectories(hold)
+      val held = in.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).takeRight(holdBack)
+      held.foreach(f => java.nio.file.Files.move(f.toPath, hold.resolve(f.getName)))
+      def lifecycle() = runUpsertStream(spark,
+        g.source
+          .withWatermark(tsCol, lateness)
+          .groupBy(window(col(tsCol), windowDur), col(keyCol))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col(valueCol).cast("decimal(18,4)")).as("__sum_dec")),
+        b => b.select(col("window.start").cast("long").as("window_start"),
+          col(keyCol), col("n_events"), col("__sum_dec")),
+        Seq("window_start", keyCol), g.work, g.lap, g.debugT)
+      lifecycle() // phase 1: partial corpus, graceful stop
+      g.lap("phase1-down")
+      // the outage: late chunks arrive while no query is running
+      held.foreach(f => java.nio.file.Files.move(hold.resolve(f.getName), f.toPath))
+      lifecycle() // phase 2: new query, same checkpoint — state recovers
+    }
+    store.read(spark).select(col("window_start"), col(keyCol),
+      col("n_events"), col("__sum_dec").cast("double").as("sum_value"))
+  }
+
   /** The CUSTOM-KEYED-STATE runtime gate (q167) — [[statefulLatest]]'s
     * per-entity latest-row changelog compaction run as a REAL streaming
     * job: staged time-ordered chunks, `flatMapGroupsWithState` carrying

@@ -3188,6 +3188,34 @@ class GateEdgeSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("stagedRestartRecoveryRun: state survives the restart; rows arriving in the outage count once") {
+    // 24 rows over 4 hours, 2 keys — chunks=4/holdBack=2 puts the restart
+    // mid-corpus, with hour windows straddling the boundary
+    val rows = (0 until 24).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i / 6}%02d:${(i % 6) * 10}%02d:00"),
+        if (i % 2 == 0) "a" else "b", i.toDouble)
+    }.toDF("ts", "k", "v")
+    val got = graft.streaming.Streaming.stagedRestartRecoveryRun(
+        spark, rows, "ts", "k", "v", chunks = 4, holdBack = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val want = rows.groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getStruct(0).getTimestamp(0).getTime / 1000, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want, s"restart-recovered store must equal the static aggregate\n$got\n$want")
+  }
+
+  test("stagedRestartRecoveryRun rejects a degenerate restart split") {
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0))
+      .toDF("ts", "k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.stagedRestartRecoveryRun(
+        spark, df, "ts", "k", "v", chunks = 3, holdBack = 3)
+    }
+    assert(e.getMessage.contains("holdBack"))
+  }
+
   test("statefulLatest rejects a non-numeric tie column at construction") {
     val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "x"))
       .toDF("ts", "user_id", "event_type")
