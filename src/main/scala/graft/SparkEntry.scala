@@ -6008,7 +6008,138 @@ object SparkEntry {
             AS window_start,
           event_type, CAST(count(*) AS BIGINT) AS n_events,
           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2"""))
+        FROM events GROUP BY 1, 2""")),
+
+    // --- ranked-retrieval quality (MLOps.rankingMetrics): nDCG@10, RR and
+    // recall@10 per lang over a deterministic run (docs ranked by length,
+    // graded gains from doc_id). The log2 discounts enter BOTH engines as
+    // the same ndcgDiscountMicros integer literal table — libm never runs
+    // in the data path — so every float is one integer÷integer division ---
+    Q("q213_ranking_metrics",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        val run = t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("rel", when(pmod(col("doc_id"), lit(5L)) === 0L, 3L)
+            .when(pmod(col("doc_id"), lit(5L)) === 1L, 1L).otherwise(0L))
+        graft.ml.MLOps.rankingMetrics(run, "lang", col("rnk"), col("rel"), k = 10)
+      },
+      Some(s"""WITH r AS (SELECT lang,
+            CASE WHEN doc_id % 5 = 0 THEN 3 WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END
+              AS rel,
+            row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+              AS rnk
+          FROM documents),
+        i AS (SELECT lang, rel, rnk,
+            row_number() OVER (PARTITION BY lang ORDER BY rel DESC, rnk) AS ip
+          FROM r),
+        a AS (SELECT lang, count(*) AS n_labeled,
+            CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+            CAST(min(CASE WHEN rel > 0 THEN rnk END) AS BIGINT) AS first_rel_rank,
+            CAST(sum(CASE WHEN rel > 0 AND rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+              AS hits_at_k,
+            CAST(sum(CASE WHEN rnk <= 10 THEN
+              rel * (${graft.ml.MLOps.ndcgDiscountMicros(10).mkString("[", ", ", "]")})[rnk]
+              ELSE 0 END) AS BIGINT) AS dcg_micro,
+            CAST(sum(CASE WHEN ip <= 10 THEN
+              rel * (${graft.ml.MLOps.ndcgDiscountMicros(10).mkString("[", ", ", "]")})[ip]
+              ELSE 0 END) AS BIGINT) AS idcg_micro
+          FROM i GROUP BY lang)
+        SELECT lang, n_labeled, n_relevant, first_rel_rank,
+          CAST(1 AS DOUBLE) / first_rel_rank AS rr, hits_at_k,
+          CASE WHEN n_relevant = 0 THEN NULL
+            ELSE CAST(hits_at_k AS DOUBLE) / n_relevant END AS recall_at_k,
+          dcg_micro, idcg_micro,
+          CASE WHEN idcg_micro = 0 THEN NULL
+            ELSE CAST(dcg_micro AS DOUBLE) / idcg_micro END AS ndcg_at_k
+        FROM a""")),
+
+    // --- exact two-sample chi-square homogeneity + Cramér's V
+    // (MLOps.chiSquareByGroup): whole-table drift between even- and
+    // odd-user value distributions per event_type — D = cA·nB − cB·nA in
+    // DECIMAL per bin, and the one float sum runs as a SEQUENTIAL FOLD IN
+    // BIN ORDER on both engines (sort_array+aggregate ≡ list ORDER BY +
+    // list_reduce), so the IEEE operation sequence is identical ---
+    Q("q214_chi2_drift",
+      (s, dir) => graft.ml.MLOps.chiSquareByGroup(
+        events(s, dir).withColumn("label",
+          when(pmod(col("user_id"), lit(2L)) === 0L, 1).otherwise(0)),
+        "event_type", floor(col("value") * 10), "label"),
+      Some("""WITH e AS (SELECT event_type, CAST(floor(value*10) AS BIGINT) AS b,
+            CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS label FROM events),
+          h AS (SELECT event_type, b, CAST(sum(label) AS BIGINT) AS ca,
+              CAST(sum(1-label) AS BIGINT) AS cb FROM e GROUP BY 1, 2),
+          w AS (SELECT event_type, b, ca, cb,
+              CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+              CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+            FROM h),
+          t AS (SELECT event_type, b, na, nb, ca + cb AS m,
+              CAST(CAST(ca AS HUGEINT)*nb - CAST(cb AS HUGEINT)*na AS DOUBLE) AS d
+            FROM w),
+          g AS (SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+              count(*) AS n_bins,
+              list_reduce(list(d*d / CAST(m AS DOUBLE) ORDER BY b),
+                (x, y) -> x + y) AS s
+            FROM t GROUP BY event_type),
+          g2 AS (SELECT event_type, n_a, n_b, n_bins,
+              CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE s / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) END AS chi2
+            FROM g)
+          SELECT event_type, n_a, n_b, n_bins, chi2,
+            CASE WHEN chi2 IS NULL OR n_bins <= 1 THEN NULL
+              ELSE sqrt(chi2 / CAST(n_a + n_b AS DOUBLE)) END AS cramers_v
+          FROM g2""")),
+
+    // --- Cohen's kappa per lang (MLOps.cohenKappaByGroup): chance-corrected
+    // agreement between two label heuristics (char length vs space count) —
+    // entirely rational, κ = (n·agree − S)/(n² − S), one division last ---
+    Q("q215_cohen_kappa",
+      (s, dir) => graft.ml.MLOps.cohenKappaByGroup(
+        t(s, dir, "documents"), "lang",
+        col("n_chars") >= 400,
+        expr("length(text) - length(replace(text, ' ', ''))") >= 60),
+      Some("""WITH p AS (SELECT lang,
+            CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS a,
+            CASE WHEN length(text) - length(replace(text, ' ', '')) >= 60
+              THEN 1 ELSE 0 END AS b
+          FROM documents),
+          cells AS (SELECT lang, a, b, count(*) AS c FROM p GROUP BY 1, 2, 3),
+          ma AS (SELECT lang, a AS k, CAST(sum(c) AS BIGINT) AS m
+            FROM cells GROUP BY 1, 2),
+          mb AS (SELECT lang, b AS k, CAST(sum(c) AS BIGINT) AS m
+            FROM cells GROUP BY 1, 2),
+          s AS (SELECT ma.lang, sum(CAST(ma.m AS HUGEINT) * mb.m) AS S
+            FROM ma JOIN mb ON ma.lang = mb.lang AND ma.k = mb.k GROUP BY 1),
+          g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+            FROM cells GROUP BY 1)
+          SELECT g.lang, n, n_agree,
+            CASE WHEN CAST(n AS HUGEINT) * n = S THEN NULL
+              ELSE CAST(CAST(n AS HUGEINT) * n_agree - S AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * n - S AS DOUBLE) END AS kappa
+          FROM g JOIN s ON g.lang = s.lang""")),
+
+    // --- k-anonymity risk profile (Profiling.kAnonymityProfile): class-size
+    // distribution of the (nation, segment, balance-band) quasi-identifier
+    // over customers, with the cumulative at-risk population; all-integer ---
+    Q("q216_k_anonymity",
+      (s, dir) => Profiling.kAnonymityProfile(
+        t(s, dir, "customer")
+          .withColumn("bal_band", floor(col("c_acctbal") / 500)),
+        Seq("c_nationkey", "c_mktsegment", "bal_band")),
+      Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+            floor(c_acctbal / 500) AS band, count(*) AS s
+          FROM customer GROUP BY 1, 2, 3),
+          d AS (SELECT s AS class_size, count(*) AS n_classes,
+              CAST(s * count(*) AS BIGINT) AS n_rows
+            FROM cls GROUP BY s)
+          SELECT class_size, n_classes, n_rows,
+            CAST(sum(n_rows) OVER (ORDER BY class_size
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS rows_at_or_below
+          FROM d"""))
   )
 
   val specs: Seq[Q] =

@@ -539,6 +539,185 @@ object MLOps {
           .as("ks"))
   }
 
+  /** The nDCG@k discount table in integer MICRO-units:
+    * round(10⁶ / log2(rank+1)) for rank 1..k. Computed ONCE here and
+    * injected as plan-time literals on the engine side and as an array
+    * literal in any cross-engine restatement — the log never runs inside
+    * either engine, so the last-ulp libm differences that make raw
+    * transcendental math a determinism hazard cannot reach the data path
+    * (the [[graft.ops.Profiling]] no-libm discipline applied to ranking). */
+  def ndcgDiscountMicros(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 * math.log(2.0) / math.log(r + 1.0)))
+
+  /** RANKED-RETRIEVAL QUALITY per query — nDCG@k, reciprocal rank, and
+    * recall@k over a labeled run: one row per query with its judged
+    * candidate set. The eval-family member for the retrieval side of the
+    * engine ([[graft.ops.TextAnalysis.bm25TopK]] / rrfFuse / kNN produce
+    * runs; this scores them against graded relevance labels).
+    * Reference-semantics anchor: aligned's model-eval metric annotations
+    * (`aligned/schemas/model.py` metric fields); the ranking metrics
+    * themselves are the standard IR definitions (Järvelin & Kekäläinen
+    * nDCG), which aligned does not compute.
+    *
+    * Exactness: every sum is INTEGER — gains are small integers, the
+    * log2 discount enters as the [[ndcgDiscountMicros]] micro-unit
+    * literal table — and each emitted float is ONE integer÷integer IEEE
+    * division (rr, recall@k, nDCG@k), so the result hash-matches any
+    * engine restating the same table. The ideal ordering needs no
+    * tie-break policy: equal gains are interchangeable under the sum, and
+    * the (rel desc, rank asc) window order makes the assignment
+    * deterministic anyway.
+    *
+    * Plan shape at 100 TB: ONE window partitioned by query over that
+    * query's judged candidates (O(candidates/query) rows — runs are
+    * top-n shaped, never corpus-shaped) feeding one partial-aggregated
+    * group-by; no global sort. The duplicate-rank guard's count_distinct
+    * plans an Expand (×2 on the run rows) — accepted: runs are the small
+    * side of the pipeline by construction, and a duplicated rank would
+    * silently double-count DCG gain. Guards raise loudly in-plan: ranks
+    * must be ≥ 1 and unique per query, gains non-negative. */
+  def rankingMetrics(df: DataFrame, queryCol: String, rankCol: Column,
+      relCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"rankingMetrics: k must be >= 1, got $k")
+    val discs = ndcgDiscountMicros(k)
+    def disc(r: Column): Column = element_at(typedLit(discs), r.cast("int"))
+    val base = df.select(col(queryCol).as("__q"), rankCol.cast("long").as("__r"),
+      relCol.cast("long").as("__rel"))
+    val wIdeal = Window.partitionBy(col("__q"))
+      .orderBy(col("__rel").desc, col("__r").asc)
+    base
+      .withColumn("__ip", row_number().over(wIdeal))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_labeled"),
+        sum(when(col("__rel") > 0L, 1L).otherwise(0L)).as("n_relevant"),
+        min(when(col("__rel") > 0L, col("__r"))).as("first_rel_rank"),
+        sum(when(col("__rel") > 0L && col("__r") <= k, 1L).otherwise(0L))
+          .as("hits_at_k"),
+        sum(when(col("__r").between(1L, k.toLong),
+          col("__rel") * disc(col("__r"))).otherwise(0L)).as("dcg_micro"),
+        sum(when(col("__ip") <= k, col("__rel") * disc(col("__ip")))
+          .otherwise(0L)).as("idcg_micro"),
+        min(col("__r")).as("__minr"), min(col("__rel")).as("__minrel"),
+        count_distinct(col("__r")).as("__ndr"))
+      .select(col("__q").as(queryCol),
+        when(col("__ndr") =!= col("n_labeled"), raise_error(concat(
+            lit("rankingMetrics: duplicate ranks in the run for query "),
+            col("__q").cast("string"))))
+          .when(col("__minr") < 1L, raise_error(concat(
+            lit("rankingMetrics: rank < 1 in the run for query "),
+            col("__q").cast("string"))))
+          .when(col("__minrel") < 0L, raise_error(concat(
+            lit("rankingMetrics: negative relevance gain for query "),
+            col("__q").cast("string"))))
+          .otherwise(col("n_labeled")).as("n_labeled"),
+        col("n_relevant"), col("first_rel_rank"),
+        (lit(1.0) / col("first_rel_rank").cast("double")).as("rr"),
+        col("hits_at_k"),
+        when(col("n_relevant") === 0L, lit(null).cast("double"))
+          .otherwise(col("hits_at_k").cast("double")
+            / col("n_relevant").cast("double")).as("recall_at_k"),
+        col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") === 0L, lit(null).cast("double"))
+          .otherwise(col("dcg_micro").cast("double")
+            / col("idcg_micro").cast("double")).as("ndcg_at_k"))
+  }
+
+  /** Exact two-sample CHI-SQUARE homogeneity statistic per group (+
+    * Cramér's V) — "are these two labeled populations drawn from the same
+    * binned distribution", the significance-flavored sibling of
+    * [[ksByGroup]] (KS reads the worst single threshold; chi-square reads
+    * the whole table, so it sees multi-bin drift KS dilutes). Same
+    * histogram fold: the corpus collapses to O(groups × bins) rows before
+    * any window.
+    *
+    * Determinism discipline for the float sum: per-bin terms are
+    * (cA·nB − cB·nA)²/m with the cross-product formed in DECIMAL (the
+    * [[aucByGroup]] overflow rule), each term ONE deterministic
+    * cast-multiply-divide; the Σ over bins — a float sum, normally
+    * ordering-dependent — runs as a SEQUENTIAL FOLD IN BIN ORDER
+    * (sort_array over the bounded per-group term list, then a left fold),
+    * so every engine restating the same fold produces the identical IEEE
+    * operation sequence. collect_list is bounded by the bin count, never
+    * the row count. Algebra: χ² for the 2×B table telescopes to
+    * Σ_b D_b²/m_b / (nA·nB) with D = cA·nB − cB·nA, m = cA+cB ≥ 1.
+    * Cramér's V = √(χ²/n) (min(2,B)−1 = 1), NULL for a one-bin or
+    * one-class group; sqrt is IEEE-correctly-rounded everywhere, so it is
+    * the one transcendental-adjacent op the no-libm rule admits. */
+  def chiSquareByGroup(df: DataFrame, groupCol: String, binInt: Column,
+      labelCol: String): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hist = df.groupBy(col(groupCol), binInt.cast("long").as("__b"))
+      .agg(sum(col(labelCol).cast("long")).as("__ca"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("__cb"))
+    val wAll = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__d", (col("__ca").cast(d19) * col("__nb").cast(d19)
+        - col("__cb").cast(d19) * col("__na").cast(d19)).cast(d38).cast("double"))
+      .withColumn("__term", col("__d") * col("__d")
+        / (col("__ca") + col("__cb")).cast("double"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("n_bins"),
+        aggregate(sort_array(collect_list(struct(col("__b"), col("__term")))),
+          lit(0.0), (acc, x) => acc + x.getField("__term")).as("__s"))
+      .withColumn("chi2",
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(col("__s")
+            / (col("n_a").cast(d19) * col("n_b").cast(d19)).cast(d38)
+              .cast("double")))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("n_bins"),
+        col("chi2"),
+        when(col("chi2").isNull || col("n_bins") <= 1L,
+            lit(null).cast("double"))
+          .otherwise(sqrt(col("chi2")
+            / (col("n_a") + col("n_b")).cast("double"))).as("cramers_v"))
+  }
+
+  /** COHEN'S KAPPA per group — chance-corrected agreement between two
+    * categorical raters over the same rows: the standard QA statistic for
+    * "do my two labeling heuristics / annotator pools actually agree",
+    * run before trusting either as training labels. Entirely RATIONAL —
+    * κ = (n·agree − S)/(n² − S) with S = Σ_cat rowMargin·colMargin — so
+    * the output is integer counts plus ONE float division; no libm, no
+    * float sums.
+    *
+    * Plan shape at 100 TB: the corpus folds to the O(groups × cats²)
+    * contingency cells in one partial aggregate; marginals and their
+    * product-sum are aggregates and an equi-join over O(groups × cats)
+    * rows. A rater-degenerate group (both raters constant and equal:
+    * pe = 1) has undefined κ → NULL, never 0/0. */
+  def cohenKappaByGroup(df: DataFrame, groupCol: String, raterA: Column,
+      raterB: Column): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.groupBy(col(groupCol), raterA.cast("string").as("__a"),
+        raterB.cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val margA = cells.groupBy(col(groupCol), col("__a").as("__k"))
+      .agg(sum(col("__c")).as("__ma"))
+    val margB = cells.groupBy(col(groupCol), col("__b").as("__k"))
+      .agg(sum(col("__c")).as("__mb"))
+    val peNum = margA.join(margB, Seq(groupCol, "__k"))
+      .groupBy(col(groupCol))
+      .agg(sum((col("__ma").cast(d19) * col("__mb").cast(d19)).cast(d38))
+        .as("__S"))
+    cells.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+          .as("n_agree"))
+      .join(peNum, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("n_agree"),
+        when((col("n").cast(d19) * col("n").cast(d19)).cast(d38)
+            === col("__S"), lit(null).cast("double"))
+          .otherwise(((col("n").cast(d19) * col("n_agree").cast(d19)).cast(d38)
+              - col("__S")).cast("double")
+            / ((col("n").cast(d19) * col("n").cast(d19)).cast(d38)
+              - col("__S")).cast("double")).as("kappa"))
+  }
+
   /** CLASS-BALANCED downsampling: cap every class at the MINORITY class's
     * row count, members chosen by md5 hash order of the key — the
     * deterministic alternative to weighted-loss training when the skew is

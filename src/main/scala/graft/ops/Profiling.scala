@@ -147,4 +147,32 @@ object Profiling {
         (sum(col("__sq")).cast("double") / (lit(1e6) * count(lit(1))))
           .as("mean_sq_norm"))
   }
+
+  /** K-ANONYMITY RISK PROFILE over a quasi-identifier column set — the
+    * privacy screen a dataset passes before release: group rows into
+    * equivalence classes on the QI columns, then report the CLASS-SIZE
+    * DISTRIBUTION with a cumulative at-risk count. A row in a class of
+    * size s is re-identifiable at any k > s, so `rows_at_or_below` at
+    * size s is exactly the population that fails (s+1)-anonymity — one
+    * frame answers every k at once instead of re-scanning per threshold.
+    * Complements [[graft.ops.TextAnalysis.redactPii]] (free-text PII)
+    * with the structured-column side of the same release gate.
+    *
+    * All-integer output (exact, engine-portable). Plan shape at 100 TB:
+    * one partial-aggregated group-by on the QI key (the only
+    * corpus-sized shuffle), a second fold to O(distinct class sizes)
+    * rows — at most O(√n) of them, in practice tens — and the cumulative
+    * window runs unpartitioned over THAT bounded frame only. */
+  def kAnonymityProfile(df: DataFrame, qiCols: Seq[String]): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityProfile: need at least one " +
+      "quasi-identifier column — an empty QI set makes every row one class")
+    import org.apache.spark.sql.expressions.Window
+    val classes = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("__s"))
+    val wCum = Window.orderBy(col("class_size"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes.groupBy(col("__s").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", col("class_size") * col("n_classes"))
+      .withColumn("rows_at_or_below", sum(col("n_rows")).over(wCum))
+  }
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 eval/monitoring additions: ranked-retrieval quality
+  * (rankingMetrics, q213), chi-square homogeneity + Cramér's V
+  * (chiSquareByGroup, q214), Cohen's kappa (cohenKappaByGroup, q215) and
+  * the k-anonymity class-size profile (kAnonymityProfile, q216). Each has
+  * a hand-computed closed-form case plus its loud-guard edges. */
+class EvalStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- rankingMetrics ---
+
+  test("rankingMetrics: hand-computed nDCG@3 / RR / recall@3 on one query") {
+    // ranks 1..4 with gains 0,3,1,2; k=3. discs = [1e6, 630930, 500000]
+    val run = Seq(("q", 1L, 0L), ("q", 2L, 3L), ("q", 3L, 1L), ("q", 4L, 2L))
+      .toDF("qid", "rnk", "rel")
+    val r = graft.ml.MLOps.rankingMetrics(run, "qid", col("rnk"), col("rel"), 3)
+      .collect().head
+    assert(r.getAs[Long]("n_labeled") == 4L)
+    assert(r.getAs[Long]("n_relevant") == 3L)
+    assert(r.getAs[Long]("first_rel_rank") == 2L)
+    assert(r.getAs[Double]("rr") == 0.5)
+    assert(r.getAs[Long]("hits_at_k") == 2L)
+    assert(r.getAs[Double]("recall_at_k") == 2.0 / 3.0)
+    // DCG = 3·630930 + 1·500000; ideal gains desc = 3,2,1 over discs 1..3
+    assert(r.getAs[Long]("dcg_micro") == 3L * 630930L + 500000L)
+    assert(r.getAs[Long]("idcg_micro") == 3L * 1000000L + 2L * 630930L + 500000L)
+    assert(r.getAs[Double]("ndcg_at_k") == 2392790.0 / 4761860.0)
+  }
+
+  test("rankingMetrics: no relevant docs -> null rank metrics, zero recall denominator") {
+    val run = Seq(("q", 1L, 0L), ("q", 2L, 0L)).toDF("qid", "rnk", "rel")
+    val r = graft.ml.MLOps.rankingMetrics(run, "qid", col("rnk"), col("rel"), 2)
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("first_rel_rank")))
+    assert(r.isNullAt(r.fieldIndex("rr")))
+    assert(r.isNullAt(r.fieldIndex("recall_at_k")))
+    assert(r.isNullAt(r.fieldIndex("ndcg_at_k")), "idcg=0 must yield NULL, not 0/0")
+  }
+
+  test("rankingMetrics: duplicate ranks in a run fail loudly") {
+    val run = Seq(("q", 1L, 1L), ("q", 1L, 2L)).toDF("qid", "rnk", "rel")
+    val e = intercept[Exception] {
+      graft.ml.MLOps.rankingMetrics(run, "qid", col("rnk"), col("rel"), 2).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("duplicate ranks"))
+  }
+
+  test("rankingMetrics: rank < 1 and negative gain fail loudly") {
+    val r0 = Seq(("q", 0L, 1L)).toDF("qid", "rnk", "rel")
+    val e0 = intercept[Exception] {
+      graft.ml.MLOps.rankingMetrics(r0, "qid", col("rnk"), col("rel"), 2).collect()
+    }
+    assert(e0.getMessage != null && e0.getMessage.contains("rank < 1"))
+    val rn = Seq(("q", 1L, -1L)).toDF("qid", "rnk", "rel")
+    val en = intercept[Exception] {
+      graft.ml.MLOps.rankingMetrics(rn, "qid", col("rnk"), col("rel"), 2).collect()
+    }
+    assert(en.getMessage != null && en.getMessage.contains("negative relevance"))
+  }
+
+  // --- chiSquareByGroup ---
+
+  test("chiSquare: complete separation gives chi2 = n and V = 1") {
+    // pop A entirely in bin 1, pop B entirely in bin 2, two rows each
+    val rows = Seq(("g", 1L, 1), ("g", 1L, 1), ("g", 2L, 0), ("g", 2L, 0))
+      .toDF("g", "b", "label")
+    val r = graft.ml.MLOps.chiSquareByGroup(rows, "g", col("b"), "label")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("n_bins") == 2L)
+    assert(r.getAs[Double]("chi2") == 4.0)
+    assert(r.getAs[Double]("cramers_v") == 1.0)
+  }
+
+  test("chiSquare: identical distributions give chi2 = 0; one-class group is NULL") {
+    val same = Seq(("g", 1L, 1), ("g", 1L, 0), ("g", 2L, 1), ("g", 2L, 0))
+      .toDF("g", "b", "label")
+    val r = graft.ml.MLOps.chiSquareByGroup(same, "g", col("b"), "label")
+      .collect().head
+    assert(r.getAs[Double]("chi2") == 0.0)
+    val oneClass = Seq(("g", 1L, 1), ("g", 2L, 1)).toDF("g", "b", "label")
+    val r1 = graft.ml.MLOps.chiSquareByGroup(oneClass, "g", col("b"), "label")
+      .collect().head
+    assert(r1.isNullAt(r1.fieldIndex("chi2")), "one-class chi2 is undefined")
+  }
+
+  test("chiSquare: a single shared bin gives chi2 = 0 and NULL V") {
+    val rows = Seq(("g", 7L, 1), ("g", 7L, 0)).toDF("g", "b", "label")
+    val r = graft.ml.MLOps.chiSquareByGroup(rows, "g", col("b"), "label")
+      .collect().head
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("cramers_v")), "V needs >= 2 bins")
+  }
+
+  // --- cohenKappaByGroup ---
+
+  test("kappa: textbook 2x2 table gives 0.6; perfect agreement gives 1") {
+    // cells: (1,1)x4 (0,0)x4 (1,0)x1 (0,1)x1 -> po=.8, pe=.5, kappa=.6
+    val rows = (Seq.fill(4)((1, 1)) ++ Seq.fill(4)((0, 0)) ++
+      Seq((1, 0), (0, 1))).map { case (a, b) => ("g", a, b) }.toDF("g", "a", "b")
+    val r = graft.ml.MLOps.cohenKappaByGroup(rows, "g", col("a"), col("b"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_agree") == 8L)
+    assert(r.getAs[Double]("kappa") == 0.6)
+    val perfect = Seq(("g", 1, 1), ("g", 0, 0), ("g", 2, 2)).toDF("g", "a", "b")
+    val rp = graft.ml.MLOps.cohenKappaByGroup(perfect, "g", col("a"), col("b"))
+      .collect().head
+    assert(rp.getAs[Double]("kappa") == 1.0)
+  }
+
+  test("kappa: both raters constant and equal -> pe = 1, NULL not 0/0") {
+    val rows = Seq(("g", 1, 1), ("g", 1, 1)).toDF("g", "a", "b")
+    val r = graft.ml.MLOps.cohenKappaByGroup(rows, "g", col("a"), col("b"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  // --- kAnonymityProfile ---
+
+  test("kAnonymity: class-size distribution with cumulative at-risk rows") {
+    val rows = Seq("a", "a", "a", "b", "b", "c").toDF("qi")
+    val got = graft.ops.Profiling.kAnonymityProfile(rows, Seq("qi"))
+      .collect().map(r => (r.getAs[Long]("class_size"),
+        (r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("rows_at_or_below")))).toMap
+    assert(got == Map(1L -> (1L, 1L, 1L), 2L -> (1L, 2L, 3L), 3L -> (1L, 3L, 6L)))
+  }
+
+  test("kAnonymity: an empty QI set is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Profiling.kAnonymityProfile(Seq("x").toDF("c"), Seq.empty)
+    }
+    assert(e.getMessage.contains("quasi-identifier"))
+  }
+}
