@@ -182,7 +182,14 @@ object Bench {
     * Rung 4 saves ~2 chars/entry over rung 3 and holds per-query keys to
     * ~240 registered queries (the r10 regression: at 198 queries rungs 1-3
     * all overflowed and the ladder fell to the keyless fallback, so
-    * BENCH_r10.json parsed with no per-query data). The full-name
+    * BENCH_r10.json parsed with no per-query data); (5) past rung 4's
+    * wall, keep integer-decisecond keys for the SLOWEST K queries that
+    * fit and roll the remainder into an explicit
+    * `"others":{"n":R,"sec":S.SS}` — the expensive tail (what a perf
+    * audit reads) stays per-query at any registry size, and nothing is
+    * silently dropped: keys + others.n always equals the suite size.
+    * Rung 5 adapts K, so the ladder has no next wall; the keyless
+    * fallback below it is a dead-man's backstop only. The full-name
     * full-precision line prints FIRST either way, so humans and
     * BENCH_NOTES always get the rich form. */
   private[graft] val MaxShortLine = 1930 // ≥70 chars of tail headroom
@@ -196,8 +203,32 @@ object Bench {
       jsonLine(stripped,
         v => "%.1f".formatLocal(java.util.Locale.ROOT, v), failSuffix),
       jsonLine(stripped, v => math.round(v * 10).toString,
-        s""","qunit":"ds"$failSuffix""", totalFmt = fmt2))
+        s""","qunit":"ds"$failSuffix""", totalFmt = fmt2)) ++
+      Iterator(topKLine(stripped, failSuffix))
     ladder.find(_.length <= MaxShortLine)
       .getOrElse(s"""{"metric":"total","value":${fmt2(entries.map(_._2).sum)},"unit":"sec"$failSuffix}""")
+  }
+
+  /** Rung 5: the largest slowest-K prefix whose line fits
+    * [[MaxShortLine]]. Line length is monotone in K, so a binary search
+    * finds the exact cut; ties in duration break by key so the kept set
+    * is deterministic across runs. */
+  private def topKLine(stripped: Seq[(String, Double)],
+      failSuffix: String): String = {
+    val desc = stripped.sortBy { case (k, v) => (-v, k) }
+    val total = stripped.map(_._2).sum
+    def line(k: Int): String = {
+      val (kept, rest) = desc.splitAt(k)
+      val qs = kept.sortBy(_._1)
+        .map { case (key, v) => "\"" + key + "\":" + math.round(v * 10) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"qunit":"ds","others":{"n":${rest.size},"sec":${fmt2(rest.map(_._2).sum)}}$failSuffix}"""
+    }
+    var lo = 0; var hi = desc.size
+    while (lo < hi) { // invariant: line(lo) fits; find the last fitting k
+      val mid = (lo + hi + 1) / 2
+      if (line(mid).length <= MaxShortLine) lo = mid else hi = mid - 1
+    }
+    line(lo)
   }
 }

@@ -173,22 +173,57 @@ class BenchLineSpec extends AnyFunSuite {
     // window. The full-name full-precision line prints FIRST either way,
     // so BENCH_NOTES keeps centiseconds.
     val n = SparkEntry.queries.size // track the real registry, not a constant
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // a line "keeps per-query data" when every suite member is accounted
+    // for: either its own key, or (rung 5) membership in the explicit
+    // others remainder — keys + others.n must equal the suite size
+    def accountedQueries(line: String): Int = {
+      val node = mapper.readTree(line)
+      val qs = node.get("queries")
+      assert(qs != null, s"line lost the queries map: $line")
+      qs.size + (if (node.has("others")) node.get("others").get("n").asInt else 0)
+    }
     val line = Bench.shortLine(entries(n))
     assert(line.length <= Bench.MaxShortLine, s"len=${line.length}")
-    assert(line.contains("\"1\":") || line.contains("\"q1\":"),
-      s"ladder lost per-query keys at $n queries")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    assert(mapper.readTree(line).get("queries").size == n,
+    assert(accountedQueries(line) == n,
       s"short line dropped query keys at $n queries")
     // EARLY WARNING at +10% registry growth: when this margin assertion
     // starts failing, the NEXT rung must land BEFORE the real registry
     // hits the wall — the r10 lesson is that the first visible symptom
-    // otherwise is a silently keyless driver artifact
+    // otherwise is a silently keyless driver artifact. (Rung 5 adapts its
+    // K, so this should now hold at any size — the assertion stays as the
+    // dead-man's tripwire on the whole ladder.)
     val grown = (n * 1.1).toInt
     val gl = Bench.shortLine(entries(grown))
-    assert(mapper.readTree(gl).get("queries") != null &&
-      mapper.readTree(gl).get("queries").size == grown,
+    assert(gl.length <= Bench.MaxShortLine && accountedQueries(gl) == grown,
       s"ladder has no rung for $grown queries (registry $n +10%) — add one now")
+  }
+
+  test("rung 5: slowest-K keys + exact others accounting at 300 queries") {
+    val es = entries(300)
+    val line = Bench.shortLine(es)
+    assert(line.length <= Bench.MaxShortLine, s"len=${line.length}")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(line)
+    assert(node.get("qunit").asText == "ds")
+    val qs = node.get("queries")
+    val others = node.get("others")
+    assert(qs.size + others.get("n").asInt == 300, "every query accounted for")
+    assert(qs.size >= 150, s"rung 5 should keep most keys, kept ${qs.size}")
+    // the expensive tail is always present: every 12.34 s entry has a key
+    (40 to 300 by 40).foreach { i =>
+      assert(qs.has(i.toString), s"slow query q$i missing from rung 5 keys")
+      assert(qs.get(i.toString).asText == "123")
+    }
+    // totals stay exact seconds: value = keyed seconds + others.sec
+    val keyedSec = es.filter { case (k, _) => qs.has(k.stripPrefix("q")) }
+      .map(_._2).sum
+    assert(math.abs(node.get("value").asDouble - es.map(_._2).sum) < 0.01)
+    assert(math.abs(keyedSec + others.get("sec").asDouble
+      - es.map(_._2).sum) < 0.01, "others.sec must close the accounting")
+    // failed-count suffix still composes
+    val fl = mapper.readTree(Bench.shortLine(es, nFailed = 2))
+    assert(fl.get("failed").asInt == 2)
   }
 
   test("rung 4: integer deciseconds, qunit marker, total stays seconds") {
