@@ -6139,7 +6139,116 @@ object SparkEntry {
             CAST(sum(n_rows) OVER (ORDER BY class_size
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
               AS rows_at_or_below
-          FROM d"""))
+          FROM d""")),
+
+    // --- expected calibration error per group (MLOps.eceByGroup):
+    // calibrationTable folded to the alerting number — the weighted |acc −
+    // conf| telescopes to the ALL-INTEGER numerator Σ|10⁶·pos_b − S_b|, so
+    // ECE is one integer÷integer division; score is a synthetic exact
+    // probability (user_id % 100)/100 against a value-threshold label ---
+    Q("q217_ece",
+      (s, dir) => graft.ml.MLOps.eceByGroup(
+        events(s, dir)
+          .withColumn("score", (col("user_id") % 100L).cast("double") / 100)
+          .withColumn("label", when(col("value") >= 50, 1).otherwise(0)),
+        "event_type", "score", "label", binWidth = 0.1),
+      Some("""WITH e AS (SELECT event_type,
+            CAST(user_id % 100 AS DOUBLE)/100 AS score,
+            CASE WHEN value >= 50 THEN 1 ELSE 0 END AS label FROM events),
+          h AS (SELECT event_type, CAST(floor(score/0.1) AS BIGINT) AS bin,
+              count(*) AS nb, CAST(sum(label) AS BIGINT) AS pos,
+              sum(CAST(round(score*1e6) AS BIGINT)) AS S
+            FROM e GROUP BY 1, 2),
+          t AS (SELECT event_type, nb,
+              abs(CAST(pos AS HUGEINT)*1000000 - S) AS term FROM h),
+          g AS (SELECT event_type, CAST(sum(nb) AS BIGINT) AS n,
+              count(*) AS n_bins, sum(term) AS tsum,
+              max(CAST(term AS DOUBLE)/(1e6*nb)) AS mce
+            FROM t GROUP BY 1)
+        SELECT event_type, n, n_bins,
+          CAST(tsum AS DOUBLE)/(1e6*n) AS ece, mce FROM g""")),
+
+    // --- context-window packing plan (MLOps.packSequences): concat-and-
+    // chunk the md5-ordered token stream at 512-token boundaries — per-doc
+    // sequence spans off the tokenShards distributed prefix sum, all
+    // integer `div` arithmetic; is_split cast to int for the compare ---
+    Q("q218_pack_sequences",
+      (s, dir) => graft.ml.MLOps.packSequences(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", TextAnalysis.tokenCountWs(col("text")),
+          seqLen = 512, buckets = 16)
+        .select(col("doc_id"), col("n_tok"), col("tokens_before"),
+          col("start_seq"), col("end_seq"), col("n_seqs_spanned"),
+          col("is_split").cast("int").as("is_split")),
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(len(list_filter(string_split_regex(trim(text), '\s+'), tws -> length(tws) > 0)) AS BIGINT) AS n_tok,
+            CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % 1000000 AS u
+          FROM documents),
+          o AS (SELECT doc_id, n_tok,
+            coalesce(sum(n_tok) OVER (ORDER BY u, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          FROM t)
+        SELECT doc_id, n_tok, CAST(pre AS BIGINT) AS tokens_before,
+          CASE WHEN n_tok = 0 THEN NULL
+            ELSE CAST(pre // 512 AS BIGINT) END AS start_seq,
+          CASE WHEN n_tok = 0 THEN NULL
+            ELSE CAST((pre + n_tok - 1) // 512 AS BIGINT) END AS end_seq,
+          CAST(CASE WHEN n_tok = 0 THEN 0
+            ELSE (pre + n_tok - 1) // 512 - pre // 512 + 1 END AS BIGINT)
+            AS n_seqs_spanned,
+          CASE WHEN n_tok = 0 THEN 0
+            WHEN (pre + n_tok - 1) // 512 - pre // 512 + 1 > 1 THEN 1
+            ELSE 0 END AS is_split
+        FROM o""")),
+
+    // --- Fleiss' kappa per lang (MLOps.fleissKappaByGroup): three
+    // deterministic "raters" (two n_chars bandings + a space-count
+    // banding) stacked to long form — the multi-rater generalization of
+    // q215, entirely rational with one trailing float division ---
+    Q("q219_fleiss_kappa",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars"),
+            (length(col("text"))
+              - length(regexp_replace(col("text"), " ", ""))).as("sp"))
+        val r1 = d.select(col("lang"), col("doc_id"),
+          when(col("n_chars") < 300, 0).when(col("n_chars") < 600, 1)
+            .otherwise(2).as("cat"))
+        val r2 = d.select(col("lang"), col("doc_id"),
+          when(col("sp") < 45, 0).when(col("sp") < 90, 1)
+            .otherwise(2).as("cat"))
+        val r3 = d.select(col("lang"), col("doc_id"),
+          when(col("n_chars") < 350, 0).when(col("n_chars") < 650, 1)
+            .otherwise(2).as("cat"))
+        graft.ml.MLOps.fleissKappaByGroup(
+          r1.unionAll(r2).unionAll(r3), "lang", "doc_id", col("cat"))
+      },
+      Some("""WITH d AS (SELECT lang, doc_id, n_chars,
+            length(text) - length(replace(text, ' ', '')) AS sp
+          FROM documents),
+          r AS (
+            SELECT lang, doc_id, CASE WHEN n_chars < 300 THEN 0
+              WHEN n_chars < 600 THEN 1 ELSE 2 END AS cat FROM d
+            UNION ALL SELECT lang, doc_id, CASE WHEN sp < 45 THEN 0
+              WHEN sp < 90 THEN 1 ELSE 2 END FROM d
+            UNION ALL SELECT lang, doc_id, CASE WHEN n_chars < 350 THEN 0
+              WHEN n_chars < 650 THEN 1 ELSE 2 END FROM d),
+          cells AS (SELECT lang, doc_id, cat, count(*) AS n
+            FROM r GROUP BY 1, 2, 3),
+          items AS (SELECT lang, doc_id, CAST(sum(n) AS BIGINT) AS r,
+              CAST(sum(n*(n-1)) AS BIGINT) AS agree FROM cells GROUP BY 1, 2),
+          ct AS (SELECT lang, cat, CAST(sum(n) AS BIGINT) AS m
+            FROM cells GROUP BY 1, 2),
+          pe AS (SELECT lang, sum(CAST(m AS HUGEINT)*m) AS C FROM ct GROUP BY 1),
+          g AS (SELECT lang, count(*) AS n_items, CAST(min(r) AS BIGINT) AS rr,
+              CAST(sum(agree) AS BIGINT) AS A FROM items GROUP BY 1)
+        SELECT g.lang, n_items, rr AS n_raters,
+          CASE WHEN CAST(n_items*rr AS HUGEINT)*(n_items*rr) = C THEN NULL
+            ELSE CAST(CAST(A AS HUGEINT)*(n_items*rr) - C*(rr-1) AS DOUBLE)
+              / (CAST(CAST(n_items*rr AS HUGEINT)*(n_items*rr) - C AS DOUBLE)
+                * (rr-1)) END AS kappa
+        FROM g JOIN pe ON g.lang = pe.lang"""))
   )
 
   val specs: Seq[Q] =

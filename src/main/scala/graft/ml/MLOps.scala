@@ -220,6 +220,20 @@ object MLOps {
       targetTokens: Long, buckets: Int = 256,
       shardCol: String = "shard"): DataFrame = {
     require(targetTokens > 0 && buckets > 0, "targetTokens > 0, buckets > 0")
+    withTokenPrefix(df, keyCol, tokenCount, buckets)
+      .withColumn(shardCol, floor(col("__before") / targetTokens.toDouble).cast("long"))
+      .drop("__before")
+  }
+
+  /** The DISTRIBUTED PREFIX SUM shared by [[tokenShards]] and
+    * [[packSequences]]: adds `__n` (the long token count) and `__before`
+    * (tokens strictly before this row in the global md5 corpus order) —
+    * per-bucket totals prefix-sum on the driver (O(buckets) rows pulled),
+    * offsets broadcast back as one plan literal, in-bucket cumulative
+    * windows fully parallel. Equal to the global cumsum because bucket
+    * order is a prefix of the (u, key) row order. */
+  private[graft] def withTokenPrefix(df: DataFrame, keyCol: String,
+      tokenCount: Column, buckets: Int): DataFrame = {
     val u = md5Bucket(col(keyCol), 1000000)
     // monotone in u and strictly < buckets — bucket boundaries refine the
     // md5 order, so (bucket, u, key) IS the global (u, key) order
@@ -243,8 +257,47 @@ object MLOps {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     based
       .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)) + offCol)
-      .withColumn(shardCol, floor(col("__before") / targetTokens.toDouble).cast("long"))
-      .drop("__b", "__u", "__before")
+      .drop("__b", "__u")
+  }
+
+  /** CONTEXT-WINDOW PACKING PLAN (concat-and-chunk, the GPT-style training
+    * layout): lay the corpus out as one deterministic token stream — the
+    * md5 corpus order of [[epochShuffle]]/[[tokenShards]] — and split it
+    * at every `seqLen` boundary. Each document then occupies the
+    * half-open token span [before, before + n_tok), so its sequence
+    * assignment is pure integer arithmetic on the prefix sum:
+    * start_seq = before div L, end_seq = (before + n − 1) div L, and
+    * `n_seqs_spanned`/`is_split` read off whether the document straddles a
+    * boundary. Zero waste by construction (every slot is a token); the
+    * split fraction is the packing-quality number a training team tunes
+    * seqLen against. A zero-token document occupies no span: NULL
+    * sequence bounds, n_seqs_spanned = 0, never a phantom slot.
+    *
+    * Reference-semantics anchor: the training-export side of aligned's
+    * dataset store (`aligned/schemas/folder.py` train/test artifacts);
+    * the packing itself is the standard LM data layout aligned leaves to
+    * the trainer.
+    *
+    * Plan shape at 100 TB: identical to [[tokenShards]] — the
+    * O(buckets) driver prefix-sum plus per-bucket windows; everything
+    * else is per-row arithmetic. All-integer (`div`, not float floor),
+    * so the plan is exact and engine-portable at any corpus size. */
+  def packSequences(df: DataFrame, keyCol: String, tokenCount: Column,
+      seqLen: Long, buckets: Int = 256): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen must be > 0, got $seqLen")
+    require(buckets > 0, "packSequences: buckets > 0")
+    withTokenPrefix(df, keyCol, tokenCount, buckets)
+      .withColumn("start_seq",
+        when(col("__n") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"__before div ${seqLen}L")))
+      .withColumn("end_seq",
+        when(col("__n") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"(__before + __n - 1) div ${seqLen}L")))
+      .withColumn("n_seqs_spanned",
+        coalesce(col("end_seq") - col("start_seq") + 1L, lit(0L)))
+      .withColumn("is_split", col("n_seqs_spanned") > 1L)
+      .withColumnRenamed("__n", "n_tok")
+      .withColumnRenamed("__before", "tokens_before")
   }
 
   /** CURRICULUM ORDER — materialize a deterministic global training order
@@ -716,6 +769,104 @@ object MLOps {
               - col("__S")).cast("double")
             / ((col("n").cast(d19) * col("n").cast(d19)).cast(d38)
               - col("__S")).cast("double")).as("kappa"))
+  }
+
+  /** EXPECTED CALIBRATION ERROR per group — [[calibrationTable]] folded to
+    * the one number a monitoring page alerts on: ECE = Σ_b (n_b/N)·|acc_b −
+    * conf_b|, plus MCE (the worst single bin). The weighted form telescopes
+    * to an ALL-INTEGER numerator:
+    *   (n_b/N)·|pos_b/n_b − S_b/(10⁶·n_b)| = |10⁶·pos_b − S_b| / (10⁶·N)
+    * with S_b = Σ round(score·10⁶) (the calibrationTable micro-unit
+    * discipline), so ECE is one integer÷integer division and never a float
+    * sum. MCE divides each bin's exact integer term by its exact count —
+    * one IEEE division per bin, max over exact values (order-independent).
+    * Per-bin term products run in DECIMAL (micro-units × 100 TB counts pass
+    * long). One partial-aggregated groupBy on O(groups × bins) keys. */
+  def eceByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "eceByGroup: binWidth > 0")
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hist = df.groupBy(col(groupCol),
+        floor(col(scoreCol).cast("double") / binWidth).cast("long").as("__bin"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col(labelCol).cast("long")).as("__pos"),
+        sum(round(col(scoreCol).cast("double") * 1e6).cast("long").cast(d19))
+          .as("__S"))
+    hist
+      .withColumn("__term", abs((col("__pos").cast(d19) * lit(1000000L).cast(d19)
+        - col("__S").cast(d19)).cast(d38)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__nb")).as("n"), count(lit(1)).as("n_bins"),
+        sum(col("__term")).as("__tsum"),
+        max(col("__term").cast("double")
+          / (lit(1e6) * col("__nb").cast("double"))).as("mce"))
+      .select(col(groupCol), col("n"), col("n_bins"),
+        (col("__tsum").cast("double") / (lit(1e6) * col("n").cast("double")))
+          .as("ece"),
+        col("mce"))
+  }
+
+  /** FLEISS' KAPPA per group — chance-corrected agreement for r ≥ 2 raters
+    * (the multi-rater generalization of [[cohenKappaByGroup]]): input is
+    * LONG form, one row per (group, item, assigned category). With
+    * A = Σ_i Σ_c n_ic(n_ic−1), C = Σ_c (Σ_i n_ic)², I items and r raters,
+    *   po = A / (I·r·(r−1)),  pe = C / (I·r)²,
+    *   κ = (po − pe)/(1 − pe) = (A·I·r − C·(r−1)) / ((I²r² − C)·(r−1))
+    * — entirely rational, every product in DECIMAL (A·I·r ≈ (I·r)²·(r−1)
+    * passes long at 100 TB item counts), ONE float division last. κ is
+    * NULL when pe = 1 (every rating in one category — agreement is
+    * undefined, not zero).
+    *
+    * Every item in a group MUST carry the same rater count — an uneven
+    * panel makes po's denominator meaningless, so the plan raises loudly
+    * naming the group instead of averaging over a lie. Plan shape: the
+    * ratings fold to O(items × categories) cells in one partial aggregate;
+    * everything downstream is O(groups × categories). */
+  def fleissKappaByGroup(df: DataFrame, groupCol: String, itemCol: String,
+      catCol: Column): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.groupBy(col(groupCol), col(itemCol).as("__i"),
+        catCol.cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy(col(groupCol), col("__i"))
+      .agg(sum(col("__n")).as("__r"),
+        sum(col("__n") * (col("__n") - 1L)).as("__agree"))
+    val catTot = cells.groupBy(col(groupCol), col("__c"))
+      .agg(sum(col("__n")).as("__m"))
+    val pe = catTot.groupBy(col(groupCol))
+      .agg(sum((col("__m").cast(d19) * col("__m").cast(d19)).cast(d38)).as("__C"))
+    val grouped = items.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"), min(col("__r")).as("__rmin"),
+        max(col("__r")).as("__rmax"), sum(col("__agree")).as("__A"))
+      .join(pe, Seq(groupCol))
+      // I·r fits a plain long (items × a small panel) — form it ONCE so
+      // every decimal product below is a single d19×d19 → d38 step, never
+      // a chained multiplication that trips the 38-precision cap
+      .withColumn("__ir", col("n_items") * col("__rmin"))
+      .withColumn("__irSq",
+        (col("__ir").cast(d19) * col("__ir").cast(d19)).cast(d38))
+    grouped
+      .select(col(groupCol),
+        when(col("__rmin") =!= col("__rmax"), raise_error(concat(
+            lit("fleissKappaByGroup: uneven rater counts in group "),
+            col(groupCol).cast("string"), lit(" (min "),
+            col("__rmin").cast("string"), lit(", max "),
+            col("__rmax").cast("string"), lit(")"))))
+          .when(col("__rmin") < 2L, raise_error(concat(
+            lit("fleissKappaByGroup: need >= 2 raters per item, group "),
+            col(groupCol).cast("string"), lit(" has "),
+            col("__rmin").cast("string"))))
+          .otherwise(col("n_items")).as("n_items"),
+        col("__rmin").as("n_raters"),
+        when(col("__irSq") === col("__C"), lit(null).cast("double"))
+          .otherwise(
+            ((col("__A").cast(d19) * col("__ir").cast(d19)).cast(d38)
+              - (col("__C") * (col("__rmin") - 1L).cast(d19)).cast(d38))
+              .cast("double")
+            / ((col("__irSq") - col("__C")).cast("double")
+              * (col("__rmin") - 1L).cast("double"))).as("kappa"))
   }
 
   /** CLASS-BALANCED downsampling: cap every class at the MINORITY class's

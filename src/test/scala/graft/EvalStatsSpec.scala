@@ -137,4 +137,105 @@ class EvalStatsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("quasi-identifier"))
   }
+
+  // --- eceByGroup ---
+
+  test("ece: hand-computed two-bin case, exact integer numerator") {
+    // bin 2: scores .2/.2 labels 1,0 -> term |1e6 - 400000| = 600000
+    // bin 7: score .75 label 1      -> term |1e6 - 750000| = 250000
+    // ece = 850000 / (1e6 * 3); mce = 600000 / (1e6 * 2) = 0.3
+    val rows = Seq(("g", 0.2, 1), ("g", 0.2, 0), ("g", 0.75, 1))
+      .toDF("g", "score", "label")
+    val r = graft.ml.MLOps.eceByGroup(rows, "g", "score", "label", 0.1)
+      .collect().head
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("n_bins") == 2L)
+    assert(r.getAs[Double]("ece") == 850000.0 / 3000000.0)
+    assert(r.getAs[Double]("mce") == 0.3)
+  }
+
+  test("ece: perfectly calibrated bin gives zero; bad binWidth rejected") {
+    // bin with pos rate .5 and mean score exactly .5 -> term 0
+    val rows = Seq(("g", 0.5, 1), ("g", 0.5, 0)).toDF("g", "score", "label")
+    val r = graft.ml.MLOps.eceByGroup(rows, "g", "score", "label", 1.0)
+      .collect().head
+    assert(r.getAs[Double]("ece") == 0.0 && r.getAs[Double]("mce") == 0.0)
+    intercept[IllegalArgumentException] {
+      graft.ml.MLOps.eceByGroup(rows, "g", "score", "label", 0.0)
+    }
+  }
+
+  // --- fleissKappaByGroup ---
+
+  test("fleiss: hand-computed 2-item 2-rater tables") {
+    // item1 AA, item2 AB: A=2, C=3^2+1^2=10, I*r=4 -> kappa = (8-10)/6
+    val mixed = Seq(("g", "i1", "A"), ("g", "i1", "A"),
+      ("g", "i2", "A"), ("g", "i2", "B")).toDF("g", "item", "cat")
+    val rm = graft.ml.MLOps.fleissKappaByGroup(mixed, "g", "item", col("cat"))
+      .collect().head
+    assert(rm.getAs[Long]("n_items") == 2L && rm.getAs[Long]("n_raters") == 2L)
+    assert(rm.getAs[Double]("kappa") == -2.0 / 6.0)
+    // item1 AA, item2 BB: po=1, pe=.5 -> kappa=1
+    val perfect = Seq(("g", "i1", "A"), ("g", "i1", "A"),
+      ("g", "i2", "B"), ("g", "i2", "B")).toDF("g", "item", "cat")
+    val rp = graft.ml.MLOps.fleissKappaByGroup(perfect, "g", "item", col("cat"))
+      .collect().head
+    assert(rp.getAs[Double]("kappa") == 1.0)
+  }
+
+  test("fleiss: one-category degenerate is NULL; uneven panels fail loudly") {
+    val oneCat = Seq(("g", "i1", "A"), ("g", "i1", "A"),
+      ("g", "i2", "A"), ("g", "i2", "A")).toDF("g", "item", "cat")
+    val r = graft.ml.MLOps.fleissKappaByGroup(oneCat, "g", "item", col("cat"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("kappa")), "pe = 1 must yield NULL, not 0/0")
+    val uneven = Seq(("g", "i1", "A"), ("g", "i1", "B"),
+      ("g", "i2", "A")).toDF("g", "item", "cat")
+    val e = intercept[Exception] {
+      graft.ml.MLOps.fleissKappaByGroup(uneven, "g", "item", col("cat")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("uneven rater counts"))
+    val solo = Seq(("g", "i1", "A"), ("g", "i2", "B")).toDF("g", "item", "cat")
+    val e1 = intercept[Exception] {
+      graft.ml.MLOps.fleissKappaByGroup(solo, "g", "item", col("cat")).collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains(">= 2 raters"))
+  }
+
+  // --- packSequences ---
+
+  test("packSequences: uniform docs tile sequences exactly, order-free asserts") {
+    val docs = (1 to 6).map(i => (s"d$i", 10L)).toDF("k", "n")
+    val got = graft.ml.MLOps.packSequences(docs, "k", col("n"),
+      seqLen = 10, buckets = 4).collect()
+    assert(got.length == 6)
+    assert(got.forall(_.getAs[Long]("n_seqs_spanned") == 1L))
+    assert(got.forall(!_.getAs[Boolean]("is_split")))
+    // six 10-token docs at L=10 occupy seqs 0..5, one doc each
+    assert(got.map(_.getAs[Long]("start_seq")).sorted.toSeq == (0L to 5L))
+    assert(got.forall(r => r.getAs[Long]("end_seq") == r.getAs[Long]("start_seq")))
+  }
+
+  test("packSequences: 7-token docs at L=10 straddle as the offsets dictate") {
+    // offsets 0,7,14 whatever the md5 order: spans (0,0) (0,1) (1,2)
+    val docs = Seq(("a", 7L), ("b", 7L), ("c", 7L)).toDF("k", "n")
+    val got = graft.ml.MLOps.packSequences(docs, "k", col("n"),
+      seqLen = 10, buckets = 2).collect()
+    val spans = got.map(r => (r.getAs[Long]("start_seq"), r.getAs[Long]("end_seq")))
+      .sortBy(identity).toSeq
+    assert(spans == Seq((0L, 0L), (0L, 1L), (1L, 2L)))
+    assert(got.count(_.getAs[Boolean]("is_split")) == 2)
+  }
+
+  test("packSequences: zero-token doc occupies no span; bad seqLen rejected") {
+    val docs = Seq(("a", 0L), ("b", 5L)).toDF("k", "n")
+    val got = graft.ml.MLOps.packSequences(docs, "k", col("n"),
+      seqLen = 10, buckets = 1).collect()
+    val empty = got.find(_.getAs[String]("k") == "a").get
+    assert(empty.isNullAt(empty.fieldIndex("start_seq")))
+    assert(empty.getAs[Long]("n_seqs_spanned") == 0L)
+    assert(!empty.getAs[Boolean]("is_split"))
+    intercept[IllegalArgumentException] {
+      graft.ml.MLOps.packSequences(docs, "k", col("n"), seqLen = 0, buckets = 1)
+    }
+  }
 }
