@@ -1508,6 +1508,41 @@ object SparkEntry {
       WHERE cosine >= $threshold"""
   }
 
+  /** DuckDB restatement of [[Dedup.semanticDecontaminate]]: the salted
+    * per-band plane matrices enter as the SAME plan-time literals, the
+    * OR of band-bucket equalities IS the candidate dedup, and the worst
+    * match joins back on exact max cosine (min bench id under ties). */
+  private def sqlSemanticDecontamOracle(threshold: Double, bands: Int,
+      planesPerBand: Int, dim: Int): String = {
+    val bandCols = (0 until bands).map { b =>
+      val mat = Dedup.portablePlanesSalt(s"sdc$b", planesPerBand, dim)
+      val expr = mat.zipWithIndex.map { case (plane, p) =>
+        val lits = plane.mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(v, $lits) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n            + ")
+      s"$expr AS b$b"
+    }.mkString(",\n          ")
+    val orMatch = (0 until bands).map(b => s"c.b$b = b.b$b").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (SELECT vec_id, v,
+          $bandCols
+          FROM e),
+        hits AS (SELECT c.vec_id AS doc_id, b.vec_id AS bench_id,
+            list_inner_product(c.v, b.v) /
+              (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(b.v, b.v)))
+              AS cosine
+          FROM sig c JOIN sig b ON ($orMatch)
+          WHERE c.vec_id % 97 <> 0 AND b.vec_id % 97 = 0),
+        hv AS (SELECT * FROM hits WHERE cosine >= $threshold),
+        agg AS (SELECT doc_id, count(*) AS n_bench_hits, max(cosine) AS max_cosine
+          FROM hv GROUP BY 1),
+        worst AS (SELECT hv.doc_id, CAST(min(bench_id) AS BIGINT) AS worst_bench_id
+          FROM hv JOIN agg USING (doc_id) WHERE hv.cosine = agg.max_cosine
+          GROUP BY hv.doc_id)
+      SELECT agg.doc_id AS vec_id, n_bench_hits, max_cosine, worst_bench_id
+      FROM agg JOIN worst USING (doc_id)"""
+  }
+
   private val pipelineQueries3: Seq[Q] = Seq(
     // --- test-set decontamination: corpus docs sharing any word 3-gram with
     // the benchmark slice (docs with doc_id % 97 == 0). 13-grams in the
@@ -6248,7 +6283,25 @@ object SparkEntry {
             ELSE CAST(CAST(A AS HUGEINT)*(n_items*rr) - C*(rr-1) AS DOUBLE)
               / (CAST(CAST(n_items*rr AS HUGEINT)*(n_items*rr) - C AS DOUBLE)
                 * (rr-1)) END AS kappa
-        FROM g JOIN pe ON g.lang = pe.lang"""))
+        FROM g JOIN pe ON g.lang = pe.lang""")),
+
+    // --- SEMANTIC decontamination (Dedup.semanticDecontaminate): corpus
+    // embeddings screened against the benchmark slice (vec_id % 97 == 0)
+    // through a 4-band × 4-plane OR-construction of salted portable
+    // hyperplane signatures, exact-cosine verified — the meaning-level
+    // sibling of q62's gram overlap; benchmark side broadcasts, the
+    // corpus never shuffles for candidate generation ---
+    Q("q220_semantic_decontam",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Dedup.semanticDecontaminate(
+          e.filter(col("vec_id") % 97 =!= 0),
+          e.filter(col("vec_id") % 97 === 0),
+          "embedding", "vec_id", threshold = 0.3,
+          bands = 4, planesPerBand = 4, dim = 64)
+      },
+      Some(sqlSemanticDecontamOracle(threshold = 0.3, bands = 4,
+        planesPerBand = 4, dim = 64)))
   )
 
   val specs: Seq[Q] =

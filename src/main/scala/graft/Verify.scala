@@ -72,11 +72,20 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println(s"usage: graft.Verify <sfDir> <outDir> — got ${args.length} args")
+    if (args.length < 2) {
+      System.err.println(s"usage: graft.Verify <sfDir> <outDir> [queryName...] — got ${args.length} args")
       sys.exit(2)
     }
     val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing names: LOCAL-ONLY subset runs (the driver always
+    // passes exactly two args, so the full-suite contract is untouched);
+    // an unknown name is fatal so a typo can't silently verify nothing
+    val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(s"[verify] unknown query names: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -86,7 +95,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    val qs = if (only.isEmpty) SparkEntry.queries
+             else SparkEntry.queries.filter { case (k, _) => only(k) }
+    val os = if (only.isEmpty) SparkEntry.oracleSql
+             else SparkEntry.oracleSql.filter { case (k, _) => only(k) }
+    run(spark, sfDir, outDir, qs, os)
     spark.stop()
   }
 }

@@ -492,6 +492,67 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SEMANTIC DECONTAMINATION — flag corpus documents whose EMBEDDING is
+    * near a benchmark/eval-set embedding (cosine ≥ threshold): the
+    * meaning-level screen that catches paraphrased benchmark leakage the
+    * gram-based [[graft.ops.TextAnalysis.decontaminate]] (reference
+    * semantics: GPT-3 appendix-C style n-gram overlap) cannot see.
+    * Candidates come from an OR-construction of `bands` independent
+    * sign-of-dot signatures (each `planesPerBand` salted portable
+    * hyperplanes — [[portablePlanesSalt]] plan-time literals, no per-row
+    * hashing): a pair is a candidate when ANY band's bucket matches, so
+    * recall rises with `bands` exactly like minhash banding; every
+    * candidate is then verified with the exact cosine, so precision is 1
+    * and the only approximation is documented recall < 1 on pairs no
+    * band catches.
+    *
+    * Output: one row per contaminated corpus doc — (id, n_bench_hits,
+    * max_cosine, worst_bench_id), worst = the min benchmark id among the
+    * exact-max-cosine matches (deterministic under ties).
+    *
+    * Plan shape at 100 TB: the benchmark side is SMALL by construction
+    * (eval suites) — its exploded band signatures broadcast; the corpus
+    * side is one narrow map (plan-literal planes) plus a broadcast
+    * equi-join on (band, bucket). The corpus never shuffles for candidate
+    * generation; only the candidate pairs (bounded by bucket collisions,
+    * not corpus²) pay the pair-dedup shuffle. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      vecCol: String, idCol: String, threshold: Double,
+      bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 63,
+      "semanticDecontaminate: bands >= 1, 1 <= planesPerBand <= 63")
+    val mats = (0 until bands)
+      .map(b => portablePlanesSalt(s"sdc$b", planesPerBand, dim))
+    def sigs(vec: Column): Column = array(mats.map { mat =>
+      mat.zipWithIndex.map { case (plane, p) =>
+        when(graft.functions.Native.dotProduct(vec, lit(plane.toArray)) > 0,
+          shiftleft(lit(1L), p)).otherwise(0L)
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+    val c = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("__vc"))
+      .withColumn("__s", sigs(col("__vc")))
+      .select(col("doc_id"), col("__vc"),
+        posexplode(col("__s")).as(Seq("__band", "__bucket")))
+    val b = benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("__vb"))
+      .withColumn("__s", sigs(col("__vb")))
+      .select(col("bench_id"), col("__vb"),
+        posexplode(col("__s")).as(Seq("__band", "__bucket")))
+    c.join(broadcast(b), Seq("__band", "__bucket"))
+      // a pair matching in several bands must count ONCE — dedupe before
+      // the verify so n_bench_hits is a count of benchmark docs, not bands
+      .select(col("doc_id"), col("bench_id"), col("__vc"), col("__vb"))
+      .dropDuplicates("doc_id", "bench_id")
+      .withColumn("cosine", Similarity.cosine(col("__vc"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(col("cosine")).as("max_cosine"),
+        // max over (cosine, -bench_id) = min bench id among exact-max ties
+        max(struct(col("cosine"), (-col("bench_id")).as("nb"))).as("__w"))
+      .select(col("doc_id").as(idCol), col("n_bench_hits"), col("max_cosine"),
+        (-col("__w.nb")).as("worst_bench_id"))
+  }
+
   /** Connected components over near-duplicate PAIRS → cluster ids: the step
     * that turns pairwise edges (from [[nearDuplicates]] /
     * [[embeddingNearDup]] / simhash banding) into dedup GROUPS, so a

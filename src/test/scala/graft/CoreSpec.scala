@@ -673,6 +673,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDecontaminate flags planted benchmark-near corpus docs, counts each bench doc once") {
+    val rnd = new scala.util.Random(11)
+    val bench = (0 until 4).map(i => (900L + i) -> Array.fill(16)(rnd.nextGaussian().toFloat))
+    // corpus: two near-copies of bench 900 (one closer), one near bench 901, five unrelated
+    def jitter(v: Array[Float], eps: Float) = v.map(x => x + eps * rnd.nextGaussian().toFloat)
+    val corpus = Seq(
+      1L -> jitter(bench(0)._2, 0.005f),
+      2L -> jitter(bench(0)._2, 0.05f),
+      3L -> jitter(bench(1)._2, 0.01f)) ++
+      (10L until 15L).map(i => i -> Array.fill(16)(rnd.nextGaussian().toFloat))
+    val cdf = corpus.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val bdf = bench.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontaminate(cdf, bdf, "embedding", "vec_id",
+        threshold = 0.95, bands = 6, planesPerBand = 4, dim = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    for (id <- Seq(1L, 2L, 3L)) assert(got.contains(id), s"planted doc $id missing")
+    assert(got(1L)._3 == 900L && got(2L)._3 == 900L && got(3L)._3 == 901L)
+    // a pair caught by several bands still counts its bench doc ONCE, and
+    // max_cosine is the exact brute-force value
+    val vecs = (bench ++ corpus).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- a.indices) { d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case (id, (hits, mc, worst)) =>
+      assert(hits >= 1L && hits <= bench.size.toLong)
+      assert(math.abs(mc - cos(vecs(id), vecs(worst))) < 1e-6 && mc >= 0.95)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDecontaminate(cdf, bdf, "embedding", "vec_id", 0.9,
+        bands = 1, planesPerBand = 64, dim = 16)
+    }
+  }
+
   test("simhash hamming distance small for near-dups, large for unrelated") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
