@@ -1543,6 +1543,82 @@ object SparkEntry {
       FROM agg JOIN worst USING (doc_id)"""
   }
 
+  /** DuckDB restatement of [[graft.ml.MLOps.bootstrapMeanCI]] on
+    * documents(source, n_chars): the SAME integer Poisson thresholds via
+    * [[graft.functions.Portable.sqlPoissonCount]], exact long resample
+    * sums, the same (mean, b) rank order and ceil-index CI picks. */
+  private def sqlBootstrapCiOracle(b: Int, tailMilli: Int): String = {
+    val pc = graft.functions.Portable.sqlPoissonCount(
+      "CAST('0x'||substr(md5(k||':'||CAST(b AS VARCHAR)),1,8) AS BIGINT)")
+    s"""WITH base AS (SELECT source, n_chars AS x, CAST(doc_id AS VARCHAR) AS k FROM documents),
+        wide AS (SELECT source, x, k, t.b AS b FROM base, generate_series(0, ${b - 1}) t(b)),
+        cnt AS (SELECT source, x, b, $pc AS c FROM wide),
+        perb AS (SELECT source, b, sum(c*x) AS swx, sum(c) AS sw FROM cnt GROUP BY 1, 2),
+        means AS (SELECT source, b, CAST(swx AS DOUBLE)/CAST(sw AS DOUBLE) AS m
+          FROM perb WHERE sw > 0),
+        ranked AS (SELECT source, m,
+            row_number() OVER (PARTITION BY source ORDER BY m, b) AS rn,
+            count(*) OVER (PARTITION BY source) AS bk FROM means),
+        ci AS (SELECT source,
+            max(CASE WHEN rn = (bk*$tailMilli+999)//1000 THEN m END) AS ci_lo,
+            max(CASE WHEN rn = bk - (bk*$tailMilli+999)//1000 + 1 THEN m END) AS ci_hi,
+            CAST(max(bk) AS BIGINT) AS b_kept FROM ranked GROUP BY 1),
+        tot AS (SELECT source, count(*) AS n_rows,
+            CAST(sum(x) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_x
+          FROM base GROUP BY 1)
+      SELECT tot.source, n_rows, mean_x, ci_lo, ci_hi, b_kept
+      FROM tot LEFT JOIN ci USING (source)"""
+  }
+
+  /** DuckDB restatement of [[graft.ops.Similarity.groupFrechetDiag]]:
+    * integer-nano moment sums, identical IEEE pair-term tree, exact
+    * integer Σ over dimensions. */
+  private def sqlFrechetOracle: String =
+    """WITH s AS (SELECT label AS g,
+            unnest(generate_series(1, len(embedding))) AS pos,
+            unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings),
+        st AS (SELECT g, pos, count(*) AS n,
+            sum(CAST(round(x * 1000000000.0) AS BIGINT)) AS sx,
+            sum(CAST(round(x * x * 1000000000.0) AS BIGINT)) AS sxx
+          FROM s GROUP BY 1, 2),
+        mv AS (SELECT g, pos, n,
+            CAST(sx AS DOUBLE) / (1000000000.0 * CAST(n AS DOUBLE)) AS mu,
+            CAST(sxx AS DOUBLE) / (1000000000.0 * CAST(n AS DOUBLE)) AS ex2
+          FROM st),
+        v AS (SELECT g, pos, n, mu, greatest(ex2 - mu * mu, 0.0) AS vr FROM mv),
+        pair AS (SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+            CAST(round((((a.mu - b.mu) * (a.mu - b.mu) + (a.vr + b.vr))
+              - 2.0 * sqrt(a.vr * b.vr)) * 1000000000.0) AS BIGINT) AS term
+          FROM v a JOIN v b ON a.pos = b.pos AND a.g < b.g)
+      SELECT group_a, group_b, CAST(max(n_a) AS BIGINT) AS n_a,
+        CAST(max(n_b) AS BIGINT) AS n_b,
+        CAST(sum(term) AS DOUBLE) / 1000000000.0 AS frechet_diag
+      FROM pair GROUP BY 1, 2"""
+
+  /** DuckDB restatement of [[graft.ops.TextAnalysis.zipfSlope]]: the same
+    * polynomial fixed-point log2 ([[graft.functions.Portable.sqlLog2Micro]]),
+    * exact integer OLS sums, the same double divisions. */
+  private def sqlZipfOracle(topN: Int): String = {
+    val x = graft.functions.Portable.sqlLog2Micro("r")
+    val y = graft.functions.Portable.sqlLog2Micro("f")
+    s"""WITH w AS (SELECT source AS grp, list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0) AS w FROM documents),
+        tok AS (SELECT grp, unnest(w) AS word FROM w),
+        freq AS (SELECT grp, word, count(*) AS f FROM tok GROUP BY 1, 2),
+        ranked AS (SELECT grp, f,
+            row_number() OVER (PARTITION BY grp ORDER BY f DESC, word) AS r FROM freq),
+        xy AS (SELECT grp, $x AS x, $y AS y FROM ranked WHERE r <= $topN),
+        s AS (SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+            sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM xy GROUP BY 1)
+      SELECT grp, CAST(n AS BIGINT) AS n_terms,
+        CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS zipf_slope,
+        (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+          / (CAST(n*sxx - sx*sx AS DOUBLE)
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+      FROM s WHERE n >= 2"""
+  }
+
   private val pipelineQueries3: Seq[Q] = Seq(
     // --- test-set decontamination: corpus docs sharing any word 3-gram with
     // the benchmark slice (docs with doc_id % 97 == 0). 13-grams in the
@@ -6301,7 +6377,57 @@ object SparkEntry {
           bands = 4, planesPerBand = 4, dim = 64)
       },
       Some(sqlSemanticDecontamOracle(threshold = 0.3, bands = 4,
-        planesPerBand = 4, dim = 64)))
+        planesPerBand = 4, dim = 64))),
+
+    // --- PERCENTILE-BOOTSTRAP CI on the per-source mean doc length: 100
+    // deterministic Poisson(1) resamples from integer md5 thresholds —
+    // the uncertainty band every monitoring mean should carry. Explode is
+    // narrow; partial agg collapses to O(sources·B) before the shuffle ---
+    Q("q221_bootstrap_ci",
+      (s, dir) => graft.ml.MLOps.bootstrapMeanCI(t(s, dir, "documents"),
+        "source", col("n_chars"), "doc_id", resamples = 100, tailMilli = 25),
+      Some(sqlBootstrapCiOracle(b = 100, tailMilli = 25))),
+
+    // --- DIAGONAL-FRÉCHET distance between per-label embedding
+    // distributions (the FID statistic with diagonal covariance): one
+    // integer-nano moment pass, O(labels²·dim) tail — the drift /
+    // synthetic-vs-real audit at the distribution level ---
+    Q("q222_embedding_frechet",
+      (s, dir) => graft.ops.Similarity.groupFrechetDiag(
+        t(s, dir, "embeddings"), "embedding", "label"),
+      Some(sqlFrechetOracle)),
+
+    // --- ZIPF SLOPE per source: OLS of log2(freq) on log2(rank) over the
+    // top-64 words through the portable polynomial log2 (no libm) — the
+    // vocabulary power-law shape as a corpus-quality signal ---
+    Q("q223_zipf_slope",
+      (s, dir) => TextAnalysis.zipfSlope(t(s, dir, "documents"), "text",
+        "source", topN = 64),
+      Some(sqlZipfOracle(topN = 64))),
+
+    // --- SPLIT LEAKAGE AUDIT: how many q23-grade near-dup pairs a naive
+    // per-document 80/20 hash split sends across the train/eval boundary
+    // — the diagnostic twin of q163's leakage-safe constructor ---
+    Q("q224_split_leakage",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val withSplit = docs.withColumn("split",
+          when(graft.ml.MLOps.md5Bucket(col("doc_id"), 1000000) < 800000,
+            lit("train")).otherwise(lit("eval")))
+        val pairs = Dedup.nearDuplicatesPortable(docs, "text", "doc_id",
+          threshold = 0.35, bands = 8, k = 2)
+        graft.ml.MLOps.splitLeakageAudit(withSplit, pairs, "doc_id", "split")
+      },
+      Some(s"""WITH ${minhashCtes(0.35, 8, 2)},
+          sp AS (SELECT doc_id, CASE WHEN CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000000 < 800000
+              THEN 'train' ELSE 'eval' END AS split FROM documents)
+        SELECT count(*) AS n_pairs,
+          CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split,
+          CAST(sum(CASE WHEN sa.split = sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+          CAST(CASE WHEN count(*) > 0
+            THEN (1000 * sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)) // count(*)
+            END AS BIGINT) AS leakage_milli
+        FROM pairs JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b"""))
   )
 
   val specs: Seq[Q] =

@@ -869,6 +869,90 @@ object MLOps {
               * (col("__rmin") - 1L).cast("double"))).as("kappa"))
   }
 
+  /** POISSON-BOOTSTRAP percentile confidence interval for a per-group
+    * MEAN of an integral metric: every row enters each of `resamples`
+    * virtual resamples with a Poisson(1) multiplicity drawn from the md5
+    * of (key, resample) — the standard one-pass bootstrap at scale (the
+    * with-replacement draw that needs no global n), here DETERMINISTIC:
+    * the 32-bit hash is compared against integer CDF thresholds
+    * ([[graft.functions.Portable.poissonCount]]), so any engine draws the
+    * identical counts. Puts an uncertainty band on every monitoring mean
+    * this suite reports (quality scores, token counts, latencies) —
+    * "source B's mean dropped" only matters outside its CI.
+    *
+    * CI convention: per group, resample means sorted ascending (ties by
+    * resample index); with k = ceil(B·tailMilli/1000), ci_lo is the k-th
+    * smallest and ci_hi the k-th largest. Resamples whose total weight is
+    * zero (only possible for near-empty groups) are dropped and `b_kept`
+    * reports the survivors. `mean_x` is the plain exact mean.
+    *
+    * Engine-exact: the metric is integral, so Σ(c·x) and Σc are exact
+    * longs and every mean is one double division.
+    *
+    * Plan shape at 100 TB: the explode is a narrow map (B× CPU, not B×
+    * shuffle) — map-side partial aggregation collapses each partition to
+    * O(groups·B) integer triples before anything moves; the rank window
+    * runs over B rows per group. */
+  def bootstrapMeanCI(df: DataFrame, groupCol: String, valueCol: Column,
+      keyCol: String, resamples: Int = 100, tailMilli: Int = 25): DataFrame = {
+    require(resamples >= 4 && resamples <= 10000,
+      s"bootstrapMeanCI: resamples=$resamples outside [4, 10000]")
+    require(tailMilli >= 1 && tailMilli < 500,
+      s"bootstrapMeanCI: tailMilli=$tailMilli outside [1, 500)")
+    val base = df.select(col(groupCol).as("grp"),
+      valueCol.cast("long").as("__x"), col(keyCol).cast("string").as("__k"))
+    val h = conv(substring(md5(concat(col("__k"), lit(":"),
+      col("__b").cast("string"))), 1, 8), 16, 10).cast("long")
+    val perB = base
+      .select(col("grp"), col("__x"), col("__k"),
+        explode(sequence(lit(0), lit(resamples - 1))).as("__b"))
+      .withColumn("__c", graft.functions.Portable.poissonCount(h))
+      .groupBy(col("grp"), col("__b"))
+      .agg(sum(col("__c") * col("__x")).as("__swx"), sum(col("__c")).as("__sw"))
+      .filter(col("__sw") > 0L)
+      .withColumn("__m", col("__swx").cast("double") / col("__sw").cast("double"))
+    val w = Window.partitionBy(col("grp"))
+    val ranked = perB
+      .withColumn("__rn", row_number().over(w.orderBy(col("__m"), col("__b"))))
+      .withColumn("__bk", count(lit(1)).over(w))
+      .withColumn("__klo", expr(s"(__bk * $tailMilli + 999) div 1000"))
+    val ci = ranked.groupBy(col("grp")).agg(
+      max(when(col("__rn") === col("__klo"), col("__m"))).as("ci_lo"),
+      max(when(col("__rn") === col("__bk") - col("__klo") + 1L, col("__m"))).as("ci_hi"),
+      max(col("__bk")).as("b_kept"))
+    base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__x")).cast("double") / count(lit(1)).cast("double")).as("mean_x"))
+      .join(ci, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_rows"), col("mean_x"),
+        col("ci_lo"), col("ci_hi"), col("b_kept"))
+  }
+
+  /** SPLIT LEAKAGE AUDIT: given near-duplicate PAIRS and a split
+    * assignment, count how many pairs CROSS the split boundary — the
+    * contamination a naive per-document split leaks from train into eval
+    * ([[leakageSafeSplit]] is the constructive fix; this is the diagnostic
+    * that tells you whether you needed it, and audits splits made by
+    * systems that did not route components together). One row:
+    * (n_pairs, n_cross_split, n_within, leakage_milli).
+    *
+    * Plan shape at 100 TB: two broadcast-or-shuffle equi-joins of the
+    * O(pairs) edge list against the (id, split) projection, then one
+    * partial-aggregated global reduce — the corpus text never moves. */
+  def splitLeakageAudit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      splitCol: String): DataFrame = {
+    val s = docs.select(col(idCol), col(splitCol))
+    pairs
+      .join(s.select(col(idCol).as("id_a"), col(splitCol).as("__sa")), Seq("id_a"))
+      .join(s.select(col(idCol).as("id_b"), col(splitCol).as("__sb")), Seq("id_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)).as("n_cross_split"),
+        sum(when(col("__sa") === col("__sb"), 1L).otherwise(0L)).as("n_within"))
+      .select(col("n_pairs"), col("n_cross_split"), col("n_within"),
+        when(col("n_pairs") > 0L,
+          expr("(1000 * n_cross_split) div n_pairs")).as("leakage_milli"))
+  }
+
   /** CLASS-BALANCED downsampling: cap every class at the MINORITY class's
     * row count, members chosen by md5 hash order of the key — the
     * deterministic alternative to weighted-loss training when the skew is

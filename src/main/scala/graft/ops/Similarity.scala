@@ -501,6 +501,54 @@ object Similarity {
           / (lit(1e9) * count(lit(1)))).as("mean_val"),
         count(lit(1)).as("n"))
 
+  /** DIAGONAL-COVARIANCE FRÉCHET DISTANCE between each pair of groups'
+    * embedding distributions — the FID family's statistic restricted to
+    * per-dimension variances: Σ_d (μa−μb)² + σ²a + σ²b − 2·σa·σb. The
+    * embedding-space answer to "how far apart are these two sources /
+    * labels / snapshots as DISTRIBUTIONS" (drift detection, synthetic-vs-
+    * real audits, source mixing) — one number per group pair, complements
+    * [[graft.ops.TextAnalysis.distributionDistance]] (token space) and
+    * [[groupCentroids]] (means only; this adds the variance axis).
+    *
+    * Engine-exact like [[groupCentroids]]: per-row x and x² quantized to
+    * integer nanos and summed exactly, so μ and σ² per (group, dim) are
+    * identical doubles in any engine; each pair's per-dim term is one
+    * fixed IEEE expression quantized back to nanos, so the final Σ_d is
+    * again an exact integer sum.
+    *
+    * Plan shape at 100 TB: ONE corpus explode into a partial-aggregated
+    * (group, dim) group-by — the only thing that shuffles is O(groups·d)
+    * integer triples; the pair join and final reduce are O(groups²·d) on
+    * a table that fits in one task. */
+  def groupFrechetDiag(df: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val stats = df
+      .select(col(groupCol).as("__g"), posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("__g"), col("pos"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("col") * lit(1e9)).cast("long")).as("__sx"),
+        sum(round(col("col") * col("col") * lit(1e9)).cast("long")).as("__sxx"))
+      .select(col("__g"), col("pos"), col("__n"),
+        (col("__sx").cast("double") / (lit(1e9) * col("__n").cast("double")))
+          .as("__mu"),
+        (col("__sxx").cast("double") / (lit(1e9) * col("__n").cast("double")))
+          .as("__ex2"))
+      // population variance; greatest() guards the quantization residue
+      // when a dimension is (near-)constant
+      .withColumn("__vr", greatest(col("__ex2") - col("__mu") * col("__mu"), lit(0.0)))
+    val a = stats.select(col("__g").as("group_a"), col("pos"), col("__n").as("n_a"),
+      col("__mu").as("__mua"), col("__vr").as("__va"))
+    val b = stats.select(col("__g").as("group_b"), col("pos"), col("__n").as("n_b"),
+      col("__mu").as("__mub"), col("__vr").as("__vb"))
+    a.join(b, Seq("pos")).filter(col("group_a") < col("group_b"))
+      .withColumn("__term", round(
+        (((col("__mua") - col("__mub")) * (col("__mua") - col("__mub"))
+          + (col("__va") + col("__vb")))
+          - lit(2.0) * sqrt(col("__va") * col("__vb"))) * lit(1e9)).cast("long"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        (sum(col("__term")).cast("double") / lit(1e9)).as("frechet_diag"))
+  }
+
   /** Explode an embedding column into scalar columns (UnpackEmbedding,
     * retrieval_job.py:3296-3320). */
   def unpackEmbedding(df: DataFrame, vecCol: String, dims: Int, prefix: String = "dim_"): DataFrame =

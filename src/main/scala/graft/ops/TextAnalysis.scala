@@ -1334,4 +1334,59 @@ object TextAnalysis {
         ((col("n_rows").cast(d19) * col("n_rows").cast(d19)).cast("double")
           / col("__ss").cast("double")).as("effective_keys"))
   }
+
+  /** ZIPF SLOPE per group: OLS fit of log2(freq) against log2(rank) over
+    * each group's `topN` most frequent words — the power-law exponent of
+    * the vocabulary (natural text sits near −1; templated/boilerplate
+    * corpora flatten toward 0, spam with one repeated token steepens).
+    * Complements [[vocabGrowth]] (Heaps' law, growth axis) and
+    * [[heavyHitters]] (the head itself) with the head's SHAPE. Corpus
+    * profiling beyond the reference's per-row transforms
+    * (aligned/schemas/transformation.py has no corpus-statistics layer).
+    *
+    * Engine-exact: log2 via [[graft.functions.Portable.log2Micro]]
+    * (polynomial fixed point, no libm) so all five OLS sums are exact
+    * integer sums; slope and r² are fixed double expressions over those
+    * integers. Overflow-proof by the topN ≤ 128 cap: with x ≤ 7e6 micros
+    * (log2 128) and y ≤ 63e6 (any long frequency), every LONG cross-term
+    * (n·Σxy ≤ 7.2e18, Σx·Σy ≤ 7.3e18) stays under 2⁶³; the one product
+    * that would not (n·Σy² at ~6.5e19) is r²'s y-variance, computed in
+    * double — r² is a fit diagnostic, slope stays integer-exact.
+    *
+    * Plan shape at 100 TB: one corpus explode → partial-aggregated
+    * (group, word) counts (vocab-bounded); the rank window runs per group
+    * over the VOCABULARY rows, not the corpus; everything after is
+    * O(groups · topN). */
+  def zipfSlope(df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String, topN: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(topN >= 2 && topN <= 128, s"zipfSlope: topN=$topN outside [2, 128]" +
+      " — above 128 the exact-long OLS cross-terms can overflow")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
+    val freq = df.select(col(groupCol).as("grp"), explode(toks).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("f"))
+    val ranked = freq.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("f").desc, col("w"))))
+      .filter(col("r") <= topN)
+    val xy = ranked.select(col("grp"),
+      graft.functions.Portable.log2Micro(col("r").cast("long")).as("x"),
+      graft.functions.Portable.log2Micro(col("f")).as("y"))
+    xy.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") >= 2)
+      .select(col("grp"), col("n").as("n_terms"),
+        // exact-integer numerators/denominators, ONE double division each;
+        // r² squares in double (the exact-long square can overflow)
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("zipf_slope"),
+        (((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("r2"))
+  }
 }

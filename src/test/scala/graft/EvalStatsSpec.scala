@@ -238,4 +238,99 @@ class EvalStatsSpec extends AnyFunSuite {
       graft.ml.MLOps.packSequences(docs, "k", col("n"), seqLen = 0, buckets = 1)
     }
   }
+
+  // --- Portable fixed-point log2 ---
+
+  test("Portable.log2Micro: within 1 micro of true log2 across magnitudes, exact at powers of two") {
+    val ms = (1L to 64L) ++ Seq(100L, 999L, 4096L, 1000000L, 1L << 40, (1L << 40) + 12345L)
+    val got = ms.toDF("m").select(col("m"),
+        graft.functions.Portable.log2Micro(col("m")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ms.foreach { m =>
+      val want = math.log(m.toDouble) / math.log(2.0) * 1e6
+      assert(math.abs(got(m) - want) <= 1.0, s"m=$m got=${got(m)} want=$want")
+    }
+    assert(got(1L) == 0L && got(2L) == 1000000L && got(4096L) == 12000000L)
+  }
+
+  test("Portable.poissonCount: integer threshold edges give the documented counts") {
+    val t = graft.functions.Portable.PoissonThresholds32
+    val hs = Seq(0L, t(0) - 1, t(0), t(1) - 1, t(1), t.last - 1, t.last, 4294967295L)
+    val got = hs.toDF("h").select(col("h"),
+        graft.functions.Portable.poissonCount(col("h")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 0L && got(t(0) - 1) == 0L && got(t(0)) == 1L)
+    assert(got(t(1) - 1) == 1L && got(t(1)) == 2L)
+    assert(got(t.last - 1) == 7L && got(t.last) == 8L && got(4294967295L) == 8L)
+  }
+
+  // --- bootstrapMeanCI ---
+
+  test("bootstrapMeanCI: CI brackets a stable mean, b_kept drops only for tiny groups") {
+    val rows = (1L to 400L).map(i => ("big", i % 7 + 10L, i)) :+ (("one", 5L, 9999L))
+    val df = rows.toDF("grp", "v", "id")
+    val out = graft.ml.MLOps.bootstrapMeanCI(df, "grp", col("v"), "id",
+        resamples = 100, tailMilli = 25)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val big = out("big")
+    assert(big.getAs[Long]("n_rows") == 400L)
+    val mean = big.getAs[Double]("mean_x")
+    assert(big.getAs[Double]("ci_lo") <= mean && mean <= big.getAs[Double]("ci_hi"))
+    assert(big.getAs[Double]("ci_lo") < big.getAs[Double]("ci_hi"))
+    assert(big.getAs[Long]("b_kept") == 100L) // 400 rows: no zero-weight resample
+    val one = out("one") // 1-row group: ~1/e of resamples draw weight 0 and drop
+    assert(one.getAs[Long]("b_kept") < 100L && one.getAs[Long]("b_kept") > 0L)
+    assert(one.getAs[Double]("ci_lo") == 5.0 && one.getAs[Double]("ci_hi") == 5.0)
+    intercept[IllegalArgumentException] {
+      graft.ml.MLOps.bootstrapMeanCI(df, "grp", col("v"), "id", resamples = 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ml.MLOps.bootstrapMeanCI(df, "grp", col("v"), "id", tailMilli = 600)
+    }
+  }
+
+  // --- groupFrechetDiag ---
+
+  test("groupFrechetDiag: zero for identical groups, hand-computed for a mean shift") {
+    val va = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 6.0f))
+    val df = (va.map(("a", _)) ++ va.map(("b", _)) ++
+        va.map { v => ("c", Seq(v(0) + 10.0f, v(1))) })
+      .toDF("g", "emb")
+    val out = graft.ops.Similarity.groupFrechetDiag(df, "emb", "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("frechet_diag")).toMap
+    assert(out(("a", "b")) == 0.0)
+    // c = a shifted +10 in dim 1 only: variances equal, so distance = 100
+    assert(math.abs(out(("a", "c")) - 100.0) < 1e-6)
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c"))) // a < b ordering only
+  }
+
+  // --- zipfSlope ---
+
+  test("zipfSlope: exact power law fits slope -1 with r2 ~ 1; topN cap enforced") {
+    // word w_r appears round(64/r) times => log2 f ~ 6 - log2 r
+    val words = (1 to 16).flatMap(r => Seq.fill(math.round(64.0 / r).toInt)(s"w$r"))
+    val df = Seq(("s", words.mkString(" "))).toDF("src", "text")
+    val out = graft.ops.TextAnalysis.zipfSlope(df, "text", "src", topN = 16)
+      .collect().head
+    assert(out.getAs[Long]("n_terms") == 16L)
+    assert(math.abs(out.getAs[Double]("zipf_slope") + 1.0) < 0.05)
+    assert(out.getAs[Double]("r2") > 0.99)
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.zipfSlope(df, "text", "src", topN = 129)
+    }
+  }
+
+  // --- splitLeakageAudit ---
+
+  test("splitLeakageAudit: exact cross/within counts and milli rate") {
+    val docs = Seq((1L, "train"), (2L, "train"), (3L, "eval"), (4L, "eval"))
+      .toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = graft.ml.MLOps.splitLeakageAudit(docs, pairs, "doc_id", "split")
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(r.getAs[Long]("n_cross_split") == 2L)
+    assert(r.getAs[Long]("n_within") == 2L)
+    assert(r.getAs[Long]("leakage_milli") == 500L)
+  }
 }
