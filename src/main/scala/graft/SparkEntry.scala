@@ -6427,7 +6427,47 @@ object SparkEntry {
           CAST(CASE WHEN count(*) > 0
             THEN (1000 * sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)) // count(*)
             END AS BIGINT) AS leakage_milli
-        FROM pairs JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b"""))
+        FROM pairs JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b""")),
+
+    // --- EXACT 5%-TRIMMED mean doc length per source: boundary values
+    // contribute partially, so the result equals sort-and-slice with only
+    // the per-source VALUE HISTOGRAM windowed — the outlier-robust mean
+    // for scrape-tail monitoring ---
+    Q("q225_trimmed_mean",
+      (s, dir) => Aggregations.trimmedStats(t(s, dir, "documents"),
+        Seq("source"), "n_chars", trimMilli = 50),
+      Some("""WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+          cum AS (SELECT source, v, c,
+              sum(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER (PARTITION BY source) AS n FROM h),
+          kk AS (SELECT *, (n * 50) // 1000 AS k FROM cum),
+          e AS (SELECT source, n, k, v, c,
+              greatest(0, least(c, k - (cum - c))) AS elo,
+              greatest(0, least(c, k - (n - cum))) AS ehi FROM kk)
+        SELECT source, CAST(max(n) AS BIGINT) AS n_rows,
+          CAST(max(k) AS BIGINT) AS n_trimmed_each,
+          CASE WHEN max(n) > 2 * max(k) THEN
+            CAST(sum(v*c) - sum(v*elo) - sum(v*ehi) AS DOUBLE)
+              / CAST(max(n) - 2 * max(k) AS DOUBLE) END AS trimmed_mean
+        FROM e GROUP BY 1""")),
+
+    // --- ROBUST CENTER per source: exact median + MAD through two
+    // histogram-percentile passes (quantile_cont-lerp-exact) — the
+    // breakdown-resistant location/scale pair for anomaly thresholds ---
+    Q("q226_robust_center",
+      (s, dir) => Aggregations.robustCenter(t(s, dir, "documents"),
+        Seq("source"), "n_chars"),
+      Some("""WITH med AS (SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS median
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+          dev AS (SELECT d.source, abs(CAST(d.n_chars AS DOUBLE) - m.median) AS dv
+            FROM documents d JOIN med m ON d.source = m.source
+            WHERE d.n_chars IS NOT NULL),
+          mad AS (SELECT source, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY 1),
+          n AS (SELECT source, count(*) AS n_rows FROM documents
+            WHERE n_chars IS NOT NULL GROUP BY 1)
+        SELECT n.source, n_rows, median, mad
+        FROM n JOIN med USING (source) JOIN mad USING (source)"""))
   )
 
   val specs: Seq[Q] =

@@ -118,6 +118,67 @@ object Aggregations {
     out.select(keys.map(col) ++ outNames.map(col): _*)
   }
 
+  /** EXACT TRIMMED MEAN per key: drop exactly k = floor(n·trimMilli/1000)
+    * rows from EACH end of the value order and average the rest — the
+    * outlier-robust mean for monitoring metrics whose tails are garbage
+    * (truncated scrapes, pathological documents). Integer-exact end to
+    * end: the metric is integral, boundary values contribute PARTIALLY
+    * (v · min(c, k − cum_before) at the cut), so the result equals the
+    * sorted-and-sliced definition without any sort of the data — only the
+    * per-key VALUE HISTOGRAM is windowed (distinct values, not rows; the
+    * [[exactPercentiles]] histogram idiom — same scale caveat, same
+    * bracketed escape hatch for near-continuous domains). */
+  def trimmedStats(df: DataFrame, keys: Seq[String], valueCol: String,
+      trimMilli: Int): DataFrame = {
+    require(trimMilli >= 0 && trimMilli < 500,
+      s"trimmedStats: trimMilli=$trimMilli outside [0, 500) — trimming half" +
+        " from each end leaves nothing")
+    val v = col(valueCol).cast("long")
+    val hist = df.filter(v.isNotNull)
+      .groupBy(keys.map(col) :+ v.as("__v"): _*).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__k", expr(s"(__n * $trimMilli) div 1000"))
+    // of this value's c copies, the bottom cut eats min(c, k − cum_before)
+    // (clamped at 0) and the top cut eats min(c, k − (n − cum))
+    val eatLo = greatest(lit(0L), least(col("__c"), col("__k") - (col("__cum") - col("__c"))))
+    val eatHi = greatest(lit(0L), least(col("__c"), col("__k") - (col("__n") - col("__cum"))))
+    cum.groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n_rows"), max(col("__k")).as("n_trimmed_each"),
+        sum(col("__v") * col("__c")).as("__sum"),
+        sum(col("__v") * eatLo).as("__lo"), sum(col("__v") * eatHi).as("__hi"))
+      .select(keys.map(col) :+ col("n_rows") :+ col("n_trimmed_each") :+
+        when(col("n_rows") > lit(2L) * col("n_trimmed_each"),
+          (col("__sum") - col("__lo") - col("__hi")).cast("double")
+            / (col("n_rows") - lit(2L) * col("n_trimmed_each")).cast("double"))
+          .as("trimmed_mean"): _*)
+  }
+
+  /** ROBUST CENTER per key: exact MEDIAN and MAD (median absolute
+    * deviation) — the location/scale pair whose breakdown point survives
+    * 50% garbage, for anomaly thresholds that a single pathological batch
+    * cannot drag ([[graft.ops.EventAnalytics.volumeAnomalies]] uses
+    * mean/stddev; this is the robust alternative's building block). Two
+    * [[exactPercentiles]] passes: the median, then the median of
+    * |x − median| with the per-key median broadcast back onto the scan —
+    * both windows run over per-key DISTINCT-value histograms, and the
+    * lerp matches quantile_cont bit-for-bit, so any engine reproduces the
+    * pair exactly. */
+  def robustCenter(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val med = exactPercentiles(df, keys, valueCol, Seq(0.5), Seq("median"))
+    val dev = df.join(broadcast(med), keys)
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("median")))
+    val mad = exactPercentiles(dev, keys, "__dev", Seq(0.5), Seq("mad"))
+    val n = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    n.join(med, keys).join(mad, keys)
+      .select(keys.map(col) :+ col("n_rows") :+ col("median") :+ col("mad"): _*)
+  }
+
   /** [[exactPercentiles]] for NEAR-CONTINUOUS domains with FEW keys — the
     * case where the histogram path degrades (O(distinct)≈O(rows) per-key
     * ordered window, parallel only across keys). Same results, different

@@ -320,6 +320,43 @@ class EvalStatsSpec extends AnyFunSuite {
     }
   }
 
+  // --- trimmedStats / robustCenter ---
+
+  test("trimmedStats: sort-and-slice equality incl. partial boundary eating") {
+    val a = (1L to 10L).map(("a", _))          // trim 20%: k=2, mean(3..8)=5.5
+    val b = Seq(1L, 1L, 1L, 1L, 100L).map(("b", _)) // k=1: eat ONE of the four 1s + the 100
+    val df = (a ++ b).toDF("g", "v")
+    val out = graft.ops.Aggregations.trimmedStats(df, Seq("g"), "v", trimMilli = 200)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_trimmed_each") == 2L)
+    assert(out("a").getAs[Double]("trimmed_mean") == 5.5)
+    assert(out("b").getAs[Long]("n_trimmed_each") == 1L)
+    assert(out("b").getAs[Double]("trimmed_mean") == 1.0)
+    // trimMilli=0 is the plain mean; k hitting everything nulls the mean
+    val plain = graft.ops.Aggregations.trimmedStats(df, Seq("g"), "v", 0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("trimmed_mean")).toMap
+    assert(plain("a") == 5.5 && plain("b") == 20.8)
+    val tiny = Seq(("t", 7L), ("t", 9L)).toDF("g", "v")
+    val r = graft.ops.Aggregations.trimmedStats(tiny, Seq("g"), "v", 499)
+      .collect().head
+    assert(r.getAs[Long]("n_trimmed_each") == 0L && r.getAs[Double]("trimmed_mean") == 8.0)
+    intercept[IllegalArgumentException] {
+      graft.ops.Aggregations.trimmedStats(df, Seq("g"), "v", 500)
+    }
+  }
+
+  test("robustCenter: exact median and MAD, lerp on even counts") {
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("odd", _)) ++
+      Seq(1L, 2L, 3L, 10L).map(("even", _))).toDF("g", "v")
+    val out = graft.ops.Aggregations.robustCenter(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("odd").getAs[Long]("n_rows") == 5L)
+    assert(out("odd").getAs[Double]("median") == 3.0)
+    assert(out("odd").getAs[Double]("mad") == 1.0) // devs 0,1,1,2,97
+    assert(out("even").getAs[Double]("median") == 2.5)
+    assert(out("even").getAs[Double]("mad") == 1.0) // devs .5,.5,1.5,7.5 -> lerp 1.0
+  }
+
   // --- splitLeakageAudit ---
 
   test("splitLeakageAudit: exact cross/within counts and milli rate") {
