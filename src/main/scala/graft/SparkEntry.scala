@@ -6467,7 +6467,159 @@ object SparkEntry {
           n AS (SELECT source, count(*) AS n_rows FROM documents
             WHERE n_chars IS NOT NULL GROUP BY 1)
         SELECT n.source, n_rows, median, mad
-        FROM n JOIN med USING (source) JOIN mad USING (source)"""))
+        FROM n JOIN med USING (source) JOIN mad USING (source)""")),
+
+    // --- WEIGHTED SAMPLE WITHOUT REPLACEMENT, exactly k per source
+    // (Efraimidis-Spirakis A-ES priorities from the portable fixed-point
+    // log2 over md5 draws — deterministic, engine-exact): longer documents
+    // proportionally likelier, yet exactly 5 survive per source. rank<=k
+    // compiles to WindowGroupLimit — local top-k before the shuffle ---
+    Q("q227_weighted_sample_k",
+      (s, dir) => graft.ml.MLOps.weightedSampleK(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", col("n_chars"), k = 5),
+      Some(s"""WITH hh AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+            CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) + 1 AS h
+          FROM documents),
+          pr AS (SELECT source, doc_id, n_chars,
+            CAST(${graft.functions.Portable.sqlLog2Micro("h")} - 32000000 AS DOUBLE)
+              / CAST(n_chars AS DOUBLE) AS p FROM hh)
+        SELECT source, doc_id, n_chars,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY p DESC, doc_id) AS INTEGER)
+            AS sample_rank
+        FROM pr QUALIFY sample_rank <= 5""")),
+
+    // --- PER-SOURCE DATASET CARD: the datasheet row a curation run ships
+    // with its shards — counts, size profile, corpus share, language
+    // spread + dominant language. Two narrow aggregates; the grand total
+    // is a window over the bounded per-source frame ---
+    Q("q228_dataset_card",
+      (s, dir) => Aggregations.datasetCard(t(s, dir, "documents"),
+        "source", "lang", "n_chars"),
+      Some("""WITH base AS (SELECT source, lang, CAST(n_chars AS BIGINT) AS sz
+            FROM documents WHERE n_chars IS NOT NULL),
+          lh AS (SELECT source, lang, count(*) AS lc FROM base GROUP BY 1, 2),
+          lr AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY lc DESC, lang) AS r FROM lh),
+          lg AS (SELECT source, count(*) AS n_langs,
+              max(CASE WHEN r = 1 THEN lang END) AS top_lang,
+              max(CASE WHEN r = 1 THEN lc END) AS topc FROM lr GROUP BY 1),
+          st AS (SELECT source, count(*) AS n_docs,
+              CAST(sum(sz) AS BIGINT) AS chars_total,
+              min(sz) AS chars_min, max(sz) AS chars_max FROM base GROUP BY 1),
+          g AS (SELECT *, CAST(sum(chars_total) OVER () AS BIGINT) AS grand
+            FROM st JOIN lg USING (source))
+        SELECT source, n_docs, chars_total, chars_min, chars_max,
+          CAST(chars_total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+          (1000 * chars_total) // grand AS share_milli,
+          n_langs, top_lang, (1000 * topc) // n_docs AS top_lang_milli
+        FROM g""")),
+
+    // --- EXACT PERCENTILE-RANK transform: percent_rank of n_chars within
+    // each source appended per row — ranks from the distinct-value
+    // histogram (no row sort), one integer-exact IEEE division — the
+    // cross-source quality-score calibration step ---
+    Q("q229_percentile_rank",
+      (s, dir) => Aggregations.percentileRank(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq("source"), "n_chars", "pct_rank"),
+      Some("""SELECT doc_id, source, n_chars,
+          CASE WHEN count(*) OVER (PARTITION BY source) > 1
+            THEN CAST(rank() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS DOUBLE)
+              / CAST(count(*) OVER (PARTITION BY source) - 1 AS DOUBLE)
+            ELSE 0.0 END AS pct_rank
+        FROM documents""")),
+
+    // --- UNIGRAM ENTROPY + KL-TO-CORPUS per source through the portable
+    // fixed-point log2 (the information-theoretic pair to q160's TV and
+    // q211's HHI, libm-free so it hash-matches): low H = boilerplate,
+    // high KL = the slice DoReMi would reweight first ---
+    Q("q230_unigram_entropy",
+      (s, dir) => TextAnalysis.unigramEntropy(t(s, dir, "documents"),
+        "text", "source"),
+      Some(s"""WITH w AS (SELECT source AS slice,
+            unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), xf -> length(xf) > 0)) AS w
+          FROM documents),
+          c AS (SELECT slice, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+          cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM c GROUP BY 1),
+          j AS (SELECT slice, c.c AS c,
+              ${graft.functions.Portable.sqlLog2Micro("c.c")} AS lc,
+              ${graft.functions.Portable.sqlLog2Micro("cw")} AS lcw
+            FROM c JOIN cw USING (w)),
+          sl AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS vocab,
+              sum(c * lc) AS sent, sum(c * (lc - lcw)) AS skl
+            FROM j GROUP BY 1),
+          g AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS t FROM sl)
+        SELECT slice, n_tokens, vocab,
+          (CAST(${graft.functions.Portable.sqlLog2Micro("n_tokens")} AS DOUBLE)
+            - CAST(sent AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1000000.0
+            AS entropy_bits,
+          (CAST(skl AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            + CAST(${graft.functions.Portable.sqlLog2Micro("t")}
+              - ${graft.functions.Portable.sqlLog2Micro("n_tokens")} AS DOUBLE))
+            / 1000000.0 AS kl_bits
+        FROM g""")),
+
+    // --- SIMPLIFIED SILHOUETTE per embedding cluster (centroid-based, one
+    // narrow map — never the O(n²) pairwise form): the clustering quality
+    // gate before trusting SemDeDup/prototype-prune decisions; micro-
+    // quantized integer sums make the per-cluster mean engine-exact ---
+    Q("q231_silhouette",
+      (s, dir) => Similarity.clusterSilhouette(t(s, dir, "embeddings"),
+        "embedding", 1 to 8, Dedup.portablePlanes(8, 64)),
+      Some(s"""WITH ${sqlCentroidSims(8, 64)},
+          a AS (SELECT s.vec_id, s.v, s.cid,
+              1.0 - ${sqlCos("s.v", "c.cv")} AS da
+            FROM sims s JOIN cents c ON c.cid = s.cid WHERE s.rn = 1),
+          b AS (SELECT s.vec_id, 1.0 - ${sqlCos("s.v", "c.cv")} AS db
+            FROM sims s JOIN cents c ON c.cid = s.cid WHERE s.rn = 2),
+          q AS (SELECT a.cid AS centroid_id,
+              CASE WHEN greatest(da, db) = 0 THEN 0.0
+                ELSE (db - da) / greatest(da, db) END AS sil
+            FROM a JOIN b USING (vec_id))
+        SELECT centroid_id, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(sil * 1000000.0) AS BIGINT)) AS BIGINT)
+            AS sum_sil_micro,
+          CAST(sum(CAST(floor(sil * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_sil
+        FROM q GROUP BY 1""")),
+
+    // --- TRUNCATED RANK-BIASED OVERLAP between two rankers' per-source
+    // top-10 (length-desc vs md5 order): the ranker-agreement monitor for
+    // scorer swaps — suffix-sum weight literals shared by both engines,
+    // one array lookup per row, no per-depth explode ---
+    Q("q232_rbo",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+        val wA = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val wB = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        graft.ml.MLOps.rboTruncated(
+          docs.withColumn("rank_a", row_number().over(wA))
+            .withColumn("rank_b", row_number().over(wB)),
+          "source", col("rank_a"), col("rank_b"), k = 10, pMilli = 900)
+      },
+      Some(s"""WITH r AS (SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS ra,
+            row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rb
+          FROM documents),
+          wg AS (SELECT source, ra, rb,
+            CASE WHEN greatest(ra, rb) > 10 THEN 0
+              ELSE list_extract(${graft.ml.MLOps.rboWeightsNano(10, 900)
+                .mkString("[", ", ", "]")},
+                CAST(greatest(ra, rb) AS INTEGER)) END AS wgt FROM r)
+        SELECT source,
+          CAST(count(CASE WHEN ra <= 10 THEN 1 END) AS BIGINT) AS n_a,
+          CAST(count(CASE WHEN rb <= 10 THEN 1 END) AS BIGINT) AS n_b,
+          CAST(count(CASE WHEN greatest(ra, rb) <= 10 THEN 1 END) AS BIGINT)
+            AS overlap_k,
+          ${(1000 - 900) / 1000.0}
+            * (CAST(sum(wgt) AS DOUBLE) / 1.0E9) AS rbo
+        FROM wg GROUP BY 1"""))
   )
 
   val specs: Seq[Q] =

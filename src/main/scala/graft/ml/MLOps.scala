@@ -122,6 +122,41 @@ object MLOps {
     df.filter(md5Bucket(col(keyCol), buckets).cast("double") < rate * buckets)
   }
 
+  /** WEIGHTED sampling WITHOUT replacement, exactly k per group
+    * (Efraimidis-Spirakis A-ES): each row draws priority log2(u)/w from
+    * the md5 of its key — u uniform on (0,1], w the row's weight — and
+    * the k LARGEST priorities win, which is distributionally identical to
+    * weighted draws without replacement. The deterministic way to take
+    * "k documents per source, weighted by quality/length" where Bernoulli
+    * thresholding ([[sampleByRate]]) cannot hit an exact k and plain
+    * [[groupCap]] ignores weights. log2 goes through
+    * [[graft.functions.Portable.log2Micro]] (integer fixed point, no
+    * libm) and the division by w is one correctly-rounded IEEE op, so any
+    * engine ranks the identical priorities. Zero/negative/NULL weights
+    * fail loudly — a silent drop would skew the distribution invisibly.
+    *
+    * Plan shape at 100 TB: rank ≤ k compiles to WindowGroupLimit — each
+    * task keeps only its local top-k per group before the shuffle; no
+    * full per-group sort materializes. */
+  def weightedSampleK(df: DataFrame, groupCol: String, keyCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"weightedSampleK: k=$k must be >= 1")
+    // +1 maps the 32-bit hash onto (0, 2^32] so u is never 0 and
+    // log2(u) = log2(h+1) − 32 is always defined; u = 1 gives priority 0
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(1L)
+    val w = when(weight.isNull || weight <= lit(0), raise_error(concat(
+        lit("weightedSampleK: non-positive or NULL weight for key "),
+        col(keyCol).cast("string")))).otherwise(weight.cast("double"))
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(col("__pr").desc, col(keyCol))
+    df.withColumn("__pr",
+        (graft.functions.Portable.log2Micro(h) - lit(32000000L)).cast("double") / w)
+      .withColumn("sample_rank", row_number().over(win))
+      .filter(col("sample_rank") <= k)
+      .drop("__pr")
+  }
+
   /** MIXTURE RESAMPLING to target domain weights (the DoReMi/Pile recipe:
     * downsample over-represented sources until the kept corpus approaches
     * `targetFracs`): keep_rate(g) = min(1, target_g · N / n_g), thresholded
@@ -673,6 +708,70 @@ object MLOps {
         when(col("idcg_micro") === 0L, lit(null).cast("double"))
           .otherwise(col("dcg_micro").cast("double")
             / col("idcg_micro").cast("double")).as("ndcg_at_k"))
+  }
+
+  /** The truncated-RBO weight table in integer NANO-units:
+    * W(m) = round(10⁹ · Σ_{d=m..k} p^{d−1}/d) for m = 1..k — an item whose
+    * ranks first agree at depth m contributes p^{d−1}·|A_d∩B_d|-mass to
+    * every depth d ≥ m, so its TOTAL contribution to Σ p^{d−1}·X_d/d is
+    * exactly this suffix sum. Computed ONCE here and injected as
+    * plan-time literals on both engines (the [[ndcgDiscountMicros]]
+    * discipline — the pow never runs inside either data path). */
+  def rboWeightsNano(k: Int, pMilli: Int): Seq[Long] = {
+    val p = pMilli / 1000.0
+    val terms = (1 to k).map(d => math.pow(p, d - 1) / d)
+    (1 to k).map(m => math.round(terms.drop(m - 1).sum * 1e9))
+  }
+
+  /** TRUNCATED RANK-BIASED OVERLAP at depth k (Webber, Moffat & Zobel
+    * 2010, §4.1 — the ⊕ prefix sum RBO_min truncates to; the residual of
+    * the untruncated geometric tail is NOT added, so this is the
+    * conservative lower band): per query,
+    *
+    *   RBO@k = (1 − p) · Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d
+    *
+    * comparing two rankers' top-k lists — the ranker-agreement monitor a
+    * retrieval stack runs when swapping scorers (does the new BM25 field
+    * weighting actually change what users see, or only the tail?). Top-
+    * weightedness comes from p: at p = 0.9 the first rank carries ~14% of
+    * the total mass.
+    *
+    * Input: one row per (query, item) carrying that item's FULL rank
+    * under each ranker (NULL = unranked); ranks > k simply fall out of
+    * the truncated intersection. An item enters |A_d ∩ B_d| for every
+    * d ≥ max(rank_a, rank_b), so its total contribution is the
+    * [[rboWeightsNano]] literal at m = max — ONE array lookup per row,
+    * no per-depth explode; the per-query sum is EXACT in long and the
+    * final float is one division and one multiply by the (1 − p) literal
+    * — hash-identical on any engine restating the same table. Ranks < 1
+    * fail loudly in-plan. Plan: narrow map + one partial-aggregated
+    * group-by on the query — no window, no join, run-shaped not
+    * corpus-shaped. Returns (query, n_a, n_b, overlap_k, rbo). */
+  def rboTruncated(df: DataFrame, queryCol: String, rankA: Column,
+      rankB: Column, k: Int, pMilli: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"rboTruncated: k=$k outside [1, 1000]")
+    require(pMilli >= 1 && pMilli <= 999,
+      s"rboTruncated: pMilli=$pMilli outside [1, 999]")
+    val weights = rboWeightsNano(k, pMilli)
+    def guarded(r: Column, side: String): Column =
+      when(r < 1L, raise_error(concat(lit(
+        s"rboTruncated: rank_$side < 1 for query "), col("__q").cast("string"))))
+        .otherwise(r.cast("long"))
+    val base = df.select(col(queryCol).as("__q"), rankA.as("__ra"), rankB.as("__rb"))
+      .select(col("__q"), guarded(col("__ra"), "a").as("__ra"),
+        guarded(col("__rb"), "b").as("__rb"))
+    val m = greatest(col("__ra"), col("__rb")) // null if either side is null
+    base
+      .withColumn("__w", when(m.isNull || m > k, lit(0L))
+        .otherwise(element_at(typedLit(weights), m.cast("int"))))
+      .groupBy(col("__q").as(queryCol))
+      .agg(count(when(col("__ra") <= k, 1)).as("n_a"),
+        count(when(col("__rb") <= k, 1)).as("n_b"),
+        count(when(m <= k, 1)).as("overlap_k"),
+        sum(col("__w")).as("__sw"))
+      .withColumn("rbo", lit((1000 - pMilli) / 1000.0)
+        * (col("__sw").cast("double") / lit(1e9)))
+      .drop("__sw")
   }
 
   /** Exact two-sample CHI-SQUARE homogeneity statistic per group (+

@@ -741,4 +741,80 @@ object Aggregations {
             / sqrt(col("__sxx").cast("double") * col("__syy").cast("double")))
           .as("rho"))
   }
+
+  /** PER-SOURCE DATASET CARD — the datasheet row a curation run publishes
+    * beside its output shards: doc count, size totals/extremes, mean size,
+    * corpus share (milli), language spread, and the dominant language with
+    * its share. Two narrow aggregates (a (source, lang) histogram and a
+    * per-source stats fold) — never a row-level window; the corpus grand
+    * total rides a window over the BOUNDED per-source frame (O(sources)
+    * rows — the q180 lesson: a constant-key totals join folds to
+    * BroadcastNestedLoopJoin). Top-language ties break lexicographically,
+    * shares are integer `div`s and the mean one IEEE division of exact
+    * longs, so any engine reproduces the card bit-for-bit. Reference
+    * analogy: aligned's freshness/source-validation summaries
+    * (feature_store.py:700+) extended to the corpus-profile card a 100 TB
+    * training set ships with. */
+  def datasetCard(df: DataFrame, sourceCol: String, langCol: String,
+      sizeCol: String): DataFrame = {
+    val sz = col(sizeCol).cast("long")
+    val base = df.filter(sz.isNotNull)
+    val langHist = base.groupBy(col(sourceCol), col(langCol).as("__lang"))
+      .agg(count(lit(1)).as("__lc"))
+    val wTop = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__lc").desc, col("__lang"))
+    // rank <= 1 compiles to WindowGroupLimit — the top language never
+    // materializes a per-source sort of the lang histogram
+    val langs = langHist
+      .withColumn("__r", row_number().over(wTop))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_langs"),
+        max(when(col("__r") === 1, col("__lang"))).as("top_lang"),
+        max(when(col("__r") === 1, col("__lc"))).as("__topc"))
+    val stats = base.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(sz).as("chars_total"),
+        min(sz).as("chars_min"), max(sz).as("chars_max"))
+    stats.join(langs, sourceCol)
+      .withColumn("__grand", sum(col("chars_total")).over(Window.partitionBy()))
+      .select(col(sourceCol), col("n_docs"), col("chars_total"),
+        col("chars_min"), col("chars_max"),
+        (col("chars_total").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars"),
+        expr("(1000 * chars_total) div __grand").as("share_milli"),
+        col("n_langs"), col("top_lang"),
+        expr("(1000 * __topc) div n_docs").as("top_lang_milli"))
+  }
+
+  /** EXACT PERCENTILE-RANK transform: appends SQL `percent_rank` of
+    * `valueCol` within each key group — (rank − 1)/(n − 1) with ties
+    * sharing the MIN rank — WITHOUT sorting rows: ranks come from the
+    * per-key DISTINCT-VALUE histogram (cumulative count of
+    * strictly-smaller values + 1), joined back on (keys, value), so the
+    * ordered window runs over distinct values, not rows (the
+    * [[exactPercentiles]] idiom). The ratio is one IEEE division of two
+    * exact integers — bit-identical in any engine. Single-value groups get
+    * 0.0 (percent_rank's convention); NULL values pass through with a NULL
+    * rank (left join). The per-row normalized position is the standard
+    * quality-score calibration step before cross-source thresholding
+    * (reference: transformation.py grouped rank transforms). */
+  def percentileRank(df: DataFrame, keys: Seq[String], valueCol: String,
+      outCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val hist = df.filter(v.isNotNull)
+      .groupBy(keys.map(col) :+ v.as("__v"): _*).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val ranks = hist
+      .withColumn("__rank", sum(col("__c")).over(wCum) - col("__c") + lit(1L))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(keys.map(col) :+ col("__v") :+
+        when(col("__n") > lit(1L),
+          (col("__rank") - lit(1L)).cast("double")
+            / (col("__n") - lit(1L)).cast("double"))
+          .otherwise(lit(0.0)).as(outCol): _*)
+    df.withColumn("__v", v)
+      .join(ranks, (keys :+ "__v").toSeq, "left")
+      .drop("__v")
+  }
 }

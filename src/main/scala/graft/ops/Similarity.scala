@@ -181,6 +181,54 @@ object Similarity {
     }
   }
 
+  /** SIMPLIFIED SILHOUETTE per cluster (Hruschka et al.'s centroid-based
+    * form of Rousseeuw's silhouette — per-point against CENTROIDS, not all
+    * pairs, so it is one narrow map where the classic definition is
+    * O(n²)): for each vector, a = cosine distance to its nearest
+    * plan-time centroid, b = distance to the SECOND nearest, and
+    * s = (b − a)/max(a, b) ∈ [0, 1] here (b ≥ a by construction); the
+    * cluster's score is the mean of s over its members. The clustering
+    * quality gate a SemDeDup/prototype-prune pipeline checks before
+    * trusting cluster-local dedup decisions ([[kmeansRoundStats]] gates
+    * the update step; this gates the RESULT).
+    *
+    * Engine-exactness: s is a fixed IEEE tree over two [[cosine]] values
+    * (bit-identical per q30), and the per-cluster MEAN would be
+    * summation-order-dependent in double — so s is floor-quantized to
+    * micro units and summed EXACTLY in long ([[kmeansRoundStats]]'s
+    * sum_q discipline); mean_sil = sum_q / (n · 10⁶) is one final
+    * division. Both-distances-zero (the vector IS both centroids) yields
+    * s = 0. Assignment and scoring are narrow maps over plan-literal
+    * centroids — no join, no shuffle besides the O(k) aggregate. Returns
+    * (centroid_id, n, sum_sil_micro, mean_sil). */
+  def clusterSilhouette(df: DataFrame, vecCol: String,
+      ids: Seq[Int], mat: Seq[Seq[Double]]): DataFrame = {
+    require(ids.length >= 2, "clusterSilhouette needs at least 2 centroids")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = broadcast(ids.zip(mat).toDF("__cid", "__cent"))
+    val top2 = df.select(col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__near",
+        graft.functions.Native.nearestCentroids(col("__v"), ids, mat, 2))
+      .select(col("__v"), element_at(col("__near"), 1).as("centroid_id"),
+        element_at(col("__near"), 2).as("__cid2"))
+    val scored = top2
+      .join(cents.withColumnRenamed("__cent", "__c1"),
+        col("centroid_id") === col("__cid"))
+      .drop("__cid")
+      .join(cents.withColumnRenamed("__cent", "__c2"),
+        col("__cid2") === col("__cid"))
+      .withColumn("__a", lit(1.0) - cosine(col("__v"), col("__c1")))
+      .withColumn("__b", lit(1.0) - cosine(col("__v"), col("__c2")))
+      .withColumn("__s", when(greatest(col("__a"), col("__b")) === 0.0, lit(0.0))
+        .otherwise((col("__b") - col("__a")) / greatest(col("__a"), col("__b"))))
+    scored.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("__s") * lit(1000000.0)).cast("long")).as("sum_sil_micro"))
+      .withColumn("mean_sil", col("sum_sil_micro").cast("double")
+        / (col("n").cast("double") * lit(1000000.0)))
+  }
+
   /** IVF approximate nearest neighbours: coarse-quantize the corpus into
     * `nlist` inverted lists (k-means centroids, `kmeansIters` Lloyd rounds —
     * 0 keeps the deterministic hash-picked seeds); each query probes its

@@ -1389,4 +1389,60 @@ object TextAnalysis {
               - col("sy").cast("double") * col("sy").cast("double"))))
           .as("r2"))
   }
+
+  /** UNIGRAM ENTROPY and KL-TO-CORPUS per slice — the information-theoretic
+    * pair to [[distributionDistance]]'s TV and the HHI's "effective
+    * count": H(slice) says how concentrated a slice's own vocabulary use
+    * is (low = templated/boilerplate); KL(slice ‖ corpus) says how far the
+    * slice's word-usage rates sit from the pooled mixture (the DoReMi
+    * domain-divergence signal proper, where q160's TV is its bounded
+    * cousin). Elsewhere this family deliberately stayed "entropy-free"
+    * because libm logs are not engine-portable — here both statistics go
+    * through [[graft.functions.Portable.log2Micro]] (integer fixed-point
+    * log2), so they hash-match across engines:
+    *
+    *   H = log2(N) − (Σ_w c·log2(c)) / N
+    *   KL = (Σ_w c·(log2(c) − log2(C_w))) / N + log2(T) − log2(N)
+    *
+    * with c the (slice, word) count, N the slice total, C_w the corpus
+    * word count and T the corpus total — every sum an exact
+    * DECIMAL(38,0) of micro-log2 longs (c·log2Micro(c) passes 2⁶³ at
+    * ~2³¹ tokens per slice), and the float tail per slice two casts, one
+    * division and one subtraction — fixed-shape IEEE trees.
+    *
+    * Plan shape: one corpus scan → (slice, word) partial-aggregated
+    * counts; corpus word counts re-aggregate that histogram (O(vocab),
+    * never a second scan) and join back on the word — the one wide
+    * exchange, same as q160; slice totals and the grand total ride
+    * windows over the BOUNDED slice frame (O(slices) rows). Returns
+    * (slice, n_tokens, vocab, entropy_bits, kl_bits). */
+  def unigramEntropy(df: org.apache.spark.sql.DataFrame, textCol: String,
+      sliceCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hist = df.select(col(sliceCol).as("slice"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("slice", "w").agg(count(lit(1)).as("c"))
+    val corpus = hist.groupBy("w").agg(sum(col("c")).as("cw"))
+    val lc = graft.functions.Portable.log2Micro(col("c"))
+    val lcw = graft.functions.Portable.log2Micro(col("cw"))
+    val perSlice = hist.join(corpus, Seq("w"))
+      .groupBy("slice")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum((col("c").cast(d19) * lc.cast(d19)).cast(d38)).as("__sent"),
+        sum((col("c").cast(d19) * (lc - lcw).cast(d19)).cast(d38)).as("__skl"))
+    val t = sum(col("n_tokens")).over(Window.partitionBy())
+    val lN = graft.functions.Portable.log2Micro(col("n_tokens"))
+    perSlice
+      .withColumn("__lt", graft.functions.Portable.log2Micro(t))
+      .select(col("slice"), col("n_tokens"), col("vocab"),
+        ((lN.cast("double")
+          - col("__sent").cast("double") / col("n_tokens").cast("double"))
+          / lit(1e6)).as("entropy_bits"),
+        ((col("__skl").cast("double") / col("n_tokens").cast("double")
+          + (col("__lt") - lN).cast("double"))
+          / lit(1e6)).as("kl_bits"))
+  }
 }

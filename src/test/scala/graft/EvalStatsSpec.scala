@@ -370,4 +370,164 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_within") == 2L)
     assert(r.getAs[Long]("leakage_milli") == 500L)
   }
+
+  // --- weightedSampleK ---
+
+  test("weightedSampleK: exactly k per group, small groups pass whole, deterministic") {
+    val df = ((1L to 40L).map(i => ("big", i, i)) ++
+      Seq(("small", 100L, 5L), ("small", 101L, 5L))).toDF("g", "id", "w")
+    val out = graft.ml.MLOps.weightedSampleK(df, "g", "id", col("w"), k = 7)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("big" -> 7L, "small" -> 2L))
+    // sample_rank is dense 1..k within each group
+    val ranks = out.filter(col("g") === "big")
+      .select("sample_rank").as[Int].collect().sorted
+    assert(ranks.toSeq == (1 to 7))
+    // same input, same winners — the draw is a pure function of the key
+    val again = graft.ml.MLOps.weightedSampleK(df, "g", "id", col("w"), 7)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException] {
+      graft.ml.MLOps.weightedSampleK(df, "g", "id", col("w"), 0)
+    }
+  }
+
+  test("weightedSampleK: non-positive and NULL weights fail loudly") {
+    val bad = Seq(("g", 1L, java.lang.Long.valueOf(3L)),
+      ("g", 2L, java.lang.Long.valueOf(0L))).toDF("g", "id", "w")
+    val e = intercept[Exception] {
+      graft.ml.MLOps.weightedSampleK(bad, "g", "id", col("w"), 1).collect()
+    }
+    assert(e.getMessage.contains("weightedSampleK"))
+    val withNull = Seq(("g", 1L, Some(3L)), ("g", 2L, None))
+      .toDF("g", "id", "w")
+    val e2 = intercept[Exception] {
+      graft.ml.MLOps.weightedSampleK(withNull, "g", "id", col("w"), 1).collect()
+    }
+    assert(e2.getMessage.contains("weightedSampleK"))
+  }
+
+  test("weightedSampleK: heavier rows win more often across group replicas") {
+    // 200 replica groups of {heavy w=50, 9 light w=1}, k=1: the heavy row
+    // should win far more often than any single light one (E≈50/59); with
+    // md5 draws this is deterministic, so pin a generous band
+    val rows = for (g <- 1 to 200; i <- 0 to 9)
+      yield (s"g$g", g * 100L + i, if (i == 0) 50L else 1L)
+    val won = graft.ml.MLOps.weightedSampleK(rows.toDF("g", "id", "w"),
+        "g", "id", col("w"), 1)
+      .filter(col("id") % 100 === 0).count()
+    assert(won > 120 && won < 200, s"heavy row won $won/200")
+  }
+
+  // --- datasetCard ---
+
+  test("datasetCard: hand-computed card incl. lexicographic top-lang tie-break") {
+    val df = Seq(
+      ("s1", "en", 10L), ("s1", "en", 20L), ("s1", "de", 30L),
+      ("s2", "fr", 20L), ("s2", "de", 20L)).toDF("source", "lang", "n_chars")
+    val out = graft.ops.Aggregations.datasetCard(df, "source", "lang", "n_chars")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") == 3L && s1.getAs[Long]("chars_total") == 60L)
+    assert(s1.getAs[Long]("chars_min") == 10L && s1.getAs[Long]("chars_max") == 30L)
+    assert(s1.getAs[Double]("mean_chars") == 20.0)
+    assert(s1.getAs[Long]("share_milli") == 600L) // 60 of 100
+    assert(s1.getAs[Long]("n_langs") == 2L)
+    assert(s1.getAs[String]("top_lang") == "en")
+    assert(s1.getAs[Long]("top_lang_milli") == 666L)
+    val s2 = out("s2")
+    assert(s2.getAs[String]("top_lang") == "de") // tie de/fr -> lexicographic
+    assert(s2.getAs[Long]("top_lang_milli") == 500L)
+  }
+
+  // --- percentileRank ---
+
+  test("percentileRank: matches percent_rank incl. ties, singletons, NULL passthrough") {
+    val df = Seq(("a", 1L, Some(10L)), ("a", 2L, Some(10L)), ("a", 3L, Some(20L)),
+      ("a", 4L, Some(40L)), ("b", 5L, Some(7L)), ("b", 6L, None))
+      .toDF("g", "id", "v")
+    val out = graft.ops.Aggregations.percentileRank(df, Seq("g"), "v", "pr")
+      .collect().map(r => r.getLong(1) -> Option(r.getAs[java.lang.Double]("pr"))).toMap
+    assert(out(1L) == Some(0.0) && out(2L) == Some(0.0)) // ties share min rank
+    assert(out(3L) == Some(2.0 / 3.0) && out(4L) == Some(1.0))
+    assert(out(5L) == Some(0.0)) // single non-null value in group b
+    assert(out(6L).isEmpty)      // NULL passes through with NULL rank
+    // equality with the row-window builtin on the non-null rows
+    val builtin = df.filter(col("v").isNotNull).withColumn("pr",
+        percent_rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("v"))))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    builtin.foreach { case (id, p) => assert(out(id) == Some(p)) }
+  }
+
+  // --- unigramEntropy ---
+
+  test("unigramEntropy: hand-computed H and KL on a two-slice corpus") {
+    val df = Seq(("a", "x x y"), ("b", "x")).toDF("src", "text")
+    val out = graft.ops.TextAnalysis.unigramEntropy(df, "text", "src")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_tokens") == 3L && a.getAs[Long]("vocab") == 2L)
+    // H(a) = log2(3) - (2*log2(2) + 1*log2(1))/3 = 1.584963 - 2/3
+    assert(math.abs(a.getAs[Double]("entropy_bits") - (math.log(3) / math.log(2) - 2.0 / 3.0)) < 3e-6)
+    // KL(a||corpus) = 2*(log2(2)-log2(3))/3 + log2(4) - log2(3)
+    val klA = 2.0 * (1.0 - math.log(3) / math.log(2)) / 3.0 + 2.0 - math.log(3) / math.log(2)
+    assert(math.abs(a.getAs[Double]("kl_bits") - klA) < 3e-6)
+    val b = out("b")
+    assert(b.getAs[Long]("n_tokens") == 1L && b.getAs[Long]("vocab") == 1L)
+    assert(b.getAs[Double]("entropy_bits") == 0.0) // single token: log2(1) - 0
+    // KL(b||corpus) = -log2(3) + log2(4)
+    assert(math.abs(b.getAs[Double]("kl_bits") - (2.0 - math.log(3) / math.log(2))) < 3e-6)
+  }
+
+  // --- clusterSilhouette ---
+
+  test("clusterSilhouette: axis clusters score 1, the tie diagonal scores 0") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)), // pure c1: a=0, b=1 -> s=1
+      (3L, Seq(1.0, 1.0)),                      // equidistant, ties to c1 -> s=0
+      (4L, Seq(0.0, 5.0)))                      // pure c2 -> s=1
+      .toDF("vec_id", "v")
+    val out = graft.ops.Similarity.clusterSilhouette(vecs, "v",
+        Seq(1, 2), Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getAs[Long]("n") == 3L)
+    assert(out(1).getAs[Long]("sum_sil_micro") == 2000000L)
+    assert(math.abs(out(1).getAs[Double]("mean_sil") - 2.0 / 3.0) < 1e-12)
+    assert(out(2).getAs[Long]("n") == 1L)
+    assert(out(2).getAs[Double]("mean_sil") == 1.0)
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.clusterSilhouette(vecs, "v", Seq(1), Seq(Seq(1.0, 0.0)))
+    }
+  }
+
+  // --- rboTruncated ---
+
+  test("rboTruncated: identical lists hit the closed form, disjoint lists hit 0") {
+    val same = Seq(("q", 1L, 1, 1), ("q", 2L, 2, 2), ("q", 3L, 3, 3))
+      .toDF("qid", "item", "ra", "rb")
+    val r = graft.ml.MLOps.rboTruncated(same, "qid", col("ra"), col("rb"),
+      k = 3, pMilli = 900).collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("overlap_k") == 3L)
+    // identical lists: every item contributes W(its rank); RBO = 0.1 * ΣW/1e9
+    val w = graft.ml.MLOps.rboWeightsNano(3, 900)
+    assert(r.getAs[Double]("rbo") == 0.1 * (w.sum.toDouble / 1e9))
+    val disjoint = Seq(("q", 1L, 1, 20), ("q", 2L, 20, 1))
+      .toDF("qid", "item", "ra", "rb")
+    val d = graft.ml.MLOps.rboTruncated(disjoint, "qid", col("ra"), col("rb"), 3, 900)
+      .collect().head
+    assert(d.getAs[Long]("overlap_k") == 0L && d.getAs[Double]("rbo") == 0.0)
+    // swapped pair: both items first co-present at depth 2
+    val swap = Seq(("q", 1L, 1, 2), ("q", 2L, 2, 1)).toDF("qid", "item", "ra", "rb")
+    val s = graft.ml.MLOps.rboTruncated(swap, "qid", col("ra"), col("rb"), 3, 900)
+      .collect().head
+    assert(s.getAs[Long]("overlap_k") == 2L)
+    assert(s.getAs[Double]("rbo") == 0.1 * (2.0 * w(1) / 1e9))
+    intercept[Exception] {
+      graft.ml.MLOps.rboTruncated(
+        Seq(("q", 1L, 0, 1)).toDF("qid", "item", "ra", "rb"),
+        "qid", col("ra"), col("rb"), 3, 900).collect()
+    }
+  }
 }
