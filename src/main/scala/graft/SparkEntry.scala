@@ -5518,7 +5518,8 @@ object SparkEntry {
     * bucket/rank integer splits, CASE leading-zero rank, elementwise-max
     * union, and the SAME numerator double literal
     * ([[Aggregations.hllPortableNumerator]]). */
-  private def sqlHllPortableOracle(lgK: Int, key: String = "source"): String = {
+  private def sqlHllPortableOracle(lgK: Int, key: String = "source",
+      includeAll: Boolean = true): String = {
     val m = 1L << lgK
     val width = 56 - lgK
     val bigW = width + 1
@@ -5536,7 +5537,8 @@ object SparkEntry {
       b AS (SELECT $key, h % $m AS bk, h // $m AS r FROM h),
       regs AS (SELECT $key, bk, max($rhoCase) AS m_j FROM b GROUP BY $key, bk),
       allregs AS (SELECT 'ALL' AS $key, bk, max(m_j) AS m_j FROM regs GROUP BY bk),
-      u AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+      u AS (SELECT * FROM regs${
+        if (includeAll) " UNION ALL SELECT * FROM allregs" else ""}),
       agg AS (SELECT $key, count(*) AS n_buckets_set,
           sum(CAST(1 AS BIGINT) << ($bigW - m_j)) AS d FROM u GROUP BY $key)
     SELECT $key, n_buckets_set, $denom AS denom_scaled,
@@ -6619,7 +6621,23 @@ object SparkEntry {
             AS overlap_k,
           ${(1000 - 900) / 1000.0}
             * (CAST(sum(wgt) AS DOUBLE) / 1.0E9) AS rbo
-        FROM wg GROUP BY 1"""))
+        FROM wg GROUP BY 1""")),
+
+    // --- The ELEVENTH streaming-runtime modality: a MERGEABLE SKETCH as
+    // streaming state — per-source portable-HLL registers accumulated by a
+    // watermark-free update-mode max across five staged micro-batches
+    // (tokenization runs INSIDE the stream), estimate computed from the
+    // final streamed registers. State bounded by keys·2^lgK — the sketch
+    // point: live distinct counts without history. Oracle = the batch
+    // register/estimate chain (q137's restatement, per-source only) ---
+    Q("q233_streaming_hll_run",
+      (s, dir) => graft.streaming.Streaming.stagedHllRun(
+        s, t(s, dir, "documents").select("doc_id", "source", "text"),
+        keyCol = "source", valueCol = "w", orderCol = "doc_id", lgK = 8,
+        prepare = d => d.select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)),
+      Some(sqlHllPortableOracle(lgK = 8, includeAll = false)))
   )
 
   val specs: Seq[Q] =

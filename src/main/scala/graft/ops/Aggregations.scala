@@ -433,22 +433,33 @@ object Aggregations {
     * engine — including the oracle — can recompute or verify them. */
   def hllPortableRegisters(df: DataFrame, keys: Seq[String], valueCol: String,
       lgK: Int = 8): DataFrame = {
-    require(lgK >= 4 && lgK <= 16, "4 <= lgK <= 16")
-    val m = 1L << lgK
-    val width = 56 - lgK
-    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 14), 16, 10).cast("long")
-    val bucket = h.bitwiseAND(lit(m - 1))
-    // h >> lgK, exact (never a double division — 56-bit values exceed 2^53)
-    val r = shiftright(h, lgK)
-    var rho: Column = lit(width + 1) // r == 0 ⇒ all width bits are zeros
-    for (k <- width to 1 by -1)
-      rho = when(r >= lit(1L << (width - k)), lit(k)).otherwise(rho)
+    val (bucket, rho) = hllBucketRho(col(valueCol), lgK)
     // nulls are "no value", not a value: md5(NULL) would otherwise mint a
     // phantom NULL bucket with max rank and skew the estimate
     df.filter(col(valueCol).isNotNull)
       .select(keys.map(col) :+ bucket.as("hll_bucket") :+ rho.as("__rho"): _*)
       .groupBy(keys.map(col) :+ col("hll_bucket"): _*)
       .agg(max(col("__rho")).as("hll_reg"))
+  }
+
+  /** The (bucket, rank) derivation of the portable HLL, exposed as ONE
+    * body so the batch registers ([[hllPortableRegisters]]) and the
+    * streaming register state ([[graft.streaming.Streaming.stagedHllRun]])
+    * cannot drift: bucket = low lgK bits of the 56-bit md5 prefix, rank =
+    * 1 + leading zeros of the remaining bits (integer when-chain, no
+    * libm). */
+  def hllBucketRho(value: Column, lgK: Int): (Column, Column) = {
+    require(lgK >= 4 && lgK <= 16, "4 <= lgK <= 16")
+    val m = 1L << lgK
+    val width = 56 - lgK
+    val h = conv(substring(md5(value.cast("string")), 1, 14), 16, 10).cast("long")
+    val bucket = h.bitwiseAND(lit(m - 1))
+    // h >> lgK, exact (never a double division — 56-bit values exceed 2^53)
+    val r = shiftright(h, lgK)
+    var rho: Column = lit(width + 1) // r == 0 ⇒ all width bits are zeros
+    for (k <- width to 1 by -1)
+      rho = when(r >= lit(1L << (width - k)), lit(k)).otherwise(rho)
+    (bucket, rho)
   }
 
   /** Merge portable HLL registers to coarser keys: elementwise max per

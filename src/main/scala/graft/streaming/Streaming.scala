@@ -655,6 +655,43 @@ object Streaming {
       col("n_events"), col("__sum_dec").cast("double").as("sum_value"))
   }
 
+  /** STREAMED MERGEABLE SKETCH under the oracle gate — the portable HLL
+    * ([[graft.ops.Aggregations.hllPortableRegisters]]) maintained as
+    * streaming state: each micro-batch derives (bucket, rank) for its
+    * values (`prepare` runs INSIDE the stream — the per-batch contract
+    * stage, e.g. exploding documents into words) and a watermark-free
+    * update-mode `max` aggregate carries the registers across batches;
+    * per-batch emissions upsert by (key, bucket). The gate then computes
+    * the raw estimate from the FINAL STREAMED REGISTERS.
+    *
+    * Why the final state equals the batch sketch (the oracle): register
+    * update is MAX — commutative, associative, idempotent — so incremental
+    * accumulation over any chunking equals the one-shot fold; upsert-by-key
+    * keeps each register's latest (= running-max) emission. No watermark is
+    * needed and none is used: sketch state is bounded by keys · 2^lgK
+    * REGISTERS — the whole point of a mergeable sketch in a stream is that
+    * state never scales with stream length, where q165's windowed state
+    * needs eviction to stay bounded. This is the monitoring shape a
+    * continuously-ingesting 100 TB pipeline runs for live distinct counts
+    * (vocabulary, user ids) without ever rescanning history.
+    * Returns (keyCol, n_buckets_set, denom_scaled, est_distinct). */
+  def stagedHllRun(spark: SparkSession, df: DataFrame, keyCol: String,
+      valueCol: String, orderCol: String, lgK: Int = 8, chunks: Int = 5,
+      workDir: Option[String] = None,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    val store = withStagedGate(spark, df, orderCol, chunks, workDir) { g =>
+      val (bucket, rho) = graft.ops.Aggregations.hllBucketRho(col(valueCol), lgK)
+      val regs = prepare(g.source)
+        .filter(col(valueCol).isNotNull)
+        .select(col(keyCol), bucket.as("hll_bucket"), rho.as("__rho"))
+        .groupBy(col(keyCol), col("hll_bucket"))
+        .agg(max(col("__rho")).as("hll_reg"))
+      runUpsertStream(spark, regs, identity,
+        Seq(keyCol, "hll_bucket"), g.work, g.lap, g.debugT)
+    }
+    graft.ops.Aggregations.hllPortableEstimate(store.read(spark), Seq(keyCol), lgK)
+  }
+
   /** The CUSTOM-KEYED-STATE runtime gate (q167) — [[statefulLatest]]'s
     * per-entity latest-row changelog compaction run as a REAL streaming
     * job: staged time-ordered chunks, `flatMapGroupsWithState` carrying
