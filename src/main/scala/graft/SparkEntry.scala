@@ -6637,7 +6637,34 @@ object SparkEntry {
         prepare = d => d.select(col("source"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
           .filter(length(col("w")) > 0)),
-      Some(sqlHllPortableOracle(lgK = 8, includeAll = false)))
+      Some(sqlHllPortableOracle(lgK = 8, includeAll = false))),
+
+    // --- GROUPED COVARIANCE MATRIX over the first 8 embedding dims via
+    // the custom CovMoments TypedImperativeAggregate: one flat moment
+    // buffer per (group, task), merged across partitions — the shuffle
+    // moves buffers, not the d(d+1)/2-times-exploded pairs the oracle
+    // restates. Quantized-exact sums; cov is a fixed IEEE tree ---
+    Q("q234_covariance",
+      (s, dir) => Similarity.covarianceMatrix(t(s, dir, "embeddings"),
+        "embedding", "label", dim = 8, scaleBits = 20),
+      Some(s"""WITH e AS (SELECT label,
+            list_transform(CAST(embedding AS DOUBLE[])[1:8],
+              x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+          FROM embeddings WHERE embedding IS NOT NULL),
+          idx AS (SELECT a.i AS i, b.j AS j
+            FROM generate_series(1, 8) a(i), generate_series(1, 8) b(j)
+            WHERE a.i <= b.j),
+          p AS (SELECT label, i, j, qv[i] AS qi, qv[j] AS qj FROM e, idx),
+          m AS (SELECT label, i, j, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(qi) AS BIGINT) AS sum_i, CAST(sum(qj) AS BIGINT) AS sum_j,
+              CAST(sum(qi * qj) AS BIGINT) AS s_ij FROM p GROUP BY 1, 2, 3)
+        SELECT label, n, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+          sum_i, sum_j, s_ij,
+          (CAST(s_ij AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sum_i AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sum_j AS DOUBLE) / CAST(n AS DOUBLE)))
+            / ${math.pow(2.0, 40)} AS cov
+        FROM m"""))
   )
 
   val specs: Seq[Q] =

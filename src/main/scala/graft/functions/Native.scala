@@ -50,6 +50,10 @@ object Native {
     toColumn(NearestCentroids(toExpr(vec), ids.toIndexedSeq,
       centroids.map(_.toIndexedSeq).toIndexedSeq, n))
   def int8Codes(vec: Column): Column = toColumn(Int8Codes(toExpr(vec)))
+  /** [[CovMoments]] as an aggregate Column over a pre-quantized
+    * array<long> vector column of exactly `dim` elements. */
+  def covMoments(qvec: Column, dim: Int): Column =
+    toColumn(CovMoments(toExpr(qvec), dim).toAggregateExpression())
 
   /** Register the kernels in the session's FunctionRegistry so `spark.sql`
     * (and therefore ContractStore.executeSql) can call them:
@@ -545,4 +549,83 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinary {
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** One-pass GROUPED COVARIANCE MOMENTS as a custom TypedImperativeAggregate:
+  * per group, count n, the d element sums Σq_i, and the d(d+1)/2
+  * upper-triangle pair sums Σ q_i·q_j over a PRE-QUANTIZED integer vector
+  * column — one flat Array[Long] buffer per group per task, merged
+  * elementwise across partitions (map-side combine of WHOLE matrices).
+  * This is the 100 TB-correct shape for a covariance/moment matrix: the
+  * alternative — exploding every row into d(d+1)/2 (i, j) pairs and
+  * re-aggregating — multiplies the shuffle by the pair count (2080× at
+  * d = 64), where this kernel shuffles ONE buffer row per (group,
+  * partition). All sums are exact integers over the quantized inputs, so
+  * the result is engine-reproducible (the oracle restates the explode
+  * form — same sums, wildly different plan); Math.addExact/multiplyExact
+  * throw loudly on overflow instead of wrapping (~2³¹ rows per group at
+  * 2²⁰-quantized unit-scale inputs — widen the buffer to paired
+  * hi/lo longs past that, don't widen silently). */
+case class CovMoments(child: Expression, dim: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  private val nPairs = dim * (dim + 1) / 2
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](1 + dim + nPairs)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"CovMoments: expected $dim elements, got ${arr.numElements()}")
+    buf(0) = Math.addExact(buf(0), 1L)
+    var i = 0
+    while (i < dim) { buf(1 + i) = Math.addExact(buf(1 + i), arr.getLong(i)); i += 1 }
+    var idx = 1 + dim
+    i = 0
+    while (i < dim) {
+      val qi = arr.getLong(i)
+      var j = i
+      while (j < dim) {
+        buf(idx) = Math.addExact(buf(idx), Math.multiplyExact(qi, arr.getLong(j)))
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): CovMoments =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CovMoments =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): CovMoments = copy(child = c)
+  override def prettyName: String = "graft_cov_moments"
 }

@@ -229,6 +229,61 @@ object Similarity {
         / (col("n").cast("double") * lit(1000000.0)))
   }
 
+  /** GROUPED COVARIANCE MATRIX (upper triangle) over the first `dim`
+    * embedding dimensions — the full-matrix extension of
+    * [[groupFrechetDiag]]'s diagonal moments: per (group, i ≤ j), exact
+    * quantized moment sums and the covariance
+    * cov_ij = S_ij/n − (s_i/n)(s_j/n), the input to whitening, PCA (eigen
+    * on the bounded d×d result is a driver-side step), and the
+    * full-covariance Fréchet/Mahalanobis drift audits.
+    *
+    * Plan shape — the reason this is a CUSTOM CATALYST AGGREGATE
+    * ([[graft.functions.Native.CovMoments]], a TypedImperativeAggregate):
+    * each task folds its rows into ONE flat moment buffer per group
+    * (count + d sums + d(d+1)/2 pair sums) and the shuffle moves one
+    * buffer row per (group, partition) — the explode-to-pairs alternative
+    * multiplies the shuffle by d(d+1)/2 (2080× at d = 64). The buffer
+    * unpacks into (i, j) rows through plan-literal index decode (O(d²)
+    * struct literals — bounded by the dim guard).
+    *
+    * Exactness: elements quantize to floor(v·2^scaleBits) longs (floor of
+    * an identical double is engine-independent), every sum is exact
+    * integer arithmetic with LOUD overflow (Math.addExact — ~2³¹ rows per
+    * group at unit-scale 2²⁰-quantized inputs), and cov is a fixed IEEE
+    * tree of three divisions, one product, one subtraction — the oracle
+    * restates the same sums via the explode form and lands on identical
+    * bits. Returns (group, n, i, j, sum_i, sum_j, s_ij, cov), 1-based
+    * i ≤ j. */
+  def covarianceMatrix(df: DataFrame, vecCol: String, groupCol: String,
+      dim: Int, scaleBits: Int = 20): DataFrame = {
+    require(dim >= 1 && dim <= 128,
+      s"covarianceMatrix: dim=$dim outside [1, 128] — the unpack stage bakes" +
+        " O(dim²) literals into the plan; block-partition the matrix past 128")
+    require(scaleBits >= 0 && scaleBits <= 30, s"scaleBits=$scaleBits outside [0, 30]")
+    val scale = math.pow(2.0, scaleBits) // exact power of two
+    val q = transform(slice(col(vecCol).cast("array<double>"), 1, dim),
+      x => floor(x * lit(scale)).cast("long"))
+    val agged = df.filter(col(vecCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.Native.covMoments(q, dim).as("__m"))
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val entries = array(pairs.zipWithIndex.map { case ((i, j), idx) =>
+      struct(lit(i + 1).as("i"), lit(j + 1).as("j"),
+        col("__m").getItem(1 + i).as("sum_i"),
+        col("__m").getItem(1 + j).as("sum_j"),
+        col("__m").getItem(1 + dim + idx).as("s_ij"))
+    }: _*)
+    val denom = lit(math.pow(2.0, 2 * scaleBits))
+    agged.select(col(groupCol), col("__m").getItem(0).as("n"),
+        explode(entries).as("e"))
+      .select(col(groupCol), col("n"), col("e.i").as("i"), col("e.j").as("j"),
+        col("e.sum_i").as("sum_i"), col("e.sum_j").as("sum_j"),
+        col("e.s_ij").as("s_ij"))
+      .withColumn("cov", (col("s_ij").cast("double") / col("n").cast("double")
+        - (col("sum_i").cast("double") / col("n").cast("double"))
+          * (col("sum_j").cast("double") / col("n").cast("double"))) / denom)
+  }
+
   /** IVF approximate nearest neighbours: coarse-quantize the corpus into
     * `nlist` inverted lists (k-means centroids, `kmeansIters` Lloyd rounds —
     * 0 keeps the deterministic hash-picked seeds); each query probes its

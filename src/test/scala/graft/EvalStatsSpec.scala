@@ -530,4 +530,52 @@ class EvalStatsSpec extends AnyFunSuite {
         "qid", col("ra"), col("rb"), 3, 900).collect()
     }
   }
+
+  // --- covarianceMatrix (CovMoments custom aggregate) ---
+
+  test("covarianceMatrix: hand-computed 2x2 incl. cross-partition buffer merge") {
+    // scaleBits=0: integer vectors pass through quantization unchanged
+    val df = Seq(("g", Seq(1.0, 2.0)), ("g", Seq(3.0, 4.0)),
+      ("h", Seq(5.0, 5.0)))
+      .toDF("grp", "v").repartition(7) // force partial buffers + merge
+    val out = graft.ops.Similarity.covarianceMatrix(df, "v", "grp",
+        dim = 2, scaleBits = 0)
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getInt(3)) -> r).toMap
+    val g11 = out(("g", 1, 1))
+    assert(g11.getAs[Long]("n") == 2L && g11.getAs[Long]("sum_i") == 4L)
+    assert(g11.getAs[Long]("s_ij") == 10L)
+    assert(g11.getAs[Double]("cov") == 1.0) // 10/2 - 2*2
+    val g12 = out(("g", 1, 2))
+    assert(g12.getAs[Long]("s_ij") == 14L && g12.getAs[Double]("cov") == 1.0)
+    val g22 = out(("g", 2, 2))
+    assert(g22.getAs[Long]("s_ij") == 20L && g22.getAs[Double]("cov") == 1.0)
+    // no (2,1) row: upper triangle only
+    assert(!out.contains(("g", 2, 1)))
+    // the custom aggregate plans as a PARTIAL+FINAL ObjectHashAggregate —
+    // buffers merge map-side; the shuffle carries one buffer per group
+    val plan = graft.ops.Similarity.covarianceMatrix(df, "v", "grp", 2, 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert("graft_cov_moments".r.findAllIn(plan).size >= 2, plan.take(500))
+    val h = out(("h", 1, 2))
+    assert(h.getAs[Long]("n") == 1L && h.getAs[Double]("cov") == 0.0)
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.covarianceMatrix(df, "v", "grp", dim = 200)
+    }
+  }
+
+  test("covarianceMatrix: a wrong-width vector fails loudly, nulls are skipped") {
+    val mixed = Seq(("g", Some(Seq(1.0, 2.0))), ("g", None))
+      .toDF("grp", "v")
+    val ok = graft.ops.Similarity.covarianceMatrix(mixed, "v", "grp", 2, 0)
+      .collect()
+    assert(ok.forall(_.getAs[Long]("n") == 1L)) // the null row never counted
+    // longer vectors TRUNCATE to the first dim (the operator contract);
+    // shorter ones cannot fill the buffer and must fail loudly
+    val bad = Seq(("g", Seq(1.0))).toDF("grp", "v")
+    val e = intercept[Exception] {
+      graft.ops.Similarity.covarianceMatrix(bad, "v", "grp", 2, 0).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
