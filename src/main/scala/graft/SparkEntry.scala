@@ -6664,7 +6664,32 @@ object SparkEntry {
             - (CAST(sum_i AS DOUBLE) / CAST(n AS DOUBLE))
               * (CAST(sum_j AS DOUBLE) / CAST(n AS DOUBLE)))
             / ${math.pow(2.0, 40)} AS cov
-        FROM m"""))
+        FROM m""")),
+
+    // --- EXACT GINI per source over doc sizes: the inequality monitor
+    // (0 = uniform sizes, →1 = one doc holds the mass), rank-with-ties
+    // formula over the distinct-value histogram — never a row sort; the
+    // VALUE-inequality complement of q211's categorical HHI ---
+    Q("q235_gini",
+      (s, dir) => Aggregations.giniByGroup(t(s, dir, "documents"),
+        Seq("source"), "n_chars"),
+      Some("""WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+          cum AS (SELECT source, v, c,
+            coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM h),
+          a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
+              CAST(sum(v * c) AS BIGINT) AS total_value,
+              sum(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * cb
+                + (c * (c + 1)) // 2)) AS rank_sum
+            FROM cum GROUP BY 1)
+        SELECT source, n_rows, total_value,
+          CASE WHEN total_value = 0 THEN NULL
+            ELSE 2.0 * CAST(rank_sum AS DOUBLE)
+              / (CAST(n_rows AS DOUBLE) * CAST(total_value AS DOUBLE))
+              - CAST(n_rows + 1 AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS gini
+        FROM a"""))
   )
 
   val specs: Seq[Q] =

@@ -796,6 +796,60 @@ object Aggregations {
         expr("(1000 * __topc) div n_docs").as("top_lang_milli"))
   }
 
+  /** EXACT GINI COEFFICIENT per key over non-negative integer metrics —
+    * the inequality monitor (how concentrated are doc sizes / daily
+    * volumes / token masses within a slice; 0 = uniform,
+    * (n−1)/n = one row holds everything), complementing [[graft.ops
+    * .TextAnalysis.keyConcentration]]'s HHI which reads SHARE
+    * concentration over categories where Gini reads VALUE inequality over
+    * rows. Exact rank formula with ties:
+    *
+    *   G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n
+    *
+    * where a tied block of c copies of v occupies ranks cb+1..cb+c (cb =
+    * count strictly below), contributing v·(c·cb + c(c+1)/2) — so the
+    * whole rank sum comes from the per-key DISTINCT-VALUE histogram (the
+    * [[exactPercentiles]] idiom: the ordered window runs over distinct
+    * values, never rows). The rank sum accumulates in DECIMAL(38,0) (it
+    * is bounded by v_max·n², far past 2⁶³ at corpus scale); the float
+    * tail is one fixed IEEE tree. Negative values fail loudly (Gini is
+    * undefined); an all-zero key yields NULL (0/0). A tied block past
+    * 3·10⁹ copies of ONE value in ONE key would overflow the triangular
+    * long — loud error, widen to a decimal triangle then. Returns
+    * (keys…, n_rows, total_value, gini). */
+  def giniByGroup(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v0 = col(valueCol).cast("long")
+    val v = when(v0 < 0, raise_error(concat(
+        lit(s"giniByGroup: negative $valueCol — Gini is undefined; value "),
+        v0.cast("string")))).otherwise(v0)
+    val hist = df.filter(v0.isNotNull)
+      .groupBy(keys.map(col) :+ v.as("__v"): _*).agg(count(lit(1)).as("__c"))
+    val wBelow = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__cb", coalesce(sum(col("__c")).over(wBelow), lit(0L)))
+    val cGuard = when(col("__c") > lit(3000000000L), raise_error(lit(
+      "giniByGroup: > 3e9 ties on one value in one key — the triangular " +
+        "term would overflow long; widen it to DECIMAL(38,0)"))).otherwise(col("__c"))
+    // c(c+1)/2 in exact longs: the product is even, so a right shift IS
+    // the halving (a double division would round past 2^53)
+    val tri = shiftright((cGuard * (col("__c") + lit(1L))).cast("long"), 1)
+    cum.groupBy(keys.map(col): _*)
+      .agg(sum(col("__c")).as("n_rows"),
+        sum((col("__v").cast(d19) * col("__c").cast(d19)).cast(d38))
+          .cast("long").as("total_value"),
+        sum((col("__v").cast(d19)
+          * (col("__c").cast(d19) * col("__cb").cast(d19)
+            + tri.cast(d19))).cast(d38)).as("__a"))
+      .select(keys.map(col) :+ col("n_rows") :+ col("total_value") :+
+        when(col("total_value") === 0L, lit(null).cast("double"))
+          .otherwise(lit(2.0) * col("__a").cast("double")
+            / (col("n_rows").cast("double") * col("total_value").cast("double"))
+            - (col("n_rows") + lit(1L)).cast("double")
+              / col("n_rows").cast("double")).as("gini"): _*)
+  }
+
   /** EXACT PERCENTILE-RANK transform: appends SQL `percent_rank` of
     * `valueCol` within each key group — (rank − 1)/(n − 1) with ties
     * sharing the MIN rank — WITHOUT sorting rows: ranks come from the

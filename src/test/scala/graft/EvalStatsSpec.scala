@@ -578,4 +578,26 @@ class EvalStatsSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  // --- giniByGroup ---
+
+  test("giniByGroup: hand-computed values incl. ties, uniform zero, all-zero NULL") {
+    val df = (Seq(1L, 1L, 2L).map(("t", _)) ++ Seq(5L, 5L).map(("u", _)) ++
+      Seq(0L, 0L, 10L).map(("x", _)) ++ Seq(0L, 0L).map(("z", _)))
+      .toDF("g", "v")
+    val out = graft.ops.Aggregations.giniByGroup(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // t: sorted 1,1,2 -> rank sum 1+2+6=9; G = 18/(3*4) - 4/3 = 1/6
+    assert(out("t").getAs[Long]("n_rows") == 3L)
+    assert(out("t").getAs[Long]("total_value") == 4L)
+    assert(math.abs(out("t").getAs[Double]("gini") - 1.0 / 6.0) < 1e-15)
+    assert(out("u").getAs[Double]("gini") == 0.0) // equal values: no inequality
+    // x: one row holds everything -> (n-1)/n = 2/3
+    assert(math.abs(out("x").getAs[Double]("gini") - 2.0 / 3.0) < 1e-15)
+    assert(out("z").isNullAt(out("z").fieldIndex("gini"))) // all-zero: 0/0
+    intercept[Exception] {
+      graft.ops.Aggregations.giniByGroup(
+        Seq(("g", -1L)).toDF("g", "v"), Seq("g"), "v").collect()
+    }
+  }
 }
