@@ -6689,7 +6689,38 @@ object SparkEntry {
             ELSE 2.0 * CAST(rank_sum AS DOUBLE)
               / (CAST(n_rows AS DOUBLE) * CAST(total_value AS DOUBLE))
               - CAST(n_rows + 1 AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS gini
-        FROM a"""))
+        FROM a""")),
+
+    // --- MUTUAL INFORMATION source×lang (+ both marginal entropies)
+    // through the portable log2 — the dependence monitor for mixture
+    // design; marginal-entropy sums ride the joint cells so ONE global
+    // fold emits all four statistics (no 1-row totals joins) ---
+    Q("q236_mutual_information",
+      (s, dir) => TextAnalysis.mutualInformation(t(s, dir, "documents"),
+        "source", "lang"),
+      Some(s"""WITH j AS (SELECT source AS a, lang AS b,
+            CAST(count(*) AS BIGINT) AS c
+          FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1, 2),
+          ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM j GROUP BY 1),
+          mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j GROUP BY 1),
+          x AS (SELECT c, ${graft.functions.Portable.sqlLog2Micro("c")} AS lc,
+              ${graft.functions.Portable.sqlLog2Micro("ca")} AS lca,
+              ${graft.functions.Portable.sqlLog2Micro("cb")} AS lcb
+            FROM j JOIN ma USING (a) JOIN mb USING (b)),
+          g AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+              sum(c * (lc - lca - lcb)) AS skl,
+              sum(c * lca) AS sa, sum(c * lcb) AS sb FROM x),
+          g2 AS (SELECT *, ${graft.functions.Portable.sqlLog2Micro("n_rows")}
+            AS lt FROM g)
+        SELECT n_rows,
+          CAST(skl + n_rows * lt AS DOUBLE)
+            / (CAST(n_rows AS DOUBLE) * 1000000.0) AS mi_bits,
+          CAST(n_rows * lt - sa AS DOUBLE)
+            / (CAST(n_rows AS DOUBLE) * 1000000.0) AS h_a_bits,
+          CAST(n_rows * lt - sb AS DOUBLE)
+            / (CAST(n_rows AS DOUBLE) * 1000000.0) AS h_b_bits
+        FROM g2"""))
   )
 
   val specs: Seq[Q] =

@@ -1390,6 +1390,53 @@ object TextAnalysis {
           .as("r2"))
   }
 
+  /** MUTUAL INFORMATION between two categorical columns (and both marginal
+    * entropies) — "how much does knowing the source tell you about the
+    * language": the dependence monitor for mixture design (MI ≈ 0 → the
+    * columns stratify independently; MI ≈ min(H) → one determines the
+    * other, so balancing on one silently balances the other). Same
+    * portable fixed-point log2 as [[unigramEntropy]]:
+    *
+    *   MI = Σ_{a,b} (c_ab/T)·(log2 c_ab + log2 T − log2 c_a − log2 c_b)
+    *
+    * with every log a separate floor-to-micro integer — both engines
+    * restate the identical four-term decomposition. ONE global aggregate
+    * computes MI and both entropies: Σ_ab c_ab·log2(c_a) = Σ_a c_a·log2(c_a),
+    * so the marginal-entropy sums ride the joint rows — no 1-row frames
+    * to join (a constant-key totals join folds to a nested loop — the
+    * q180 trap). Plan: one (a, b) histogram shuffle, marginals
+    * re-aggregated from it (O(cells)), two joins back onto the cells, one
+    * partial-aggregated global fold. Returns ONE row
+    * (n_rows, mi_bits, h_a_bits, h_b_bits). */
+  def mutualInformation(df: org.apache.spark.sql.DataFrame, aCol: String,
+      bCol: String): org.apache.spark.sql.DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def lm(c: Column) = graft.functions.Portable.log2Micro(c)
+    val joint = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val ma = joint.groupBy("__a").agg(sum(col("__c")).as("__ca"))
+    val mb = joint.groupBy("__b").agg(sum(col("__c")).as("__cb"))
+    val cells = joint.join(ma, "__a").join(mb, "__b")
+    val c19 = col("__c").cast(d19)
+    val g = cells.agg(sum(col("__c")).as("n_rows"),
+      sum((c19 * (lm(col("__c")) - lm(col("__ca")) - lm(col("__cb"))).cast(d19))
+        .cast(d38)).as("__skl"),
+      sum((c19 * lm(col("__ca")).cast(d19)).cast(d38)).as("__sa"),
+      sum((c19 * lm(col("__cb")).cast(d19)).cast(d38)).as("__sb"))
+    val t19 = col("n_rows").cast(d19)
+    val lt19 = lm(col("n_rows")).cast(d19)
+    val denom = col("n_rows").cast("double") * lit(1e6)
+    g.select(col("n_rows"),
+      ((col("__skl") + (t19 * lt19).cast(d38)).cast("double") / denom)
+        .as("mi_bits"),
+      (((t19 * lt19).cast(d38) - col("__sa")).cast("double") / denom)
+        .as("h_a_bits"),
+      (((t19 * lt19).cast(d38) - col("__sb")).cast("double") / denom)
+        .as("h_b_bits"))
+  }
+
   /** UNIGRAM ENTROPY and KL-TO-CORPUS per slice — the information-theoretic
     * pair to [[distributionDistance]]'s TV and the HHI's "effective
     * count": H(slice) says how concentrated a slice's own vocabulary use

@@ -600,4 +600,37 @@ class EvalStatsSpec extends AnyFunSuite {
         Seq(("g", -1L)).toDF("g", "v"), Seq("g"), "v").collect()
     }
   }
+
+  // --- mutualInformation ---
+
+  test("mutualInformation: hand-computed MI and marginal entropies") {
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"), ("s2", "en"))
+      .toDF("src", "lang")
+    val r = graft.ops.TextAnalysis.mutualInformation(df, "src", "lang")
+      .collect().head
+    def lg(x: Double) = math.log(x) / math.log(2)
+    assert(r.getAs[Long]("n_rows") == 4L)
+    // MI = .5*log2(8/9) + .25*log2(4/3) + .25*log2(4/3)
+    val mi = 0.5 * lg(8.0 / 9.0) + 0.5 * lg(4.0 / 3.0)
+    assert(math.abs(r.getAs[Double]("mi_bits") - mi) < 5e-6)
+    val h = -(0.75 * lg(0.75) + 0.25 * lg(0.25))
+    assert(math.abs(r.getAs[Double]("h_a_bits") - h) < 5e-6)
+    assert(math.abs(r.getAs[Double]("h_b_bits") - h) < 5e-6)
+  }
+
+  test("mutualInformation: independent columns give MI 0; identical give MI = H") {
+    // 2x2 balanced independent grid
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("p", "q")
+    val ri = graft.ops.TextAnalysis.mutualInformation(ind, "p", "q")
+      .collect().head
+    assert(math.abs(ri.getAs[Double]("mi_bits")) < 5e-6)
+    assert(math.abs(ri.getAs[Double]("h_a_bits") - 1.0) < 5e-6)
+    // b determines a exactly: MI = H(a) = H(b) = 1 bit
+    val dup = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("p", "q")
+    val rd = graft.ops.TextAnalysis.mutualInformation(dup, "p", "q")
+      .collect().head
+    assert(math.abs(rd.getAs[Double]("mi_bits") - 1.0) < 5e-6)
+  }
 }
