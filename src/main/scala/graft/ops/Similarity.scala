@@ -284,6 +284,112 @@ object Similarity {
           * (col("sum_j").cast("double") / col("n").cast("double"))) / denom)
   }
 
+  /** Cyclic JACOBI eigensolver for a symmetric matrix (driver-side — the
+    * input is the BOUNDED d×d covariance, never data-scale): rotate away
+    * the largest off-diagonal until convergence. Deterministic: fixed
+    * sweep order, fixed tolerance, no randomness. Returns (eigenvalues,
+    * eigenvectors as rows), unsorted. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      for (p <- 0 until d; q <- (p + 1) until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          // theta = 0 (equal diagonal) still needs the full 45-degree
+          // rotation — signum(0) = 0 would make it a no-op and stall
+          val t = if (theta == 0.0) 1.0
+            else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq; v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    require(off <= 1e-10, s"jacobiEigen: no convergence after $sweep sweeps (off=$off)")
+    (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d, d)((j, i) => v(i)(j)))
+  }
+
+  /** PCA PROJECTION onto the top `nComponents` principal axes of the first
+    * `dim` embedding dimensions — the decorrelation/compression step
+    * upstream of visualization, whitened drift scores, and cheap ANN
+    * pre-filters. Three stages, each in its blessed scale shape:
+    *
+    *  1. ONE [[graft.functions.Native.CovMoments]] fold over the corpus →
+    *     a single moment buffer (the q234 kernel, groupless);
+    *  2. driver-side: covariance from the buffer, [[jacobiEigen]] on the
+    *     BOUNDED d×d matrix (O(d³) on O(d²) numbers — never data-scale),
+    *     components sorted by eigenvalue desc with a deterministic sign
+    *     convention (largest-|loading| coordinate made positive, first
+    *     index on ties);
+    *  3. mean vector + component matrix become PLAN LITERALS (the
+    *     centroid-matrix idiom) and the projection is a narrow map —
+    *     score_j = Σᵢ (vᵢ − μᵢ)·wᵢⱼ via the [[cosine]]-family VecDot
+    *     kernel, no join, no shuffle.
+    *
+    * Spec-gated, not oracle-gated: the eigen step has no SQL restatement
+    * (PcaSpec pins a hand 2×2 eigensystem, orthonormality, the
+    * variance-ordering of the scores, and the sign convention); the
+    * covariance it consumes IS oracle-gated (q234). Two corpus passes
+    * (moments + projection). Returns (idCol, component 1-based, score). */
+  def pcaProject(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+      nComponents: Int, scaleBits: Int = 20): DataFrame = {
+    require(nComponents >= 1 && nComponents <= dim,
+      s"pcaProject: nComponents=$nComponents outside [1, $dim]")
+    val scale = math.pow(2.0, scaleBits)
+    val q = transform(slice(col(vecCol).cast("array<double>"), 1, dim),
+      x => floor(x * lit(scale)).cast("long"))
+    // bounded driver pull: ONE moment buffer, 1 + d + d(d+1)/2 longs
+    val buf = df.filter(col(vecCol).isNotNull)
+      .agg(graft.functions.Native.covMoments(q, dim).as("m"))
+      .collect().head.getSeq[Long](0)
+    val n = buf(0).toDouble
+    require(n >= 2, s"pcaProject: need >= 2 vectors, got ${buf(0)}")
+    val mean = Array.tabulate(dim)(i => buf(1 + i) / n / scale)
+    val cov = Array.ofDim[Double](dim, dim)
+    var idx = 1 + dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = (buf(idx) / n - (buf(1 + i) / n) * (buf(1 + j) / n)) / (scale * scale)
+      cov(i)(j) = c; cov(j)(i) = c
+      idx += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val top = eigVals.zip(eigVecs).zipWithIndex
+      .sortBy { case ((ev, _), i) => (-ev, i) }.take(nComponents)
+      .map { case ((ev, w0), _) =>
+        val pivot = w0.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._2
+        (ev, if (w0(pivot) < 0) w0.map(-_) else w0)
+      }
+    val centered = transform(slice(col(vecCol).cast("array<double>"), 1, dim),
+      (x, i) => x - element_at(typedLit(mean.toSeq), (i + 1).cast("int")))
+    val scores = array(top.zipWithIndex.map { case ((_, w), j) =>
+      struct(lit(j + 1).as("component"),
+        graft.functions.Native.dotProduct(centered, typedLit(w.toSeq)).as("score"))
+    }: _*)
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), explode(scores).as("e"))
+      .select(col(idCol), col("e.component").as("component"),
+        col("e.score").as("score"))
+  }
+
   /** IVF approximate nearest neighbours: coarse-quantize the corpus into
     * `nlist` inverted lists (k-means centroids, `kmeansIters` Lloyd rounds —
     * 0 keeps the deterministic hash-picked seeds); each query probes its

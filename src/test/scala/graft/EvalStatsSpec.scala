@@ -633,4 +633,46 @@ class EvalStatsSpec extends AnyFunSuite {
       .collect().head
     assert(math.abs(rd.getAs[Double]("mi_bits") - 1.0) < 5e-6)
   }
+
+  // --- jacobiEigen / pcaProject ---
+
+  test("jacobiEigen: hand 2x2 eigensystem") {
+    val (vals, vecs) = graft.ops.Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = vals.zip(vecs).sortBy(-_._1)
+    assert(math.abs(sorted(0)._1 - 3.0) < 1e-10)
+    assert(math.abs(sorted(1)._1 - 1.0) < 1e-10)
+    // leading eigenvector is ±[1,1]/sqrt(2)
+    val w = sorted(0)._2
+    assert(math.abs(math.abs(w(0)) - math.sqrt(0.5)) < 1e-10)
+    assert(math.abs(w(0) - w(1)) < 1e-10)
+  }
+
+  test("pcaProject: perfectly correlated 2D collapses onto one axis") {
+    val df = (1L to 8L).map(t => (t, Seq(t.toDouble, t.toDouble)))
+      .toDF("id", "v")
+    val out = graft.ops.Similarity.pcaProject(df, "v", "id", dim = 2,
+        nComponents = 2, scaleBits = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // component 1 = [1,1]/sqrt(2) (sign-fixed positive):
+    // score(t) = sqrt(2) * (t - 4.5); component 2 carries ~nothing
+    for (t <- 1L to 8L) {
+      assert(math.abs(out((t, 1)) - math.sqrt(2.0) * (t - 4.5)) < 1e-4,
+        s"t=$t got ${out((t, 1))}")
+      assert(math.abs(out((t, 2))) < 1e-4)
+    }
+    // variance ordering: comp-1 scores dominate comp-2
+    def variance(c: Int) = {
+      val xs = (1L to 8L).map(t => out((t, c)))
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    assert(variance(1) > 100 * variance(2))
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.pcaProject(df, "v", "id", 2, 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.pcaProject(df.limit(1), "v", "id", 2, 1)
+    }
+  }
 }
