@@ -6720,7 +6720,32 @@ object SparkEntry {
             / (CAST(n_rows AS DOUBLE) * 1000000.0) AS h_a_bits,
           CAST(n_rows * lt - sb AS DOUBLE)
             / (CAST(n_rows AS DOUBLE) * 1000000.0) AS h_b_bits
-        FROM g2"""))
+        FROM g2""")),
+
+    // --- The TWELFTH streaming modality: the NON-IDEMPOTENT sketch merge
+    // — per-source portable-CMS counters as watermark-free update-mode
+    // SUM state (q233 gates max; this gates sums, exactly-once only via
+    // cumulative re-emission + upsert-latest). Final streamed sketch is
+    // counter-identical to the batch CMS, restated by the oracle ---
+    Q("q237_streaming_cms_run",
+      (s, dir) => graft.streaming.Streaming.stagedCmsRun(
+        s, t(s, dir, "documents").select("doc_id", "source", "text"),
+        keyCol = "source", valueCol = "w", orderCol = "doc_id",
+        depth = 4, lgWidth = 10,
+        prepare = d => d.select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)),
+      Some("""WITH w AS (SELECT source,
+            unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), xf -> length(xf) > 0)) AS val
+          FROM documents),
+          dep(dep) AS (VALUES (0), (1), (2), (3)),
+          hx AS (SELECT source, dep,
+              CAST(concat('0x', substr(md5(val), dep * 8 + 1, 8))
+                AS BIGINT) % 1024 AS slot
+            FROM w CROSS JOIN dep)
+        SELECT source, CAST(dep AS INTEGER) AS cms_depth, slot AS cms_slot,
+          CAST(count(*) AS BIGINT) AS cms_n
+        FROM hx GROUP BY 1, 2, 3"""))
   )
 
   val specs: Seq[Q] =

@@ -585,7 +585,13 @@ case class CovMoments(child: Expression, dim: Int,
         s"CovMoments: expected $dim elements, got ${arr.numElements()}")
     buf(0) = Math.addExact(buf(0), 1L)
     var i = 0
-    while (i < dim) { buf(1 + i) = Math.addExact(buf(1 + i), arr.getLong(i)); i += 1 }
+    while (i < dim) {
+      // a NULL element would read as unsafe garbage — fail loudly (a
+      // whole-NULL vector is skipped above; a holey one is corrupt input)
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(s"CovMoments: NULL element at position $i")
+      buf(1 + i) = Math.addExact(buf(1 + i), arr.getLong(i)); i += 1
+    }
     var idx = 1 + dim
     i = 0
     while (i < dim) {

@@ -506,7 +506,7 @@ object Aggregations {
     * lgWidth bits of the d-th 8-hex-char (32-bit) chunk of the digest —
     * 128 md5 bits give 4 independent 32-bit rows, no per-depth re-hash.
     * `depthCol` must hold 0-based ints < 4. */
-  private def cmsSlot(md5Hex: Column, depthCol: Column, lgWidth: Int): Column =
+  private[graft] def cmsSlot(md5Hex: Column, depthCol: Column, lgWidth: Int): Column =
     conv(md5Hex.substr(depthCol * 8 + 1, lit(8)), 16, 10)
       .cast("long").bitwiseAND(lit((1L << lgWidth) - 1))
 

@@ -692,6 +692,46 @@ object Streaming {
     graft.ops.Aggregations.hllPortableEstimate(store.read(spark), Seq(keyCol), lgK)
   }
 
+  /** STREAMED FREQUENCY SKETCH under the oracle gate — the portable
+    * Count-Min ([[graft.ops.Aggregations.cmsPortableSketch]]) maintained
+    * as streaming state: each micro-batch fans its values out to `depth`
+    * (row, slot) coordinates (`prepare` runs INSIDE the stream) and a
+    * watermark-free update-mode SUM carries the counters across batches;
+    * per-batch emissions upsert by (key, depth, slot). Where
+    * [[stagedHllRun]] gates the IDEMPOTENT merge (max — re-delivery
+    * harmless by algebra), this gates the NON-idempotent one: counter
+    * sums are only exactly-once because update mode re-emits each
+    * counter's CUMULATIVE value and the upsert keeps the latest — the
+    * same argument as q165's windowed sums, now for sketch state. One
+    * stateful aggregate only: the batch op's value pre-aggregation is an
+    * optimization, not semantics, and chaining two stateful aggs in
+    * update mode is unsupported — so rows fan to depth coordinates
+    * directly (a ×depth narrow map). State bounded by
+    * keys · depth · 2^lgWidth counters regardless of stream length.
+    * Returns the final streamed sketch (keyCol, cms_depth, cms_slot,
+    * cms_n) — counter-identical to the batch sketch, which is the
+    * oracle. */
+  def stagedCmsRun(spark: SparkSession, df: DataFrame, keyCol: String,
+      valueCol: String, orderCol: String, depth: Int = 4, lgWidth: Int = 10,
+      chunks: Int = 5, workDir: Option[String] = None,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    require(depth >= 1 && depth <= 4, "1 <= depth <= 4 (32 md5 bits per row)")
+    require(lgWidth >= 4 && lgWidth <= 20, "4 <= lgWidth <= 20")
+    val store = withStagedGate(spark, df, orderCol, chunks, workDir) { g =>
+      val counters = prepare(g.source)
+        .filter(col(valueCol).isNotNull)
+        .select(col(keyCol), col(valueCol).cast("string").as("__v"))
+        .withColumn("cms_depth", explode(lit((0 until depth).toArray)))
+        .withColumn("cms_slot", graft.ops.Aggregations.cmsSlot(
+          md5(col("__v")), col("cms_depth"), lgWidth))
+        .groupBy(col(keyCol), col("cms_depth"), col("cms_slot"))
+        .agg(count(lit(1)).as("cms_n"))
+      runUpsertStream(spark, counters, identity,
+        Seq(keyCol, "cms_depth", "cms_slot"), g.work, g.lap, g.debugT)
+    }
+    store.read(spark)
+  }
+
   /** The CUSTOM-KEYED-STATE runtime gate (q167) — [[statefulLatest]]'s
     * per-entity latest-row changelog compaction run as a REAL streaming
     * job: staged time-ordered chunks, `flatMapGroupsWithState` carrying

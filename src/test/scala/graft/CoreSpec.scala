@@ -3111,3 +3111,34 @@ class StreamingHllGateSpec extends AnyFunSuite {
       s"estimate ${got("b")._3} implausible vs true $trueB")
   }
 }
+
+/** Streaming portable-CMS gate: the final streamed counters must equal the
+  * one-shot batch sketch — sums are exactly-once through cumulative
+  * re-emission + upsert-latest, never through merge idempotence. */
+class StreamingCmsGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("final streamed counters = batch portable-CMS sketch") {
+    val docs = (1L to 50L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", s"t${i % 5} t${i % 9} t$i"))
+      .toDF("doc_id", "src", "text")
+    val got = graft.streaming.Streaming.stagedCmsRun(
+        spark, docs, keyCol = "src", valueCol = "w", orderCol = "doc_id",
+        depth = 2, lgWidth = 6, chunks = 4,
+        prepare = d => d.select(col("src"),
+          explode(split(col("text"), "\\s+")).as("w")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val tokens = docs.select(col("src"),
+      explode(split(col("text"), "\\s+")).as("w"))
+    val want = graft.ops.Aggregations.cmsPortableSketch(tokens, Seq("src"), "w",
+        depth = 2, lgWidth = 6)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want)
+    // total mass per key = depth * token count (every token hits each row)
+    val massA = got.collect { case ((k, d, _), n) if k == "a" && d == 0 => n }.sum
+    assert(massA == tokens.filter(col("src") === "a").count())
+  }
+}

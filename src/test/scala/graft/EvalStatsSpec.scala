@@ -391,6 +391,12 @@ class EvalStatsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.ml.MLOps.weightedSampleK(df, "g", "id", col("w"), 0)
     }
+    // the rank<=k filter compiles to WindowGroupLimit: local top-k per
+    // group before the shuffle, no full per-group sort (the docstring's
+    // 100 TB claim, pinned)
+    val plan = graft.ml.MLOps.weightedSampleK(df, "g", "id", col("w"), 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(400))
   }
 
   test("weightedSampleK: non-positive and NULL weights fail loudly") {
@@ -577,6 +583,13 @@ class EvalStatsSpec extends AnyFunSuite {
       graft.ops.Similarity.covarianceMatrix(bad, "v", "grp", 2, 0).collect()
     }
     assert(e.getMessage != null)
+    // a holey vector (NULL element) must fail loudly, not read garbage
+    val holey = Seq(("g", Seq(Some(1.0), None)), ("g", Seq(Some(2.0), Some(3.0))))
+      .toDF("grp", "v")
+    val e2 = intercept[Exception] {
+      graft.ops.Similarity.covarianceMatrix(holey, "v", "grp", 2, 0).collect()
+    }
+    assert(e2.getMessage != null)
   }
 
   // --- giniByGroup ---
