@@ -774,6 +774,76 @@ object MLOps {
       .drop("__sw")
   }
 
+  /** ISOTONIC CALIBRATION (pool-adjacent-violators) of a [0, 1) score
+    * against binary labels — the non-parametric recalibration step when a
+    * model's scores rank well but their VALUES are off (q217's ECE
+    * measures the miscalibration; this repairs it). Three stages in the
+    * blessed shapes:
+    *
+    *  1. ONE partial-aggregated fold to the (bucket, positives, n) score
+    *     histogram — `buckets` integer cells, never row-scale;
+    *  2. driver-side PAV over the BOUNDED histogram (O(buckets) longs;
+    *     the stack-based linear-time pooling): merge adjacent buckets
+    *     while a later bucket's positive rate falls below an earlier
+    *     one's, comparing rates as CROSS-MULTIPLIED integers so pooling
+    *     decisions never touch a float;
+    *  3. the pooled rates become a plan-literal bucket→micro-rate table
+    *     (exact: round(1e6·pos/n) on driver doubles of exact longs) and
+    *     each row picks its calibrated probability by ONE array lookup —
+    *     a narrow map, no join, no shuffle.
+    *
+    * Spec-gated, not oracle-gated: PAV's sequential pooling has no SQL
+    * restatement (IsotonicSpec pins the textbook pooling case,
+    * monotonicity, weighted pools, and the loud guards); the histogram it
+    * consumes is the q207/q217 family shape. Labels must be 0/1 and
+    * scores in [0, 1) — loud errors otherwise. Returns df +
+    * `calibrated` (double, micro-quantized — engine-reproducible). */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 1000, outCol: String = "calibrated"): DataFrame = {
+    require(buckets >= 2 && buckets <= 100000,
+      s"isotonicCalibrate: buckets=$buckets outside [2, 100000]")
+    val score = col(scoreCol).cast("double")
+    val label = when(col(labelCol).isNull || (col(labelCol) =!= 0 && col(labelCol) =!= 1),
+        raise_error(concat(lit("isotonicCalibrate: label must be 0/1, got "),
+          col(labelCol).cast("string"))))
+      .otherwise(col(labelCol).cast("long"))
+    val bucket = when(score.isNull || score < 0.0 || score >= 1.0,
+        raise_error(concat(lit("isotonicCalibrate: score outside [0, 1): "),
+          score.cast("string"))))
+      .otherwise(floor(score * buckets).cast("int"))
+    // bounded driver pull: the (bucket, positives, n) histogram
+    val hist = df.select(bucket.as("__b"), label.as("__y"))
+      .groupBy("__b").agg(sum(col("__y")).as("pos"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(hist.nonEmpty, "isotonicCalibrate: empty input")
+    // PAV: pool while rate(prev) > rate(next), integer cross-multiplied
+    case class Pool(lastBucket: Int, pos: Long, n: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    for ((b, p, n) <- hist) {
+      var cur = Pool(b, p, n)
+      while (stack.nonEmpty &&
+          stack.last.pos * cur.n > cur.pos * stack.last.n) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Pool(cur.lastBucket, prev.pos + cur.pos, prev.n + cur.n)
+      }
+      stack += cur
+    }
+    // bucket → micro-rate lookup table (plan literal, length = buckets);
+    // empty buckets inherit the nearest pool to their RIGHT (trailing
+    // empties the last pool) — either choice is monotone, and no row in
+    // df ever lands there anyway; the table just stays total
+    val rates = new Array[Long](buckets)
+    var i = 0
+    for (pool <- stack) {
+      val r = math.round(1e6 * pool.pos / pool.n)
+      while (i <= pool.lastBucket) { rates(i) = r; i += 1 }
+    }
+    while (i < buckets) { rates(i) = rates(i - 1); i += 1 }
+    df.withColumn(outCol,
+      element_at(typedLit(rates.toSeq), bucket + lit(1)).cast("double") / lit(1e6))
+  }
+
   /** Exact two-sample CHI-SQUARE homogeneity statistic per group (+
     * Cramér's V) — "are these two labeled populations drawn from the same
     * binned distribution", the significance-flavored sibling of

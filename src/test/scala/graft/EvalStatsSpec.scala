@@ -647,6 +647,43 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(math.abs(rd.getAs[Double]("mi_bits") - 1.0) < 5e-6)
   }
 
+  // --- isotonicCalibrate ---
+
+  test("isotonicCalibrate: textbook PAV pooling, monotone output, weighted pools") {
+    // 4 score buckets at 0.05/0.15/0.25/0.35 with rates 0.0, 1.0, 0.5, 1.0
+    // over weights 2,2,4,2: PAV pools buckets 1 and 2 (1.0 > 0.5) into the
+    // WEIGHTED rate (2+2)/(2+4) = 2/3, then 0.0 <= 2/3 <= 2/3 <= 1.0 holds
+    val rows =
+      Seq((0.05, 0L), (0.06, 0L),
+        (0.15, 1L), (0.16, 1L),
+        (0.25, 1L), (0.26, 1L), (0.27, 0L), (0.28, 0L),
+        (0.35, 1L), (0.36, 1L))
+    val df = rows.toDF("s", "y")
+    val out = graft.ml.MLOps.isotonicCalibrate(df, "s", "y", buckets = 10)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(out(0.05) == 0.0)
+    assert(out(0.15) == 0.666667) // micro-rounded pooled 2/3
+    assert(out(0.25) == 0.666667)
+    assert(out(0.35) == 1.0)
+    // output is monotone in the score everywhere
+    val sorted = out.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted == sorted.sorted)
+    // already-monotone input passes through as per-bucket rates
+    val mono = Seq((0.05, 0L), (0.15, 1L), (0.16, 0L), (0.25, 1L))
+      .toDF("s", "y")
+    val m = graft.ml.MLOps.isotonicCalibrate(mono, "s", "y", 10)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(m(0.05) == 0.0 && m(0.15) == 0.5 && m(0.25) == 1.0)
+    intercept[Exception] {
+      graft.ml.MLOps.isotonicCalibrate(
+        Seq((1.5, 0L)).toDF("s", "y"), "s", "y", 10).collect()
+    }
+    intercept[Exception] {
+      graft.ml.MLOps.isotonicCalibrate(
+        Seq((0.5, 2L)).toDF("s", "y"), "s", "y", 10).collect()
+    }
+  }
+
   // --- jacobiEigen / pcaProject ---
 
   test("jacobiEigen: hand 2x2 eigensystem") {
