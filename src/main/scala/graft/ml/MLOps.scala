@@ -774,6 +774,81 @@ object MLOps {
       .drop("__sw")
   }
 
+  /** CLOSED-FORM OLS (the LINEAR PROBE): fit y ≈ β·x + β₀ over the first
+    * `dim` vector dimensions in ONE corpus fold — the regression sibling
+    * of the online perceptron (`perceptronTrain` learns a classifier
+    * iteratively; this solves the least-squares regressor exactly).
+    * The [[graft.functions.Native.CovMoments]] kernel aggregates the
+    * JOINT moment buffer of [features ++ target] (one buffer per task,
+    * merged — the q234 shuffle shape), the normal equations
+    * Cov_xx·β = Cov_xy solve driver-side by Gaussian elimination with
+    * partial pivoting on the BOUNDED (d+1)×(d+1) matrix, and R² falls out
+    * of the same moments (residual variance = Var_y − β·Cov_xy). A
+    * near-singular system fails loudly (collinear features need a ridge
+    * term, not a silent garbage fit). Returns (β, β₀, r²). */
+  def olsFit(df: DataFrame, vecCol: String, targetCol: String, dim: Int,
+      scaleBits: Int = 20): (Array[Double], Double, Double) = {
+    require(dim >= 1 && dim <= 128, s"olsFit: dim=$dim outside [1, 128]")
+    val scale = math.pow(2.0, scaleBits)
+    val joint = transform(
+      concat(slice(col(vecCol).cast("array<double>"), 1, dim),
+        array(col(targetCol).cast("double"))),
+      x => floor(x * lit(scale)).cast("long"))
+    val d = dim + 1
+    val buf = df.filter(col(vecCol).isNotNull && col(targetCol).isNotNull)
+      .agg(graft.functions.Native.covMoments(joint, d).as("m"))
+      .collect().head.getSeq[Long](0)
+    val n = buf(0).toDouble
+    require(buf(0) >= dim + 2, s"olsFit: need >= ${dim + 2} rows, got ${buf(0)}")
+    val mean = Array.tabulate(d)(i => buf(1 + i) / n / scale)
+    val cov = Array.ofDim[Double](d, d)
+    var idx = 1 + d
+    for (i <- 0 until d; j <- i until d) {
+      val c = (buf(idx) / n - (buf(1 + i) / n) * (buf(1 + j) / n)) / (scale * scale)
+      cov(i)(j) = c; cov(j)(i) = c
+      idx += 1
+    }
+    // Gaussian elimination with partial pivoting on [Cov_xx | Cov_xy]
+    val a = Array.tabulate(dim, dim + 1)((i, j) =>
+      if (j < dim) cov(i)(j) else cov(i)(dim))
+    for (p <- 0 until dim) {
+      val piv = (p until dim).maxBy(r => math.abs(a(r)(p)))
+      require(math.abs(a(piv)(p)) > 1e-12,
+        s"olsFit: singular normal equations at column $p — features are " +
+          "collinear or constant; drop or regularize them")
+      val tmp = a(p); a(p) = a(piv); a(piv) = tmp
+      for (r <- p + 1 until dim) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p to dim) a(r)(c) -= f * a(p)(c)
+      }
+    }
+    val beta = new Array[Double](dim)
+    for (p <- (dim - 1) to 0 by -1) {
+      var s = a(p)(dim)
+      for (c <- p + 1 until dim) s -= a(p)(c) * beta(c)
+      beta(p) = s / a(p)(p)
+    }
+    val intercept = mean(dim) - (0 until dim).map(i => beta(i) * mean(i)).sum
+    val varY = cov(dim)(dim)
+    val explained = (0 until dim).map(i => beta(i) * cov(i)(dim)).sum
+    val r2 = if (varY <= 0) Double.NaN else explained / varY
+    (beta, intercept, r2)
+  }
+
+  /** [[olsFit]] + prediction: β/β₀ become plan literals and the fitted
+    * value is ONE VecDot per row — a narrow map, no join, no shuffle
+    * (the [[graft.ops.Similarity.pcaProject]] projection discipline).
+    * Spec-gated (the solve has no SQL restatement); the moment kernel it
+    * rides is oracle-gated as q234. */
+  def olsPredict(df: DataFrame, vecCol: String, targetCol: String, dim: Int,
+      scaleBits: Int = 20, outCol: String = "ols_pred"): DataFrame = {
+    val (beta, b0, _) = olsFit(df, vecCol, targetCol, dim, scaleBits)
+    df.withColumn(outCol,
+      graft.functions.Native.dotProduct(
+        slice(col(vecCol).cast("array<double>"), 1, dim),
+        typedLit(beta.toSeq)) + lit(b0))
+  }
+
   /** ISOTONIC CALIBRATION (pool-adjacent-violators) of a [0, 1) score
     * against binary labels — the non-parametric recalibration step when a
     * model's scores rank well but their VALUES are off (q217's ECE

@@ -684,6 +684,30 @@ class EvalStatsSpec extends AnyFunSuite {
     }
   }
 
+  // --- olsFit / olsPredict ---
+
+  test("olsFit: exact recovery on noiseless linear data; singular fails loudly") {
+    // y = 2*x1 - 3*x2 + 5 over integer grid points (scaleBits=0: exact)
+    val rows = for (x1 <- 0L to 4L; x2 <- 0L to 4L)
+      yield (Seq(x1.toDouble, x2.toDouble), 2.0 * x1 - 3.0 * x2 + 5.0)
+    val df = rows.toDF("v", "y")
+    val (beta, b0, r2) = graft.ml.MLOps.olsFit(df, "v", "y", dim = 2,
+      scaleBits = 0)
+    assert(math.abs(beta(0) - 2.0) < 1e-9 && math.abs(beta(1) + 3.0) < 1e-9)
+    assert(math.abs(b0 - 5.0) < 1e-9)
+    assert(math.abs(r2 - 1.0) < 1e-12)
+    val pred = graft.ml.MLOps.olsPredict(df, "v", "y", 2, 0)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2))
+    pred.foreach { case (y, p) => assert(math.abs(y - p) < 1e-9) }
+    // collinear features -> loud singularity, never a garbage fit
+    val collinear = (1L to 10L).map(i =>
+      (Seq(i.toDouble, 2.0 * i), 3.0 * i)).toDF("v", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.MLOps.olsFit(collinear, "v", "y", 2, 0)
+    }
+    assert(e.getMessage.contains("singular"))
+  }
+
   // --- jacobiEigen / pcaProject ---
 
   test("jacobiEigen: hand 2x2 eigensystem") {
