@@ -6745,7 +6745,49 @@ object SparkEntry {
             FROM w CROSS JOIN dep)
         SELECT source, CAST(dep AS INTEGER) AS cms_depth, slot AS cms_slot,
           CAST(count(*) AS BIGINT) AS cms_n
-        FROM hx GROUP BY 1, 2, 3"""))
+        FROM hx GROUP BY 1, 2, 3""")),
+
+    // --- GINI of DAILY VOLUMES per event type — the burstiness monitor
+    // giniByGroup was built for (0 = steady traffic, →1 = one day holds
+    // the mass), over the q197 zero-filled day grid so a dark day IS a
+    // zero-volume observation, not a missing row ---
+    Q("q238_volume_gini",
+      (s, dir) => {
+        val active = events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+          .agg(count(lit(1)).as("__c"))
+        val grid = active.groupBy(col("event_type"))
+          .agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+          .select(col("event_type"),
+            explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+        val daily = grid.join(active, Seq("event_type", "__d"), "left")
+          .select(col("event_type"),
+            coalesce(col("__c"), lit(0L)).as("n_events"))
+        Aggregations.giniByGroup(daily, Seq("event_type"), "n_events")
+      },
+      Some("""WITH ac AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+          sp AS (SELECT event_type, min(d) AS lo, max(d) AS hi FROM ac GROUP BY 1),
+          gr AS (SELECT event_type, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+            CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM sp),
+          da AS (SELECT gr.event_type, coalesce(ac.c, CAST(0 AS BIGINT)) AS v
+            FROM gr LEFT JOIN ac ON ac.event_type = gr.event_type AND ac.d = gr.d),
+          h AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+            FROM da GROUP BY 1, 2),
+          cum AS (SELECT event_type, v, c,
+            coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM h),
+          a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows,
+              CAST(sum(v * c) AS BIGINT) AS total_value,
+              sum(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * cb
+                + (c * (c + 1)) // 2)) AS rank_sum
+            FROM cum GROUP BY 1)
+        SELECT event_type, n_rows, total_value,
+          CASE WHEN total_value = 0 THEN NULL
+            ELSE 2.0 * CAST(rank_sum AS DOUBLE)
+              / (CAST(n_rows AS DOUBLE) * CAST(total_value AS DOUBLE))
+              - CAST(n_rows + 1 AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS gini
+        FROM a"""))
   )
 
   val specs: Seq[Q] =
