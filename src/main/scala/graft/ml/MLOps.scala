@@ -512,6 +512,19 @@ object MLOps {
           .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))))
   }
 
+  /** The LOUD 0/1 label guard shared by the histogram-fold eval family
+    * ([[aucByGroup]]/[[prCurveByGroup]]/[[ksByGroup]]/[[chiSquareByGroup]]) —
+    * the [[isotonicCalibrate]] convention applied uniformly: the folds
+    * derive the negative count as Σ(1 − label), so a NULL label would
+    * silently vanish from BOTH classes and a label of 2 would produce a
+    * NEGATIVE count and a corrupt statistic. Both now fail in-plan with
+    * the offending value in the message. */
+  private def binaryLabel(labelCol: String, op: String): Column =
+    when(col(labelCol).isNull || (col(labelCol) =!= 0 && col(labelCol) =!= 1),
+      raise_error(concat(lit(s"$op: label must be 0/1, got "),
+        coalesce(col(labelCol).cast("string"), lit("NULL")))))
+      .otherwise(col(labelCol).cast("long"))
+
   /** EXACT grouped ROC-AUC from the SCORE HISTOGRAM — the ranking member
     * of the eval family next to [[calibrationTable]] (is the probability
     * honest) and [[confusionAtThreshold]] (one operating point): AUC is
@@ -537,9 +550,9 @@ object MLOps {
       labelCol: String): DataFrame = {
     val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val y = binaryLabel(labelCol, "aucByGroup")
     val hist = df.groupBy(col(groupCol), scoreInt.cast("long").as("__s"))
-      .agg(sum(col(labelCol).cast("long")).as("__pos"),
-        sum(lit(1L) - col(labelCol).cast("long")).as("__neg"))
+      .agg(sum(y).as("__pos"), sum(lit(1L) - y).as("__neg"))
     val below = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -570,9 +583,9 @@ object MLOps {
   def prCurveByGroup(df: DataFrame, groupCol: String, scoreInt: Column,
       labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val y = binaryLabel(labelCol, "prCurveByGroup")
     val hist = df.groupBy(col(groupCol), scoreInt.cast("long").as("threshold"))
-      .agg(sum(col(labelCol).cast("long")).as("__pos"),
-        sum(lit(1L) - col(labelCol).cast("long")).as("__neg"))
+      .agg(sum(y).as("__pos"), sum(lit(1L) - y).as("__neg"))
     val wDesc = Window.partitionBy(col(groupCol)).orderBy(col("threshold").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // group totals via a window over the BOUNDED histogram frame (the
@@ -605,9 +618,9 @@ object MLOps {
     import org.apache.spark.sql.expressions.Window
     val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val y = binaryLabel(labelCol, "ksByGroup")
     val hist = df.groupBy(col(groupCol), scoreInt.cast("long").as("__s"))
-      .agg(sum(col(labelCol).cast("long")).as("__pos"),
-        sum(lit(1L) - col(labelCol).cast("long")).as("__neg"))
+      .agg(sum(y).as("__pos"), sum(lit(1L) - y).as("__neg"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(groupCol))
@@ -760,7 +773,11 @@ object MLOps {
     val base = df.select(col(queryCol).as("__q"), rankA.as("__ra"), rankB.as("__rb"))
       .select(col("__q"), guarded(col("__ra"), "a").as("__ra"),
         guarded(col("__rb"), "b").as("__rb"))
-    val m = greatest(col("__ra"), col("__rb")) // null if either side is null
+    // NULL if EITHER side is null (unranked): greatest() SKIPS nulls, so a
+    // bare greatest would hand a one-list item its single-list rank and
+    // credit it full co-occurrence weight — the explicit when() is the fix
+    val m = when(col("__ra").isNull || col("__rb").isNull, lit(null).cast("long"))
+      .otherwise(greatest(col("__ra"), col("__rb")))
     base
       .withColumn("__w", when(m.isNull || m > k, lit(0L))
         .otherwise(element_at(typedLit(weights), m.cast("int"))))
@@ -944,9 +961,9 @@ object MLOps {
       labelCol: String): DataFrame = {
     val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val y = binaryLabel(labelCol, "chiSquareByGroup")
     val hist = df.groupBy(col(groupCol), binInt.cast("long").as("__b"))
-      .agg(sum(col(labelCol).cast("long")).as("__ca"),
-        sum(lit(1L) - col(labelCol).cast("long")).as("__cb"))
+      .agg(sum(y).as("__ca"), sum(lit(1L) - y).as("__cb"))
     val wAll = Window.partitionBy(col(groupCol))
     hist
       .withColumn("__na", sum(col("__ca")).over(wAll))

@@ -864,7 +864,12 @@ object Aggregations {
     * (reference: transformation.py grouped rank transforms). */
   def percentileRank(df: DataFrame, keys: Seq[String], valueCol: String,
       outCol: String): DataFrame = {
-    val v = col(valueCol).cast("long")
+    // DOUBLE, not long (the exactPercentiles rule): fractional quality
+    // scores are this operator's advertised input, and a silent long cast
+    // would collapse distinct scores onto truncated integers — wrong ranks
+    // with no error. Distinct-value histogram cardinality is the same
+    // bound either way; the join-back key compares the identical cast.
+    val v = col(valueCol).cast("double")
     val hist = df.filter(v.isNotNull)
       .groupBy(keys.map(col) :+ v.as("__v"): _*).agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))

@@ -467,6 +467,16 @@ class EvalStatsSpec extends AnyFunSuite {
     builtin.foreach { case (id, p) => assert(out(id) == Some(p)) }
   }
 
+  test("percentileRank: fractional values rank distinctly (no long truncation)") {
+    // 0.1 / 0.5 / 0.9 would all truncate to 0L under a long cast and tie
+    // at rank 0 — the double histogram must separate them
+    val df = Seq(("g", 1L, 0.1), ("g", 2L, 0.5), ("g", 3L, 0.9))
+      .toDF("g", "id", "v")
+    val out = graft.ops.Aggregations.percentileRank(df, Seq("g"), "v", "pr")
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("pr")).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.5 && out(3L) == 1.0)
+  }
+
   // --- unigramEntropy ---
 
   test("unigramEntropy: hand-computed H and KL on a two-slice corpus") {
@@ -535,6 +545,47 @@ class EvalStatsSpec extends AnyFunSuite {
         Seq(("q", 1L, 0, 1)).toDF("qid", "item", "ra", "rb"),
         "qid", col("ra"), col("rb"), 3, 900).collect()
     }
+  }
+
+  test("rboTruncated: a NULL rank (item on one list only) contributes zero weight") {
+    // item 2 is ranked ONLY by ranker A: greatest() skips nulls, so the
+    // naive form would hand it m = 2 and the full depth-2 co-occurrence
+    // weight — it must contribute 0 and stay out of overlap_k
+    val df = Seq(("q", 1L, Some(1), Some(1)), ("q", 2L, Some(2), None),
+      ("q", 3L, None, Some(2)))
+      .toDF("qid", "item", "ra", "rb")
+    val r = graft.ml.MLOps.rboTruncated(df, "qid", col("ra"), col("rb"),
+      k = 3, pMilli = 900).collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("overlap_k") == 1L) // only item 1 is on both lists
+    val w = graft.ml.MLOps.rboWeightsNano(3, 900)
+    assert(r.getAs[Double]("rbo") == 0.1 * (w(0).toDouble / 1e9))
+  }
+
+  test("histogram eval folds fail loudly on NULL and non-0/1 labels") {
+    // sum(1 - label) would silently drop a NULL from both classes and
+    // turn a label of 2 into a NEGATIVE count — the shared guard raises
+    val nullLab = Seq(("g", 5, Some(1)), ("g", 3, None)).toDF("g", "s", "y")
+    intercept[Exception] {
+      graft.ml.MLOps.aucByGroup(nullLab, "g", col("s"), "y").collect()
+    }
+    val badLab = Seq(("g", 5, 1), ("g", 3, 2)).toDF("g", "s", "y")
+    intercept[Exception] {
+      graft.ml.MLOps.aucByGroup(badLab, "g", col("s"), "y").collect()
+    }
+    intercept[Exception] {
+      graft.ml.MLOps.prCurveByGroup(badLab, "g", col("s"), "y").collect()
+    }
+    intercept[Exception] {
+      graft.ml.MLOps.ksByGroup(badLab, "g", col("s"), "y").collect()
+    }
+    intercept[Exception] {
+      graft.ml.MLOps.chiSquareByGroup(badLab, "g", col("s"), "y").collect()
+    }
+    // valid 0/1 labels still compute (the guard must not fire spuriously)
+    val ok = Seq(("g", 5, 1), ("g", 3, 0)).toDF("g", "s", "y")
+    assert(graft.ml.MLOps.aucByGroup(ok, "g", col("s"), "y")
+      .collect().head.getAs[Double]("auc") == 1.0)
   }
 
   // --- covarianceMatrix (CovMoments custom aggregate) ---
