@@ -6790,10 +6790,198 @@ object SparkEntry {
         FROM a"""))
   )
 
+  /** Round-12 capstone gates: the three driver-side trainer kernels
+    * (closed-form OLS, PCA projection, isotonic calibration) promoted
+    * from spec-only to oracle rows. The trick that makes them gateable
+    * at FULL double precision with zero rounding-tie risk: at dim = 2
+    * the kernels' float programs are SHORT and FIXED (an unrolled 2×2
+    * Gaussian elimination with partial pivoting, a single Jacobi
+    * rotation, PAV restated through the minimax theorem
+    * fit(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) with EXACT
+    * cross-multiplied rational comparisons), so the oracle restates the
+    * IDENTICAL IEEE operation sequence over the identical exact integer
+    * moments — correctly-rounded ops on identical inputs are
+    * bit-identical on any engine, no quantization needed. */
+  private val capstoneQueries: Seq[Q] = Seq(
+
+    // --- CLOSED-FORM OLS FIT (MLOps.olsFit, the q234 CovMoments kernel
+    // underneath): regress embedding[3] on embedding[1..2]. The engine's
+    // Gaussian elimination with partial pivoting is unrolled literally in
+    // the oracle (the pivot CASE mirrors Scala maxBy's strict-greater
+    // first-max), covariance entries mirror olsFit's exact float
+    // sequence (S_ij/n − (S_i/n)(S_j/n))/2^40 over quantized-exact sums
+    // — β, β₀, R² land on identical bits, verified at full precision ---
+    Q("q239_ols_fit",
+      (s, dir) => {
+        import s.implicits._
+        val df = t(s, dir, "embeddings").withColumn("y",
+          element_at(col("embedding").cast("array<double>"), 3))
+        val (beta, b0, r2) = graft.ml.MLOps.olsFit(df, "embedding", "y", dim = 2)
+        Seq((beta(0), beta(1), b0, r2)).toDF("b1", "b2", "intercept", "r2")
+      },
+      Some(olsOracleCte + "\nSELECT b1, b2, my - (b1*m1 + b2*m2) AS intercept," +
+        "\n  (b1*c0y + b2*c1y)/cyy AS r2\nFROM g5")),
+
+    // --- OLS PREDICT (MLOps.olsPredict): β/β₀ as plan literals, fitted
+    // value = ONE VecDot per row (narrow map, no shuffle). The VecDot
+    // accumulation ((0 + x1·β1) + x2·β2) + β₀ is restated literally —
+    // per-row predictions bit-identical at full double precision ---
+    Q("q239b_ols_predict",
+      (s, dir) => graft.ml.MLOps.olsPredict(
+        t(s, dir, "embeddings").withColumn("y",
+          element_at(col("embedding").cast("array<double>"), 3)),
+        "embedding", "y", dim = 2).select("vec_id", "ols_pred"),
+      Some(olsOracleCte +
+        """
+SELECT q.vec_id, (q.x1*g.b1 + q.x2*g.b2) + (g.my - (g.b1*g.m1 + g.b2*g.m2))
+    AS ols_pred
+FROM q, g5 g""")),
+
+    // --- PCA PROJECTION (Similarity.pcaProject + jacobiEigen): project
+    // the first 2 embedding dims onto the top principal axis. At 2×2 the
+    // cyclic Jacobi solver performs exactly ONE rotation (the residual
+    // off-diagonal lands below the 1e-14 gate), so the oracle restates
+    // that rotation's float program — theta, t, c, s, the two-sided
+    // update, the (−ev, i) sort, the largest-|loading| sign convention —
+    // and the per-row centered VecDot. Scores bit-identical, full
+    // precision ---
+    Q("q240_pca_project",
+      (s, dir) => Similarity.pcaProject(t(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 2, nComponents = 1),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        q AS (SELECT vec_id, v[1] AS x1, v[2] AS x2,
+            CAST(floor(v[1]*1048576.0) AS BIGINT) AS q1,
+            CAST(floor(v[2]*1048576.0) AS BIGINT) AS q2 FROM e),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(q1) AS BIGINT) AS s1, CAST(sum(q2) AS BIGINT) AS s2,
+            CAST(sum(q1*q1) AS BIGINT) AS s11, CAST(sum(q1*q2) AS BIGINT) AS s12,
+            CAST(sum(q2*q2) AS BIGINT) AS s22 FROM q),
+        c AS (SELECT n,
+            (CAST(s11 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))/1099511627776.0 AS c00,
+            (CAST(s12 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n))/1099511627776.0 AS c01,
+            (CAST(s22 AS DOUBLE)/n - (CAST(s2 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n))/1099511627776.0 AS c11,
+            CAST(s1 AS DOUBLE)/n/1048576.0 AS m1,
+            CAST(s2 AS DOUBLE)/n/1048576.0 AS m2 FROM m),
+        r AS (SELECT *, (c11 - c00)/(2.0*c01) AS theta FROM c),
+        t1 AS (SELECT *, CASE WHEN theta = 0.0 THEN 1.0 ELSE
+            (CASE WHEN theta > 0.0 THEN 1.0 ELSE -1.0 END)
+              / (abs(theta) + sqrt(theta*theta + 1.0)) END AS t FROM r),
+        cs AS (SELECT *, 1.0/sqrt(t*t + 1.0) AS cc FROM t1),
+        cs2 AS (SELECT *, t*cc AS ss FROM cs),
+        rot AS (SELECT *,
+            cc*c00 - ss*c01 AS b00, ss*c00 + cc*c01 AS b01,
+            cc*c01 - ss*c11 AS b10, ss*c01 + cc*c11 AS b11 FROM cs2),
+        ev AS (SELECT *, cc*b00 - ss*b10 AS f00, ss*b01 + cc*b11 AS f11 FROM rot),
+        w0 AS (SELECT *,
+            CASE WHEN f11 > f00 THEN ss ELSE cc END AS w1raw,
+            CASE WHEN f11 > f00 THEN cc ELSE 0.0 - ss END AS w2raw FROM ev),
+        w1s AS (SELECT *, CASE WHEN abs(w2raw) > abs(w1raw) THEN w2raw ELSE w1raw END AS pv FROM w0),
+        fin AS (SELECT n, m1, m2,
+            CASE WHEN pv < 0.0 THEN -w1raw ELSE w1raw END AS w1,
+            CASE WHEN pv < 0.0 THEN -w2raw ELSE w2raw END AS w2 FROM w1s)
+      SELECT q.vec_id, CAST(1 AS INTEGER) AS component,
+        (q.x1 - f.m1) * f.w1 + (q.x2 - f.m2) * f.w2 AS score
+      FROM q, fin f""")),
+
+    // --- ISOTONIC CALIBRATION (MLOps.isotonicCalibrate): PAV over the
+    // 64-bucket score histogram, restated through the minimax theorem —
+    // fit(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) — with ALL rational
+    // comparisons cross-multiplied in exact integers (the anti-join
+    // min/max), so the selected interval mean EQUALS the PAV pool mean
+    // as a rational; both engines then perform the same correctly-rounded
+    // 1e6·p/n division and floor(x+0.5) — bit-identical micro rates.
+    // Score = (n_chars % 997)/997 ∈ [0,1); label correlated with score
+    // so PAV forms real monotone steps (18 pools at sf0.01) ---
+    Q("q241_isotonic",
+      (s, dir) => graft.ml.MLOps.isotonicCalibrate(
+        t(s, dir, "documents")
+          .filter(col("n_chars").isNotNull && col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            ((col("n_chars") % 997).cast("double") / lit(997.0)).as("score"),
+            when((col("n_chars") % 997) > (col("doc_id") % 1000), 1)
+              .otherwise(0).as("label")),
+        "score", "label", buckets = 64).select("doc_id", "calibrated"),
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(floor((CAST(n_chars % 997 AS DOUBLE)/997.0)*64.0) AS INTEGER) AS b,
+            CASE WHEN (n_chars % 997) > (doc_id % 1000) THEN 1 ELSE 0 END AS y
+          FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+        h AS (SELECT b, CAST(sum(y) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1),
+        o AS (SELECT b, p, n, row_number() OVER (ORDER BY b) AS i FROM h),
+        cum AS (SELECT i, b, sum(p) OVER (ORDER BY i) AS cp,
+            sum(n) OVER (ORDER BY i) AS cn FROM o),
+        iv AS (SELECT j.i AS j, k.i AS k,
+            k.cp - coalesce(jm.cp, 0) AS num, k.cn - coalesce(jm.cn, 0) AS den
+          FROM cum j JOIN cum k ON k.i >= j.i
+          LEFT JOIN cum jm ON jm.i = j.i - 1),
+        cand AS (SELECT o.i AS i, iv.j AS j, iv.k AS k, iv.num, iv.den
+          FROM o JOIN iv ON iv.j <= o.i AND iv.k >= o.i),
+        mn AS (SELECT x.i, x.j, x.num, x.den FROM cand x
+          WHERE NOT EXISTS (SELECT 1 FROM cand y
+            WHERE y.i = x.i AND y.j = x.j AND (y.num * x.den < x.num * y.den
+              OR (y.num * x.den = x.num * y.den AND y.k < x.k)))),
+        mx AS (SELECT m.i, m.num, m.den FROM mn m
+          WHERE NOT EXISTS (SELECT 1 FROM mn m2
+            WHERE m2.i = m.i AND (m2.num * m.den > m.num * m2.den
+              OR (m2.num * m.den = m.num * m2.den AND m2.j < m.j)))),
+        rate AS (SELECT o.b,
+            CAST(floor(1000000.0 * CAST(mx.num AS DOUBLE) / CAST(mx.den AS DOUBLE)
+              + 0.5) AS BIGINT) AS micro
+          FROM o JOIN mx ON mx.i = o.i)
+      SELECT d.doc_id, CAST(rate.micro AS DOUBLE) / 1000000.0 AS calibrated
+      FROM d JOIN rate ON rate.b = d.b"""))
+  )
+
+  /** Shared CTE chain for the two OLS gates: quantized-exact moments →
+    * olsFit's covariance float sequence → the dim-2 Gaussian elimination
+    * unrolled (sw = the partial pivot; Scala maxBy keeps the FIRST max,
+    * so the swap fires only on STRICTLY greater |a10|). */
+  private def olsOracleCte: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      q AS (SELECT vec_id, v[1] AS x1, v[2] AS x2,
+          CAST(floor(v[1]*1048576.0) AS BIGINT) AS q1,
+          CAST(floor(v[2]*1048576.0) AS BIGINT) AS q2,
+          CAST(floor(v[3]*1048576.0) AS BIGINT) AS qy
+        FROM e WHERE v[3] IS NOT NULL),
+      m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(q1) AS BIGINT) AS s1, CAST(sum(q2) AS BIGINT) AS s2,
+          CAST(sum(qy) AS BIGINT) AS sy,
+          CAST(sum(q1*q1) AS BIGINT) AS s11, CAST(sum(q1*q2) AS BIGINT) AS s12,
+          CAST(sum(q1*qy) AS BIGINT) AS s1y, CAST(sum(q2*q2) AS BIGINT) AS s22,
+          CAST(sum(q2*qy) AS BIGINT) AS s2y, CAST(sum(qy*qy) AS BIGINT) AS syy
+        FROM q),
+      c AS (SELECT n,
+          (CAST(s11 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))/1099511627776.0 AS c00,
+          (CAST(s12 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n))/1099511627776.0 AS c01,
+          (CAST(s1y AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))/1099511627776.0 AS c0y,
+          (CAST(s22 AS DOUBLE)/n - (CAST(s2 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n))/1099511627776.0 AS c11,
+          (CAST(s2y AS DOUBLE)/n - (CAST(s2 AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))/1099511627776.0 AS c1y,
+          (CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))/1099511627776.0 AS cyy,
+          CAST(s1 AS DOUBLE)/n/1048576.0 AS m1,
+          CAST(s2 AS DOUBLE)/n/1048576.0 AS m2,
+          CAST(sy AS DOUBLE)/n/1048576.0 AS my
+        FROM m),
+      g AS (SELECT *, abs(c01) > abs(c00) AS sw FROM c),
+      g1 AS (SELECT *,
+          CASE WHEN sw THEN c01 ELSE c00 END AS p00,
+          CASE WHEN sw THEN c11 ELSE c01 END AS p01,
+          CASE WHEN sw THEN c1y ELSE c0y END AS p02,
+          CASE WHEN sw THEN c00 ELSE c01 END AS r10,
+          CASE WHEN sw THEN c01 ELSE c11 END AS r11,
+          CASE WHEN sw THEN c0y ELSE c1y END AS r12
+        FROM g),
+      g2 AS (SELECT *, r10/p00 AS f FROM g1),
+      g3 AS (SELECT *, r11 - f*p01 AS e11, r12 - f*p02 AS e12 FROM g2),
+      g4 AS (SELECT *, e12/e11 AS b2 FROM g3),
+      g5 AS (SELECT *, (p02 - p01*b2)/p00 AS b1 FROM g4)"""
+
   val specs: Seq[Q] =
     relational ++ timeQueries ++ scalarQueries ++ docQueries ++ miscQueries ++ textQueries2 ++
       statsQueries ++ analyticQueries ++ storeQueries ++ pipelineQueries3 ++ pipelineQueries4 ++
-      pipelineQueries5 ++ layoutQueries ++ retrievalQueries ++ lifecycleQueries ++ conformQueries
+      pipelineQueries5 ++ layoutQueries ++ retrievalQueries ++ lifecycleQueries ++ conformQueries ++
+      capstoneQueries
 
   // ---------- driver contract ----------
 

@@ -855,8 +855,11 @@ object MLOps {
   /** [[olsFit]] + prediction: β/β₀ become plan literals and the fitted
     * value is ONE VecDot per row — a narrow map, no join, no shuffle
     * (the [[graft.ops.Similarity.pcaProject]] projection discipline).
-    * Spec-gated (the solve has no SQL restatement); the moment kernel it
-    * rides is oracle-gated as q234. */
+    * Oracle-gated at dim 2 (q239/q239b): the Gaussian elimination and the
+    * VecDot accumulation are short fixed float programs, restated
+    * literally in SQL over the same exact integer moments — predictions
+    * match bit-for-bit at full double precision; the moment kernel is
+    * separately gated as q234, higher dims pinned by OlsSpec. */
   def olsPredict(df: DataFrame, vecCol: String, targetCol: String, dim: Int,
       scaleBits: Int = 20, outCol: String = "ols_pred"): DataFrame = {
     val (beta, b0, _) = olsFit(df, vecCol, targetCol, dim, scaleBits)
@@ -884,9 +887,13 @@ object MLOps {
     *     each row picks its calibrated probability by ONE array lookup —
     *     a narrow map, no join, no shuffle.
     *
-    * Spec-gated, not oracle-gated: PAV's sequential pooling has no SQL
-    * restatement (IsotonicSpec pins the textbook pooling case,
-    * monotonicity, weighted pools, and the loud guards); the histogram it
+    * Oracle-gated (q241): PAV's sequential pooling IS SQL-restatable
+    * through the minimax theorem fit(i) = max_{j≤i} min_{k≥i}
+    * mean(y[j..k]) with exact cross-multiplied rational comparisons —
+    * the selected interval mean equals the pool mean as a rational, so
+    * the micro rates match bit-for-bit (IsotonicSpec additionally pins
+    * the textbook pooling case, monotonicity, weighted pools, and the
+    * loud guards); the histogram it
     * consumes is the q207/q217 family shape. Labels must be 0/1 and
     * scores in [0, 1) — loud errors otherwise. Returns df +
     * `calibrated` (double, micro-quantized — engine-reproducible). */

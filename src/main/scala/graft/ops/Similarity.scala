@@ -345,11 +345,15 @@ object Similarity {
     *     score_j = Σᵢ (vᵢ − μᵢ)·wᵢⱼ via the [[cosine]]-family VecDot
     *     kernel, no join, no shuffle.
     *
-    * Spec-gated, not oracle-gated: the eigen step has no SQL restatement
-    * (PcaSpec pins a hand 2×2 eigensystem, orthonormality, the
-    * variance-ordering of the scores, and the sign convention); the
-    * covariance it consumes IS oracle-gated (q234). Two corpus passes
-    * (moments + projection). Returns (idCol, component 1-based, score). */
+    * Oracle-gated at dim 2 (q240): a 2×2 Jacobi solve is exactly ONE
+    * rotation — a short fixed float program the oracle restates literally
+    * (theta/t/c/s, the two-sided update, the sort and sign convention,
+    * the centered VecDot), so projections match bit-for-bit at full
+    * double precision. PcaSpec additionally pins a hand 2×2 eigensystem,
+    * orthonormality, the variance-ordering of the scores, and the sign
+    * convention at higher dims; the covariance it consumes is q234.
+    * Two corpus passes (moments + projection).
+    * Returns (idCol, component 1-based, score). */
   def pcaProject(df: DataFrame, vecCol: String, idCol: String, dim: Int,
       nComponents: Int, scaleBits: Int = 20): DataFrame = {
     require(nComponents >= 1 && nComponents <= dim,
