@@ -6930,7 +6930,52 @@ FROM q, g5 g""")),
               + 0.5) AS BIGINT) AS micro
           FROM o JOIN mx ON mx.i = o.i)
       SELECT d.doc_id, CAST(rate.micro AS DOUBLE) / 1000000.0 AS calibrated
-      FROM d JOIN rate ON rate.b = d.b"""))
+      FROM d JOIN rate ON rate.b = d.b""")),
+
+    // --- The THIRTEENTH streaming-runtime modality: the heaviest-state
+    // gate (q187's watermark-closed LEFT OUTER stream-stream join — TWO
+    // state stores, interval match state, watermark eviction) re-run on
+    // the ROCKSDB state store provider instead of the default executor-
+    // heap HDFSBackedStateStoreProvider. This is the 100 TB config: heap
+    // state OOMs when join state outgrows memory, RocksDB spills to
+    // native memory + local disk. Same oracle ⇒ provider-independent
+    // semantics — state round-trips through RocksDB's serde, eviction and
+    // unmatched-row flush included ---
+    Q("q187b_outer_join_rocksdb",
+      (s, dir) => graft.streaming.Streaming.withStateStoreProvider(
+        s, graft.streaming.Streaming.RocksDbProvider) {
+        graft.streaming.Streaming.stagedOuterIntervalJoinRun(
+          s, events(s, dir).select("ts", "user_id", "event_type", "event_id"),
+          tsCol = "ts", keys = Seq("user_id"), idCol = "event_id",
+          leftPred = "event_type = 'click'",
+          rightPred = "event_type = 'purchase'", after = "1 hour")
+      },
+      Some("""SELECT a.user_id, a.event_id AS a_id,
+          coalesce(b.event_id, -1) AS b_id_key,
+          epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS lag_us
+        FROM events a LEFT JOIN events b ON a.user_id = b.user_id
+          AND b.event_type = 'purchase'
+          AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+          AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        WHERE a.event_type = 'click'""")),
+
+    // --- The FOURTEENTH streaming-runtime modality: q212's restart gate
+    // hardened from a graceful stop to a MID-BATCH CRASH — the injected
+    // failure fires after the store upsert and the sink's commit mark but
+    // before the engine's batch commit (the torn state kill -9 leaves:
+    // offsets written, commit pending, sink effect applied). The fresh
+    // query replays the torn batch with the same id; the commitlog-
+    // guarded sink absorbs the redelivery, so at-least-once recovery
+    // still lands on exactly-once store state ---
+    Q("q212b_crash_recovery",
+      (s, dir) => graft.streaming.Streaming.stagedCrashRecoveryRun(
+        s, events(s, dir).select("ts", "event_type", "value"),
+        "ts", "event_type", "value"),
+      Some("""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+            AS window_start,
+          event_type, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2"""))
   )
 
   /** Shared CTE chain for the two OLS gates: quantized-exact moments →

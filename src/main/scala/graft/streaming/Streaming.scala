@@ -428,6 +428,13 @@ object Streaming {
         // instead of accreting a marker file per micro-batch forever
         if (id >= retainMarks)
           fs.delete(new org.apache.hadoop.fs.Path(logDir, s"batch-${id - retainMarks}"), false)
+      } else {
+        // a redelivered batch (crash recovery replays the torn batch with
+        // the same id) skips the SINK EFFECT only — the batch must still
+        // MATERIALIZE: Spark 4 validates that every micro-batch commits
+        // its state stores, and those commits ride the batch's job
+        // (q212b fails StateStoreCommitValidationFailed without this)
+        batch.count(): Unit
       }
     }
   }
@@ -650,6 +657,102 @@ object Streaming {
       // the outage: late chunks arrive while no query is running
       held.foreach(f => java.nio.file.Files.move(hold.resolve(f.getName), f.toPath))
       lifecycle() // phase 2: new query, same checkpoint — state recovers
+    }
+    store.read(spark).select(col("window_start"), col(keyCol),
+      col("n_events"), col("__sum_dec").cast("double").as("sum_value"))
+  }
+
+  /** Fully-qualified class of Spark's bundled RocksDB state store provider
+    * (rocksdbjni ships in spark/jars — no extra dependency): state lives
+    * in a native RocksDB instance spilling to local disk instead of the
+    * default HDFSBackedStateStoreProvider's executor-heap hash map. At
+    * 100 TB stream state (join state, dedup keys, large window counts)
+    * the heap-backed provider OOMs; RocksDB is the production answer, so
+    * the gate family must prove semantics are identical under it. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the session's streaming state-store provider swapped
+    * (e.g. to [[RocksDbProvider]]), restoring the previous setting on all
+    * exits. The provider is read from the session conf at query START, so
+    * wrapping a whole staged gate re-runs that gate's every lifecycle on
+    * the alternate provider. */
+  def withStateStoreProvider[T](spark: SparkSession, providerClass: String)(
+      body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, providerClass)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** CRASH RECOVERY — [[stagedRestartRecoveryRun]] hardened from a
+    * graceful stop to a MID-BATCH FAILURE. Phase 1's foreachBatch throws
+    * AFTER the store upsert and the sink's commit mark but BEFORE the
+    * engine records the batch commit — exactly the torn state a `kill -9`
+    * mid-batch leaves behind: offsets written, engine commit pending,
+    * sink effect already applied. Phase 2 starts a NEW query on the same
+    * checkpoint: Spark replays the torn batch with the SAME batch id and
+    * file-offset range, [[idempotentBatchSink]]'s commitlog mark makes
+    * the redelivered upsert a no-op (the double-apply hazard this sink
+    * exists for), the state store reloads the last committed version and
+    * deterministically recomputes the torn batch's state update, and the
+    * remaining chunks drain normally.
+    *
+    * What the oracle equality proves beyond q212's graceful restart: the
+    * recovery path with UNCOMMITTED work — at-least-once redelivery of a
+    * batch whose sink effect already landed still yields exactly-once
+    * store state. Final store = the static aggregate, same argument as
+    * [[stagedWindowAggRun]]. */
+  def stagedCrashRecoveryRun(spark: SparkSession, events: DataFrame,
+      tsCol: String, keyCol: String, valueCol: String, chunks: Int = 4,
+      crashAtBatch: Long = 1, windowDur: String = "1 hour",
+      lateness: String = "1 day", workDir: Option[String] = None): DataFrame = {
+    require(chunks >= 2 && crashAtBatch >= 0 && crashAtBatch < chunks - 1,
+      s"stagedCrashRecoveryRun: need 0 <= crashAtBatch < chunks-1, got " +
+        s"crashAtBatch=$crashAtBatch chunks=$chunks — the crash must leave " +
+        "work for phase 2 or the gate proves nothing")
+    val store = withStagedGate(spark, events, tsCol, chunks, workDir) { g =>
+      def agg = g.source
+        .withWatermark(tsCol, lateness)
+        .groupBy(window(col(tsCol), windowDur), col(keyCol))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col(valueCol).cast("decimal(18,4)")).as("__sum_dec"))
+      val project = (b: DataFrame) => b.select(
+        col("window.start").cast("long").as("window_start"),
+        col(keyCol), col("n_events"), col("__sum_dec"))
+      val keys = Seq("window_start", keyCol)
+      val st = graft.sources.ParquetSource(g.work.resolve("store").toString)
+      val upsert = idempotentBatchSink({ (batch, _) =>
+        if (!batch.isEmpty) st.upsert(project(batch).coalesce(1), keys)
+      }, g.work.resolve("commitlog").toString)(spark)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q1 = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", g.work.resolve("ckpt").toString)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          upsert(b, id); g.lap(s"p1-batch-$id")
+          if (id == crashAtBatch) {
+            crashed.set(true)
+            throw new RuntimeException(
+              "graft-gate: injected crash (post-sink, pre-engine-commit)")
+          }
+        }
+        .start()
+      try { q1.processAllAvailable(); q1.stop() }
+      catch {
+        case _: Exception if crashed.get() =>
+          try q1.stop() catch { case _: Exception => () }
+      }
+      require(crashed.get(), "stagedCrashRecoveryRun: the injected crash " +
+        s"never fired — fewer than ${crashAtBatch + 1} micro-batches ran")
+      g.lap("phase1-crashed")
+      // phase 2: fresh query, same checkpoint/commitlog/store paths (all
+      // derive from g.work) — replay of the torn batch is absorbed, the
+      // rest of the corpus drains
+      runUpsertStream(spark, agg, project, keys, g.work, g.lap, g.debugT)
     }
     store.read(spark).select(col("window_start"), col(keyCol),
       col("n_events"), col("__sum_dec").cast("double").as("sum_value"))

@@ -2230,6 +2230,41 @@ class StreamingGateSpec extends AnyFunSuite {
   }
 }
 
+/** q212b's runtime path: a MID-BATCH CRASH (post-sink, pre-engine-commit)
+  * followed by recovery on the same checkpoint — the redelivered torn
+  * batch must be absorbed by the commitlog sink, and the final store must
+  * still equal the static aggregate. */
+class CrashRecoveryGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mid-batch crash + same-checkpoint recovery = exactly-once store") {
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val events = (0 until 300).map { i =>
+      (new java.sql.Timestamp(base + i * 60000L),
+        if (i % 3 == 0) "click" else "view", (i % 7).toDouble)
+    }.toDF("ts", "event_type", "value")
+    val work = java.nio.file.Files.createTempDirectory("graft_crash_spec").toString
+    val got = graft.streaming.Streaming.stagedCrashRecoveryRun(
+        spark, events, "ts", "event_type", "value", workDir = Some(work))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = events.groupBy(
+        col("ts").cast("long").-(col("ts").cast("long") % 3600).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    // the torn batch's mark must predate phase 2 (the sink committed it in
+    // phase 1) and every staged chunk must have run as a micro-batch
+    val marks = new java.io.File(s"$work/commitlog").listFiles()
+      .count(_.getName.startsWith("batch-"))
+    assert(marks >= 4, s"expected >=4 micro-batch marks, saw $marks")
+  }
+}
+
 /** q167's runtime path: custom keyed state (flatMapGroupsWithState) through
   * a genuine staged stream, including the deterministic (ts, tie) rule on
   * equal timestamps. */
