@@ -6975,7 +6975,71 @@ FROM q, g5 g""")),
             AS window_start,
           event_type, CAST(count(*) AS BIGINT) AS n_events,
           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2"""))
+        FROM events GROUP BY 1, 2""")),
+
+    // --- SQL WRITE path (ContractStore.executeSqlWrite): two INSERTs
+    // through SQL into a registered contract — the first omits an
+    // optional column (its declared DEFAULT must fill), the second emits
+    // a STRING where the contract says int64 (try_cast must coerce), and
+    // the source parquet's int32 key must land as the declared int64 —
+    // then the artifact is read back THROUGH the contract. The oracle
+    // restates both SELECTs with the conformance applied, so write-time
+    // EnsureTypes is what's under the hash ---
+    Q("q242_sql_insert",
+      (s, dir) => {
+        import graft.contract.{Feature, FeatureView}
+        import graft.core.FeatureType._
+        val work = java.nio.file.Files.createTempDirectory("graft_sqlwrite").toString
+        val store = new graft.store.ContractStore()
+        store.addView(FeatureView("nation_src",
+          graft.sources.ParquetSource(s"$dir/nation.parquet")))
+        store.addView(FeatureView("nation_note",
+          graft.sources.ParquetSource(s"$work/nation_note"),
+          entities = Seq(Feature("n_nationkey", FInt64)),
+          features = Seq(Feature("note", FString), Feature("keysq", FInt64),
+            Feature("flag", FString, defaultValue = Some("none")))))
+        store.executeSqlWrite(s, """INSERT INTO nation_note
+          SELECT n_nationkey, upper(n_name) AS note,
+            n_nationkey * n_nationkey AS keysq
+          FROM nation_src WHERE n_nationkey < 10""")
+        store.executeSqlWrite(s, """INSERT INTO nation_note
+          SELECT n_nationkey, lower(n_name) AS note,
+            CAST(n_nationkey AS STRING) AS keysq
+          FROM nation_src WHERE n_nationkey >= 10""")
+        store.view("nation_note").all(s)
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+          upper(n_name) AS note,
+          CAST(n_nationkey AS BIGINT) * CAST(n_nationkey AS BIGINT) AS keysq,
+          'none' AS flag
+        FROM nation WHERE n_nationkey < 10
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), lower(n_name),
+          CAST(n_nationkey AS BIGINT), 'none'
+        FROM nation WHERE n_nationkey >= 10""")),
+
+    // --- SQL CTAS (the other executeSqlWrite shape): CREATE TABLE …
+    // LOCATION … AS SELECT over the registered views — the new contract
+    // is INFERRED from the SELECT's schema (FeatureType.fromSpark),
+    // registered in the store, and the gate reads the artifact back
+    // through that new contract ---
+    Q("q242b_sql_ctas",
+      (s, dir) => {
+        import graft.contract.FeatureView
+        val work = java.nio.file.Files.createTempDirectory("graft_ctas").toString
+        val store = new graft.store.ContractStore()
+        store.addView(FeatureView("nation_src",
+          graft.sources.ParquetSource(s"$dir/nation.parquet")))
+        store.executeSqlWrite(s, s"""CREATE TABLE region_counts
+          LOCATION '$work/region_counts' AS
+          SELECT n_regionkey, count(*) AS n_nations,
+            min(n_name) AS first_name
+          FROM nation_src GROUP BY n_regionkey""")
+        store.view("region_counts").all(s)
+      },
+      Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+          min(n_name) AS first_name
+        FROM nation GROUP BY 1"""))
   )
 
   /** Shared CTE chain for the two OLS gates: quantized-exact moments →

@@ -221,13 +221,107 @@ final class ContractStore {
     */
   def executeSql(spark: SparkSession, sql: String): DataFrame = {
     if (!sql.trim.toLowerCase(java.util.Locale.ROOT).startsWith("values")) {
-      viewsMap.values.foreach(v => view(v.name).all(spark).createOrReplaceTempView(v.name))
+      viewsMap.values.foreach { v =>
+        val declared = v.entities ++ v.features
+        if (!v.materializedSource.getOrElse(v.source).exists(spark) && declared.nonEmpty) {
+          // a registered-but-not-yet-written view (the executeSqlWrite
+          // target before its first INSERT) is an EMPTY table with the
+          // contract schema, not a PATH_NOT_FOUND — SQL over the catalog
+          // must see every registered contract. Contract-less views keep
+          // the loud read error: with no declared columns there is no
+          // schema to present.
+          val schema = org.apache.spark.sql.types.StructType(declared.map(f =>
+            org.apache.spark.sql.types.StructField(f.name, f.dtype.sparkType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            .createOrReplaceTempView(v.name)
+        } else view(v.name).all(spark).createOrReplaceTempView(v.name)
+      }
       modelsMap.values.foreach { m =>
         m.predictionView.foreach(pv =>
           new ViewStore(this, pv).all(spark).createOrReplaceTempView(m.name))
       }
     }
     spark.sql(sql)
+  }
+
+  /** SQL WRITE surface — the INSERT/CTAS half of [[executeSql]] (the
+    * reference's feature_store.py:457-499 SQL surface only READS; a
+    * Spark-native store can also prove that SQL writes keep contract
+    * types). A deliberately small grammar, parsed here rather than via a
+    * Catalyst catalog plugin — the targets are contract views over file
+    * sources, not catalog tables:
+    *
+    *   INSERT INTO <view> <select…>        → conform + append
+    *   INSERT OVERWRITE <view> <select…>   → conform + replace
+    *   CREATE TABLE <name> LOCATION '<path>' AS <select…>
+    *     → CTAS: register a NEW parquet-backed view whose contract is
+    *       inferred from the SELECT's schema (FeatureType.fromSpark),
+    *       write, return the registered view's name
+    *
+    * The SELECT body runs through [[executeSql]], so it sees every
+    * registered contract as a temp view. Before an INSERT lands, the
+    * frame is CONFORMED to the target contract: unknown columns are
+    * REJECTED loudly (a typo'd projection must not silently widen a
+    * contract table), missing optional columns fill with their declared
+    * defaults, and dtype mismatches try_cast — the EnsureTypes
+    * discipline applied at write time, so the artifact on disk is
+    * contract-typed no matter what the SELECT emitted. Columns land in
+    * contract declaration order (parquet readers see one stable layout).
+    * At 100 TB both writes are one narrow projection over the SELECT's
+    * plan — conformance adds no shuffle and no extra pass. */
+  def executeSqlWrite(spark: SparkSession, sql: String): String = {
+    val insertInto = """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(.*)$""".r
+    val insertOver = """(?is)^\s*INSERT\s+OVERWRITE\s+(\w+)\s+(.*)$""".r
+    val ctas = """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+(.*)$""".r
+    def conformTo(v: FeatureView, df: DataFrame): DataFrame = {
+      val declared = v.entities ++ v.features
+      val declaredNames = declared.map(_.name).toSet ++ v.eventTimestamp.map(_.name)
+      val unknown = df.columns.filterNot(declaredNames.contains)
+      require(unknown.isEmpty, s"executeSqlWrite: SELECT emits column(s) " +
+        s"${unknown.mkString(", ")} not in contract '${v.name}' — writes " +
+        "cannot widen a contract table; alias or drop them in the SELECT")
+      var out = df
+      declared.foreach { f =>
+        if (!out.columns.contains(f.name))
+          out = out.withColumn(f.name, lit(f.defaultValue.orNull).cast(f.dtype.sparkType))
+        else if (out.schema(f.name).dataType != f.dtype.sparkType)
+          out = out.withColumn(f.name, col(f.name).try_cast(f.dtype.sparkType.sql))
+      }
+      val order = declared.map(_.name) ++
+        v.eventTimestamp.map(_.name).filter(df.columns.contains)
+      out.select(order.map(col): _*)
+    }
+    def writable(v: FeatureView): graft.sources.WritableSource = v.source match {
+      case w: graft.sources.WritableSource => w
+      case other => throw new IllegalStateException(
+        s"executeSqlWrite: view '${v.name}' source ${other.getClass.getSimpleName} is not writable")
+    }
+    sql match {
+      case insertInto(viewName, select) =>
+        val v = viewsMap.getOrElse(viewName, throw new NoSuchElementException(
+          s"executeSqlWrite: unknown view '$viewName'"))
+        writable(v).insert(conformTo(v, executeSql(spark, select)))
+        viewName
+      case insertOver(viewName, select) =>
+        val v = viewsMap.getOrElse(viewName, throw new NoSuchElementException(
+          s"executeSqlWrite: unknown view '$viewName'"))
+        writable(v).overwrite(conformTo(v, executeSql(spark, select)))
+        viewName
+      case ctas(name, path, select) =>
+        require(!viewsMap.contains(name),
+          s"executeSqlWrite: view '$name' already exists — use INSERT OVERWRITE")
+        val df = executeSql(spark, select)
+        val feats = df.schema.fields.toSeq.map(f =>
+          graft.contract.Feature(f.name, graft.core.FeatureType.fromSpark(f.dataType)))
+        val src = graft.sources.ParquetSource(path)
+        src.overwrite(df)
+        addView(FeatureView(name, src, features = feats))
+        name
+      case _ => throw new IllegalArgumentException(
+        "executeSqlWrite: expected INSERT INTO <view> <select>, INSERT " +
+          "OVERWRITE <view> <select>, or CREATE TABLE <name> LOCATION '<path>' AS <select>")
+    }
   }
 
   /** Mid-pipeline lookup of another contract's features by entity key

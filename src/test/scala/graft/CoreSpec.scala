@@ -2230,6 +2230,61 @@ class StreamingGateSpec extends AnyFunSuite {
   }
 }
 
+/** q242's write surface, loud paths: executeSqlWrite must reject what the
+  * q-row's happy path cannot show — unknown target views, contract-widening
+  * SELECTs, unsupported grammar, and CTAS onto an existing name. */
+class SqlWriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore(work: String) = {
+    val store = new graft.store.ContractStore()
+    val srcPath = s"$work/src"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.parquet(srcPath)
+    store.addView(graft.contract.FeatureView("src",
+      graft.sources.ParquetSource(srcPath)))
+    store.addView(graft.contract.FeatureView("tgt",
+      graft.sources.ParquetSource(s"$work/tgt"),
+      entities = Seq(graft.contract.Feature("id", graft.core.FeatureType.FInt64)),
+      features = Seq(graft.contract.Feature("name", graft.core.FeatureType.FString))))
+    store
+  }
+
+  test("INSERT rejects columns the contract does not declare") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlw_spec").toString
+    val e = intercept[IllegalArgumentException] {
+      freshStore(work).executeSqlWrite(spark,
+        "INSERT INTO tgt SELECT id, name, 1 AS extra FROM src")
+    }
+    assert(e.getMessage.contains("extra") && e.getMessage.contains("widen"))
+  }
+
+  test("INSERT INTO an unknown view and unsupported grammar fail loudly") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlw_spec").toString
+    val store = freshStore(work)
+    intercept[NoSuchElementException] {
+      store.executeSqlWrite(spark, "INSERT INTO nope SELECT id, name FROM src")
+    }
+    intercept[IllegalArgumentException] {
+      store.executeSqlWrite(spark, "DELETE FROM tgt WHERE id = 1")
+    }
+  }
+
+  test("INSERT OVERWRITE replaces; CTAS onto an existing name is refused") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlw_spec").toString
+    val store = freshStore(work)
+    store.executeSqlWrite(spark, "INSERT INTO tgt SELECT id, name FROM src")
+    store.executeSqlWrite(spark,
+      "INSERT OVERWRITE tgt SELECT id, upper(name) AS name FROM src WHERE id = 1")
+    val rows = store.view("tgt").all(spark).collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "A")
+    intercept[IllegalArgumentException] {
+      store.executeSqlWrite(spark,
+        s"CREATE TABLE tgt LOCATION '$work/tgt2' AS SELECT id FROM src")
+    }
+  }
+}
+
 /** q212b's runtime path: a MID-BATCH CRASH (post-sink, pre-engine-commit)
   * followed by recovery on the same checkpoint — the redelivered torn
   * batch must be absorbed by the commitlog sink, and the final store must

@@ -226,6 +226,40 @@ class BenchLineSpec extends AnyFunSuite {
     assert(fl.get("failed").asInt == 2)
   }
 
+  test("rung 5 cannot hide a slow query: others = fastest-only, <= 2% on the real profile") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // STRUCTURAL guarantee at any size: every dropped entry is <= every
+    // kept entry (topKLine keeps the slowest-K by construction), so a
+    // slow query can never land in the unkeyed remainder
+    val es = entries(300)
+    val node = mapper.readTree(Bench.shortLine(es))
+    val qs = node.get("queries")
+    val (kept, dropped) = es.partition { case (k, _) => qs.has(k.stripPrefix("q")) }
+    assert(dropped.nonEmpty && kept.nonEmpty)
+    assert(dropped.map(_._2).max <= kept.map(_._2).min + 1e-9,
+      "a dropped entry outweighs a kept one — rung 5 hid a slow query")
+    // MAGNITUDE bound on the realistic profile (pinned from BENCH_r11:
+    // ~0.71 s batch core, 12 streaming gates at 3.5-6.4 s, recipe
+    // composites 2.4-6.8 s, a ~20% sub-0.3 s fast tail) at the REAL
+    // registry size: the unkeyed remainder must stay under 2% of total.
+    // When this fails, the registry outgrew the line budget enough that
+    // "others" is no longer a fast tail — add a rung before shipping.
+    val n = SparkEntry.queries.size
+    val profile = (1 to n).map { i =>
+      val v = if (i % 20 == 0) 3.5 + (i % 4) * 1.0
+        else if (i % 5 == 0) 0.10 + (i % 17) * 0.01
+        else 0.45 + (i % 40) * 0.01
+      s"q$i" -> v
+    }
+    val pn = mapper.readTree(Bench.shortLine(profile))
+    if (pn.has("others")) {
+      val frac = pn.get("others").get("sec").asDouble / pn.get("value").asDouble
+      assert(frac <= 0.02,
+        f"others.sec is ${frac * 100}%.1f%% of total at $n queries — the " +
+          "unkeyed remainder is no longer a fast tail")
+    }
+  }
+
   test("rung 4: integer deciseconds, qunit marker, total stays seconds") {
     // 210 adversarial entries overflow rungs 1-3 (measured: rung 3 is
     // ~1960 chars at 198) so rung 4 must fire — and be self-describing

@@ -8,6 +8,13 @@ SF then OUT in order; everything else is a query-name filter — so
 Runs graft.Verify, then for each query compares the Spark parquet result with
 the DuckDB oracle result: schema (normalized), row count, and exact values
 (columns sorted by name, rows sorted).
+
+INCREMENTAL MODE: when query-name filters are given, they are forwarded to
+graft.Verify, which executes ONLY those queries (minutes → seconds for
+mid-round iteration). The filtered run's outdir then holds a SUBSET
+manifest — use a distinct outdir per subset, and keep the full
+three-SF, no-filter sweep as the round-closing gate. Pass --full-verify
+to run the whole suite while comparing only the named queries.
 """
 import json, subprocess, sys
 from pathlib import Path
@@ -24,7 +31,10 @@ ONLY = [a for a in _pos if a not in _paths]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-verify" not in sys.argv:
-    r = subprocess.run(["sbt", "-batch", f"runMain graft.Verify {SF} {OUT}"],
+    # incremental mode: forward the name filter so Verify runs only those
+    # queries (graft.Verify validates names and fails loudly on a typo)
+    extra = "" if ("--full-verify" in sys.argv or not ONLY) else " " + " ".join(ONLY)
+    r = subprocess.run(["sbt", "-batch", f"runMain graft.Verify {SF} {OUT}{extra}"],
                        capture_output=True, text=True, cwd="/root/repo")
     for line in r.stdout.splitlines():
         if "[verify]" in line or "error" in line.lower():
