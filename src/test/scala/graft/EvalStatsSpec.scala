@@ -759,6 +759,93 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("singular"))
   }
 
+  test("olsFit dim 3: GE solution equals the exact-rational Cramer solve on random data") {
+    // q239 gates the dim-2 GE path bit-exactly; this property covers the
+    // MULTI-PIVOT path (dim 3) against an independent EXACT reference:
+    // the centered normal equations A·β = b with A = n·S_xx − S_x·S_xᵀ,
+    // b = n·S_xy − S_x·S_y have integer entries at scaleBits = 0, so
+    // Cramer's rule in BigInt is an exact oracle (the n² and scale²
+    // factors cancel on both sides)
+    val rnd = new scala.util.Random(7)
+    var checked = 0
+    for (trial <- 0 until 8) {
+      val rows = (0 until 40).map { _ =>
+        val x = Array.fill(3)((rnd.nextInt(21) - 10).toLong)
+        val y = 3L * x(0) - 2L * x(1) + x(2) + rnd.nextInt(9) - 4
+        (x.map(_.toDouble).toSeq, y.toDouble)
+      }
+      val n = BigInt(rows.size)
+      def s(f: ((Seq[Double], Double)) => Long): BigInt =
+        rows.map(r => BigInt(f(r))).sum
+      val sx = Array.tabulate(3)(i => s(r => r._1(i).toLong))
+      val sy = s(_._2.toLong)
+      val sxx = Array.tabulate(3, 3)((i, j) =>
+        s(r => r._1(i).toLong * r._1(j).toLong))
+      val sxy = Array.tabulate(3)(i => s(r => r._1(i).toLong * r._2.toLong))
+      val a = Array.tabulate(3, 3)((i, j) => n * sxx(i)(j) - sx(i) * sx(j))
+      val b = Array.tabulate(3)(i => n * sxy(i) - sx(i) * sy)
+      def det(m: Array[Array[BigInt]]): BigInt =
+        m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+      val d = det(a)
+      if (d != 0) {
+        val exact = (0 until 3).map { i =>
+          val ai = Array.tabulate(3, 3)((r, c) => if (c == i) b(r) else a(r)(c))
+          BigDecimal(det(ai)) / BigDecimal(d)
+        }
+        val (beta, _, _) = graft.ml.MLOps.olsFit(
+          rows.toDF("v", "y"), "v", "y", dim = 3, scaleBits = 0)
+        for (i <- 0 until 3) {
+          val e = exact(i).toDouble
+          assert(math.abs(beta(i) - e) <= 1e-6 * math.max(1.0, math.abs(e)),
+            s"trial $trial beta($i): GE ${beta(i)} vs exact $e")
+        }
+        checked += 1
+      }
+    }
+    assert(checked >= 6, s"only $checked nonsingular trials")
+  }
+
+  test("isotonicCalibrate equals the exact-rational minimax formula on random histograms") {
+    // the SAME theorem q241's oracle uses — fit(i) = max_{j<=i} min_{k>=i}
+    // mean(y[j..k]) — here as a pure-Scala exact-Long reference, cross-
+    // checked over random label patterns rather than one dataset
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 6) {
+      val rows = (0 until 60).map { r =>
+        val bucket = rnd.nextInt(10)
+        (r.toLong, bucket / 10.0 + 0.05, if (rnd.nextInt(100) < bucket * 11) 1 else 0)
+      }
+      val hist = rows.groupBy(r => (r._2 * 10).toInt).toSeq.sortBy(_._1)
+        .map { case (bkt, rs) => (bkt, rs.map(_._3.toLong).sum, rs.size.toLong) }
+      val cp = hist.scanLeft(0L)(_ + _._2).tail
+      val cn = hist.scanLeft(0L)(_ + _._3).tail
+      val fit = hist.indices.map { i =>
+        var best: (Long, Long) = null
+        for (j <- 0 to i) {
+          var mn: (Long, Long) = null
+          for (k <- i until hist.size) {
+            val num = cp(k) - (if (j == 0) 0L else cp(j - 1))
+            val den = cn(k) - (if (j == 0) 0L else cn(j - 1))
+            if (mn == null || num * mn._2 < mn._1 * den) mn = (num, den)
+          }
+          if (best == null || mn._1 * best._2 > best._1 * mn._2) best = mn
+        }
+        // the engine's exact rounding sequence: micro = round(1e6·p/n),
+        // calibrated = micro.toDouble / 1e6
+        hist(i)._1 -> (math.round(1e6 * best._1 / best._2).toDouble / 1e6)
+      }.toMap
+      val out = graft.ml.MLOps.isotonicCalibrate(
+          rows.toDF("id", "s", "y"), "s", "y", buckets = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      rows.foreach { case (id, sc, _) =>
+        val expect = fit((sc * 10).toInt)
+        assert(out(id) == expect, s"trial $trial id $id: ${out(id)} vs $expect")
+      }
+    }
+  }
+
   // --- jacobiEigen / pcaProject ---
 
   test("jacobiEigen: hand 2x2 eigensystem") {
