@@ -7039,7 +7039,42 @@ FROM q, g5 g""")),
       },
       Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
           min(n_name) AS first_name
-        FROM nation GROUP BY 1"""))
+        FROM nation GROUP BY 1""")),
+
+    // --- The FIFTEENTH streaming-runtime modality: the OTHER heavy-state
+    // shape under RocksDB — dropDuplicatesWithinWatermark's dedup-key
+    // state uses a different state-store codec than q187b's join state
+    // (key-only entries + event-time eviction index), so this gate proves
+    // THAT round trip through RocksDB's serde too. Same at-least-once
+    // double-delivery input and oracle as q176 ---
+    Q("q176b_dedup_rocksdb",
+      (s, dir) => graft.streaming.Streaming.withStateStoreProvider(
+        s, graft.streaming.Streaming.RocksDbProvider) {
+        val e = events(s, dir).select("ts", "user_id", "event_type", "value", "event_id")
+        graft.streaming.Streaming.stagedDedupRun(s, e.unionAll(e), "ts", Seq("event_id"))
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+      },
+      Some("""SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+          user_id, event_type, value FROM events""")),
+
+    // --- LoadedAtSource (batch_data_source.py:1288-1338): the load-stamp
+    // source, gated with a PINNED clock (the reproducible-backfill form;
+    // the wall-clock default is spec-covered) — the stamp column rides
+    // every inner row and survives the contract read path ---
+    Q("q243_loaded_at",
+      (s, dir) => graft.sources.LoadedAtSource(
+          graft.sources.ParquetSource(s"$dir/nation.parquet"),
+          // Instant.parse, not Timestamp.valueOf: the latter reads the JVM
+          // default timezone — the oracle's naive TIMESTAMP is UTC
+          clock = Some(java.sql.Timestamp.from(
+            java.time.Instant.parse("2026-01-15T08:30:00Z"))))
+        .read(s)
+        .select(col("n_nationkey"), col("n_name"),
+          unix_micros(col("loaded_at")).as("loaded_at_us")),
+      Some("""SELECT n_nationkey, n_name,
+          epoch_us(TIMESTAMP '2026-01-15 08:30:00') AS loaded_at_us
+        FROM nation"""))
   )
 
   /** Shared CTE chain for the two OLS gates: quantized-exact moments →

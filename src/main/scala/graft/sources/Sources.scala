@@ -345,9 +345,15 @@ final case class StackSource(
   }
 }
 
-/** wall-clock load timestamp (LoadedAtSource, batch_data_source.py:1288-1338). */
-final case class LoadedAtSource(inner: BatchSource, column: String = "loaded_at") extends BatchSource {
-  def read(spark: SparkSession): DataFrame = inner.read(spark).withColumn(column, current_timestamp())
+/** wall-clock load timestamp (LoadedAtSource, batch_data_source.py:1288-1338).
+  * `clock` pins the stamp for reproducible runs/backfills and makes the
+  * source oracle-gateable (q243); None = wall clock, the production
+  * default. current_timestamp() is per-QUERY constant in Spark, so even
+  * the wall-clock form stamps one instant per load, not per row. */
+final case class LoadedAtSource(inner: BatchSource, column: String = "loaded_at",
+    clock: Option[java.sql.Timestamp] = None) extends BatchSource {
+  def read(spark: SparkSession): DataFrame = inner.read(spark)
+    .withColumn(column, clock.map(lit(_)).getOrElse(current_timestamp()))
 }
 
 /** arbitrary DataFrame→DataFrame function over a source (TransformSource,

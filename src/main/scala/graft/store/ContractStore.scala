@@ -100,7 +100,7 @@ final class ContractStore {
       case graft.sources.JoinSource(l, r, _, _) => walk(l) ++ walk(r)
       case s: graft.sources.JoinAsofSource => walk(s.left) ++ walk(s.right)
       case s: graft.sources.StackSource => walk(s.top) ++ walk(s.bottom)
-      case graft.sources.LoadedAtSource(inner, _) => walk(inner)
+      case graft.sources.LoadedAtSource(inner, _, _) => walk(inner)
       case _ => Nil
     }
     walk(viewsMap(name).source).distinct

@@ -2230,6 +2230,26 @@ class StreamingGateSpec extends AnyFunSuite {
   }
 }
 
+/** q243's wall-clock default: the un-pinned LoadedAtSource must stamp one
+  * per-load instant (current_timestamp is per-query constant) inside the
+  * load window; the pinned form is oracle-gated. */
+class LoadedAtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("default clock stamps now, one constant instant per load") {
+    val work = java.nio.file.Files.createTempDirectory("graft_loadedat").toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").write.parquet(work)
+    val before = System.currentTimeMillis() - 1000
+    val rows = graft.sources.LoadedAtSource(graft.sources.ParquetSource(work))
+      .read(spark).select(col("id"), col("loaded_at")).collect()
+    val after = System.currentTimeMillis() + 1000
+    val stamps = rows.map(_.getTimestamp(1).getTime).distinct
+    assert(stamps.length == 1, s"expected one per-load instant, got ${stamps.length}")
+    assert(stamps.head >= before && stamps.head <= after)
+  }
+}
+
 /** q242's write surface, loud paths: executeSqlWrite must reject what the
   * q-row's happy path cannot show — unknown target views, contract-widening
   * SELECTs, unsupported grammar, and CTAS onto an existing name. */

@@ -860,6 +860,33 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(math.abs(w(0) - w(1)) < 1e-10)
   }
 
+  test("jacobiEigen: random symmetric matrices — residual, orthonormality, trace") {
+    // q240 gates the single-rotation 2x2 path bit-exactly; this property
+    // covers the MULTI-SWEEP path (d up to 5) structurally: A·v = λ·v,
+    // the eigenbasis is orthonormal, and Σλ preserves the trace
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 8; d <- 2 to 5) {
+      val m = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val x = rnd.nextDouble() * 4 - 2
+        m(i)(j) = x; m(j)(i) = x
+      }
+      val (vals, vecs) = graft.ops.Similarity.jacobiEigen(m)
+      for (k <- 0 until d; i <- 0 until d) {
+        val av = (0 until d).map(j => m(i)(j) * vecs(k)(j)).sum
+        assert(math.abs(av - vals(k) * vecs(k)(i)) < 1e-9,
+          s"trial $trial d=$d: eigen residual at ($k,$i)")
+      }
+      for (a <- 0 until d; b <- a until d) {
+        val dot = (0 until d).map(i => vecs(a)(i) * vecs(b)(i)).sum
+        assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9,
+          s"trial $trial d=$d: basis not orthonormal at ($a,$b)")
+      }
+      assert(math.abs(vals.sum - (0 until d).map(i => m(i)(i)).sum) < 1e-9,
+        s"trial $trial d=$d: trace not preserved")
+    }
+  }
+
   test("pcaProject: perfectly correlated 2D collapses onto one axis") {
     val df = (1L to 8L).map(t => (t, Seq(t.toDouble, t.toDouble)))
       .toDF("id", "v")
