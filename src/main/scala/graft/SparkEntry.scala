@@ -7018,6 +7018,36 @@ FROM q, g5 g""")),
           CAST(n_nationkey AS BIGINT), 'none'
         FROM nation WHERE n_nationkey >= 10""")),
 
+    // --- SQL UPSERT (the merge shape of executeSqlWrite): seed the
+    // contract via INSERT, then UPSERT INTO a 5-row correction through
+    // SQL — the merge runs on the view's declared ENTITY keys (the
+    // reference's upsert algebra, sources/local.py:317-340), and the
+    // read-back must show corrected rows replacing, untouched rows
+    // surviving ---
+    Q("q242c_sql_upsert",
+      (s, dir) => {
+        import graft.contract.{Feature, FeatureView}
+        import graft.core.FeatureType._
+        val work = java.nio.file.Files.createTempDirectory("graft_sqlup").toString
+        val store = new graft.store.ContractStore()
+        store.addView(FeatureView("nation_src",
+          graft.sources.ParquetSource(s"$dir/nation.parquet")))
+        store.addView(FeatureView("nation_tag",
+          graft.sources.ParquetSource(s"$work/nation_tag"),
+          entities = Seq(Feature("n_nationkey", FInt64)),
+          features = Seq(Feature("tag", FString))))
+        store.executeSqlWrite(s, """INSERT INTO nation_tag
+          SELECT n_nationkey, n_name AS tag FROM nation_src""")
+        store.executeSqlWrite(s, """UPSERT INTO nation_tag
+          SELECT n_nationkey, concat(n_name, ' (fixed)') AS tag
+          FROM nation_src WHERE n_nationkey < 5""")
+        store.view("nation_tag").all(s)
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+          CASE WHEN n_nationkey < 5 THEN n_name || ' (fixed)' ELSE n_name END
+            AS tag
+        FROM nation""")),
+
     // --- SQL CTAS (the other executeSqlWrite shape): CREATE TABLE …
     // LOCATION … AS SELECT over the registered views — the new contract
     // is INFERRED from the SELECT's schema (FeatureType.fromSpark),

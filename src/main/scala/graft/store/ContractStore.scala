@@ -254,6 +254,10 @@ final class ContractStore {
     *
     *   INSERT INTO <view> <select…>        → conform + append
     *   INSERT OVERWRITE <view> <select…>   → conform + replace
+    *   UPSERT INTO <view> <select…>        → conform + merge on the
+    *     view's ENTITY keys (the reference's upsert algebra,
+    *     sources/local.py:317-340 — here through SQL; Delta/Iceberg
+    *     sources lower it to MERGE INTO, plain files stage-and-swap)
     *   CREATE TABLE <name> LOCATION '<path>' AS <select…>
     *     → CTAS: register a NEW parquet-backed view whose contract is
     *       inferred from the SELECT's schema (FeatureType.fromSpark),
@@ -273,6 +277,7 @@ final class ContractStore {
   def executeSqlWrite(spark: SparkSession, sql: String): String = {
     val insertInto = """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(.*)$""".r
     val insertOver = """(?is)^\s*INSERT\s+OVERWRITE\s+(\w+)\s+(.*)$""".r
+    val upsertInto = """(?is)^\s*UPSERT\s+INTO\s+(\w+)\s+(.*)$""".r
     val ctas = """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+(.*)$""".r
     def conformTo(v: FeatureView, df: DataFrame): DataFrame = {
       val declared = v.entities ++ v.features
@@ -308,6 +313,14 @@ final class ContractStore {
           s"executeSqlWrite: unknown view '$viewName'"))
         writable(v).overwrite(conformTo(v, executeSql(spark, select)))
         viewName
+      case upsertInto(viewName, select) =>
+        val v = viewsMap.getOrElse(viewName, throw new NoSuchElementException(
+          s"executeSqlWrite: unknown view '$viewName'"))
+        val keys = v.entities.map(_.name)
+        require(keys.nonEmpty, s"executeSqlWrite: UPSERT INTO '$viewName' " +
+          "needs entity keys on the contract — declare entities or use INSERT")
+        writable(v).upsert(conformTo(v, executeSql(spark, select)), keys)
+        viewName
       case ctas(name, path, select) =>
         require(!viewsMap.contains(name),
           s"executeSqlWrite: view '$name' already exists — use INSERT OVERWRITE")
@@ -320,7 +333,8 @@ final class ContractStore {
         name
       case _ => throw new IllegalArgumentException(
         "executeSqlWrite: expected INSERT INTO <view> <select>, INSERT " +
-          "OVERWRITE <view> <select>, or CREATE TABLE <name> LOCATION '<path>' AS <select>")
+          "OVERWRITE <view> <select>, UPSERT INTO <view> <select>, or " +
+          "CREATE TABLE <name> LOCATION '<path>' AS <select>")
     }
   }
 

@@ -2290,6 +2290,18 @@ class SqlWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("UPSERT INTO needs declared entity keys") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlw_spec").toString
+    val store = freshStore(work)
+    store.addView(graft.contract.FeatureView("keyless",
+      graft.sources.ParquetSource(s"$work/keyless"),
+      features = Seq(graft.contract.Feature("name", graft.core.FeatureType.FString))))
+    val e = intercept[IllegalArgumentException] {
+      store.executeSqlWrite(spark, "UPSERT INTO keyless SELECT name FROM src")
+    }
+    assert(e.getMessage.contains("entity keys"))
+  }
+
   test("INSERT OVERWRITE replaces; CTAS onto an existing name is refused") {
     val work = java.nio.file.Files.createTempDirectory("graft_sqlw_spec").toString
     val store = freshStore(work)
