@@ -6884,6 +6884,58 @@ FROM q, g5 g""")),
         (q.x1 - f.m1) * f.w1 + (q.x2 - f.m2) * f.w2 AS score
       FROM q, fin f""")),
 
+    // --- PCA BOTH COMPONENTS (q240's oracle extended to the full 2×2
+    // eigensystem): nComponents = 2 gates the multi-component plumbing —
+    // the (−eigenvalue, index) sort across BOTH axes, each component's
+    // independent sign convention, and the per-row two-score explode.
+    // Same single-rotation restatement; scores bit-identical ---
+    Q("q240b_pca_two_components",
+      (s, dir) => Similarity.pcaProject(t(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 2, nComponents = 2),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        q AS (SELECT vec_id, v[1] AS x1, v[2] AS x2,
+            CAST(floor(v[1]*1048576.0) AS BIGINT) AS q1,
+            CAST(floor(v[2]*1048576.0) AS BIGINT) AS q2 FROM e),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(q1) AS BIGINT) AS s1, CAST(sum(q2) AS BIGINT) AS s2,
+            CAST(sum(q1*q1) AS BIGINT) AS s11, CAST(sum(q1*q2) AS BIGINT) AS s12,
+            CAST(sum(q2*q2) AS BIGINT) AS s22 FROM q),
+        c AS (SELECT n,
+            (CAST(s11 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))/1099511627776.0 AS c00,
+            (CAST(s12 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n))/1099511627776.0 AS c01,
+            (CAST(s22 AS DOUBLE)/n - (CAST(s2 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n))/1099511627776.0 AS c11,
+            CAST(s1 AS DOUBLE)/n/1048576.0 AS m1,
+            CAST(s2 AS DOUBLE)/n/1048576.0 AS m2 FROM m),
+        r AS (SELECT *, (c11 - c00)/(2.0*c01) AS theta FROM c),
+        t1 AS (SELECT *, CASE WHEN theta = 0.0 THEN 1.0 ELSE
+            (CASE WHEN theta > 0.0 THEN 1.0 ELSE -1.0 END)
+              / (abs(theta) + sqrt(theta*theta + 1.0)) END AS t FROM r),
+        cs AS (SELECT *, 1.0/sqrt(t*t + 1.0) AS cc FROM t1),
+        cs2 AS (SELECT *, t*cc AS ss FROM cs),
+        rot AS (SELECT *,
+            cc*c00 - ss*c01 AS b00, ss*c00 + cc*c01 AS b01,
+            cc*c01 - ss*c11 AS b10, ss*c01 + cc*c11 AS b11 FROM cs2),
+        ev AS (SELECT *, cc*b00 - ss*b10 AS f00, ss*b01 + cc*b11 AS f11 FROM rot),
+        wsel AS (SELECT *,
+            CASE WHEN f11 > f00 THEN ss ELSE cc END AS a1,
+            CASE WHEN f11 > f00 THEN cc ELSE 0.0 - ss END AS a2,
+            CASE WHEN f11 > f00 THEN cc ELSE ss END AS b1,
+            CASE WHEN f11 > f00 THEN 0.0 - ss ELSE cc END AS b2 FROM ev),
+        sgn AS (SELECT *,
+            CASE WHEN abs(a2) > abs(a1) THEN a2 ELSE a1 END AS pva,
+            CASE WHEN abs(b2) > abs(b1) THEN b2 ELSE b1 END AS pvb FROM wsel),
+        fin AS (SELECT n, m1, m2,
+            CASE WHEN pva < 0.0 THEN -a1 ELSE a1 END AS w11,
+            CASE WHEN pva < 0.0 THEN -a2 ELSE a2 END AS w12,
+            CASE WHEN pvb < 0.0 THEN -b1 ELSE b1 END AS w21,
+            CASE WHEN pvb < 0.0 THEN -b2 ELSE b2 END AS w22 FROM sgn)
+      SELECT q.vec_id, CAST(cmp.component AS INTEGER) AS component,
+        CASE cmp.component
+          WHEN 1 THEN (q.x1 - f.m1) * f.w11 + (q.x2 - f.m2) * f.w12
+          ELSE (q.x1 - f.m1) * f.w21 + (q.x2 - f.m2) * f.w22 END AS score
+      FROM q, fin f, (SELECT 1 AS component UNION ALL SELECT 2) cmp""")),
+
     // --- ISOTONIC CALIBRATION (MLOps.isotonicCalibrate): PAV over the
     // 64-bucket score histogram, restated through the minimax theorem —
     // fit(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) — with ALL rational
