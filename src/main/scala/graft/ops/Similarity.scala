@@ -288,19 +288,33 @@ object Similarity {
     * input is the BOUNDED d×d covariance, never data-scale): rotate away
     * the largest off-diagonal until convergence. Deterministic: fixed
     * sweep order, fixed tolerance, no randomness. Returns (eigenvalues,
-    * eigenvectors as rows), unsorted. */
+    * eigenvectors as rows), unsorted.
+    *
+    * Tolerances are RELATIVE to the input's largest |entry| (floored at
+    * the original absolute values, so matrices with entries ≤ 1 — every
+    * covariance the engine feeds it today — behave bit-identically to
+    * the historical absolute gates). This is what makes the q240/q240b
+    * single-rotation claim scale-free: one 2×2 rotation leaves a float
+    * residual of O(eps·‖a‖), which sits below eps-relative-to-‖a‖ at ANY
+    * input magnitude, whereas an absolute 1e-14 gate would re-rotate —
+    * and break the bit-exact oracle — once entries grow past ~1e2. */
   private[graft] def jacobiEigen(a0: Array[Array[Double]])
       : (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // scale from the ORIGINAL matrix, fixed across sweeps (a drifting
+    // threshold would make rotation decisions order-dependent)
+    val maxAbs0 = a0.map(_.map(math.abs).max).max
+    val rotTol = 1e-14 * math.max(1.0, maxAbs0)
+    val sweepTol = 1e-12 * math.max(1.0, maxAbs0)
     var sweep = 0
     var off = Double.MaxValue
-    while (off > 1e-12 && sweep < 100) {
+    while (off > sweepTol && sweep < 100) {
       off = 0.0
       for (p <- 0 until d; q <- (p + 1) until d) {
         off = math.max(off, math.abs(a(p)(q)))
-        if (math.abs(a(p)(q)) > 1e-14) {
+        if (math.abs(a(p)(q)) > rotTol) {
           val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
           // theta = 0 (equal diagonal) still needs the full 45-degree
           // rotation — signum(0) = 0 would make it a no-op and stall
@@ -324,7 +338,8 @@ object Similarity {
       }
       sweep += 1
     }
-    require(off <= 1e-10, s"jacobiEigen: no convergence after $sweep sweeps (off=$off)")
+    require(off <= 1e-10 * math.max(1.0, maxAbs0),
+      s"jacobiEigen: no convergence after $sweep sweeps (off=$off)")
     (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d, d)((j, i) => v(i)(j)))
   }
 

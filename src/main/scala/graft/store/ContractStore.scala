@@ -212,32 +212,57 @@ final class ContractStore {
     v.eventTimestamp.flatMap(ts => v.source.freshness(spark, ts.name))
   }
 
-  /** SQL entry point (feature_store.py:457-499): register every contract as a
-    * temp view, run Spark SQL. The reference needs sqlglot parsing + manual
-    * pushdown; Catalyst does all of that natively (SURVEY §3.3).
-    * `VALUES`-only statements short-circuit past the view registration
-    * (reference sql.py:85-101): no contract scan runs — or can fail — for a
-    * query that touches no table.
+  /** Identifier-ish tokens of a SQL statement, string literals stripped —
+    * the light scan [[executeSql]] uses to register only the contracts a
+    * statement can actually reference (the reference does the same with a
+    * real sqlglot parse, sql.py:104-183; a token scan can only
+    * OVER-approximate — e.g. a column alias that collides with a view
+    * name — which costs one spurious registration, never a miss, because
+    * every reachable table reference IS such a token in the unquoted
+    * single-statement grammar this store speaks). */
+  private def sqlIdentifiers(sql: String): Set[String] =
+    """[A-Za-z_][A-Za-z0-9_]*""".r
+      .findAllIn(sql.replaceAll("'[^']*'", " ")).toSet
+
+  /** SQL entry point (feature_store.py:457-499): register each REFERENCED
+    * contract as a temp view, run Spark SQL. The reference needs sqlglot
+    * parsing + manual pushdown; Catalyst does all of that natively (SURVEY
+    * §3.3). Only contracts whose name appears in the statement register —
+    * per-statement driver work is O(referenced), not O(all registered), so
+    * a 1,000-contract store pays nothing for the 997 views a statement
+    * never touches, and a broken source on an UNREFERENCED view cannot
+    * fail an unrelated statement. `VALUES`-only statements short-circuit
+    * past registration entirely (reference sql.py:85-101).
     */
   def executeSql(spark: SparkSession, sql: String): DataFrame = {
     if (!sql.trim.toLowerCase(java.util.Locale.ROOT).startsWith("values")) {
-      viewsMap.values.foreach { v =>
+      val referenced = sqlIdentifiers(sql)
+      viewsMap.values.filter(v => referenced.contains(v.name)).foreach { v =>
         val declared = v.entities ++ v.features
-        if (!v.materializedSource.getOrElse(v.source).exists(spark) && declared.nonEmpty) {
-          // a registered-but-not-yet-written view (the executeSqlWrite
-          // target before its first INSERT) is an EMPTY table with the
-          // contract schema, not a PATH_NOT_FOUND — SQL over the catalog
-          // must see every registered contract. Contract-less views keep
-          // the loud read error: with no declared columns there is no
-          // schema to present.
-          val schema = org.apache.spark.sql.types.StructType(declared.map(f =>
-            org.apache.spark.sql.types.StructField(f.name, f.dtype.sparkType)))
+        val src = v.materializedSource.getOrElse(v.source)
+        val isWriteTarget = src.isInstanceOf[graft.sources.WritableSource]
+        if (isWriteTarget && declared.nonEmpty && !src.exists(spark)) {
+          // a registered-but-not-yet-written WRITE TARGET (an
+          // executeSqlWrite target before its first INSERT) is an EMPTY
+          // table with the contract schema — incl. the declared event
+          // timestamp, so the view's visible schema does not change after
+          // the first write. Restricted to writable sources: a missing
+          // path behind a read-only composite source is a typo or a
+          // deleted artifact, and silently-empty results would mask it —
+          // those keep the loud read error, as do contract-less views
+          // (no declared columns = no schema to present).
+          val schema = org.apache.spark.sql.types.StructType(
+            (declared.map(f =>
+              org.apache.spark.sql.types.StructField(f.name, f.dtype.sparkType)) ++
+             v.eventTimestamp.map(ts =>
+              org.apache.spark.sql.types.StructField(ts.name,
+                org.apache.spark.sql.types.TimestampType))))
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
             .createOrReplaceTempView(v.name)
         } else view(v.name).all(spark).createOrReplaceTempView(v.name)
       }
-      modelsMap.values.foreach { m =>
+      modelsMap.values.filter(m => referenced.contains(m.name)).foreach { m =>
         m.predictionView.foreach(pv =>
           new ViewStore(this, pv).all(spark).createOrReplaceTempView(m.name))
       }
@@ -252,10 +277,10 @@ final class ContractStore {
     * Catalyst catalog plugin — the targets are contract views over file
     * sources, not catalog tables:
     *
-    *   INSERT INTO <view> <select…>        → conform + append
-    *   INSERT OVERWRITE <view> <select…>   → conform + replace
-    *   UPSERT INTO <view> <select…>        → conform + merge on the
-    *     view's ENTITY keys (the reference's upsert algebra,
+    *   INSERT INTO <view> [(col, …)] <select…>      → conform + append
+    *   INSERT OVERWRITE <view> [(col, …)] <select…> → conform + replace
+    *   UPSERT INTO <view> [(col, …)] <select…>      → conform + merge on
+    *     the view's ENTITY keys (the reference's upsert algebra,
     *     sources/local.py:317-340 — here through SQL; Delta/Iceberg
     *     sources lower it to MERGE INTO, plain files stage-and-swap)
     *   CREATE TABLE <name> LOCATION '<path>' AS <select…>
@@ -263,22 +288,45 @@ final class ContractStore {
     *       inferred from the SELECT's schema (FeatureType.fromSpark),
     *       write, return the registered view's name
     *
+    * GRAMMAR LIMITS, loudly: ONE statement per call; view/column names
+    * are unquoted `\w+` identifiers (no qualified `db.view`, no quoted
+    * `"mixed case"` names — contract names are registry keys, not
+    * catalog paths); the optional `(col, …)` list maps the SELECT's
+    * output columns POSITIONALLY onto the listed contract names
+    * (standard SQL column-list semantics — arity must match).
+    *
     * The SELECT body runs through [[executeSql]], so it sees every
     * registered contract as a temp view. Before an INSERT lands, the
     * frame is CONFORMED to the target contract: unknown columns are
     * REJECTED loudly (a typo'd projection must not silently widen a
-    * contract table), missing optional columns fill with their declared
-    * defaults, and dtype mismatches try_cast — the EnsureTypes
-    * discipline applied at write time, so the artifact on disk is
-    * contract-typed no matter what the SELECT emitted. Columns land in
-    * contract declaration order (parquet readers see one stable layout).
-    * At 100 TB both writes are one narrow projection over the SELECT's
-    * plan — conformance adds no shuffle and no extra pass. */
+    * contract table); a missing ENTITY-KEY column with no declared
+    * default is REJECTED loudly too (a NULL-keyed row poisons every
+    * later UPSERT merge); a contract-declared EVENT TIMESTAMP the
+    * SELECT omits is REJECTED (PIT semantics die silently without it);
+    * other missing columns fill with their declared defaults, and dtype
+    * mismatches try_cast — the EnsureTypes discipline applied at write
+    * time, so the artifact on disk is contract-typed no matter what the
+    * SELECT emitted. Columns land in contract declaration order (parquet
+    * readers see one stable layout). At 100 TB both writes are one
+    * narrow projection over the SELECT's plan — conformance adds no
+    * shuffle and no extra pass. */
   def executeSqlWrite(spark: SparkSession, sql: String): String = {
-    val insertInto = """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(.*)$""".r
-    val insertOver = """(?is)^\s*INSERT\s+OVERWRITE\s+(\w+)\s+(.*)$""".r
-    val upsertInto = """(?is)^\s*UPSERT\s+INTO\s+(\w+)\s+(.*)$""".r
+    val insertInto = """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(\([\w\s,]*\))?\s*(SELECT.*|VALUES.*|WITH.*|TABLE.*)$""".r
+    val insertOver = """(?is)^\s*INSERT\s+OVERWRITE\s+(\w+)\s*(\([\w\s,]*\))?\s*(SELECT.*|VALUES.*|WITH.*|TABLE.*)$""".r
+    val upsertInto = """(?is)^\s*UPSERT\s+INTO\s+(\w+)\s*(\([\w\s,]*\))?\s*(SELECT.*|VALUES.*|WITH.*|TABLE.*)$""".r
     val ctas = """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+(.*)$""".r
+    // optional `(col, …)` list → rename the SELECT's output positionally
+    def applyColumnList(viewName: String, colList: String, df: DataFrame): DataFrame =
+      Option(colList).map(_.stripPrefix("(").stripSuffix(")")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
+        case None | Some(Seq()) => df
+        case Some(names) =>
+          require(names.length == df.columns.length,
+            s"executeSqlWrite: INSERT INTO $viewName (${names.mkString(", ")}) " +
+              s"lists ${names.length} column(s) but the SELECT emits " +
+              s"${df.columns.length} — the list maps positionally, arity must match")
+          df.toDF(names: _*)
+      }
     def conformTo(v: FeatureView, df: DataFrame): DataFrame = {
       val declared = v.entities ++ v.features
       val declaredNames = declared.map(_.name).toSet ++ v.eventTimestamp.map(_.name)
@@ -286,6 +334,22 @@ final class ContractStore {
       require(unknown.isEmpty, s"executeSqlWrite: SELECT emits column(s) " +
         s"${unknown.mkString(", ")} not in contract '${v.name}' — writes " +
         "cannot widen a contract table; alias or drop them in the SELECT")
+      // an omitted entity key with no declared default would fill NULL —
+      // and a later UPSERT would merge on NULL keys. Reject loudly instead
+      // (the unknown-column discipline, applied to the key side).
+      val missingKeys = v.entities.filter(e =>
+        !df.columns.contains(e.name) && e.defaultValue.isEmpty).map(_.name)
+      require(missingKeys.isEmpty, s"executeSqlWrite: SELECT omits entity " +
+        s"key column(s) ${missingKeys.mkString(", ")} of contract " +
+        s"'${v.name}' with no declared default — NULL keys would poison " +
+        "every later UPSERT merge; emit them in the SELECT")
+      // same for a declared event timestamp: silently writing rows with
+      // no event time breaks PIT reads later and is invisible at write time
+      v.eventTimestamp.map(_.name).filterNot(df.columns.contains).foreach { ts =>
+        throw new IllegalArgumentException(s"executeSqlWrite: SELECT omits " +
+          s"the contract-declared event timestamp '$ts' of '${v.name}' — " +
+          "emit it in the SELECT (PIT reads need it on every row)")
+      }
       var out = df
       declared.foreach { f =>
         if (!out.columns.contains(f.name))
@@ -303,23 +367,26 @@ final class ContractStore {
         s"executeSqlWrite: view '${v.name}' source ${other.getClass.getSimpleName} is not writable")
     }
     sql match {
-      case insertInto(viewName, select) =>
+      case insertInto(viewName, colList, select) =>
         val v = viewsMap.getOrElse(viewName, throw new NoSuchElementException(
           s"executeSqlWrite: unknown view '$viewName'"))
-        writable(v).insert(conformTo(v, executeSql(spark, select)))
+        writable(v).insert(conformTo(v,
+          applyColumnList(viewName, colList, executeSql(spark, select))))
         viewName
-      case insertOver(viewName, select) =>
+      case insertOver(viewName, colList, select) =>
         val v = viewsMap.getOrElse(viewName, throw new NoSuchElementException(
           s"executeSqlWrite: unknown view '$viewName'"))
-        writable(v).overwrite(conformTo(v, executeSql(spark, select)))
+        writable(v).overwrite(conformTo(v,
+          applyColumnList(viewName, colList, executeSql(spark, select))))
         viewName
-      case upsertInto(viewName, select) =>
+      case upsertInto(viewName, colList, select) =>
         val v = viewsMap.getOrElse(viewName, throw new NoSuchElementException(
           s"executeSqlWrite: unknown view '$viewName'"))
         val keys = v.entities.map(_.name)
         require(keys.nonEmpty, s"executeSqlWrite: UPSERT INTO '$viewName' " +
           "needs entity keys on the contract — declare entities or use INSERT")
-        writable(v).upsert(conformTo(v, executeSql(spark, select)), keys)
+        writable(v).upsert(conformTo(v,
+          applyColumnList(viewName, colList, executeSql(spark, select))), keys)
         viewName
       case ctas(name, path, select) =>
         require(!viewsMap.contains(name),

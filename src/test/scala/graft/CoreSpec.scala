@@ -2315,6 +2315,117 @@ class SqlWriteSpec extends AnyFunSuite {
         s"CREATE TABLE tgt LOCATION '$work/tgt2' AS SELECT id FROM src")
     }
   }
+
+  test("INSERT INTO v (col, ...) maps the SELECT positionally; arity must match") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlw_spec").toString
+    val store = freshStore(work)
+    // SELECT emits (name-ish, id-ish) in swapped order; the column list
+    // maps them onto the contract names positionally
+    store.executeSqlWrite(spark,
+      "INSERT INTO tgt (name, id) SELECT upper(name), id + 10 FROM src")
+    val rows = store.view("tgt").all(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq((11L, "A"), (12L, "B")))
+    // the list also works on UPSERT (entity key arrives via the mapping)
+    store.executeSqlWrite(spark,
+      "UPSERT INTO tgt (name, id) SELECT 'fixed', id + 10 FROM src WHERE id = 1")
+    val after = store.view("tgt").all(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(after.toSeq == Seq((11L, "fixed"), (12L, "B")))
+    val e = intercept[IllegalArgumentException] {
+      store.executeSqlWrite(spark, "INSERT INTO tgt (id) SELECT id, name FROM src")
+    }
+    assert(e.getMessage.contains("positionally"))
+  }
+
+  test("omitted entity key with no default and omitted event timestamp are rejected") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlw_spec").toString
+    val store = freshStore(work)
+    // tgt's entity is id with no default: a SELECT omitting it must fail
+    // loudly, not write NULL keys a later UPSERT would merge on
+    val e1 = intercept[IllegalArgumentException] {
+      store.executeSqlWrite(spark, "INSERT INTO tgt SELECT name FROM src")
+    }
+    assert(e1.getMessage.contains("entity key") && e1.getMessage.contains("id"))
+    // a contract-declared event timestamp the SELECT omits is rejected —
+    // silently-absent event times break PIT reads later
+    store.addView(graft.contract.FeatureView("stamped",
+      graft.sources.ParquetSource(s"$work/stamped"),
+      entities = Seq(graft.contract.Feature("id", graft.core.FeatureType.FInt64)),
+      features = Seq(graft.contract.Feature("name", graft.core.FeatureType.FString)),
+      eventTimestamp = Some(graft.contract.EventTimestamp("at"))))
+    val e2 = intercept[IllegalArgumentException] {
+      store.executeSqlWrite(spark, "INSERT INTO stamped SELECT id, name FROM src")
+    }
+    assert(e2.getMessage.contains("event timestamp") && e2.getMessage.contains("at"))
+    store.executeSqlWrite(spark,
+      "INSERT INTO stamped SELECT id, name, TIMESTAMP '2024-01-01 00:00:00' AS at FROM src")
+    assert(store.view("stamped").all(spark).count() == 2)
+  }
+}
+
+/** executeSql's referenced-views-only registration (r12 verdict ask #6 +
+  * ADVICE: the empty placeholder's blast radius): per-statement work is
+  * O(referenced), a broken UNREFERENCED view cannot fail an unrelated
+  * statement, and the placeholder is restricted to writable-source-backed
+  * write targets — a missing path behind a read-only source stays loud. */
+class SqlReferencedViewsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a broken unreferenced view no longer fails an unrelated statement") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlref").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.parquet(s"$work/good")
+    val store = new graft.store.ContractStore()
+    store.addView(graft.contract.FeatureView("good",
+      graft.sources.ParquetSource(s"$work/good")))
+    // broken: a READ-ONLY composite source over a missing path, with a
+    // declared contract (the shape the r12 placeholder wrongly silenced)
+    store.addView(graft.contract.FeatureView("broken",
+      graft.sources.TransformSource(
+        graft.sources.ParquetSource(s"$work/nope"), df => df),
+      features = Seq(graft.contract.Feature("x", graft.core.FeatureType.FInt64))))
+    // unreferenced: statement succeeds
+    assert(store.executeSql(spark, "SELECT count(*) AS n FROM good")
+      .head().getLong(0) == 2L)
+    // referenced: fails LOUDLY (read-only source => no empty placeholder)
+    intercept[Exception] {
+      store.executeSql(spark, "SELECT * FROM broken").collect()
+    }
+  }
+
+  test("unwritten writable target presents empty WITH the event-ts column") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlref").toString
+    val store = new graft.store.ContractStore()
+    store.addView(graft.contract.FeatureView("pending",
+      graft.sources.ParquetSource(s"$work/pending"),
+      entities = Seq(graft.contract.Feature("id", graft.core.FeatureType.FInt64)),
+      features = Seq(graft.contract.Feature("v", graft.core.FeatureType.FFloat64)),
+      eventTimestamp = Some(graft.contract.EventTimestamp("at"))))
+    // the placeholder schema must include the declared event timestamp, so
+    // SQL touching it analyzes BEFORE the first write exactly as after
+    val out = store.executeSql(spark,
+      "SELECT id, v, at FROM pending WHERE at > TIMESTAMP '2024-01-01 00:00:00'")
+    assert(out.collect().isEmpty)
+    assert(out.schema("at").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("view-name tokens inside string literals do not register the view") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlref").toString
+    Seq((1L, "broken")).toDF("id", "label").write.parquet(s"$work/t")
+    val store = new graft.store.ContractStore()
+    store.addView(graft.contract.FeatureView("t",
+      graft.sources.ParquetSource(s"$work/t")))
+    store.addView(graft.contract.FeatureView("broken",
+      graft.sources.TransformSource(
+        graft.sources.ParquetSource(s"$work/nope"), df => df),
+      features = Seq(graft.contract.Feature("x", graft.core.FeatureType.FInt64))))
+    // 'broken' appears only as a string literal — must not register (and
+    // so must not fail), while t resolves normally
+    assert(store.executeSql(spark,
+      "SELECT count(*) AS n FROM t WHERE label = 'broken'").head().getLong(0) == 1L)
+  }
 }
 
 /** q212b's runtime path: a MID-BATCH CRASH (post-sink, pre-engine-commit)

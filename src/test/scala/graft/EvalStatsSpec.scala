@@ -887,6 +887,48 @@ class EvalStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("jacobiEigen: tolerances are scale-relative — large-entry matrices converge") {
+    // ADVICE r12: with an ABSOLUTE 1e-14 rotation gate, a 2x2 with entries
+    // >>1 can leave a one-rotation float residual above the gate and
+    // trigger a bit-diverging second rotation (or a convergence failure at
+    // extreme scales). The gates are now relative to max|a_ij|: the same
+    // matrix at scale 1 and at scale 1e8 must produce the SAME rotation
+    // sequence, i.e. eigensystems that are exact scalar multiples.
+    // POWER-OF-TWO scales: ×2^k is exact on every float, so the scaled
+    // run's theta/c/s chain is the unit run's with shifted exponents and
+    // the eigenvectors must match BIT-FOR-BIT — any divergence can only
+    // come from a threshold that failed to scale. base(0)(0) ≥ 1 keeps
+    // max|a_ij| ≥ 1 so the tolerance floor (max(1, ·)) stays inactive on
+    // the unit-scale side and the two thresholds stay exactly proportional.
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 4; d <- 2 to 4;
+         scale <- Seq(math.pow(2, 20), math.pow(2, 40), math.pow(2, 60))) {
+      val base = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val x = rnd.nextDouble() * 4 - 2
+        base(i)(j) = x; base(j)(i) = x
+      }
+      base(0)(0) = math.abs(base(0)(0)) + 2.0
+      val m = base.map(_.map(_ * scale))
+      val (vals, vecs) = graft.ops.Similarity.jacobiEigen(m) // must not throw
+      for (k <- 0 until d; i <- 0 until d) {
+        val av = (0 until d).map(j => m(i)(j) * vecs(k)(j)).sum
+        assert(math.abs(av - vals(k) * vecs(k)(i)) < 1e-9 * scale,
+          s"trial $trial d=$d scale=$scale: eigen residual at ($k,$i)")
+      }
+      // scale-equivariance of the ROTATION SEQUENCE: the scaled matrix's
+      // eigenvectors must match the unit-scale run's bit-for-bit (theta =
+      // (aqq-app)/(2apq) is scale-invariant, so identical rotations fire
+      // iff the thresholds scale with the input — the fix under test)
+      val (vals1, vecs1) = graft.ops.Similarity.jacobiEigen(base)
+      for (k <- 0 until d; i <- 0 until d)
+        assert(vecs(k)(i) == vecs1(k)(i),
+          s"trial $trial d=$d scale=$scale: rotation sequence diverged at ($k,$i)")
+      assert(vals.zip(vals1).forall { case (s, u) => s == u * scale },
+        s"trial $trial d=$d scale=$scale: eigenvalues not exact 2^k multiples")
+    }
+  }
+
   test("pcaProject: perfectly correlated 2D collapses onto one axis") {
     val df = (1L to 8L).map(t => (t, Seq(t.toDouble, t.toDouble)))
       .toDF("id", "v")
