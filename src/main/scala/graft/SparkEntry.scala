@@ -6984,6 +6984,71 @@ FROM q, g5 g""")),
       SELECT d.doc_id, CAST(rate.micro AS DOUBLE) / 1000000.0 AS calibrated
       FROM d JOIN rate ON rate.b = d.b""")),
 
+    // --- OLS AT DIM 3, pinned against an INDEPENDENT formula (r12
+    // verdict ask #3): q239's oracle restates the engine's own float GE,
+    // which cannot catch a wrong-but-consistent solve. Here the oracle
+    // solves the SAME normal equations by CRAMER'S RULE in EXACT integer
+    // arithmetic: the scale factors of cov = (n·S_ij − S_i·S_j)/(n²·2^12)
+    // cancel in Σxx⁻¹·Σxy, so β is exactly det_i(M)/det(M) over the
+    // HUGEINT matrix M_ij = n·S_ij − S_i·S_j, and the oracle's
+    // half-up micro-rounding floor((2·10⁶·p + q)/(2q)) runs in exact
+    // integer floor-division (the q241 cross-multiplication discipline —
+    // no float ever enters the oracle's solve). The engine emits
+    // floor(βᵢ·10⁶ + 0.5): its float GE sits ~1e-7 micro from the exact
+    // rational while the measured boundary distance is ≥0.1 micro at
+    // every SF (prototyped offline; HUGEINT headroom ≥3×10⁸). scaleBits=6
+    // keeps every determinant term inside 128-bit exactness with that
+    // margin even at a 30× corpus ---
+    Q("q239c_ols_dim3_cramer",
+      (s, dir) => {
+        import s.implicits._
+        val df = t(s, dir, "embeddings").withColumn("y",
+          element_at(col("embedding").cast("array<double>"), 4))
+        val (beta, _, _) =
+          graft.ml.MLOps.olsFit(df, "embedding", "y", dim = 3, scaleBits = 6)
+        Seq((math.floor(beta(0) * 1e6 + 0.5).toLong,
+             math.floor(beta(1) * 1e6 + 0.5).toLong,
+             math.floor(beta(2) * 1e6 + 0.5).toLong)).toDF("mb1", "mb2", "mb3")
+      },
+      Some("""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        q AS (SELECT CAST(floor(v[1]*64.0) AS BIGINT) AS q1,
+            CAST(floor(v[2]*64.0) AS BIGINT) AS q2,
+            CAST(floor(v[3]*64.0) AS BIGINT) AS q3,
+            CAST(floor(v[4]*64.0) AS BIGINT) AS qy
+          FROM e WHERE v[4] IS NOT NULL),
+        m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+            CAST(sum(q1) AS HUGEINT) AS s1, CAST(sum(q2) AS HUGEINT) AS s2,
+            CAST(sum(q3) AS HUGEINT) AS s3, CAST(sum(qy) AS HUGEINT) AS sy,
+            CAST(sum(q1*q1) AS HUGEINT) AS s11, CAST(sum(q1*q2) AS HUGEINT) AS s12,
+            CAST(sum(q1*q3) AS HUGEINT) AS s13, CAST(sum(q1*qy) AS HUGEINT) AS s1y,
+            CAST(sum(q2*q2) AS HUGEINT) AS s22, CAST(sum(q2*q3) AS HUGEINT) AS s23,
+            CAST(sum(q2*qy) AS HUGEINT) AS s2y, CAST(sum(q3*q3) AS HUGEINT) AS s33,
+            CAST(sum(q3*qy) AS HUGEINT) AS s3y
+          FROM q),
+        mm AS (SELECT
+            n*s11 - s1*s1 AS a11, n*s12 - s1*s2 AS a12, n*s13 - s1*s3 AS a13,
+            n*s22 - s2*s2 AS a22, n*s23 - s2*s3 AS a23, n*s33 - s3*s3 AS a33,
+            n*s1y - s1*sy AS b1,  n*s2y - s2*sy AS b2,  n*s3y - s3*sy AS b3
+          FROM m),
+        dets AS (SELECT
+            a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13) AS det,
+            b1 *(a22*a33 - a23*a23) - a12*(b2 *a33 - a23*b3 ) + a13*(b2 *a23 - a22*b3 ) AS det1,
+            a11*(b2 *a33 - a23*b3 ) - b1 *(a12*a33 - a23*a13) + a13*(a12*b3  - b2 *a13) AS det2,
+            a11*(a22*b3  - b2 *a23) - a12*(a12*b3  - b2 *a13) + b1 *(a12*a23 - a22*a13) AS det3
+          FROM mm),
+        r AS (SELECT
+            CASE WHEN det < 0 THEN -det  ELSE det  END AS q,
+            CASE WHEN det < 0 THEN -det1 ELSE det1 END AS p1,
+            CASE WHEN det < 0 THEN -det2 ELSE det2 END AS p2,
+            CASE WHEN det < 0 THEN -det3 ELSE det3 END AS p3
+          FROM dets)
+      SELECT
+        CAST(((2000000*p1 + q) - ((((2000000*p1 + q) % (2*q)) + 2*q) % (2*q))) // (2*q) AS BIGINT) AS mb1,
+        CAST(((2000000*p2 + q) - ((((2000000*p2 + q) % (2*q)) + 2*q) % (2*q))) // (2*q) AS BIGINT) AS mb2,
+        CAST(((2000000*p3 + q) - ((((2000000*p3 + q) % (2*q)) + 2*q) % (2*q))) // (2*q) AS BIGINT) AS mb3
+      FROM r""")),
+
     // --- The THIRTEENTH streaming-runtime modality: the heaviest-state
     // gate (q187's watermark-closed LEFT OUTER stream-stream join — TWO
     // state stores, interval match state, watermark eviction) re-run on
