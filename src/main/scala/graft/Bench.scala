@@ -182,17 +182,27 @@ object Bench {
     * Rung 4 saves ~2 chars/entry over rung 3 and holds per-query keys to
     * ~240 registered queries (the r10 regression: at 198 queries rungs 1-3
     * all overflowed and the ladder fell to the keyless fallback, so
-    * BENCH_r10.json parsed with no per-query data); (5) past rung 4's
+    * BENCH_r10.json parsed with no per-query data); (5/6) past rung 4's
     * wall, keep integer-decisecond keys for the SLOWEST K queries that
-    * fit and roll the remainder into an explicit
-    * `"others":{"n":R,"sec":S.SS}` — the expensive tail (what a perf
-    * audit reads) stays per-query at any registry size, and nothing is
-    * silently dropped: keys + others.n always equals the suite size.
-    * Rung 5 adapts K, so the ladder has no next wall; the keyless
-    * fallback below it is a dead-man's backstop only. The full-name
-    * full-precision line prints FIRST either way, so humans and
-    * BENCH_NOTES always get the rich form. */
-  private[graft] val MaxShortLine = 1930 // ≥70 chars of tail headroom
+    * fit and roll the remainder up PER FAMILY (rung 6, r12 verdict ask
+    * #4) into `"others":{"batch":{"n":R,"sec":S.SS},…}` with "stream" /
+    * "recipe" / "batch" sub-objects — the expensive tail (what a perf
+    * audit reads) stays per-query at any registry size, nothing is
+    * silently dropped (keys + Σ others.*.n always equals the suite
+    * size), and a streaming gate falling out of the keyed set would
+    * surface as a LOUD non-empty "stream" remainder instead of hiding
+    * inside an undifferentiated fast tail. Rung 6 adapts K, so the
+    * ladder has no next wall; the keyless fallback below it is a
+    * dead-man's backstop only. The full-name full-precision line prints
+    * FIRST either way, so humans and BENCH_NOTES always get the rich
+    * form. */
+  // The driver tail window also swallows sbt's OWN trailer after our
+  // line — "[success] Total time: NNN s (HH:MM), completed <date>" ≈
+  // 81-85 chars + newlines. BENCH_r12 proved the cost of ignoring it:
+  // a 1930-char line + that trailer pushed the line's FIRST char out of
+  // the 2000-char window and the driver's parse nulled (only '{' was
+  // lost). 1870 leaves ≥110 chars: the trailer plus real headroom.
+  private[graft] val MaxShortLine = 1870
   private[graft] def shortLine(entries: Seq[(String, Double)],
       nFailed: Int = 0): String = {
     val failSuffix = if (nFailed == 0) "" else s""","failed":$nFailed"""
@@ -209,10 +219,16 @@ object Bench {
       .getOrElse(s"""{"metric":"total","value":${fmt2(entries.map(_._2).sum)},"unit":"sec"$failSuffix}""")
   }
 
-  /** Rung 5: the largest slowest-K prefix whose line fits
-    * [[MaxShortLine]]. Line length is monotone in K, so a binary search
-    * finds the exact cut; ties in duration break by key so the kept set
-    * is deterministic across runs. */
+  /** Rung 6: a maximal slowest-K prefix whose line fits [[MaxShortLine]],
+    * with the unkeyed remainder broken down PER FAMILY
+    * ([[SparkEntry.familyOf]]): `"others":{"stream":{"n":…,"sec":…},
+    * "recipe":{…},"batch":{…}}`, empty families omitted. Exact
+    * accounting: keys + Σ others.*.n = suite size and keyed seconds +
+    * Σ others.*.sec = total. Line length is monotone in K up to ±one
+    * family object appearing/disappearing at the margin, so the binary
+    * search lands on a fitting, near-maximal K (the loop only ever
+    * commits a K whose line it VERIFIED fits); ties in duration break by
+    * key so the kept set is deterministic across runs. */
   private def topKLine(stripped: Seq[(String, Double)],
       failSuffix: String): String = {
     val desc = stripped.sortBy { case (k, v) => (-v, k) }
@@ -222,7 +238,14 @@ object Bench {
       val qs = kept.sortBy(_._1)
         .map { case (key, v) => "\"" + key + "\":" + math.round(v * 10) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"qunit":"ds","others":{"n":${rest.size},"sec":${fmt2(rest.map(_._2).sum)}}$failSuffix}"""
+      // keys were shortened to the qNN prefix with 'q' stripped — restore
+      // the prefix for the family lookup
+      val fams = rest.groupBy { case (key, _) => SparkEntry.familyOf("q" + key) }
+      val others = Seq("stream", "recipe", "batch").flatMap { f =>
+        fams.get(f).map(es =>
+          s""""$f":{"n":${es.size},"sec":${fmt2(es.map(_._2).sum)}}""")
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"qunit":"ds","others":$others$failSuffix}"""
     }
     var lo = 0; var hi = desc.size
     while (lo < hi) { // invariant: line(lo) fits; find the last fitting k

@@ -7276,6 +7276,31 @@ FROM q, g5 g""")),
 
   // ---------- driver contract ----------
 
+  /** Bench FAMILY of a registered query, keyed by its unique qNN prefix.
+    * Three families with structurally different cost models:
+    *   - "stream": the staged streaming-runtime gates — wall-clock is
+    *     micro-batch lifecycle staging (seconds each, by design);
+    *   - "recipe": multi-stage curation-recipe composites (one shared
+    *     CC run + several corpus passes each);
+    *   - "batch": everything else (one Catalyst plan, sub-second core).
+    * Bench's rung-6 short line rolls its unkeyed remainder up PER FAMILY,
+    * so a slow streaming gate can never hide inside a "fast tail"
+    * aggregate — BenchLineSpec pins both set-membership (every prefix
+    * here names exactly one registered query) and the remainder bounds. */
+  private val streamGatePrefixes = Set("q165", "q167", "q172", "q175",
+    "q176", "q176b", "q177", "q183", "q187", "q187b", "q198", "q212",
+    "q212b", "q233", "q237")
+  private val recipeCompositePrefixes = Set("q166", "q171", "q178",
+    "q181", "q182", "q190", "q191", "q192")
+  def familyOf(name: String): String = {
+    val p = name.takeWhile(_ != '_')
+    if (streamGatePrefixes(p)) "stream"
+    else if (recipeCompositePrefixes(p)) "recipe"
+    else "batch"
+  }
+  private[graft] def familyPrefixes: (Set[String], Set[String]) =
+    (streamGatePrefixes, recipeCompositePrefixes)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     specs.head.fn(spark, "/root/testdata/sf0.001")
