@@ -1,0 +1,227 @@
+#!/usr/bin/env python3
+"""Measured scale-up curve (r12 verdict ask #1): synthesize a Kx corpus
+offline from sf0.1 and TIME the shuffle-heavy operators at both scales,
+so SCALE.md carries measured ratios instead of plan-shape arguments.
+
+Usage: python3 tools/scaleup.py [--factor K] [--synth-only] [--bench-only]
+                                [--sf SFDIR] [--out OUTDIR] [query...]
+
+Synthesis (self-union with key remapping — no network, no new generator):
+  - fact/dim keys shift by copy * (max_key + 1), each copy joining ITS OWN
+    dimension copy, so join selectivity and group cardinality per key are
+    IDENTICAL to sf0.1 — row volume is the only thing that scales;
+  - events keep their time range (10x rows in the same windows: more
+    users, denser traffic — the streaming-state scale axis);
+  - document words get a copy suffix ("foxzz3"): each copy is
+    vocab-isomorphic to the original (within-copy dup/near-dup structure
+    preserved exactly) but token-disjoint across copies, so candidate
+    pairs, posting lists and dup clusters grow LINEARLY like a real
+    corpus, not quadratically like naive replication;
+  - embeddings rotate by copy (norms/distribution preserved, copies
+    decorrelated).
+
+Timing reuses graft.Bench verbatim (same warmup, noop sink, best-of-2 +
+pass-2 contention insurance) via SPARK_GRAFT_SF_DIR/_ONLY, so the two
+scales are measured by the same harness the driver uses.
+"""
+import json, math, os, subprocess, sys
+from pathlib import Path
+
+import duckdb
+
+SF = "/root/testdata/sf0.1"
+OUT = "/root/repo/target/scaleup"
+FACTOR = 10
+
+# the shuffle-heavy set the r12 verdict names, plus scan/join baselines
+# and the documented-quadratic demos (flagged, not hidden)
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",        # scan + group-agg baseline
+    "q3_revenue_by_nation",      # multi-join + agg
+    "q9_asof_last_click",        # as-of join
+    "q10_pit_last_view",         # point-in-time fact join
+    "q22_dedup_exact",           # exact dedup (hash shuffle)
+    "q23_minhash_neardup",       # MinHash+LSH banding
+    "q24_jaccard_pairs",         # inverted-index jaccard
+    "q30_knn_bruteforce",        # brute-force kNN — O(corpus x queries) BY SEMANTICS
+    "q32_ivf_ann",               # the ANN scale path
+    "q65_quantile_bins",         # exact grouped percentiles (histogram)
+    "q69_dedup_groups_portable", # connected-components dedup
+    "q140_duplicate_spans",      # exact substring spans
+    "q148_strip_spans",          # span excision
+    "q153_quality_dsir_recipe",  # DSIR selection recipe
+    "q161_bpe_pair_counts",      # BPE pair counting
+    "q187_streaming_outer_join_run",  # heaviest streaming gate
+    "q193_bm25_topk",            # BM25 retrieval
+]
+
+args = sys.argv[1:]
+def opt(name, default):
+    if name in args:
+        i = args.index(name)
+        v = args[i + 1]
+        del args[i:i + 2]
+        return v
+    return default
+
+FACTOR = int(opt("--factor", FACTOR))
+SF = opt("--sf", SF)
+OUT = opt("--out", OUT)
+# Per-query minimum across N FRESH bench sessions per scale. One session
+# is not enough: the suite runs alphabetically in one JVM, so a query's
+# measurement inherits the session's accumulated GC/page-cache state and
+# whatever host contention hits its slot — measured: q23 22.2 s inside a
+# 17-query session vs 7.1 s in a fresh one, a 3x phantom that would have
+# read as super-linear scaling. Bench's own best-of-2 cannot save a query
+# when the inflation persists for the whole session; a second SESSION can.
+REPEATS = int(opt("--repeats", 2))
+synth_only = "--synth-only" in args
+bench_only = "--bench-only" in args
+queries = [a for a in args if not a.startswith("--")] or DEFAULT_QUERIES
+
+synth_dir = Path(OUT) / f"sf0.1x{FACTOR}"
+
+
+def synthesize():
+    synth_dir.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+
+    def copies():
+        return f"(SELECT unnest(range({FACTOR})) AS cp)"
+
+    def off(table, key):
+        return con.execute(
+            f"SELECT max({key}) + 1 FROM '{SF}/{table}.parquet'").fetchone()[0]
+
+    offs = {
+        "cust": off("customer", "c_custkey"), "ord": off("orders", "o_orderkey"),
+        "part": off("part", "p_partkey"), "supp": off("supplier", "s_suppkey"),
+        "ev": off("events", "event_id"), "usr": off("events", "user_id"),
+        "doc": off("documents", "doc_id"), "vec": off("embeddings", "vec_id"),
+    }
+
+    plans = {
+        # dimensions copy as-is (nation/region are fixed like TPC-H)
+        "nation": f"SELECT * FROM '{SF}/nation.parquet'",
+        "region": f"SELECT * FROM '{SF}/region.parquet'",
+        "customer": f"""SELECT c_custkey + cp * {offs['cust']} AS c_custkey,
+            c_name, c_nationkey, c_acctbal, c_mktsegment
+          FROM '{SF}/customer.parquet', {copies()}""",
+        "supplier": f"""SELECT s_suppkey + cp * {offs['supp']} AS s_suppkey,
+            s_name, s_nationkey, s_acctbal
+          FROM '{SF}/supplier.parquet', {copies()}""",
+        "part": f"""SELECT p_partkey + cp * {offs['part']} AS p_partkey,
+            p_name, p_brand, p_type, p_size, p_retailprice
+          FROM '{SF}/part.parquet', {copies()}""",
+        "orders": f"""SELECT o_orderkey + cp * {offs['ord']} AS o_orderkey,
+            o_custkey + cp * {offs['cust']} AS o_custkey,
+            o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM '{SF}/orders.parquet', {copies()}""",
+        "lineitem": f"""SELECT l_orderkey + cp * {offs['ord']} AS l_orderkey,
+            l_partkey + cp * {offs['part']} AS l_partkey,
+            l_suppkey + cp * {offs['supp']} AS l_suppkey,
+            l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+            l_returnflag, l_linestatus, l_shipdate
+          FROM '{SF}/lineitem.parquet', {copies()}""",
+        # same time range: 10x rows per window = the state-scale axis
+        "events": f"""SELECT event_id + cp * {offs['ev']} AS event_id, ts,
+            user_id + cp * {offs['usr']} AS user_id, event_type, value, props
+          FROM '{SF}/events.parquet', {copies()}""",
+        # vocab-isomorphic copies: token-disjoint across copies, identical
+        # dup/near-dup structure within each
+        "documents": f"""SELECT doc_id + cp * {offs['doc']} AS doc_id,
+            CASE WHEN cp = 0 THEN text ELSE array_to_string(
+              list_transform(string_split(text, ' '), w -> w || 'zz' || cp),
+              ' ') END AS text,
+            lang, source,
+            CASE WHEN cp = 0 THEN n_chars ELSE CAST(length(array_to_string(
+              list_transform(string_split(text, ' '), w -> w || 'zz' || cp),
+              ' ')) AS BIGINT) END AS n_chars
+          FROM '{SF}/documents.parquet', {copies()}""",
+        # rotate by copy: norms and per-dim distribution preserved,
+        # copies decorrelated (no artificial 10-way kNN ties)
+        "embeddings": f"""SELECT vec_id + cp * {offs['vec']} AS vec_id,
+            CASE WHEN cp = 0 THEN embedding
+                 ELSE embedding[(cp % 64) + 1:] || embedding[:cp % 64]
+            END AS embedding, label
+          FROM '{SF}/embeddings.parquet', {copies()}""",
+    }
+    for table, sel in plans.items():
+        dest = synth_dir / f"{table}.parquet"
+        con.execute(f"COPY ({sel}) TO '{dest}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{dest}'").fetchone()[0]
+        print(f"[synth] {table}: {n} rows -> {dest}")
+
+
+def run_bench(sf_dir, names):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=str(sf_dir),
+               SPARK_GRAFT_ONLY=",".join(names),
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+               SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       capture_output=True, text=True, cwd="/root/repo", env=env)
+    line = None
+    for ln in r.stdout.splitlines():
+        if '"metric"' in ln and '"queries"' in ln:
+            line = ln[ln.index('{'):]
+            break  # FIRST metric line = full names at centisecond precision
+    if line is None:
+        print(r.stdout[-4000:])
+        print(r.stderr[-2000:])
+        sys.exit(f"bench produced no metric line for {sf_dir}")
+    d = json.loads(line)
+    if d.get("failed"):
+        sys.exit(f"bench failures at {sf_dir}: {d['failed']}")
+    return d["queries"]
+
+
+def run_bench_min(sf_dir, names):
+    """Per-query min across REPEATS fresh bench sessions (see REPEATS)."""
+    out = {}
+    for i in range(REPEATS):
+        got = run_bench(sf_dir, names)
+        for q, v in got.items():
+            out[q] = min(out.get(q, math.inf), v)
+        print(f"[bench] {sf_dir} session {i + 1}/{REPEATS}: "
+              f"total {sum(got.values()):.1f}s")
+    return out
+
+
+def main():
+    if not bench_only:
+        synthesize()
+    if synth_only:
+        return
+    print(f"[bench] base {SF}")
+    base = run_bench_min(SF, queries)
+    print(f"[bench] scaled {synth_dir}")
+    scaled = run_bench_min(synth_dir, queries)
+    rows = []
+    for q in queries:
+        b, s = base.get(q), scaled.get(q)
+        if b is None or s is None:
+            rows.append((q, b, s, None))
+            continue
+        rows.append((q, b, s, s / b if b > 0 else math.inf))
+    out = {
+        "factor": FACTOR, "sf": SF, "synth": str(synth_dir),
+        "queries": {q: {"base_sec": b, "scaled_sec": s,
+                        "ratio": (round(r, 2) if r is not None else None)}
+                    for q, b, s, r in rows},
+    }
+    dest = Path(OUT) / f"scale_curve_x{FACTOR}.json"
+    dest.write_text(json.dumps(out, indent=1))
+    print(f"\n[scaleup] wrote {dest}\n")
+    print(f"| query | sf0.1 (s) | x{FACTOR} (s) | ratio |")
+    print("|---|---|---|---|")
+    for q, b, s, r in rows:
+        flag = ""
+        if r is not None and r > FACTOR * 1.5:
+            flag = " **SUPER-LINEAR**"
+        print(f"| {q} | {b:.2f} | {s:.2f} | {r:.1f}x{flag} |")
+
+
+if __name__ == "__main__":
+    main()
