@@ -149,9 +149,19 @@ def synthesize():
     }
     for table, sel in plans.items():
         dest = synth_dir / f"{table}.parquet"
-        con.execute(f"COPY ({sel}) TO '{dest}' (FORMAT PARQUET)")
-        n = con.execute(f"SELECT count(*) FROM '{dest}'").fetchone()[0]
-        print(f"[synth] {table}: {n} rows -> {dest}")
+        # MULTI-FILE output (a directory named <table>.parquet, like Spark's
+        # own writers): a single giant file caps scan parallelism at
+        # size/maxPartitionBytes — measured: the 30x lineitem as ONE 330 MB
+        # file gave q1 a 3-task scan (38 s); ~32 MB files restore the
+        # parallelism a real multi-file corpus has. Small dims stay one file.
+        import shutil
+        if dest.exists() and dest.is_dir():
+            shutil.rmtree(dest)
+        con.execute(f"COPY ({sel}) TO '{dest}' (FORMAT PARQUET, "
+                    "FILE_SIZE_BYTES '32MB', OVERWRITE_OR_IGNORE)")
+        n = con.execute(f"SELECT count(*) FROM '{dest}/*.parquet'").fetchone()[0]
+        nf = len(list(dest.glob('*.parquet')))
+        print(f"[synth] {table}: {n} rows in {nf} file(s) -> {dest}")
 
 
 def run_bench(sf_dir, names):
@@ -159,7 +169,13 @@ def run_bench(sf_dir, names):
                SPARK_GRAFT_SF_DIR=str(sf_dir),
                SPARK_GRAFT_ONLY=",".join(names),
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
-               SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
+               SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"),
+               # equal parallelism at BOTH scales (see Bench.scala): the
+               # test tables are single small files, so stock 128 MB splits
+               # give the scan+kernel stage 1-3 tasks and the curve would
+               # conflate split-count growth with per-row scaling — at
+               # 100 TB splits abound, per-row cost is what must stay flat
+               SPARK_GRAFT_MAX_PARTITION_BYTES="2097152")
     r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        capture_output=True, text=True, cwd="/root/repo", env=env)
     line = None
