@@ -311,7 +311,7 @@ class BenchLineSpec extends AnyFunSuite {
     // spot pins: the families mean what BENCH_NOTES says they mean
     assert(SparkEntry.familyOf("q187b_outer_join_rocksdb") == "stream")
     assert(SparkEntry.familyOf("q192_recipe_excise") == "recipe")
-    assert(SparkEntry.familyOf("q1_agg_pushdown") == "batch")
+    assert(SparkEntry.familyOf("q1_pricing_summary") == "batch")
   }
 
   test("rung 4: integer deciseconds, qunit marker, total stays seconds") {
