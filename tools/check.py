@@ -49,7 +49,12 @@ if "--skip-verify" not in sys.argv:
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    # a table may be one file (driver testdata) or a directory of part
+    # files (tools/scaleup.py synth corpora) — glob the directory form
+    src = f"{SF}/{t}.parquet"
+    if Path(src).is_dir():
+        src = f"{src}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 # --- ledger shrink-proofing (round-6 incident: 27 queries VANISHED from the
 # driver ledger when the events loader broke — no err rows, no gate trip).
