@@ -16,27 +16,35 @@ import org.apache.spark.sql.functions._
   * (SURVEY §4) are either free or live here as cheap metadata checks.
   */
 final class ContractStore {
-  private var viewsMap: Map[String, FeatureView] = Map.empty
-  private var modelsMap: Map[String, ModelContract] = Map.empty
-  private var recipesMap: Map[String, graft.contract.CurationRecipe] = Map.empty
+  // Registration is rare (setup-time) and reads are the hot path, so the
+  // concurrency discipline is: immutable-Map snapshots behind @volatile,
+  // add* under the store lock. A reader (plan build, executeSql, Verify
+  // thread pool) sees a consistent point-in-time catalog with zero lock
+  // traffic; concurrent registration publishes atomically. This matches
+  // how a long-lived store is actually used on a cluster: one writer
+  // wiring contracts, many threads planning queries (ConcurrencySpec).
+  @volatile private var viewsMap: Map[String, FeatureView] = Map.empty
+  @volatile private var modelsMap: Map[String, ModelContract] = Map.empty
+  @volatile private var recipesMap: Map[String, graft.contract.CurationRecipe] = Map.empty
 
   /** PIT physical strategy: "sorted" (default — union + one per-key window
     * pass, O(facts+features) rows; the 100 TB path) or "join" (equi-join +
     * rank dedup, the reference's own Spark shape, local/job.py:678-699).
     * Both produce identical results (JoinsSpec equivalence tests); "join"
     * can win when the feature side is a small broadcastable dimension. */
-  private var pitStrategyVal: String = "sorted"
+  @volatile private var pitStrategyVal: String = "sorted"
   def pitStrategy: String = pitStrategyVal
   def withPitStrategy(s: String): ContractStore = {
     require(s == "sorted" || s == "join", s"unknown PIT strategy: $s")
     pitStrategyVal = s; this
   }
 
-  def addView(v: FeatureView): ContractStore = { viewsMap += v.name -> v; this }
-  def addModel(m: ModelContract): ContractStore = { modelsMap += m.name -> m; this }
-  def addRecipe(r: graft.contract.CurationRecipe): ContractStore = {
-    recipesMap += r.name -> r; this
-  }
+  def addView(v: FeatureView): ContractStore =
+    synchronized { viewsMap += v.name -> v; this }
+  def addModel(m: ModelContract): ContractStore =
+    synchronized { modelsMap += m.name -> m; this }
+  def addRecipe(r: graft.contract.CurationRecipe): ContractStore =
+    synchronized { recipesMap += r.name -> r; this }
   def views: Map[String, FeatureView] = viewsMap
   def models: Map[String, ModelContract] = modelsMap
   def recipes: Map[String, graft.contract.CurationRecipe] = recipesMap
@@ -233,6 +241,15 @@ final class ContractStore {
     * never touches, and a broken source on an UNREFERENCED view cannot
     * fail an unrelated statement. `VALUES`-only statements short-circuit
     * past registration entirely (reference sql.py:85-101).
+    *
+    * Concurrency contract: safe for concurrent statements on one store +
+    * one session. Temp-view names are the contract names; concurrent
+    * statements referencing the same view re-register an EQUIVALENT plan
+    * (the catalog snapshot is immutable per call — see the @volatile
+    * fields), so the race is idempotent. What is NOT promised: two
+    * DIFFERENT stores sharing one SparkSession with colliding contract
+    * names — last registration wins, as with any session-global temp
+    * view. Gated by ConcurrencySpec.
     */
   def executeSql(spark: SparkSession, sql: String): DataFrame = {
     if (!sql.trim.toLowerCase(java.util.Locale.ROOT).startsWith("values")) {
