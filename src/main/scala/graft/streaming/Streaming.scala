@@ -512,7 +512,18 @@ object Streaming {
     val (lap, debugT) = gateLap()
     stageChunks(df, orderCol, chunks, work, lap)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // Gate width: shuffle/state partitions for the streaming lifecycle.
+    // Default 1 is right at driver-test scale (state is tiny; a wide
+    // fan-out only adds state-store + task constants per batch). At
+    // synthetic ×100 scale the same pin became the bottleneck — the WHOLE
+    // stateful pipeline (state ops, per-batch upsert anti-joins) ran one
+    // task wide over 10M events (measured: q177 67× at ×100 data,
+    // SCALE.md) — so scale measurements widen it via this knob; on a real
+    // cluster the session's own width applies (no pin would survive a
+    // production deployment of these pipelines — the pin exists for the
+    // oracle gates' determinism and small-state efficiency).
+    val gateWidth = sys.env.getOrElse("SPARK_GRAFT_GATE_WIDTH", "1")
+    spark.conf.set("spark.sql.shuffle.partitions", gateWidth)
     try body(new StagedGate(work, lap, debugT, spark, df.schema))
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
