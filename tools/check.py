@@ -48,6 +48,15 @@ if "--skip-verify" not in sys.argv:
         sys.exit(1)
 
 con = duckdb.connect()
+# out-of-core for the synthetic-scale oracles: without a temp_directory
+# DuckDB cannot spill and the q148/q153 restatements ABORT (bad alloc,
+# then SIGSEGV) at the x100 corpus; with it they run — slowly, which is
+# fine for an oracle
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+# 48GB default coexists with a Spark JVM on a 128G host; the q153 DSIR
+# restatement at x100 needs ~100GB (GRAFT_DUCKDB_MEM=100GB) run alone
+import os as _os
+con.execute(f"SET memory_limit='{_os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
 for t in TABLES:
     # a table may be one file (driver testdata) or a directory of part
     # files (tools/scaleup.py synth corpora) — glob the directory form
