@@ -51,21 +51,11 @@ final case class ParquetSource(path: String) extends WritableSource {
   override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
   def insert(df: DataFrame): Unit = df.write.mode(SaveMode.Append).parquet(path)
   def overwrite(df: DataFrame): Unit = df.write.mode(SaveMode.Overwrite).parquet(path)
-  def upsert(df: DataFrame, keys: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    // existence probe, NOT try/catch around read: a transient read failure
-    // must propagate, or the swap below would destroy the old table
-    val merged =
-      if (!exists(spark)) df
-      else read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(df)
-    // self-overwrite: materialize to a temp dir before dropping the input
-    // files, then ONE metadata-only rename swap (see StageAndSwap — the
-    // old read-back-and-rewrite second pass doubled every upsert's cost)
-    val tmp = path + "__tmp_upsert"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    StageAndSwap.swapInto(spark, tmp, path)
-  }
+  def upsert(df: DataFrame, keys: Seq[String]): Unit =
+    // merge → stage to a sibling temp dir → ONE metadata-only rename swap;
+    // serialized per canonical path (see StageAndSwap for the protocol)
+    StageAndSwap.upsert(this, path, df, keys,
+      (d, p) => d.write.mode(SaveMode.Overwrite).parquet(p))
 }
 
 /** Hive-partitioned parquet dir (reference: PartitionedParquetFileSource,
@@ -81,7 +71,7 @@ final case class PartitionedParquetSource(path: String, partitionKeys: Seq[Strin
     df.write.mode(SaveMode.Append).partitionBy(partitionKeys: _*).parquet(path)
   def overwrite(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionKeys: _*).parquet(path)
-  def upsert(df: DataFrame, keys: Seq[String]): Unit = {
+  def upsert(df: DataFrame, keys: Seq[String]): Unit = StageAndSwap.locked(df.sparkSession, path) {
     val spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val merged =
@@ -96,6 +86,80 @@ final case class PartitionedParquetSource(path: String, partitionKeys: Seq[Strin
           .unionByName(df)
       }
     merged.write.mode(SaveMode.Overwrite).partitionBy(partitionKeys: _*).parquet(path)
+  }
+}
+
+/** Hash-bucketed parquet dir: hive-partitioned on `__bucket =
+  * pmod(xxhash64(bucketKeys), numBuckets)` so an upsert reads and rewrites
+  * ONLY the buckets its keys land in — O(touched buckets), not O(store).
+  * This is the reference's partitioned-upsert idea (sources/local.py:658-707,
+  * rewrite only touched partitions) applied to a key-addressed store whose
+  * natural key has no partition-friendly shape.
+  *
+  * Built for the accreting online/streaming store (VERDICT r13 "What's
+  * wrong #1"): the plain [[ParquetSource]] upsert anti-joins and rewrites
+  * the WHOLE accumulated table every micro-batch, which at ×100 state
+  * density made a full streaming run ~O(store²/batch). Here a micro-batch
+  * pays: one tiny distinct-collect of its ≤numBuckets touched bucket ids
+  * (driver-bounded by construction), a partition-PRUNED read of just those
+  * buckets, and a dynamic-partition-overwrite of the same — per-batch cost
+  * tracks the BATCH's key spread, while untouched buckets' files are never
+  * opened or rewritten (spec-pinned byte-identical). At 100 TB the bucket
+  * count is sized so one bucket ≈ a few GB (numBuckets knob); the
+  * jar-gated Delta/Iceberg MERGE (O(touched files)) remains the end state,
+  * this is the no-jar scale path.
+  *
+  * Reads drop the synthetic `__bucket` column, so the read schema equals
+  * what was written. bucketKeys must be a subset of every upsert's keys
+  * (same key ⇒ same bucket, or the anti-join would miss the old copy). */
+final case class BucketedParquetSource(path: String, bucketKeys: Seq[String],
+    numBuckets: Int = 8) extends WritableSource {
+  require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
+  private val B = "__bucket"
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn(B, pmod(xxhash64(bucketKeys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path).drop(B)
+  override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
+  def insert(df: DataFrame): Unit =
+    withBucket(df).write.mode(SaveMode.Append).partitionBy(B).parquet(path)
+  def overwrite(df: DataFrame): Unit = StageAndSwap.locked(df.sparkSession, path) {
+    if (df.isEmpty) {
+      // partitionBy writes NO files for an empty frame, which would leave an
+      // unreadable (schema-less) dir — materialize the schema as one empty
+      // part file inside a concrete partition dir instead
+      val spark = df.sparkSession
+      val dest = new org.apache.hadoop.fs.Path(path)
+      dest.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dest, true)
+      df.write.mode(SaveMode.Overwrite).parquet(s"$path/$B=0")
+    } else
+      withBucket(df).write.mode(SaveMode.Overwrite).partitionBy(B).parquet(path)
+  }
+  def upsert(df: DataFrame, keys: Seq[String]): Unit = StageAndSwap.locked(df.sparkSession, path) {
+    require(bucketKeys.forall(keys.contains),
+      s"bucket keys $bucketKeys must be contained in upsert keys $keys " +
+        "(same key must land in the same bucket)")
+    val spark = df.sparkSession
+    val newB = withBucket(df)
+    if (!exists(spark)) {
+      newB.write.mode(SaveMode.Overwrite).partitionBy(B).parquet(path)
+    } else {
+      // ≤ numBuckets ints by construction — a bounded driver pull that buys
+      // STATIC partition pruning on the old-side scan below
+      val touched = newB.select(B).distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.nonEmpty) {
+        val old = spark.read.parquet(path).filter(col(B).isin(touched: _*))
+        val merged = old
+          .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(newB)
+        // dynamic overwrite commits ONLY the partitions present in `merged`
+        // (exactly the touched buckets); scoped via writer option, not a
+        // session-global conf mutation
+        merged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(B).parquet(path)
+        spark.catalog.refreshByPath(path)
+      }
+    }
   }
 }
 
@@ -253,30 +317,67 @@ final case class OrcSource(path: String) extends WritableSource {
   * old one (delete + full rewrite); full transactionality is the
   * Delta/Iceberg commit log's job (COVERAGE §2.1). On object stores the
   * rename is a server-side copy — still cheaper than a second
-  * compute+upload pass. One implementation so a protocol fix lands
-  * everywhere (parquet keeps its original in-line copy of this sequence
-  * for scaladoc locality; csv/json/orc share this). */
+  * compute+upload pass. One implementation (parquet/csv/json/orc all share
+  * it) so a protocol fix lands everywhere.
+  *
+  * Concurrency contract: the whole read-merge-write-swap sequence holds a
+  * per-canonical-path lock, so concurrent upserts to ONE path from this JVM
+  * serialize and the final table is their exact union (reference semantics:
+  * sources/local.py:317-340). The lock is intra-JVM only — locking just the
+  * swap would not help, since both writers would merge against the same old
+  * snapshot and the last swap would silently drop the other's rows.
+  * CROSS-process coordination is explicitly out of scope: that is the
+  * Delta/Iceberg commit log's job (COVERAGE §2.1). */
 private[sources] object StageAndSwap {
+  /** One monitor per qualified path; the map only ever grows by distinct
+    * table paths touched by this JVM (bounded by the contract registry). */
+  private val pathLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `body` holding this JVM's lock for `path` (qualified against the
+    * path's OWN filesystem so `/x`, `file:/x` and `file:///x` share one
+    * monitor). */
+  private[sources] def locked[T](spark: SparkSession, path: String)(body: => T): T = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val key = p.getFileSystem(conf).makeQualified(p).toString
+    val monitor = pathLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized(body)
+  }
+
   def upsert(src: WritableSource, path: String, df: DataFrame, keys: Seq[String],
-      write: (DataFrame, String) => Unit): Unit = {
+      write: (DataFrame, String) => Unit): Unit = locked(df.sparkSession, path) {
     val spark = df.sparkSession
+    // existence probe, NOT try/catch around read: a transient read failure
+    // must propagate, or the swap below would destroy the old table
     val merged =
       if (!src.exists(spark)) df
       else src.read(spark).join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(df)
-    val tmp = path + "__tmp_upsert"
-    write(merged, tmp)
-    swapInto(spark, tmp, path)
+    // SIBLING staging dir via Path(parent, name+suffix), never string
+    // concat: with a trailing-slash `path` the concat form nests the
+    // staging dir INSIDE dest, and swapInto's recursive delete would
+    // destroy both the old table and the freshly staged merge
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(dest.getParent, dest.getName + "__tmp_upsert")
+    write(merged, tmp.toString)
+    swapInto(spark, tmp.toString, path)
   }
 
   /** Drop `path` and rename `tmp` over it; throws (leaving `tmp` intact
     * for recovery) if the rename is refused. */
   private[sources] def swapInto(spark: SparkSession, tmp: String, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dest = new org.apache.hadoop.fs.Path(path)
+    // the path's OWN filesystem, not FileSystem.get's defaultFS — dest may
+    // live on s3a://|abfss:// while fs.defaultFS is file:// or hdfs://,
+    // and delete/rename against the wrong fs throw "Wrong FS"
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dest, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dest))
       throw new java.io.IOException(s"upsert swap: rename $tmp -> $path failed")
+    // the rename bypasses Spark's write path (the old second write went
+    // through InsertIntoHadoopFsRelationCommand, which refreshed for us),
+    // so drop any cached file index a prior read of `path` established
+    spark.catalog.refreshByPath(path)
   }
 }
 

@@ -503,6 +503,37 @@ object Streaming {
     * keys), not corpus-scale, so a wide micro-batch fan-out only adds
     * state-store and task overhead per batch — and restore the session's
     * width after, exception paths included. */
+  /** The staged gates' online store: hash-bucketed on the merge key so a
+    * micro-batch upsert rewrites O(touched buckets), never O(store) — the
+    * ×100 streaming measurement (SCALE.md, VERDICT r13 #1) showed the plain
+    * ParquetSource store paying a full anti-join + rewrite per batch, which
+    * made a full run ~O(store²/batch) once the store grows with the corpus.
+    * Default 8 buckets: at driver SFs each bucket stays a few KB (constant
+    * overhead per batch is one bounded distinct-collect + ≤8 pruned-file
+    * reads); scale runs widen via SPARK_GRAFT_STORE_BUCKETS so one bucket
+    * stays executor-memory-sized. */
+  private[graft] def gateStore(work: java.nio.file.Path, sub: String,
+      keys: Seq[String]): graft.sources.WritableSource =
+    graft.sources.BucketedParquetSource(work.resolve(sub).toString, keys,
+      parsePositiveInt("SPARK_GRAFT_STORE_BUCKETS",
+        sys.env.get("SPARK_GRAFT_STORE_BUCKETS"), default = 8))
+
+  private[graft] def parsePositiveInt(name: String, raw: Option[String], default: Int): Int =
+    raw.map { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$name must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"$name must be > 0, got '$v'")
+      n
+    }.getOrElse(default)
+
+  /** Parse SPARK_GRAFT_GATE_WIDTH: must be a positive integer; fails fast
+    * naming the env var (an unparseable value would otherwise surface as an
+    * opaque Spark error deep in the gate lifecycle). */
+  private[graft] def parseGateWidth(raw: Option[String]): Int =
+    parsePositiveInt("SPARK_GRAFT_GATE_WIDTH", raw, default = 1)
+
   private def withStagedGate[T](spark: SparkSession, df: DataFrame,
       orderCol: String, chunks: Int, workDir: Option[String])(
       body: StagedGate => T): T = {
@@ -522,8 +553,12 @@ object Streaming {
     // cluster the session's own width applies (no pin would survive a
     // production deployment of these pipelines — the pin exists for the
     // oracle gates' determinism and small-state efficiency).
-    val gateWidth = sys.env.getOrElse("SPARK_GRAFT_GATE_WIDTH", "1")
-    spark.conf.set("spark.sql.shuffle.partitions", gateWidth)
+    // validate eagerly: an unparseable value would otherwise fail deep in
+    // the gate lifecycle with an opaque Spark error, and any width > 1
+    // deliberately trades away the single-partition determinism the oracle
+    // gates pin — so only scale measurements should set this
+    val gateWidth = parseGateWidth(sys.env.get("SPARK_GRAFT_GATE_WIDTH"))
+    spark.conf.set("spark.sql.shuffle.partitions", gateWidth.toString)
     try body(new StagedGate(work, lap, debugT, spark, df.schema))
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
@@ -538,8 +573,8 @@ object Streaming {
   private def runUpsertStream(spark: SparkSession, streamed: DataFrame,
       project: DataFrame => DataFrame, keys: Seq[String],
       work: java.nio.file.Path, lap: String => Unit,
-      debugT: Boolean, outputMode: String = "update"): graft.sources.ParquetSource = {
-    val store = graft.sources.ParquetSource(work.resolve("store").toString)
+      debugT: Boolean, outputMode: String = "update"): graft.sources.WritableSource = {
+    val store = gateStore(work, "store", keys)
     val upsert = idempotentBatchSink({ (batch, _) =>
       // the batch frame is read twice (emptiness probe + upsert) — persist
       // so the state-store emission materializes once per micro-batch
@@ -736,7 +771,7 @@ object Streaming {
         col("window.start").cast("long").as("window_start"),
         col(keyCol), col("n_events"), col("__sum_dec"))
       val keys = Seq("window_start", keyCol)
-      val st = graft.sources.ParquetSource(g.work.resolve("store").toString)
+      val st = gateStore(g.work, "store", keys)
       val upsert = idempotentBatchSink({ (batch, _) =>
         if (!batch.isEmpty) st.upsert(project(batch).coalesce(1), keys)
       }, g.work.resolve("commitlog").toString)(spark)
@@ -1194,8 +1229,8 @@ object Streaming {
       idCol: String, view: FeatureView, condition: Column, chunks: Int = 3,
       workDir: Option[String] = None): DataFrame = {
     val trig = withStagedGate(spark, rows, orderCol, chunks, workDir) { g =>
-      val mainStore = graft.sources.ParquetSource(g.work.resolve("store").toString)
-      val trigStore = graft.sources.ParquetSource(g.work.resolve("trigstore").toString)
+      val mainStore = gateStore(g.work, "store", Seq(idCol))
+      val trigStore = gateStore(g.work, "trigstore", Seq(idCol))
       // the main sink goes through the commit-log wrapper (redelivered
       // batches redo-never-skip, like every other gate); the trigger sink
       // fires before it inside the same cached batch and is idempotent by

@@ -161,4 +161,27 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/dst_a.parquet").count() == 2)
     assert(spark.read.parquet(s"$dir/dst_b.parquet").count() == 2)
   }
+
+  test("concurrent upserts to ONE target serialize: final table is their exact union") {
+    // VERDICT r13 #2 — without the per-canonical-path lock in StageAndSwap,
+    // two upserts to one path both merge against the same old snapshot and
+    // the last rename-swap silently drops the other's rows (lost update).
+    // N threads upsert DISJOINT key ranges; done = every key lands exactly
+    // once. Intra-JVM scope only (cross-process = the commit log's job).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-conc-upsert").toString
+    val src = ParquetSource(s"$dir/store.parquet")
+    src.overwrite(Seq((-1L, "seed")).toDF("id", "v"))
+    val n = 6
+    val results = inPool(n)((0 until n).map { t => () =>
+      src.upsert((0 until 20).map(i => (t * 100L + i, s"w$t")).toDF("id", "v"), Seq("id"))
+    })
+    val failures = results.collect { case Failure(e) => e }
+    assert(failures.isEmpty, s"concurrent same-target upsert threw: ${failures.headOption}")
+    val out = src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == n * 20 + 1, s"lost update: expected ${n * 20 + 1} rows, got ${out.size}")
+    (0 until n).foreach { t =>
+      (0 until 20).foreach(i => assert(out(t * 100L + i) == s"w$t")) }
+    assert(out(-1L) == "seed")
+  }
 }

@@ -53,10 +53,17 @@ con = duckdb.connect()
 # then SIGSEGV) at the x100 corpus; with it they run — slowly, which is
 # fine for an oracle
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
-# 48GB default coexists with a Spark JVM on a 128G host; the q153 DSIR
-# restatement at x100 needs ~100GB (GRAFT_DUCKDB_MEM=100GB) run alone
+# default derives from host RAM: min(48GB, half of physical) — a flat
+# 48GB on a 16-32GB host would RAISE the cap past physical memory and
+# invite the OOM-kill this setting exists to prevent (DuckDB's own
+# default is ~80% of RAM). The q153 DSIR restatement at x100 needs
+# ~100GB (GRAFT_DUCKDB_MEM=100GB) run alone on the 128G host.
 import os as _os
-con.execute(f"SET memory_limit='{_os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
+_mem = _os.environ.get("GRAFT_DUCKDB_MEM")
+if _mem is None:
+    _total_gb = _os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+    _mem = f"{min(48, max(1, int(_total_gb / 2)))}GB"
+con.execute(f"SET memory_limit='{_mem}'")
 for t in TABLES:
     # a table may be one file (driver testdata) or a directory of part
     # files (tools/scaleup.py synth corpora) — glob the directory form
