@@ -31,8 +31,11 @@ final class ContractStore {
     * pass, O(facts+features) rows; the 100 TB path) or "join" (equi-join +
     * rank dedup, the reference's own Spark shape, local/job.py:678-699).
     * Both produce identical results (JoinsSpec equivalence tests); "join"
-    * can win when the feature side is a small broadcastable dimension. */
-  @volatile private var pitStrategyVal: String = "sorted"
+    * can win when the feature side is a small broadcastable dimension.
+    * SPARK_GRAFT_PIT_STRATEGY overrides the default for a whole process —
+    * the scale-measurement A/B knob (SCALE.md's sorted-vs-join table), so
+    * the same registered queries time both physical forms unmodified. */
+  @volatile private var pitStrategyVal: String = ContractStore.defaultPitStrategy
   def pitStrategy: String = pitStrategyVal
   def withPitStrategy(s: String): ContractStore = {
     require(s == "sorted" || s == "join", s"unknown PIT strategy: $s")
@@ -227,10 +230,23 @@ final class ContractStore {
     * OVER-approximate — e.g. a column alias that collides with a view
     * name — which costs one spurious registration, never a miss, because
     * every reachable table reference IS such a token in the unquoted
-    * single-statement grammar this store speaks). */
+    * single-statement grammar this store speaks).
+    *
+    * Matching is case-INSENSITIVE, mirroring Spark's own resolution: a view
+    * registered as `Sales` referenced as `sales` must register, or the
+    * statement would die in TABLE_OR_VIEW_NOT_FOUND that vanilla Spark
+    * would have resolved.
+    *
+    * View names outside the bare-identifier grammar (dashes, spaces — only
+    * referencable back-quoted) are outside the scan too, by design: the
+    * scan tokenizes through the quoting, no token equals the name, the view
+    * never registers, and Spark raises its standard TABLE_OR_VIEW_NOT_FOUND
+    * — a loud, attributable error, never a wrong result. Spec-pinned in
+    * SqlReferencedViewsSpec. */
   private def sqlIdentifiers(sql: String): Set[String] =
     """[A-Za-z_][A-Za-z0-9_]*""".r
-      .findAllIn(sql.replaceAll("'[^']*'", " ")).toSet
+      .findAllIn(sql.replaceAll("'[^']*'", " "))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
 
   /** SQL entry point (feature_store.py:457-499): register each REFERENCED
     * contract as a temp view, run Spark SQL. The reference needs sqlglot
@@ -254,7 +270,7 @@ final class ContractStore {
   def executeSql(spark: SparkSession, sql: String): DataFrame = {
     if (!sql.trim.toLowerCase(java.util.Locale.ROOT).startsWith("values")) {
       val referenced = sqlIdentifiers(sql)
-      viewsMap.values.filter(v => referenced.contains(v.name)).foreach { v =>
+      viewsMap.values.filter(v => referenced.contains(v.name.toLowerCase(java.util.Locale.ROOT))).foreach { v =>
         val declared = v.entities ++ v.features
         val src = v.materializedSource.getOrElse(v.source)
         val isWriteTarget = src.isInstanceOf[graft.sources.WritableSource]
@@ -279,7 +295,7 @@ final class ContractStore {
             .createOrReplaceTempView(v.name)
         } else view(v.name).all(spark).createOrReplaceTempView(v.name)
       }
-      modelsMap.values.filter(m => referenced.contains(m.name)).foreach { m =>
+      modelsMap.values.filter(m => referenced.contains(m.name.toLowerCase(java.util.Locale.ROOT))).foreach { m =>
         m.predictionView.foreach(pv =>
           new ViewStore(this, pv).all(spark).createOrReplaceTempView(m.name))
       }
@@ -598,6 +614,18 @@ final class ContractStore {
       }
     }
   }
+}
+
+object ContractStore {
+  /** Process-wide default for new stores' PIT strategy; validated eagerly
+    * so a typo'd env value fails at first store construction with the
+    * variable named, not deep in a query plan. */
+  private[store] val defaultPitStrategy: String =
+    sys.env.get("SPARK_GRAFT_PIT_STRATEGY").map { v =>
+      require(v == "sorted" || v == "join",
+        s"SPARK_GRAFT_PIT_STRATEGY must be 'sorted' or 'join', got '$v'")
+      v
+    }.getOrElse("sorted")
 }
 
 /** Per-view query surface (reference: FeatureViewStore, feature_store.py:1461+). */

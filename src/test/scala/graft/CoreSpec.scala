@@ -2426,6 +2426,31 @@ class SqlReferencedViewsSpec extends AnyFunSuite {
     assert(store.executeSql(spark,
       "SELECT count(*) AS n FROM t WHERE label = 'broken'").head().getLong(0) == 1L)
   }
+
+  test("identifier-scan edges: case-insensitive hit; non-identifier names fail loudly") {
+    // VERDICT r13 #7. Two pins: (a) a case-mismatched reference REGISTERS —
+    // Spark resolves view names case-insensitively, so the scan must too,
+    // or a statement vanilla Spark accepts would die in
+    // TABLE_OR_VIEW_NOT_FOUND; (b) a view whose NAME is outside the bare
+    // identifier grammar (dash — only referencable back-quoted) never
+    // registers: the scan tokenizes through the quoting, so the statement
+    // fails with Spark's standard not-found — loud, never silently wrong.
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlref").toString
+    Seq((1L, 2L)).toDF("id", "v").write.parquet(s"$work/q")
+    val store = new graft.store.ContractStore()
+    store.addView(graft.contract.FeatureView("Sales",
+      graft.sources.ParquetSource(s"$work/q")))
+    store.addView(graft.contract.FeatureView("my-view",
+      graft.sources.ParquetSource(s"$work/q")))
+    // (a) registered "Sales", referenced lowercase — resolves
+    assert(store.executeSql(spark, "SELECT * FROM sales").count() == 1L)
+    // (b) back-quoted dashed name — documented loud failure
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      store.executeSql(spark, "SELECT * FROM `my-view`").collect()
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("cannot be found"))
+  }
 }
 
 /** q212b's runtime path: a MID-BATCH CRASH (post-sink, pre-engine-commit)
