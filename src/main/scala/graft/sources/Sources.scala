@@ -163,6 +163,88 @@ final case class BucketedParquetSource(path: String, bucketKeys: Seq[String],
   }
 }
 
+/** Log-structured upsert store: every upsert APPENDS its batch under a new
+  * `__gen=N` hive partition and the read resolves keys to their LATEST
+  * generation — the Delta/Iceberg commit-log idea (append + resolve, never
+  * read-modify-write) with no jar. Built for high-frequency upsert sinks
+  * (the staged streaming gates' online store): per-batch cost is O(batch)
+  * — one plain parquet append, no old-side read, no anti-join, no rewrite,
+  * no rename — where [[ParquetSource.upsert]] pays O(store) per batch and
+  * even [[BucketedParquetSource]] pays O(touched buckets). Measured at ×100
+  * state density this is the difference between a 47× and a single-digit
+  * gate ratio (SCALE.md round 14).
+  *
+  * Semantics: upsert-by-key with latest-write-wins — exactly update-mode
+  * streaming's contract (each micro-batch re-emits a key's CUMULATIVE row,
+  * so the newest emission is the truth). Read = one window pass keeping
+  * row_number()==1 per key ordered by generation desc; duplicates of a key
+  * WITHIN one generation are not disambiguated (update-mode emissions are
+  * per-key unique by construction; documented, not guarded). Redelivered
+  * (at-least-once) batches append identical rows under a newer generation
+  * and resolve away. Generations are monotonic per path: a process-local
+  * counter seeded from the existing directory listing, so a restart
+  * (q212's recovery shape) continues above every persisted generation.
+  * Compaction (fold the log back to one generation) = overwrite(read);
+  * at 100 TB that is the standard periodic OPTIMIZE job, amortized across
+  * thousands of appends. Cross-process appends race only on the counter
+  * seed — single-writer per path is this store's contract, same as every
+  * plain-file source here ([[StageAndSwap]] scaladoc). */
+final case class LogUpsertSource(path: String, keys: Seq[String]) extends WritableSource {
+  private val G = "__gen"
+  def read(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = spark.read.parquet(path)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(G).desc)
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", G)
+  }
+  override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
+  /** Next generation for this path: max persisted + 1 on first touch in
+    * this process, then strictly increasing under the path lock. */
+  private def nextGen(spark: SparkSession): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val key = fs.makeQualified(p).toString
+    LogUpsertSource.gens.computeIfAbsent(key, { _ =>
+      val seed =
+        if (!fs.exists(p)) -1L
+        else fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith(G + "="))
+          .map(n => n.substring(G.length + 1).toLong)
+          .foldLeft(-1L)(math.max)
+      new java.util.concurrent.atomic.AtomicLong(seed)
+    }).incrementAndGet()
+  }
+  def insert(df: DataFrame): Unit = upsert(df, keys)
+  def overwrite(df: DataFrame): Unit = StageAndSwap.locked(df.sparkSession, path) {
+    val spark = df.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(path)
+    dest.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dest, true)
+    // gen=0 written explicitly (works for the empty frame too, where
+    // partitionBy would emit no files and leave the dir schema-less)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/$G=0")
+    spark.catalog.refreshByPath(path)
+  }
+  def upsert(df: DataFrame, upsertKeys: Seq[String]): Unit = StageAndSwap.locked(df.sparkSession, path) {
+    require(upsertKeys == keys,
+      s"LogUpsertSource($path) resolves reads by $keys; an upsert keyed by " +
+        s"$upsertKeys would not merge on read")
+    df.write.mode(SaveMode.Append).parquet(s"$path/$G=${nextGen(df.sparkSession)}")
+    df.sparkSession.catalog.refreshByPath(path)
+  }
+}
+
+object LogUpsertSource {
+  /** One generation counter per qualified path (process-local; seeded from
+    * the directory on first touch — see [[LogUpsertSource.nextGen]]). */
+  private val gens =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  /** Drop all cached counters so the next touch re-seeds from the directory
+    * — simulates a process restart for the recovery spec. */
+  private[graft] def resetCountersForTest(): Unit = gens.clear()
+}
+
 final case class CsvSource(
     path: String,
     sep: String = ",",

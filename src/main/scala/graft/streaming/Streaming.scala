@@ -503,20 +503,21 @@ object Streaming {
     * keys), not corpus-scale, so a wide micro-batch fan-out only adds
     * state-store and task overhead per batch — and restore the session's
     * width after, exception paths included. */
-  /** The staged gates' online store: hash-bucketed on the merge key so a
-    * micro-batch upsert rewrites O(touched buckets), never O(store) — the
-    * ×100 streaming measurement (SCALE.md, VERDICT r13 #1) showed the plain
-    * ParquetSource store paying a full anti-join + rewrite per batch, which
-    * made a full run ~O(store²/batch) once the store grows with the corpus.
-    * Default 8 buckets: at driver SFs each bucket stays a few KB (constant
-    * overhead per batch is one bounded distinct-collect + ≤8 pruned-file
-    * reads); scale runs widen via SPARK_GRAFT_STORE_BUCKETS so one bucket
-    * stays executor-memory-sized. */
+  /** The staged gates' online store: a [[graft.sources.LogUpsertSource]] —
+    * each micro-batch APPENDS under a new generation and the final read
+    * resolves keys to their latest emission. Chosen by measurement
+    * (SCALE.md round 14, VERDICT r13 #1): the plain ParquetSource store
+    * paid a full anti-join + rewrite per batch (O(store), ~O(store²/batch)
+    * per run once the store grows with the corpus); the hash-bucketed
+    * store cut that to O(touched buckets) but the gates' corpus-shaped
+    * batches touch every bucket AND its per-batch constants (touched
+    * collect, dynamic-overwrite commit) doubled the small-scale gates; the
+    * log store is O(batch) per batch — strictly less sink work than both
+    * at every scale — and latest-wins is exactly update-mode streaming's
+    * re-emission contract. */
   private[graft] def gateStore(work: java.nio.file.Path, sub: String,
       keys: Seq[String]): graft.sources.WritableSource =
-    graft.sources.BucketedParquetSource(work.resolve(sub).toString, keys,
-      parsePositiveInt("SPARK_GRAFT_STORE_BUCKETS",
-        sys.env.get("SPARK_GRAFT_STORE_BUCKETS"), default = 8))
+    graft.sources.LogUpsertSource(work.resolve(sub).toString, keys)
 
   private[graft] def parsePositiveInt(name: String, raw: Option[String], default: Int): Int =
     raw.map { v =>
@@ -533,6 +534,13 @@ object Streaming {
     * opaque Spark error deep in the gate lifecycle). */
   private[graft] def parseGateWidth(raw: Option[String]): Int =
     parsePositiveInt("SPARK_GRAFT_GATE_WIDTH", raw, default = 1)
+
+  /** Sink-side batch narrowing: one task at the deterministic width-1 gate
+    * (tiny store, task constants dominate), untouched at scale widths where
+    * a batch is corpus-shaped and coalesce(1) would single-thread the whole
+    * upsert chain. */
+  private def gateCoalesce(df: DataFrame): DataFrame =
+    if (parseGateWidth(sys.env.get("SPARK_GRAFT_GATE_WIDTH")) == 1) df.coalesce(1) else df
 
   private def withStagedGate[T](spark: SparkSession, df: DataFrame,
       orderCol: String, chunks: Int, workDir: Option[String])(
@@ -567,9 +575,11 @@ object Streaming {
     * per-batch `project`ed rows upsert through [[idempotentBatchSink]]
     * (empty watermark-finalize batches skip the upsert job chain), the
     * query drains with processAllAvailable, and the store source is
-    * returned. coalesce(1): the store is key-cardinality rows —
-    * metadata-bounded, never corpus-bounded — so one task per upsert
-    * write beats a fan-out. */
+    * returned. [[gateCoalesce]] on the batch: at the default width-1 gate
+    * the store is tiny and one task per upsert beats a fan-out; at scale
+    * widths a micro-batch is millions of rows and a forced coalesce(1)
+    * single-threads the whole sink chain — measured at ×100 state density
+    * as part of the q176/q177 residual (SCALE.md). */
   private def runUpsertStream(spark: SparkSession, streamed: DataFrame,
       project: DataFrame => DataFrame, keys: Seq[String],
       work: java.nio.file.Path, lap: String => Unit,
@@ -584,7 +594,7 @@ object Streaming {
         val nonEmpty = !batch.isEmpty
         if (debugT) System.err.println(f"[stream-gate]   isEmpty ${(System.nanoTime() - tU) / 1e9}%.2fs")
         val tV = System.nanoTime()
-        if (nonEmpty) store.upsert(project(batch).coalesce(1), keys)
+        if (nonEmpty) store.upsert(gateCoalesce(project(batch)), keys)
         if (debugT) System.err.println(f"[stream-gate]   upsert ${(System.nanoTime() - tV) / 1e9}%.2fs")
       } finally batch.unpersist(blocking = false)
       },
@@ -773,7 +783,7 @@ object Streaming {
       val keys = Seq("window_start", keyCol)
       val st = gateStore(g.work, "store", keys)
       val upsert = idempotentBatchSink({ (batch, _) =>
-        if (!batch.isEmpty) st.upsert(project(batch).coalesce(1), keys)
+        if (!batch.isEmpty) st.upsert(gateCoalesce(project(batch)), keys)
       }, g.work.resolve("commitlog").toString)(spark)
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       val q1 = agg.writeStream.outputMode("update")
@@ -1237,12 +1247,12 @@ object Streaming {
       // upsert-on-idCol alone — a trigger emit is a per-row routing, not a
       // second ledger
       val mainSink = idempotentBatchSink({ (batch, _) =>
-        if (!batch.isEmpty) mainStore.upsert(batch.coalesce(1), Seq(idCol))
+        if (!batch.isEmpty) mainStore.upsert(gateCoalesce(batch), Seq(idCol))
       }, g.work.resolve("commitlog").toString)(spark)
       val q = runWorker(g.source, view,
         sink = mainSink,
         triggers = Seq(EventTrigger(condition,
-          matched => if (!matched.isEmpty) trigStore.upsert(matched.coalesce(1), Seq(idCol)))),
+          matched => if (!matched.isEmpty) trigStore.upsert(gateCoalesce(matched), Seq(idCol)))),
         checkpointDir = Some(g.work.resolve("ckpt").toString),
         trigger = Trigger.ProcessingTime(0L))
       try q.processAllAvailable() finally q.stop()

@@ -2857,6 +2857,83 @@ class AdviceRegressionSpec extends AnyFunSuite {
   }
 }
 
+/** The log-structured upsert store (VERDICT r13 #1, second iteration): a
+  * micro-batch sink whose per-batch cost is O(batch) — append under a new
+  * generation, resolve latest-wins on read. */
+class LogUpsertSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.sources.LogUpsertSource
+
+  test("latest generation wins per key; older emissions resolve away") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log").toString + "/s"
+    val src = LogUpsertSource(dir, Seq("id"))
+    src.upsert(Seq((1L, "a1"), (2L, "b1")).toDF("id", "v"), Seq("id"))
+    src.upsert(Seq((2L, "b2"), (3L, "c1")).toDF("id", "v"), Seq("id"))
+    src.upsert(Seq((1L, "a3")).toDF("id", "v"), Seq("id"))
+    val out = src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a3", 2L -> "b2", 3L -> "c1"))
+    assert(src.read(spark).columns.toSeq == Seq("id", "v"), "no __gen in the read schema")
+  }
+
+  test("appends never touch earlier generations' files (O(batch) per batch, physically)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log2").toString + "/s"
+    val src = LogUpsertSource(dir, Seq("id"))
+    src.upsert((0L until 100L).map(i => (i, i * 2)).toDF("id", "v"), Seq("id"))
+    def files() = {
+      val root = java.nio.file.Paths.get(dir)
+      val out = scala.collection.mutable.Map[String, Long]()
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          out(root.relativize(p).toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+    val before = files()
+    src.upsert(Seq((7L, -1L)).toDF("id", "v"), Seq("id"))
+    val after = files()
+    before.foreach { case (f, mtime) =>
+      assert(after.get(f).contains(mtime), s"existing log file rewritten: $f") }
+    assert(after.size > before.size, "the batch must land as NEW files")
+    assert(src.read(spark).filter(col("id") === 7L).head().getLong(1) == -1L)
+  }
+
+  test("redelivered (at-least-once) batches resolve to one copy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log3").toString + "/s"
+    val src = LogUpsertSource(dir, Seq("id"))
+    val batch = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    src.upsert(batch, Seq("id"))
+    src.upsert(batch, Seq("id")) // redelivery
+    assert(src.read(spark).count() == 2)
+  }
+
+  test("generation counter seeds above persisted generations (restart shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log4").toString + "/s"
+    LogUpsertSource(dir, Seq("id")).upsert(Seq((1L, "old")).toDF("id", "v"), Seq("id"))
+    // a 'restarted process': drop the cached counter so the next source
+    // must re-seed from the directory listing
+    graft.sources.LogUpsertSource.resetCountersForTest()
+    val src2 = LogUpsertSource(dir, Seq("id"))
+    src2.upsert(Seq((1L, "new")).toDF("id", "v"), Seq("id"))
+    assert(src2.read(spark).head().getString(1) == "new",
+      "post-restart generation must sort above every persisted one")
+  }
+
+  test("empty overwrite materializes schema; mismatched upsert keys refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log5").toString + "/s"
+    val src = LogUpsertSource(dir, Seq("id"))
+    src.overwrite(Seq((1L, "a")).toDF("id", "v").limit(0))
+    assert(src.exists(spark) && src.read(spark).count() == 0)
+    assert(src.read(spark).columns.toSeq == Seq("id", "v"))
+    intercept[IllegalArgumentException](
+      src.upsert(Seq((1L, "a")).toDF("id", "v"), Seq("v")))
+    // overwrite resets content: later upsert beats the gen=0 snapshot
+    src.overwrite(Seq((9L, "base")).toDF("id", "v"))
+    src.upsert(Seq((9L, "upd")).toDF("id", "v"), Seq("id"))
+    assert(src.read(spark).head().getString(1) == "upd")
+  }
+}
+
 /** The hash-bucketed store (VERDICT r13 #1): per-batch upsert cost must be
   * O(touched buckets), not O(store) — proven here physically (untouched
   * buckets' files byte-identical across an upsert), not just semantically. */
@@ -2914,6 +2991,36 @@ class BucketedStoreSpec extends AnyFunSuite {
     // …a bucket key MISSING from the upsert keys is refused loudly
     intercept[IllegalArgumentException](
       src.upsert(Seq(("c", 3)).toDF("k", "n"), Seq("n")))
+  }
+
+  test("micro-measure: small-batch upsert cost is flat in store size (opt-in)") {
+    // The O(touched)-not-O(store) claim, MEASURED: the same 5-key upsert
+    // against a 100k-row and a 1M-row store (64 buckets) must cost about
+    // the same — the old whole-store protocol scales it ~10×. Opt-in
+    // (SPARK_GRAFT_STORE_MICRO=1): timing-based, so it stays out of the
+    // default suite; the byte-identity test above is the deterministic
+    // enforcement of the same property. Prints the numbers for SCALE.md.
+    assume(sys.env.contains("SPARK_GRAFT_STORE_MICRO"), "opt-in micro-benchmark")
+    def timedUpsert(storeRows: Long): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bmicro").toString + "/s"
+      val src = BucketedParquetSource(dir, Seq("id"), numBuckets = 64)
+      src.overwrite(spark.range(storeRows).select(col("id"),
+        (col("id") % 1000).cast("double").as("v")))
+      val batch = Seq(1L, 17L, 33L, 49L, 63L).map(i => (i, -1.0)).toDF("id", "v")
+      // warm once on a throwaway store-level read so fs caches are hot
+      src.read(spark).limit(1).collect()
+      val t0 = System.nanoTime()
+      src.upsert(batch, Seq("id"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val small = timedUpsert(100000L)
+    val big = timedUpsert(1000000L)
+    info(f"5-key upsert: store=100k ${small}%.2fs, store=1M ${big}%.2fs, ratio ${big / small}%.2f")
+    println(f"[store-micro] 5-key upsert: 100k=${small}%.2fs 1M=${big}%.2fs ratio=${big / small}%.2f")
+    // generous ceiling: a 10x store may cost a LITTLE more (pruned listing,
+    // per-bucket row groups grow 10x), but nothing near the 10x an
+    // O(store) protocol pays
+    assert(big / small < 3.0, f"small-batch upsert scaled with store size: ${big / small}%.2f")
   }
 
   test("an EMPTY overwrite still materializes a readable schema-bearing store") {
