@@ -97,6 +97,10 @@ object ContractJson {
     case graft.sources.ParquetSource(p) => s"""{"kind":"parquet","path":${q(p)}}"""
     case graft.sources.PartitionedParquetSource(p, keys) =>
       s"""{"kind":"partitioned_parquet","path":${q(p)},"keys":${arr(keys.map(q))}}"""
+    case graft.sources.BucketedParquetSource(p, keys, b) =>
+      s"""{"kind":"bucketed_parquet","path":${q(p)},"keys":${arr(keys.map(q))},"buckets":$b}"""
+    case graft.sources.LogUpsertSource(p, keys) =>
+      s"""{"kind":"log_upsert","path":${q(p)},"keys":${arr(keys.map(q))}}"""
     case graft.sources.CsvSource(p, sep, header, df) =>
       s"""{"kind":"csv","path":${q(p)},"sep":${q(sep)},"header":$header,"date_format":${opt(df)}}"""
     case graft.sources.JdbcSource(url, table, _) =>
@@ -131,6 +135,11 @@ object ContractJson {
     m("kind") match {
       case "parquet" => graft.sources.ParquetSource(m("path").toString)
       case "partitioned_parquet" => graft.sources.PartitionedParquetSource(
+        m("path").toString, m("keys").asInstanceOf[Seq[Any]].map(_.toString))
+      case "bucketed_parquet" => graft.sources.BucketedParquetSource(
+        m("path").toString, m("keys").asInstanceOf[Seq[Any]].map(_.toString),
+        m("buckets").toString.toDouble.toInt)
+      case "log_upsert" => graft.sources.LogUpsertSource(
         m("path").toString, m("keys").asInstanceOf[Seq[Any]].map(_.toString))
       case "csv" => graft.sources.CsvSource(m("path").toString, m("sep").toString,
         m("header").asInstanceOf[Boolean], Option(m("date_format")).map(_.toString))

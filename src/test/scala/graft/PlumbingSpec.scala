@@ -1164,7 +1164,9 @@ class ContractJsonSpec extends AnyFunSuite {
           Some("AK_ENV"), Some("SK_ENV")), "a/b.parquet"),
       graft.sources.AzureBlobParquetSource(
         graft.sources.AzureBlobConfig("acct", "data", Some("AZ_ENV")), "raw/d.parquet"),
-      graft.sources.UCTableSource("main", "ml", "feat"))
+      graft.sources.UCTableSource("main", "ml", "feat"),
+      graft.sources.BucketedParquetSource("/data/b", Seq("id", "k"), 32),
+      graft.sources.LogUpsertSource("/data/l", Seq("id")))
     sources.foreach { src =>
       val v = view.copy(source = src, derived = Nil, aggregates = Nil)
       val back = ContractJson.fromJson(ContractJson.toJson(v))
