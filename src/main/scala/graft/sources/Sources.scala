@@ -233,6 +233,39 @@ final case class LogUpsertSource(path: String, keys: Seq[String]) extends Writab
     df.write.mode(SaveMode.Append).parquet(s"$path/$G=${nextGen(df.sparkSession)}")
     df.sparkSession.catalog.refreshByPath(path)
   }
+
+  /** Fold the whole log into one resolved generation — the OPTIMIZE half
+    * of the LSM story. Read cost grows with total EMISSIONS (every
+    * generation's rows flow through the resolve window) until a compaction
+    * resets it to O(live keys); a store taking thousands of appends runs
+    * this periodically, amortizing one O(log) rewrite over the appends
+    * since the last one. The fold lands under a NEW top generation (not
+    * gen=0) via stage-and-rename, so a crash between stages leaves every
+    * old generation intact and a half-written compaction is invisible to
+    * the resolve (its generation dir only appears on the final rename). */
+  def compact(spark: SparkSession): Unit = StageAndSwap.locked(spark, path) {
+    if (!exists(spark)) return
+    val resolved = read(spark)
+    val gen = nextGen(spark)
+    val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // staging lives OUTSIDE the store dir: a crash-leftover dir named
+    // "__gen=N__tmp" INSIDE it would parse as a string-valued __gen
+    // partition and corrupt the numeric generation ordering
+    val store = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(
+      store.getParent, store.getName + s"__graft_compact_g$gen")
+    // materialize the fold FULLY before dropping any input generation
+    // (self-overwrite discipline, same as Caching.compact)
+    resolved.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val old = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter(p => p.getName.startsWith(G + "=") &&
+        p.getName != dest.getName)
+    if (!fs.rename(staging, dest))
+      throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
+    old.foreach(p => fs.delete(p, true))
+    spark.catalog.refreshByPath(path)
+  }
 }
 
 object LogUpsertSource {

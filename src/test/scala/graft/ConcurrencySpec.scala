@@ -167,21 +167,28 @@ class ConcurrencySpec extends AnyFunSuite {
     // two upserts to one path both merge against the same old snapshot and
     // the last rename-swap silently drops the other's rows (lost update).
     // N threads upsert DISJOINT key ranges; done = every key lands exactly
-    // once. Intra-JVM scope only (cross-process = the commit log's job).
+    // once, on EVERY upsert-capable store shape (merge-on-write, bucketed
+    // merge, log append). Intra-JVM scope only (cross-process = the commit
+    // log's job).
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-conc-upsert").toString
-    val src = ParquetSource(s"$dir/store.parquet")
-    src.overwrite(Seq((-1L, "seed")).toDF("id", "v"))
-    val n = 6
-    val results = inPool(n)((0 until n).map { t => () =>
-      src.upsert((0 until 20).map(i => (t * 100L + i, s"w$t")).toDF("id", "v"), Seq("id"))
-    })
-    val failures = results.collect { case Failure(e) => e }
-    assert(failures.isEmpty, s"concurrent same-target upsert threw: ${failures.headOption}")
-    val out = src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out.size == n * 20 + 1, s"lost update: expected ${n * 20 + 1} rows, got ${out.size}")
-    (0 until n).foreach { t =>
-      (0 until 20).foreach(i => assert(out(t * 100L + i) == s"w$t")) }
-    assert(out(-1L) == "seed")
+    val stores: Seq[(String, WritableSource)] = Seq(
+      "parquet" -> ParquetSource(s"$dir/p.parquet"),
+      "bucketed" -> BucketedParquetSource(s"$dir/b.parquet", Seq("id"), numBuckets = 8),
+      "log" -> LogUpsertSource(s"$dir/l.parquet", Seq("id")))
+    for ((label, src) <- stores) {
+      src.overwrite(Seq((-1L, "seed")).toDF("id", "v"))
+      val n = 6
+      val results = inPool(n)((0 until n).map { t => () =>
+        src.upsert((0 until 20).map(i => (t * 100L + i, s"w$t")).toDF("id", "v"), Seq("id"))
+      })
+      val failures = results.collect { case Failure(e) => e }
+      assert(failures.isEmpty, s"[$label] concurrent same-target upsert threw: ${failures.headOption}")
+      val out = src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.size == n * 20 + 1, s"[$label] lost update: expected ${n * 20 + 1} rows, got ${out.size}")
+      (0 until n).foreach { t =>
+        (0 until 20).foreach(i => assert(out(t * 100L + i) == s"w$t", s"[$label] key ${t * 100L + i}")) }
+      assert(out(-1L) == "seed", s"[$label] seed row lost")
+    }
   }
 }

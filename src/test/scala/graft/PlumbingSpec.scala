@@ -2921,6 +2921,28 @@ class LogUpsertSourceSpec extends AnyFunSuite {
       "post-restart generation must sort above every persisted one")
   }
 
+  test("compact folds the log to one generation; content identical, appends continue") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log6").toString + "/s"
+    val src = LogUpsertSource(dir, Seq("id"))
+    src.upsert((0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    src.upsert(Seq((7L, "u1"), (99L, "new")).toDF("id", "v"), Seq("id"))
+    src.upsert(Seq((7L, "u2")).toDF("id", "v"), Seq("id"))
+    val before = src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    src.compact(spark)
+    // one generation dir remains (no stale staging dir in or beside the store)
+    val gens = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString.split("/").last).filter(_.startsWith("__gen="))
+    assert(gens.length == 1, s"expected one generation after compact, got ${gens.toSeq}")
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir).getParent).toArray
+      .map(_.toString).exists(_.contains("__graft_compact")), "staging dir leaked")
+    val after = src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before, "compact changed the resolved content")
+    assert(after(7L) == "u2" && after(99L) == "new" && after.size == 51)
+    // the log keeps absorbing upserts above the compacted generation
+    src.upsert(Seq((7L, "u3")).toDF("id", "v"), Seq("id"))
+    assert(src.read(spark).filter(col("id") === 7L).head().getString(1) == "u3")
+  }
+
   test("empty overwrite materializes schema; mismatched upsert keys refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft_log5").toString + "/s"
     val src = LogUpsertSource(dir, Seq("id"))
