@@ -78,3 +78,79 @@ class ScalePlanInvariantsSpec extends AnyFunSuite {
       s"q83_lm_coverage: scoring join is not an equi-join at scale\n$plan")
   }
 }
+
+/** Exact-arithmetic anchors AT SCALE that the DuckDB oracle cannot reach:
+  * q239c's exact-integer Cramér restatement overflows INT128 once the
+  * ×100 corpus pushes the determinant products past 2^127 (SCALE.md —
+  * the one exclusion-by-construction in the ×100 correctness sweep).
+  * BigInt has no such ceiling, so this spec re-derives the same exact
+  * rational at ANY corpus size: integer sums via plain Spark SQL over
+  * floor(v·2^6) (a different code path from MLOps.olsFit's moment fold),
+  * Cramér over BigInt on the driver, the same exact half-up
+  * micro-rounding — and compares against the registered q239c output.
+  * Opt-in like the other scale gates (SPARK_GRAFT_SCALE_DIR). */
+class ScaleExactAnchorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "")
+  private def ready = scaleDir.nonEmpty &&
+    new java.io.File(s"$scaleDir/embeddings.parquet").exists()
+
+  test("q239c's dim-3 OLS matches an exact BigInt Cramér at the scaled corpus") {
+    assume(ready, s"scale dir absent — build with tools/scaleup.py --synth-only")
+    import org.apache.spark.sql.functions._
+    val engine = SparkEntry.queries("q239c_ols_dim3_cramer")(spark, scaleDir)
+      .collect().head
+    // independent integer sums: plain SQL aggregation, exact in long at
+    // any reachable corpus size (|q| ≲ 2^7, so Σq·q over 2^31 rows < 2^45)
+    val q = spark.read.parquet(s"$scaleDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select((1 to 3).map(i =>
+          floor(element_at(col("embedding").cast("array<double>"), i) * 64.0)
+            .cast("long").as(s"q$i")) :+
+        floor(element_at(col("embedding").cast("array<double>"), 4) * 64.0)
+          .cast("long").as("qy"): _*)
+      .filter(col("qy").isNotNull)
+    val s = q.agg(count(lit(1)).as("n"),
+      sum("q1").as("s1"), sum("q2").as("s2"), sum("q3").as("s3"), sum("qy").as("sy"),
+      sum(col("q1") * col("q1")).as("s11"), sum(col("q1") * col("q2")).as("s12"),
+      sum(col("q1") * col("q3")).as("s13"), sum(col("q1") * col("qy")).as("s1y"),
+      sum(col("q2") * col("q2")).as("s22"), sum(col("q2") * col("q3")).as("s23"),
+      sum(col("q2") * col("qy")).as("s2y"), sum(col("q3") * col("q3")).as("s33"),
+      sum(col("q3") * col("qy")).as("s3y")).collect().head
+    def B(name: String) = BigInt(s.getAs[Long](name))
+    val n = B("n")
+    val (s1, s2, s3, sy) = (B("s1"), B("s2"), B("s3"), B("sy"))
+    val a11 = n * B("s11") - s1 * s1; val a12 = n * B("s12") - s1 * s2
+    val a13 = n * B("s13") - s1 * s3; val a22 = n * B("s22") - s2 * s2
+    val a23 = n * B("s23") - s2 * s3; val a33 = n * B("s33") - s3 * s3
+    val b1 = n * B("s1y") - s1 * sy; val b2 = n * B("s2y") - s2 * sy
+    val b3 = n * B("s3y") - s3 * sy
+    val det = a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * a23 - a22 * a13)
+    val det1 = b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) +
+      a13 * (b2 * a23 - a22 * b3)
+    val det2 = a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * b3 - b2 * a13)
+    val det3 = a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13) +
+      b1 * (a12 * a23 - a22 * a13)
+    // exact half-up micro-rounding: floor((2·10⁶·p + q) / (2q)) with the
+    // sign normalized onto the numerators (the oracle's own discipline)
+    val qq = det.abs
+    assert(qq > 0, "singular normal equations at scale — synth corpus defect")
+    def microRound(p0: BigInt): Long = {
+      val p = if (det < 0) -p0 else p0
+      val num = BigInt(2000000) * p + qq
+      val den = BigInt(2) * qq
+      // BigInt `/` truncates toward zero; emulate floor division
+      val fd = if (num.sign * den.sign >= 0 || num % den == 0) num / den
+               else num / den - 1
+      fd.toLong
+    }
+    assert(microRound(det1) == engine.getLong(0),
+      s"mb1: exact ${microRound(det1)} vs engine ${engine.getLong(0)}")
+    assert(microRound(det2) == engine.getLong(1),
+      s"mb2: exact ${microRound(det2)} vs engine ${engine.getLong(1)}")
+    assert(microRound(det3) == engine.getLong(2),
+      s"mb3: exact ${microRound(det3)} vs engine ${engine.getLong(2)}")
+  }
+}
