@@ -153,4 +153,39 @@ class ScaleExactAnchorsSpec extends AnyFunSuite {
     assert(microRound(det3) == engine.getLong(2),
       s"mb3: exact ${microRound(det3)} vs engine ${engine.getLong(2)}")
   }
+
+  test("q1's sum_charge matches the exact-integer sum rounded ONCE at the scaled corpus") {
+    // The ×10/×100 sweep's q1 exclusion is DuckDB's DECIMAL→DOUBLE
+    // double-rounding (int128→double, then ÷10⁶) once a sum passes
+    // 2⁵³/10⁶ — an oracle CONVERSION artifact. This anchor proves the
+    // ENGINE side exact at any scale: charge·10⁶ is an exact integer per
+    // row (2-decimal × 2-decimal × 2-decimal = exact at 6 decimals), its
+    // group sum is summed in DECIMAL(38,0) (never overflows, never
+    // rounds), and the correct double is THAT integer ÷10⁶ rounded once
+    // — which must equal Spark's BigDecimal→double cast bit-for-bit.
+    assume(ready && new java.io.File(s"$scaleDir/lineitem.parquet").exists(),
+      "scale dir absent")
+    import org.apache.spark.sql.functions._
+    val engine = SparkEntry.queries("q1_pricing_summary")(spark, scaleDir)
+      .select("l_returnflag", "l_linestatus", "sum_charge").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = spark.read.parquet(s"$scaleDir/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        // rint the 2-decimal doubles onto their exact integer grids first
+        (expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))") *
+         expr("CAST(100 - round(l_discount * 100) AS DECIMAL(38,0))") *
+         expr("CAST(100 + round(l_tax * 100) AS DECIMAL(38,0))")).as("c6"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("c6")).as("s6"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDecimal(2)).toMap
+    assert(exact.keySet == engine.keySet)
+    for ((k, s6) <- exact) {
+      val once = new java.math.BigDecimal(s6.toBigInteger, 6).doubleValue()
+      assert(once == engine(k),
+        s"group $k: exact-once $once vs engine ${engine(k)} " +
+          f"(delta ${once - engine(k)}%.3e)")
+    }
+  }
 }
