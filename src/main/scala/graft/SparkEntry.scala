@@ -5931,6 +5931,52 @@ object SparkEntry {
             ELSE n_chars END AS n_chars
         FROM documents""")),
 
+    // --- hash-BUCKETED store round trip (round 14; the O(touched-buckets)
+    // upsert path for key-addressed stores whose natural key has no
+    // partition-friendly shape — BucketedParquetSource scaladoc). Same
+    // mutable-table oracle discipline as q203/q204: overwrite, upsert a
+    // selective slice, read back under the hash; untouched buckets' files
+    // are byte-identical by spec (BucketedStoreSpec) ---
+    Q("q244_bucketed_upsert",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+        val src = graft.sources.BucketedParquetSource(s"$work/docs_bkt", Seq("doc_id"), 16)
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+        src.overwrite(docs)
+        src.upsert(docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("source", lit("patched")), Seq("doc_id"))
+        src.read(s).select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      },
+      Some("""SELECT doc_id, lang,
+          CASE WHEN doc_id % 7 = 0 THEN 'patched' ELSE source END AS source,
+          n_chars
+        FROM documents""")),
+
+    // --- LOG-STRUCTURED store round trip (round 14; the O(batch)-per-
+    // upsert sink the staged streaming gates run on — LogUpsertSource
+    // scaladoc): three generations of appends, one of them a redelivery,
+    // then a COMPACTION, and the resolved read must equal the
+    // latest-write-wins semantics exactly; the compaction must be
+    // content-invariant ---
+    Q("q245_log_upsert_store",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_logq").toString
+        val src = graft.sources.LogUpsertSource(s"$work/docs_log", Seq("doc_id"))
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+        src.upsert(docs, Seq("doc_id"))
+        val patch = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") * 2L)
+        src.upsert(patch, Seq("doc_id"))
+        src.upsert(patch, Seq("doc_id")) // at-least-once redelivery
+        src.compact(s)                   // fold to one generation
+        src.read(s).select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      },
+      Some("""SELECT doc_id, lang, source,
+          CASE WHEN doc_id % 5 = 0 THEN n_chars * 2 ELSE n_chars END AS n_chars
+        FROM documents""")),
+
     // --- contract conformance pipeline in one gate (FileFullJob,
     // local/job.py:218-292): rename (mapping_keys) + fill-missing-with-
     // default + cast-on-mismatch + derived feature, all through
