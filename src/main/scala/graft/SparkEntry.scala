@@ -5977,6 +5977,71 @@ object SparkEntry {
           CASE WHEN doc_id % 5 = 0 THEN n_chars * 2 ELSE n_chars END AS n_chars
         FROM documents""")),
 
+    // --- LSM-COMPOSED store round trip (round 15; BucketedLogUpsertSource
+    // scaladoc): generation-log appends under a hash-bucket layout. The
+    // gate drives the store through ENOUGH upserts (9 > autoCompactEvery=4)
+    // that the ENGINE-enforced auto-compaction fires mid-sequence at least
+    // twice, then reads back both the full resolve AND a pruned point
+    // lookup — latest-write-wins must hold through every fold ---
+    Q("q246_bucketed_log_store",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_lsmq").toString
+        val src = graft.sources.BucketedLogUpsertSource(s"$work/docs_lsm",
+          Seq("doc_id"), numBuckets = 16, autoCompactEvery = 4)
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+        src.upsert(docs, Seq("doc_id"))
+        // eight key-sliced patch rounds: each round m rewrites the rows with
+        // doc_id % 8 == m, so auto-compaction fires inside the sequence and
+        // every key's LAST patch must survive all folds
+        for (m <- 0L until 8L)
+          src.upsert(docs.filter(pmod(col("doc_id"), lit(8L)) === m)
+            .withColumn("n_chars", col("n_chars") * 2L + m), Seq("doc_id"))
+        src.read(s).select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      },
+      Some("""SELECT doc_id, lang, source,
+          n_chars * 2 + (doc_id % 8) AS n_chars
+        FROM documents""")),
+
+    // --- ONLINE lookup over the LSM store (q139 discipline, VERDICT r14
+    // #3): the same latest-row point lookup, but the view's source is a
+    // BucketedLogUpsertSource so onlineFeaturesFor routes through the
+    // bucket-PRUNED readForEntities path (partition pruning spec-asserted
+    // in OnlineLookupSpec; this gates the VALUES against DuckDB). ts
+    // derives from the unique o_orderkey so "latest" is deterministic ---
+    Q("q247_lsm_online_lookup",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_lsmol").toString
+        val src = graft.sources.BucketedLogUpsertSource(s"$work/cust_lsm",
+          Seq("o_custkey"), numBuckets = 16)
+        // latest order per customer, upserted in two generations split on
+        // order parity so the log genuinely resolves across generations
+        val orders = t(s, dir, "orders").withColumn("ts",
+          timestamp_seconds(col("o_orderkey")))
+        import org.apache.spark.sql.expressions.Window
+        val latest = orders.withColumn("__rn", row_number().over(Window
+            .partitionBy(col("o_custkey")).orderBy(col("o_orderkey").desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+          .select("o_custkey", "ts", "o_totalprice", "o_orderstatus")
+        src.upsert(latest.filter(col("o_custkey") % 2 === 0), Seq("o_custkey"))
+        src.upsert(latest.filter(col("o_custkey") % 2 === 1), Seq("o_custkey"))
+        val v = graft.contract.FeatureView("cust_latest_lsm", src,
+          entities = Seq(graft.contract.Feature("o_custkey", graft.core.FeatureType.FInt64)),
+          features = Seq(
+            graft.contract.Feature("o_totalprice", graft.core.FeatureType.FFloat64),
+            graft.contract.Feature("o_orderstatus", graft.core.FeatureType.FString)),
+          eventTimestamp = Some(graft.contract.EventTimestamp("ts")))
+        new graft.store.ContractStore().addView(v).onlineFeaturesFor(s,
+          s.range(1, 101).select(col("id").as("o_custkey")),
+          Seq("cust_latest_lsm:o_totalprice", "cust_latest_lsm:o_orderstatus"))
+      },
+      Some("""WITH e AS (SELECT CAST(range AS BIGINT) AS o_custkey FROM range(1, 101)),
+          r AS (SELECT o_custkey, o_totalprice, o_orderstatus,
+              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+            FROM orders WHERE o_custkey BETWEEN 1 AND 100)
+        SELECT e.o_custkey, r.o_totalprice, r.o_orderstatus
+        FROM e LEFT JOIN r ON r.o_custkey = e.o_custkey AND r.rn = 1""")),
+
     // --- contract conformance pipeline in one gate (FileFullJob,
     // local/job.py:218-292): rename (mapping_keys) + fill-missing-with-
     // default + cast-on-mismatch + derived feature, all through

@@ -99,8 +99,11 @@ object ContractJson {
       s"""{"kind":"partitioned_parquet","path":${q(p)},"keys":${arr(keys.map(q))}}"""
     case graft.sources.BucketedParquetSource(p, keys, b) =>
       s"""{"kind":"bucketed_parquet","path":${q(p)},"keys":${arr(keys.map(q))},"buckets":$b}"""
-    case graft.sources.LogUpsertSource(p, keys) =>
-      s"""{"kind":"log_upsert","path":${q(p)},"keys":${arr(keys.map(q))}}"""
+    case graft.sources.LogUpsertSource(p, keys, ce) =>
+      s"""{"kind":"log_upsert","path":${q(p)},"keys":${arr(keys.map(q))},"compact_every":$ce}"""
+    case graft.sources.BucketedLogUpsertSource(p, keys, b, ce) =>
+      s"""{"kind":"bucketed_log","path":${q(p)},"keys":${arr(keys.map(q))},""" +
+        s""""buckets":$b,"compact_every":$ce}"""
     case graft.sources.CsvSource(p, sep, header, df) =>
       s"""{"kind":"csv","path":${q(p)},"sep":${q(sep)},"header":$header,"date_format":${opt(df)}}"""
     case graft.sources.JdbcSource(url, table, _) =>
@@ -139,8 +142,16 @@ object ContractJson {
       case "bucketed_parquet" => graft.sources.BucketedParquetSource(
         m("path").toString, m("keys").asInstanceOf[Seq[Any]].map(_.toString),
         m("buckets").toString.toDouble.toInt)
+      // compact_every defaults for JSONs persisted before the r15 policy
       case "log_upsert" => graft.sources.LogUpsertSource(
-        m("path").toString, m("keys").asInstanceOf[Seq[Any]].map(_.toString))
+        m("path").toString, m("keys").asInstanceOf[Seq[Any]].map(_.toString),
+        m.get("compact_every").map(_.toString.toDouble.toInt)
+          .getOrElse(graft.sources.GenLog.defaultAutoCompactEvery))
+      case "bucketed_log" => graft.sources.BucketedLogUpsertSource(
+        m("path").toString, m("keys").asInstanceOf[Seq[Any]].map(_.toString),
+        m("buckets").toString.toDouble.toInt,
+        m.get("compact_every").map(_.toString.toDouble.toInt)
+          .getOrElse(graft.sources.GenLog.defaultAutoCompactEvery))
       case "csv" => graft.sources.CsvSource(m("path").toString, m("sep").toString,
         m("header").asInstanceOf[Boolean], Option(m("date_format")).map(_.toString))
       case "jdbc" => graft.sources.JdbcSource(m("url").toString, m("table").toString)

@@ -50,6 +50,8 @@ object Native {
     toColumn(NearestCentroids(toExpr(vec), ids.toIndexedSeq,
       centroids.map(_.toIndexedSeq).toIndexedSeq, n))
   def int8Codes(vec: Column): Column = toColumn(Int8Codes(toExpr(vec)))
+  def cmsSlots(value: Column, depth: Int, lgWidth: Int): Column =
+    toColumn(CmsSlots(toExpr(value), depth, lgWidth))
   /** [[CovMoments]] as an aggregate Column over a pre-quantized
     * array<long> vector column of exactly `dim` elements. */
   def covMoments(qvec: Column, dim: Int): Column =
@@ -262,6 +264,48 @@ case class WordShingleStrings(child: Expression, k: Int)
   }
   override protected def withNewChildInternal(c: Expression): WordShingleStrings =
     copy(child = c)
+}
+
+/** All `depth` portable-CMS slots of one value in ONE md5 pass: slot d =
+  * low `lgWidth` bits of the d-th 32-bit big-endian chunk of md5(value) —
+  * bit-identical to the Column form
+  * `conv(substr(md5(v), d*8+1, 8), 16, 10) & (2^lgWidth - 1)`
+  * ([[graft.ops.Aggregations.cmsSlot]]) and to the DuckDB oracle's
+  * restatement, but one digest + integer masks instead of `depth`
+  * hex-string substr/conv evaluations per row. Built for the STREAMED
+  * sketch (q237), whose one-stateful-agg constraint forbids the batch
+  * op's pre-aggregation: every raw occurrence fans to depth coordinates
+  * inside the stream, so this per-row cost is the whole gate's compute
+  * at ×100 state density (VERDICT r14 #4). Output index = depth. */
+case class CmsSlots(child: Expression, depth: Int, lgWidth: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(depth >= 1 && depth <= 4, "1 <= depth <= 4 (32 md5 bits per row)")
+  require(lgWidth >= 4 && lgWidth <= 20, "4 <= lgWidth <= 20")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val md = CmsSlots.digest.get()
+    md.reset()
+    val d = md.digest(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    val mask = (1L << lgWidth) - 1
+    val out = new Array[Long](depth)
+    var i = 0
+    while (i < depth) {
+      val x = ((d(4 * i) & 0xffL) << 24) | ((d(4 * i + 1) & 0xffL) << 16) |
+        ((d(4 * i + 2) & 0xffL) << 8) | (d(4 * i + 3) & 0xffL)
+      out(i) = x & mask
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): CmsSlots =
+    copy(child = c)
+}
+
+object CmsSlots {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 /** PORTABLE minhash signature over precomputed base hashes: sig_i = min over

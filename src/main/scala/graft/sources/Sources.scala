@@ -163,6 +163,91 @@ final case class BucketedParquetSource(path: String, bucketKeys: Seq[String],
   }
 }
 
+/** Shared generation-log machinery for the log-structured stores
+  * ([[LogUpsertSource]], [[BucketedLogUpsertSource]]): monotonic per-path
+  * generation counters, writer-nonce stamps, and the single-writer guard. */
+private[graft] object GenLog {
+  val G = "__gen"
+
+  /** One random nonce per JVM: every generation this process writes is
+    * stamped with an empty `_writer_<nonce>` file (underscore prefix →
+    * invisible to Spark's file index). The single-writer-per-path contract
+    * is enforceable only best-effort with plain files — two processes can
+    * seed their counters from the same directory listing and mint the SAME
+    * generation number — so a violation must surface as a LOUD error on the
+    * next read/compact ([[assertSingleWriter]]), never as silent
+    * nondeterministic latest-wins. */
+  val writerNonce: String = java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** One generation counter per qualified path (process-local; seeded from
+    * the directory on first touch — see [[nextGen]]). */
+  private val gens =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The store's generation dirs (empty if the store doesn't exist yet). */
+  def genDirs(spark: SparkSession, path: String): Array[org.apache.hadoop.fs.Path] = {
+    val (fs, p) = fsOf(spark, path)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).map(_.getPath).filter(_.getName.startsWith(G + "="))
+  }
+
+  /** Next generation for this path: max persisted + 1 on first touch in
+    * this process, then strictly increasing under the path lock. */
+  def nextGen(spark: SparkSession, path: String): Long = {
+    val (fs, p) = fsOf(spark, path)
+    val key = fs.makeQualified(p).toString
+    gens.computeIfAbsent(key, { _ =>
+      val seed = genDirs(spark, path).map(_.getName)
+        .map(n => n.substring(G.length + 1).toLong).foldLeft(-1L)(math.max)
+      new java.util.concurrent.atomic.AtomicLong(seed)
+    }).incrementAndGet()
+  }
+
+  /** Stamp a just-written generation dir with this process's nonce. */
+  def markWriter(spark: SparkSession, genDir: String): Unit = {
+    val (fs, p) = fsOf(spark, genDir)
+    fs.create(new org.apache.hadoop.fs.Path(p, s"_writer_$writerNonce"), true).close()
+  }
+
+  /** Fail loudly if any generation carries two writers' nonces — the
+    * detectable signature of a violated single-writer contract (both
+    * appends to the shared generation survive as files, so the marker
+    * count is evidence, not a race). Generations without markers (older
+    * stores, foreign writers that crashed pre-stamp) pass: absence proves
+    * nothing, and latest-wins over them is still well-defined. */
+  def assertSingleWriter(spark: SparkSession, path: String): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    genDirs(spark, path).foreach { g =>
+      val nonces = fs.listStatus(g).map(_.getPath.getName)
+        .filter(_.startsWith("_writer_")).distinct
+      if (nonces.length > 1)
+        throw new IllegalStateException(
+          s"log store $path: generation ${g.getName} carries ${nonces.length} writer " +
+            s"nonces — two processes appended the same generation. This store is " +
+            "single-writer per path (LogUpsertSource scaladoc); cross-process " +
+            "writers need the Delta/Iceberg commit log (COVERAGE §2.1).")
+    }
+  }
+
+  /** Default auto-compaction threshold: SPARK_GRAFT_LOG_COMPACT_EVERY
+    * (strictly parsed — shares [[graft.streaming.Streaming.parsePositiveInt]]
+    * with SPARK_GRAFT_GATE_WIDTH), else 32. A `def`, so a bad env value
+    * throws the named IllegalArgumentException at store CONSTRUCTION —
+    * not an ExceptionInInitializerError from a companion initializer. */
+  def defaultAutoCompactEvery: Int =
+    graft.streaming.Streaming.parsePositiveInt("SPARK_GRAFT_LOG_COMPACT_EVERY",
+      sys.env.get("SPARK_GRAFT_LOG_COMPACT_EVERY"), default = 32)
+
+  /** Drop all cached counters so the next touch re-seeds from the directory
+    * — simulates a process restart for the recovery spec. */
+  private[graft] def resetCountersForTest(): Unit = gens.clear()
+}
+
 /** Log-structured upsert store: every upsert APPENDS its batch under a new
   * `__gen=N` hive partition and the read resolves keys to their LATEST
   * generation — the Delta/Iceberg commit-log idea (append + resolve, never
@@ -184,39 +269,60 @@ final case class BucketedParquetSource(path: String, bucketKeys: Seq[String],
   * and resolve away. Generations are monotonic per path: a process-local
   * counter seeded from the existing directory listing, so a restart
   * (q212's recovery shape) continues above every persisted generation.
-  * Compaction (fold the log back to one generation) = overwrite(read);
-  * at 100 TB that is the standard periodic OPTIMIZE job, amortized across
-  * thousands of appends. Cross-process appends race only on the counter
-  * seed — single-writer per path is this store's contract, same as every
-  * plain-file source here ([[StageAndSwap]] scaladoc). */
-final case class LogUpsertSource(path: String, keys: Seq[String]) extends WritableSource {
-  private val G = "__gen"
+  *
+  * This is an UPSERT store, not an append log: `insert` fails loudly
+  * (see its scaladoc) rather than silently collapsing duplicate keys.
+  * NULL entity keys: the resolve window groups NULLs together, so
+  * null-keyed rows collapse to one latest row — a DIVERGENCE from the
+  * anti-join stores (ParquetSource/BucketedParquetSource), whose
+  * null-safe-less join never matches NULL keys and therefore accumulates
+  * them. Entity keys are non-null by contract; the divergence is
+  * spec-pinned (LogUpsertSourceSpec), not guarded — a per-batch null scan
+  * would tax every micro-batch for a contract violation.
+  *
+  * Compaction (fold the log back to one generation) bounds the read cost
+  * and file count, which otherwise grow with total EMISSIONS. The ENGINE
+  * enforces it: after every append, if the persisted generation count has
+  * reached `autoCompactEvery` (default 32; env
+  * SPARK_GRAFT_LOG_COMPACT_EVERY), [[upsert]] runs the crash-safe
+  * [[compact]] fold inline — one O(live keys) rewrite amortized over the
+  * window of O(batch) appends, the classic LSM merge schedule. At 100 TB
+  * the same fold can also run as a detached periodic OPTIMIZE via
+  * [[compact]]. Cross-process appends race only on the counter seed —
+  * single-writer per path is this store's contract, same as every
+  * plain-file source here ([[StageAndSwap]] scaladoc) — and a violation
+  * is DETECTED: each generation is stamped with the writer's process
+  * nonce and reads fail loudly on a two-nonce generation
+  * ([[GenLog.assertSingleWriter]]). */
+final case class LogUpsertSource(path: String, keys: Seq[String],
+    autoCompactEvery: Int = GenLog.defaultAutoCompactEvery) extends WritableSource {
+  require(autoCompactEvery >= 2,
+    s"autoCompactEvery must be >= 2 (1 would fold the whole store on every " +
+      s"append, re-creating the O(store)-per-batch cost this store removes), " +
+      s"got $autoCompactEvery")
+  private val G = GenLog.G
   def read(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    GenLog.assertSingleWriter(spark, path)
     val raw = spark.read.parquet(path)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(G).desc)
     raw.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", G)
   }
   override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
-  /** Next generation for this path: max persisted + 1 on first touch in
-    * this process, then strictly increasing under the path lock. */
-  private def nextGen(spark: SparkSession): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val key = fs.makeQualified(p).toString
-    LogUpsertSource.gens.computeIfAbsent(key, { _ =>
-      val seed =
-        if (!fs.exists(p)) -1L
-        else fs.listStatus(p).map(_.getPath.getName)
-          .filter(_.startsWith(G + "="))
-          .map(n => n.substring(G.length + 1).toLong)
-          .foldLeft(-1L)(math.max)
-      new java.util.concurrent.atomic.AtomicLong(seed)
-    }).incrementAndGet()
-  }
-  def insert(df: DataFrame): Unit = upsert(df, keys)
+  /** Fails loudly: the resolve collapses to ONE row per key, so an
+    * append-style insert cannot keep duplicate keys — delegating to upsert
+    * would silently turn "append these rows" into "replace by key" (rows
+    * lost on generic contract paths that insert, e.g. incremental
+    * materialization's fresh-row insert or keyless prediction logging).
+    * Callers wanting upsert say upsert; append logs belong on
+    * ParquetSource/PartitionedParquetSource. */
+  def insert(df: DataFrame): Unit =
+    throw new UnsupportedOperationException(
+      s"LogUpsertSource($path) is an upsert-by-key store: its read resolves to one " +
+        "row per key, so insert's append-all-rows contract cannot hold. Call " +
+        "upsert(df, keys) explicitly, or configure an append-shaped source " +
+        "(ParquetSource / PartitionedParquetSource) for insert-style views.")
   def overwrite(df: DataFrame): Unit = StageAndSwap.locked(df.sparkSession, path) {
     val spark = df.sparkSession
     val dest = new org.apache.hadoop.fs.Path(path)
@@ -224,34 +330,44 @@ final case class LogUpsertSource(path: String, keys: Seq[String]) extends Writab
     // gen=0 written explicitly (works for the empty frame too, where
     // partitionBy would emit no files and leave the dir schema-less)
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/$G=0")
+    GenLog.markWriter(spark, s"$path/$G=0")
     spark.catalog.refreshByPath(path)
   }
   def upsert(df: DataFrame, upsertKeys: Seq[String]): Unit = StageAndSwap.locked(df.sparkSession, path) {
     require(upsertKeys == keys,
       s"LogUpsertSource($path) resolves reads by $keys; an upsert keyed by " +
         s"$upsertKeys would not merge on read")
-    df.write.mode(SaveMode.Append).parquet(s"$path/$G=${nextGen(df.sparkSession)}")
-    df.sparkSession.catalog.refreshByPath(path)
+    val spark = df.sparkSession
+    val gen = GenLog.nextGen(spark, path)
+    df.write.mode(SaveMode.Append).parquet(s"$path/$G=$gen")
+    GenLog.markWriter(spark, s"$path/$G=$gen")
+    spark.catalog.refreshByPath(path)
+    // amortized auto-compaction: one O(live keys) fold per autoCompactEvery
+    // O(batch) appends bounds generations (and resolve cost) BY THE ENGINE
+    // — a production stream runs thousands of micro-batches and must not
+    // depend on the operator remembering the OPTIMIZE job (VERDICT r14 #1)
+    if (GenLog.genDirs(spark, path).length >= autoCompactEvery) compact(spark)
   }
 
   /** Fold the whole log into one resolved generation — the OPTIMIZE half
     * of the LSM story. Read cost grows with total EMISSIONS (every
     * generation's rows flow through the resolve window) until a compaction
-    * resets it to O(live keys); a store taking thousands of appends runs
-    * this periodically, amortizing one O(log) rewrite over the appends
-    * since the last one. The fold lands under a NEW top generation (not
-    * gen=0) via stage-and-rename, so a crash between stages leaves every
-    * old generation intact and a half-written compaction is invisible to
-    * the resolve (its generation dir only appears on the final rename). */
+    * resets it to O(live keys); [[upsert]] triggers this automatically
+    * every `autoCompactEvery` generations, and a deployment can also run
+    * it as a detached periodic job. The fold lands under a NEW top
+    * generation (not gen=0) via stage-and-rename, so a crash between
+    * stages leaves every old generation intact and a half-written
+    * compaction is invisible to the resolve (its generation dir only
+    * appears on the final rename). */
   def compact(spark: SparkSession): Unit = StageAndSwap.locked(spark, path) {
     if (!exists(spark)) return
     val resolved = read(spark)
-    val gen = nextGen(spark)
+    val gen = GenLog.nextGen(spark, path)
     val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // staging lives OUTSIDE the store dir: a crash-leftover dir named
-    // "__gen=N__tmp" INSIDE it would parse as a string-valued __gen
-    // partition and corrupt the numeric generation ordering
+    // "__gen=N__tmp" INSIDE it would parse as a string partition and
+    // corrupt the numeric generation ordering
     val store = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(
       store.getParent, store.getName + s"__graft_compact_g$gen")
@@ -263,19 +379,142 @@ final case class LogUpsertSource(path: String, keys: Seq[String]) extends Writab
         p.getName != dest.getName)
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
+    GenLog.markWriter(spark, dest.toString)
     old.foreach(p => fs.delete(p, true))
     spark.catalog.refreshByPath(path)
   }
 }
 
 object LogUpsertSource {
-  /** One generation counter per qualified path (process-local; seeded from
-    * the directory on first touch — see [[LogUpsertSource.nextGen]]). */
-  private val gens =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
-  /** Drop all cached counters so the next touch re-seeds from the directory
-    * — simulates a process restart for the recovery spec. */
-  private[graft] def resetCountersForTest(): Unit = gens.clear()
+  /** Test hook kept at its historical address; counters now live in
+    * [[GenLog]], shared with [[BucketedLogUpsertSource]]. */
+  private[graft] def resetCountersForTest(): Unit = GenLog.resetCountersForTest()
+}
+
+/** LSM-composed store: [[BucketedParquetSource]]'s hash-bucket layout nested
+  * under [[LogUpsertSource]]'s generation log — `path/__gen=N/__bucket=H/…`.
+  * Each half of the r14 store pair solved half of the problem: the log made
+  * APPENDS O(batch) but left point lookups scanning every emission; the
+  * buckets made lookups prune but put an old-side read back into every
+  * upsert. Composed, an upsert appends ONE partitioned write (no old-side
+  * read, no anti-join, no rename) while a point lookup prunes to the probed
+  * keys' buckets ACROSS all generations — static hive-partition pruning on
+  * `__bucket`, with the bucket ids computed from the entity frame itself
+  * and never more than `numBuckets` ints reaching the driver
+  * ([[readForEntities]]). This is the memtable/SSTable split of an LSM
+  * tree; [[compact]] — auto-triggered by [[upsert]] every
+  * `autoCompactEvery` generations, like [[LogUpsertSource]] — is the merge
+  * that keeps both halves bounded, and it PRESERVES the bucket layout so
+  * lookups stay pruned after every fold. At 100 TB, size `numBuckets` so a
+  * bucket's live rows ≈ a few GB; lookup cost is then
+  * O(live-bucket + its log tail), flat in store size (spec-measured).
+  * Same single-writer nonce guard and null-key contract as
+  * [[LogUpsertSource]] (VERDICT r14 #3; reference upsert semantics:
+  * sources/local.py:317-340). */
+final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
+    numBuckets: Int = 8,
+    autoCompactEvery: Int = GenLog.defaultAutoCompactEvery) extends WritableSource {
+  require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
+  require(autoCompactEvery >= 2,
+    s"autoCompactEvery must be >= 2, got $autoCompactEvery")
+  private val G = GenLog.G
+  private val B = "__bucket"
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn(B, pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
+  private def resolve(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(G).desc)
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", G, B)
+  }
+  def read(spark: SparkSession): DataFrame = {
+    GenLog.assertSingleWriter(spark, path)
+    resolve(spark.read.parquet(path))
+  }
+  /** The point-lookup path: latest rows for exactly the keys present in
+    * `entities` — scans ONLY those keys' buckets (their ids derived by a
+    * tiny distributed job over the entity frame; ≤ numBuckets ints collect)
+    * across the generations, then resolves latest-wins on the pruned
+    * sliver. A key always hashes to the same bucket, so per-key resolution
+    * over the pruned frame equals resolution over the full store. Rows for
+    * OTHER keys sharing a probed bucket are filtered by the caller's key
+    * join/predicate (onlineFeaturesFor layers its IN-list pushdown on
+    * top). */
+  def readForEntities(spark: SparkSession, entities: DataFrame): DataFrame = {
+    GenLog.assertSingleWriter(spark, path)
+    val raw = spark.read.parquet(path)
+    // xxhash64 is TYPE-sensitive (hash(1: int) != hash(1L)): probe values
+    // must hash with the STORE's own key types or the pruning silently
+    // selects the wrong buckets — cast the probe frame to the stored
+    // schema before bucketing (footer-only schema read, no data scan)
+    val stored = raw.schema.map(f => f.name -> f.dataType).toMap
+    val probes = keys.foldLeft(entities.select(keys.map(col): _*).distinct()) {
+      (df, k) => stored.get(k).map(t => df.withColumn(k, col(k).cast(t))).getOrElse(df)
+    }
+    val ids = withBucket(probes).select(B).distinct().collect().map(_.getInt(0)).toIndexedSeq
+    if (ids.isEmpty) read(spark).filter(lit(false))
+    else resolve(raw.filter(col(B).isin(ids: _*)))
+  }
+  override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
+  /** Fails loudly — same contract as [[LogUpsertSource.insert]]. */
+  def insert(df: DataFrame): Unit =
+    throw new UnsupportedOperationException(
+      s"BucketedLogUpsertSource($path) is an upsert-by-key store: its read resolves " +
+        "to one row per key, so insert's append-all-rows contract cannot hold. " +
+        "Call upsert(df, keys) explicitly, or configure an append-shaped source.")
+  def overwrite(df: DataFrame): Unit = StageAndSwap.locked(df.sparkSession, path) {
+    val spark = df.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(path)
+    dest.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dest, true)
+    if (df.isEmpty)
+      // partitionBy writes NO files for an empty frame (schema-less dir);
+      // materialize the schema in one concrete (gen, bucket) leaf instead
+      df.write.mode(SaveMode.Overwrite).parquet(s"$path/$G=0/$B=0")
+    else
+      withBucket(df).write.mode(SaveMode.Overwrite).partitionBy(B).parquet(s"$path/$G=0")
+    GenLog.markWriter(spark, s"$path/$G=0")
+    spark.catalog.refreshByPath(path)
+  }
+  def upsert(df: DataFrame, upsertKeys: Seq[String]): Unit = StageAndSwap.locked(df.sparkSession, path) {
+    require(upsertKeys == keys,
+      s"BucketedLogUpsertSource($path) resolves reads by $keys; an upsert keyed " +
+        s"by $upsertKeys would not merge on read")
+    val spark = df.sparkSession
+    val gen = GenLog.nextGen(spark, path)
+    withBucket(df).write.mode(SaveMode.Append).partitionBy(B).parquet(s"$path/$G=$gen")
+    GenLog.markWriter(spark, s"$path/$G=$gen")
+    spark.catalog.refreshByPath(path)
+    if (GenLog.genDirs(spark, path).length >= autoCompactEvery) compact(spark)
+  }
+  /** The crash-safe LSM merge, bucket layout preserved: resolve, re-bucket,
+    * stage OUTSIDE the store, rename in as the new top generation, then
+    * drop the old ones (same protocol as [[LogUpsertSource.compact]]). */
+  def compact(spark: SparkSession): Unit = StageAndSwap.locked(spark, path) {
+    if (!exists(spark)) return
+    val resolved = read(spark)
+    val gen = GenLog.nextGen(spark, path)
+    val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(
+      store.getParent, store.getName + s"__graft_compact_g$gen")
+    withBucket(resolved).write.mode(SaveMode.Overwrite).partitionBy(B)
+      .parquet(staging.toString)
+    val hasData = fs.exists(staging) && fs.listStatus(staging)
+      .exists(s => !s.getPath.getName.startsWith("_"))
+    if (!hasData)
+      // the store resolved to zero rows: partitionBy wrote no data files —
+      // materialize the schema so the renamed generation stays readable
+      resolved.write.mode(SaveMode.Overwrite).parquet(s"$staging/$B=0")
+    val old = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter(p => p.getName.startsWith(G + "=") &&
+        p.getName != dest.getName)
+    if (!fs.rename(staging, dest))
+      throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
+    GenLog.markWriter(spark, dest.toString)
+    old.foreach(p => fs.delete(p, true))
+    spark.catalog.refreshByPath(path)
+  }
 }
 
 final case class CsvSource(

@@ -589,7 +589,22 @@ final class ContractStore {
         // the +1 detects overflow without counting the whole frame
         val keyRows = acc.select(keys.map(col): _*).distinct()
           .limit(maxInlineKeys + 1).collect()
-        val base = vs.baseWithDerived(spark)
+        // LSM point-lookup fast path: a bucketed-log store prunes the scan
+        // to the probed keys' buckets BEFORE the latest-wins resolve — a
+        // plain log store would window over every emission per lookup
+        // (VERDICT r14 #3). Applies only when the store's keys are the
+        // view's entity names untouched by renames, so the entity frame's
+        // values hash to the store's own buckets.
+        val src = v.materializedSource.getOrElse(v.source)
+        val base = src match {
+          case b: graft.sources.BucketedLogUpsertSource
+              if b.keys.sorted == keys.sorted &&
+                v.mappingKeys.forall { case (f, t2) =>
+                  !b.keys.contains(f) && !b.keys.contains(t2) } =>
+            vs.derivedFrom(spark,
+              b.readForEntities(spark, acc.select(b.keys.map(col): _*)))
+          case _ => vs.baseWithDerived(spark)
+        }
         val filtered =
           if (keyRows.length > maxInlineKeys)
             base.join(broadcast(acc.select(keys.map(col): _*).distinct()), keys, "left_semi")
@@ -617,10 +632,12 @@ final class ContractStore {
 }
 
 object ContractStore {
-  /** Process-wide default for new stores' PIT strategy; validated eagerly
-    * so a typo'd env value fails at first store construction with the
-    * variable named, not deep in a query plan. */
-  private[store] val defaultPitStrategy: String =
+  /** Process-wide default for new stores' PIT strategy. A `def`, evaluated
+    * at each store construction: a typo'd env value then throws the named
+    * IllegalArgumentException directly — a companion-val would surface as
+    * ExceptionInInitializerError once and opaque NoClassDefFoundError on
+    * every later use in the JVM (ADVICE r14). */
+  private[store] def defaultPitStrategy: String =
     sys.env.get("SPARK_GRAFT_PIT_STRATEGY").map { v =>
       require(v == "sorted" || v == "join",
         s"SPARK_GRAFT_PIT_STRATEGY must be 'sorted' or 'join', got '$v'")
@@ -636,7 +653,14 @@ final class ViewStore(store: ContractStore, val view: FeatureView) {
     * (local/job.py:218-292) as one DataFrame plan. No aggregates. */
   def baseWithDerived(spark: SparkSession): DataFrame = {
     val src = view.materializedSource.getOrElse(view.source)
-    var df = src.read(spark)
+    derivedFrom(spark, src.read(spark))
+  }
+
+  /** The conform pipeline over an ALREADY-SCANNED raw frame — split out so
+    * pruned scans (onlineFeaturesFor's bucket-pruned point lookup) run the
+    * identical rename/fill/cast/derive chain as the full read. */
+  private[store] def derivedFrom(spark: SparkSession, raw: DataFrame): DataFrame = {
+    var df = raw
     // rename source columns to contract names (ColumnFeatureMappable, local/job.py:259-271)
     view.mappingKeys.foreach { case (from, to) =>
       if (df.columns.contains(from)) df = df.withColumnRenamed(from, to)

@@ -519,6 +519,9 @@ object Streaming {
       keys: Seq[String]): graft.sources.WritableSource =
     graft.sources.LogUpsertSource(work.resolve(sub).toString, keys)
 
+  /** Strict positive-int env parse, shared by SPARK_GRAFT_GATE_WIDTH and
+    * the log stores' SPARK_GRAFT_LOG_COMPACT_EVERY
+    * ([[graft.sources.GenLog.defaultAutoCompactEvery]]). */
   private[graft] def parsePositiveInt(name: String, raw: Option[String], default: Int): Int =
     raw.map { v =>
       val n = try v.trim.toInt catch {
@@ -877,12 +880,17 @@ object Streaming {
     require(depth >= 1 && depth <= 4, "1 <= depth <= 4 (32 md5 bits per row)")
     require(lgWidth >= 4 && lgWidth <= 20, "4 <= lgWidth <= 20")
     val store = withStagedGate(spark, df, orderCol, chunks, workDir) { g =>
+      // all depth coordinates of a value in ONE md5 pass (Native.CmsSlots;
+      // posexplode's position IS the depth index) — the explode+cmsSlot
+      // form re-ran the hex substr/conv digest chain per depth row, and
+      // with no pre-aggregation allowed inside the stream (one stateful
+      // agg only) that per-occurrence cost was the whole gate's compute
+      // at ×100 (VERDICT r14 #4)
       val counters = prepare(g.source)
         .filter(col(valueCol).isNotNull)
-        .select(col(keyCol), col(valueCol).cast("string").as("__v"))
-        .withColumn("cms_depth", explode(lit((0 until depth).toArray)))
-        .withColumn("cms_slot", graft.ops.Aggregations.cmsSlot(
-          md5(col("__v")), col("cms_depth"), lgWidth))
+        .select(col(keyCol), graft.functions.Native.cmsSlots(
+          col(valueCol).cast("string"), depth, lgWidth).as("__slots"))
+        .select(col(keyCol), posexplode(col("__slots")).as(Seq("cms_depth", "cms_slot")))
         .groupBy(col(keyCol), col("cms_depth"), col("cms_slot"))
         .agg(count(lit(1)).as("cms_n"))
       runUpsertStream(spark, counters, identity,

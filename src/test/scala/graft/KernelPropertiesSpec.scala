@@ -60,6 +60,24 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("CmsSlots kernel equals the md5-substr-conv Column formula (q237's " +
+      "single-pass coordinate fan, VERDICT r14 #4)") {
+    forAll(textGen) { text: String =>
+      for (lgWidth <- Seq(4, 10, 20); depth = 4) {
+        val df = Seq(Tuple1(text)).toDF("v")
+        val viaKernel = df.select(
+          graft.functions.Native.cmsSlots(col("v"), depth, lgWidth))
+          .head().getSeq[Long](0)
+        val viaColumns = (0 until depth).map { d =>
+          df.select(graft.ops.Aggregations.cmsSlot(md5(col("v")), lit(d), lgWidth))
+            .head().getLong(0)
+        }
+        assert(viaKernel == viaColumns,
+          s"CMS slots diverge for '$text' at lgWidth=$lgWidth")
+      }
+    }
+  }
+
   test("NearestCentroids returns ids in exact cosine-desc order vs local reference") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0))
     val matGen = Gen.listOfN(6, vecGen)
