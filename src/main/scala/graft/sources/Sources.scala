@@ -196,6 +196,30 @@ private[graft] object GenLog {
     else fs.listStatus(p).map(_.getPath).filter(_.getName.startsWith(G + "="))
   }
 
+  /** Numeric generation of a `__gen=N` dir (resolve/merge ordering). */
+  def genNumber(p: org.apache.hadoop.fs.Path): Long =
+    p.getName.substring(G.length + 1).toLong
+
+  /** The tiered compaction trigger shared by the log stores: once the
+    * generation count reaches the policy threshold, pick the MINOR fold
+    * (merge the recent tail runs — O(tail)) unless the accumulated tail
+    * has grown to the base generation's size, in which case pay the MAJOR
+    * fold (full rewrite, O(live keys)) — the classic size-ratio LSM merge
+    * schedule: routine folds never rewrite the large base, and the
+    * expensive full rewrite is amortized over base-sized tail progress.
+    * Sizes come from one listing pass (`getContentSummary`), driver-side
+    * metadata only. */
+  def tieredTrigger(spark: SparkSession, path: String, every: Int,
+      major: () => Unit, minor: () => Unit): Unit = {
+    val gens = genDirs(spark, path)
+    if (gens.length < every) return
+    val (fs, _) = fsOf(spark, path)
+    val sorted = gens.sortBy(genNumber)
+    val baseBytes = fs.getContentSummary(sorted.head).getLength
+    val tailBytes = sorted.drop(1).map(g => fs.getContentSummary(g).getLength).sum
+    if (tailBytes >= baseBytes) major() else minor()
+  }
+
   /** Next generation for this path: max persisted + 1 on first touch in
     * this process, then strictly increasing under the path lock. */
   def nextGen(spark: SparkSession, path: String): Long = {
@@ -280,13 +304,17 @@ private[graft] object GenLog {
   * spec-pinned (LogUpsertSourceSpec), not guarded — a per-batch null scan
   * would tax every micro-batch for a contract violation.
   *
-  * Compaction (fold the log back to one generation) bounds the read cost
-  * and file count, which otherwise grow with total EMISSIONS. The ENGINE
-  * enforces it: after every append, if the persisted generation count has
-  * reached `autoCompactEvery` (default 32; env
-  * SPARK_GRAFT_LOG_COMPACT_EVERY), [[upsert]] runs the crash-safe
-  * [[compact]] fold inline — one O(live keys) rewrite amortized over the
-  * window of O(batch) appends, the classic LSM merge schedule. At 100 TB
+  * Compaction bounds the read cost and file count, which otherwise grow
+  * with total EMISSIONS. The ENGINE enforces it, TIERED like any LSM:
+  * after every append, once the persisted generation count reaches
+  * `autoCompactEvery` (default 32; env SPARK_GRAFT_LOG_COMPACT_EVERY),
+  * [[upsert]] runs a crash-safe fold inline — routinely the MINOR
+  * [[compactTail]] (merge only the recent tail runs, O(tail emissions),
+  * the large base generation's files untouched), and the MAJOR [[compact]]
+  * (full O(live keys) rewrite) only when the accumulated tail has grown to
+  * the base's size ([[GenLog.tieredTrigger]]) — so the expensive rewrite
+  * is amortized over base-sized progress, the classic size-ratio merge
+  * schedule. At 100 TB
   * the same fold can also run as a detached periodic OPTIMIZE via
   * [[compact]]. Cross-process appends race only on the counter seed —
   * single-writer per path is this store's contract, same as every
@@ -301,13 +329,15 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
       s"append, re-creating the O(store)-per-batch cost this store removes), " +
       s"got $autoCompactEvery")
   private val G = GenLog.G
-  def read(spark: SparkSession): DataFrame = {
+  private def resolveLatest(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    GenLog.assertSingleWriter(spark, path)
-    val raw = spark.read.parquet(path)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(G).desc)
     raw.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", G)
+  }
+  def read(spark: SparkSession): DataFrame = {
+    GenLog.assertSingleWriter(spark, path)
+    resolveLatest(spark.read.parquet(path))
   }
   override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
   /** Fails loudly: the resolve collapses to ONE row per key, so an
@@ -342,11 +372,16 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     df.write.mode(SaveMode.Append).parquet(s"$path/$G=$gen")
     GenLog.markWriter(spark, s"$path/$G=$gen")
     spark.catalog.refreshByPath(path)
-    // amortized auto-compaction: one O(live keys) fold per autoCompactEvery
-    // O(batch) appends bounds generations (and resolve cost) BY THE ENGINE
-    // — a production stream runs thousands of micro-batches and must not
-    // depend on the operator remembering the OPTIMIZE job (VERDICT r14 #1)
-    if (GenLog.genDirs(spark, path).length >= autoCompactEvery) compact(spark)
+    // amortized auto-compaction bounds generations (and resolve cost) BY
+    // THE ENGINE — a production stream runs thousands of micro-batches and
+    // must not depend on the operator remembering the OPTIMIZE job
+    // (VERDICT r14 #1). Tiered, like any LSM: the routine fold is a MINOR
+    // one (merge only the small recent runs — O(tail), the large base
+    // generation's files untouched); a MAJOR fold (rewrite everything,
+    // O(live keys)) runs only when the accumulated tail has grown to the
+    // base's size, so its cost is amortized over tail-sized progress.
+    GenLog.tieredTrigger(spark, path, autoCompactEvery,
+      major = () => compact(spark), minor = () => compactTail(spark))
   }
 
   /** Fold the whole log into one resolved generation — the OPTIMIZE half
@@ -381,6 +416,35 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
       throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
     GenLog.markWriter(spark, dest.toString)
     old.foreach(p => fs.delete(p, true))
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** The MINOR fold of the tiered schedule: merge every generation EXCEPT
+    * the base (lowest) into one new top generation — O(tail emissions),
+    * the base generation's files physically untouched (spec-pinned). Exact
+    * by the resolve order: the merged rows keep within-tail latest-wins,
+    * land under a generation ABOVE the base, and a key present in both
+    * still resolves to the tail copy — precisely what the unmerged log
+    * resolved to. Same crash-safe protocol as [[compact]]: staging outside
+    * the store, rename in, only then drop the inputs. */
+  def compactTail(spark: SparkSession): Unit = StageAndSwap.locked(spark, path) {
+    if (!exists(spark)) return
+    GenLog.assertSingleWriter(spark, path)
+    val tail = GenLog.genDirs(spark, path).sortBy(GenLog.genNumber).drop(1)
+    if (tail.length < 2) return // nothing to merge: fold would just rewrite one run
+    val resolved = resolveLatest(
+      spark.read.option("basePath", path).parquet(tail.map(_.toString): _*))
+    val gen = GenLog.nextGen(spark, path)
+    val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(
+      store.getParent, store.getName + s"__graft_compact_g$gen")
+    resolved.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (!fs.rename(staging, dest))
+      throw new java.io.IOException(s"compactTail: rename $staging -> $dest failed")
+    GenLog.markWriter(spark, dest.toString)
+    tail.foreach(p => fs.delete(p, true))
     spark.catalog.refreshByPath(path)
   }
 }
@@ -484,7 +548,10 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     withBucket(df).write.mode(SaveMode.Append).partitionBy(B).parquet(s"$path/$G=$gen")
     GenLog.markWriter(spark, s"$path/$G=$gen")
     spark.catalog.refreshByPath(path)
-    if (GenLog.genDirs(spark, path).length >= autoCompactEvery) compact(spark)
+    // tiered like LogUpsertSource: minor O(tail) folds routinely, major
+    // O(live keys) only once the tail reaches the base's size
+    GenLog.tieredTrigger(spark, path, autoCompactEvery,
+      major = () => compact(spark), minor = () => compactTail(spark))
   }
   /** The crash-safe LSM merge, bucket layout preserved: resolve, re-bucket,
     * stage OUTSIDE the store, rename in as the new top generation, then
@@ -513,6 +580,36 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
       throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
     GenLog.markWriter(spark, dest.toString)
     old.foreach(p => fs.delete(p, true))
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** MINOR fold, bucket layout preserved: merge every generation except
+    * the base into one new top generation — O(tail), base files untouched,
+    * lookups stay pruned afterwards. Same exactness argument and crash
+    * protocol as [[LogUpsertSource.compactTail]]. */
+  def compactTail(spark: SparkSession): Unit = StageAndSwap.locked(spark, path) {
+    if (!exists(spark)) return
+    GenLog.assertSingleWriter(spark, path)
+    val tail = GenLog.genDirs(spark, path).sortBy(GenLog.genNumber).drop(1)
+    if (tail.length < 2) return
+    val resolved = resolve(
+      spark.read.option("basePath", path).parquet(tail.map(_.toString): _*))
+    val gen = GenLog.nextGen(spark, path)
+    val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(
+      store.getParent, store.getName + s"__graft_compact_g$gen")
+    withBucket(resolved).write.mode(SaveMode.Overwrite).partitionBy(B)
+      .parquet(staging.toString)
+    val hasData = fs.exists(staging) && fs.listStatus(staging)
+      .exists(s => !s.getPath.getName.startsWith("_"))
+    if (!hasData)
+      resolved.write.mode(SaveMode.Overwrite).parquet(s"$staging/$B=0")
+    if (!fs.rename(staging, dest))
+      throw new java.io.IOException(s"compactTail: rename $staging -> $dest failed")
+    GenLog.markWriter(spark, dest.toString)
+    tail.foreach(p => fs.delete(p, true))
     spark.catalog.refreshByPath(path)
   }
 }

@@ -3075,6 +3075,43 @@ class LogUpsertSourceSpec extends AnyFunSuite {
     val ex = intercept[IllegalStateException](src.read(spark).count())
     assert(ex.getMessage.contains("single-writer"))
   }
+
+  test("TIERED schedule: routine folds are MINOR (tail merged, base generation's " +
+      "files untouched — O(tail) physically); the MAJOR rewrite waits until the " +
+      "tail reaches the base's size") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log11").toString + "/s"
+    val src = LogUpsertSource(dir, Seq("id"), autoCompactEvery = 3)
+    src.overwrite((0L until 20000L).map(i => (i, i)).toDF("id", "v")) // big base, gen 0
+    def gens() = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString.split("/").last).filter(_.startsWith("__gen=")).sorted.toSeq
+    def baseFiles() = {
+      val b = java.nio.file.Paths.get(dir, "__gen=0")
+      java.nio.file.Files.list(b).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val base0 = baseFiles()
+    src.upsert(Seq((1L, -1L)).toDF("id", "v"), Seq("id"))
+    src.upsert(Seq((2L, -2L)).toDF("id", "v"), Seq("id")) // count 3 -> trigger
+    assert(gens().length == 2, s"minor fold should leave base + merged tail: ${gens()}")
+    assert(gens().contains("__gen=0"), "minor fold must not renumber the base")
+    assert(baseFiles() == base0, "minor fold rewrote the base generation's files")
+    val out = src.read(spark)
+    assert(out.count() == 20000)
+    assert(out.filter(col("id") === 1L).head().getLong(1) == -1L)
+    assert(out.filter(col("id") === 2L).head().getLong(1) == -2L)
+    assert(out.filter(col("id") === 3L).head().getLong(1) == 3L)
+    // another small round: still minor, base still untouched
+    src.upsert(Seq((4L, -4L)).toDF("id", "v"), Seq("id"))
+    src.upsert(Seq((5L, -5L)).toDF("id", "v"), Seq("id"))
+    assert(gens().length <= 3 && gens().contains("__gen=0") && baseFiles() == base0)
+    // a tail-sized batch tips the size ratio: the trigger now pays the MAJOR fold
+    src.upsert((0L until 25000L).map(i => (i, -i)).toDF("id", "v"), Seq("id"))
+    assert(gens().length == 1, s"major fold should rewrite to one generation: ${gens()}")
+    val fin = src.read(spark).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin.size == 25000 && fin(0L) == 0L && fin(1L) == -1L && fin(24999L) == -24999L)
+  }
 }
 
 /** The LSM-composed store (VERDICT r14 #3): generation-log appends under a
@@ -3177,6 +3214,48 @@ class BucketedLogUpsertSourceSpec extends AnyFunSuite {
     // xxhash64 is type-sensitive: an INT probe against the LONG-keyed store
     // must still land in the right bucket (probes cast to the stored types)
     assert(src.readForEntities(spark, Seq(1).toDF("id")).count() == 1)
+  }
+
+  test("TIERED schedule on the LSM store: minor folds keep the base generation's " +
+      "bucket files untouched and lookups stay pruned; the major fold still " +
+      "preserves the bucket layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blog6").toString + "/s"
+    val src = BucketedLogUpsertSource(dir, Seq("id"), numBuckets = 4, autoCompactEvery = 3)
+    src.overwrite((0L until 20000L).map(i => (i, i)).toDF("id", "v"))
+    def gens() = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString.split("/").last).filter(_.startsWith("__gen=")).sorted.toSeq
+    def baseFiles() = {
+      val out = scala.collection.mutable.Map[String, Long]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "__gen=0")).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          out(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+    val base0 = baseFiles()
+    src.upsert(Seq((1L, -1L)).toDF("id", "v"), Seq("id"))
+    src.upsert(Seq((2L, -2L)).toDF("id", "v"), Seq("id")) // count 3 -> minor
+    assert(gens().length == 2 && gens().contains("__gen=0"))
+    assert(baseFiles() == base0, "minor fold rewrote base bucket files")
+    // merged tail keeps the bucket layout, so lookups prune across both tiers
+    val latest = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.contains("__gen=")).max
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(latest)).toArray
+      .map(_.toString.split("/").last).exists(_.startsWith("__bucket=")),
+      "minor fold lost the bucket layout")
+    val got = src.readForEntities(spark, Seq(1L, 3L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == -1L && got(3L) == 3L)
+    // size-tipping batch: major fold to one generation, layout preserved
+    src.upsert((0L until 25000L).map(i => (i, -i)).toDF("id", "v"), Seq("id"))
+    assert(gens().length == 1)
+    val latest2 = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.contains("__gen=")).max
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(latest2)).toArray
+      .map(_.toString.split("/").last).exists(_.startsWith("__bucket=")))
+    assert(src.read(spark).count() == 25000)
+    assert(src.readForEntities(spark, Seq(24999L).toDF("id"))
+      .filter(col("id") === 24999L).head().getLong(1) == -24999L)
   }
 }
 
