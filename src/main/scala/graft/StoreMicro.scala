@@ -38,13 +38,17 @@ object StoreMicro {
 
     def run(scenario: String, src: graft.sources.WritableSource,
         lookup: Option[SparkSession => Double]): Unit = {
+      val storePath = src match {
+        case s: graft.sources.LogUpsertSource => s.path
+        case s: graft.sources.BucketedLogUpsertSource => s.path
+        case s => sys.error(s"StoreMicro drives the log stores only, got $s")
+      }
       val every = math.max(1, appends / 10)
       for (i <- 0 until appends) {
         src.upsert(batch(i), Seq("id"))
         if ((i + 1) % every == 0 || i == appends - 1) {
           val readSec = time(src.read(spark).write.format("noop").mode("overwrite").save())
-          val gens = graft.sources.GenLog.genDirs(spark,
-            src.asInstanceOf[Product].productElement(0).toString).length
+          val gens = graft.sources.GenLog.genDirs(spark, storePath).length
           val lookupSec = lookup.map(f => f(spark))
           println(s"""{"scenario":"$scenario","appends":${i + 1},"gens":$gens,""" +
             s""""read_sec":${f"$readSec%.3f"}""" +

@@ -200,24 +200,41 @@ private[graft] object GenLog {
   def genNumber(p: org.apache.hadoop.fs.Path): Long =
     p.getName.substring(G.length + 1).toLong
 
+  /** Byte sizes of generation dirs, cached: a generation is immutable once
+    * written (appends mint NEW generations; folds create new ones and
+    * delete the old), so its recursive listing never changes — without the
+    * cache every trigger would re-walk the LARGE base tier's files, an
+    * O(base file count) remote listing per threshold hit at 100 TB. */
+  private val sizes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def sizeOf(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long =
+    sizes.computeIfAbsent(fs.makeQualified(p).toString,
+      _ => fs.getContentSummary(p).getLength)
+  /** Drop a deleted generation's cache entry (called by the folds). */
+  def forgetSize(spark: SparkSession, p: org.apache.hadoop.fs.Path): Unit = {
+    val (fs, _) = fsOf(spark, p.toString)
+    sizes.remove(fs.makeQualified(p).toString)
+  }
+
   /** The tiered compaction trigger shared by the log stores: once the
     * generation count reaches the policy threshold, pick the MINOR fold
     * (merge the recent tail runs — O(tail)) unless the accumulated tail
-    * has grown to the base generation's size, in which case pay the MAJOR
-    * fold (full rewrite, O(live keys)) — the classic size-ratio LSM merge
-    * schedule: routine folds never rewrite the large base, and the
-    * expensive full rewrite is amortized over base-sized tail progress.
-    * Sizes come from one listing pass (`getContentSummary`), driver-side
-    * metadata only. */
+    * has grown to the base generation's size — or the tail is a single run
+    * the minor fold cannot shrink (the `every == 2` floor) — in which case
+    * pay the MAJOR fold (full rewrite, O(live keys)). The classic
+    * size-ratio LSM merge schedule: routine folds never rewrite the large
+    * base, and the expensive full rewrite is amortized over base-sized
+    * tail progress. Sizes are driver-side metadata, cached per immutable
+    * generation ([[sizeOf]]). */
   def tieredTrigger(spark: SparkSession, path: String, every: Int,
       major: () => Unit, minor: () => Unit): Unit = {
     val gens = genDirs(spark, path)
     if (gens.length < every) return
     val (fs, _) = fsOf(spark, path)
     val sorted = gens.sortBy(genNumber)
-    val baseBytes = fs.getContentSummary(sorted.head).getLength
-    val tailBytes = sorted.drop(1).map(g => fs.getContentSummary(g).getLength).sum
-    if (tailBytes >= baseBytes) major() else minor()
+    val baseBytes = sizeOf(fs, sorted.head)
+    val tailBytes = sorted.drop(1).map(g => sizeOf(fs, g)).sum
+    if (tailBytes >= baseBytes || sorted.length - 1 < 2) major() else minor()
   }
 
   /** Next generation for this path: max persisted + 1 on first touch in
@@ -269,7 +286,7 @@ private[graft] object GenLog {
 
   /** Drop all cached counters so the next touch re-seeds from the directory
     * — simulates a process restart for the recovery spec. */
-  private[graft] def resetCountersForTest(): Unit = gens.clear()
+  private[graft] def resetCountersForTest(): Unit = { gens.clear(); sizes.clear() }
 }
 
 /** Log-structured upsert store: every upsert APPENDS its batch under a new
@@ -415,7 +432,7 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
     GenLog.markWriter(spark, dest.toString)
-    old.foreach(p => fs.delete(p, true))
+    old.foreach { p => fs.delete(p, true); GenLog.forgetSize(spark, p) }
     spark.catalog.refreshByPath(path)
   }
 
@@ -444,7 +461,7 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compactTail: rename $staging -> $dest failed")
     GenLog.markWriter(spark, dest.toString)
-    tail.foreach(p => fs.delete(p, true))
+    tail.foreach { p => fs.delete(p, true); GenLog.forgetSize(spark, p) }
     spark.catalog.refreshByPath(path)
   }
 }
@@ -546,6 +563,16 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     val spark = df.sparkSession
     val gen = GenLog.nextGen(spark, path)
     withBucket(df).write.mode(SaveMode.Append).partitionBy(B).parquet(s"$path/$G=$gen")
+    // an EMPTY batch through partitionBy writes no data files at all — a
+    // schema-less generation that a later fold's read would choke on
+    // (overwrite/compact already special-case this); materialize the
+    // schema in one concrete bucket leaf. One cheap listing of the
+    // just-written generation, not a per-batch df.isEmpty job.
+    val genPath = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
+    val genFs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!genFs.exists(genPath) || !genFs.listStatus(genPath)
+        .exists(s => !s.getPath.getName.startsWith("_")))
+      df.drop(B).write.mode(SaveMode.Overwrite).parquet(s"$path/$G=$gen/$B=0")
     GenLog.markWriter(spark, s"$path/$G=$gen")
     spark.catalog.refreshByPath(path)
     // tiered like LogUpsertSource: minor O(tail) folds routinely, major
@@ -579,7 +606,7 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
     GenLog.markWriter(spark, dest.toString)
-    old.foreach(p => fs.delete(p, true))
+    old.foreach { p => fs.delete(p, true); GenLog.forgetSize(spark, p) }
     spark.catalog.refreshByPath(path)
   }
 
@@ -609,7 +636,7 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compactTail: rename $staging -> $dest failed")
     GenLog.markWriter(spark, dest.toString)
-    tail.foreach(p => fs.delete(p, true))
+    tail.foreach { p => fs.delete(p, true); GenLog.forgetSize(spark, p) }
     spark.catalog.refreshByPath(path)
   }
 }

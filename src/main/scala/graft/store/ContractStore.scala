@@ -593,16 +593,33 @@ final class ContractStore {
         // to the probed keys' buckets BEFORE the latest-wins resolve — a
         // plain log store would window over every emission per lookup
         // (VERDICT r14 #3). Applies only when the store's keys are the
-        // view's entity names untouched by renames, so the entity frame's
-        // values hash to the store's own buckets.
+        // view's entity names untouched by renames AND the store's physical
+        // key types equal the declared entity types (footer-only schema
+        // read): a store whose keys need a conformance cast could hold a
+        // value ("01") whose cast image (1) hashes to a DIFFERENT bucket
+        // than the probe's ("1") — pruning would silently miss it where the
+        // full-scan path's post-cast filter matches.
         val src = v.materializedSource.getOrElse(v.source)
         val base = src match {
           case b: graft.sources.BucketedLogUpsertSource
               if b.keys.sorted == keys.sorted &&
                 v.mappingKeys.forall { case (f, t2) =>
-                  !b.keys.contains(f) && !b.keys.contains(t2) } =>
-            vs.derivedFrom(spark,
-              b.readForEntities(spark, acc.select(b.keys.map(col): _*)))
+                  !b.keys.contains(f) && !b.keys.contains(t2) } &&
+                scala.util.Try(spark.read.parquet(b.path).schema).toOption
+                  .exists(stored => keys.forall(k =>
+                    stored.find(_.name == k).map(_.dataType).contains(
+                      v.entities.find(_.name == k).get.dtype.sparkType))) =>
+            // probe with the already-collected key rows when they fit (a
+            // local frame: the bucket-id derivation then costs no re-run of
+            // the entity frame's lineage); overflow probes with the full
+            // frame — the collected subset is incomplete and pruning by it
+            // would miss keys beyond the cap
+            val probe =
+              if (keyRows.length > maxInlineKeys) acc.select(b.keys.map(col): _*)
+              else spark.createDataFrame(
+                new java.util.ArrayList(java.util.Arrays.asList(keyRows: _*)),
+                acc.select(keys.map(col): _*).schema)
+            vs.derivedFrom(spark, b.readForEntities(spark, probe))
           case _ => vs.baseWithDerived(spark)
         }
         val filtered =
