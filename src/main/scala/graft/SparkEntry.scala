@@ -6042,6 +6042,30 @@ object SparkEntry {
         SELECT e.o_custkey, r.o_totalprice, r.o_orderstatus
         FROM e LEFT JOIN r ON r.o_custkey = e.o_custkey AND r.rn = 1""")),
 
+    // --- TIME TRAVEL on the generation log (round 15; the Delta
+    // versionAsOf idea with no jar — LogUpsertSource.readAt scaladoc):
+    // three upsert generations, then read the MIDDLE snapshot — the later
+    // patch must be invisible, the earlier one applied. Fold interplay
+    // (history subsumed → loud failure) is spec-gated in
+    // LogStoreTimeTravelSpec; this gates the resolve-at-generation VALUES
+    // against DuckDB ---
+    Q("q248_log_time_travel",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_ttq").toString
+        val src = graft.sources.LogUpsertSource(s"$work/docs_tt", Seq("doc_id"))
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+        src.upsert(docs, Seq("doc_id"))                                   // gen 0
+        src.upsert(docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") * 2L), Seq("doc_id"))     // gen 1
+        src.upsert(docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("n_chars", col("n_chars") * 3L), Seq("doc_id"))     // gen 2
+        src.readAt(s, 1L).select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      },
+      Some("""SELECT doc_id, lang, source,
+          CASE WHEN doc_id % 3 = 0 THEN n_chars * 2 ELSE n_chars END AS n_chars
+        FROM documents""")),
+
     // --- contract conformance pipeline in one gate (FileFullJob,
     // local/job.py:218-292): rename (mapping_keys) + fill-missing-with-
     // default + cast-on-mismatch + derived feature, all through

@@ -200,6 +200,60 @@ private[graft] object GenLog {
   def genNumber(p: org.apache.hadoop.fs.Path): Long =
     p.getName.substring(G.length + 1).toLong
 
+  /** Fold provenance marker `_folded_<lo>_<hi>` (underscore prefix →
+    * invisible to Spark's file index): a fold's dest generation records the
+    * inclusive snapshot range it subsumed, which is what makes time travel
+    * ([[LogUpsertSource.readAt]]) HONEST — a request strictly inside a
+    * folded range fails loudly instead of silently returning the post-fold
+    * state. Plain append generations carry no marker; their range is
+    * [g, g]. Written AFTER the fold's rename and BEFORE its input deletes:
+    * a crash in between leaves either inputs+unmarked-dest (dest treated
+    * as [d, d]; historical reads still served by the surviving inputs) or
+    * inputs+marked-dest (duplicate key copies resolve to identical values
+    * by latest-wins) — never a wrong snapshot. */
+  def writeFoldMarker(spark: SparkSession, genDir: String, lo: Long, hi: Long): Unit = {
+    val (fs, p) = fsOf(spark, genDir)
+    fs.create(new org.apache.hadoop.fs.Path(p, s"_folded_${lo}_$hi"), true).close()
+  }
+
+  /** The inclusive snapshot range a generation dir covers: its fold marker
+    * if present, else the dir's own number twice. */
+  def foldRange(spark: SparkSession, genDir: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val (fs, _) = fsOf(spark, genDir.toString)
+    fs.listStatus(genDir).map(_.getPath.getName).find(_.startsWith("_folded_"))
+      .map { n =>
+        val parts = n.stripPrefix("_folded_").split("_")
+        (parts(0).toLong, parts(1).toLong)
+      }.getOrElse { val g = genNumber(genDir); (g, g) }
+  }
+
+  /** Generation dirs whose snapshot range is fully at-or-before `gen` —
+    * the read set for a time-travel read. Fails loudly when `gen` falls
+    * strictly INSIDE a fold's range (that history is compacted away) or
+    * before the earliest retained snapshot. */
+  def dirsAt(spark: SparkSession, path: String, gen: Long): Array[org.apache.hadoop.fs.Path] = {
+    val ranged = genDirs(spark, path).map(d => (d, foldRange(spark, d)))
+    val straddle = ranged.collect { case (_, (lo, hi)) if lo <= gen && gen < hi => (lo, hi) }
+    if (straddle.nonEmpty)
+      throw new IllegalArgumentException(
+        s"log store $path: generation $gen falls inside compacted range " +
+          s"${straddle.map { case (l, h) => s"[$l,$h]" }.mkString(",")} — that history " +
+          s"was folded away (retention is bounded by the compaction cadence; " +
+          s"exact snapshots currently retained: ${snapshotGens(spark, path).mkString(",")})")
+    val included = ranged.filter(_._2._2 <= gen).map(_._1)
+    if (included.isEmpty)
+      throw new IllegalArgumentException(
+        s"log store $path: no snapshot at or before generation $gen " +
+          s"(earliest retained: ${snapshotGens(spark, path).headOption.getOrElse("none")})")
+    included
+  }
+
+  /** The exact snapshot points currently retained (each dir's range upper
+    * bound, ascending) — every listed generation is a valid `readAt`
+    * argument; later folds subsume the older entries. */
+  def snapshotGens(spark: SparkSession, path: String): Seq[Long] =
+    genDirs(spark, path).map(d => foldRange(spark, d)._2).distinct.sorted.toSeq
+
   /** Byte sizes of generation dirs, cached: a generation is immutable once
     * written (appends mint NEW generations; folds create new ones and
     * delete the old), so its recursive listing never changes — without the
@@ -247,6 +301,55 @@ private[graft] object GenLog {
         .map(n => n.substring(G.length + 1).toLong).foldLeft(-1L)(math.max)
       new java.util.concurrent.atomic.AtomicLong(seed)
     }).incrementAndGet()
+  }
+
+  /** A generation's claim-marker path: `_claim_<N>` directly under the
+    * store (underscore prefix → invisible to Spark's file index and to
+    * [[genDirs]]). */
+  private def claimPath(path: String, gen: Long) =
+    new org.apache.hadoop.fs.Path(path, s"_claim_$gen")
+
+  /** CLAIM a generation number atomically across processes: create-
+    * exclusive of the `_claim_<N>` marker (FileSystem.create with
+    * overwrite=false — atomic on HDFS/ABFS and posix local; object stores
+    * without conditional puts keep the single-writer discipline). Two
+    * processes seeding their counters from the same listing would
+    * otherwise mint the SAME number and interleave files in one
+    * generation dir; the claim makes that impossible — the loser's create
+    * throws FileAlreadyExists, it bumps its counter and retries, and each
+    * append lands a UNIQUE generation, totally ordered by claim order.
+    * This upgrades concurrent cross-process APPENDS from
+    * detected-violation ([[assertSingleWriter]], kept as the backstop) to
+    * well-defined latest-wins. Folds and `overwrite` remain
+    * single-operator discipline (their delete/rename races fail loudly or
+    * resolve to identical values — scaladoc on each). */
+  def claimGen(spark: SparkSession, path: String): Long = {
+    val (fs, _) = fsOf(spark, path)
+    var attempts = 0
+    while (attempts < 10000) {
+      val g = nextGen(spark, path)
+      try {
+        fs.create(claimPath(path, g), false).close()
+        return g
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => attempts += 1
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("already exists") => attempts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"log store $path: could not claim a generation after 10000 attempts — " +
+        "another writer is minting generations faster than this one can retry")
+  }
+
+  /** Drop a deleted generation's claim marker (fold GC — safe because
+    * counters never re-descend: in-process they only increment, and a
+    * fresh process seeds from max(existing dirs)+1, which folds keep at
+    * the top). */
+  def releaseClaim(spark: SparkSession, path: String, gen: Long): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    fs.delete(claimPath(path, gen), false)
+    ()
   }
 
   /** Stamp a just-written generation dir with this process's nonce. */
@@ -333,12 +436,20 @@ private[graft] object GenLog {
   * is amortized over base-sized progress, the classic size-ratio merge
   * schedule. At 100 TB
   * the same fold can also run as a detached periodic OPTIMIZE via
-  * [[compact]]. Cross-process appends race only on the counter seed —
-  * single-writer per path is this store's contract, same as every
-  * plain-file source here ([[StageAndSwap]] scaladoc) — and a violation
-  * is DETECTED: each generation is stamped with the writer's process
-  * nonce and reads fail loudly on a two-nonce generation
-  * ([[GenLog.assertSingleWriter]]). */
+  * [[compact]]. Cross-process APPENDS are safe by construction: a writer
+  * atomically CLAIMS its generation number before writing
+  * ([[GenLog.claimGen]] — create-exclusive `_claim_<N>` marker), so two
+  * processes can never interleave files in one generation; concurrent
+  * upserts from many processes land unique generations totally ordered
+  * by claim order, which is exactly latest-wins. The claim's atomicity
+  * is the filesystem's create-no-overwrite guarantee (HDFS/ABFS/posix
+  * local; object stores without conditional puts keep the single-writer
+  * discipline), and the per-generation writer-nonce stamp remains as the
+  * detection backstop ([[GenLog.assertSingleWriter]]). Folds and
+  * [[overwrite]] remain single-OPERATOR discipline: two concurrent folds
+  * either fail loudly mid-read (inputs deleted under them — staging is
+  * outside the store, nothing renamed, no corruption) or both land,
+  * resolving to identical values by latest-wins. */
 final case class LogUpsertSource(path: String, keys: Seq[String],
     autoCompactEvery: Int = GenLog.defaultAutoCompactEvery) extends WritableSource {
   require(autoCompactEvery >= 2,
@@ -385,7 +496,7 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
       s"LogUpsertSource($path) resolves reads by $keys; an upsert keyed by " +
         s"$upsertKeys would not merge on read")
     val spark = df.sparkSession
-    val gen = GenLog.nextGen(spark, path)
+    val gen = GenLog.claimGen(spark, path)
     df.write.mode(SaveMode.Append).parquet(s"$path/$G=$gen")
     GenLog.markWriter(spark, s"$path/$G=$gen")
     spark.catalog.refreshByPath(path)
@@ -414,7 +525,7 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
   def compact(spark: SparkSession): Unit = StageAndSwap.locked(spark, path) {
     if (!exists(spark)) return
     val resolved = read(spark)
-    val gen = GenLog.nextGen(spark, path)
+    val gen = GenLog.claimGen(spark, path)
     val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // staging lives OUTSIDE the store dir: a crash-leftover dir named
@@ -432,7 +543,12 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
     GenLog.markWriter(spark, dest.toString)
-    old.foreach { p => fs.delete(p, true); GenLog.forgetSize(spark, p) }
+    val folded = old.map(p => GenLog.foldRange(spark, p))
+    if (folded.nonEmpty)
+      GenLog.writeFoldMarker(spark, dest.toString,
+        folded.map(_._1).min, folded.map(_._2).max)
+    old.foreach { p => val g = GenLog.genNumber(p); fs.delete(p, true)
+      GenLog.forgetSize(spark, p); GenLog.releaseClaim(spark, path, g) }
     spark.catalog.refreshByPath(path)
   }
 
@@ -451,7 +567,7 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     if (tail.length < 2) return // nothing to merge: fold would just rewrite one run
     val resolved = resolveLatest(
       spark.read.option("basePath", path).parquet(tail.map(_.toString): _*))
-    val gen = GenLog.nextGen(spark, path)
+    val gen = GenLog.claimGen(spark, path)
     val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val store = new org.apache.hadoop.fs.Path(path)
@@ -461,9 +577,32 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compactTail: rename $staging -> $dest failed")
     GenLog.markWriter(spark, dest.toString)
-    tail.foreach { p => fs.delete(p, true); GenLog.forgetSize(spark, p) }
+    val folded = tail.map(p => GenLog.foldRange(spark, p))
+    GenLog.writeFoldMarker(spark, dest.toString,
+      folded.map(_._1).min, folded.map(_._2).max)
+    tail.foreach { p => val g = GenLog.genNumber(p); fs.delete(p, true)
+      GenLog.forgetSize(spark, p); GenLog.releaseClaim(spark, path, g) }
     spark.catalog.refreshByPath(path)
   }
+
+  /** TIME TRAVEL (the Delta `versionAsOf` idea on the generation log): the
+    * store's state as of generation `gen` — every append IS a snapshot
+    * point, so `readAt(g)` resolves latest-wins over only the generations
+    * at-or-before `g`. Retention is bounded by the compaction cadence: a
+    * fold subsumes its inputs' history, and a request strictly inside a
+    * folded range fails LOUDLY ([[GenLog.dirsAt]]) rather than silently
+    * returning the post-fold state — raise `autoCompactEvery` (or snapshot
+    * externally) for a longer undo window, exactly the Delta
+    * VACUUM-retention trade. [[snapshots]] lists the points currently
+    * readable. */
+  def readAt(spark: SparkSession, gen: Long): DataFrame = {
+    GenLog.assertSingleWriter(spark, path)
+    resolveLatest(spark.read.option("basePath", path)
+      .parquet(GenLog.dirsAt(spark, path, gen).map(_.toString).toIndexedSeq: _*))
+  }
+
+  /** Exact snapshot points currently retained, ascending. */
+  def snapshots(spark: SparkSession): Seq[Long] = GenLog.snapshotGens(spark, path)
 }
 
 object LogUpsertSource {
@@ -561,7 +700,7 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
       s"BucketedLogUpsertSource($path) resolves reads by $keys; an upsert keyed " +
         s"by $upsertKeys would not merge on read")
     val spark = df.sparkSession
-    val gen = GenLog.nextGen(spark, path)
+    val gen = GenLog.claimGen(spark, path)
     withBucket(df).write.mode(SaveMode.Append).partitionBy(B).parquet(s"$path/$G=$gen")
     // an EMPTY batch through partitionBy writes no data files at all — a
     // schema-less generation that a later fold's read would choke on
@@ -586,7 +725,7 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
   def compact(spark: SparkSession): Unit = StageAndSwap.locked(spark, path) {
     if (!exists(spark)) return
     val resolved = read(spark)
-    val gen = GenLog.nextGen(spark, path)
+    val gen = GenLog.claimGen(spark, path)
     val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val store = new org.apache.hadoop.fs.Path(path)
@@ -606,7 +745,12 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
     GenLog.markWriter(spark, dest.toString)
-    old.foreach { p => fs.delete(p, true); GenLog.forgetSize(spark, p) }
+    val folded = old.map(p => GenLog.foldRange(spark, p))
+    if (folded.nonEmpty)
+      GenLog.writeFoldMarker(spark, dest.toString,
+        folded.map(_._1).min, folded.map(_._2).max)
+    old.foreach { p => val g = GenLog.genNumber(p); fs.delete(p, true)
+      GenLog.forgetSize(spark, p); GenLog.releaseClaim(spark, path, g) }
     spark.catalog.refreshByPath(path)
   }
 
@@ -621,7 +765,7 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     if (tail.length < 2) return
     val resolved = resolve(
       spark.read.option("basePath", path).parquet(tail.map(_.toString): _*))
-    val gen = GenLog.nextGen(spark, path)
+    val gen = GenLog.claimGen(spark, path)
     val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val store = new org.apache.hadoop.fs.Path(path)
@@ -636,9 +780,24 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compactTail: rename $staging -> $dest failed")
     GenLog.markWriter(spark, dest.toString)
-    tail.foreach { p => fs.delete(p, true); GenLog.forgetSize(spark, p) }
+    val folded = tail.map(p => GenLog.foldRange(spark, p))
+    GenLog.writeFoldMarker(spark, dest.toString,
+      folded.map(_._1).min, folded.map(_._2).max)
+    tail.foreach { p => val g = GenLog.genNumber(p); fs.delete(p, true)
+      GenLog.forgetSize(spark, p); GenLog.releaseClaim(spark, path, g) }
     spark.catalog.refreshByPath(path)
   }
+
+  /** TIME TRAVEL over the bucketed log — same contract, retention trade,
+    * and loud folded-range failure as [[LogUpsertSource.readAt]]. */
+  def readAt(spark: SparkSession, gen: Long): DataFrame = {
+    GenLog.assertSingleWriter(spark, path)
+    resolve(spark.read.option("basePath", path)
+      .parquet(GenLog.dirsAt(spark, path, gen).map(_.toString).toIndexedSeq: _*))
+  }
+
+  /** Exact snapshot points currently retained, ascending. */
+  def snapshots(spark: SparkSession): Seq[Long] = GenLog.snapshotGens(spark, path)
 }
 
 final case class CsvSource(

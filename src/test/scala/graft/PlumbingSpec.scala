@@ -3311,6 +3311,122 @@ class BucketedLogUpsertSourceSpec extends AnyFunSuite {
   }
 }
 
+/** Cross-process generation claims: a writer atomically claims its
+  * generation number (create-exclusive `_claim_<N>`) before writing, so
+  * two processes seeding their counters from the same listing can never
+  * interleave files in one generation — concurrent appends land UNIQUE
+  * generations, totally ordered by claim order. */
+class LogStoreClaimSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.sources.LogUpsertSource
+
+  test("a foreign in-flight claim forces the next writer PAST it; the foreign " +
+      "write then lands in its own generation and latest-wins spans both") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_claim1").toString + "/s"
+    val src = LogUpsertSource(dir, Seq("id"))
+    src.upsert(Seq((1L, "a")).toDF("id", "v"), Seq("id")) // gen 0
+    // another process has CLAIMED generation 1 but not yet written its data
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_claim_1"), false).close()
+    // this process 'restarts': its counter re-seeds from the dir listing
+    // (max __gen = 0), so WITHOUT the claim protocol it would mint 1 too
+    LogUpsertSource.resetCountersForTest()
+    src.upsert(Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    def gens() = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString.split("/").last).filter(_.startsWith("__gen="))
+      .map(_.stripPrefix("__gen=").toLong).sorted.toSeq
+    assert(gens() == Seq(0L, 2L), s"the claimed generation must be skipped, got ${gens()}")
+    // the other process completes its write into its claimed generation
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$dir/__gen=1")
+    assert(src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "x", 2L -> "b"), "latest-wins must span both writers' generations")
+    // folds GC the claims of the generations they subsume
+    src.compact(spark)
+    val claims = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString.split("/").last).filter(_.startsWith("_claim_")).sorted.toSeq
+    assert(claims == Seq("_claim_3"), s"stale claims must be GC'd with their dirs: $claims")
+    assert(src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "x", 2L -> "b"))
+  }
+}
+
+/** Time travel on the generation log (the Delta `versionAsOf` idea with no
+  * jar): every append is a snapshot point, folds subsume their inputs'
+  * history, and a readAt strictly inside a folded range fails loudly
+  * instead of silently returning the post-fold state. */
+class LogStoreTimeTravelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.sources.{LogUpsertSource, BucketedLogUpsertSource}
+
+  test("readAt reconstructs every retained snapshot exactly; snapshots() lists them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt1").toString + "/s"
+    val src = LogUpsertSource(dir, Seq("id"), autoCompactEvery = 100)
+    src.upsert(Seq((1L, "a1"), (2L, "b1")).toDF("id", "v"), Seq("id"))
+    src.upsert(Seq((2L, "b2"), (3L, "c1")).toDF("id", "v"), Seq("id"))
+    src.upsert(Seq((1L, "a3")).toDF("id", "v"), Seq("id"))
+    def at(g: Long) = src.readAt(spark, g).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(src.snapshots(spark) == Seq(0L, 1L, 2L))
+    assert(at(0) == Map(1L -> "a1", 2L -> "b1"))
+    assert(at(1) == Map(1L -> "a1", 2L -> "b2", 3L -> "c1"))
+    assert(at(2) == Map(1L -> "a3", 2L -> "b2", 3L -> "c1"))
+    // a future generation reads as latest; pre-history fails loudly
+    assert(at(99) == at(2))
+    val e = intercept[IllegalArgumentException] { src.readAt(spark, -1L) }
+    assert(e.getMessage.contains("no snapshot at or before"))
+  }
+
+  test("a fold subsumes its inputs' history: readAt inside the folded range fails " +
+      "LOUDLY, points at-or-past its upper bound stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt2").toString + "/s"
+    val src = LogUpsertSource(dir, Seq("id"), autoCompactEvery = 100)
+    src.upsert(Seq((1L, "a1"), (2L, "b1")).toDF("id", "v"), Seq("id")) // g0
+    src.upsert(Seq((2L, "b2")).toDF("id", "v"), Seq("id"))             // g1
+    src.upsert(Seq((3L, "c1")).toDF("id", "v"), Seq("id"))             // g2
+    src.upsert(Seq((1L, "a4")).toDF("id", "v"), Seq("id"))             // g3
+    src.compactTail(spark) // folds g1..g3 into a marked top generation
+    def at(g: Long) = src.readAt(spark, g).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(src.snapshots(spark) == Seq(0L, 3L), "base point + the fold's upper bound")
+    assert(at(0) == Map(1L -> "a1", 2L -> "b1"), "the untouched base is still exact")
+    assert(at(3) == Map(1L -> "a4", 2L -> "b2", 3L -> "c1"))
+    val e = intercept[IllegalArgumentException] { src.readAt(spark, 2L) }
+    assert(e.getMessage.contains("folded away"), e.getMessage)
+    // the MAJOR fold subsumes everything: only its own range survives, and
+    // the fold-of-a-fold takes the MIN lo across marked inputs
+    src.compact(spark)
+    assert(src.snapshots(spark) == Seq(3L))
+    assert(at(3) == Map(1L -> "a4", 2L -> "b2", 3L -> "c1"))
+    val e2 = intercept[IllegalArgumentException] { src.readAt(spark, 0L) }
+    assert(e2.getMessage.contains("folded away"), e2.getMessage)
+  }
+
+  test("bucketed log: readAt stays exact across the ENGINE-triggered folds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt3").toString + "/s"
+    val src = BucketedLogUpsertSource(dir, Seq("id"), numBuckets = 4, autoCompactEvery = 3)
+    // fold dests consume generation numbers too, so append i's generation
+    // is NOT i — record each append's snapshot point (snapshots().last is
+    // the just-appended generation, fold or no fold) with the state then
+    val expected = scala.collection.mutable.Map[Long, Map[Long, String]]()
+    for (i <- 0 until 7) {
+      src.upsert(Seq((i.toLong % 3, s"v$i")).toDF("id", "v"), Seq("id"))
+      expected(src.snapshots(spark).last) = src.read(spark).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val snaps = src.snapshots(spark)
+    assert(snaps.length < 7, s"autoCompactEvery=3 over 7 appends must have folded, got $snaps")
+    for (g <- snaps) {
+      assert(expected.contains(g), s"retained snapshot $g is not an append point: $snaps")
+      val got = src.readAt(spark, g).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected(g), s"snapshot $g diverged: $got vs ${expected(g)}")
+    }
+  }
+}
+
 /** The hash-bucketed store (VERDICT r13 #1): per-batch upsert cost must be
   * O(touched buckets), not O(store) — proven here physically (untouched
   * buckets' files byte-identical across an upsert), not just semantically. */
