@@ -6052,7 +6052,11 @@ object SparkEntry {
     Q("q248_log_time_travel",
       (s, dir) => {
         val work = java.nio.file.Files.createTempDirectory("graft_ttq").toString
-        val src = graft.sources.LogUpsertSource(s"$work/docs_tt", Seq("doc_id"))
+        // cadence pinned ABOVE the gate's 3 upserts: under the env default
+        // (e.g. SPARK_GRAFT_LOG_COMPACT_EVERY=2, the sweep configuration) a
+        // fold would subsume generation 1 and readAt(1) would loudly refuse
+        val src = graft.sources.LogUpsertSource(s"$work/docs_tt", Seq("doc_id"),
+          autoCompactEvery = 100)
         val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
         src.upsert(docs, Seq("doc_id"))                                   // gen 0
         src.upsert(docs.filter(col("doc_id") % 3 === 0)

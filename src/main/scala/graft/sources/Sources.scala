@@ -227,32 +227,79 @@ private[graft] object GenLog {
       }.getOrElse { val g = genNumber(genDir); (g, g) }
   }
 
+  /** One generation dir's metadata from a single listing: number, fold
+    * range, writer nonces. */
+  final case class GenInfo(dir: org.apache.hadoop.fs.Path, gen: Long,
+      lo: Long, hi: Long, nonces: Seq[String])
+
+  /** ONE listing pass per generation dir (the metadata feeding the nonce
+    * check, the effective-generation resolve order, and time travel —
+    * previously three separate sweeps). Sorted by generation number. */
+  def scanStore(spark: SparkSession, path: String): Seq[GenInfo] = {
+    val (fs, _) = fsOf(spark, path)
+    genDirs(spark, path).sortBy(genNumber).map { d =>
+      val names = fs.listStatus(d).map(_.getPath.getName)
+      val (lo, hi) = names.find(_.startsWith("_folded_")).map { n =>
+        val parts = n.stripPrefix("_folded_").split("_")
+        (parts(0).toLong, parts(1).toLong)
+      }.getOrElse { val g = genNumber(d); (g, g) }
+      GenInfo(d, genNumber(d), lo, hi, names.filter(_.startsWith("_writer_")).distinct.toSeq)
+    }.toSeq
+  }
+
+  /** The EFFECTIVE generation of each dir for latest-wins ordering: a plain
+    * append dir orders at its own number; a fold dest orders at its range's
+    * UPPER BOUND, not its dir number. This is what keeps a fold correct
+    * against a concurrent cross-process append: the fold's dest is CLAIMED
+    * above a foreign generation K that landed after the fold pinned its
+    * inputs, but its DATA is a resolve of generations ≤ hi < K — ordering
+    * it at hi lets K's newer rows win, where dir-number ordering would
+    * resurrect the folded (older) values over them. */
+  def effectiveGens(infos: Seq[GenInfo]): Map[Long, Long] =
+    infos.map(i => i.gen -> i.hi).toMap
+
   /** Generation dirs whose snapshot range is fully at-or-before `gen` —
-    * the read set for a time-travel read. Fails loudly when `gen` falls
-    * strictly INSIDE a fold's range (that history is compacted away) or
-    * before the earliest retained snapshot. */
-  def dirsAt(spark: SparkSession, path: String, gen: Long): Array[org.apache.hadoop.fs.Path] = {
-    val ranged = genDirs(spark, path).map(d => (d, foldRange(spark, d)))
-    val straddle = ranged.collect { case (_, (lo, hi)) if lo <= gen && gen < hi => (lo, hi) }
-    if (straddle.nonEmpty)
+    * the read set for a time-travel read. A range STRADDLING `gen`
+    * (lo ≤ gen < hi) normally means that history was folded away — but a
+    * crashed fold can leave the subsumed inputs alive next to the marked
+    * dest, in which case the straddler is TOLERATED when the included
+    * dirs' ranges still cover the straddled prefix [lo, gen] (the exact
+    * pre-fold data is served). Fails loudly otherwise, and when no
+    * snapshot exists at or before `gen`. */
+  def dirsAt(spark: SparkSession, path: String, gen: Long): Seq[org.apache.hadoop.fs.Path] =
+    dirsAt(path, scanStore(spark, path), gen)
+
+  /** Same over an already-performed [[scanStore]] pass. */
+  def dirsAt(path: String, infos: Seq[GenInfo], gen: Long): Seq[org.apache.hadoop.fs.Path] = {
+    val included = infos.filter(_.hi <= gen)
+    // merge included ranges into sorted disjoint intervals for coverage
+    val merged = included.map(i => (i.lo, i.hi)).sortBy(_._1)
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((a, b) :: rest, (lo, hi)) if lo <= b + 1 => (a, math.max(b, hi)) :: rest
+        case (acc, r) => r :: acc
+      }
+    def covered(lo: Long, hi: Long): Boolean =
+      merged.exists { case (a, b) => a <= lo && hi <= b }
+    val fatal = infos.filter(i => i.lo <= gen && gen < i.hi &&
+      !covered(i.lo, math.min(gen, i.hi)))
+    if (fatal.nonEmpty)
       throw new IllegalArgumentException(
         s"log store $path: generation $gen falls inside compacted range " +
-          s"${straddle.map { case (l, h) => s"[$l,$h]" }.mkString(",")} — that history " +
+          s"${fatal.map(i => s"[${i.lo},${i.hi}]").mkString(",")} — that history " +
           s"was folded away (retention is bounded by the compaction cadence; " +
-          s"exact snapshots currently retained: ${snapshotGens(spark, path).mkString(",")})")
-    val included = ranged.filter(_._2._2 <= gen).map(_._1)
+          s"exact snapshots currently retained: ${infos.map(_.hi).distinct.sorted.mkString(",")})")
     if (included.isEmpty)
       throw new IllegalArgumentException(
         s"log store $path: no snapshot at or before generation $gen " +
-          s"(earliest retained: ${snapshotGens(spark, path).headOption.getOrElse("none")})")
-    included
+          s"(earliest retained: ${infos.map(_.hi).sorted.headOption.getOrElse("none")})")
+    included.map(_.dir)
   }
 
   /** The exact snapshot points currently retained (each dir's range upper
     * bound, ascending) — every listed generation is a valid `readAt`
     * argument; later folds subsume the older entries. */
   def snapshotGens(spark: SparkSession, path: String): Seq[Long] =
-    genDirs(spark, path).map(d => foldRange(spark, d)._2).distinct.sorted.toSeq
+    scanStore(spark, path).map(_.hi).distinct.sorted
 
   /** Byte sizes of generation dirs, cached: a generation is immutable once
     * written (appends mint NEW generations; folds create new ones and
@@ -309,20 +356,25 @@ private[graft] object GenLog {
   private def claimPath(path: String, gen: Long) =
     new org.apache.hadoop.fs.Path(path, s"_claim_$gen")
 
-  /** CLAIM a generation number atomically across processes: create-
-    * exclusive of the `_claim_<N>` marker (FileSystem.create with
-    * overwrite=false — atomic on HDFS/ABFS and posix local; object stores
-    * without conditional puts keep the single-writer discipline). Two
+  /** CLAIM a generation number across processes: create-exclusive of the
+    * `_claim_<N>` marker (FileSystem.create with overwrite=false). Two
     * processes seeding their counters from the same listing would
     * otherwise mint the SAME number and interleave files in one
-    * generation dir; the claim makes that impossible — the loser's create
-    * throws FileAlreadyExists, it bumps its counter and retries, and each
-    * append lands a UNIQUE generation, totally ordered by claim order.
-    * This upgrades concurrent cross-process APPENDS from
-    * detected-violation ([[assertSingleWriter]], kept as the backstop) to
-    * well-defined latest-wins. Folds and `overwrite` remain
-    * single-operator discipline (their delete/rename races fail loudly or
-    * resolve to identical values — scaladoc on each). */
+    * generation dir; with claims the loser's create throws
+    * FileAlreadyExists, it bumps its counter and retries, and each append
+    * lands a UNIQUE generation, totally ordered by claim order — which IS
+    * latest-wins. Atomicity is the filesystem's: HDFS and ABFS implement
+    * create-no-overwrite atomically; Hadoop's RawLocalFileSystem is an
+    * exists-check-then-create (a microsecond TOCTOU window two same-host
+    * JVMs could in principle thread), and object stores without
+    * conditional puts have no exclusivity at all — on those the claim
+    * closes the COMMON race (counter-seed collisions, a window of whole
+    * batches) and [[assertSingleWriter]]'s nonce detection remains the
+    * backstop for the residual one. A claim whose writer crashed before
+    * writing its dir is left in place deliberately: a stalled-but-alive
+    * claimant is indistinguishable from a dead one without leases, so the
+    * number is permanently skipped (one empty marker file) rather than
+    * ever risking reuse under an in-flight writer. */
   def claimGen(spark: SparkSession, path: String): Long = {
     val (fs, _) = fsOf(spark, path)
     var attempts = 0
@@ -332,9 +384,10 @@ private[graft] object GenLog {
         fs.create(claimPath(path, g), false).close()
         return g
       } catch {
+        // ONLY the typed collision retries: a message sniff on IOException
+        // would spin 10000 times on unrelated faults ("parent is a file…")
+        // and mask the real error
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => attempts += 1
-        case e: java.io.IOException if e.getMessage != null &&
-            e.getMessage.contains("already exists") => attempts += 1
       }
     }
     throw new IllegalStateException(
@@ -352,6 +405,28 @@ private[graft] object GenLog {
     ()
   }
 
+  /** The fold epilogue shared by all four fold sites: stamp the dest with
+    * this process's nonce and the folded range (min lo / max hi over the
+    * PINNED inputs), then delete exactly those inputs and release their
+    * claims. Deleting only the pinned set — never a fresh listing — is
+    * what keeps a fold safe against a concurrent cross-process append: a
+    * foreign generation landing between the pin and the delete is neither
+    * read into the fold nor destroyed by it, and [[effectiveGens]] orders
+    * the dest below it. */
+  def retireInputs(spark: SparkSession, path: String, destDir: String,
+      inputs: Seq[GenInfo]): Unit = {
+    markWriter(spark, destDir)
+    if (inputs.nonEmpty)
+      writeFoldMarker(spark, destDir, inputs.map(_.lo).min, inputs.map(_.hi).max)
+    val (fs, _) = fsOf(spark, path)
+    inputs.foreach { i =>
+      fs.delete(i.dir, true)
+      forgetSize(spark, i.dir)
+      releaseClaim(spark, path, i.gen)
+    }
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Stamp a just-written generation dir with this process's nonce. */
   def markWriter(spark: SparkSession, genDir: String): Unit = {
     val (fs, p) = fsOf(spark, genDir)
@@ -364,19 +439,21 @@ private[graft] object GenLog {
     * count is evidence, not a race). Generations without markers (older
     * stores, foreign writers that crashed pre-stamp) pass: absence proves
     * nothing, and latest-wins over them is still well-defined. */
-  def assertSingleWriter(spark: SparkSession, path: String): Unit = {
-    val (fs, _) = fsOf(spark, path)
-    genDirs(spark, path).foreach { g =>
-      val nonces = fs.listStatus(g).map(_.getPath.getName)
-        .filter(_.startsWith("_writer_")).distinct
-      if (nonces.length > 1)
+  def assertSingleWriter(spark: SparkSession, path: String): Unit =
+    assertSingleWriter(path, scanStore(spark, path))
+
+  /** Same check over an already-performed [[scanStore]] pass (the read
+    * paths scan once and feed both this and the resolve order). */
+  def assertSingleWriter(path: String, infos: Seq[GenInfo]): Unit =
+    infos.foreach { i =>
+      if (i.nonces.length > 1)
         throw new IllegalStateException(
-          s"log store $path: generation ${g.getName} carries ${nonces.length} writer " +
-            s"nonces — two processes appended the same generation. This store is " +
-            "single-writer per path (LogUpsertSource scaladoc); cross-process " +
-            "writers need the Delta/Iceberg commit log (COVERAGE §2.1).")
+          s"log store $path: generation ${i.dir.getName} carries ${i.nonces.length} writer " +
+            s"nonces — two processes appended the same generation. Appends claim their " +
+            "generation atomically (GenLog.claimGen), so this indicates a filesystem " +
+            "without create-exclusivity or direct interference; cross-process " +
+            "writers on such stores need the Delta/Iceberg commit log (COVERAGE §2.1).")
     }
-  }
 
   /** Default auto-compaction threshold: SPARK_GRAFT_LOG_COMPACT_EVERY
     * (strictly parsed — shares [[graft.streaming.Streaming.parsePositiveInt]]
@@ -436,17 +513,20 @@ private[graft] object GenLog {
   * is amortized over base-sized progress, the classic size-ratio merge
   * schedule. At 100 TB
   * the same fold can also run as a detached periodic OPTIMIZE via
-  * [[compact]]. Cross-process APPENDS are safe by construction: a writer
-  * atomically CLAIMS its generation number before writing
-  * ([[GenLog.claimGen]] — create-exclusive `_claim_<N>` marker), so two
-  * processes can never interleave files in one generation; concurrent
-  * upserts from many processes land unique generations totally ordered
-  * by claim order, which is exactly latest-wins. The claim's atomicity
-  * is the filesystem's create-no-overwrite guarantee (HDFS/ABFS/posix
-  * local; object stores without conditional puts keep the single-writer
-  * discipline), and the per-generation writer-nonce stamp remains as the
-  * detection backstop ([[GenLog.assertSingleWriter]]). Folds and
-  * [[overwrite]] remain single-OPERATOR discipline: two concurrent folds
+  * [[compact]]. Cross-process APPENDS are safe where the filesystem
+  * provides atomic create-no-overwrite (HDFS/ABFS): a writer atomically
+  * CLAIMS its generation number before writing ([[GenLog.claimGen]] —
+  * create-exclusive `_claim_<N>` marker, honest atomicity caveats in its
+  * scaladoc), so two processes cannot interleave files in one generation;
+  * concurrent upserts land unique generations totally ordered by claim
+  * order, which is exactly latest-wins. The per-generation writer-nonce
+  * stamp remains as the detection backstop
+  * ([[GenLog.assertSingleWriter]]). Folds coexist with concurrent
+  * appends: a fold PINS its input set before reading, deletes exactly
+  * that set, and its dest ORDERS at the folded range's upper bound
+  * ([[GenLog.effectiveGens]]) — a foreign append landing mid-fold is
+  * neither read, nor deleted, nor out-ordered. Concurrent FOLDS and
+  * [[overwrite]] remain single-OPERATOR discipline: two racing folds
   * either fail loudly mid-read (inputs deleted under them — staging is
   * outside the store, nothing renamed, no corruption) or both land,
   * resolving to identical values by latest-wins. */
@@ -457,15 +537,27 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
       s"append, re-creating the O(store)-per-batch cost this store removes), " +
       s"got $autoCompactEvery")
   private val G = GenLog.G
-  private def resolveLatest(raw: DataFrame): DataFrame = {
+  /** Latest-wins resolve ordered by EFFECTIVE generation (a fold dest
+    * orders at its range's upper bound, not its dir number —
+    * [[GenLog.effectiveGens]]); dir number breaks exact-effective ties
+    * (coexisting crash remnants hold identical values for shared keys,
+    * so either copy is correct — the tiebreak just makes plans
+    * deterministic). */
+  private def resolveLatest(raw: DataFrame, eff: Map[Long, Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(G).desc)
+    val effCol = coalesce(
+      element_at(typedLit(eff), col(G).cast("long")), col(G).cast("long"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(effCol.desc, col(G).desc)
     raw.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", G)
   }
   def read(spark: SparkSession): DataFrame = {
-    GenLog.assertSingleWriter(spark, path)
-    resolveLatest(spark.read.parquet(path))
+    val infos = GenLog.scanStore(spark, path)
+    GenLog.assertSingleWriter(path, infos)
+    if (infos.isEmpty) return spark.read.parquet(path) // loud, consistent error
+    resolveLatest(spark.read.option("basePath", path)
+      .parquet(infos.map(_.dir.toString): _*), GenLog.effectiveGens(infos))
   }
   override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
   /** Fails loudly: the resolve collapses to ONE row per key, so an
@@ -524,7 +616,15 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     * appears on the final rename). */
   def compact(spark: SparkSession): Unit = StageAndSwap.locked(spark, path) {
     if (!exists(spark)) return
-    val resolved = read(spark)
+    // PIN the input set in one scan: the fold reads exactly these dirs and
+    // later deletes exactly these dirs — a foreign append landing between
+    // pin and delete is neither folded nor destroyed (a fresh listing at
+    // delete time WOULD destroy it)
+    val inputs = GenLog.scanStore(spark, path)
+    if (inputs.isEmpty) return
+    GenLog.assertSingleWriter(path, inputs)
+    val resolved = resolveLatest(spark.read.option("basePath", path)
+      .parquet(inputs.map(_.dir.toString): _*), GenLog.effectiveGens(inputs))
     val gen = GenLog.claimGen(spark, path)
     val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -537,19 +637,9 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     // materialize the fold FULLY before dropping any input generation
     // (self-overwrite discipline, same as Caching.compact)
     resolved.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val old = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .map(_.getPath).filter(p => p.getName.startsWith(G + "=") &&
-        p.getName != dest.getName)
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
-    GenLog.markWriter(spark, dest.toString)
-    val folded = old.map(p => GenLog.foldRange(spark, p))
-    if (folded.nonEmpty)
-      GenLog.writeFoldMarker(spark, dest.toString,
-        folded.map(_._1).min, folded.map(_._2).max)
-    old.foreach { p => val g = GenLog.genNumber(p); fs.delete(p, true)
-      GenLog.forgetSize(spark, p); GenLog.releaseClaim(spark, path, g) }
-    spark.catalog.refreshByPath(path)
+    GenLog.retireInputs(spark, path, dest.toString, inputs)
   }
 
   /** The MINOR fold of the tiered schedule: merge every generation EXCEPT
@@ -562,11 +652,12 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     * the store, rename in, only then drop the inputs. */
   def compactTail(spark: SparkSession): Unit = StageAndSwap.locked(spark, path) {
     if (!exists(spark)) return
-    GenLog.assertSingleWriter(spark, path)
-    val tail = GenLog.genDirs(spark, path).sortBy(GenLog.genNumber).drop(1)
+    val infos = GenLog.scanStore(spark, path) // PINNED, same as compact
+    GenLog.assertSingleWriter(path, infos)
+    val tail = infos.drop(1)
     if (tail.length < 2) return // nothing to merge: fold would just rewrite one run
-    val resolved = resolveLatest(
-      spark.read.option("basePath", path).parquet(tail.map(_.toString): _*))
+    val resolved = resolveLatest(spark.read.option("basePath", path)
+      .parquet(tail.map(_.dir.toString): _*), GenLog.effectiveGens(tail))
     val gen = GenLog.claimGen(spark, path)
     val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -576,13 +667,7 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     resolved.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compactTail: rename $staging -> $dest failed")
-    GenLog.markWriter(spark, dest.toString)
-    val folded = tail.map(p => GenLog.foldRange(spark, p))
-    GenLog.writeFoldMarker(spark, dest.toString,
-      folded.map(_._1).min, folded.map(_._2).max)
-    tail.foreach { p => val g = GenLog.genNumber(p); fs.delete(p, true)
-      GenLog.forgetSize(spark, p); GenLog.releaseClaim(spark, path, g) }
-    spark.catalog.refreshByPath(path)
+    GenLog.retireInputs(spark, path, dest.toString, tail)
   }
 
   /** TIME TRAVEL (the Delta `versionAsOf` idea on the generation log): the
@@ -596,9 +681,11 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     * VACUUM-retention trade. [[snapshots]] lists the points currently
     * readable. */
   def readAt(spark: SparkSession, gen: Long): DataFrame = {
-    GenLog.assertSingleWriter(spark, path)
+    val infos = GenLog.scanStore(spark, path)
+    GenLog.assertSingleWriter(path, infos)
     resolveLatest(spark.read.option("basePath", path)
-      .parquet(GenLog.dirsAt(spark, path, gen).map(_.toString).toIndexedSeq: _*))
+      .parquet(GenLog.dirsAt(path, infos, gen).map(_.toString): _*),
+      GenLog.effectiveGens(infos))
   }
 
   /** Exact snapshot points currently retained, ascending. */
@@ -641,15 +728,24 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
   private val B = "__bucket"
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(B, pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
-  private def resolve(raw: DataFrame): DataFrame = {
+  /** Latest-wins by EFFECTIVE generation, same as
+    * [[LogUpsertSource.resolveLatest]] (fold dests order at their range's
+    * upper bound; dir number breaks ties deterministically). */
+  private def resolve(raw: DataFrame, eff: Map[Long, Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(G).desc)
+    val effCol = coalesce(
+      element_at(typedLit(eff), col(G).cast("long")), col(G).cast("long"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(effCol.desc, col(G).desc)
     raw.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", G, B)
   }
   def read(spark: SparkSession): DataFrame = {
-    GenLog.assertSingleWriter(spark, path)
-    resolve(spark.read.parquet(path))
+    val infos = GenLog.scanStore(spark, path)
+    GenLog.assertSingleWriter(path, infos)
+    if (infos.isEmpty) return spark.read.parquet(path) // loud, consistent error
+    resolve(spark.read.option("basePath", path)
+      .parquet(infos.map(_.dir.toString): _*), GenLog.effectiveGens(infos))
   }
   /** The point-lookup path: latest rows for exactly the keys present in
     * `entities` — scans ONLY those keys' buckets (their ids derived by a
@@ -661,8 +757,10 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     * join/predicate (onlineFeaturesFor layers its IN-list pushdown on
     * top). */
   def readForEntities(spark: SparkSession, entities: DataFrame): DataFrame = {
-    GenLog.assertSingleWriter(spark, path)
-    val raw = spark.read.parquet(path)
+    val infos = GenLog.scanStore(spark, path)
+    GenLog.assertSingleWriter(path, infos)
+    val raw = spark.read.option("basePath", path)
+      .parquet(infos.map(_.dir.toString): _*)
     // xxhash64 is TYPE-sensitive (hash(1: int) != hash(1L)): probe values
     // must hash with the STORE's own key types or the pruning silently
     // selects the wrong buckets — cast the probe frame to the stored
@@ -673,7 +771,7 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     }
     val ids = withBucket(probes).select(B).distinct().collect().map(_.getInt(0)).toIndexedSeq
     if (ids.isEmpty) read(spark).filter(lit(false))
-    else resolve(raw.filter(col(B).isin(ids: _*)))
+    else resolve(raw.filter(col(B).isin(ids: _*)), GenLog.effectiveGens(infos))
   }
   override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
   /** Fails loudly — same contract as [[LogUpsertSource.insert]]. */
@@ -724,7 +822,13 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     * drop the old ones (same protocol as [[LogUpsertSource.compact]]). */
   def compact(spark: SparkSession): Unit = StageAndSwap.locked(spark, path) {
     if (!exists(spark)) return
-    val resolved = read(spark)
+    // PINNED input set, same protocol as LogUpsertSource.compact: read
+    // exactly these dirs, delete exactly these dirs
+    val inputs = GenLog.scanStore(spark, path)
+    if (inputs.isEmpty) return
+    GenLog.assertSingleWriter(path, inputs)
+    val resolved = resolve(spark.read.option("basePath", path)
+      .parquet(inputs.map(_.dir.toString): _*), GenLog.effectiveGens(inputs))
     val gen = GenLog.claimGen(spark, path)
     val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -739,19 +843,9 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
       // the store resolved to zero rows: partitionBy wrote no data files —
       // materialize the schema so the renamed generation stays readable
       resolved.write.mode(SaveMode.Overwrite).parquet(s"$staging/$B=0")
-    val old = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .map(_.getPath).filter(p => p.getName.startsWith(G + "=") &&
-        p.getName != dest.getName)
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
-    GenLog.markWriter(spark, dest.toString)
-    val folded = old.map(p => GenLog.foldRange(spark, p))
-    if (folded.nonEmpty)
-      GenLog.writeFoldMarker(spark, dest.toString,
-        folded.map(_._1).min, folded.map(_._2).max)
-    old.foreach { p => val g = GenLog.genNumber(p); fs.delete(p, true)
-      GenLog.forgetSize(spark, p); GenLog.releaseClaim(spark, path, g) }
-    spark.catalog.refreshByPath(path)
+    GenLog.retireInputs(spark, path, dest.toString, inputs)
   }
 
   /** MINOR fold, bucket layout preserved: merge every generation except
@@ -760,11 +854,12 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     * protocol as [[LogUpsertSource.compactTail]]. */
   def compactTail(spark: SparkSession): Unit = StageAndSwap.locked(spark, path) {
     if (!exists(spark)) return
-    GenLog.assertSingleWriter(spark, path)
-    val tail = GenLog.genDirs(spark, path).sortBy(GenLog.genNumber).drop(1)
+    val infos = GenLog.scanStore(spark, path) // PINNED, same as compact
+    GenLog.assertSingleWriter(path, infos)
+    val tail = infos.drop(1)
     if (tail.length < 2) return
-    val resolved = resolve(
-      spark.read.option("basePath", path).parquet(tail.map(_.toString): _*))
+    val resolved = resolve(spark.read.option("basePath", path)
+      .parquet(tail.map(_.dir.toString): _*), GenLog.effectiveGens(tail))
     val gen = GenLog.claimGen(spark, path)
     val dest = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -779,21 +874,17 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
       resolved.write.mode(SaveMode.Overwrite).parquet(s"$staging/$B=0")
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compactTail: rename $staging -> $dest failed")
-    GenLog.markWriter(spark, dest.toString)
-    val folded = tail.map(p => GenLog.foldRange(spark, p))
-    GenLog.writeFoldMarker(spark, dest.toString,
-      folded.map(_._1).min, folded.map(_._2).max)
-    tail.foreach { p => val g = GenLog.genNumber(p); fs.delete(p, true)
-      GenLog.forgetSize(spark, p); GenLog.releaseClaim(spark, path, g) }
-    spark.catalog.refreshByPath(path)
+    GenLog.retireInputs(spark, path, dest.toString, tail)
   }
 
   /** TIME TRAVEL over the bucketed log — same contract, retention trade,
     * and loud folded-range failure as [[LogUpsertSource.readAt]]. */
   def readAt(spark: SparkSession, gen: Long): DataFrame = {
-    GenLog.assertSingleWriter(spark, path)
+    val infos = GenLog.scanStore(spark, path)
+    GenLog.assertSingleWriter(path, infos)
     resolve(spark.read.option("basePath", path)
-      .parquet(GenLog.dirsAt(spark, path, gen).map(_.toString).toIndexedSeq: _*))
+      .parquet(GenLog.dirsAt(path, infos, gen).map(_.toString): _*),
+      GenLog.effectiveGens(infos))
   }
 
   /** Exact snapshot points currently retained, ascending. */

@@ -3093,7 +3093,7 @@ class LogUpsertSourceSpec extends AnyFunSuite {
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(gen, "_writer_deadbeefcafe"))
     val ex = intercept[IllegalStateException](src.read(spark).count())
-    assert(ex.getMessage.contains("single-writer"))
+    assert(ex.getMessage.contains("two processes appended the same generation"))
   }
 
   test("TIERED schedule: routine folds are MINOR (tail merged, base generation's " +
@@ -3350,6 +3350,27 @@ class LogStoreClaimSpec extends AnyFunSuite {
     assert(src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
       Map(1L -> "x", 2L -> "b"))
   }
+
+  test("a fold dest never out-orders a newer foreign append: the resolve orders " +
+      "by EFFECTIVE generation (the folded range's upper bound), not dir number") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_claim2").toString + "/s"
+    // the fold-vs-append race's end state, crafted directly: gen 0 is the
+    // base; a foreign append landed as gen 2 AFTER a fold pinned its input
+    // (gen 1) but BEFORE the fold's dest (gen 3, claimed above 2) renamed
+    // in — dest's marker says it holds history only up to gen 1
+    Seq((1L, "a0")).toDF("id", "v").write.parquet(s"$dir/__gen=0")
+    Seq((1L, "fresh")).toDF("id", "v").write.parquet(s"$dir/__gen=2")
+    Seq((1L, "stale")).toDF("id", "v").write.parquet(s"$dir/__gen=3")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/__gen=3", "_folded_1_1"), true).close()
+    val src = LogUpsertSource(dir, Seq("id"))
+    assert(src.read(spark).head().getString(1) == "fresh",
+      "dir-number ordering resurrected folded history over a newer foreign append")
+    // time travel agrees: state-at-1 is the folded value, state-at-2 the fresh one
+    assert(src.readAt(spark, 1L).head().getString(1) == "stale")
+    assert(src.readAt(spark, 2L).head().getString(1) == "fresh")
+  }
 }
 
 /** Time travel on the generation log (the Delta `versionAsOf` idea with no
@@ -3402,6 +3423,37 @@ class LogStoreTimeTravelSpec extends AnyFunSuite {
     assert(at(3) == Map(1L -> "a4", 2L -> "b2", 3L -> "c1"))
     val e2 = intercept[IllegalArgumentException] { src.readAt(spark, 0L) }
     assert(e2.getMessage.contains("folded away"), e2.getMessage)
+  }
+
+  test("a CRASHED fold's leftovers (marked dest + surviving inputs) stay fully " +
+      "consistent: reads resolve identically, straddled readAt points are " +
+      "TOLERATED while the inputs still cover them, and compact() recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt4").toString + "/s"
+    val src = LogUpsertSource(dir, Seq("id"), autoCompactEvery = 100)
+    for (i <- 0 until 4)
+      src.upsert(Seq((i.toLong % 2, s"v$i")).toDF("id", "v"), Seq("id"))
+    val atTwo = src.readAt(spark, 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // simulate a compact that crashed AFTER rename+marker, BEFORE deleting
+    // its inputs: the resolved fold lands as gen 9 marked _folded_0_3 with
+    // gens 0..3 still alive
+    src.read(spark).write.parquet(s"$dir/__gen=9")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/__gen=9", "_folded_0_3"), true).close()
+    val expect = Map(0L -> "v2", 1L -> "v3")
+    assert(src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap == expect, "duplicate coverage must resolve to identical values")
+    // gen 2 sits strictly inside the dest's folded range, but the surviving
+    // inputs still cover [0,2] — the read is exact and must be served
+    assert(src.readAt(spark, 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == atTwo)
+    src.compact(spark) // recovery: fold everything, leftovers included
+    assert(src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap == expect)
+    // now the inputs are gone: the straddled point fails loudly, as designed
+    val e = intercept[IllegalArgumentException] { src.readAt(spark, 2L) }
+    assert(e.getMessage.contains("folded away"), e.getMessage)
   }
 
   test("bucketed log: readAt stays exact across the ENGINE-triggered folds") {
