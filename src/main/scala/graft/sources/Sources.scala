@@ -216,17 +216,6 @@ private[graft] object GenLog {
     fs.create(new org.apache.hadoop.fs.Path(p, s"_folded_${lo}_$hi"), true).close()
   }
 
-  /** The inclusive snapshot range a generation dir covers: its fold marker
-    * if present, else the dir's own number twice. */
-  def foldRange(spark: SparkSession, genDir: org.apache.hadoop.fs.Path): (Long, Long) = {
-    val (fs, _) = fsOf(spark, genDir.toString)
-    fs.listStatus(genDir).map(_.getPath.getName).find(_.startsWith("_folded_"))
-      .map { n =>
-        val parts = n.stripPrefix("_folded_").split("_")
-        (parts(0).toLong, parts(1).toLong)
-      }.getOrElse { val g = genNumber(genDir); (g, g) }
-  }
-
   /** One generation dir's metadata from a single listing: number, fold
     * range, writer nonces. */
   final case class GenInfo(dir: org.apache.hadoop.fs.Path, gen: Long,
@@ -234,17 +223,24 @@ private[graft] object GenLog {
 
   /** ONE listing pass per generation dir (the metadata feeding the nonce
     * check, the effective-generation resolve order, and time travel —
-    * previously three separate sweeps). Sorted by generation number. */
+    * previously three separate sweeps). Sorted by EFFECTIVE order
+    * (hi, then dir number), NOT by dir number: after a fold-vs-append
+    * race a fold dest's dir number sits above a foreign append whose
+    * effective generation is newer, and the minor fold's base/tail split
+    * must follow the same order the resolve does — a dir-number split
+    * would exclude the foreign append as "base" and stamp a dest marker
+    * overclaiming its range, silently resurrecting folded stale values
+    * on the next read. */
   def scanStore(spark: SparkSession, path: String): Seq[GenInfo] = {
     val (fs, _) = fsOf(spark, path)
-    genDirs(spark, path).sortBy(genNumber).map { d =>
+    genDirs(spark, path).map { d =>
       val names = fs.listStatus(d).map(_.getPath.getName)
       val (lo, hi) = names.find(_.startsWith("_folded_")).map { n =>
         val parts = n.stripPrefix("_folded_").split("_")
         (parts(0).toLong, parts(1).toLong)
       }.getOrElse { val g = genNumber(d); (g, g) }
       GenInfo(d, genNumber(d), lo, hi, names.filter(_.startsWith("_writer_")).distinct.toSeq)
-    }.toSeq
+    }.sortBy(i => (i.hi, i.gen)).toSeq
   }
 
   /** The EFFECTIVE generation of each dir for latest-wins ordering: a plain
@@ -258,18 +254,36 @@ private[graft] object GenLog {
   def effectiveGens(infos: Seq[GenInfo]): Map[Long, Long] =
     infos.map(i => i.gen -> i.hi).toMap
 
+  /** The latest-wins resolve shared by both log stores: newest EFFECTIVE
+    * generation per key wins (a literal-map lookup keeps the ordering
+    * expression codegen'd); dir number breaks exact-effective ties —
+    * coexisting crash remnants hold identical values for shared keys, so
+    * either copy is correct and the tiebreak just makes plans
+    * deterministic. The ordering rule is load-bearing for fold-vs-append
+    * coexistence; keeping it in ONE place keeps the two stores'
+    * semantics from diverging. */
+  def resolveLatest(raw: DataFrame, eff: Map[Long, Long], keys: Seq[String],
+      dropCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val effCol = coalesce(
+      element_at(typedLit(eff), col(G).cast("long")), col(G).cast("long"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(effCol.desc, col(G).desc)
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn").drop(dropCols: _*)
+  }
+
   /** Generation dirs whose snapshot range is fully at-or-before `gen` —
     * the read set for a time-travel read. A range STRADDLING `gen`
     * (lo ≤ gen < hi) normally means that history was folded away — but a
     * crashed fold can leave the subsumed inputs alive next to the marked
     * dest, in which case the straddler is TOLERATED when the included
     * dirs' ranges still cover the straddled prefix [lo, gen] (the exact
-    * pre-fold data is served). Fails loudly otherwise, and when no
-    * snapshot exists at or before `gen`. */
-  def dirsAt(spark: SparkSession, path: String, gen: Long): Seq[org.apache.hadoop.fs.Path] =
-    dirsAt(path, scanStore(spark, path), gen)
-
-  /** Same over an already-performed [[scanStore]] pass. */
+    * pre-fold data is served). Coverage is judged by NUMERIC interval
+    * union, so generation-number gaps (skipped claims) inside the
+    * straddled prefix make the check conservative: it may refuse a
+    * servable crashed-fold read, but never serves a wrong one. Fails
+    * loudly otherwise, and when no snapshot exists at or before `gen`. */
   def dirsAt(path: String, infos: Seq[GenInfo], gen: Long): Seq[org.apache.hadoop.fs.Path] = {
     val included = infos.filter(_.hi <= gen)
     // merge included ranges into sorted disjoint intervals for coverage
@@ -384,10 +398,16 @@ private[graft] object GenLog {
         fs.create(claimPath(path, g), false).close()
         return g
       } catch {
-        // ONLY the typed collision retries: a message sniff on IOException
-        // would spin 10000 times on unrelated faults ("parent is a file…")
-        // and mask the real error
+        // typed collisions retry (hadoop's own class, and java.nio's —
+        // some FS shims throw the latter); an UNTYPED IOException retries
+        // only when the marker verifiably exists now (a genuine collision
+        // phrased generically) — a message sniff would spin 10000 times on
+        // unrelated faults ("parent is a file…") and mask the real error
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => attempts += 1
+        case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+        case e: java.io.IOException =>
+          if (scala.util.Try(fs.exists(claimPath(path, g))).getOrElse(false)) attempts += 1
+          else throw e
       }
     }
     throw new IllegalStateException(
@@ -439,11 +459,8 @@ private[graft] object GenLog {
     * count is evidence, not a race). Generations without markers (older
     * stores, foreign writers that crashed pre-stamp) pass: absence proves
     * nothing, and latest-wins over them is still well-defined. */
-  def assertSingleWriter(spark: SparkSession, path: String): Unit =
-    assertSingleWriter(path, scanStore(spark, path))
-
-  /** Same check over an already-performed [[scanStore]] pass (the read
-    * paths scan once and feed both this and the resolve order). */
+  /** Over an already-performed [[scanStore]] pass (the read paths scan
+    * once and feed both this and the resolve order). */
   def assertSingleWriter(path: String, infos: Seq[GenInfo]): Unit =
     infos.foreach { i =>
       if (i.nonces.length > 1)
@@ -537,21 +554,8 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
       s"append, re-creating the O(store)-per-batch cost this store removes), " +
       s"got $autoCompactEvery")
   private val G = GenLog.G
-  /** Latest-wins resolve ordered by EFFECTIVE generation (a fold dest
-    * orders at its range's upper bound, not its dir number —
-    * [[GenLog.effectiveGens]]); dir number breaks exact-effective ties
-    * (coexisting crash remnants hold identical values for shared keys,
-    * so either copy is correct — the tiebreak just makes plans
-    * deterministic). */
-  private def resolveLatest(raw: DataFrame, eff: Map[Long, Long]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val effCol = coalesce(
-      element_at(typedLit(eff), col(G).cast("long")), col(G).cast("long"))
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(effCol.desc, col(G).desc)
-    raw.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", G)
-  }
+  private def resolveLatest(raw: DataFrame, eff: Map[Long, Long]): DataFrame =
+    GenLog.resolveLatest(raw, eff, keys, Seq(G))
   def read(spark: SparkSession): DataFrame = {
     val infos = GenLog.scanStore(spark, path)
     GenLog.assertSingleWriter(path, infos)
@@ -728,18 +732,8 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
   private val B = "__bucket"
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(B, pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
-  /** Latest-wins by EFFECTIVE generation, same as
-    * [[LogUpsertSource.resolveLatest]] (fold dests order at their range's
-    * upper bound; dir number breaks ties deterministically). */
-  private def resolve(raw: DataFrame, eff: Map[Long, Long]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val effCol = coalesce(
-      element_at(typedLit(eff), col(G).cast("long")), col(G).cast("long"))
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(effCol.desc, col(G).desc)
-    raw.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", G, B)
-  }
+  private def resolve(raw: DataFrame, eff: Map[Long, Long]): DataFrame =
+    GenLog.resolveLatest(raw, eff, keys, Seq(G, B))
   def read(spark: SparkSession): DataFrame = {
     val infos = GenLog.scanStore(spark, path)
     GenLog.assertSingleWriter(path, infos)
@@ -759,6 +753,7 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
   def readForEntities(spark: SparkSession, entities: DataFrame): DataFrame = {
     val infos = GenLog.scanStore(spark, path)
     GenLog.assertSingleWriter(path, infos)
+    if (infos.isEmpty) return spark.read.parquet(path) // loud, consistent error
     val raw = spark.read.option("basePath", path)
       .parquet(infos.map(_.dir.toString): _*)
     // xxhash64 is TYPE-sensitive (hash(1: int) != hash(1L)): probe values

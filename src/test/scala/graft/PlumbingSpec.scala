@@ -3371,6 +3371,33 @@ class LogStoreClaimSpec extends AnyFunSuite {
     assert(src.readAt(spark, 1L).head().getString(1) == "stale")
     assert(src.readAt(spark, 2L).head().getString(1) == "fresh")
   }
+
+  test("the MINOR fold splits base/tail by EFFECTIVE order, so after a " +
+      "fold-vs-append race it neither excludes the foreign append as 'base' " +
+      "nor overclaims its range") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_claim3").toString + "/s"
+    // race end state: the fold dest (dir 3, effective 1) sits ABOVE the
+    // foreign append (dir 2, effective 2) by dir number but BELOW it
+    // effectively — a dir-number base/tail split would keep dir 2 as
+    // "base" and fold dir 3 into a dest marked up to the newest append,
+    // silently resurrecting the stale folded value over "fresh"
+    Seq((1L, "fresh")).toDF("id", "v").write.parquet(s"$dir/__gen=2")
+    Seq((1L, "stale")).toDF("id", "v").write.parquet(s"$dir/__gen=3")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/__gen=3", "_folded_0_1"), true).close()
+    val src = LogUpsertSource(dir, Seq("id"))
+    src.upsert(Seq((2L, "x1")).toDF("id", "v"), Seq("id"))
+    src.upsert(Seq((2L, "x2")).toDF("id", "v"), Seq("id"))
+    src.compactTail(spark)
+    val out = src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "fresh", 2L -> "x2"),
+      s"the minor fold resurrected folded history over the foreign append: $out")
+    // the true base (the fold dest at effective 1) stayed unfolded, so its
+    // snapshot point is still exactly readable
+    assert(src.readAt(spark, 1L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "stale"))
+  }
 }
 
 /** Time travel on the generation log (the Delta `versionAsOf` idea with no
