@@ -872,6 +872,16 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     GenLog.retireInputs(spark, path, dest.toString, tail)
   }
 
+  /** The stored data schema from ONE generation dir (a single-dir footer
+    * read, not a whole-store partition discovery — the point-lookup guard
+    * in ContractStore calls this per online lookup): every generation
+    * shares the schema (the store has no cross-generation schema
+    * evolution; conformance casts live at the contract layer). None when
+    * the store is empty/absent or the probe read races a fold. */
+  private[graft] def storedSchema(spark: SparkSession): Option[org.apache.spark.sql.types.StructType] =
+    GenLog.scanStore(spark, path).headOption.flatMap(i =>
+      scala.util.Try(spark.read.parquet(i.dir.toString).schema).toOption)
+
   /** TIME TRAVEL over the bucketed log — same contract, retention trade,
     * and loud folded-range failure as [[LogUpsertSource.readAt]]. */
   def readAt(spark: SparkSession, gen: Long): DataFrame = {
