@@ -598,12 +598,17 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "comp" -> "ncomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("ncomp"))
+      // carry the previous label THROUGH the checkpoint so the convergence
+      // check is a narrow filter over the just-materialized blocks — the
+      // former next⋈labels re-join paid a whole extra shuffle per round
+      // (guide §2.4: two operations keyed the same way share one exchange;
+      // here the second operation needs no exchange at all)
       val next = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), col("ncomp")).as("comp"))
+        .select(col("id"), least(col("comp"), col("ncomp")).as("comp"),
+          col("comp").as("__prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("comp") =!= col("__prev")).isEmpty
+      labels = next.drop("__prev")
       i += 1
     }
     edges.unpersist()

@@ -66,8 +66,15 @@ object GraphRank {
         .withColumn("mass", (lit(teleport) + coalesce(col("in_mass"), lit(0L))).cast("long"))
         .select("node", "mass")
     }
+    // out_weight for the final projection comes from the CHECKPOINTED edge
+    // list (one value per src by construction), NOT from `outW`: outW's plan
+    // hangs off the raw `edges` frame, so joining it here would re-run the
+    // caller's whole edge-building join tree a second time (guide §7.2:
+    // duplicated subtrees; measured as a full extra 4-table join in q156)
+    val outWFromE = e.groupBy(col("src").as("node"))
+      .agg(max(col("out_weight")).as("out_weight"))
     ranked.withColumnRenamed("mass", "rank_mass")
-      .join(outW.withColumnRenamed(srcCol, "node"), Seq("node"), "left")
+      .join(outWFromE, Seq("node"), "left")
       .na.fill(0L, Seq("out_weight"))
       .withColumnRenamed("node", nodeCol)
   }

@@ -878,32 +878,58 @@ object TextAnalysis {
       minWords: Int = 50, maxWords: Int = 100000,
       ruleMask: Long = 0x7fL): org.apache.spark.sql.DataFrame = {
     val reqStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val txt = col(textCol)
-    val ws = filter(split(lower(trim(txt)), "\\s+"), w => length(w) > 0)
-    val lines = filter(transform(split(txt, "\n"), l => trim(l)), l => length(l) > 0)
-    val nW = size(ws).cast("long")
-    val nL = size(lines).cast("long")
+    // STAGED projections (optimization r15, guide §1.2 step 2 / §7.2): the
+    // former single expression tree inlined the tokenization into every
+    // metric and every mask bit — the physical Project re-evaluated
+    // split(lower(trim(text))) ~40× per row, and the tree was so large it
+    // fell OUT of whole-stage codegen into an interpreted projection with
+    // no subexpression elimination (plan-verified: Project without a
+    // codegen id). Binding the word/line arrays, then the counts, then the
+    // metrics as NAMED intermediate columns computes each once per row;
+    // Catalyst's CollapseProject deliberately does not inline non-cheap
+    // producer expressions referenced more than once, so the staging
+    // survives to the physical plan. Output columns and values are
+    // IDENTICAL (same per-metric expressions over the same inputs).
+    val txt = col("__g_txt")
+    val wsC = col("__g_ws")
+    val lsC = col("__g_ls")
+    val tokenized = df.select(col(idCol), col(textCol).as("__g_txt"))
+      .select(col(idCol), txt,
+        filter(split(lower(trim(txt)), "\\s+"), w => length(w) > 0).as("__g_ws"),
+        filter(transform(split(txt, "\n"), l => trim(l)), l => length(l) > 0).as("__g_ls"))
     // Σ word lengths as an exact long; '#' count via replace-delta, '...'
     // count via replace-delta over the 3-char needle
-    val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
-    val hashCnt = (length(txt) - length(regexp_replace(txt, "#", ""))).cast("long")
-    val dotsCnt = ((length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3).cast("long")
-    val bulletCnt = size(filter(lines, l =>
-      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))).cast("long")
-    val ellipsisCnt = size(filter(lines, l =>
-      l.endsWith("...") || l.endsWith("…"))).cast("long")
-    val alphaCnt = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
-    val stopHits = size(filter(lit(reqStop.toArray), sw => array_contains(ws, sw))).cast("long")
-    val meanLen = when(nW === 0, lit(null).cast("double"))
-      .otherwise(sumLen.cast("double") / nW.cast("double"))
-    val symRatio = when(nW === 0, lit(null).cast("double"))
-      .otherwise((hashCnt + dotsCnt).cast("double") / nW.cast("double"))
-    val bulletFrac = when(nL === 0, lit(0.0))
-      .otherwise(bulletCnt.cast("double") / nL.cast("double"))
-    val ellipsisFrac = when(nL === 0, lit(0.0))
-      .otherwise(ellipsisCnt.cast("double") / nL.cast("double"))
-    val alphaFrac = when(nW === 0, lit(null).cast("double"))
-      .otherwise(alphaCnt.cast("double") / nW.cast("double"))
+    val counts = tokenized.select(col(idCol),
+      size(wsC).cast("long").as("__g_nw"),
+      size(lsC).cast("long").as("__g_nl"),
+      aggregate(wsC, lit(0L), (acc, w) => acc + length(w).cast("long")).as("__g_sumlen"),
+      (length(txt) - length(regexp_replace(txt, "#", ""))).cast("long").as("__g_hash"),
+      ((length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3).cast("long").as("__g_dots"),
+      size(filter(lsC, l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))).cast("long").as("__g_bullet"),
+      size(filter(lsC, l =>
+        l.endsWith("...") || l.endsWith("…"))).cast("long").as("__g_ellipsis"),
+      size(filter(wsC, w => w.rlike("[a-z]"))).cast("long").as("__g_alpha"),
+      size(filter(lit(reqStop.toArray), sw => array_contains(wsC, sw))).cast("long").as("__g_stop"))
+    val nW = col("__g_nw")
+    val nL = col("__g_nl")
+    val stopHits = col("__g_stop")
+    val metrics = counts.select(col(idCol), nW, stopHits,
+      when(nW === 0, lit(null).cast("double"))
+        .otherwise(col("__g_sumlen").cast("double") / nW.cast("double")).as("__g_meanlen"),
+      when(nW === 0, lit(null).cast("double"))
+        .otherwise((col("__g_hash") + col("__g_dots")).cast("double") / nW.cast("double")).as("__g_sym"),
+      when(nL === 0, lit(0.0))
+        .otherwise(col("__g_bullet").cast("double") / nL.cast("double")).as("__g_bulletf"),
+      when(nL === 0, lit(0.0))
+        .otherwise(col("__g_ellipsis").cast("double") / nL.cast("double")).as("__g_ellipsisf"),
+      when(nW === 0, lit(null).cast("double"))
+        .otherwise(col("__g_alpha").cast("double") / nW.cast("double")).as("__g_alphaf"))
+    val meanLen = col("__g_meanlen")
+    val symRatio = col("__g_sym")
+    val bulletFrac = col("__g_bulletf")
+    val ellipsisFrac = col("__g_ellipsisf")
+    val alphaFrac = col("__g_alphaf")
     def bit(i: Int, failed: => Column): Column =
       if ((ruleMask & (1L << i)) == 0L) lit(0L)
       else when(failed, lit(1L << i)).otherwise(lit(0L))
@@ -915,7 +941,7 @@ object TextAnalysis {
       bit(4, ellipsisFrac >= 0.3) +
       bit(5, alphaFrac.isNull || alphaFrac < 0.8) +
       bit(6, stopHits < 2)
-    df.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
+    metrics.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
       symRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
       ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
       stopHits.as("n_stop_hits"), mask.as("fail_mask"),
