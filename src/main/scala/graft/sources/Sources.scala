@@ -594,6 +594,18 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     val spark = df.sparkSession
     val gen = GenLog.claimGen(spark, path)
     df.write.mode(SaveMode.Append).parquet(s"$path/$G=$gen")
+    // an EMPTY batch whose plan has zero partitions writes no data files at
+    // all — a schema-less generation that a later all-empty-tail fold's read
+    // would choke on (the bucketed store guards identically); materialize
+    // the schema from the frame. One cheap listing, not a per-batch isEmpty
+    // job — non-empty writes always produce files and skip this.
+    val genPath = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
+    val genFs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!genFs.exists(genPath) || !genFs.listStatus(genPath)
+        .exists(s => !s.getPath.getName.startsWith("_")))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+        .repartition(1), df.schema)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/$G=$gen")
     GenLog.markWriter(spark, s"$path/$G=$gen")
     spark.catalog.refreshByPath(path)
     // amortized auto-compaction bounds generations (and resolve cost) BY

@@ -469,14 +469,34 @@ object Streaming {
       .localCheckpoint()
     val n = ranked.count()
     val c = math.max(1L, math.min(chunks.toLong, n)).toInt
+    val stage = work.resolve("stage_all")
+    // ONE partitioned write stages every chunk (optimization r15) — the
+    // former per-chunk filter+coalesce(1) writes paid one full job per
+    // chunk (3-8 jobs per gate). chunk(rn) inverts the old per-chunk rank
+    // bounds lo=k*n/c+1, hi=(k+1)*n/c exactly: k = (rn*c - 1) DIV n.
+    // repartition on __chunk puts each chunk's rows in one task (one file
+    // per chunk, as before) and the within-partition sort on __rn keeps
+    // every chunk file's row order IDENTICAL to the old staged output.
+    if (n == 0L)
+      // partitionBy writes no files for an empty frame — stage the single
+      // empty chunk the old per-chunk loop produced
+      ranked.drop("__rn").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    else
+      ranked.withColumn("__chunk",
+          expr(s"CAST((CAST(__rn AS BIGINT) * ${c}L - 1L) DIV ${n}L AS INT)"))
+        .repartition(c, col("__chunk"))
+        .sortWithinPartitions(col("__chunk"), col("__rn"))
+        .drop("__rn")
+        .write.mode("overwrite").partitionBy("__chunk").parquet(stage.toString)
     for (k <- 0 until c) {
-      val lo = k.toLong * n / c + 1; val hi = (k + 1).toLong * n / c
-      val stage = work.resolve(s"stage_$k")
-      ranked.filter(col("__rn") >= lo && col("__rn") <= hi).drop("__rn")
-        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = stage.toFile.listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file staged in $stage"))
+      val chunkDir = if (n == 0L) stage.toFile else stage.resolve(s"__chunk=$k").toFile
+      val parts = Option(chunkDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val part = parts match {
+        case Array(p) => p
+        case _ => throw new IllegalStateException(
+          s"expected exactly one staged part file in $chunkDir, found ${parts.length}")
+      }
       val target = inDir.resolve(f"chunk_$k%03d.parquet")
       java.nio.file.Files.move(part.toPath, target)
       target.toFile.setLastModified(System.currentTimeMillis() + k * 2000L)
@@ -589,17 +609,19 @@ object Streaming {
       debugT: Boolean, outputMode: String = "update"): graft.sources.WritableSource = {
     val store = gateStore(work, "store", keys)
     val upsert = idempotentBatchSink({ (batch, _) =>
-      // the batch frame is read twice (emptiness probe + upsert) — persist
-      // so the state-store emission materializes once per micro-batch
-      batch.persist()
-      try {
-        val tU = System.nanoTime()
-        val nonEmpty = !batch.isEmpty
-        if (debugT) System.err.println(f"[stream-gate]   isEmpty ${(System.nanoTime() - tU) / 1e9}%.2fs")
-        val tV = System.nanoTime()
-        if (nonEmpty) store.upsert(gateCoalesce(project(batch)), keys)
-        if (debugT) System.err.println(f"[stream-gate]   upsert ${(System.nanoTime() - tV) / 1e9}%.2fs")
-      } finally batch.unpersist(blocking = false)
+      // ONE action per micro-batch (optimization r15): the former
+      // persist + isEmpty probe ran a whole extra job per batch — and the
+      // probe's executeTake(1) re-computed the full stateful pipeline, so
+      // it COST more than the upsert it guarded (GRAFT_STREAM_DEBUG
+      // decomposition: isEmpty 0.15-1.3 s/batch vs upsert 0.11-0.38 s).
+      // Empty watermark-finalize batches now mint an empty generation
+      // instead of being skipped; the log stores tolerate schema-bearing
+      // empty generations by construction (spec-pinned: "EMPTY batches
+      // mint schema-bearing generations"), and latest-wins over an empty
+      // generation is a no-op, so the final store read is unchanged.
+      val tV = System.nanoTime()
+      store.upsert(gateCoalesce(project(batch)), keys)
+      if (debugT) System.err.println(f"[stream-gate]   upsert ${(System.nanoTime() - tV) / 1e9}%.2fs")
       },
       work.resolve("commitlog").toString)(spark)
     val q = streamed.writeStream
@@ -786,7 +808,10 @@ object Streaming {
       val keys = Seq("window_start", keyCol)
       val st = gateStore(g.work, "store", keys)
       val upsert = idempotentBatchSink({ (batch, _) =>
-        if (!batch.isEmpty) st.upsert(gateCoalesce(project(batch)), keys)
+        // no isEmpty probe: it cost a whole extra pipeline execution per
+        // batch (see runUpsertStream); empty batches mint tolerated empty
+        // generations
+        st.upsert(gateCoalesce(project(batch)), keys)
       }, g.work.resolve("commitlog").toString)(spark)
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       val q1 = agg.writeStream.outputMode("update")
@@ -1255,12 +1280,15 @@ object Streaming {
       // upsert-on-idCol alone — a trigger emit is a per-row routing, not a
       // second ledger
       val mainSink = idempotentBatchSink({ (batch, _) =>
-        if (!batch.isEmpty) mainStore.upsert(gateCoalesce(batch), Seq(idCol))
+        // no isEmpty probes here or in the trigger sink: each probe was an
+        // extra job per batch (runWorker already persists the batch for its
+        // two consumers); empty batches mint tolerated empty generations
+        mainStore.upsert(gateCoalesce(batch), Seq(idCol))
       }, g.work.resolve("commitlog").toString)(spark)
       val q = runWorker(g.source, view,
         sink = mainSink,
         triggers = Seq(EventTrigger(condition,
-          matched => if (!matched.isEmpty) trigStore.upsert(gateCoalesce(matched), Seq(idCol)))),
+          matched => trigStore.upsert(gateCoalesce(matched), Seq(idCol)))),
         checkpointDir = Some(g.work.resolve("ckpt").toString),
         trigger = Trigger.ProcessingTime(0L))
       try q.processAllAvailable() finally q.stop()
