@@ -983,8 +983,13 @@ object TextAnalysis {
       corpus: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
     def toks(c: Column) = filter(split(lower(trim(c)), "\\s+"), w => length(w) > 0)
+    // the bounded vocab table is localCheckpointed (optimization r15): the
+    // emptiness guard below and the per-doc join both consume it — unshared,
+    // the reference explode+aggregate ran once for the guard's probe and
+    // again inside every execution of the scored plan
     val freq = reference.select(explode(toks(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     // loud-misconfiguration guard: a reference that produces ZERO tokens
     // (empty slice, or rows whose text is all whitespace) would zero every
     // bucket, collapse all scores to one value, and make the partition a
@@ -1000,10 +1005,14 @@ object TextAnalysis {
       .join(freq, Seq("w"), "left")
       .groupBy(idCol)
       .agg(sum(bucket).as("__sumb"), count(lit(1)).as("__cnt"))
+    // checkpoint the O(docs) score list: tercileCut's histogram collect AND
+    // the caller's consumption of the returned frame each re-ran the whole
+    // corpus explode+join+aggregate chain otherwise
     val scored = corpus.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(expr("(1000 * __sumb) div __cnt"), lit(-1L)).as("lm_milli"))
+      .localCheckpoint(true)
     tercileCut(scored, "lm_milli")
   }
 
@@ -1063,9 +1072,13 @@ object TextAnalysis {
   def lmQualityPartitionBigram(reference: org.apache.spark.sql.DataFrame,
       corpus: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    // checkpointed for the same reason as the unigram partition's vocab
+    // table: the guard probe and the scored plan otherwise each re-run the
+    // reference bigram aggregate
     val freqB = reference.select(
         explode(graft.functions.Native.wordShingleStrings(col(textCol), 2)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("__nb"))
+      .localCheckpoint(true)
     val freqU = reference.select(
         explode(graft.functions.Native.wordShingleStrings(col(textCol), 1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("__nu"))
@@ -1086,10 +1099,12 @@ object TextAnalysis {
       .join(freqU, Seq("w"), "left")
       .groupBy(idCol)
       .agg(sum(bucket).as("__sumb"), count(lit(1)).as("__cnt"))
+    // same one-execution discipline as the unigram partition
     val scored = corpus.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(expr("(1000 * __sumb) div __cnt"), lit(-1L)).as("lm2_milli"))
+      .localCheckpoint(true)
     tercileCut(scored, "lm2_milli")
   }
 
