@@ -135,9 +135,18 @@ final case class CurationRecipe(
       s"CurationRecipe '$name': decontamination is configured " +
         s"($decontamCol = '$decontamValue') but the eval slice selects ZERO " +
         "rows — the stage would be a silent no-op; check the slice value")
+    // localCheckpoint (optimization r15): every downstream stage scans the
+    // excised corpus (gate, near-dup grams, keep-best, DSIR, split), and an
+    // unmaterialized excision replayed its whole gram-explode + span-join +
+    // text-rebuild chain on each scan (~5x per recipe run). This is the one
+    // deliberate text-bearing checkpoint in the recipe: O(cleaned corpus)
+    // bytes once (MEMORY_AND_DISK, spills at scale) against ~5 replays of
+    // a corpus-scale pipeline — the same materialize-once call Lee et al.'s
+    // excision step makes by writing the cleaned corpus out.
     val cleaned = graft.ops.Dedup.decontaminateByExcision(
         rest, bench, textCol, idCol, n = decontamN)
       .select(col(idCol), col("text_clean").as(textCol))
+      .localCheckpoint(true)
     rest.drop(textCol).join(cleaned, Seq(idCol))
   }
 
