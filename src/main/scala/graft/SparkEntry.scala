@@ -24,8 +24,61 @@ object SparkEntry {
 
   // ---------- table readers ----------
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Fan an UNSPLITTABLE small scan out across the session's cores
+    * (optimization r15, guide §2.5 "input skew: one huge unsplittable
+    * file … repartition immediately after the read"): a parquet file whose
+    * total size fits ONE scan split is read — and, crucially, has its whole
+    * scan-stage pipeline (explodes, kernels, partial aggregates) executed —
+    * by a single task, leaving every other core idle. The condition is
+    * scale-adaptive by construction: it fires only when the file is at or
+    * below one split (`spark.sql.files.maxPartitionBytes`), so any
+    * production-sized table is untouched and the plan is the stock narrow
+    * scan. The 256 KB floor keeps trivially small dimension tables
+    * (nation/region/supplier) out — for those the exchange would cost more
+    * than the single-task work. Round-robin repartition is retry-safe
+    * (sort-before-repartition is on by default) and result-neutral: every
+    * query's output is row-set-equal regardless of partitioning (the
+    * oracle's hash discipline), and monotonically_increasing_id uses are
+    * intra-plan correlation ids only. */
+  private def fanOutUnsplittable(s: SparkSession, df: DataFrame,
+      bytes: Long, rows: Long): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    val oneSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes"))
+    // the payload-width gate (compressed bytes/row ≥ 64) is the
+    // catalog-statistics stand-in: only tables whose rows carry heavy
+    // payloads (text, vectors) have scan-stage per-row kernel work worth an
+    // exchange; narrow fact/dimension rows (≈20 B) lose more to the shuffle
+    // than the parallelism returns (measured both ways, OPTIMIZATION_r15.md)
+    if (cores > 1 && bytes >= 262144L && bytes <= oneSplit &&
+        rows > 0 && bytes / rows >= 64L)
+      df.repartition(math.min(cores, math.max(2, (bytes / 65536L).toInt)))
+    else df
+  }
+
+  /** (bytes, rows) from the parquet FOOTER only — no Spark job, cached per
+    * path for the session lifetime. */
+  private val tableStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val (bytes, rows) = tableStats.computeIfAbsent(path, { _ =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = p.getFileSystem(conf)
+        val status = fs.getFileStatus(p)
+        if (status.isDirectory) (0L, 0L) // multi-file tables: stock scan
+        else {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(status, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (status.getLen, r.getRecordCount) finally r.close()
+        }
+      } catch { case _: Exception => (0L, 0L) }
+    })
+    fanOutUnsplittable(s, s.read.parquet(path), bytes, rows)
+  }
 
   /** events.parquet's `ts` physical type has varied across driver testdata
     * generations: TIMESTAMP(NANOS) (Spark rejects → read nanos as long and
@@ -35,7 +88,7 @@ object SparkEntry {
     * queries always see a µs TimestampType `ts`, matching DuckDB's TIMESTAMP. */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/events.parquet")
+    val df = t(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

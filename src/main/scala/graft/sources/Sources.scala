@@ -120,19 +120,27 @@ final case class BucketedParquetSource(path: String, bucketKeys: Seq[String],
     df.withColumn(B, pmod(xxhash64(bucketKeys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path).drop(B)
   override def exists(spark: SparkSession): Boolean = PathProbe.exists(spark, path)
+  // hash write-distribution on the bucket (optimization r15, guide §6 /
+  // Iceberg write.distribution-mode=hash): an N-partition input written
+  // straight through partitionBy emits up to N files PER BUCKET; one narrow
+  // shuffle on the tiny bucket id bounds every write to ≤ numBuckets files
+  private def distributed(df: DataFrame): DataFrame =
+    withBucket(df).repartition(col(B))
   def insert(df: DataFrame): Unit =
-    withBucket(df).write.mode(SaveMode.Append).partitionBy(B).parquet(path)
+    distributed(df).write.mode(SaveMode.Append).partitionBy(B).parquet(path)
   def overwrite(df: DataFrame): Unit = StageAndSwap.locked(df.sparkSession, path) {
-    if (df.isEmpty) {
-      // partitionBy writes NO files for an empty frame, which would leave an
-      // unreadable (schema-less) dir — materialize the schema as one empty
-      // part file inside a concrete partition dir instead
-      val spark = df.sparkSession
-      val dest = new org.apache.hadoop.fs.Path(path)
-      dest.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dest, true)
+    val spark = df.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dest, true)
+    distributed(df).write.mode(SaveMode.Overwrite).partitionBy(B).parquet(path)
+    // partitionBy writes NO files for an empty frame, which would leave an
+    // unreadable (schema-less) dir — materialize the schema as one empty
+    // part file inside a concrete partition dir instead. A post-write
+    // listing, not a pre-write df.isEmpty: the probe was a whole extra job
+    // on every overwrite (optimization r15)
+    if (!GenLog.hasDataChildren(fs, dest))
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/$B=0")
-    } else
-      withBucket(df).write.mode(SaveMode.Overwrite).partitionBy(B).parquet(path)
   }
   def upsert(df: DataFrame, keys: Seq[String]): Unit = StageAndSwap.locked(df.sparkSession, path) {
     require(bucketKeys.forall(keys.contains),
@@ -141,7 +149,7 @@ final case class BucketedParquetSource(path: String, bucketKeys: Seq[String],
     val spark = df.sparkSession
     val newB = withBucket(df)
     if (!exists(spark)) {
-      newB.write.mode(SaveMode.Overwrite).partitionBy(B).parquet(path)
+      distributed(df).write.mode(SaveMode.Overwrite).partitionBy(B).parquet(path)
     } else {
       // ≤ numBuckets ints by construction — a bounded driver pull that buys
       // STATIC partition pruning on the old-side scan below
@@ -154,7 +162,8 @@ final case class BucketedParquetSource(path: String, bucketKeys: Seq[String],
         // dynamic overwrite commits ONLY the partitions present in `merged`
         // (exactly the touched buckets); scoped via writer option, not a
         // session-global conf mutation
-        merged.write.mode(SaveMode.Overwrite)
+        merged.repartition(col(B)) // ≤ touched-bucket files (see `distributed`)
+          .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy(B).parquet(path)
         spark.catalog.refreshByPath(path)
@@ -168,6 +177,17 @@ final case class BucketedParquetSource(path: String, bucketKeys: Seq[String],
   * generation counters, writer-nonce stamps, and the single-writer guard. */
 private[graft] object GenLog {
   val G = "__gen"
+
+  /** Does a just-written dir hold any DATA — a data file, or a partition
+    * SUBDIRECTORY (hive partition dirs like `__bucket=0` start with an
+    * underscore, so a file-name-only test misreads every non-empty
+    * partitioned write as empty and spuriously rewrites the batch into one
+    * leaf: duplicate rows — benign under latest-wins-over-identical-values,
+    * but a whole extra write job and 2× store rows per generation). */
+  def hasDataChildren(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(s =>
+      s.isDirectory || !s.getPath.getName.startsWith("_"))
 
   /** One random nonce per JVM: every generation this process writes is
     * stamped with an empty `_writer_<nonce>` file (underscore prefix →
@@ -601,8 +621,7 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     // job — non-empty writes always produce files and skip this.
     val genPath = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
     val genFs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!genFs.exists(genPath) || !genFs.listStatus(genPath)
-        .exists(s => !s.getPath.getName.startsWith("_")))
+    if (!GenLog.hasDataChildren(genFs, genPath))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
         .repartition(1), df.schema)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/$G=$gen")
@@ -806,7 +825,16 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
         s"by $upsertKeys would not merge on read")
     val spark = df.sparkSession
     val gen = GenLog.claimGen(spark, path)
-    withBucket(df).write.mode(SaveMode.Append).partitionBy(B).parquet(s"$path/$G=$gen")
+    // hash write-distribution on the bucket (optimization r15; the Iceberg
+    // write.distribution-mode=hash default, guide §6): an N-partition batch
+    // written straight through partitionBy emits up to N files PER BUCKET
+    // per generation — file count (and every later fold/read/listing) grows
+    // with the writer's parallelism instead of the layout. One narrow
+    // shuffle on the tiny bucket id bounds it to ≤ numBuckets files per
+    // generation at any scale; the append stays O(batch) with no old-side
+    // read, no anti-join, no rename.
+    withBucket(df).repartition(col(B))
+      .write.mode(SaveMode.Append).partitionBy(B).parquet(s"$path/$G=$gen")
     // an EMPTY batch through partitionBy writes no data files at all — a
     // schema-less generation that a later fold's read would choke on
     // (overwrite/compact already special-case this); materialize the
@@ -814,8 +842,7 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     // just-written generation, not a per-batch df.isEmpty job.
     val genPath = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
     val genFs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!genFs.exists(genPath) || !genFs.listStatus(genPath)
-        .exists(s => !s.getPath.getName.startsWith("_")))
+    if (!GenLog.hasDataChildren(genFs, genPath))
       df.drop(B).write.mode(SaveMode.Overwrite).parquet(s"$path/$G=$gen/$B=0")
     GenLog.markWriter(spark, s"$path/$G=$gen")
     spark.catalog.refreshByPath(path)
@@ -842,10 +869,10 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     val store = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(
       store.getParent, store.getName + s"__graft_compact_g$gen")
-    withBucket(resolved).write.mode(SaveMode.Overwrite).partitionBy(B)
+    withBucket(resolved).repartition(col(B)) // ≤ numBuckets files (see upsert)
+      .write.mode(SaveMode.Overwrite).partitionBy(B)
       .parquet(staging.toString)
-    val hasData = fs.exists(staging) && fs.listStatus(staging)
-      .exists(s => !s.getPath.getName.startsWith("_"))
+    val hasData = GenLog.hasDataChildren(fs, staging)
     if (!hasData)
       // the store resolved to zero rows: partitionBy wrote no data files —
       // materialize the schema so the renamed generation stays readable
@@ -873,10 +900,10 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     val store = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(
       store.getParent, store.getName + s"__graft_compact_g$gen")
-    withBucket(resolved).write.mode(SaveMode.Overwrite).partitionBy(B)
+    withBucket(resolved).repartition(col(B)) // ≤ numBuckets files (see upsert)
+      .write.mode(SaveMode.Overwrite).partitionBy(B)
       .parquet(staging.toString)
-    val hasData = fs.exists(staging) && fs.listStatus(staging)
-      .exists(s => !s.getPath.getName.startsWith("_"))
+    val hasData = GenLog.hasDataChildren(fs, staging)
     if (!hasData)
       resolved.write.mode(SaveMode.Overwrite).parquet(s"$staging/$B=0")
     if (!fs.rename(staging, dest))

@@ -3278,6 +3278,26 @@ class BucketedLogUpsertSourceSpec extends AnyFunSuite {
       .filter(col("id") === 24999L).head().getLong(1) == -24999L)
   }
 
+  test("a NON-empty upsert writes each batch row exactly once (the empty-" +
+      "generation guard must not misread hive partition dirs, which start " +
+      "with an underscore, as an empty write and re-emit the batch into one leaf)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blog9").toString + "/s"
+    val src = BucketedLogUpsertSource(dir, Seq("id"), numBuckets = 4, autoCompactEvery = 100)
+    src.upsert((0L until 100L).map(i => (i, i * 2)).toDF("id", "v"), Seq("id"))
+    val gen0 = s"$dir/__gen=0"
+    // raw generation contents: exactly one copy of the batch, properly bucketed
+    assert(spark.read.parquet(gen0).count() == 100,
+      "spurious duplicate rows in the generation - the empty guard misfired")
+    val bucketDirs = java.nio.file.Files.list(java.nio.file.Paths.get(gen0)).toArray
+      .map(_.toString.split("/").last).filter(_.startsWith("__bucket="))
+    assert(bucketDirs.length == 4)
+    // and every row sits in the bucket its key hashes to (lookups rely on it)
+    val misplaced = spark.read.option("basePath", gen0).parquet(gen0)
+      .withColumn("__expect", pmod(xxhash64(col("id")), lit(4L)).cast("int"))
+      .filter(col("__bucket") =!= col("__expect")).count()
+    assert(misplaced == 0, s"$misplaced rows in the wrong bucket dir")
+  }
+
   test("EMPTY batches mint schema-bearing generations (partitionBy writes no " +
       "files for an empty frame) and the engine fold survives an all-empty tail") {
     val dir = java.nio.file.Files.createTempDirectory("graft_blog7").toString + "/s"
