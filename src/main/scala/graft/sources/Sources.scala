@@ -189,6 +189,26 @@ private[graft] object GenLog {
     fs.exists(dir) && fs.listStatus(dir).exists(s =>
       s.isDirectory || !s.getPath.getName.startsWith("_"))
 
+  /** After an upsert's write landed no data in `gen`: drop the empty
+    * generation and release its claim (an empty upsert is a NO-OP — it must
+    * not advance the log or bring the auto-compaction trigger forward;
+    * measured at ×10, empty stream-finalize generations cost one spurious
+    * O(tail) fold per gate), UNLESS it is the store's only generation, in
+    * which case `materialize` writes the schema-bearing empty leaf (an
+    * all-empty store must read as an empty frame WITH schema). Returns
+    * true when the generation was kept (real data or schema donor). */
+  def resolveEmptyGen(spark: SparkSession, path: String, gen: Long)(
+      materialize: => Unit): Boolean = {
+    val genPath = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
+    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hasDataChildren(fs, genPath)) true
+    else if (genDirs(spark, path).exists(d => genNumber(d) != gen)) {
+      fs.delete(genPath, true)
+      releaseClaim(spark, path, gen)
+      false
+    } else { materialize; true }
+  }
+
   /** One random nonce per JVM: every generation this process writes is
     * stamped with an empty `_writer_<nonce>` file (underscore prefix →
     * invisible to Spark's file index). The single-writer-per-path contract
@@ -614,17 +634,22 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     val spark = df.sparkSession
     val gen = GenLog.claimGen(spark, path)
     df.write.mode(SaveMode.Append).parquet(s"$path/$G=$gen")
-    // an EMPTY batch whose plan has zero partitions writes no data files at
-    // all — a schema-less generation that a later all-empty-tail fold's read
-    // would choke on (the bucketed store guards identically); materialize
-    // the schema from the frame. One cheap listing, not a per-batch isEmpty
-    // job — non-empty writes always produce files and skip this.
-    val genPath = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
-    val genFs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!GenLog.hasDataChildren(genFs, genPath))
+    // an EMPTY batch writes no data files (or, from a zero-partition plan,
+    // none at all). Detected by ONE cheap listing — never a per-batch
+    // isEmpty job, whose executeTake(1) re-ran the whole upstream pipeline.
+    // An empty upsert is then a NO-OP: the dir is dropped and its claim
+    // released, so empty stream-finalize batches don't advance the log and
+    // can't trigger spurious O(tail) folds (measured at ×10: extra
+    // fold-per-gate from empty finalize generations). Exception: the
+    // store's FIRST generation is kept as the schema donor — a read of an
+    // all-empty store must return the empty frame WITH schema, not a
+    // schema-inference error.
+    val kept = GenLog.resolveEmptyGen(spark, path, gen) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
         .repartition(1), df.schema)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/$G=$gen")
+    }
+    if (!kept) return
     GenLog.markWriter(spark, s"$path/$G=$gen")
     spark.catalog.refreshByPath(path)
     // amortized auto-compaction bounds generations (and resolve cost) BY
@@ -835,15 +860,15 @@ final case class BucketedLogUpsertSource(path: String, keys: Seq[String],
     // read, no anti-join, no rename.
     withBucket(df).repartition(col(B))
       .write.mode(SaveMode.Append).partitionBy(B).parquet(s"$path/$G=$gen")
-    // an EMPTY batch through partitionBy writes no data files at all — a
-    // schema-less generation that a later fold's read would choke on
-    // (overwrite/compact already special-case this); materialize the
-    // schema in one concrete bucket leaf. One cheap listing of the
-    // just-written generation, not a per-batch df.isEmpty job.
-    val genPath = new org.apache.hadoop.fs.Path(s"$path/$G=$gen")
-    val genFs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!GenLog.hasDataChildren(genFs, genPath))
+    // an EMPTY batch through partitionBy writes no data files at all. One
+    // cheap listing (never a per-batch df.isEmpty job) detects it; the
+    // empty upsert is then a NO-OP — dropped generation, claim released —
+    // unless it is the store's first (schema-donor) generation. See
+    // [[GenLog.resolveEmptyGen]].
+    val kept = GenLog.resolveEmptyGen(spark, path, gen) {
       df.drop(B).write.mode(SaveMode.Overwrite).parquet(s"$path/$G=$gen/$B=0")
+    }
+    if (!kept) return
     GenLog.markWriter(spark, s"$path/$G=$gen")
     spark.catalog.refreshByPath(path)
     // tiered like LogUpsertSource: minor O(tail) folds routinely, major
