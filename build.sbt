@@ -23,6 +23,14 @@ libraryDependencies ++= Seq(
 // cancel cleanly when the jars are absent.
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON out of a bounded
+// tail window. Under sbt's default LoggedOutput every forked-process line
+// arrives prefixed "[info] ", so the final JSON line starts with
+// "[info] {" and the parse fails (the one round it ever parsed, the tail
+// truncation happened to chop the prefix off). StdoutOutput passes the
+// forked JVM's stdout/stderr through raw — the JSON line genuinely starts
+// with '{'. Logging noise (Spark WARNs) goes to stderr either way.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

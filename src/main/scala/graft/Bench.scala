@@ -142,7 +142,17 @@ object Bench {
     // precision (~1.3 KB at 96 queries). The full-name line prints FIRST so
     // humans and BENCH_NOTES still get it when reading the whole log.
     val sorted = results.toSeq.sortBy(_._1)
-    println(fullLine(sorted, sfDir, failed)) // full names, for humans reading the whole log
+    val full = fullLine(sorted, sfDir, failed)
+    println(full) // full names, for humans reading the whole log
+    // …and the same full-precision full-name line to a file (VERDICT r15
+    // #2): the driver's tail window cannot hold ~7 KB of full names, so
+    // the on-disk copy is the durable rich record; best-effort — a
+    // read-only CWD must not fail the bench
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // short-key line: adaptive format bounded ≤ MaxShortLine chars — the
     // suite outgrew the fixed format (1861 chars at 157 queries inside the
     // 2000-char driver tail window; ~170 queries would push its START out)

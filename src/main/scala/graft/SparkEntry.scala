@@ -4880,7 +4880,11 @@ object SparkEntry {
         s, events(s, dir).select("ts", "user_id", "event_type", "event_id"),
         tsCol = "ts", keys = Seq("user_id"), idCol = "event_id",
         leftPred = "event_type = 'click'",
-        rightPred = "event_type = 'purchase'", after = "1 hour"),
+        rightPred = "event_type = 'purchase'", after = "1 hour",
+        // gate config, not contract: 2 data chunks + 2 sentinel chunks
+        // still exercise cross-batch join state and watermark eviction;
+        // see q177's chunk note (GRAFT_STREAM_DEBUG laps, r16)
+        chunks = 2),
       Some("""SELECT a.user_id, a.event_id AS a_id,
           coalesce(b.event_id, -1) AS b_id_key,
           epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS lag_us
@@ -4920,7 +4924,13 @@ object SparkEntry {
     Q("q177_streaming_session_run",
       (s, dir) => graft.streaming.Streaming.stagedSessionAggRun(
         s, events(s, dir).select("ts", "user_id", "value", "event_id"),
-        tsCol = "ts", keyCol = "user_id", valueCol = "value", gap = "30 minutes"),
+        tsCol = "ts", keyCol = "user_id", valueCol = "value", gap = "30 minutes",
+        // chunks is GATE CONFIG, not contract (the oracle is chunking-
+        // independent by the gate's own argument); 2 data chunks + the 2
+        // sentinel chunks still carry session state across 3 micro-batch
+        // boundaries, and each batch costs ~0.5-1.0 s of engine constants
+        // at sf0.1 (GRAFT_STREAM_DEBUG laps, optimization r16)
+        chunks = 2),
       Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
           g AS (SELECT user_id, ts, value,
               CASE WHEN lag(ts) OVER w IS NULL
@@ -7266,7 +7276,8 @@ FROM q, g5 g""")),
           s, events(s, dir).select("ts", "user_id", "event_type", "event_id"),
           tsCol = "ts", keys = Seq("user_id"), idCol = "event_id",
           leftPred = "event_type = 'click'",
-          rightPred = "event_type = 'purchase'", after = "1 hour")
+          rightPred = "event_type = 'purchase'", after = "1 hour",
+          chunks = 2) // gate config, not contract — see q187's chunk note
       },
       Some("""SELECT a.user_id, a.event_id AS a_id,
           coalesce(b.event_id, -1) AS b_id_key,

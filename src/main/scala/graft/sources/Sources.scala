@@ -229,6 +229,25 @@ private[graft] object GenLog {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Bound a generation's FILE COUNT by the batch's planned bytes, not the
+    * writer's parallelism (guide §6: file sizing is a LAYOUT property —
+    * the bucketed stores get it from their bucket repartition; the plain
+    * log store wrote one file per input partition, so a fanned
+    * 32-partition frame of 500 rows minted 32 tiny files per generation
+    * and every later listing/resolve/fold paid the file count — the
+    * measured q245/q248 r15 regression). Catalyst's size estimate costs
+    * no job; estimation error only moves the effective file-size target,
+    * never results. `coalesce` never shuffles and is a no-op when the
+    * frame is already at-or-below the bound, so corpus-scale batches keep
+    * their parallelism (estimate ≥ target ⇒ bound ≥ partitions) and only
+    * small batches narrow. Unknown-size plans (streaming batches estimate
+    * Long.MaxValue) pass through untouched. */
+  def boundGenFiles(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = est / targetBytes + 1
+    if (files.isValidInt) df.coalesce(files.toInt) else df
+  }
+
   /** The store's generation dirs (empty if the store doesn't exist yet). */
   def genDirs(spark: SparkSession, path: String): Array[org.apache.hadoop.fs.Path] = {
     val (fs, p) = fsOf(spark, path)
@@ -633,7 +652,9 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
         s"$upsertKeys would not merge on read")
     val spark = df.sparkSession
     val gen = GenLog.claimGen(spark, path)
-    df.write.mode(SaveMode.Append).parquet(s"$path/$G=$gen")
+    // file count bounded by batch BYTES, not writer parallelism (§6) —
+    // see GenLog.boundGenFiles
+    GenLog.boundGenFiles(df).write.mode(SaveMode.Append).parquet(s"$path/$G=$gen")
     // an EMPTY batch writes no data files (or, from a zero-partition plan,
     // none at all). Detected by ONE cheap listing — never a per-batch
     // isEmpty job, whose executeTake(1) re-ran the whole upstream pipeline.
@@ -696,7 +717,7 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
       store.getParent, store.getName + s"__graft_compact_g$gen")
     // materialize the fold FULLY before dropping any input generation
     // (self-overwrite discipline, same as Caching.compact)
-    resolved.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    GenLog.boundGenFiles(resolved).write.mode(SaveMode.Overwrite).parquet(staging.toString)
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
     GenLog.retireInputs(spark, path, dest.toString, inputs)
@@ -724,7 +745,7 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     val store = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(
       store.getParent, store.getName + s"__graft_compact_g$gen")
-    resolved.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    GenLog.boundGenFiles(resolved).write.mode(SaveMode.Overwrite).parquet(staging.toString)
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compactTail: rename $staging -> $dest failed")
     GenLog.retireInputs(spark, path, dest.toString, tail)

@@ -614,11 +614,12 @@ object Streaming {
       // probe's executeTake(1) re-computed the full stateful pipeline, so
       // it COST more than the upsert it guarded (GRAFT_STREAM_DEBUG
       // decomposition: isEmpty 0.15-1.3 s/batch vs upsert 0.11-0.38 s).
-      // Empty watermark-finalize batches now mint an empty generation
-      // instead of being skipped; the log stores tolerate schema-bearing
-      // empty generations by construction (spec-pinned: "EMPTY batches
-      // mint schema-bearing generations"), and latest-wins over an empty
-      // generation is a no-op, so the final store read is unchanged.
+      // Empty watermark-finalize batches are NO-OPS on the log stores
+      // (GenLog.resolveEmptyGen: the empty generation is dropped and its
+      // claim released — unless it is the store's FIRST generation, kept
+      // as the schema donor), so they neither advance the log nor pull
+      // the O(tail) auto-compaction forward, and the final read is
+      // unchanged.
       val tV = System.nanoTime()
       store.upsert(gateCoalesce(project(batch)), keys)
       if (debugT) System.err.println(f"[stream-gate]   upsert ${(System.nanoTime() - tV) / 1e9}%.2fs")
@@ -761,12 +762,29 @@ object Streaming {
   def withStateStoreProvider[T](spark: SparkSession, providerClass: String)(
       body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    // Changelog checkpointing rides along whenever the provider is RocksDB
+    // (guide §5, state-store tuning): the default commit uploads a FULL
+    // RocksDB snapshot (zip every sst) per store per micro-batch — at
+    // 100 TB join state that is the per-batch wall; with changelog
+    // checkpointing a commit persists only the batch's delta and recovery
+    // replays the changelog onto the last snapshot. Semantics are
+    // provider-internal (same oracle, spec-gated recovery), cost is not:
+    // measured on the q187b/q176b gates as part of optimization r16.
+    val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = spark.conf.getOption(key)
+    val prevCl = spark.conf.getOption(clKey)
     spark.conf.set(key, providerClass)
+    if (providerClass == RocksDbProvider) spark.conf.set(clKey, "true")
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      prevCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
     }
   }
 

@@ -3298,8 +3298,9 @@ class BucketedLogUpsertSourceSpec extends AnyFunSuite {
     assert(misplaced == 0, s"$misplaced rows in the wrong bucket dir")
   }
 
-  test("EMPTY batches mint schema-bearing generations (partitionBy writes no " +
-      "files for an empty frame) and the engine fold survives an all-empty tail") {
+  test("EMPTY upserts are no-ops — the generation is dropped and its claim " +
+      "released (a store's FIRST generation is kept as the schema donor) — " +
+      "and reads stay correct through the sequence") {
     val dir = java.nio.file.Files.createTempDirectory("graft_blog7").toString + "/s"
     val src = BucketedLogUpsertSource(dir, Seq("id"), numBuckets = 4, autoCompactEvery = 3)
     src.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
@@ -3328,6 +3329,20 @@ class BucketedLogUpsertSourceSpec extends AnyFunSuite {
     }
     assert(src.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
       .toMap == Map(0L -> "v6", 1L -> "v7", 2L -> "v5"))
+  }
+
+  test("a small upsert from a fanned multi-partition frame lands ONE data file " +
+      "per generation (file count follows batch bytes, not writer parallelism)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_genfiles").toString + "/s"
+    import graft.sources.LogUpsertSource
+    val src = LogUpsertSource(dir, Seq("id"), autoCompactEvery = 100)
+    src.upsert(spark.range(0, 500).repartition(16)
+      .select(col("id"), (col("id") * 2L).as("v")), Seq("id"))
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/__gen=0"))
+      .toArray.map(_.toString.split("/").last)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    assert(files.length == 1, s"expected 1 data file in the generation, got ${files.length}")
+    assert(src.read(spark).count() == 500)
   }
 }
 
