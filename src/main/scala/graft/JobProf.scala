@@ -26,9 +26,16 @@ object JobProf {
     spark.sparkContext.setLogLevel("WARN")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        starts.put(js.jobId, (System.nanoTime(),
-          Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // attribution: the job's call site rides the STAGE info, not the
+        // local properties (which only carry an explicit description)
+        val site = js.stageInfos.sortBy(-_.stageId).headOption
+          .map(_.details.linesIterator.filterNot(_.contains("org.apache.spark"))
+            .take(2).mkString(" <- ").trim).filter(_.nonEmpty)
+          .getOrElse(Option(js.properties.getProperty("spark.job.description"))
+            .getOrElse("?"))
+        starts.put(js.jobId, (System.nanoTime(), site))
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         Option(starts.remove(je.jobId)).foreach { case (t0, cs) =>
           System.err.println(

@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // strict positive-int parse: '*' or a typo would otherwise surface as
+    // an opaque error at first shuffle.partitions use (ADVICE r15)
+    val cpus = graft.streaming.Streaming.parsePositiveInt(
+      "SPARK_GRAFT_CPUS", sys.env.get("SPARK_GRAFT_CPUS"), default = 8).toString
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -57,7 +57,11 @@ object SparkEntry {
   }
 
   /** (bytes, rows) from the parquet FOOTER only — no Spark job, cached per
-    * path for the session lifetime. */
+    * path for the session lifetime. Accepted staleness (ADVICE r15): a
+    * file REGENERATED at the same path within one JVM would reuse the old
+    * stats — that can only mis-size the fan-out partitioning, never change
+    * a result, and the test data is immutable per run; keying on
+    * (len, mtime) would pay a getFileStatus per t() call instead. */
   private val tableStats =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
@@ -4880,11 +4884,12 @@ object SparkEntry {
         s, events(s, dir).select("ts", "user_id", "event_type", "event_id"),
         tsCol = "ts", keys = Seq("user_id"), idCol = "event_id",
         leftPred = "event_type = 'click'",
-        rightPred = "event_type = 'purchase'", after = "1 hour",
-        // gate config, not contract: 2 data chunks + 2 sentinel chunks
-        // still exercise cross-batch join state and watermark eviction;
-        // see q177's chunk note (GRAFT_STREAM_DEBUG laps, r16)
-        chunks = 2),
+        rightPred = "event_type = 'purchase'", after = "1 hour"),
+      // chunk count stays at the default 3 DELIBERATELY (optimization r16):
+      // trimming to 2 saved ~1 s of per-batch engine constants at sf0.1 and
+      // x10 but cost +10 s at x100 — fewer watermark advances mean the
+      // join state evicts in bigger waves; measured both ways, see
+      // OPTIMIZATION_r16.md and SCALE_CURVE_x100_streaming_r16.json
       Some("""SELECT a.user_id, a.event_id AS a_id,
           coalesce(b.event_id, -1) AS b_id_key,
           epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS lag_us
@@ -4924,13 +4929,11 @@ object SparkEntry {
     Q("q177_streaming_session_run",
       (s, dir) => graft.streaming.Streaming.stagedSessionAggRun(
         s, events(s, dir).select("ts", "user_id", "value", "event_id"),
-        tsCol = "ts", keyCol = "user_id", valueCol = "value", gap = "30 minutes",
-        // chunks is GATE CONFIG, not contract (the oracle is chunking-
-        // independent by the gate's own argument); 2 data chunks + the 2
-        // sentinel chunks still carry session state across 3 micro-batch
-        // boundaries, and each batch costs ~0.5-1.0 s of engine constants
-        // at sf0.1 (GRAFT_STREAM_DEBUG laps, optimization r16)
-        chunks = 2),
+        tsCol = "ts", keyCol = "user_id", valueCol = "value", gap = "30 minutes"),
+      // chunk count stays at the default 3 DELIBERATELY (optimization r16):
+      // 2 chunks saved ~1 s at sf0.1/x10 but cost +42 s at x100 — session
+      // state merges/finalizes in bigger waves when the watermark advances
+      // fewer times; measured both ways (OPTIMIZATION_r16.md)
       Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
           g AS (SELECT user_id, ts, value,
               CASE WHEN lag(ts) OVER w IS NULL
@@ -7276,9 +7279,8 @@ FROM q, g5 g""")),
           s, events(s, dir).select("ts", "user_id", "event_type", "event_id"),
           tsCol = "ts", keys = Seq("user_id"), idCol = "event_id",
           leftPred = "event_type = 'click'",
-          rightPred = "event_type = 'purchase'", after = "1 hour",
-          chunks = 2) // gate config, not contract — see q187's chunk note
-      },
+          rightPred = "event_type = 'purchase'", after = "1 hour")
+      }, // chunks stays 3 — see q187's chunk note (x100 regression)
       Some("""SELECT a.user_id, a.event_id AS a_id,
           coalesce(b.event_id, -1) AS b_id_key,
           epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS lag_us

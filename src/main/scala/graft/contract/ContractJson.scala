@@ -99,7 +99,9 @@ object ContractJson {
       s"""{"kind":"partitioned_parquet","path":${q(p)},"keys":${arr(keys.map(q))}}"""
     case graft.sources.BucketedParquetSource(p, keys, b) =>
       s"""{"kind":"bucketed_parquet","path":${q(p)},"keys":${arr(keys.map(q))},"buckets":$b}"""
-    case graft.sources.LogUpsertSource(p, keys, ce) =>
+    // boundFiles is a write-path layout knob, not contract state — it is
+    // not serialized, and a deserialized store gets the batch default
+    case graft.sources.LogUpsertSource(p, keys, ce, _) =>
       s"""{"kind":"log_upsert","path":${q(p)},"keys":${arr(keys.map(q))},"compact_every":$ce}"""
     case graft.sources.BucketedLogUpsertSource(p, keys, b, ce) =>
       s"""{"kind":"bucketed_log","path":${q(p)},"keys":${arr(keys.map(q))},""" +

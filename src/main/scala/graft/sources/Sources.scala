@@ -130,17 +130,24 @@ final case class BucketedParquetSource(path: String, bucketKeys: Seq[String],
     distributed(df).write.mode(SaveMode.Append).partitionBy(B).parquet(path)
   def overwrite(df: DataFrame): Unit = StageAndSwap.locked(df.sparkSession, path) {
     val spark = df.sparkSession
+    // stage to a SIBLING dir and rename over dest (ADVICE r15): the former
+    // pre-delete destroyed the table before Spark's own
+    // cannot-overwrite-a-path-being-read guard could fire, so a
+    // read-modify-overwrite caller lost the table instead of getting the
+    // loud AnalysisException; staging also makes a mid-write crash leave
+    // the old table intact
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dest, true)
-    distributed(df).write.mode(SaveMode.Overwrite).partitionBy(B).parquet(path)
+    val tmp = new org.apache.hadoop.fs.Path(dest.getParent, dest.getName + "__tmp_overwrite")
+    distributed(df).write.mode(SaveMode.Overwrite).partitionBy(B).parquet(tmp.toString)
     // partitionBy writes NO files for an empty frame, which would leave an
     // unreadable (schema-less) dir — materialize the schema as one empty
     // part file inside a concrete partition dir instead. A post-write
     // listing, not a pre-write df.isEmpty: the probe was a whole extra job
     // on every overwrite (optimization r15)
-    if (!GenLog.hasDataChildren(fs, dest))
-      df.write.mode(SaveMode.Overwrite).parquet(s"$path/$B=0")
+    if (!GenLog.hasDataChildren(fs, tmp))
+      df.write.mode(SaveMode.Overwrite).parquet(s"$tmp/$B=0")
+    StageAndSwap.swapInto(spark, tmp.toString, path)
   }
   def upsert(df: DataFrame, keys: Seq[String]): Unit = StageAndSwap.locked(df.sparkSession, path) {
     require(bucketKeys.forall(keys.contains),
@@ -237,15 +244,23 @@ private[graft] object GenLog {
     * and every later listing/resolve/fold paid the file count — the
     * measured q245/q248 r15 regression). Catalyst's size estimate costs
     * no job; estimation error only moves the effective file-size target,
-    * never results. `coalesce` never shuffles and is a no-op when the
-    * frame is already at-or-below the bound, so corpus-scale batches keep
-    * their parallelism (estimate ≥ target ⇒ bound ≥ partitions) and only
-    * small batches narrow. Unknown-size plans (streaming batches estimate
-    * Long.MaxValue) pass through untouched. */
+    * never results. The bound is a `repartition` (an explicit
+    * output-sizing exchange of the FINAL rows only), NOT a coalesce:
+    * coalesce propagates up to the previous shuffle boundary and
+    * single-threads the whole producing stage — measured at the ×10
+    * streaming curve as a 1.4-2× regression on every gate (the width-8
+    * stateful pipelines collapsed to one task). It applies only in the
+    * small-batch regime (≤ [[MaxBoundedGenFiles]] planned files);
+    * corpus-scale writes keep their stock parallelism, and unknown-size
+    * plans (streaming batches can estimate Long.MaxValue) pass through
+    * untouched. */
+  val MaxBoundedGenFiles = 64L
   def boundGenFiles(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val files = est / targetBytes + 1
-    if (files.isValidInt) df.coalesce(files.toInt) else df
+    if (files.isValidLong && files.toLong <= MaxBoundedGenFiles)
+      df.repartition(files.toInt)
+    else df
   }
 
   /** The store's generation dirs (empty if the store doesn't exist yet). */
@@ -607,7 +622,17 @@ private[graft] object GenLog {
   * outside the store, nothing renamed, no corruption) or both land,
   * resolving to identical values by latest-wins. */
 final case class LogUpsertSource(path: String, keys: Seq[String],
-    autoCompactEvery: Int = GenLog.defaultAutoCompactEvery) extends WritableSource {
+    autoCompactEvery: Int = GenLog.defaultAutoCompactEvery,
+    // bound each generation's file count by batch BYTES
+    // (GenLog.boundGenFiles) — right for BATCH callers, whose frames
+    // arrive at scan/session parallelism regardless of size (the r15
+    // q245/q248 finding: a fanned 500-row frame minted 32 tiny files per
+    // generation). The streaming gates OPT OUT: their sink width is
+    // already layout-managed (width-1 gates coalesce(1); scale widths
+    // write exactly width files), and the bound's repartition added one
+    // exchange per micro-batch AND per fold — measured at the ×10 curve
+    // as +1-5 s on every gate before the opt-out.
+    boundFiles: Boolean = true) extends WritableSource {
   require(autoCompactEvery >= 2,
     s"autoCompactEvery must be >= 2 (1 would fold the whole store on every " +
       s"append, re-creating the O(store)-per-batch cost this store removes), " +
@@ -654,7 +679,8 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     val gen = GenLog.claimGen(spark, path)
     // file count bounded by batch BYTES, not writer parallelism (§6) —
     // see GenLog.boundGenFiles
-    GenLog.boundGenFiles(df).write.mode(SaveMode.Append).parquet(s"$path/$G=$gen")
+    val bounded = if (boundFiles) GenLog.boundGenFiles(df) else df
+    bounded.write.mode(SaveMode.Append).parquet(s"$path/$G=$gen")
     // an EMPTY batch writes no data files (or, from a zero-partition plan,
     // none at all). Detected by ONE cheap listing — never a per-batch
     // isEmpty job, whose executeTake(1) re-ran the whole upstream pipeline.
@@ -717,7 +743,8 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
       store.getParent, store.getName + s"__graft_compact_g$gen")
     // materialize the fold FULLY before dropping any input generation
     // (self-overwrite discipline, same as Caching.compact)
-    GenLog.boundGenFiles(resolved).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    (if (boundFiles) GenLog.boundGenFiles(resolved) else resolved)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compact: rename $staging -> $dest failed")
     GenLog.retireInputs(spark, path, dest.toString, inputs)
@@ -745,7 +772,8 @@ final case class LogUpsertSource(path: String, keys: Seq[String],
     val store = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(
       store.getParent, store.getName + s"__graft_compact_g$gen")
-    GenLog.boundGenFiles(resolved).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    (if (boundFiles) GenLog.boundGenFiles(resolved) else resolved)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"compactTail: rename $staging -> $dest failed")
     GenLog.retireInputs(spark, path, dest.toString, tail)
